@@ -1,38 +1,859 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is one operator from SURVEY.md §2 expressed as an
+idiomatic Spark DataFrame plan (via the ``aeon_mecha_spark`` package), and
+``oracle_sql()`` carries the equivalent DuckDB SQL. Column names/types are
+aligned on both sides; float aggregates go through exact decimal sums so
+results are bit-reproducible across engines and cluster shapes.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from aeon_mecha_spark.datapipe import dedup, similarity, textqc
+from aeon_mecha_spark.functions import text as TX
+from aeon_mecha_spark.functions.hashing import key_hash
+from aeon_mecha_spark.functions.time import chunk_end as f_chunk_end
+from aeon_mecha_spark.operators import intervals, regression, sessionize, stats, windows
+from aeon_mecha_spark.query import Relation, U
+
+_MARKERS = textqc.LANG_MARKERS
+_NUM_MINHASH = 8
+_MINHASH_BANDS = 4
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table.
+
+    The ``events`` table stores TIMESTAMP(NANOS), which Spark's Parquet
+    reader rejects by default; we read it as nanos-long (legacy conf)
+    and convert to a µs timestamp (values are µs-grained, so exact).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # timestamp semantics (date_trunc, collected values) must be tz-stable
+    # regardless of the driver session's default timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer div: truncate ns → µs exactly like DuckDB/pyarrow do
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def _longs(df: DataFrame, *cols: str) -> DataFrame:
+    """Normalize integer output columns to bigint (oracle type parity)."""
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-2.7) over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: restrict + groupBy + 8 aggregates (P3, A3).
+    Money sums go through exact decimals (see session notes)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = ((F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")
+    both_f = ((F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))).cast("decimal(18,6)")
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc_f).cast("double").alias("sum_disc_price"),
+            F.sum(price * both_f).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out
+
+
+def q02_restrict_expr(spark, sf_dir):
+    """Restriction by SQL predicate string: BETWEEN + LIKE + IFNULL-style
+    coalesce (P4, F23) via the Relation algebra."""
+    orders = Relation(_t(spark, sf_dir, "orders"), pk=["o_orderkey"])
+    r = orders & (
+        "o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59' "
+        "AND o_orderpriority LIKE '1-%'"
+    )
+    return r.proj("o_orderkey", "o_custkey", "o_totalprice", status_label="coalesce(nullif(o_orderstatus, 'O'), 'OPEN')").df
+
+
+def q03_semi_join(spark, sf_dir):
+    """Restriction by subquery = semi-join (P5/J6): customers having a
+    big order."""
+    customer = Relation(_t(spark, sf_dir, "customer"), pk=["c_custkey"])
+    big = Relation(_t(spark, sf_dir, "orders"), pk=["o_orderkey"]) & "o_totalprice > 400000"
+    big_cust = big.proj(c_custkey="o_custkey")
+    return (customer & big_cust).df
+
+
+def q04_anti_join(spark, sf_dir):
+    """Anti-restriction (P6/J7): customers with no urgent orders — the
+    key_source-minus-done pending-work pattern."""
+    customer = Relation(_t(spark, sf_dir, "customer"), pk=["c_custkey"])
+    urgent = Relation(_t(spark, sf_dir, "orders"), pk=["o_orderkey"]) & "o_orderpriority = '1-URGENT'"
+    return (customer - urgent.proj(c_custkey="o_custkey")).proj("c_custkey", "c_name", "c_nationkey").df
+
+
+def q05_proj_compute(spark, sf_dir):
+    """proj with compute/rename (P1/P2): computed CASE column + arithmetic."""
+    part = Relation(_t(spark, sf_dir, "part"), pk=["p_partkey"])
+    return part.proj(
+        "p_name",
+        price_class="CASE WHEN p_retailprice >= 1500 THEN 'premium' ELSE 'standard' END",
+        double_size="CAST(p_size * 2 AS BIGINT)",
+    ).df
+
+
+def q06_revenue_by_nation(spark, sf_dir):
+    """Natural-join chain + grouped aggregation (J1, A2, dj.U grouping):
+    orders ⋈ customer ⋈ nation ⋈ region → revenue per (region, nation).
+    Dims broadcast automatically (session autoBroadcastJoinThreshold)."""
+    orders = Relation(_t(spark, sf_dir, "orders"), pk=["o_orderkey"]).proj(
+        "o_totalprice", c_custkey="o_custkey"
+    )
+    customer = Relation(_t(spark, sf_dir, "customer"), pk=["c_custkey"]).proj(
+        "c_custkey", n_nationkey="c_nationkey"
+    )
+    nation = Relation(_t(spark, sf_dir, "nation"), pk=["n_nationkey"])
+    region = Relation(_t(spark, sf_dir, "region"), pk=["r_regionkey"]).proj(
+        "r_name", n_regionkey="r_regionkey"
+    )
+    joined = orders * customer * nation * region
+    return U("r_name", "n_name").aggr(
+        joined,
+        revenue="cast(sum(cast(o_totalprice as decimal(27,2))) as double)",
+        n_orders="count(1)",
+    ).df
+
+
+def q07_left_join_counts(spark, sf_dir):
+    """Left join keeping unmatched dims (J2) + aggregates with
+    NULL-group coalesce (F23)."""
+    nation = Relation(_t(spark, sf_dir, "nation"), pk=["n_nationkey"])
+    customer = Relation(_t(spark, sf_dir, "customer"), pk=["c_custkey"]).proj(
+        "c_custkey", "c_acctbal", n_nationkey="c_nationkey"
+    )
+    j = nation.join(customer, left=True)
+    return U("n_nationkey", "n_name").aggr(
+        j,
+        n_customers="count(c_custkey)",
+        total_acctbal="coalesce(cast(sum(cast(c_acctbal as decimal(27,2))) as double), 0.0)",
+    ).df
+
+
+def q08_union(spark, sf_dir):
+    """Union of same-heading projections, distinct (U1)."""
+    c = Relation(_t(spark, sf_dir, "customer")).proj(nationkey="c_nationkey")
+    s = Relation(_t(spark, sf_dir, "supplier")).proj(nationkey="s_nationkey")
+    return (c + s).df
+
+
+def q09_top(spark, sf_dir):
+    """dj.Top: order_by + limit (W5/W6/O4)."""
+    orders = Relation(_t(spark, sf_dir, "orders"), pk=["o_orderkey"])
+    return orders.top(10, order_by=["o_totalprice desc", "o_orderkey"]).proj(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    ).df
+
+
+def q10_grouped_bounds(spark, sf_dir):
+    """dj.U(...).aggr grouped min/max/count (A1/A2) — processed-region
+    bounds pattern (spike_sorting.py:1278-1296)."""
+    orders = Relation(_t(spark, sf_dir, "orders"))
+    return U("o_orderstatus").aggr(
+        orders,
+        first_date="min(o_orderdate)",
+        last_date="max(o_orderdate)",
+        n="count(1)",
+    ).df
+
+
+def q11_distinct(spark, sf_dir):
+    """Distinct projection via dj.U & rel (A8)."""
+    return (U("p_brand", "p_type") & Relation(_t(spark, sf_dir, "part"))).df
+
+
+def q12_dedupe_first(spark, sf_dir):
+    """Keep-first dedupe with deterministic order (A9): first event per
+    user."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.dedupe_first(ev, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()])
+    return out.select("user_id", "event_id", "ts", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Window / time-series operators (SURVEY §2.5, §2.9) over events
+# ---------------------------------------------------------------------------
+
+def q13_qc_deltas(spark, sf_dir):
+    """Per-key lag deltas (W1, QC frame-delta parity qc.py:92-99)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = windows.lag_delta(ev, ["ts", "event_id"], ["user_id"], ["ts", "value"])
+    return out.select("user_id", "event_id", "ts", F.col("ts_delta"), F.col("value_delta"))
+
+
+def q14_running_sum(spark, sf_dir):
+    """Running cumulative sum per key (W2) through exact decimals."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = windows.running_sum(
+        ev, F.col("value").cast("decimal(27,6)"), ["ts", "event_id"], ["user_id"], "running_value"
+    )
+    return out.select(
+        "user_id", "event_id", "ts", F.col("running_value").cast("double").alias("running_value")
+    )
+
+
+def q15_rolling_1h(spark, sf_dir):
+    """Trailing 1-hour time-window aggregate (W3, rolling('1s') parity)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    cnt = windows.rolling_time_sum(ev, F.lit(1), "ts", ["user_id"], 3_600_000_000, "n_1h")
+    both = windows.rolling_time_sum(
+        cnt, F.col("value").cast("decimal(27,6)"), "ts", ["user_id"], 3_600_000_000, "sum_1h"
+    )
+    return _longs(
+        both.select("user_id", "event_id", "ts", "n_1h", F.col("sum_1h").cast("double").alias("sum_1h")),
+        "n_1h",
+    )
+
+
+def q16_sessionize(spark, sf_dir):
+    """Gap-based sessionization (T2/T4 analog): 30-min gap, sessions per
+    user."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize.gap_sessionize(ev, "ts", ["user_id"], 1_800_000_000)
+    return s.groupBy("user_id").agg(F.max("session_id").cast("long").alias("n_sessions"))
+
+
+def q17_hourly_rollup(spark, sf_dir):
+    """Tumbling 1-hour windows (T1 — the reference's chunk binning)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("chunk_hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q18_asof_join(spark, sf_dir):
+    """As-of (nearest-predecessor) join (J5): for each purchase, the
+    latest click of the same user at-or-before it. Union-merge plan —
+    one shuffle, no broadcast needed at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    out = intervals.asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        value_cols=["click_ts"],
+    )
+    return out.select("event_id", "user_id", "ts", "click_ts")
+
+
+def q19_interval_count(spark, sf_dir):
+    """Point-in-interval join (J4): views of the same user within the 10
+    minutes before each error event (zero-preserving left form)."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), F.col("ts"),
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("w_start"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    j = errors.join(
+        views,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("v_ts") >= F.col("w_start"))
+        & (F.col("v_ts") <= F.col("ts")),
+        "left",
+    )
+    return j.groupBy("event_id").agg(F.count("v_ts").alias("n_views_10m"))
+
+
+def q20_column_stats(spark, sf_dir):
+    """column_stats parity (A4, stats.py:14-23): finite-only min/max/mean,
+    mean rounded to 4 dp."""
+    ev = _t(spark, sf_dir, "events")
+    return stats.column_stats(ev, ["value"], ["event_type"])
+
+
+def q21_timestamp_stats(spark, sf_dir):
+    """timestamp_stats parity (A5, stats.py:26-39): median-diff sampling
+    rate."""
+    ev = _t(spark, sf_dir, "events")
+    return stats.timestamp_stats(ev, "ts", ["event_type"])
+
+
+def q22_sync_regression(spark, sf_dir):
+    """Per-group OLS fit (F15/S5 — the HarpSync clock model) with exact
+    decimal moments."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.unix_micros(F.col("ts")) - F.lit(1704067200000000)) / 1_000_000.0).alias("t"),
+        F.col("value").alias("v"),
+    )
+    return regression.fit_closed_form_portable(ev, "t", "v", ["event_type"])
+
+
+def q23_param_hash(spark, sf_dir):
+    """MD5 param-set identity (F16, hashing.py:7-13)."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", key_hash("p_brand", "p_type", "p_size").alias("param_uuid")
+    )
+
+
+def q24_ownership(spark, sf_dir):
+    """Ownership dedup (T7, spike_sorting.py:1519-1560): first lineitem
+    per order by (shipdate, linenumber)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = windows.dedupe_first(
+        li, ["l_orderkey"], [F.col("l_shipdate").asc(), F.col("l_linenumber").asc()]
+    )
+    return _longs(out.select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"), "l_linenumber")
+
+
+def q25_conditional_agg(spark, sf_dir):
+    """Conditional aggregates (W7 frontier pattern: min/max/sum under a
+    predicate inside the group)."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(urgent, 1)).alias("n_urgent"),
+        F.sum(F.when(urgent, F.col("o_totalprice").cast("decimal(27,2)"))).cast("double").alias("rev_urgent"),
+        F.min(F.when(urgent, F.col("o_orderdate"))).alias("first_urgent"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def q26_chunk_windows(spark, sf_dir):
+    """Chunk-window derivation (T1/F5): hour-floor chunk_start, +1 h
+    chunk_end, per-stream counts."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("chunk_start")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return g.withColumn("chunk_end", f_chunk_end(F.col("chunk_start")))
+
+
+def q27_epoch_lead(spark, sf_dir):
+    """Epoch-end backfill as lead() sessionization (T2, acquisition.py:
+    254-304): per-user daily epochs, end = next epoch's start."""
+    ev = _t(spark, sf_dir, "events")
+    listing = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("epoch_start")
+    ).dropDuplicates()
+    return sessionize.derive_epochs(listing, exp_col="user_id")
+
+
+def q28_harp_time(spark, sf_dir):
+    """HARP 1904-epoch clock conversion + µs-exact roundtrip (F2/F3)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    from aeon_mecha_spark.functions.time import harp_to_timestamp, timestamp_to_harp
+
+    out = ev.withColumn("harp_s", timestamp_to_harp(F.col("ts")))
+    return out.withColumn("ts_rt", harp_to_timestamp(F.col("harp_s")))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (datapipe) over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def q30_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q31_fingerprint_dedup(spark, sf_dir):
+    return dedup.fingerprint_duplicates(_t(spark, sf_dir, "documents"))
+
+
+def q32_text_quality(spark, sf_dir):
+    out = textqc.quality_features(_t(spark, sf_dir, "documents"))
+    return _longs(out, "n_chars", "n_tokens")
+
+
+def q33_langid(spark, sf_dir):
+    out = textqc.language_id(_t(spark, sf_dir, "documents"))
+    return _longs(out, *[f"score_{lang}" for lang in _MARKERS])
+
+
+def q34_minhash(spark, sf_dir):
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), k=3, num_hashes=_NUM_MINHASH
+    )
+
+
+def q35_lsh_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, num_hashes=_NUM_MINHASH)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=_NUM_MINHASH, bands=_MINHASH_BANDS)
+    j = dedup.ngram_jaccard(docs, pairs, k=3)
+    return j.withColumn("jaccard", F.round(F.col("jaccard"), 6))
+
+
+def q36_knn_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = similarity.brute_force_knn(
+        emb.filter(F.col("vec_id") < 20), emb, k=3, metric="cosine"
+    )
+    return out.select("query_id", "neighbor_id", F.round(F.col("score"), 6).alias("score"))
+
+
+def q37_embedding_neardup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = similarity.embedding_near_duplicates(emb, threshold=0.35)
+    return out.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
+
+
+def q38_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+def q39_lang_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("lang", TX.token_count(F.col("text")).alias("n_toks"), "n_chars")
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("sum_tokens"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the natural-join + grouped-agg chain at sf0.001."""
+    return q06_revenue_by_nation(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_restrict_expr": q02_restrict_expr,
+        "q03_semi_join": q03_semi_join,
+        "q04_anti_join": q04_anti_join,
+        "q05_proj_compute": q05_proj_compute,
+        "q06_revenue_by_nation": q06_revenue_by_nation,
+        "q07_left_join_counts": q07_left_join_counts,
+        "q08_union": q08_union,
+        "q09_top": q09_top,
+        "q10_grouped_bounds": q10_grouped_bounds,
+        "q11_distinct": q11_distinct,
+        "q12_dedupe_first": q12_dedupe_first,
+        "q13_qc_deltas": q13_qc_deltas,
+        "q14_running_sum": q14_running_sum,
+        "q15_rolling_1h": q15_rolling_1h,
+        "q16_sessionize": q16_sessionize,
+        "q17_hourly_rollup": q17_hourly_rollup,
+        "q18_asof_join": q18_asof_join,
+        "q19_interval_count": q19_interval_count,
+        "q20_column_stats": q20_column_stats,
+        "q21_timestamp_stats": q21_timestamp_stats,
+        "q22_sync_regression": q22_sync_regression,
+        "q23_param_hash": q23_param_hash,
+        "q24_ownership": q24_ownership,
+        "q25_conditional_agg": q25_conditional_agg,
+        "q26_chunk_windows": q26_chunk_windows,
+        "q27_epoch_lead": q27_epoch_lead,
+        "q28_harp_time": q28_harp_time,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q31_fingerprint_dedup": q31_fingerprint_dedup,
+        "q32_text_quality": q32_text_quality,
+        "q33_langid": q33_langid,
+        "q34_minhash": q34_minhash,
+        "q35_lsh_jaccard": q35_lsh_jaccard,
+        "q36_knn_cosine": q36_knn_cosine,
+        "q37_embedding_neardup": q37_embedding_neardup,
+        "q38_simhash": q38_simhash,
+        "q39_lang_token_stats": q39_lang_token_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -- oracle SQL --------------------------------------------------------------
+
+def _sql_minhash_cte() -> str:
+    """Shared CTEs: word-3-gram shingles + 8 seeded MD5 min-hashes."""
+    mins = ",\n      ".join(
+        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::bigint) AS mh_{i}"
+        for i in range(_NUM_MINHASH)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), shl AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                                      i -> array_to_string(t[i:i+2], ' '))
+                  ELSE [array_to_string(t, ' ')] END AS sh
+      FROM toks
+    ), shingles AS (
+      SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM shl
+    ), sigs AS (
+      SELECT doc_id,
+      {mins}
+      FROM shingles GROUP BY doc_id
+    )"""
+
+
+def _sql_langid() -> str:
+    score_cols = []
+    for lang, words in _MARKERS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        score_cols.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t IN ({inlist})))::bigint AS score_{lang}"
+        )
+    langs = list(_MARKERS)
+    glist = ", ".join(f"score_{lang}" for lang in langs)
+    case = " ".join(
+        f"WHEN score_{lang} = greatest({glist}) THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, {', '.join(score_cols)} FROM documents)
+    SELECT doc_id, {glist},
+           CASE WHEN greatest({glist}) = 0 THEN 'und' {case} END AS pred_lang
+    FROM s"""
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    votes = ",\n      ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{i}" for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b_{i} > 0 THEN {2**i}::bigint ELSE 0::bigint END)" for i in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::bigint AS h FROM toks
+    ), votes AS (
+      SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {fp} AS simhash FROM votes"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qf = "string_split_regex(trim(text), '\\s+')"
+    stop_in = ", ".join(f"'{w}'" for w in TX.STOPWORDS_EN)
+    sqls = {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity::decimal(18,2)) AS DOUBLE) AS sum_qty,
+                   CAST(sum(l_extendedprice::decimal(18,2)) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(l_extendedprice::decimal(18,2) * ((1.0 - l_discount))::decimal(18,6)) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(l_extendedprice::decimal(18,2) * ((1.0 - l_discount) * (1.0 + l_tax))::decimal(18,6)) AS DOUBLE) AS sum_charge,
+                   CAST(sum(l_quantity::decimal(18,2)) AS DOUBLE) / count(*) AS avg_qty,
+                   CAST(sum(l_extendedprice::decimal(18,2)) AS DOUBLE) / count(*) AS avg_price,
+                   CAST(sum(l_discount::decimal(18,6)) AS DOUBLE) / count(*) AS avg_disc,
+                   count(*)::bigint AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_restrict_expr": """
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label
+            FROM orders
+            WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 23:59:59'
+              AND o_orderpriority LIKE '1-%'
+        """,
+        "q03_semi_join": """
+            SELECT * FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        """,
+        "q04_anti_join": """
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        """,
+        "q05_proj_compute": """
+            SELECT p_partkey, p_name,
+                   CASE WHEN p_retailprice >= 1500 THEN 'premium' ELSE 'standard' END AS price_class,
+                   CAST(p_size * 2 AS BIGINT) AS double_size
+            FROM part
+        """,
+        "q06_revenue_by_nation": """
+            SELECT r_name, n_name,
+                   CAST(sum(o_totalprice::decimal(27,2)) AS DOUBLE) AS revenue,
+                   count(*)::bigint AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "q07_left_join_counts": """
+            SELECT n_nationkey, n_name,
+                   count(c_custkey)::bigint AS n_customers,
+                   coalesce(CAST(sum(c_acctbal::decimal(27,2)) AS DOUBLE), 0.0) AS total_acctbal
+            FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+            GROUP BY n_nationkey, n_name
+        """,
+        "q08_union": """
+            SELECT c_nationkey AS nationkey FROM customer
+            UNION
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "q09_top": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q10_grouped_bounds": """
+            SELECT o_orderstatus, min(o_orderdate) AS first_date,
+                   max(o_orderdate) AS last_date, count(*)::bigint AS n
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q11_distinct": "SELECT DISTINCT p_brand, p_type FROM part",
+        "q12_dedupe_first": """
+            SELECT user_id, event_id, ts, event_type FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1
+        """,
+        "q13_qc_deltas": """
+            SELECT user_id, event_id, ts,
+                   (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6 AS ts_delta,
+                   value - lag(value) OVER w AS value_delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q14_running_sum": """
+            SELECT user_id, event_id, ts,
+                   CAST(sum(value::decimal(27,6)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+            FROM events
+        """,
+        "q15_rolling_1h": """
+            SELECT user_id, event_id, ts,
+                   count(*) OVER w::bigint AS n_1h,
+                   CAST(sum(value::decimal(27,6)) OVER w AS DOUBLE) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
+        "q16_sessionize": """
+            SELECT user_id, sum(f)::bigint AS n_sessions FROM (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                          THEN 1 ELSE 0 END AS f
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ) GROUP BY user_id
+        """,
+        "q17_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS chunk_hour, event_type,
+                   count(*)::bigint AS n,
+                   CAST(sum(value::decimal(27,6)) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q18_asof_join": """
+            SELECT e.event_id, e.user_id, e.ts,
+                   (SELECT max(c.ts) FROM events c
+                    WHERE c.event_type = 'click' AND c.user_id = e.user_id AND c.ts <= e.ts) AS click_ts
+            FROM events e WHERE e.event_type = 'purchase'
+        """,
+        "q19_interval_count": """
+            SELECT er.event_id, count(v.ts)::bigint AS n_views_10m
+            FROM events er LEFT JOIN events v
+              ON v.event_type = 'view' AND v.user_id = er.user_id
+             AND v.ts >= er.ts - INTERVAL 10 MINUTE AND v.ts <= er.ts
+            WHERE er.event_type = 'error'
+            GROUP BY er.event_id
+        """,
+        "q20_column_stats": """
+            SELECT event_type,
+                   count(value)::bigint AS value_count,
+                   min(value) FILTER (isfinite(value)) AS value_min,
+                   max(value) FILTER (isfinite(value)) AS value_max,
+                   round(CAST(sum(value::decimal(27,6)) FILTER (isfinite(value)) AS DOUBLE)
+                         / count(value) FILTER (isfinite(value)), 4) AS value_mean
+            FROM events GROUP BY event_type
+        """,
+        "q21_timestamp_stats": """
+            WITH d AS (
+              SELECT event_type, ts,
+                     (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type ORDER BY ts))) * 1000 AS diff_ns
+              FROM events)
+            SELECT event_type, min(ts) AS ts_min, max(ts) AS ts_max,
+                   count(ts)::bigint AS ts_count,
+                   CASE WHEN median(diff_ns) > 0 THEN round(1e9 / median(diff_ns), 2) END AS sampling_rate_hz
+            FROM d GROUP BY event_type
+        """,
+        "q22_sync_regression": """
+            WITH base AS (
+              SELECT event_type,
+                     CAST(round(CAST((epoch_us(ts) - 1704067200000000) / 1000000.0 AS DOUBLE) * 1.0, 0) AS BIGINT) AS xi,
+                     CAST(round(CAST(value AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS yi
+              FROM events
+            ), agg AS (
+              SELECT event_type,
+                     count(*)::bigint AS n_samples,
+                     CAST(min(xi) AS DOUBLE) / 1.0 AS t_start, CAST(max(xi) AS DOUBLE) / 1.0 AS t_end,
+                     CAST(min(yi) AS DOUBLE) / 1000000.0 AS v_start, CAST(max(yi) AS DOUBLE) / 1000000.0 AS v_end,
+                     CAST(sum(xi::decimal(38,0)) AS DOUBLE) / 1.0 AS sx,
+                     CAST(sum(yi::decimal(38,0)) AS DOUBLE) / 1000000.0 AS sy,
+                     CAST(sum((xi * yi)::decimal(38,0)) AS DOUBLE) / 1000000.0 AS sxy,
+                     CAST(sum((xi * xi)::decimal(38,0)) AS DOUBLE) / 1.0 AS sxx,
+                     CAST(sum((yi * yi)::decimal(38,0)) AS DOUBLE) / 1000000000000.0 AS syy
+              FROM base WHERE xi IS NOT NULL AND yi IS NOT NULL GROUP BY event_type
+            )
+            SELECT event_type, n_samples, t_start, t_end, v_start, v_end,
+                   CASE WHEN (n_samples * sxx - sx * sx) <> 0
+                        THEN (n_samples * sxy - sx * sy) / (n_samples * sxx - sx * sx) END AS slope,
+                   (sy - (CASE WHEN (n_samples * sxx - sx * sx) <> 0
+                               THEN (n_samples * sxy - sx * sy) / (n_samples * sxx - sx * sx) END) * sx)
+                   / n_samples AS intercept,
+                   CASE WHEN (n_samples * sxx - sx * sx) * (n_samples * syy - sy * sy) > 0
+                        THEN pow(n_samples * sxy - sx * sy, 2)
+                             / ((n_samples * sxx - sx * sx) * (n_samples * syy - sy * sy)) END AS r2
+            FROM agg
+        """,
+        "q23_param_hash": """
+            SELECT p_partkey,
+                   md5(coalesce(p_brand::varchar, chr(0) || 'null') || '|' ||
+                       coalesce(p_type::varchar, chr(0) || 'null') || '|' ||
+                       coalesce(p_size::varchar, chr(0) || 'null')) AS param_uuid
+            FROM part
+        """,
+        "q24_ownership": """
+            SELECT l_orderkey, l_linenumber::bigint AS l_linenumber, l_shipdate, l_quantity FROM (
+              SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+              FROM lineitem) WHERE rn = 1
+        """,
+        "q25_conditional_agg": """
+            SELECT o_orderstatus,
+                   count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)::bigint AS n_urgent,
+                   CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice::decimal(27,2) END) AS DOUBLE) AS rev_urgent,
+                   min(CASE WHEN o_orderpriority = '1-URGENT' THEN o_orderdate END) AS first_urgent,
+                   count(*)::bigint AS n_total
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "q26_chunk_windows": """
+            SELECT event_type, date_trunc('hour', ts) AS chunk_start,
+                   count(*)::bigint AS n,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS chunk_end
+            FROM events GROUP BY 1, 2
+        """,
+        "q27_epoch_lead": """
+            WITH listing AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS epoch_start FROM events)
+            SELECT user_id, epoch_start,
+                   lead(epoch_start) OVER (PARTITION BY user_id ORDER BY epoch_start) AS epoch_end
+            FROM listing
+        """,
+        "q28_harp_time": """
+            SELECT event_id, ts,
+                   (epoch_us(ts) / 1000000.0) - (-2082844800.0) AS harp_s,
+                   make_timestamp(CAST(round((((epoch_us(ts) / 1000000.0) - (-2082844800.0)) + 2082844800.0) * 1000000.0, 0) AS BIGINT)) AS ts_rt
+            FROM events
+        """,
+        "q30_dedup_exact": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*)::bigint AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "q31_fingerprint_dedup": """
+            SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS fingerprint,
+                   min(doc_id) AS canonical_id, count(*)::bigint AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "q32_text_quality": f"""
+            WITH feats AS (
+              SELECT doc_id,
+                     length(text)::bigint AS n_chars,
+                     len({qf})::bigint AS n_tokens,
+                     round(CASE WHEN length(text) > 0
+                           THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)
+                           ELSE 0.0 END, 6) AS punct_ratio,
+                     round(CASE WHEN len({qf}) > 0
+                           THEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    t -> t IN ({stop_in}))) / len({qf})
+                           ELSE 0.0 END, 6) AS stopword_ratio,
+                     round(CASE WHEN len({qf}) > 0
+                           THEN list_sum(list_transform({qf}, t -> length(t))) / len({qf})
+                           ELSE 0.0 END, 6) AS mean_token_len
+              FROM documents)
+            SELECT *,
+                   round(least(n_tokens / 100.0, 1.0) * 0.5
+                         + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                         + least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
+            FROM feats
+        """,
+        "q33_langid": _sql_langid(),
+        "q34_minhash": _sql_minhash_cte() + "\n    SELECT * FROM sigs",
+        "q35_lsh_jaccard": _sql_minhash_cte() + f"""
+        , buckets AS (
+            SELECT doc_id, band, bh FROM (
+              SELECT doc_id,
+                     unnest(range({_MINHASH_BANDS})) AS band,
+                     unnest([{', '.join(f"md5(mh_{2*b}::varchar || ',' || mh_{2*b+1}::varchar)" for b in range(_MINHASH_BANDS))}]) AS bh
+              FROM sigs)
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ), sets AS (SELECT doc_id, list_distinct(sh) AS s FROM shl)
+        SELECT id_a, id_b,
+               round(CASE WHEN len(list_distinct(list_concat(sa.s, sb.s))) > 0
+                     THEN len(list_intersect(sa.s, sb.s))::double / len(list_distinct(list_concat(sa.s, sb.s)))
+                     ELSE 0.0 END, 6) AS jaccard
+        FROM pairs JOIN sets sa ON sa.doc_id = id_a JOIN sets sb ON sb.doc_id = id_b
+        """,
+        "q36_knn_cosine": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+              FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+              FROM scored)
+            SELECT query_id, neighbor_id, round(score, 6) AS score FROM ranked WHERE rn <= 3
+        """,
+        "q37_embedding_neardup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+        """,
+        "q38_simhash": _sql_simhash(32),
+        "q39_lang_token_stats": f"""
+            SELECT lang, count(*)::bigint AS n_docs,
+                   sum(len({qf}))::bigint AS sum_tokens,
+                   round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+    }
+    return sqls

@@ -1,0 +1,52 @@
+"""Table catalog: named Parquet tables + temp-view registration.
+
+Mirrors the reference's two catalogs — the DataJoint relational schema
+(aeon/dj_pipeline/*.py table classes) and the raw-stream reader registry
+(streams.py StreamType/DeviceType) — as a flat name→path map over Parquet.
+At 100 TB this is where a metastore (HMS/Glue/Unity) would plug in; the
+API stays the same.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-provided TPC-H-ish benchmark tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one catalog table. Plain ``spark.read.parquet`` so Catalyst
+    keeps predicate pushdown / column pruning / partition pruning."""
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (for the SQL API)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

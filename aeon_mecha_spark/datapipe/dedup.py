@@ -1,0 +1,148 @@
+"""Deduplication operators for the training-data pipeline layer.
+
+Exact, fingerprint, MinHash+LSH, n-gram Jaccard, and embedding-cosine
+near-dup — all pure DataFrame plans built on the engine-portable MD5 hash
+family (functions/hashing.py), so each has a DuckDB oracle.
+
+Scale design (100 TB of documents):
+- exact/fingerprint dedup: one hash-groupBy (map-side partial) — the
+  canonical shuffle-minimal plan;
+- MinHash: explode shingles → groupBy(doc) min-hash per seed. The
+  explode is the expensive step; shingling is a Catalyst expression
+  (no Python), and the per-doc signature reduce is map-side combinable;
+- LSH banding: signatures → (band_id, band_hash) keys → self-join on
+  the band key. Only bucket collisions are compared — the pair space
+  never materializes. Skewed buckets (boilerplate docs) are handled by
+  AQE skew-join splitting;
+- verification: candidate pairs get exact n-gram Jaccard, computed with
+  array intersection on the two docs' shingle arrays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aeon_mecha_spark.functions.hashing import md5_long
+from aeon_mecha_spark.functions.text import normalize_text, word_shingles
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: per content hash keep canonical (min id)
+    + duplicate count. Returns (content_hash, canonical_id, n_docs)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def fingerprint_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fuzzy-exact dedup on the normalized text (lowercase, punctuation
+    stripped, whitespace collapsed)."""
+    return (
+        docs.select(F.md5(normalize_text(F.col(text_col))).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, shingle) long table — distinct k-word shingles per doc."""
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: sig[i] = min over shingles of h_i.
+    One explode + one groupBy; each h_i is a seeded MD5 (oracle-checkable).
+    Output: (id, mh_0 … mh_{n-1})."""
+    sh = shingle_table(docs, id_col, text_col, k)
+    aggs = [F.min(md5_long(F.col("shingle"), seed=i)).alias(f"mh_{i}") for i in range(num_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes // bands`` rows, hash each band, self-join on
+    (band_id, band_hash). Returns distinct ordered pairs (id_a < id_b).
+
+    The join key space is (band, hash) buckets, so complexity follows
+    collisions, not the quadratic pair space."""
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
+        )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a, bb = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact k-gram Jaccard for candidate pairs: join the two shingle
+    sets and compute |∩| / |∪| via array ops. Pairs is (id_a, id_b)."""
+    sets = docs.select(
+        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+    out = (
+        pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return out.select(
+        "id_a",
+        "id_b",
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("jaccard"),
+    )
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: for each bit position, sign of the sum of
+    (+1/−1) votes from token hashes. Implemented as explode(tokens) →
+    per-bit conditional sums → bit-OR reassembly. ``bits``≤60 so the
+    fingerprint fits a BIGINT with the portable MD5 hash."""
+    from aeon_mecha_spark.functions.text import tokens
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    h = md5_long(F.col("tok")).alias("h")
+    toks = toks.select(id_col, h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fp = F.lit(0).cast("long")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"b_{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return agg.select(F.col(id_col), fp.alias("simhash"))

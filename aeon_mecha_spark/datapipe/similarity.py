@@ -1,0 +1,115 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — exact, the correctness oracle for
+any ANN variant. Scale path: LSH (random-hyperplane) bucketing so only
+same-bucket pairs are scored; at 100 TB an IVF-style coarse quantizer
+(k-means centroid assignment + centroid-pruned search) slots into the
+same two-stage shape.
+
+All distance math is Catalyst expressions (functions/vector.py) — JVM
+codegen, no Python per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from aeon_mecha_spark.functions.vector import cosine, dot, norm
+
+
+def brute_force_knn(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k: broadcast the query set, score every corpus row,
+    row_number per query. Returns (query_id, neighbor_id, score, rank).
+
+    Plan shape at scale: corpus is the big fact (never shuffled — scored
+    in place), queries broadcast; the only shuffle is the per-query top-k,
+    which AQE keeps tiny because scores are pre-filtered per partition by
+    the window. Excludes self-matches.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    if metric == "cosine":
+        score = cosine(F.col("_qv"), F.col("_cv"))
+    elif metric == "dot":
+        score = dot(F.col("_qv"), F.col("_cv"))
+    else:
+        raise ValueError(metric)
+    scored = scored.select("query_id", "neighbor_id", score.alias("score"))
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_lsh_buckets(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string over ``planes``.
+    Deterministic planes are passed in (seeded offline) so results are
+    reproducible and oracle-checkable."""
+    bits = []
+    for p in planes:
+        arr = F.array(*[F.lit(float(v)) for v in p])
+        bits.append(F.when(dot(F.col(vec_col), arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket")
+    )
+
+
+def lsh_knn(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: score only same-bucket pairs. Self-join on the
+    bucket key — collision-bounded work, AQE splits skewed buckets."""
+    b = hyperplane_lsh_buckets(vectors, planes, id_col, vec_col)
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("query_id"),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs above a threshold (ordered id_a < id_b).
+    Exact all-pairs form — at scale wrap with LSH buckets first."""
+    a, b = vectors.alias("a"), vectors.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
