@@ -412,9 +412,12 @@ def q34_minhash(spark, sf_dir):
 
 def q35_lsh_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, k=3, num_hashes=_NUM_MINHASH)
+    # cache the signature + shingle-set intermediates: each feeds both
+    # sides of a self-join and would otherwise be computed twice
+    sigs = dedup.minhash_signatures(docs, k=3, num_hashes=_NUM_MINHASH).cache()
     pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=_NUM_MINHASH, bands=_MINHASH_BANDS)
-    j = dedup.ngram_jaccard(docs, pairs, k=3)
+    sets = dedup.shingle_sets(docs, k=3).cache()
+    j = dedup.ngram_jaccard(docs, pairs, k=3, sets=sets)
     return j.withColumn("jaccard", F.round(F.col("jaccard"), 6))
 
 
@@ -505,9 +508,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # -- oracle SQL --------------------------------------------------------------
 
 def _sql_minhash_cte() -> str:
-    """Shared CTEs: word-3-gram shingles + 8 seeded MD5 min-hashes."""
+    """Shared CTEs: word-3-gram shingles + 8 min-hashes (two 60-bit
+    hashes split from each seeded 128-bit MD5, mirroring dedup.py)."""
     mins = ",\n      ".join(
-        f"min(('0x' || substr(md5('{i}:' || shingle), 1, 15))::bigint) AS mh_{i}"
+        f"min(('0x' || substr(md5('{i // 2}:' || shingle), {1 if i % 2 == 0 else 16}, 15))::bigint) AS mh_{i}"
         for i in range(_NUM_MINHASH)
     )
     return f"""

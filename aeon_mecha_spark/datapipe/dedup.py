@@ -25,13 +25,14 @@ from pyspark.sql import functions as F
 
 from aeon_mecha_spark.functions.hashing import md5_long
 from aeon_mecha_spark.functions.text import normalize_text, word_shingles
+from aeon_mecha_spark.util import spread
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Hash-groupBy exact dedup: per content hash keep canonical (min id)
     + duplicate count. Returns (content_hash, canonical_id, n_docs)."""
     return (
-        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        spread(docs).select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
     )
@@ -41,7 +42,7 @@ def fingerprint_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: st
     """Fuzzy-exact dedup on the normalized text (lowercase, punctuation
     stripped, whitespace collapsed)."""
     return (
-        docs.select(F.md5(normalize_text(F.col(text_col))).alias("fingerprint"), F.col(id_col))
+        spread(docs).select(F.md5(normalize_text(F.col(text_col))).alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
     )
@@ -49,6 +50,7 @@ def fingerprint_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: st
 
 def shingle_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
     """(id, shingle) long table — distinct k-word shingles per doc."""
+    docs = spread(docs)
     return docs.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle")
     )
@@ -58,11 +60,29 @@ def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, num_hashes: int = 8
 ) -> DataFrame:
     """MinHash signature per doc: sig[i] = min over shingles of h_i.
-    One explode + one groupBy; each h_i is a seeded MD5 (oracle-checkable).
-    Output: (id, mh_0 … mh_{n-1})."""
+    One explode + one groupBy with map-side partial mins — the shuffle
+    carries only (doc × num_hashes) partials, not the shingle stream.
+
+    Hash-family economy: one 128-bit MD5 yields TWO independent 60-bit
+    hashes (hex chars 1-15 and 16-30), so ``num_hashes`` functions cost
+    ``ceil(num_hashes/2)`` MD5 evaluations per shingle — the dominant
+    per-row cost at scale. Seeded as md5(f"{seed}:"+shingle); the split
+    is oracle-checkable in DuckDB with the same substr() arithmetic.
+    Output: (id, mh_0 … mh_{n-1}).
+    """
     sh = shingle_table(docs, id_col, text_col, k)
-    aggs = [F.min(md5_long(F.col("shingle"), seed=i)).alias(f"mh_{i}") for i in range(num_hashes)]
-    return sh.groupBy(id_col).agg(*aggs)
+    n_md5 = (num_hashes + 1) // 2
+    md5_cols = [
+        F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"_m{s}") for s in range(n_md5)
+    ]
+    hashed = sh.select(F.col(id_col), *md5_cols)
+    aggs = []
+    for i in range(num_hashes):
+        m = F.col(f"_m{i // 2}")
+        start = 1 if i % 2 == 0 else 16
+        h = F.conv(F.substring(m, start, 15), 16, 10).cast("long")
+        aggs.append(F.min(h).alias(f"mh_{i}"))
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -98,18 +118,27 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def shingle_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """(id, distinct shingle array) — cacheable input to ngram_jaccard."""
+    return spread(docs).select(
+        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh")
+    )
+
+
 def ngram_jaccard(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact k-gram Jaccard for candidate pairs: join the two shingle
-    sets and compute |∩| / |∪| via array ops. Pairs is (id_a, id_b)."""
-    sets = docs.select(
-        F.col(id_col), F.array_distinct(word_shingles(F.col(text_col), k)).alias("sh")
-    )
+    sets and compute |∩| / |∪| via array ops. Pairs is (id_a, id_b).
+    Pass a cached ``sets`` (from shingle_sets) to avoid recomputing the
+    shingling for both sides of the pair join."""
+    if sets is None:
+        sets = shingle_sets(docs, id_col, text_col, k)
     out = (
         pairs.join(sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -130,7 +159,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     fingerprint fits a BIGINT with the portable MD5 hash."""
     from aeon_mecha_spark.functions.text import tokens
 
-    toks = docs.select(
+    toks = spread(docs).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     h = md5_long(F.col("tok")).alias("h")

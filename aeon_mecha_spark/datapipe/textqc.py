@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aeon_mecha_spark.functions.hashing import md5_long
+from aeon_mecha_spark.util import spread
 from aeon_mecha_spark.functions.text import (
     char_count,
     mean_token_len,
@@ -37,7 +38,7 @@ def quality_features(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     (monotone heuristic: long-enough, low punctuation, some stopwords)."""
     t = F.col(text_col)
     n_tok = token_count(t)
-    feats = docs.select(
+    feats = spread(docs).select(
         F.col(id_col),
         char_count(t).alias("n_chars"),
         n_tok.alias("n_tokens"),
@@ -75,7 +76,7 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         cond = s > best_score
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_score = F.when(cond, s).otherwise(best_score)
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col),
         *[s.alias(f"score_{lang}") for lang, s in scores.items()],
         best.alias("pred_lang"),
@@ -86,7 +87,7 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     """Document fingerprints: normalized-text MD5 (fuzzy-exact identity)
     + a 60-bit integer content hash for compact storage/joins."""
     norm = normalize_text(F.col(text_col))
-    return docs.select(
+    return spread(docs).select(
         F.col(id_col),
         F.md5(norm).alias("fingerprint_md5"),
         md5_long(norm).alias("fingerprint_long"),

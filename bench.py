@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full materialization of
+every output column — ``count()`` would let Catalyst prune the computed
+columns and under-report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward scale-sensitive
+# plans (shuffles, windows, interval joins, explode-heavy text ops).
+HEADLINE = [
+    "q01_pricing_summary",   # scan + groupBy agg
+    "q06_revenue_by_nation", # multi-join + agg
+    "q04_anti_join",         # anti-join pending-work pattern
+    "q12_dedupe_first",      # row_number dedupe
+    "q13_qc_deltas",         # lag window
+    "q15_rolling_1h",        # range-frame rolling window
+    "q16_sessionize",        # sessionization
+    "q17_hourly_rollup",     # tumbling window agg
+    "q18_asof_join",         # as-of union-merge join
+    "q19_interval_count",    # point-in-interval join
+    "q21_timestamp_stats",   # median-diff stats
+    "q22_sync_regression",   # closed-form OLS moments
+    "q31_fingerprint_dedup", # normalize + hash groupBy
+    "q34_minhash",           # shingle explode + min-hash
+    "q35_lsh_jaccard",       # LSH band self-join + verify
+    "q36_knn_cosine",        # brute-force cosine top-k
+    "q38_simhash",           # token explode + 32 bit-votes
+]
+
+
+def main() -> None:
+    from aeon_mecha_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("bench")
+    qs = entry_mod.queries()
+    # warmup: exercise the parquet reader, shuffle machinery, window exec
+    # and whole-stage codegen once so the first timed query doesn't absorb
+    # JVM/codegen init (~8 s of fixed cost at this tiny scale)
+    for wname in ("q17_hourly_rollup", "q13_qc_deltas", "q06_revenue_by_nation"):
+        qs[wname](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
