@@ -777,7 +777,7 @@ def oracle_sql() -> dict[str, str]:
         "q28_harp_time": """
             SELECT event_id, ts,
                    (epoch_us(ts) / 1000000.0) - (-2082844800.0) AS harp_s,
-                   make_timestamp(CAST(round((((epoch_us(ts) / 1000000.0) - (-2082844800.0)) + 2082844800.0) * 1000000.0, 0) AS BIGINT)) AS ts_rt
+                   make_timestamp(CAST(round((((epoch_us(ts) / 1000000.0) - (-2082844800.0)) + (-2082844800.0)) * 1000000.0, 0) AS BIGINT)) AS ts_rt
             FROM events
         """,
         "q30_dedup_exact": """

@@ -26,7 +26,7 @@ HARP_EPOCH_OFFSET_S = -2_082_844_800  # unix epoch of 1904-01-01T00:00:00Z
 def harp_to_timestamp(seconds: Column) -> Column:
     """HARP seconds-since-1904 → timestamp (µs precision, tz-naive/UTC).
     Parity: io_api.to_datetime (ephys_utils.py:637-642)."""
-    micros = ((seconds + F.lit(float(-HARP_EPOCH_OFFSET_S))) * 1_000_000.0)
+    micros = ((seconds + F.lit(float(HARP_EPOCH_OFFSET_S))) * 1_000_000.0)
     return F.timestamp_micros(F.round(micros, 0).cast("long"))
 
 

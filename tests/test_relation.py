@@ -1,0 +1,91 @@
+"""Relational-algebra semantics (SURVEY §2.2-2.7) on tiny literal data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from aeon_mecha_spark.query import Relation, U
+
+
+@pytest.fixture(scope="module")
+def rels(spark):
+    a = spark.createDataFrame(
+        [Row(k=1, g="x", v=10.0), Row(k=2, g="x", v=20.0), Row(k=3, g="y", v=30.0)]
+    )
+    b = spark.createDataFrame([Row(k=1, w="p"), Row(k=3, w="q"), Row(k=3, w="q2")])
+    return Relation(a, pk=["k"]), Relation(b, pk=["k"])
+
+
+def test_restrict_dict(rels):
+    a, _ = rels
+    assert [r.k for r in (a & {"g": "x"}).df.collect()] == [1, 2]
+
+
+def test_restrict_sql_string(rels):
+    a, _ = rels
+    assert {r.k for r in (a & "v >= 20 AND g LIKE 'x%'").df.collect()} == {2}
+
+
+def test_restrict_by_relation_is_semijoin(rels):
+    a, b = rels
+    # b has k=3 twice; semi-join must not duplicate a's rows
+    out = (a & b).df.collect()
+    assert sorted(r.k for r in out) == [1, 3]
+
+
+def test_anti_restrict(rels):
+    a, b = rels
+    assert [r.k for r in (a - b).df.collect()] == [2]
+
+
+def test_natural_join_and_left_join(rels):
+    a, b = rels
+    inner = a.join(b)
+    assert sorted((r.k, r.w) for r in inner.df.collect()) == [(1, "p"), (3, "q"), (3, "q2")]
+    left = a.join(b, left=True)
+    ks = sorted(r.k for r in left.df.collect())
+    assert ks == [1, 2, 3, 3]
+
+
+def test_proj_keeps_pk_rename_compute_exclude(rels):
+    a, _ = rels
+    out = a.proj("g", doubled="v * 2")
+    assert set(out.df.columns) == {"k", "g", "doubled"}
+    assert {r.doubled for r in out.df.collect()} == {20.0, 40.0, 60.0}
+    renamed = a.proj(key2="k")
+    assert "key2" in renamed.df.columns and "v" not in renamed.df.columns
+    excl = a.proj("*", "-v")
+    assert set(excl.df.columns) == {"k", "g"}
+
+
+def test_aggr_attaches_group_aggregates(rels):
+    a, b = rels
+    out = a.aggr(b, n_b="count(1)")
+    rows = {r.k: r.n_b for r in out.df.collect()}
+    assert rows == {1: 1, 3: 2}
+    kept = a.aggr(b, n_b="count(1)", keep_all_rows=True)
+    rows = {r.k: r.n_b for r in kept.df.collect()}
+    assert rows[2] is None
+
+
+def test_union_distinct(rels):
+    a, _ = rels
+    u = a + a
+    assert u.df.count() == 3
+
+
+def test_top(rels):
+    a, _ = rels
+    top1 = a.top(1, order_by="v desc")
+    assert top1.df.collect()[0].k == 3
+
+
+def test_universal_set(rels):
+    a, _ = rels
+    distinct_g = U("g") & a
+    assert sorted(r.g for r in distinct_g.df.collect()) == ["x", "y"]
+    mx = U().aggr(a, vmax="max(v)").df.collect()[0].vmax
+    assert mx == 30.0
+    per_g = {r.g: r.total for r in U("g").aggr(a, total="sum(v)").df.collect()}
+    assert per_g == {"x": 30.0, "y": 30.0}
