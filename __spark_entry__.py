@@ -382,6 +382,107 @@ def q28_harp_time(spark, sf_dir):
     return out.withColumn("ts_rt", harp_to_timestamp(F.col("harp_s")))
 
 
+def q29_json_extract(spark, sf_dir):
+    """JSON column semantics (F17, acquisition.py:418-420): parse the
+    props payload, aggregate the typed field."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("sum_k"),
+        F.count("k").alias("n"),
+    )
+
+
+def q40_unit_matching(spark, sf_dir):
+    """±delta spike-train agreement join (X7 / spike_sorting.py:1440-1452)
+    exercised on events: purchases vs clicks as two 'sorters', 30-s delta."""
+    from aeon_mecha_spark.operators.spikes import match_units
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "unit", (F.col("user_id") % 10).cast("long")
+    ).withColumn("t", F.unix_micros(F.col("ts")) / 1_000_000.0)
+    a = ev.filter(F.col("event_type") == "purchase").select("unit", "t")
+    b = ev.filter(F.col("event_type") == "click").select("unit", "t")
+    out = match_units(a, b, delta_s=30.0, time_col="t", unit_col="unit")
+    return _longs(out.withColumn("agreement", F.round(F.col("agreement"), 6)),
+                  "n_matched", "n_a", "n_b")
+
+
+def q41_frontier(spark, sf_dir):
+    """Frontier computation (W7, spike_sorting.py:1283-1296): per user,
+    the first click after the purchase-window max and the last click
+    before its min — conditional aggregates over a join."""
+    ev = _t(spark, sf_dir, "events")
+    processed = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pmin"), F.max("ts").alias("pmax"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("cts"))
+    j = processed.join(clicks, "user_id", "left")
+    return j.groupBy("user_id", "pmin", "pmax").agg(
+        F.min(F.when(F.col("cts") > F.col("pmax"), F.col("cts"))).alias("next_click"),
+        F.max(F.when(F.col("cts") < F.col("pmin"), F.col("cts"))).alias("prev_click"),
+    )
+
+
+def q42_streaming_hourly(spark, sf_dir):
+    """Streaming==batch parity (T1/T4): the hourly rollup computed via
+    Structured Streaming (AvailableNow drain to a memory sink) must equal
+    the batch oracle exactly."""
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    # the file-stream source wants a directory; expose the single parquet
+    # file through a temp dir symlink (testdata is read-only)
+    feed_dir = tempfile.mkdtemp(prefix="q42_feed_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(feed_dir, "events.parquet"))
+    src = spark.readStream.schema(schema).parquet(feed_dir)
+    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("chunk_hour"), "event_type", "n", "sum_value")
+    )
+    name = f"q42_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT chunk_hour, event_type, n, sum_value FROM {name}")
+
+
+def q43_qc_summary(spark, sf_dir):
+    """Camera-QC summary (W1/W2, qc.py:70-116) over synthesized frame
+    metadata: per-stream deltas, dropped-frame cumsum, max gaps."""
+    from pyspark.sql import Window as W2
+
+    from aeon_mecha_spark.operators.qc import qc_summary
+
+    ev = _t(spark, sf_dir, "events")
+    w = W2.partitionBy("event_type").orderBy("ts", "event_id")
+    frames = ev.select(
+        "event_type",
+        F.col("ts").alias("time"),
+        F.row_number().over(w).cast("long").alias("hw_counter"),
+        (F.unix_micros(F.col("ts")) * 1000).alias("hw_timestamp"),
+    )
+    out = qc_summary(frames, ["event_type"])
+    return out.withColumn("max_harp_delta", F.round(F.col("max_harp_delta"), 6)).withColumn(
+        "max_camera_delta", F.round(F.col("max_camera_delta"), 6)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (datapipe) over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -492,6 +593,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_chunk_windows": q26_chunk_windows,
         "q27_epoch_lead": q27_epoch_lead,
         "q28_harp_time": q28_harp_time,
+        "q29_json_extract": q29_json_extract,
+        "q40_unit_matching": q40_unit_matching,
+        "q41_frontier": q41_frontier,
+        "q42_streaming_hourly": q42_streaming_hourly,
+        "q43_qc_summary": q43_qc_summary,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_fingerprint_dedup": q31_fingerprint_dedup,
         "q32_text_quality": q32_text_quality,
@@ -779,6 +885,70 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_us(ts) / 1000000.0) - (-2082844800.0) AS harp_s,
                    make_timestamp(CAST(round((((epoch_us(ts) / 1000000.0) - (-2082844800.0)) + (-2082844800.0)) * 1000000.0, 0) AS BIGINT)) AS ts_rt
             FROM events
+        """,
+        "q29_json_extract": """
+            SELECT event_type,
+                   sum(CAST(props->>'k' AS BIGINT))::bigint AS sum_k,
+                   count(CAST(props->>'k' AS BIGINT))::bigint AS n
+            FROM events GROUP BY event_type
+        """,
+        "q40_unit_matching": """
+            WITH a AS (
+              SELECT (user_id % 10)::bigint AS unit_a, epoch_us(ts) / 1000000.0 AS t_a
+              FROM events WHERE event_type = 'purchase'),
+            b AS (
+              SELECT (user_id % 10)::bigint AS unit_b, epoch_us(ts) / 1000000.0 AS t_b
+              FROM events WHERE event_type = 'click'),
+            matched AS (
+              SELECT unit_a, unit_b, count(*)::bigint AS n_matched FROM (
+                SELECT DISTINCT unit_a, unit_b, t_a, t_b
+                FROM a JOIN b ON abs(t_a - t_b) <= 30.0)
+              GROUP BY unit_a, unit_b),
+            na AS (SELECT unit_a, count(*)::bigint AS n_a FROM a GROUP BY unit_a),
+            nb AS (SELECT unit_b, count(*)::bigint AS n_b FROM b GROUP BY unit_b)
+            SELECT unit_a, unit_b, n_matched, n_a, n_b,
+                   round(n_matched / (n_a + n_b - n_matched), 6) AS agreement
+            FROM matched JOIN na USING (unit_a) JOIN nb USING (unit_b)
+        """,
+        "q41_frontier": """
+            WITH processed AS (
+              SELECT user_id, min(ts) AS pmin, max(ts) AS pmax
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+            clicks AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click')
+            SELECT p.user_id, p.pmin, p.pmax,
+                   min(CASE WHEN c.cts > p.pmax THEN c.cts END) AS next_click,
+                   max(CASE WHEN c.cts < p.pmin THEN c.cts END) AS prev_click
+            FROM processed p LEFT JOIN clicks c ON c.user_id = p.user_id
+            GROUP BY p.user_id, p.pmin, p.pmax
+        """,
+        "q42_streaming_hourly": """
+            SELECT date_trunc('hour', ts) AS chunk_hour, event_type,
+                   count(*)::bigint AS n,
+                   CAST(sum(value::decimal(27,6)) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q43_qc_summary": """
+            WITH frames AS (
+              SELECT event_type, ts AS time,
+                     row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)::bigint AS hw_counter,
+                     epoch_us(ts) * 1000 AS hw_timestamp
+              FROM events),
+            d AS (
+              SELECT event_type, time,
+                     (epoch_us(time) - epoch_us(lag(time) OVER w)) / 1e6 AS time_delta,
+                     hw_counter - lag(hw_counter) OVER w AS hw_counter_delta,
+                     hw_timestamp - lag(hw_timestamp) OVER w AS hw_timestamp_delta
+              FROM frames WINDOW w AS (PARTITION BY event_type ORDER BY time)),
+            f AS (
+              SELECT *, sum(coalesce(hw_counter_delta - 1, 0))
+                        OVER (PARTITION BY event_type ORDER BY time
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS frame_offset
+              FROM d)
+            SELECT event_type, count(*)::bigint AS sample_count,
+                   max(frame_offset)::bigint AS drop_count,
+                   round(max(time_delta), 6) AS max_harp_delta,
+                   round(max(hw_timestamp_delta) / 1e9, 6) AS max_camera_delta
+            FROM f GROUP BY event_type
         """,
         "q30_dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*)::bigint AS n_docs
