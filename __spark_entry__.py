@@ -483,6 +483,68 @@ def q43_qc_summary(spark, sf_dir):
     )
 
 
+# deterministic hyperplanes for the LSH-ANN gate query (seeded offline;
+# 4 planes over the first 8 dims, zeros elsewhere keep the SQL oracle short)
+_LSH_PLANES = [
+    [1.0, -0.5, 0.25, -1.0, 0.75, -0.25, 0.5, -0.75],
+    [-0.75, 1.0, -0.25, 0.5, -1.0, 0.25, 0.75, -0.5],
+    [0.5, 0.25, -1.0, 0.75, -0.5, 1.0, -0.25, -0.75],
+    [-0.25, -0.75, 0.5, 1.0, 0.25, -0.5, -1.0, 0.75],
+]
+
+
+def q44_topk_per_group(spark, sf_dir):
+    """Per-group top-k (W5 scalable form): 3 largest orders per status."""
+    o = _t(spark, sf_dir, "orders")
+    out = windows.top_k_per_group(
+        o, ["o_orderstatus"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3
+    )
+    return out.select("o_orderstatus", "o_orderkey", "o_totalprice")
+
+
+def q45_set_ops(spark, sf_dir):
+    """Set difference via except (U3): nations having customers but no
+    well-capitalized supplier."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.distinct().subtract(s.distinct())
+
+
+def q46_bucketed_range_join(spark, sf_dir):
+    """Big-big range join via hour-bucket explosion (J4 scale path) —
+    same semantics as a BETWEEN join, no broadcast required: views within
+    [error_ts − 10 min, error_ts] matched through bucket keys."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), F.col("user_id"), (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("ts").alias("v_ts")
+    )
+    j = intervals.range_join_bucketed(
+        views, errors, "v_ts", "w_start", "w_end", on=["user_id"], bucket_us=600_000_000
+    )
+    return j.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_views"))
+
+
+def q47_lsh_knn(spark, sf_dir):
+    """Hyperplane-LSH approximate kNN (the ANN scale path): bucket by
+    sign bits against fixed planes, score only bucket-mates, top-3."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("embedding")
+    )
+    out = similarity.lsh_knn(emb, _LSH_PLANES, k=3)
+    return _longs(
+        out.select("query_id", "neighbor_id", F.round(F.col("score"), 6).alias("score"), "rank"),
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (datapipe) over documents / embeddings
 # ---------------------------------------------------------------------------
@@ -598,6 +660,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_frontier": q41_frontier,
         "q42_streaming_hourly": q42_streaming_hourly,
         "q43_qc_summary": q43_qc_summary,
+        "q44_topk_per_group": q44_topk_per_group,
+        "q45_set_ops": q45_set_ops,
+        "q46_bucketed_range_join": q46_bucketed_range_join,
+        "q47_lsh_knn": q47_lsh_knn,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_fingerprint_dedup": q31_fingerprint_dedup,
         "q32_text_quality": q32_text_quality,
@@ -672,6 +738,30 @@ def _sql_simhash(bits: int = 32) -> str:
       SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
     )
     SELECT doc_id, {fp} AS simhash FROM votes"""
+
+
+
+def _sql_lsh_knn() -> str:
+    """Oracle for q47: same fixed hyperplanes as literal SQL lists."""
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN '1' ELSE '0' END)"
+        for p in _LSH_PLANES
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {bits} AS bucket FROM e
+    ), scored AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(score, 6) AS score, rank::bigint AS rank
+    FROM ranked WHERE rank <= 3"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -950,6 +1040,26 @@ def oracle_sql() -> dict[str, str]:
                    round(max(hw_timestamp_delta) / 1e9, 6) AS max_camera_delta
             FROM f GROUP BY event_type
         """,
+        "q44_topk_per_group": """
+            SELECT o_orderstatus, o_orderkey, o_totalprice FROM (
+              SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "q45_set_ops": """
+            SELECT DISTINCT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT DISTINCT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000
+        """,
+        "q46_bucketed_range_join": """
+            SELECT er.event_id, count(*)::bigint AS n_views
+            FROM events er JOIN events v
+              ON v.event_type = 'view' AND v.user_id = er.user_id
+             AND v.ts >= er.ts - INTERVAL 10 MINUTE AND v.ts <= er.ts
+            WHERE er.event_type = 'error'
+            GROUP BY er.event_id
+        """,
+        "q47_lsh_knn": _sql_lsh_knn(),
         "q30_dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*)::bigint AS n_docs
             FROM documents GROUP BY 1

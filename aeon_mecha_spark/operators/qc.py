@@ -42,3 +42,37 @@ def qc_summary(frames: DataFrame, keys: list[str], time_col: str = "time") -> Da
         F.max("time_delta").alias("max_harp_delta"),
         (F.max("hw_timestamp_delta") / 1e9).alias("max_camera_delta"),
     )
+
+
+# -- QC routine registry (X4) ------------------------------------------------
+# The reference stores (module, function) names in a Lookup table and
+# dispatches dynamically per device type (qc.py:26-34). Here: a plain
+# registry of named DataFrame transforms — same extensibility, no
+# reflection, and the registry itself is catalog data.
+
+QC_ROUTINES: dict[str, object] = {}
+
+
+def qc_routine(name: str):
+    def deco(fn):
+        QC_ROUTINES[name] = fn
+        return fn
+
+    return deco
+
+
+@qc_routine("camera_frame_qc")
+def _camera_frame_qc(frames: DataFrame, keys: list[str], **kw) -> DataFrame:
+    return qc_summary(frames, keys, **kw)
+
+
+@qc_routine("frame_deltas")
+def _frame_deltas(frames: DataFrame, keys: list[str], **kw) -> DataFrame:
+    return frame_deltas(frames, keys, **kw)
+
+
+def run_qc(name: str, df: DataFrame, keys: list[str], **kw) -> DataFrame:
+    """Dynamic dispatch by routine name (the QCRoutine lookup pattern)."""
+    if name not in QC_ROUTINES:
+        raise KeyError(f"unknown QC routine {name!r}; known: {sorted(QC_ROUTINES)}")
+    return QC_ROUTINES[name](df, keys, **kw)

@@ -1,0 +1,110 @@
+"""Property-based checks (hypothesis) over batched Spark jobs — one job
+per property, many generated cases inside it, so runtime stays sane."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+words = st.lists(st.sampled_from("alpha beta gamma delta eps zeta".split()), min_size=1, max_size=12)
+
+
+@settings(max_examples=12, deadline=None)
+@given(a=words, b=words)
+def test_jaccard_bounds_symmetry(spark, a, b):
+    from aeon_mecha_spark.datapipe.dedup import ngram_jaccard
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=" ".join(a)), Row(doc_id=2, text=" ".join(b))]
+    )
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2)])
+    j = ngram_jaccard(docs, pairs, k=2).collect()[0].jaccard
+    assert 0.0 <= j <= 1.0
+    # symmetry: swap sides
+    pairs_r = spark.createDataFrame([Row(id_a=2, id_b=1)])
+    jr = ngram_jaccard(docs, pairs_r, k=2).collect()[0].jaccard
+    assert j == jr
+    if a == b:
+        assert j == 1.0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=30),
+    threshold=st.integers(min_value=10, max_value=2000),
+)
+def test_session_count_equals_big_gaps_plus_one(spark, gaps, threshold):
+    from aeon_mecha_spark.operators.sessionize import gap_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    ts, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts.append(base + dt.timedelta(seconds=acc))
+    df = spark.createDataFrame([Row(k="u", t=t) for t in ts])
+    out = gap_sessionize(df, "t", ["k"], gap_us=threshold * 1_000_000)
+    n_sessions = max(r.session_id for r in out.collect())
+    expected = 1 + sum(1 for g in gaps[1:] if g > threshold)
+    assert n_sessions == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True),
+    lo=st.integers(min_value=0, max_value=10_000),
+    span=st.integers(min_value=0, max_value=5_000),
+)
+def test_interval_join_matches_python_filter(spark, points, lo, span):
+    from aeon_mecha_spark.operators.intervals import point_in_interval_join
+
+    hi = lo + span
+    pts = spark.createDataFrame([Row(k="a", t=p) for p in points])
+    iv = spark.createDataFrame([Row(k="a", lo=lo, hi=hi)])
+    got = sorted(r.t for r in point_in_interval_join(pts, iv, "t", "lo", "hi", on=["k"]).collect())
+    assert got == sorted(p for p in points if lo <= p <= hi)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vals=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=2, max_size=40))
+def test_lag_delta_telescopes(spark, vals):
+    """Sum of deltas telescopes to last − first (any ordering key)."""
+    from aeon_mecha_spark.operators.windows import lag_delta
+
+    df = spark.createDataFrame([Row(k="a", o=i, v=v) for i, v in enumerate(vals)])
+    out = lag_delta(df, "o", ["k"], ["v"]).collect()
+    total = sum(r.v_delta for r in out if r.v_delta is not None)
+    assert total == vals[-1] - vals[0]
+
+
+@settings(max_examples=6, deadline=None)
+@given(text=st.text(alphabet="abc XYZ,.!123", min_size=0, max_size=60))
+def test_fingerprint_normalization_idempotent(spark, text):
+    """normalize(normalize(x)) == normalize(x) — fingerprints stable."""
+    from aeon_mecha_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([Row(t=text)])
+    row = df.select(
+        normalize_text(F.col("t")).alias("n1"),
+        normalize_text(normalize_text(F.col("t"))).alias("n2"),
+    ).collect()[0]
+    assert row.n1 == row.n2
+
+
+def test_qc_registry_dispatch(spark):
+    from aeon_mecha_spark.operators.qc import QC_ROUTINES, run_qc
+
+    assert "camera_frame_qc" in QC_ROUTINES
+    frames = spark.createDataFrame(
+        [
+            Row(dev="c", time=dt.datetime(2024, 1, 1, 0, 0, 0, i * 1000), hw_counter=i, hw_timestamp=i * 10**6)
+            for i in range(5)
+        ]
+    )
+    out = run_qc("camera_frame_qc", frames, ["dev"]).collect()[0]
+    assert out.drop_count == 0
+    with pytest.raises(KeyError):
+        run_qc("nope", frames, ["dev"])
