@@ -549,6 +549,27 @@ def q47_lsh_knn(spark, sf_dir):
 # Training-data pipeline operators (datapipe) over documents / embeddings
 # ---------------------------------------------------------------------------
 
+_IVF_CENTROIDS = [
+    [0.5, 0.5, 0.0, 0.0, -0.5, 0.0, 0.5, 0.0],
+    [-0.5, 0.0, 0.5, -0.5, 0.0, 0.5, 0.0, -0.5],
+    [0.0, -0.5, -0.5, 0.5, 0.5, 0.0, -0.5, 0.0],
+    [0.25, 0.25, -0.25, -0.25, 0.25, -0.25, 0.25, -0.25],
+]
+
+
+def q48_ivf_knn(spark, sf_dir):
+    """IVF-bucketed approximate kNN (nprobe=1): centroid assignment as
+    the coarse quantizer, same-cell scoring, top-3."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("embedding")
+    )
+    out = similarity.ivf_knn(emb, _IVF_CENTROIDS, k=3)
+    return _longs(
+        out.select("query_id", "neighbor_id", F.round(F.col("score"), 6).alias("score"), "rank"),
+        "rank",
+    )
+
+
 def q30_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -664,6 +685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_set_ops": q45_set_ops,
         "q46_bucketed_range_join": q46_bucketed_range_join,
         "q47_lsh_knn": q47_lsh_knn,
+        "q48_ivf_knn": q48_ivf_knn,
         "q30_dedup_exact": q30_dedup_exact,
         "q31_fingerprint_dedup": q31_fingerprint_dedup,
         "q32_text_quality": q32_text_quality,
@@ -757,6 +779,40 @@ def _sql_lsh_knn() -> str:
              list_dot_product(a.v, c.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
       FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(score, 6) AS score, rank::bigint AS rank
+    FROM ranked WHERE rank <= 3"""
+
+
+
+def _sql_ivf_knn() -> str:
+    """Oracle for q48: same centroids as SQL literals, first-wins argmin."""
+    dists = ",\n             ".join(
+        f"sqrt(list_sum(list_transform(generate_series(1, 8), i -> (v[i] - ({c}[i])) * (v[i] - ({c}[i]))))) AS d{j}"
+        for j, c in enumerate(_IVF_CENTROIDS)
+    )
+    n = len(_IVF_CENTROIDS)
+    case = "CASE "
+    for j in range(n - 1):
+        conds = " AND ".join(f"d{j} <= d{m}" for m in range(j + 1, n))
+        case += f"WHEN {conds} THEN {j} "
+    case += f"ELSE {n - 1} END"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
+    ), d AS (
+      SELECT vec_id, v,
+             {dists}
+      FROM e
+    ), assigned AS (
+      SELECT vec_id, v, ({case}) AS cell FROM d
+    ), scored AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+      FROM assigned a JOIN assigned c ON a.cell = c.cell AND a.vec_id <> c.vec_id
     ), ranked AS (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
       FROM scored)
@@ -1060,6 +1116,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY er.event_id
         """,
         "q47_lsh_knn": _sql_lsh_knn(),
+        "q48_ivf_knn": _sql_ivf_knn(),
         "q30_dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*)::bigint AS n_docs
             FROM documents GROUP BY 1

@@ -95,6 +95,57 @@ def lsh_knn(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign each vector to its nearest centroid
+    (argmin L2) — the partitioning step of an IVF index. Centroids come
+    from an offline k-means (deterministic input here); assignment is a
+    pure Catalyst expression chain."""
+    from aeon_mecha_spark.functions.vector import l2_distance
+
+    best_idx = F.lit(0)
+    best_dist = None
+    for i, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(v)) for v in c])
+        d = l2_distance(F.col(vec_col), arr)
+        if best_dist is None:
+            best_dist = d
+        else:
+            cond = d < best_dist
+            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
+            best_dist = F.when(cond, d).otherwise(best_dist)
+    return vectors.select(F.col(id_col), F.col(vec_col), best_idx.cast("int").alias("cell"))
+
+
+def ivf_knn(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style approximate top-k (nprobe=1): score only same-cell
+    pairs. At 100 TB the cell id becomes the table's partition column so
+    a query touches one partition per probed cell — the same two-stage
+    shape as a real IVF index."""
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    a, c = assigned.alias("a"), assigned.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.cell") == F.col("c.cell")) & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("query_id"),
+        F.col(f"c.{id_col}").alias("neighbor_id"),
+        cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     id_col: str = "vec_id",
