@@ -53,16 +53,19 @@ def discover_chunk_files(
     pruning. A chunk file covers [chunk_ts, chunk_ts + 1 h)."""
     if isinstance(roots, str):
         roots = [roots]
+    # cross-root dedup key = root-relative path: the same chunk mirrored
+    # in two roots is one chunk (earlier root wins), but same-named files
+    # under different epoch dirs within a root are distinct chunks
     seen: dict[str, tuple[str, datetime]] = {}
-    for root in roots:  # earlier roots win on duplicate chunk names
+    for root in roots:
         pat = os.path.join(root, "**", f"*{reader.pattern}*.{reader.extension}")
         for p in sorted(globmod.glob(pat, recursive=True)):
             ts = parse_chunk_ts(p)
             if ts is None:
                 continue
-            base = os.path.basename(p)
-            if base not in seen:
-                seen[base] = (p, ts)
+            rel = os.path.relpath(p, root)
+            if rel not in seen:
+                seen[rel] = (p, ts)
     out = []
     for p, ts in seen.values():
         if start is not None and ts + timedelta(hours=1) <= start:
