@@ -94,8 +94,17 @@ def fetch_stream(
     pruning + parquet row-group skipping on the pushed time predicate."""
     path = stream_table.path if isinstance(stream_table, Table) else stream_table
     df = spark.read.parquet(path)
+    # derive predicates on the PARTITION column from the time range —
+    # the row filter on `time` alone would scan every partition; the
+    # chunk_date bounds are what partition pruning keys on
     if start is not None:
-        df = df.filter(F.col(time_col) >= F.lit(start))
+        df = df.filter(
+            (F.col(time_col) >= F.lit(start))
+            & (F.col("chunk_date") >= F.to_date(F.lit(start)))
+        )
     if end is not None:
-        df = df.filter(F.col(time_col) < F.lit(end))
+        # end is exclusive: the last relevant partition is the date of
+        # (end − 1 µs), so a midnight end doesn't read the next day
+        last_date = F.to_date(F.lit(end) - F.expr("INTERVAL 1 MICROSECOND"))
+        df = df.filter((F.col(time_col) < F.lit(end)) & (F.col("chunk_date") <= last_date))
     return df.orderBy(time_col)

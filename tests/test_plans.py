@@ -1,0 +1,87 @@
+"""Physical-plan regression tests — the scale properties that make these
+operators viable at 100 TB, pinned so refactors can't silently lose them:
+filter pushdown into parquet scans, column pruning, broadcast dim joins,
+hash (not nested-loop) joins for equi+range conditions, WindowGroupLimit
+top-k pushdown, partition pruning on the stream table."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def entry(sf_dir):
+    import __spark_entry__ as m
+
+    return m
+
+
+def test_q01_pushdown_and_pruning(spark, entry, sf_dir):
+    p = plan_str(entry.queries()["q01_pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    assert "l_orderkey" not in p.split("ReadSchema")[1].splitlines()[0]  # pruned
+    assert "HashAggregate" in p  # partial+final agg (map-side combine)
+
+
+def test_q06_all_dims_broadcast(spark, entry, sf_dir):
+    p = plan_str(entry.queries()["q06_revenue_by_nation"](spark, sf_dir))
+    # formatted plans list each node twice (tree + details) -> 2x3
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in p
+
+
+def test_q19_equi_range_is_hash_join(spark, entry, sf_dir):
+    p = plan_str(entry.queries()["q19_interval_count"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q36_topk_pushes_window_group_limit(spark, entry, sf_dir):
+    p = plan_str(entry.queries()["q36_knn_cosine"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_q18_asof_single_shuffle(spark, entry, sf_dir):
+    """The as-of union-merge plan must shuffle each side once (union +
+    one window exchange), never join."""
+    p = plan_str(entry.queries()["q18_asof_join"](spark, sf_dir))
+    assert "Join" not in p or "left_semi" in p.lower()  # no join operator at all
+    assert p.count("Window") >= 1
+
+
+def test_stream_table_partition_pruning(spark, tmp_path):
+    """Date-ranged fetch_stream must prune chunk_date partitions."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.pipeline import ingest
+
+    rows = [
+        Row(time=dt.datetime(2024, 1, d, h), v=float(d * 10 + h))
+        for d in (1, 2, 3)
+        for h in range(4)
+    ]
+    df = spark.createDataFrame(rows)
+    t = ingest.write_stream_table(df, str(tmp_path), "pruned_stream")
+    out = ingest.fetch_stream(
+        spark, t, start=dt.datetime(2024, 1, 2), end=dt.datetime(2024, 1, 3)
+    )
+    p = plan_str(out)
+    # the partition filter must reach the scan, tightly bounded to the
+    # single relevant date (an exclusive midnight end must NOT read the
+    # next day's partition)
+    assert "PartitionFilters" in p
+    assert ">= 2024-01-02" in p and "<= 2024-01-02" in p
+    assert out.count() == 4
