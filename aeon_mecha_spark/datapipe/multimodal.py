@@ -87,6 +87,15 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def encode_frames_base64(media: DataFrame) -> DataFrame:
+    """Frame-server payload encoding (F22, video.py:48-50): base64 the
+    binary payload for JSON transport — pure Catalyst ``base64``; the
+    JPEG re-encode itself is part of the stubbed decode stage."""
+    return media.select(
+        "media_id", "modality", F.base64(F.col("payload")).alias("payload_b64")
+    )
+
+
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
     """Image resize *plan*: target dimensions preserving aspect ratio —
     metadata math in Catalyst; pixel work is the stubbed decode stage."""

@@ -114,6 +114,12 @@ def parse_chunk_listing(listing: DataFrame, path_col: str = "file_path") -> Data
     )
 
 
+def strip_parens(col) -> "F.Column":
+    """Remove parenthesized units from column labels, e.g.
+    ``weight(g)`` → ``weight`` (F11, streams_maker.py:194,251)."""
+    return F.regexp_replace(col, r"\([^)]*\)", "")
+
+
 def snake_case(col) -> F.Column:
     """PascalCase → snake_case (F10, load_metadata.py:374-386)."""
     return F.lower(F.regexp_replace(col, r"(?<=[a-z0-9])([A-Z])", r"_$1"))
