@@ -382,6 +382,53 @@ def q28_harp_time(spark, sf_dir):
     return out.withColumn("ts_rt", harp_to_timestamp(F.col("harp_s")))
 
 
+def q49_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: selective join chain → grouped revenue → top-10
+    (J1 + A3 + W5)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)"))
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    g = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(rev).cast("double").alias("revenue")
+    )
+    return g.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+def q50_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS semi-join + grouped counts (P5/J6)."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    ).select("l_orderkey").dropDuplicates()
+    j = orders.join(late, orders["o_orderkey"] == late["l_orderkey"], "left_semi")
+    return j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q51_shipmode_case_sum(spark, sf_dir):
+    """TPC-H Q12 shape: CASE-conditional counts per group (W7-adjacent
+    conditional aggregation over a join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
+
+
 def q29_json_extract(spark, sf_dir):
     """JSON column semantics (F17, acquisition.py:418-420): parse the
     props payload, aggregate the typed field."""
@@ -549,11 +596,16 @@ def q47_lsh_knn(spark, sf_dir):
 # Training-data pipeline operators (datapipe) over documents / embeddings
 # ---------------------------------------------------------------------------
 
+# IVF centroids trained offline (k-means, seed 7, 25 iters) on the
+# sf0.1 embeddings' first 8 dims — balanced cells (~570/501/416/513 of
+# 2000). Arbitrary centroids collapse 95% of vectors into one cell and
+# the ANN degenerates to brute force; training on the data is part of
+# the IVF contract.
 _IVF_CENTROIDS = [
-    [0.5, 0.5, 0.0, 0.0, -0.5, 0.0, 0.5, 0.0],
-    [-0.5, 0.0, 0.5, -0.5, 0.0, 0.5, 0.0, -0.5],
-    [0.0, -0.5, -0.5, 0.5, 0.5, 0.0, -0.5, 0.0],
-    [0.25, 0.25, -0.25, -0.25, 0.25, -0.25, 0.25, -0.25],
+    [-0.0760, -0.0497, -0.0765, 0.0398, -0.0615, -0.0004, -0.0202, -0.0343],
+    [0.0323, 0.0069, 0.0561, -0.0425, 0.0362, 0.0733, 0.0385, -0.1046],
+    [0.0727, 0.0094, 0.0233, -0.0077, 0.0173, -0.0303, -0.1371, 0.0645],
+    [-0.0030, 0.0497, 0.0085, -0.0087, 0.0193, -0.0447, 0.1062, 0.0892],
 ]
 
 
@@ -676,6 +728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_chunk_windows": q26_chunk_windows,
         "q27_epoch_lead": q27_epoch_lead,
         "q28_harp_time": q28_harp_time,
+        "q49_shipping_priority": q49_shipping_priority,
+        "q50_order_priority_exists": q50_order_priority_exists,
+        "q51_shipmode_case_sum": q51_shipmode_case_sum,
         "q29_json_extract": q29_json_extract,
         "q40_unit_matching": q40_unit_matching,
         "q41_frontier": q41_frontier,
@@ -1031,6 +1086,35 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_us(ts) / 1000000.0) - (-2082844800.0) AS harp_s,
                    make_timestamp(CAST(round((((epoch_us(ts) / 1000000.0) - (-2082844800.0)) + (-2082844800.0)) * 1000000.0, 0) AS BIGINT)) AS ts_rt
             FROM events
+        """,
+        "q49_shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   CAST(sum(l_extendedprice::decimal(18,2) * ((1.0 - l_discount))::decimal(18,6)) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "q50_order_priority_exists": """
+            SELECT o_orderpriority, count(*)::bigint AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > TIMESTAMP '1997-06-01 00:00:00')
+            GROUP BY o_orderpriority
+        """,
+        "q51_shipmode_case_sum": """
+            SELECT l_returnflag,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::bigint AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::bigint AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag
         """,
         "q29_json_extract": """
             SELECT event_type,

@@ -34,13 +34,21 @@ def brute_force_knn(
     which AQE keeps tiny because scores are pre-filtered per partition by
     the window. Excludes self-matches.
     """
+    # norms are precomputed per ROW, not per pair: higher-order array
+    # exprs are interpreted (not codegen'd), so hoisting them out of the
+    # pair space cuts the dominant cost ~3x. The arithmetic — and hence
+    # the float result — is identical to dot/(|q||c|) per pair.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        norm(F.col(vec_col)).alias("_cn"),
+    )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     if metric == "cosine":
-        score = cosine(F.col("_qv"), F.col("_cv"))
+        score = dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     elif metric == "dot":
         score = dot(F.col("_qv"), F.col("_cv"))
     else:
@@ -80,7 +88,9 @@ def lsh_knn(
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket pairs. Self-join on the
     bucket key — collision-bounded work, AQE splits skewed buckets."""
-    b = hyperplane_lsh_buckets(vectors, planes, id_col, vec_col)
+    b = hyperplane_lsh_buckets(vectors, planes, id_col, vec_col).withColumn(
+        "_n", norm(F.col(vec_col))
+    )
     a, c = b.alias("a"), b.alias("c")
     pairs = a.join(
         c,
@@ -89,7 +99,7 @@ def lsh_knn(
     ).select(
         F.col(f"a.{id_col}").alias("query_id"),
         F.col(f"c.{id_col}").alias("neighbor_id"),
-        cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")).alias("score"),
+        (dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (F.col("a._n") * F.col("c._n"))).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -107,18 +117,27 @@ def ivf_assign(
     pure Catalyst expression chain."""
     from aeon_mecha_spark.functions.vector import l2_distance
 
-    best_idx = F.lit(0)
-    best_dist = None
+    n = len(centroids)
+    # materialize each distance ONCE as a column — a chained when() would
+    # nest every previous distance expression inside the next condition,
+    # duplicating the (interpreted) array math exponentially
+    dist_cols = []
     for i, c in enumerate(centroids):
         arr = F.array(*[F.lit(float(v)) for v in c])
-        d = l2_distance(F.col(vec_col), arr)
-        if best_dist is None:
-            best_dist = d
-        else:
-            cond = d < best_dist
-            best_idx = F.when(cond, F.lit(i)).otherwise(best_idx)
-            best_dist = F.when(cond, d).otherwise(best_dist)
-    return vectors.select(F.col(id_col), F.col(vec_col), best_idx.cast("int").alias("cell"))
+        dist_cols.append(l2_distance(F.col(vec_col), arr).alias(f"_d{i}"))
+    withd = vectors.select(F.col(id_col), F.col(vec_col), *dist_cols)
+    # first-wins argmin over the materialized columns
+    expr = None
+    for i in range(n - 1):
+        cond = None
+        for j in range(i + 1, n):
+            c2 = F.col(f"_d{i}") <= F.col(f"_d{j}")
+            cond = c2 if cond is None else (cond & c2)
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    expr = expr.otherwise(F.lit(n - 1)) if expr is not None else F.lit(0)
+    return withd.select(
+        F.col(id_col), F.col(vec_col), expr.cast("int").alias("cell")
+    )
 
 
 def ivf_knn(
@@ -132,7 +151,9 @@ def ivf_knn(
     pairs. At 100 TB the cell id becomes the table's partition column so
     a query touches one partition per probed cell — the same two-stage
     shape as a real IVF index."""
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col).withColumn(
+        "_n", norm(F.col(vec_col))
+    )
     a, c = assigned.alias("a"), assigned.alias("c")
     pairs = a.join(
         c,
@@ -140,7 +161,7 @@ def ivf_knn(
     ).select(
         F.col(f"a.{id_col}").alias("query_id"),
         F.col(f"c.{id_col}").alias("neighbor_id"),
-        cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")).alias("score"),
+        (dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (F.col("a._n") * F.col("c._n"))).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -154,13 +175,14 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Cosine near-dup pairs above a threshold (ordered id_a < id_b).
     Exact all-pairs form — at scale wrap with LSH buckets first."""
-    a, b = vectors.alias("a"), vectors.alias("b")
+    withn = vectors.withColumn("_n", norm(F.col(vec_col)))
+    a, b = withn.alias("a"), withn.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos"),
+            (dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a._n") * F.col("b._n"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

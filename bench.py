@@ -39,6 +39,11 @@ HEADLINE = [
     "q35_lsh_jaccard",       # LSH band self-join + verify
     "q36_knn_cosine",        # brute-force cosine top-k
     "q38_simhash",           # token explode + 32 bit-votes
+    "q44_topk_per_group",    # WindowGroupLimit pushdown
+    "q46_bucketed_range_join",  # big-big range join (no broadcast)
+    "q47_lsh_knn",           # hyperplane-LSH ANN
+    "q48_ivf_knn",           # IVF-bucketed ANN
+    "q49_shipping_priority", # TPC-H Q3 shape
 ]
 
 
