@@ -68,17 +68,30 @@ def q01_pricing_summary(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
+    # cast only RAW columns to decimal (their true values have <=2
+    # decimals, so the cast never lands near a rounding boundary), then
+    # do ALL arithmetic in decimal — exact in every engine. Casting a
+    # computed double product instead can straddle a half-ulp boundary
+    # and round differently per engine (seen at sf0.1).
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_f = ((F.lit(1.0) - F.col("l_discount"))).cast("decimal(18,6)")
-    both_f = ((F.lit(1.0) - F.col("l_discount")) * (F.lit(1.0) + F.col("l_tax"))).cast("decimal(18,6)")
+    disc_d = F.col("l_discount").cast("decimal(8,6)")
+    tax_d = F.col("l_tax").cast("decimal(8,6)")
+    one = F.lit(1).cast("decimal(8,6)")
+    # widen to decimal(19,12): same exact value, but forces int128
+    # arithmetic in engines whose narrow decimals multiply in int64
+    disc_f = (one - disc_d).cast("decimal(19,12)")
+    both_f = ((one - disc_d) * (one + tax_d)).cast("decimal(19,12)")
     out = (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
             F.sum(price).cast("double").alias("sum_base_price"),
-            F.sum(price * disc_f).cast("double").alias("sum_disc_price"),
-            F.sum(price * both_f).cast("double").alias("sum_charge"),
+            # reduce to scale 6 before the double cast: DuckDB's
+            # decimal->double is two-step-rounded once the scaled int
+            # exceeds 2^64, so keep the scaled magnitude under 2^63
+            F.sum(price * disc_f).cast("decimal(38,6)").cast("double").alias("sum_disc_price"),
+            F.sum(price * both_f).cast("decimal(38,6)").cast("double").alias("sum_charge"),
             (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
             (F.sum(price).cast("double") / F.count(F.lit(1))).alias("avg_price"),
             (F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
@@ -334,8 +347,13 @@ def q24_ownership(spark, sf_dir):
     """Ownership dedup (T7, spike_sorting.py:1519-1560): first lineitem
     per order by (shipdate, linenumber)."""
     li = _t(spark, sf_dir, "lineitem")
+    # (l_shipdate, l_linenumber) is NOT unique in the synthetic data —
+    # extend the order with value columns for a fully deterministic pick
     out = windows.dedupe_first(
-        li, ["l_orderkey"], [F.col("l_shipdate").asc(), F.col("l_linenumber").asc()]
+        li,
+        ["l_orderkey"],
+        [F.col("l_shipdate").asc(), F.col("l_linenumber").asc(),
+         F.col("l_quantity").asc(), F.col("l_partkey").asc(), F.col("l_suppkey").asc()],
     )
     return _longs(out.select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"), "l_linenumber")
 
@@ -393,12 +411,12 @@ def q49_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
     rev = (F.col("l_extendedprice").cast("decimal(18,2)")
-           * (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,6)"))
+           * (F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")).cast("decimal(19,12)"))
     j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
         F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
     )
     g = j.groupBy("l_orderkey", "o_orderdate").agg(
-        F.sum(rev).cast("double").alias("revenue")
+        F.sum(rev).cast("decimal(38,6)").cast("double").alias("revenue")
     )
     return g.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
 
@@ -883,8 +901,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(l_quantity::decimal(18,2)) AS DOUBLE) AS sum_qty,
                    CAST(sum(l_extendedprice::decimal(18,2)) AS DOUBLE) AS sum_base_price,
-                   CAST(sum(l_extendedprice::decimal(18,2) * ((1.0 - l_discount))::decimal(18,6)) AS DOUBLE) AS sum_disc_price,
-                   CAST(sum(l_extendedprice::decimal(18,2) * ((1.0 - l_discount) * (1.0 + l_tax))::decimal(18,6)) AS DOUBLE) AS sum_charge,
+                   CAST(sum(l_extendedprice::decimal(18,2) * (1::decimal(8,6) - l_discount::decimal(8,6))::decimal(19,12))::decimal(38,6) AS DOUBLE) AS sum_disc_price,
+                   CAST(sum(l_extendedprice::decimal(18,2) * ((1::decimal(8,6) - l_discount::decimal(8,6)) * (1::decimal(8,6) + l_tax::decimal(8,6)))::decimal(19,12))::decimal(38,6) AS DOUBLE) AS sum_charge,
                    CAST(sum(l_quantity::decimal(18,2)) AS DOUBLE) / count(*) AS avg_qty,
                    CAST(sum(l_extendedprice::decimal(18,2)) AS DOUBLE) / count(*) AS avg_price,
                    CAST(sum(l_discount::decimal(18,6)) AS DOUBLE) / count(*) AS avg_disc,
@@ -1058,7 +1076,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q24_ownership": """
             SELECT l_orderkey, l_linenumber::bigint AS l_linenumber, l_shipdate, l_quantity FROM (
-              SELECT *, row_number() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+              SELECT *, row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_shipdate, l_linenumber, l_quantity, l_partkey, l_suppkey) AS rn
               FROM lineitem) WHERE rn = 1
         """,
         "q25_conditional_agg": """
@@ -1089,7 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q49_shipping_priority": """
             SELECT l_orderkey, o_orderdate,
-                   CAST(sum(l_extendedprice::decimal(18,2) * ((1.0 - l_discount))::decimal(18,6)) AS DOUBLE) AS revenue
+                   CAST(sum(l_extendedprice::decimal(18,2) * (1::decimal(8,6) - l_discount::decimal(8,6))::decimal(19,12))::decimal(38,6) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
