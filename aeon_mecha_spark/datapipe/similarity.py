@@ -105,6 +105,48 @@ def lsh_knn(
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_train(
+    vectors: DataFrame,
+    k: int,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for IVF centroid training.
+
+    Init: the k vectors with the smallest md5(id) — deterministic,
+    shuffle-independent (no RNG, so resumable/reproducible). Each
+    iteration is one Spark job: assign (Catalyst argmin) + groupBy-mean
+    per cell; only the k centroids ever reach the driver.
+    """
+    from aeon_mecha_spark.functions.hashing import md5_long
+
+    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
+    dim = dim_row["d"]
+    seeds = (
+        vectors.select(vec_col, md5_long(F.col(id_col).cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(map(float, r[vec_col])) for r in seeds]
+    for _ in range(iters):
+        assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+        means = (
+            assigned.groupBy("cell")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_cell = {r["cell"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        centroids = [by_cell.get(i, centroids[i]) for i in range(len(centroids))]
+    return centroids
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: list[list[float]],

@@ -1,0 +1,52 @@
+"""Custom stateful streaming operator: state must survive across
+micro-batches AND across separate AvailableNow drains (checkpoint)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from aeon_mecha_spark.streaming.stateful import streaming_drop_counter
+
+SCHEMA = "device string, hw_counter bigint"
+
+
+def _drain(spark, feed, sink, ckpt):
+    src = spark.readStream.schema(SCHEMA).parquet(feed)
+    out = streaming_drop_counter(src)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_drop_counter_state_survives_drains(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: cam counters 0..4 with a jump 2->5 (2 drops)
+    rows1 = [Row(device="cam", hw_counter=c) for c in [0, 1, 2, 5, 6]]
+    spark.createDataFrame(rows1, SCHEMA).coalesce(1).write.mode("append").parquet(feed)
+    _drain(spark, feed, sink, ckpt)
+    out1 = {r.device: r for r in spark.read.parquet(sink).collect()}
+    assert out1["cam"].total_drops == 2
+    assert out1["cam"].last_counter == 6
+
+    # batch 2 arrives later: continues at 7, then jumps to 10 (2 more)
+    rows2 = [Row(device="cam", hw_counter=c) for c in [7, 10]] + [
+        Row(device="cam2", hw_counter=0)
+    ]
+    spark.createDataFrame(rows2, SCHEMA).coalesce(1).write.mode("append").parquet(feed)
+    _drain(spark, feed, sink, ckpt)
+    rows = spark.read.parquet(sink).collect()
+    cam_latest = max((r for r in rows if r.device == "cam"), key=lambda r: r.last_counter)
+    # state carried across drains: 2 earlier drops + gap 7->10 = 4 total
+    assert cam_latest.total_drops == 4
+    assert cam_latest.last_counter == 10
+    assert any(r.device == "cam2" and r.total_drops == 0 for r in rows)
