@@ -121,29 +121,36 @@ def kmeans_train(
     """
     from aeon_mecha_spark.functions.hashing import md5_long
 
-    dim_row = vectors.select(F.size(vec_col).alias("d")).first()
-    dim = dim_row["d"]
     seeds = (
         vectors.select(vec_col, md5_long(F.col(id_col).cast("string")).alias("h"))
         .orderBy("h")
         .limit(k)
         .collect()
     )
+    if not seeds:
+        raise ValueError("kmeans_train: input has no vectors")
+    if len(seeds) < k:
+        raise ValueError(f"kmeans_train: k={k} but only {len(seeds)} vectors available")
+    dim = len(seeds[0][vec_col])
     centroids = [list(map(float, r[vec_col])) for r in seeds]
-    for _ in range(iters):
-        assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-        means = (
-            assigned.groupBy("cell")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
-                    for i in range(dim)
-                ]
+    vectors = vectors.persist()  # iters passes over the same lineage
+    try:
+        for _ in range(iters):
+            assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+            means = (
+                assigned.groupBy("cell")
+                .agg(
+                    *[
+                        F.avg(F.element_at(F.col(vec_col), i + 1)).alias(f"m{i}")
+                        for i in range(dim)
+                    ]
+                )
+                .collect()
             )
-            .collect()
-        )
-        by_cell = {r["cell"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
-        centroids = [by_cell.get(i, centroids[i]) for i in range(len(centroids))]
+            by_cell = {r["cell"]: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+            centroids = [by_cell.get(i, centroids[i]) for i in range(len(centroids))]
+    finally:
+        vectors.unpersist()
     return centroids
 
 

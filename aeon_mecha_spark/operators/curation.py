@@ -29,16 +29,20 @@ def apply_unit_mapping(
     unit_col: str = "unit",
 ) -> DataFrame:
     """Relabel/merge units: mapping is (unit → new_unit); units absent
-    from the mapping keep their label; new_unit NULL = unit removed.
-    Merge = many→one mapping rows. Broadcast join (mapping is tiny)."""
-    m = mapping.select(F.col(unit_col).alias("_old"), F.col("new_unit"))
+    from the mapping keep their label (including NULL-unit noise spikes);
+    new_unit NULL = unit removed. Merge = many→one mapping rows.
+    Broadcast join (mapping is tiny); duplicate old-unit rows are
+    deduplicated so the join can never fan out spike rows."""
+    m = mapping.select(F.col(unit_col).alias("_old"), F.col("new_unit")).dropDuplicates(["_old"])
     out = spikes.join(F.broadcast(m), spikes[unit_col] == F.col("_old"), "left")
     curated = (
-        out.withColumn(
+        # drop ONLY spikes whose unit was explicitly mapped to NULL;
+        # unmatched rows (incl. unit IS NULL) keep their label
+        out.filter(~(F.col("_old").isNotNull() & F.col("new_unit").isNull()))
+        .withColumn(
             unit_col,
-            F.when(F.col("_old").isNull(), F.col(unit_col)).otherwise(F.col("new_unit")),
+            F.when(F.col("_old").isNotNull(), F.col("new_unit")).otherwise(F.col(unit_col)),
         )
-        .filter(F.col(unit_col).isNotNull())
         .drop("_old", "new_unit")
     )
     return curated.withColumn("curation_id", F.lit(curation_id))

@@ -35,6 +35,35 @@ def test_unit_diff(spark, spikes):
     assert gone == [3]
 
 
+def test_null_unit_spikes_survive_relabel(spark, spikes):
+    with_noise = spikes.unionByName(
+        spark.createDataFrame([Row(unit=None, harp_time=99.0)], schema="unit bigint, harp_time double")
+    )
+    mapping = spark.createDataFrame([Row(unit=2, new_unit=1)], schema="unit bigint, new_unit bigint")
+    out = C.apply_unit_mapping(with_noise, mapping, "cur3")
+    assert out.count() == 31  # noise spike kept
+    assert out.filter(F.col("unit").isNull()).count() == 1
+
+
+def test_duplicate_mapping_rows_do_not_fan_out(spark, spikes):
+    mapping = spark.createDataFrame(
+        [Row(unit=2, new_unit=1), Row(unit=2, new_unit=1)], schema="unit bigint, new_unit bigint"
+    )
+    out = C.apply_unit_mapping(spikes, mapping, "cur4")
+    assert out.count() == 30  # no join fan-out
+
+
+def test_kmeans_validates_inputs(spark):
+    from aeon_mecha_spark.datapipe.similarity import kmeans_train
+
+    empty = spark.createDataFrame([], schema="vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="no vectors"):
+        kmeans_train(empty, k=2)
+    small = spark.createDataFrame([Row(vec_id=1, embedding=[1.0, 2.0])])
+    with pytest.raises(ValueError, match="only 1"):
+        kmeans_train(small, k=4)
+
+
 def test_curation_summary(spark, spikes):
     cur = spikes.withColumn("curation_id", F.lit("raw"))
     s = C.curation_summary(cur).collect()[0]

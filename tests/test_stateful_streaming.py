@@ -50,3 +50,24 @@ def test_drop_counter_state_survives_drains(spark, tmp_path):
     assert cam_latest.total_drops == 4
     assert cam_latest.last_counter == 10
     assert any(r.device == "cam2" and r.total_drops == 0 for r in rows)
+
+
+def test_null_counters_and_reset(spark, tmp_path):
+    feed = str(tmp_path / "feed")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    # batch 1 with a NULL counter mixed in: must not poison the query
+    rows1 = [Row(device="cam", hw_counter=c) for c in [0, 1, None, 3, 10]]
+    spark.createDataFrame(rows1, SCHEMA).coalesce(1).write.mode("append").parquet(feed)
+    _drain(spark, feed, sink, ckpt)
+    out1 = spark.read.parquet(sink).collect()[0]
+    assert out1.batch_rows == 4  # null ignored
+    assert out1.total_drops == 7  # gaps 1->3 (1) and 3->10 (6)
+    # batch 2: hardware reset — every counter below last_counter=10
+    rows2 = [Row(device="cam", hw_counter=c) for c in [0, 1, 4]]
+    spark.createDataFrame(rows2, SCHEMA).coalesce(1).write.mode("append").parquet(feed)
+    _drain(spark, feed, sink, ckpt)
+    latest = max(spark.read.parquet(sink).collect(), key=lambda r: r.total_drops)
+    # reset re-seeds (no invented cross-reset drops); in-batch gap 1->4 = 2
+    assert latest.total_drops == 9
+    assert latest.last_counter == 4
