@@ -400,6 +400,29 @@ def q28_harp_time(spark, sf_dir):
     return out.withColumn("ts_rt", harp_to_timestamp(F.col("harp_s")))
 
 
+def q52_forward_fill(spark, sf_dir):
+    """Reindex-with-pad (W4, tracking.py:319-320): carry each user's
+    last purchase value forward onto every subsequent event."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    marked = ev.withColumn(
+        "purchase_value", F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    out = windows.forward_fill(marked, "purchase_value", ["ts", "event_id"], ["user_id"])
+    return out.select("user_id", "event_id", "ts", "purchase_value")
+
+
+def q53_sign_change(spark, sf_dir):
+    """Falling-edge detection (W9, tracking.py:318): exits of the
+    value>0.5 region per user."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    out = windows.sign_change(
+        ev, F.col("value") > 0.5, ["ts", "event_id"], ["user_id"], "exited"
+    )
+    return out.select(
+        "user_id", "event_id", "ts", F.coalesce(F.col("exited"), F.lit(False)).alias("exited")
+    )
+
+
 def q49_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: selective join chain → grouped revenue → top-10
     (J1 + A3 + W5)."""
@@ -746,6 +769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_chunk_windows": q26_chunk_windows,
         "q27_epoch_lead": q27_epoch_lead,
         "q28_harp_time": q28_harp_time,
+        "q52_forward_fill": q52_forward_fill,
+        "q53_sign_change": q53_sign_change,
         "q49_shipping_priority": q49_shipping_priority,
         "q50_order_priority_exists": q50_order_priority_exists,
         "q51_shipmode_case_sum": q51_shipmode_case_sum,
@@ -1104,6 +1129,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, ts,
                    (epoch_us(ts) / 1000000.0) - (-2082844800.0) AS harp_s,
                    make_timestamp(CAST(round((((epoch_us(ts) / 1000000.0) - (-2082844800.0)) + (-2082844800.0)) * 1000000.0, 0) AS BIGINT)) AS ts_rt
+            FROM events
+        """,
+        "q52_forward_fill": """
+            SELECT user_id, event_id, ts,
+                   last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_value
+            FROM events
+        """,
+        "q53_sign_change": """
+            SELECT user_id, event_id, ts,
+                   coalesce((CAST(value > 0.5 AS INT) - lag(CAST(value > 0.5 AS INT))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id)) < 0, FALSE) AS exited
             FROM events
         """,
         "q49_shipping_priority": """
