@@ -400,6 +400,40 @@ def q28_harp_time(spark, sf_dir):
     return out.withColumn("ts_rt", harp_to_timestamp(F.col("harp_s")))
 
 
+def q54_chunked_ts_stats(spark, sf_dir):
+    """Per-chunk timestamp stats (A5 at the streams_maker grain:
+    stats keyed by stream × 1-hour chunk rather than globally)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "chunk_start", F.date_trunc("hour", F.col("ts"))
+    )
+    out = stats.timestamp_stats(ev, "ts", ["event_type", "chunk_start"])
+    return out
+
+
+def q55_index_aligned_merge(spark, sf_dir):
+    """Index-aligned multi-stream column concat (J8, onix_imu.py:63-76):
+    two per-user sample-indexed streams merged on (user, sample_idx)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.row_number().over(w).alias("sample_idx"), F.col("value").alias("view_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.row_number().over(w).alias("sample_idx"), F.col("value").alias("click_value")
+    )
+    return views.join(clicks, ["user_id", "sample_idx"], "inner")
+
+
+def q56_value_histogram(spark, sf_dir):
+    """Bucketed histogram (dashboard-agg family, A3): decile counts of
+    value per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50).cast("long"), F.lit(9).cast("long"))
+    return ev.groupBy("event_type", bucket.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def q52_forward_fill(spark, sf_dir):
     """Reindex-with-pad (W4, tracking.py:319-320): carry each user's
     last purchase value forward onto every subsequent event."""
@@ -769,6 +803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_chunk_windows": q26_chunk_windows,
         "q27_epoch_lead": q27_epoch_lead,
         "q28_harp_time": q28_harp_time,
+        "q54_chunked_ts_stats": q54_chunked_ts_stats,
+        "q55_index_aligned_merge": q55_index_aligned_merge,
+        "q56_value_histogram": q56_value_histogram,
         "q52_forward_fill": q52_forward_fill,
         "q53_sign_change": q53_sign_change,
         "q49_shipping_priority": q49_shipping_priority,
@@ -1130,6 +1167,33 @@ def oracle_sql() -> dict[str, str]:
                    (epoch_us(ts) / 1000000.0) - (-2082844800.0) AS harp_s,
                    make_timestamp(CAST(round((((epoch_us(ts) / 1000000.0) - (-2082844800.0)) + (-2082844800.0)) * 1000000.0, 0) AS BIGINT)) AS ts_rt
             FROM events
+        """,
+        "q54_chunked_ts_stats": """
+            WITH d AS (
+              SELECT event_type, date_trunc('hour', ts) AS chunk_start, ts,
+                     (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type, date_trunc('hour', ts) ORDER BY ts))) * 1000 AS diff_ns
+              FROM events)
+            SELECT event_type, chunk_start, min(ts) AS ts_min, max(ts) AS ts_max,
+                   count(ts)::bigint AS ts_count,
+                   CASE WHEN median(diff_ns) > 0 THEN round(1e9 / median(diff_ns), 2) END AS sampling_rate_hz
+            FROM d GROUP BY event_type, chunk_start
+        """,
+        "q55_index_aligned_merge": """
+            WITH v AS (
+              SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sample_idx,
+                     value AS view_value
+              FROM events WHERE event_type = 'view'),
+            c AS (
+              SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sample_idx,
+                     value AS click_value
+              FROM events WHERE event_type = 'click')
+            SELECT user_id, sample_idx, view_value, click_value
+            FROM v JOIN c USING (user_id, sample_idx)
+        """,
+        "q56_value_histogram": """
+            SELECT event_type, least(CAST(floor(value / 50) AS BIGINT), 9::bigint) AS decile,
+                   count(*)::bigint AS n
+            FROM events GROUP BY 1, 2
         """,
         "q52_forward_fill": """
             SELECT user_id, event_id, ts,
