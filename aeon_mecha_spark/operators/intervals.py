@@ -53,7 +53,9 @@ def overlap_join(
     for k in on or []:
         cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
     rside = F.broadcast(r) if broadcast_right else r
-    dup = set(on or [])
+    # drop every right column whose name collides with a left column —
+    # an ambiguous duplicate name would poison all downstream references
+    dup = set(on or []) | (set(left.columns) & set(right.columns))
     rcols = [F.col(f"r.{c}") for c in right.columns if c not in dup]
     return l.join(rside, cond, "inner").select("l.*", *rcols)
 
@@ -76,7 +78,7 @@ def point_in_interval_join(
     for k in on or []:
         cond = cond & (F.col(f"p.{k}") == F.col(f"i.{k}"))
     iside = F.broadcast(i) if broadcast_intervals else i
-    dup = set(on or [])
+    dup = set(on or []) | (set(points.columns) & set(intervals.columns))
     icols = [F.col(f"i.{c}") for c in intervals.columns if c not in dup]
     return p.join(iside, cond, "inner").select("p.*", *icols)
 
@@ -134,20 +136,28 @@ def asof_join(
     lcols = left.columns
     marker = "_is_left"
     ts = "_asof_ts"
+    payload = "_asof_payload"
+
+    # value columns travel as ONE struct: the fill then moves whole right
+    # ROWS atomically, so (a) a legitimately-NULL value in the matched
+    # right row stays NULL (not replaced by an older row's value) and
+    # (b) multiple value columns can never mix across right rows.
+    rstruct = F.struct(*[F.col(c).alias(c) for c in value_cols])
+    payload_type = right.select(rstruct.alias(payload)).schema[payload].dataType
 
     lnorm = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias(ts),
         F.lit(1).alias(marker),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
+        F.lit(None).cast(payload_type).alias(payload),
     )
     rnorm = right.select(
         *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols if c not in on],
         *[F.col(c) for c in on],
         F.col(right_ts).alias(ts),
         F.lit(0).alias(marker),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-    ).select(*[c for c in lcols], F.col(ts), F.col(marker), *[f"_r_{c}" for c in value_cols])
+        rstruct.alias(payload),
+    ).select(*[c for c in lcols], F.col(ts), F.col(marker), F.col(payload))
 
     unioned = lnorm.unionByName(rnorm)
     order = [F.col(ts).asc(), F.col(marker).asc()] if direction == "backward" else [
@@ -155,10 +165,8 @@ def asof_join(
         F.col(marker).asc(),
     ]
     w = W.partitionBy(*on).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    filled = unioned
-    for c in value_cols:
-        filled = filled.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    filled = unioned.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
     out = filled.filter(F.col(marker) == 1).drop(marker, ts)
     for c in value_cols:
-        out = out.withColumnRenamed(f"_r_{c}", f"{c}{suffix}" if suffix else c)
-    return out
+        out = out.withColumn(f"{c}{suffix}" if suffix else c, F.col(f"{payload}.{c}"))
+    return out.drop(payload)

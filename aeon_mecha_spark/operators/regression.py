@@ -74,9 +74,14 @@ def fit_closed_form_portable(
     product < 2^63). Bounds/n match ``fit_closed_form`` up to the
     quantization.
     """
-    xi = F.round(F.col(x).cast("double") * F.lit(x_scale), 0).cast("long")
-    yi = F.round(F.col(y).cast("double") * F.lit(y_scale), 0).cast("long")
-    clean = df.filter(xi.isNotNull() & yi.isNotNull())
+    xd, yd = F.col(x).cast("double"), F.col(y).cast("double")
+    finite = lambda c: c.isNotNull() & ~F.isnan(c) & (c != float("inf")) & (c != float("-inf"))  # noqa: E731
+    # dropna/finite BEFORE the long cast: under ANSI mode (Spark 4
+    # default) casting NaN/Inf to BIGINT throws instead of nulling
+    df = df.filter(finite(xd) & finite(yd))
+    xi = F.round(xd * F.lit(x_scale), 0).cast("long")
+    yi = F.round(yd * F.lit(y_scale), 0).cast("long")
+    clean = df
     dec = "decimal(38,0)"
     agg = clean.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_samples"),

@@ -32,7 +32,8 @@ def lag_delta(df: DataFrame, order_col: str | list[str], keys: list[str], cols: 
     for c in cols:
         col = F.col(c)
         if dict(df.dtypes)[c].startswith("timestamp"):
-            delta = (F.unix_micros(col) - F.unix_micros(F.lag(col).over(w))) / (1.0 if ns else 1e6)
+            us = F.unix_micros(col) - F.unix_micros(F.lag(col).over(w))
+            delta = (us * 1000) if ns else (us / 1e6)
         else:
             delta = col - F.lag(col).over(w)
         out = out.withColumn(f"{c}_delta", delta)

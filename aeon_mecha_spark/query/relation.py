@@ -60,19 +60,32 @@ class Relation:
     # Refs: dict/str usage acquisition.py:645-654, ephys.py:625-627;
     # subquery restriction ephys_utils.py:625; anti load_metadata.py:762.
 
+    def _dict_pred(self, cond: Mapping) -> Column | None:
+        """Null-safe equality AND over the dict; keys not in the heading
+        are ignored (DataJoint dict-restriction semantics)."""
+        pred = None
+        cols = set(self.df.columns)
+        for k, v in cond.items():
+            if k not in cols:
+                continue
+            c = F.col(k).eqNullSafe(F.lit(v))
+            pred = c if pred is None else (pred & c)
+        return pred
+
     def restrict(self, cond: RestrictionLike) -> "Relation":
         if isinstance(cond, Relation):
             on = _shared_cols(self.df, cond.df)
             if not on:
-                return self  # no shared attrs → universal match (DJ semantics)
+                # no shared attrs: DJ semantics = keep all iff the other
+                # relation is non-empty — expressed lazily as a semi-join
+                # on a constant-true condition against its first row
+                probe = cond.df.limit(1)
+                return self._with(self.df.join(probe, F.lit(True), "left_semi"))
             return self._with(self.df.join(cond.df.select(*on).dropDuplicates(), on, "left_semi"))
         if isinstance(cond, Mapping):
-            if not cond:
+            pred = self._dict_pred(cond)
+            if pred is None:
                 return self
-            pred = None
-            for k, v in cond.items():
-                c = F.col(k).eqNullSafe(F.lit(v))
-                pred = c if pred is None else (pred & c)
             return self._with(self.df.filter(pred))
         if isinstance(cond, (list, tuple)):
             if not cond:
@@ -92,21 +105,22 @@ class Relation:
         if isinstance(cond, Relation):
             on = _shared_cols(self.df, cond.df)
             if not on:
-                return self._with(self.df.limit(0))
+                # A − other = A iff other is empty, else ∅ — lazy form
+                probe = cond.df.limit(1)
+                return self._with(self.df.join(probe, F.lit(True), "left_anti"))
             return self._with(self.df.join(cond.df.select(*on).dropDuplicates(), on, "left_anti"))
-        # negate predicate forms
+        # negate predicate forms (null-safe: rows matching the predicate
+        # are removed even when they contain NULLs elsewhere)
         if isinstance(cond, Mapping):
-            return self.restrict(cond)._invert_against(self)
+            pred = self._dict_pred(cond)
+            if pred is None:
+                return self._with(self.df.limit(0))  # A − A = ∅
+            return self._with(self.df.filter(~pred))
         if isinstance(cond, str):
             return self._with(self.df.filter(~F.expr(cond)))
         if isinstance(cond, Column):
             return self._with(self.df.filter(~cond))
         raise TypeError(f"unsupported anti-restriction type: {type(cond)}")
-
-    def _invert_against(self, base: "Relation") -> "Relation":
-        # dict anti-restriction: rows of base NOT matching self's filter.
-        on = base.pk or base.df.columns
-        return base._with(base.df.join(self.df.select(*on).dropDuplicates(), on, "left_anti"))
 
     __and__ = restrict
     __sub__ = anti_restrict
@@ -147,13 +161,15 @@ class Relation:
         keep_all = "*" in attrs
         excluded = {a[1:] for a in attrs if a.startswith("-")}
         plain = [a for a in attrs if not a.startswith("-") and a != "*"]
+        renames = {new: spec for new, spec in named.items() if spec in cols}
+        renamed_olds = set(renames.values())  # a renamed column is GONE under its old name
 
         out_cols: list[Column] = []
         names_seen: list[str] = []
 
         base = list(cols - excluded) if keep_all else list(dict.fromkeys([*self.pk, *plain]))
         for c in self.df.columns:  # preserve original ordering
-            if c in base and c not in excluded:
+            if c in base and c not in excluded and c not in renamed_olds:
                 out_cols.append(F.col(c))
                 names_seen.append(c)
         for new, spec in named.items():
@@ -162,8 +178,9 @@ class Relation:
             else:  # computed SQL expression
                 out_cols.append(F.expr(spec).alias(new))
             names_seen.append(new)
-        pk = [(new if spec in self.pk else None) for new, spec in named.items() if spec in cols]
-        new_pk = [c for c in self.pk if c in names_seen] + [c for c in pk if c]
+        new_pk = [c for c in self.pk if c in names_seen] + [
+            new for new, old in renames.items() if old in self.pk
+        ]
         return Relation(self.df.select(*out_cols), new_pk)
 
     # -- aggregation ---------------------------------------------------------
@@ -176,11 +193,14 @@ class Relation:
         groupBy + join; map-side partial aggregation is automatic.
         """
         on = _shared_cols(self.df, other.df)
-        grouped = other.df.groupBy(*on).agg(
-            *[F.expr(spec).alias(name) for name, spec in aggs.items()]
-        )
-        how = "left" if keep_all_rows else "inner"
-        joined = self.df.join(grouped, on, how)
+        exprs = [F.expr(spec).alias(name) for name, spec in aggs.items()]
+        if on:
+            grouped = other.df.groupBy(*on).agg(*exprs)
+            how = "left" if keep_all_rows else "inner"
+            joined = self.df.join(grouped, on, how)
+        else:
+            # disjoint headings: attach the GLOBAL aggregate to every row
+            joined = self.df.crossJoin(other.df.agg(*exprs))
         rel = Relation(joined, self.pk)
         if attrs:
             return rel.proj(*attrs, **{k: k for k in aggs})
@@ -189,9 +209,12 @@ class Relation:
     # -- union ---------------------------------------------------------------
 
     def __add__(self, other: "Relation") -> "Relation":
-        """DataJoint ``+``: union of same-heading relations, distinct on PK.
+        """DataJoint ``+``: union of same-heading relations, distinct on
+        the primary key (well-formed operands carry identical rows per
+        PK; with no PK declared, full-row distinct).
         Ref: spike_sorting.py:1297-1299."""
-        return self._with(self.df.unionByName(other.df).dropDuplicates())
+        u = self.df.unionByName(other.df)
+        return self._with(u.dropDuplicates(self.pk) if self.pk else u.dropDuplicates())
 
     # -- top -----------------------------------------------------------------
 

@@ -78,6 +78,34 @@ def test_asof_backward_with_ties(spark):
     assert got == {("a", 10): "x10", ("a", 20): "x15", ("a", 5): None, ("b", 10): None}
 
 
+def test_asof_null_value_in_matched_row_stays_null(spark):
+    left = spark.createDataFrame([Row(k="a", lt=3)])
+    right = spark.createDataFrame(
+        [Row(k="a", rt=1, val="old"), Row(k="a", rt=2, val=None)],
+        schema="k string, rt bigint, val string",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="lt", right_ts="rt", value_cols=["val"])
+    assert out.collect()[0].val is None  # rt=2 row matched; its NULL wins
+
+
+def test_asof_multiple_value_cols_stay_row_atomic(spark):
+    left = spark.createDataFrame([Row(k="a", lt=3)])
+    right = spark.createDataFrame(
+        [Row(k="a", rt=1, v1=5.0, v2=None), Row(k="a", rt=2, v1=None, v2=7.0)],
+        schema="k string, rt bigint, v1 double, v2 double",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="lt", right_ts="rt", value_cols=["v1", "v2"]).collect()[0]
+    assert out.v1 is None and out.v2 == 7.0  # both from the rt=2 row
+
+
+def test_overlap_join_drops_colliding_right_columns(spark):
+    left = spark.createDataFrame([Row(k="a", s=0, e=10, label="L")])
+    right = spark.createDataFrame([Row(k="a", rs=5, re=6, label="R")])
+    out = overlap_join(left, right, "s", "e", "rs", "re", on=["k"])
+    assert out.columns.count("label") == 1
+    assert out.collect()[0].label == "L"
+
+
 def test_asof_forward(spark):
     left = spark.createDataFrame([Row(k="a", lt=10)])
     right = spark.createDataFrame([Row(k="a", rt=9, val="p"), Row(k="a", rt=12, val="n")])

@@ -52,6 +52,15 @@ def test_three_implementations_agree(harp_sync):
         assert math.isclose(a.intercept, other.intercept, rel_tol=1e-9)
 
 
+def test_portable_fit_survives_nan_inf(spark):
+    rows = [Row(f="c", clock=float(i), harp=2.0 * i) for i in range(10)]
+    rows += [Row(f="c", clock=float("nan"), harp=1.0), Row(f="c", clock=5.0, harp=float("inf"))]
+    df = spark.createDataFrame(rows)
+    r = fit_closed_form_portable(df, "clock", "harp", ["f"], x_scale=1e3, y_scale=1e3).collect()[0]
+    assert r.n_samples == 10  # non-finite rows dropped, no ANSI cast crash
+    assert math.isclose(r.slope, 2.0, rel_tol=1e-9)
+
+
 def test_predict_is_affine(spark, harp_sync):
     model = fit_closed_form(harp_sync, "clock", "harp", ["f"])
     pts = spark.createDataFrame([Row(f="chunk0", clock=30_001.0)])

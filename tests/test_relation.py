@@ -81,6 +81,47 @@ def test_top(rels):
     assert top1.df.collect()[0].k == 3
 
 
+def test_restrict_by_disjoint_relation_depends_on_emptiness(spark, rels):
+    a, _ = rels
+    nonempty = Relation(spark.createDataFrame([Row(z=1)]))
+    empty = Relation(spark.createDataFrame([Row(z=1)]).filter("z > 99"))
+    assert (a & nonempty).df.count() == 3   # universal match
+    assert (a & empty).df.count() == 0      # restriction by empty = empty
+    assert (a - nonempty).df.count() == 0   # A − nonempty(disjoint) = empty
+    assert (a - empty).df.count() == 3      # A − empty = A
+
+
+def test_anti_restrict_dict_is_null_safe(spark):
+    rel = Relation(spark.createDataFrame([Row(a=1, b=None), Row(a=2, b="x")]))
+    out = (rel - {"a": 1}).df.collect()
+    assert [r.a for r in out] == [2]  # the (1, NULL) row must be removed
+
+
+def test_restrict_dict_ignores_unknown_keys(spark):
+    rel = Relation(spark.createDataFrame([Row(a=1), Row(a=2)]))
+    assert (rel & {"a": 1, "not_a_column": "y"}).df.count() == 1
+
+
+def test_aggr_disjoint_headings_is_global_aggregate(spark, rels):
+    a, _ = rels
+    other = Relation(spark.createDataFrame([Row(z=10.0), Row(z=30.0)]))
+    out = a.aggr(other, zmax="max(z)").df.collect()
+    assert len(out) == 3 and all(r.zmax == 30.0 for r in out)
+
+
+def test_union_dedupes_on_pk(spark):
+    x = Relation(spark.createDataFrame([Row(k=1, v="a")]), pk=["k"])
+    y = Relation(spark.createDataFrame([Row(k=1, v="b")]), pk=["k"])
+    assert (x + y).df.count() == 1
+
+
+def test_proj_rename_of_pk_drops_original(spark):
+    rel = Relation(spark.createDataFrame([Row(k=1, v=2.0)]), pk=["k"])
+    out = rel.proj("v", key2="k")
+    assert set(out.df.columns) == {"key2", "v"}
+    assert out.pk == ["key2"]
+
+
 def test_universal_set(rels):
     a, _ = rels
     distinct_g = U("g") & a
