@@ -1251,7 +1251,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT (user_id % 10)::bigint AS unit_b, epoch_us(ts) / 1000000.0 AS t_b
               FROM events WHERE event_type = 'click'),
             matched AS (
-              SELECT unit_a, unit_b, count(*)::bigint AS n_matched FROM (
+              SELECT unit_a, unit_b,
+                     least(count(DISTINCT t_a), count(DISTINCT t_b))::bigint AS n_matched FROM (
                 SELECT DISTINCT unit_a, unit_b, t_a, t_b
                 FROM a JOIN b ON abs(t_a - t_b) <= 30.0)
               GROUP BY unit_a, unit_b),

@@ -48,7 +48,12 @@ def brute_force_knn(
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     if metric == "cosine":
-        score = dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
+        # zero-norm guard: 0/0 would be NaN, and Spark sorts NaN ABOVE
+        # every number — a zero vector would otherwise top every ranking
+        score = F.when(
+            (F.col("_qn") > 0) & (F.col("_cn") > 0),
+            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+        )
     elif metric == "dot":
         score = dot(F.col("_qv"), F.col("_cv"))
     else:
@@ -99,7 +104,10 @@ def lsh_knn(
     ).select(
         F.col(f"a.{id_col}").alias("query_id"),
         F.col(f"c.{id_col}").alias("neighbor_id"),
-        (dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (F.col("a._n") * F.col("c._n"))).alias("score"),
+        F.when(
+            (F.col("a._n") > 0) & (F.col("c._n") > 0),
+            dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (F.col("a._n") * F.col("c._n")),
+        ).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -210,7 +218,10 @@ def ivf_knn(
     ).select(
         F.col(f"a.{id_col}").alias("query_id"),
         F.col(f"c.{id_col}").alias("neighbor_id"),
-        (dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (F.col("a._n") * F.col("c._n"))).alias("score"),
+        F.when(
+            (F.col("a._n") > 0) & (F.col("c._n") > 0),
+            dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (F.col("a._n") * F.col("c._n")),
+        ).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -231,7 +242,10 @@ def embedding_near_duplicates(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            (dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a._n") * F.col("b._n"))).alias("cos"),
+            F.when(
+                (F.col("a._n") > 0) & (F.col("b._n") > 0),
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a._n") * F.col("b._n")),
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -38,7 +38,7 @@ def qc_summary(frames: DataFrame, keys: list[str], time_col: str = "time") -> Da
     d = frame_deltas(frames, keys, time_col)
     return d.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("sample_count"),
-        F.max("frame_offset").cast("long").alias("drop_count"),
+        F.max_by("frame_offset", F.col(time_col)).cast("long").alias("drop_count"),
         F.max("time_delta").alias("max_harp_delta"),
         (F.max("hw_timestamp_delta") / 1e9).alias("max_camera_delta"),
     )

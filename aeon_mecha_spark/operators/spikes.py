@@ -99,12 +99,17 @@ def match_units(
     b3 = b.withColumn("bkt", F.explode(F.array(F.col("bkt0") - 1, F.col("bkt0"), F.col("bkt0") + 1))).drop("bkt0")
 
     pairs = a.join(b3, "bkt").filter(F.abs(F.col("t_a") - F.col("t_b")) <= delta_s)
-    # one B spike can sit in two adjacent buckets of the same A spike —
-    # dedupe exact pair instances before counting
+    # each spike may participate in at most ONE match (SpikeInterface
+    # matches one-to-one): count distinct matched spikes on each side and
+    # take the smaller — bounds n_matched <= min(n_a, n_b), keeping the
+    # agreement in [0, 1] even for bursty trains where raw pair counts
+    # would exceed the spike counts
     matched = (
         pairs.select("unit_a", "unit_b", "t_a", "t_b").dropDuplicates()
         .groupBy("unit_a", "unit_b")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .agg(
+            F.least(F.countDistinct("t_a"), F.countDistinct("t_b")).alias("n_matched")
+        )
     )
     n_a = spikes_a.groupBy(F.col(unit_col).alias("unit_a")).agg(F.count(F.lit(1)).alias("n_a"))
     n_b = spikes_b.groupBy(F.col(unit_col).alias("unit_b")).agg(F.count(F.lit(1)).alias("n_b"))

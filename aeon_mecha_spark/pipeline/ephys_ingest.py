@@ -86,11 +86,22 @@ def resolve_chunk_bounds(
 
     keys = list(keys)
     w = W.partitionBy(*keys).orderBy("onix_ts_start")
-    m = models.withColumn(
-        "win_end", F.coalesce(F.lead("onix_ts_start").over(w), F.lit(2**62))
+    # first window extends backward, last extends forward: every chunk in
+    # the epoch resolves to its nearest model (clamp-to-first/last —
+    # leading chunks recorded before the first sync file must not drop)
+    m = (
+        models.withColumn(
+            "win_end", F.coalesce(F.lead("onix_ts_start").over(w), F.lit(2**62))
+        )
+        .withColumn(
+            "win_start",
+            F.when(F.row_number().over(w) == 1, F.lit(-(2**62))).otherwise(
+                F.col("onix_ts_start")
+            ),
+        )
     )
     l, r = chunks.alias("l"), m.alias("r")
-    cond = (F.col("l.first_ts") >= F.col("r.onix_ts_start")) & (
+    cond = (F.col("l.first_ts") >= F.col("r.win_start")) & (
         F.col("l.first_ts") < F.col("r.win_end")
     )
     for k in keys:

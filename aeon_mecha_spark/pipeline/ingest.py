@@ -57,7 +57,12 @@ def stream_summary(
     count + per-column stats. chunk_start = hour floor of the sample
     time; ties to the chunk table by (keys, chunk_start)."""
     keys = list(keys)
-    with_chunk = stream_df.withColumn("chunk_start", F.date_trunc("hour", F.col(time_col)))
+    floor = F.date_trunc("hour", F.col(time_col))
+    # first chunk of an epoch starts at epoch_start, not the hour floor
+    # (acquisition.py:500-506) — clamp when the stream carries its epoch
+    if "epoch_start" in stream_df.columns:
+        floor = F.greatest(floor, F.col("epoch_start"))
+    with_chunk = stream_df.withColumn("chunk_start", floor)
     exprs = [F.count(F.lit(1)).alias("sample_count")]
     for c in value_cols:
         exprs.extend(column_stats_exprs(c))
@@ -77,7 +82,15 @@ def write_stream_table(
     row-group min/max stats give sub-day skipping within partitions."""
     out = df.withColumn("chunk_date", F.to_date(F.col(time_col)))
     t = Table(name, pk=[time_col], root=root, tier=Tier.IMPORTED, partition_by=["chunk_date"])
-    out.write.mode("append").partitionBy("chunk_date").parquet(t.path)
+    # dynamic partition overwrite: re-running ingestion replaces exactly
+    # the partitions it produces — idempotent without a PK anti-join
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy("chunk_date").parquet(t.path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return t
 
 

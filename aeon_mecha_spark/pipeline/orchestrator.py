@@ -59,11 +59,19 @@ class Table:
     def path(self) -> str:
         return os.path.join(self.root, self.name)
 
-    def exists(self) -> bool:
-        return os.path.exists(self.path)
+    def exists(self, spark: SparkSession | None = None) -> bool:
+        """Existence check that works on any Hadoop-compatible filesystem
+        (s3a://, hdfs://, file://) when a session is supplied; plain
+        os.path only covers local roots."""
+        if spark is None:
+            return os.path.exists(self.path)
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        if not self.exists():
+        if not self.exists(spark):
             return None
         return spark.read.parquet(self.path)
 
@@ -72,7 +80,7 @@ class Table:
         the MERGE-less equivalent of ``insert(skip_duplicates=True)``.
         Returns the number of rows appended."""
         spark = df.sparkSession
-        if skip_duplicates and self.exists():
+        if skip_duplicates and self.exists(spark):
             done = spark.read.parquet(self.path).select(*self.pk).dropDuplicates()
             df = df.join(done, self.pk, "left_anti")
         df = df.cache()
@@ -92,12 +100,21 @@ class Table:
         cur = self.read(spark)
         if cur is None:
             return 0
-        keep = cur.filter(~F.expr(predicate)).cache()
+        # keep rows where the predicate is NOT TRUE — a NULL predicate
+        # (e.g. NULL column value) must NOT delete the row
+        keep = cur.filter(~F.expr(predicate).eqNullSafe(F.lit(True))).cache()
         kept = keep.count()
         tmp = self.path + "__rewrite"
-        keep.write.mode("overwrite").parquet(tmp)
+
+        def _write(df: DataFrame, dest: str) -> None:
+            w = df.write.mode("overwrite")
+            if self.partition_by:
+                w = w.partitionBy(*self.partition_by)
+            w.parquet(dest)
+
+        _write(keep, tmp)
         keep.unpersist()
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path)
+        _write(spark.read.parquet(tmp), self.path)
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)

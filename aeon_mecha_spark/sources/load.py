@@ -87,7 +87,10 @@ def load(
     sample order, exact-trimmed to [start, end)."""
     files = discover_chunk_files(roots, reader, start, end)
     if not files:
-        return spark.createDataFrame([], schema=reader.spark_schema)
+        empty_schema = reader.spark_schema
+        if reader.kind != "harp_csv":
+            empty_schema += ", chunk_file string"  # match the non-empty shape
+        return spark.createDataFrame([], schema=empty_schema)
     paths = [p for p, _ in files]
 
     if reader.kind == "harp_csv":

@@ -85,9 +85,6 @@ def probe_assignments(spark: SparkSession, path: str) -> DataFrame:
 
 # -- file-listing parser (S1 + F8/F9 + F1) -----------------------------------
 
-_PATH_PARTS = r"^.*/(?<exp>[^/]+)/(?<epoch>[^/]+)/(?<device>[^/]+)/(?<file>[^/]+)$"
-
-
 def parse_chunk_listing(listing: DataFrame, path_col: str = "file_path") -> DataFrame:
     """File paths → relational ingestion facts.
 

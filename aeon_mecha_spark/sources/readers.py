@@ -25,7 +25,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
-HARP_EPOCH_OFFSET_S = -2_082_844_800  # unix epoch of 1904-01-01
+from aeon_mecha_spark.functions.time import HARP_EPOCH_OFFSET_S  # noqa: F401  (re-export)
 
 
 @dataclass(frozen=True)
