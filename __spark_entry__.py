@@ -22,7 +22,7 @@ from aeon_mecha_spark.datapipe import dedup, similarity, textqc
 from aeon_mecha_spark.functions import text as TX
 from aeon_mecha_spark.functions.hashing import key_hash
 from aeon_mecha_spark.functions.time import chunk_end as f_chunk_end
-from aeon_mecha_spark.operators import intervals, regression, sessionize, stats, windows
+from aeon_mecha_spark.operators import analytics, intervals, regression, sessionize, stats, windows
 from aeon_mecha_spark.query import Relation, U
 
 _MARKERS = textqc.LANG_MARKERS
@@ -765,6 +765,88 @@ def q39_lang_token_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Continuous-aggregate / analytics extensions (operators/analytics.py) —
+# beyond-reference ops a hypertable-style store needs (SURVEY §7 phase 5)
+# ---------------------------------------------------------------------------
+
+def q57_granularity_rollup(spark, sf_dir):
+    """Multi-granularity rollup (type → day → hour + grand total) in ONE
+    GROUPING-SETS aggregate — the continuous-aggregate cascade without
+    N passes."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.granularity_rollup(
+        ev,
+        "ts",
+        dims=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("sum_value"),
+        ],
+        granularities=("day", "hour"),
+    )
+
+
+def q58_event_pivot(spark, sf_dir):
+    """Dashboard pivot: cohort × event_type counts, wide. Explicit value
+    list keeps it a single shuffle (no distinct pre-scan)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 20).cast("long")
+    )
+    return analytics.pivot_table(
+        ev,
+        keys=["cohort"],
+        pivot_col="event_type",
+        values=["click", "error", "purchase", "signup", "view"],
+        agg=F.count(F.lit(1)),
+    )
+
+
+def q59_time_weighted_avg(spark, sf_dir):
+    """LOCF time-weighted mean of `value` per user (timescale
+    time_weight pattern); exact decimal weighting."""
+    return analytics.time_weighted_avg(
+        _t(spark, sf_dir, "events"), "ts", "value", keys=["user_id"]
+    )
+
+
+def q60_gap_fill(spark, sf_dir):
+    """Hourly gap-fill + LOCF per user between first and last
+    observation (timescale time_bucket_gapfill + locf)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "bucket").orderBy(F.col("ts").desc())
+    hourly = (
+        ev.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "bucket", "value")
+    )
+    out = analytics.gap_fill_locf(hourly, "bucket", ["value"], ["user_id"], "1 hour")
+    return out.select("user_id", "bucket", "value", "filled")
+
+
+def q61_funnel(spark, sf_dir):
+    """Ordered 4-step funnel signup→view→click→purchase: users reaching
+    at least each step (strictly increasing timestamps)."""
+    out = analytics.funnel_counts(
+        _t(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        "ts",
+        ["signup", "view", "click", "purchase"],
+    )
+    return _longs(out, "n_step_1", "n_step_2", "n_step_3", "n_step_4")
+
+
+def q62_rank_quantiles(spark, sf_dir):
+    """Per-type quartile summary via ntile over a provably-unique
+    ordering (value, event_id)."""
+    out = analytics.rank_quantiles(
+        _t(spark, sf_dir, "events"), ["event_type"], "value", ["event_id"], n=4
+    )
+    return _longs(out, "bucket")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -831,6 +913,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_embedding_neardup": q37_embedding_neardup,
         "q38_simhash": q38_simhash,
         "q39_lang_token_stats": q39_lang_token_stats,
+        "q57_granularity_rollup": q57_granularity_rollup,
+        "q58_event_pivot": q58_event_pivot,
+        "q59_time_weighted_avg": q59_time_weighted_avg,
+        "q60_gap_fill": q60_gap_fill,
+        "q61_funnel": q61_funnel,
+        "q62_rank_quantiles": q62_rank_quantiles,
     }
 
 
@@ -1401,6 +1489,99 @@ def oracle_sql() -> dict[str, str]:
                    sum(len({qf}))::bigint AS sum_tokens,
                    round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        "q57_granularity_rollup": """
+            WITH b AS (
+              SELECT event_type,
+                     strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket_day,
+                     strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bucket_hour,
+                     value
+              FROM events)
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(bucket_day, '(all)') AS bucket_day,
+                   coalesce(bucket_hour, '(all)') AS bucket_hour,
+                   count(*)::bigint AS n,
+                   sum(value::decimal(27,6))::double AS sum_value,
+                   CASE WHEN GROUPING(bucket_hour) = 0 THEN 'hour'
+                        WHEN GROUPING(bucket_day) = 0 THEN 'day'
+                        WHEN GROUPING(event_type) = 0 THEN 'event_type'
+                        ELSE 'total' END AS level
+            FROM b
+            GROUP BY ROLLUP(event_type, bucket_day, bucket_hour)
+        """,
+        "q58_event_pivot": """
+            SELECT (user_id % 20)::bigint AS cohort,
+                   count(*) FILTER (event_type = 'click')::bigint AS click,
+                   count(*) FILTER (event_type = 'error')::bigint AS error,
+                   count(*) FILTER (event_type = 'purchase')::bigint AS purchase,
+                   count(*) FILTER (event_type = 'signup')::bigint AS signup,
+                   count(*) FILTER (event_type = 'view')::bigint AS view
+            FROM events GROUP BY 1
+        """,
+        "q59_time_weighted_avg": """
+            WITH d AS (
+              SELECT user_id, value,
+                     epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts) - ts) AS dur_us
+              FROM events)
+            SELECT user_id,
+                   -- value is exactly 2-dp; scale-2 keeps the scaled sum
+                   -- inside int64, and int64->double + double division are
+                   -- identically IEEE-rounded in every engine (a direct
+                   -- decimal->double cast is not, past 2^53)
+                   (sum(value::decimal(19,2) * dur_us::decimal(18,0))::decimal(38,2) * 100)::bigint::double
+                     / sum(dur_us)::double / 100.0 AS twa,
+                   sum(dur_us)::bigint AS span_us
+            FROM d WHERE dur_us IS NOT NULL
+            GROUP BY user_id
+        """,
+        "q60_gap_fill": """
+            WITH hourly AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket,
+                     arg_max(value, ts) AS value
+              FROM events GROUP BY 1, 2),
+            bounds AS (
+              SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+              FROM hourly GROUP BY 1),
+            dense AS (
+              SELECT user_id,
+                     unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+              FROM bounds),
+            j AS (
+              SELECT d.user_id, d.bucket, h.value AS raw_value
+              FROM dense d LEFT JOIN hourly h USING (user_id, bucket))
+            SELECT user_id, bucket,
+                   last_value(raw_value IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+                   raw_value IS NULL AS filled
+            FROM j
+        """,
+        "q61_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+                   JOIN s1 USING (user_id)
+                   WHERE event_type = 'view' AND ts > t1 GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+                   JOIN s2 USING (user_id)
+                   WHERE event_type = 'click' AND ts > t2 GROUP BY 1),
+            s4 AS (SELECT e.user_id, min(ts) AS t4 FROM events e
+                   JOIN s3 USING (user_id)
+                   WHERE event_type = 'purchase' AND ts > t3 GROUP BY 1)
+            SELECT (SELECT count(*) FROM s1)::bigint AS n_step_1,
+                   (SELECT count(*) FROM s2)::bigint AS n_step_2,
+                   (SELECT count(*) FROM s3)::bigint AS n_step_3,
+                   (SELECT count(*) FROM s4)::bigint AS n_step_4
+        """,
+        "q62_rank_quantiles": """
+            WITH r AS (
+              SELECT event_type, value,
+                     ntile(4) OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS bucket
+              FROM events)
+            SELECT event_type, bucket::bigint AS bucket, count(*)::bigint AS n,
+                   min(value) AS lo, max(value) AS hi
+            FROM r GROUP BY 1, 2
         """,
     }
     return sqls

@@ -1,0 +1,235 @@
+"""Beyond-reference analytic operators (scale extensions, SURVEY.md §7 P5).
+
+The reference has no multi-granularity rollups, gap-filling, funnels, or
+rank analytics (SURVEY.md §2.4 "No grouping sets / cube / rollup"), but a
+continuous-aggregate store over hour-chunked streams is the natural next
+layer on top of its 1-hour chunk model (acquisition.py:457-511), and a
+training-data pipeline needs these for cohort/quality slicing. All are
+single-pass Spark plans:
+
+- ``granularity_rollup``: one shuffle, GROUPING SETS expansion inside the
+  aggregate (no N-pass union over granularities).
+- ``gap_fill_locf``: ``sequence()`` + ``explode`` generates dense buckets
+  executor-side (no driver loop); LOCF is one window pass.
+- ``time_weighted_avg``: lead() + exact decimal sums — associative, so
+  partition-order independent on any cluster shape.
+- ``funnel``: k-1 shuffles for a k-step funnel, each a semi-join-shaped
+  aggregate on the user key (no per-user driver iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def granularity_rollup(
+    df: DataFrame,
+    ts_col: str,
+    dims: list[str],
+    aggs: list[Column],
+    granularities: tuple[str, ...] = ("day", "hour"),
+) -> DataFrame:
+    """Hypertable-style multi-granularity rollup in ONE aggregate.
+
+    Produces every level of the hierarchy dims → dims+coarse → … →
+    dims+fine plus the grand total, like a continuous-aggregate cascade,
+    via ``ROLLUP`` (Catalyst expands grouping sets inside a single
+    hash-aggregate — one shuffle regardless of level count).
+
+    Bucket columns come back as formatted strings with ``(all)`` for
+    rolled-up levels, plus a ``level`` label column — stable output
+    across engines (no NULL-vs-NaT ambiguity).
+    """
+    fmt = {"hour": "yyyy-MM-dd HH:00", "day": "yyyy-MM-dd"}
+    base = df
+    bucket_cols = []
+    for g in granularities:
+        c = f"bucket_{g}"
+        base = base.withColumn(c, F.date_format(F.date_trunc(g, F.col(ts_col)), fmt[g]))
+        bucket_cols.append(c)
+
+    # innermost grouped column still present -> that's the row's level;
+    # grouping() is only legal inside the rollup aggregate itself
+    level = F.lit("total")
+    for d in dims:
+        level = F.when(F.grouping(d) == 0, F.lit(d)).otherwise(level)
+    for g, c in zip(granularities, bucket_cols):
+        level = F.when(F.grouping(c) == 0, F.lit(g)).otherwise(level)
+    out = base.rollup(*dims, *bucket_cols).agg(*aggs, level.alias("level"))
+    for c in dims + bucket_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit("(all)")))
+    return out
+
+
+def pivot_table(
+    df: DataFrame,
+    keys: list[str],
+    pivot_col: str,
+    values: list[str],
+    agg: Column,
+) -> DataFrame:
+    """Wide dashboard pivot: one output column per ``values`` entry.
+
+    Passing the explicit ``values`` list skips Spark's extra distinct-scan
+    job and keeps the plan a single shuffle; empty cells coalesce to 0.
+    """
+    out = df.groupBy(*keys).pivot(pivot_col, values).agg(agg)
+    for v in values:
+        out = out.withColumn(v, F.coalesce(F.col(v), F.lit(0)).cast("long"))
+    return out
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    keys: list[str],
+    value_scale: int = 2,
+) -> DataFrame:
+    """LOCF time-weighted mean per key (the timescale ``time_weight``
+    pattern): each observation holds its value until the next one;
+    twa = Σ value·Δt / Σ Δt over the key's observation span.
+
+    The weighted sum runs in decimal (value at ``value_scale`` decimals ×
+    µs duration → decimal(38, scale)) so partial aggregates combine
+    exactly — bit-identical on 1 partition or 10 000. The final ratio is
+    produced from an int64 numerator via IEEE double ops only (int64→
+    double and double division are identically rounded everywhere;
+    decimal→double casts are NOT once the scaled integer passes 2^53).
+    Keep ``value_scale`` as small as the data's true precision allows so
+    the scaled sum stays within int64. Requires (keys, ts) unique; the
+    final observation of each key has no successor and carries no weight.
+    """
+    w = W.partitionBy(*keys).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col))
+    dur = (F.unix_micros(F.lead(ts_col).over(w)) - us).alias("dur_us")
+    s = value_scale
+    weighted = (
+        df.select(*keys, F.col(value_col).alias("_v"), dur)
+        .filter(F.col("dur_us").isNotNull())
+        .select(
+            *keys,
+            (F.col("_v").cast(f"decimal(19,{s})") * F.col("dur_us").cast("decimal(18,0)")).alias("_w"),
+            "dur_us",
+        )
+    )
+    num = (F.sum("_w").cast(f"decimal(38,{s})") * F.lit(10**s)).cast("long").cast("double")
+    return weighted.groupBy(*keys).agg(
+        (num / F.sum("dur_us").cast("double") / F.lit(float(10**s))).alias("twa"),
+        F.sum("dur_us").cast("long").alias("span_us"),
+    )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    bucket_col: str,
+    value_cols: list[str],
+    keys: list[str],
+    step: str = "1 hour",
+) -> DataFrame:
+    """Dense time buckets per key with last-observation-carried-forward
+    (the timescale ``time_bucket_gapfill`` + ``locf`` pattern).
+
+    Input has one row per observed (keys, bucket). Missing buckets
+    between each key's first and last observation are generated
+    executor-side with ``sequence()`` + ``explode`` (no driver loop),
+    then filled by one LOCF window pass. ``filled`` marks synthesized
+    rows. Scale: rows-out ≈ keys × span/step, generated pre-shuffled on
+    the key — the window never re-shuffles.
+    """
+    bounds = df.groupBy(*keys).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    dense = bounds.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr(f"INTERVAL {step}"))
+        ).alias(bucket_col),
+    )
+    joined = dense.join(df, [*keys, bucket_col], "left").withColumn(
+        "filled", F.col(value_cols[0]).isNull()
+    )
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(bucket_col)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        joined = joined.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return joined
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered k-step funnel: per user, the earliest time of step i that
+    strictly follows their step i-1 time (unordered occurrences do not
+    count). Returns one row per user who completed step 1, with columns
+    ``t_1..t_k`` (nulls past their depth) and ``depth``.
+
+    Each stage is filter → join on the user key → min-aggregate: the
+    event scan is pruned to one step's rows before the shuffle, and all
+    stages share the user-key partitioning.
+    """
+    cur = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(F.col(user_col))
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        prev = f"t_{i - 1}"
+        nxt = (
+            df.filter(F.col(type_col) == s)
+            .select(user_col, F.col(ts_col).alias("_ts"))
+            .join(cur.select(user_col, prev), user_col)
+            .filter(F.col("_ts") > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min("_ts").alias(f"t_{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    depth = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        depth = F.when(F.col(f"t_{i}").isNotNull(), F.lit(i)).otherwise(depth)
+    return cur.withColumn("depth", depth.cast("long"))
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Funnel summary: users reaching AT LEAST each step (monotone
+    conversion curve)."""
+    per_user = funnel(df, user_col, type_col, ts_col, steps)
+    k = len(steps)
+    exprs = [
+        F.sum((F.col("depth") >= i).cast("long")).alias(f"n_step_{i}")
+        for i in range(1, k + 1)
+    ]
+    return per_user.agg(*exprs)
+
+
+def rank_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    tie_cols: list[str],
+    n: int = 4,
+) -> DataFrame:
+    """Per-key quantile bucketing (ntile) summarized per bucket: count,
+    min, max of the value. ``tie_cols`` must make the ordering unique so
+    bucket assignment is deterministic across engines and runs."""
+    w = W.partitionBy(*keys).orderBy(F.col(value_col), *[F.col(c) for c in tie_cols])
+    bucketed = df.withColumn("bucket", F.ntile(n).over(w))
+    return bucketed.groupBy(*keys, "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+    )

@@ -44,6 +44,10 @@ HEADLINE = [
     "q47_lsh_knn",           # hyperplane-LSH ANN
     "q48_ivf_knn",           # IVF-bucketed ANN
     "q49_shipping_priority", # TPC-H Q3 shape
+    "q57_granularity_rollup",  # GROUPING SETS multi-granularity rollup
+    "q59_time_weighted_avg",   # lead-window + decimal weighted agg
+    "q60_gap_fill",          # sequence/explode gap fill + LOCF window
+    "q61_funnel",            # 4-stage ordered funnel
 ]
 
 
