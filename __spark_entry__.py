@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from aeon_mecha_spark.datapipe import dedup, similarity, textqc
+from aeon_mecha_spark.datapipe import dedup, similarity, sketch, textqc
 from aeon_mecha_spark.functions import text as TX
 from aeon_mecha_spark.functions.hashing import key_hash
 from aeon_mecha_spark.functions.time import chunk_end as f_chunk_end
@@ -846,6 +846,25 @@ def q62_rank_quantiles(spark, sf_dir):
     return _longs(out, "bucket")
 
 
+def q63_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (deterministic, cross-engine — unlike
+    HLL) next to the exact count it approximates."""
+    ev = _t(spark, sf_dir, "events")
+    est = sketch.kmv_distinct(ev, "user_id", ["event_type"], k=32)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+def q64_quantile_summary(spark, sf_dir):
+    """Exact interpolated quantiles per group (generalized A5 median;
+    swap-in point for percentile_approx at 100 TB)."""
+    return sketch.quantile_summary(
+        _t(spark, sf_dir, "events"), "value", ["event_type"], (0.25, 0.5, 0.75, 0.9)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -919,6 +938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_gap_fill": q60_gap_fill,
         "q61_funnel": q61_funnel,
         "q62_rank_quantiles": q62_rank_quantiles,
+        "q63_kmv_distinct": q63_kmv_distinct,
+        "q64_quantile_summary": q64_quantile_summary,
     }
 
 
@@ -1582,6 +1603,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, bucket::bigint AS bucket, count(*)::bigint AS n,
                    min(value) AS lo, max(value) AS hi
             FROM r GROUP BY 1, 2
+        """,
+        "q63_kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(user_id::varchar), 1, 15))::bigint AS _h
+              FROM events),
+            r AS (
+              SELECT event_type, _h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY _h) AS rn
+              FROM h),
+            g AS (
+              SELECT event_type, count(*)::bigint AS n_hashes, max(_h) AS hk
+              FROM r WHERE rn <= 32 GROUP BY 1),
+            x AS (
+              SELECT event_type, count(DISTINCT user_id)::bigint AS exact_distinct
+              FROM events GROUP BY 1)
+            SELECT g.event_type, n_hashes,
+                   CASE WHEN n_hashes < 32 THEN n_hashes::double
+                        -- div by 2^60 is exact; all else is IEEE-identical
+                        ELSE 31.0 / (hk::double / 1152921504606846976.0)
+                   END AS est_distinct,
+                   exact_distinct
+            FROM g JOIN x USING (event_type)
+        """,
+        "q64_quantile_summary": """
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q25,
+                   quantile_cont(value, 0.50) AS q50,
+                   quantile_cont(value, 0.75) AS q75,
+                   quantile_cont(value, 0.90) AS q90
+            FROM events GROUP BY event_type
         """,
     }
     return sqls

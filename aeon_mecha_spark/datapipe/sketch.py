@@ -1,0 +1,83 @@
+"""Mergeable sketches for the 100 TB path.
+
+Exact `count(DISTINCT x)` forces a full shuffle of every distinct value;
+a KMV (K-minimum-values) sketch shrinks that to k hashes per group and
+stays mergeable across partitions — the pattern every large-scale
+distinct-count rollup needs. Unlike Spark's built-in HyperLogLog
+(`approx_count_distinct`), KMV over the engine's portable MD5 hash
+family (functions/hashing.py) is *deterministic and cross-engine
+reproducible*: the same input yields the same estimate in Spark, DuckDB,
+or Python, so the sketch itself is oracle-checkable.
+
+Estimator: with h(x) uniform on [0, 1) and h_(k) the k-th smallest
+distinct hash, E[h_(k)] ≈ k / (D + 1)  ⇒  D̂ = (k - 1) / h_(k)
+(the unbiased form; Bar-Yossef et al. 2002). Groups with fewer than k
+distinct hashes report the exact count.
+
+All arithmetic after hashing is int64→double conversion, division by a
+power of two (exact), and IEEE division — identically rounded in every
+engine, so estimates are bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from aeon_mecha_spark.functions.hashing import md5_long
+
+_HASH_DOMAIN = float(2**60)  # md5_long range; power of two => exact double
+
+
+def kmv_distinct(
+    df: DataFrame,
+    col: str | Column,
+    keys: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Per-group distinct-count estimate via a k-minimum-values sketch.
+
+    Plan shape: project → dropDuplicates on (keys, hash) — partial
+    map-side — → one window pass keeping the k smallest hashes per group
+    → tiny aggregate. Shuffle volume is O(distinct hashes), further
+    cut to O(k · groups) by the WindowGroupLimit pushdown.
+
+    Returns (keys…, n_hashes, est_distinct): ``n_hashes`` < k means the
+    group was below sketch capacity and ``est_distinct`` is exact.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    hashed = df.select(*keys, md5_long(c.cast("string")).alias("_h")).dropDuplicates(
+        [*keys, "_h"]
+    )
+    w = W.partitionBy(*keys).orderBy("_h")
+    topk = hashed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return topk.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hashes"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) / (F.max("_h").cast("double") / F.lit(_HASH_DOMAIN))
+        )
+        .alias("est_distinct"),
+    )
+
+
+def quantile_summary(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact linear-interpolation quantiles per group (the reference's
+    median-based ``timestamp_stats`` generalized — stats.py:36-38).
+
+    Spark's ``percentile`` matches DuckDB's ``quantile_cont`` bit-for-bit
+    (same h = p·(n−1) rank + linear interpolation in IEEE doubles). Exact
+    quantiles sort each group; for 100 TB rollups swap in
+    ``F.percentile_approx`` (mergeable GK sketch) at the same call site —
+    same schema, bounded error, no sort.
+    """
+    aggs = [
+        F.percentile(value_col, F.lit(q)).alias(f"q{int(q * 100):02d}")
+        for q in quantiles
+    ]
+    return df.groupBy(*keys).agg(*aggs)

@@ -93,6 +93,39 @@ class Table:
         df.unpersist()
         return n
 
+    def upsert(self, df: DataFrame) -> int:
+        """MERGE-by-PK without Delta: replace stored rows whose PK
+        appears in ``df``, append the rest — the reference's ``update1``
+        + ``insert`` in one atomic-per-table rewrite
+        (acquisition.py:267-304 Chunk.update1 of chunk_end).
+
+        Full-table rewrite is the Parquet-only cost of updates; tables
+        that need frequent upserts should be partitioned (partition_by)
+        so dynamic-partition-overwrite ingestion (ingest.py) handles them
+        instead. Returns the number of incoming rows.
+        """
+        spark = df.sparkSession
+        cur = self.read(spark)
+        if cur is None:
+            return self.insert(df, skip_duplicates=False)
+        incoming_keys = df.select(*self.pk).dropDuplicates()
+        keep = cur.join(incoming_keys, self.pk, "left_anti")
+        out = keep.unionByName(df.select(*cur.columns))
+        tmp = self.path + "__rewrite"
+
+        def _write(d: DataFrame, dest: str) -> None:
+            w = d.write.mode("overwrite")
+            if self.partition_by:
+                w = w.partitionBy(*self.partition_by)
+            w.parquet(dest)
+
+        _write(out, tmp)
+        _write(spark.read.parquet(tmp), self.path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        return df.count()
+
     def delete_restriction(self, spark: SparkSession, predicate: str) -> int:
         """Targeted recompute support (the reference's delete-and-repopulate
         curation loop, spike_sorting_curation.py:204-215): rewrite the

@@ -1,0 +1,69 @@
+"""Unit tests for datapipe/sketch.py, operators/skew.py, and
+Table.upsert (pipeline/orchestrator.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aeon_mecha_spark.datapipe import sketch
+from aeon_mecha_spark.operators.skew import salted_join
+from aeon_mecha_spark.pipeline.orchestrator import Table
+
+
+def test_kmv_exact_below_capacity(spark):
+    rows = [("g", i % 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    r = sketch.kmv_distinct(df, "v", ["g"], k=64).collect()[0]
+    assert r["n_hashes"] == 10
+    assert r["est_distinct"] == 10.0
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    # 2000 distinct values, k=64 => relative error ~ 1/sqrt(k-2) ~ 13%
+    df = spark.range(2000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    r = sketch.kmv_distinct(df, "v", ["g"], k=64).collect()[0]
+    assert r["n_hashes"] == 64
+    assert abs(r["est_distinct"] - 2000) / 2000 < 0.4
+
+
+def test_kmv_partition_invariant(spark):
+    df = spark.range(500).select((F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("v"))
+    a = sketch.kmv_distinct(df.coalesce(1), "v", ["g"], k=16).collect()
+    b = sketch.kmv_distinct(df.repartition(7), "v", ["g"], k=16).collect()
+    assert {(r["g"], r["est_distinct"]) for r in a} == {
+        (r["g"], r["est_distinct"]) for r in b
+    }
+
+
+def test_quantile_summary_interpolates(spark):
+    df = spark.createDataFrame([("g", float(v)) for v in range(1, 5)], "g string, v double")
+    r = sketch.quantile_summary(df, "v", ["g"], (0.5,)).collect()[0]
+    assert r["q50"] == 2.5
+
+
+def test_salted_join_matches_plain_join(spark):
+    # heavy skew: 90% of left rows share key 0
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, 0).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("rv"))
+    plain = left.join(right, ["k"]).select("k", "lid", "rv")
+    salted = salted_join(left, right, ["k"], salt_from=["lid"], salt=8).select("k", "lid", "rv")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched skewed rows exactly once
+    right_sparse = right.filter(F.col("k") < 10)
+    pl = left.join(right_sparse, ["k"], "left").select("k", "lid", "rv")
+    sl = salted_join(left, right_sparse, ["k"], salt_from=["lid"], how="left", salt=8).select("k", "lid", "rv")
+    assert sorted(map(tuple, pl.collect())) == sorted(map(tuple, sl.collect()))
+
+
+def test_upsert_replaces_and_appends(spark, tmp_path):
+    t = Table("t_upsert", pk=["k"], root=str(tmp_path))
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    t.insert(base)
+    incoming = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    n = t.upsert(incoming)
+    assert n == 2
+    got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
