@@ -75,6 +75,45 @@ def session_epochs(
     )
 
 
+def dedup_stream(
+    stream: DataFrame, keys: list[str], ts_col: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup on a key set (the skip-ingested guard T5 /
+    ownership-claim T7, continuously): keeps the FIRST arrival of each
+    key, drops re-deliveries within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark window — unbounded-history dedup is the batch
+    ``Table.insert`` anti-join's job; the stream only needs to absorb
+    at-least-once delivery from the file feed.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def hourly_distinct(
+    stream: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    distinct_col: str,
+    watermark: str = "2 hours",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Distinct-cardinality per hour window, continuously — HyperLogLog
+    (``approx_count_distinct``) because exact distinct needs unbounded
+    per-window sets while HLL state is a fixed few KB per (window, key).
+    The deterministic batch twin is datapipe/sketch.py::kmv_distinct."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour").alias("chunk"), *keys)
+        .agg(F.approx_count_distinct(distinct_col, rsd).alias("approx_distinct"))
+        .select(
+            F.col("chunk.start").alias("chunk_start"),
+            *keys,
+            "approx_distinct",
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame, sink_path: str, checkpoint_path: str, mode: str = "append"
 ) -> None:

@@ -71,3 +71,37 @@ def test_available_now_incremental_resume(spark, tmp_path, feed):
     out = spark.read.parquet(sink)
     assert out.count() == 13  # exactly-once: no reprocessing of the first 12
     assert out.filter("v = 99.0").count() == 1
+
+
+def test_dedup_stream_drops_redelivery(spark, tmp_path):
+    path = str(tmp_path / "dedup_feed")
+    rows = [
+        Row(time=BASE, device="cam", v=1.0),
+        Row(time=BASE, device="cam", v=1.0),  # exact redelivery
+        Row(time=BASE + dt.timedelta(minutes=1), device="cam", v=2.0),
+        Row(time=BASE + dt.timedelta(minutes=1), device="imu", v=3.0),
+    ]
+    _write_batch(spark, path, rows)
+    src = S.read_parquet_stream(spark, path, SCHEMA)
+    out = S.dedup_stream(src, ["device", "time"], "time")
+    S.run_to_memory(out, "dedup_out", mode="append")
+    got = sorted((r.device, r.time, r.v) for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [
+        ("cam", BASE, 1.0),
+        ("cam", BASE + dt.timedelta(minutes=1), 2.0),
+        ("imu", BASE + dt.timedelta(minutes=1), 3.0),
+    ]
+
+
+def test_hourly_distinct_stream(spark, tmp_path):
+    path = str(tmp_path / "hll_feed")
+    # 3 distinct devices in hour 0, 1 in hour 1
+    rows = [Row(time=BASE + dt.timedelta(minutes=i), device=f"d{i % 3}", v=0.0) for i in range(9)]
+    rows += [Row(time=BASE + dt.timedelta(hours=1, minutes=5), device="d0", v=0.0)]
+    _write_batch(spark, path, rows)
+    src = S.read_parquet_stream(spark, path, SCHEMA)
+    out = S.hourly_distinct(src, "time", [], "device")
+    S.run_to_memory(out, "hll_out", mode="complete")
+    got = {r.chunk_start: r.approx_distinct for r in spark.sql("SELECT * FROM hll_out").collect()}
+    # rsd 5% at tiny cardinalities => exact
+    assert got == {BASE: 3, BASE + dt.timedelta(hours=1): 1}
