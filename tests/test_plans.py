@@ -85,3 +85,25 @@ def test_stream_table_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in p
     assert ">= 2024-01-02" in p and "<= 2024-01-02" in p
     assert out.count() == 4
+
+
+def test_q57_rollup_is_one_shuffle(spark, entry, sf_dir):
+    """GROUPING SETS must expand inside a single aggregate: Expand +
+    partial agg + ONE Exchange — not one pass per granularity."""
+    p = plan_str(entry.queries()["q57_granularity_rollup"](spark, sf_dir))
+    assert "Expand" in p
+    assert p.count("Exchange") == 2  # one node (tree line + detail line)
+
+
+def test_q59_twa_reuses_window_partitioning(spark, entry, sf_dir):
+    """groupBy(user_id) after a user_id-partitioned window must NOT
+    re-shuffle — one Exchange total."""
+    p = plan_str(entry.queries()["q59_time_weighted_avg"](spark, sf_dir))
+    assert p.count("Exchange") == 2  # a single Exchange node
+
+
+def test_q63_kmv_prunes_with_window_group_limit(spark, entry, sf_dir):
+    """The k-smallest-hash selection must push WindowGroupLimit so the
+    shuffle carries ~k rows per group, not every distinct hash."""
+    p = plan_str(entry.queries()["q63_kmv_distinct"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
