@@ -108,3 +108,76 @@ def test_qc_registry_dispatch(spark):
     assert out.drop_count == 0
     with pytest.raises(KeyError):
         run_qc("nope", frames, ["dev"])
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000_000),  # offset seconds
+            st.integers(min_value=-50_000, max_value=50_000),  # value in cents
+        ),
+        min_size=2, max_size=40, unique_by=lambda t: t[0],
+    )
+)
+def test_time_weighted_avg_matches_reference(spark, vals):
+    """twa == Σ v·Δt / Σ Δt computed straightforwardly in Python, and is
+    bounded by [min(v), max(v)] of the weighted observations."""
+    from aeon_mecha_spark.operators.analytics import time_weighted_avg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = sorted(vals)
+    df = spark.createDataFrame(
+        [Row(k=1, ts=base + dt.timedelta(seconds=s), value=c / 100.0) for s, c in rows],
+        "k int, ts timestamp, value double",
+    )
+    got = time_weighted_avg(df, "ts", "value", ["k"]).collect()[0]
+    durs = [(rows[i + 1][0] - rows[i][0]) for i in range(len(rows) - 1)]
+    vs = [c / 100.0 for _, c in rows[:-1]]
+    want = sum(v * d for v, d in zip(vs, durs)) / sum(durs)
+    assert got["span_us"] == sum(durs) * 1_000_000
+    assert abs(got["twa"] - want) < 1e-9
+    assert min(vs) - 1e-9 <= got["twa"] <= max(vs) + 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    hours=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=25, unique=True)
+)
+def test_gap_fill_dense_and_locf(spark, hours):
+    """Output covers every hour in [min, max] exactly once; values only
+    come from at-or-before observations (LOCF)."""
+    from aeon_mecha_spark.operators.analytics import gap_fill_locf
+
+    base = dt.datetime(2024, 1, 1)
+    obs = sorted(hours)
+    df = spark.createDataFrame(
+        [Row(k=1, bucket=base + dt.timedelta(hours=h), value=float(h)) for h in obs],
+        "k int, bucket timestamp, value double",
+    )
+    out = sorted(
+        (r["bucket"], r["value"], r["filled"])
+        for r in gap_fill_locf(df, "bucket", ["value"], ["k"]).collect()
+    )
+    assert len(out) == obs[-1] - obs[0] + 1
+    expect_hour = obs[0]
+    for b, v, filled in out:
+        assert b == base + dt.timedelta(hours=expect_hour)
+        # LOCF: value = the largest observed hour <= this hour
+        last_obs = max(h for h in obs if h <= expect_hour)
+        assert v == float(last_obs)
+        assert filled == (expect_hour not in obs)
+        expect_hour += 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(n=st.integers(min_value=1, max_value=300), k=st.sampled_from([8, 16, 64]))
+def test_kmv_exact_under_capacity_and_positive(spark, n, k):
+    from aeon_mecha_spark.datapipe.sketch import kmv_distinct
+
+    df = spark.range(n).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+    r = kmv_distinct(df, "v", ["g"], k=k).collect()[0]
+    if n < k:
+        assert r["est_distinct"] == float(n)
+    else:
+        assert r["est_distinct"] > 0
