@@ -1,0 +1,136 @@
+"""Scaling probe: replicate the sf0.1 testdata N× (PK-offset, FK-consistent)
+into a scratch dir and time headline queries at 1× vs N×.
+
+Purpose: empirical evidence for SCALE.md — a plan whose runtime grows
+~linearly in input (ratio ≈ N on a fixed-core box, often < N when a fixed
+overhead dominates at 1×) will keep scaling on a cluster; a superlinear
+ratio flags a plan that degenerates (cross product, spill, skew).
+
+Writes only under /tmp. Usage:
+    python tools/scale_probe.py [N] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = "/tmp/spark_graft_scale"
+
+DEFAULT_QUERIES = [
+    "q01_pricing_summary",
+    "q06_revenue_by_nation",
+    "q12_dedupe_first",
+    "q17_hourly_rollup",
+    "q18_asof_join",
+    "q21_timestamp_stats",
+    "q31_fingerprint_dedup",
+    "q35_lsh_jaccard",
+    "q57_granularity_rollup",
+    "q59_time_weighted_avg",
+]
+
+# per-table PK/FK columns that must shift together so replica i stays a
+# self-consistent universe (dims are shared lookup tables: copy once)
+OFFSETS = {
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY = ["region", "nation", "customer", "supplier", "part"]
+
+
+def build_scaled(spark, n: int) -> str:
+    from pyspark.sql import functions as F
+
+    # events stores TIMESTAMP(NANOS): read/write it as a ns bigint so the
+    # replica keeps the exact on-disk semantics the queries expect
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out_dir = os.path.join(SCRATCH, f"x{n}")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    for t in COPY:
+        shutil.copy(os.path.join(BASE, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet"))
+    for t, keys in OFFSETS.items():
+        src = os.path.join(BASE, f"{t}.parquet")
+        df = spark.read.parquet(src)
+        span = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
+        parts = []
+        for i in range(n):
+            d = df
+            for k in keys:
+                d = d.withColumn(k, F.col(k) + F.lit(i * span[k]))
+            parts.append(d)
+        union = parts[0]
+        for d in parts[1:]:
+            union = union.unionByName(d)
+        # one flat parquet dir per table, like the testdata layout
+        union.write.mode("overwrite").parquet(os.path.join(out_dir, f"{t}._dir"))
+        # queries read <dir>/<table>.parquet as a path; a directory works too
+        os.rename(os.path.join(out_dir, f"{t}._dir"), os.path.join(out_dir, f"{t}.parquet"))
+    return out_dir
+
+
+def time_queries(spark, qs, names, sf_dir) -> dict[str, float]:
+    out = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    from aeon_mecha_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("scale_probe")
+    qs = entry_mod.queries()
+    scaled_dir = build_scaled(spark, n)
+
+    # warmup both datasets (JVM/codegen init out of the measurement)
+    for d in (BASE, scaled_dir):
+        qs["q17_hourly_rollup"](spark, d).write.format("noop").mode("overwrite").save()
+
+    base_t = time_queries(spark, qs, names, BASE)
+    scaled_t = time_queries(spark, qs, names, scaled_dir)
+    rows = {
+        t: {
+            "base": spark.read.parquet(os.path.join(BASE, f"{t}.parquet")).count(),
+            "scaled": spark.read.parquet(os.path.join(scaled_dir, f"{t}.parquet")).count(),
+        }
+        for t in ("lineitem", "events", "documents")
+    }
+    report = {
+        "n": n,
+        "rows": rows,
+        "queries": {
+            q: {
+                "base_s": base_t[q],
+                "scaled_s": scaled_t[q],
+                "ratio": round(scaled_t[q] / base_t[q], 2) if base_t[q] else None,
+            }
+            for q in names
+        },
+    }
+    print(json.dumps(report))
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
