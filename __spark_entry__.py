@@ -813,7 +813,11 @@ def q60_gap_fill(spark, sf_dir):
     """Hourly gap-fill + LOCF per user between first and last
     observation (timescale time_bucket_gapfill + locf)."""
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id", "bucket").orderBy(F.col("ts").desc())
+    # event_id tie-break: (user_id, ts) collisions would otherwise make
+    # the picked row shuffle-order-dependent
+    w = W.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
     hourly = (
         ev.withColumn("bucket", F.date_trunc("hour", F.col("ts")))
         .withColumn("_rn", F.row_number().over(w))
@@ -1556,10 +1560,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
         """,
         "q60_gap_fill": """
-            WITH hourly AS (
-              SELECT user_id, date_trunc('hour', ts) AS bucket,
-                     arg_max(value, ts) AS value
-              FROM events GROUP BY 1, 2),
+            WITH ranked AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+                     row_number() OVER (
+                       PARTITION BY user_id, date_trunc('hour', ts)
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events),
+            hourly AS (
+              SELECT user_id, bucket, value FROM ranked WHERE rn = 1),
             bounds AS (
               SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
               FROM hourly GROUP BY 1),

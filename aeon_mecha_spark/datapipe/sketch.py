@@ -77,7 +77,8 @@ def quantile_summary(
     same schema, bounded error, no sort.
     """
     aggs = [
-        F.percentile(value_col, F.lit(q)).alias(f"q{int(q * 100):02d}")
+        # round, not int(): int(0.57 * 100) == 56 under binary floats
+        F.percentile(value_col, F.lit(q)).alias(f"q{round(q * 100):02d}")
         for q in quantiles
     ]
     return df.groupBy(*keys).agg(*aggs)

@@ -72,11 +72,15 @@ def pivot_table(
     """Wide dashboard pivot: one output column per ``values`` entry.
 
     Passing the explicit ``values`` list skips Spark's extra distinct-scan
-    job and keeps the plan a single shuffle; empty cells coalesce to 0.
+    job and keeps the plan a single shuffle; empty cells coalesce to a
+    zero of the aggregate's own type (counts stay long, sums stay
+    double/decimal).
     """
     out = df.groupBy(*keys).pivot(pivot_col, values).agg(agg)
     for v in values:
-        out = out.withColumn(v, F.coalesce(F.col(v), F.lit(0)).cast("long"))
+        out = out.withColumn(
+            v, F.coalesce(F.col(v), F.lit(0).cast(out.schema[v].dataType))
+        )
     return out
 
 
@@ -176,6 +180,8 @@ def funnel(
     event scan is pruned to one step's rows before the shuffle, and all
     stages share the user-key partitioning.
     """
+    if not steps:
+        raise ValueError("funnel requires at least one step")
     cur = (
         df.filter(F.col(type_col) == steps[0])
         .groupBy(F.col(user_col))
@@ -209,8 +215,12 @@ def funnel_counts(
     conversion curve)."""
     per_user = funnel(df, user_col, type_col, ts_col, steps)
     k = len(steps)
+    # coalesce: an empty per-user frame (nobody did step 1) must report
+    # zeros, not a row of NULLs
     exprs = [
-        F.sum((F.col("depth") >= i).cast("long")).alias(f"n_step_{i}")
+        F.coalesce(F.sum((F.col("depth") >= i).cast("long")), F.lit(0)).alias(
+            f"n_step_{i}"
+        )
         for i in range(1, k + 1)
     ]
     return per_user.agg(*exprs)

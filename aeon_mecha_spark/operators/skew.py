@@ -41,6 +41,8 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if "_salt" in skewed.columns or "_salt" in small.columns:
+        raise ValueError("salted_join: inputs must not already have a '_salt' column")
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(salt))
     left = skewed.withColumn("_salt", lsalt.cast("int"))
     right = small.withColumn(

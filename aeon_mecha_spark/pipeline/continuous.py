@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import datetime as dt
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -89,7 +89,11 @@ class ContinuousAggregate:
         fresh = self._fresh(spark, since, until)
         if not self.table.exists(spark):
             return self.table.insert(fresh, skip_duplicates=False)
-        if self.table.partition_by:
+        # dynamic partition overwrite is only bucket-safe when partitions
+        # ARE buckets: a dim-only partition spec would replace each dim's
+        # WHOLE partition with just the refreshed buckets, deleting
+        # closed history — those tables take the upsert path instead
+        if self.table.partition_by and self.bucket_col in self.table.partition_by:
             out = fresh
             prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -93,24 +93,18 @@ class Table:
         df.unpersist()
         return n
 
-    def upsert(self, df: DataFrame) -> int:
-        """MERGE-by-PK without Delta: replace stored rows whose PK
-        appears in ``df``, append the rest — the reference's ``update1``
-        + ``insert`` in one atomic-per-table rewrite
-        (acquisition.py:267-304 Chunk.update1 of chunk_end).
+    def _rm(self, spark: SparkSession, path: str) -> None:
+        """Recursive delete through the Hadoop FileSystem API — works on
+        every root exists() supports (s3a://, hdfs://, file://), where
+        shutil would silently no-op."""
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
 
-        Full-table rewrite is the Parquet-only cost of updates; tables
-        that need frequent upserts should be partitioned (partition_by)
-        so dynamic-partition-overwrite ingestion (ingest.py) handles them
-        instead. Returns the number of incoming rows.
-        """
-        spark = df.sparkSession
-        cur = self.read(spark)
-        if cur is None:
-            return self.insert(df, skip_duplicates=False)
-        incoming_keys = df.select(*self.pk).dropDuplicates()
-        keep = cur.join(incoming_keys, self.pk, "left_anti")
-        out = keep.unionByName(df.select(*cur.columns))
+    def _rewrite(self, spark: SparkSession, out: DataFrame) -> None:
+        """Replace the table's contents via a tmp dataset (Parquet can't
+        read and overwrite the same path in one job)."""
         tmp = self.path + "__rewrite"
 
         def _write(d: DataFrame, dest: str) -> None:
@@ -121,10 +115,39 @@ class Table:
 
         _write(out, tmp)
         _write(spark.read.parquet(tmp), self.path)
-        import shutil
+        self._rm(spark, tmp)
 
-        shutil.rmtree(tmp, ignore_errors=True)
-        return df.count()
+    def upsert(self, df: DataFrame) -> int:
+        """MERGE-by-PK without Delta: replace stored rows whose PK
+        appears in ``df``, append the rest — the reference's ``update1``
+        + ``insert`` in one atomic-per-table rewrite
+        (acquisition.py:267-304 Chunk.update1 of chunk_end).
+
+        Raises on duplicate PKs within ``df`` (real MERGE semantics —
+        silently keeping an arbitrary one would hide upstream bugs).
+        Full-table rewrite is the Parquet-only cost of updates; tables
+        that need frequent upserts should be partitioned (partition_by)
+        so dynamic-partition-overwrite ingestion (ingest.py) handles them
+        instead. Returns the number of incoming rows.
+        """
+        spark = df.sparkSession
+        df = df.cache()
+        try:
+            n = df.count()
+            n_keys = df.select(*self.pk).dropDuplicates().count()
+            if n_keys != n:
+                raise ValueError(
+                    f"upsert into {self.name}: {n - n_keys} duplicate PK rows "
+                    f"in the incoming DataFrame"
+                )
+            cur = self.read(spark)
+            if cur is None:
+                return self.insert(df, skip_duplicates=False)
+            keep = cur.join(df.select(*self.pk), self.pk, "left_anti")
+            self._rewrite(spark, keep.unionByName(df.select(*cur.columns)))
+            return n
+        finally:
+            df.unpersist()
 
     def delete_restriction(self, spark: SparkSession, predicate: str) -> int:
         """Targeted recompute support (the reference's delete-and-repopulate
@@ -137,20 +160,8 @@ class Table:
         # (e.g. NULL column value) must NOT delete the row
         keep = cur.filter(~F.expr(predicate).eqNullSafe(F.lit(True))).cache()
         kept = keep.count()
-        tmp = self.path + "__rewrite"
-
-        def _write(df: DataFrame, dest: str) -> None:
-            w = df.write.mode("overwrite")
-            if self.partition_by:
-                w = w.partitionBy(*self.partition_by)
-            w.parquet(dest)
-
-        _write(keep, tmp)
+        self._rewrite(spark, keep)
         keep.unpersist()
-        _write(spark.read.parquet(tmp), self.path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
         return kept
 
 

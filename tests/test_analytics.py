@@ -98,3 +98,17 @@ def test_rank_quantiles_deterministic_ties(spark):
     out = analytics.rank_quantiles(df, ["g"], "value", ["id"], n=4)
     by = {r["bucket"]: (r["n"], r["lo"], r["hi"]) for r in out.collect()}
     assert by == {1: (2, 1.0, 1.0), 2: (2, 1.0, 1.0), 3: (2, 2.0, 2.0), 4: (2, 2.0, 2.0)}
+
+
+def test_funnel_counts_zero_on_empty_step_one(spark):
+    df = spark.createDataFrame([(1, "other", T0)], "u int, t string, ts timestamp")
+    r = analytics.funnel_counts(df, "u", "t", "ts", ["s1", "s2"]).collect()[0]
+    assert (r["n_step_1"], r["n_step_2"]) == (0, 0)
+
+
+def test_funnel_rejects_empty_steps(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a", T0)], "u int, t string, ts timestamp")
+    with pytest.raises(ValueError, match="at least one step"):
+        analytics.funnel(df, "u", "t", "ts", [])

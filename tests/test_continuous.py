@@ -93,3 +93,28 @@ def test_refresh_matches_full_recompute(spark, tmp_path):
     got = sorted(map(tuple, ca.table.read(spark).select("bucket", "device", "n", "sum_v").collect()))
     want = sorted(map(tuple, expected.collect()))
     assert got == want
+
+
+def test_dim_partitioned_rollup_keeps_closed_history(spark, tmp_path):
+    """A partition spec WITHOUT the bucket column must take the upsert
+    path — dynamic overwrite would wipe each dim's closed buckets."""
+    fact = str(tmp_path / "fact")
+    _rows(spark, [
+        (T0, "cam", 1.0),
+        (T0 + dt.timedelta(hours=1), "cam", 2.0),
+    ]).write.mode("overwrite").parquet(fact)
+    ca = ContinuousAggregate(
+        source=lambda s: s.read.parquet(fact),
+        ts_col="ts",
+        dims=["device"],
+        agg_factory=lambda: [F.count(F.lit(1)).alias("n")],
+        table=Table(
+            "rollup_by_device", pk=["bucket", "device"], root=str(tmp_path),
+            partition_by=["device"],
+        ),
+    )
+    ca.refresh(spark)
+    _rows(spark, [(T0 + dt.timedelta(hours=2), "cam", 3.0)]).write.mode("append").parquet(fact)
+    ca.refresh(spark)
+    got = {r["bucket"]: r["n"] for r in ca.table.read(spark).collect()}
+    assert got == {T0: 1, T0 + dt.timedelta(hours=1): 1, T0 + dt.timedelta(hours=2): 1}

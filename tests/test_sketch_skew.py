@@ -67,3 +67,45 @@ def test_upsert_replaces_and_appends(spark, tmp_path):
     assert n == 2
     got = {(r["k"], r["v"]) for r in t.read(spark).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_pivot_table_preserves_fractional_aggregates(spark):
+    df = spark.createDataFrame([(1, "x", 2.5), (1, "x", 0.4)], "k int, t string, v double")
+    out = analytics_pivot(spark, df)
+    r = out.collect()[0]
+    assert r["x"] == 2.9 and r["y"] == 0.0
+
+
+def analytics_pivot(spark, df):
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.operators.analytics import pivot_table
+
+    return pivot_table(df, ["k"], "t", ["x", "y"], F.sum("v"))
+
+
+def test_upsert_rejects_duplicate_incoming_pks(spark, tmp_path):
+    import pytest
+
+    t = Table("t_dupes", pk=["k"], root=str(tmp_path))
+    t.insert(spark.createDataFrame([(1, "a")], "k int, v string"))
+    dup = spark.createDataFrame([(2, "b"), (2, "c")], "k int, v string")
+    with pytest.raises(ValueError, match="duplicate PK"):
+        t.upsert(dup)
+
+
+def test_salted_join_rejects_salt_collision(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, 0)], "k int, _salt int")
+    other = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(df, other, ["k"], salt_from=["k"])
+
+
+def test_quantile_labels_rounded(spark):
+    from aeon_mecha_spark.datapipe.sketch import quantile_summary
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    out = quantile_summary(df, "v", ["g"], (0.57,))
+    assert "q57" in out.columns
