@@ -1,0 +1,95 @@
+"""Partition-independence check: every gate query must produce
+BIT-IDENTICAL results regardless of the shuffle plan.
+
+This is the property that makes results reproducible between local[32]
+and a 1000-executor cluster: float aggregates routed through exact
+decimal/integer moments are associative, window orderings are unique,
+and nothing depends on partition iteration order. Verified empirically
+here by running each query under two very different shuffle-partition
+counts and comparing fully-sorted collected outputs.
+
+Usage: python tools/check_determinism.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_QUERIES = [
+    # float-aggregate and window-heavy queries: the ones where a
+    # partition-order dependence would actually show up
+    "q01_pricing_summary",
+    "q20_column_stats",
+    "q21_timestamp_stats",
+    "q22_sync_regression",
+    "q35_lsh_jaccard",
+    "q36_knn_cosine",
+    "q57_granularity_rollup",
+    "q59_time_weighted_avg",
+    "q60_gap_fill",
+    "q63_kmv_distinct",
+    "q64_quantile_summary",
+]
+
+
+def canon(df) -> list[tuple]:
+    cols = sorted(df.columns)
+    rows = [tuple(r[c] for c in cols) for r in df.select(*cols).collect()]
+
+    def key(row):
+        return tuple(
+            (x is None, "" if x is None else str(type(x)), str(x)) for x in row
+        )
+
+    return sorted(rows, key=key)
+
+
+def eq(a: list[tuple], b: list[tuple]) -> bool:
+    if len(a) != len(b):
+        return False
+    for ra, rb in zip(a, b):
+        for xa, xb in zip(ra, rb):
+            if isinstance(xa, float) and isinstance(xb, float):
+                if math.isnan(xa) and math.isnan(xb):
+                    continue
+                if xa != xb:  # BIT-identical, no tolerance
+                    return False
+            elif xa != xb:
+                return False
+    return True
+
+
+def main() -> None:
+    from aeon_mecha_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    sf_dir = (
+        sys.argv[1]
+        if len(sys.argv) > 1 and os.path.isdir(sys.argv[1])
+        else "/root/testdata/sf0.01"
+    )
+    names = [a for a in sys.argv[1:] if not os.path.isdir(a)] or DEFAULT_QUERIES
+    spark = get_spark("determinism")
+    qs = entry_mod.queries()
+    failed = 0
+    for name in names:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = canon(qs[name](spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        b = canon(qs[name](spark, sf_dir))
+        ok = eq(a, b)
+        failed += not ok
+        print(f"{'PASS' if ok else 'FAIL'} {name} ({len(a)} rows, 32 vs 7 partitions)")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    print(f"\n{len(names) - failed} passed, {failed} failed, sf_dir={sf_dir}")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
