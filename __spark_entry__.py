@@ -861,6 +861,21 @@ def q63_kmv_distinct(spark, sf_dir):
     return est.join(exact, "event_type")
 
 
+def q65_kmv_rollup(spark, sf_dir):
+    """Re-aggregatable sketch rollup: HOURLY KMV partials merged up to
+    per-type sketches. The oracle computes the direct per-type KMV —
+    merge is lossless, so merged == direct, bit for bit."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = sketch.kmv_partial(
+        ev.withColumn("h", F.date_trunc("hour", "ts")),
+        "user_id",
+        ["event_type", "h"],
+        k=32,
+    )
+    merged = sketch.kmv_merge(hourly, ["event_type"], k=32)
+    return sketch.kmv_estimate(merged, k=32)
+
+
 def q64_quantile_summary(spark, sf_dir):
     """Exact interpolated quantiles per group (generalized A5 median;
     swap-in point for percentile_approx at 100 TB)."""
@@ -944,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_rank_quantiles": q62_rank_quantiles,
         "q63_kmv_distinct": q63_kmv_distinct,
         "q64_quantile_summary": q64_quantile_summary,
+        "q65_kmv_rollup": q65_kmv_rollup,
     }
 
 
@@ -1634,6 +1650,23 @@ def oracle_sql() -> dict[str, str]:
                    END AS est_distinct,
                    exact_distinct
             FROM g JOIN x USING (event_type)
+        """,
+        "q65_kmv_rollup": """
+            -- direct per-type KMV: identical to merging hourly partials
+            -- because min-k of a union == min-k of per-part min-k
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(user_id::varchar), 1, 15))::bigint AS _h
+              FROM events),
+            r AS (
+              SELECT event_type, _h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY _h) AS rn
+              FROM h)
+            SELECT event_type, count(*)::bigint AS n_hashes,
+                   CASE WHEN count(*) < 32 THEN count(*)::double
+                        ELSE 31.0 / (max(_h)::double / 1152921504606846976.0)
+                   END AS est_distinct
+            FROM r WHERE rn <= 32 GROUP BY event_type
         """,
         "q64_quantile_summary": """
             SELECT event_type,

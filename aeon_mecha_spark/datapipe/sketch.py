@@ -61,6 +61,55 @@ def kmv_distinct(
     )
 
 
+def kmv_partial(
+    df: DataFrame,
+    col: str | Column,
+    keys: list[str],
+    k: int = 64,
+) -> DataFrame:
+    """Materializable KMV sketch state per group: the k smallest distinct
+    hashes as a sorted array column ``kmv``.
+
+    This is the re-aggregatable form: store one partial per fine bucket
+    (e.g. per hour) in a rollup table, then ``kmv_merge`` to any coarser
+    grouping without rescanning the facts — distinct counts become
+    composable with ContinuousAggregate the way sums already are.
+    State is exactly ≤ k int64s per group after the slice; the transient
+    per-group ``collect_set`` is fine when per-bucket distinct
+    cardinality is bounded (hour-bucket streams); for unbounded groups
+    use ``kmv_distinct``'s WindowGroupLimit path.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        df.select(*keys, md5_long(c.cast("string")).alias("_h"))
+        .groupBy(*keys)
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("kmv"))
+    )
+
+
+def kmv_merge(partials: DataFrame, keys: list[str], k: int = 64) -> DataFrame:
+    """Merge sketch partials to a coarser grouping. Lossless: the k
+    smallest of a union == the k smallest of the per-part k-smallest,
+    so a merged sketch is bit-identical to sketching the raw union."""
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmv")))), 1, k
+    )
+    return partials.groupBy(*keys).agg(merged.alias("kmv"))
+
+
+def kmv_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Distinct-count estimate from stored sketch state (same estimator
+    and IEEE-only arithmetic as ``kmv_distinct``)."""
+    n = F.size("kmv")
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1))
+        / (F.element_at("kmv", k).cast("double") / F.lit(_HASH_DOMAIN))
+    )
+    return sketches.withColumn("n_hashes", n.cast("long")).withColumn(
+        "est_distinct", est
+    ).drop("kmv")
+
+
 def quantile_summary(
     df: DataFrame,
     value_col: str,

@@ -109,3 +109,26 @@ def test_quantile_labels_rounded(spark):
     df = spark.createDataFrame([("g", 1.0)], "g string, v double")
     out = quantile_summary(df, "v", ["g"], (0.57,))
     assert "q57" in out.columns
+
+
+def test_kmv_merge_is_lossless(spark):
+    """Merging per-bucket partials must equal sketching the raw union."""
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.datapipe.sketch import (
+        kmv_distinct, kmv_estimate, kmv_merge, kmv_partial,
+    )
+
+    df = spark.range(3000).select(
+        (F.col("id") % 2).cast("string").alias("g"),
+        (F.col("id") % 24).alias("bucket"),
+        (F.col("id") % 700).alias("v"),
+    )
+    direct = {
+        r["g"]: (r["n_hashes"], r["est_distinct"])
+        for r in kmv_distinct(df, "v", ["g"], k=16).collect()
+    }
+    partials = kmv_partial(df, "v", ["g", "bucket"], k=16)
+    merged = kmv_estimate(kmv_merge(partials, ["g"], k=16), k=16)
+    got = {r["g"]: (r["n_hashes"], r["est_distinct"]) for r in merged.collect()}
+    assert got == direct
