@@ -118,3 +118,36 @@ def test_dim_partitioned_rollup_keeps_closed_history(spark, tmp_path):
     ca.refresh(spark)
     got = {r["bucket"]: r["n"] for r in ca.table.read(spark).collect()}
     assert got == {T0: 1, T0 + dt.timedelta(hours=1): 1, T0 + dt.timedelta(hours=2): 1}
+
+
+def test_bucket_partitioned_rollup_dynamic_overwrite(spark, tmp_path):
+    """bucket IN partition_by => dynamic overwrite replaces exactly the
+    refreshed bucket partitions and closed history survives."""
+    fact = str(tmp_path / "fact")
+    _rows(spark, [
+        (T0, "cam", 1.0),
+        (T0 + dt.timedelta(hours=1), "cam", 2.0),
+    ]).write.mode("overwrite").parquet(fact)
+    ca = ContinuousAggregate(
+        source=lambda s: s.read.parquet(fact),
+        ts_col="ts",
+        dims=["device"],
+        agg_factory=lambda: [F.count(F.lit(1)).alias("n")],
+        table=Table(
+            "rollup_bucketed", pk=["bucket", "device"], root=str(tmp_path),
+            partition_by=["bucket"],
+        ),
+    )
+    ca.refresh(spark)
+    _rows(spark, [
+        (T0 + dt.timedelta(hours=1, minutes=30), "cam", 9.0),  # open bucket
+        (T0 + dt.timedelta(hours=2), "imu", 9.0),              # new bucket
+    ]).write.mode("append").parquet(fact)
+    n = ca.refresh(spark)
+    assert n == 2  # re-aggregated open bucket + new bucket
+    got = {(r["bucket"], r["device"]): r["n"] for r in ca.table.read(spark).collect()}
+    assert got == {
+        (T0, "cam"): 1,                            # closed history intact
+        (T0 + dt.timedelta(hours=1), "cam"): 2,    # re-aggregated in place
+        (T0 + dt.timedelta(hours=2), "imu"): 1,
+    }
