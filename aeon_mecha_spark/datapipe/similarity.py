@@ -249,3 +249,29 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def group_centroids(
+    emb: DataFrame,
+    key_col: str = "label",
+    vec_col: str = "embedding",
+    dims: int = 8,
+    scale: int = 12,
+) -> DataFrame:
+    """Per-group elementwise mean of the first ``dims`` vector components
+    (cluster centroids / per-class prototypes).
+
+    One hash-groupBy with map-side partials — each component sum runs in
+    decimal(38, ``scale``) so partial aggregates combine exactly on any
+    partitioning, then one int-exact decimal→double cast + IEEE division
+    per component (engine-portable; see session decimal notes). The
+    component extraction is a Catalyst element_at — no explode, so the
+    shuffle carries dims partials per group, not dims rows per vector.
+    """
+    arr = F.col(vec_col).cast("array<double>")
+    n = F.count(F.lit(1))
+    aggs: list = [n.cast("long").alias("n")]
+    for i in range(dims):
+        comp = F.element_at(arr, i + 1).cast(f"decimal(38,{scale})")
+        aggs.append((F.sum(comp).cast("double") / n).alias(f"c{i}"))
+    return emb.groupBy(key_col).agg(*aggs)

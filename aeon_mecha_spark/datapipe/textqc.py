@@ -7,7 +7,7 @@ no shuffle (per-document map work), column-pruned to the text column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from aeon_mecha_spark.functions.hashing import md5_long
@@ -20,6 +20,7 @@ from aeon_mecha_spark.functions.text import (
     stopword_ratio,
     token_count,
     tokens,
+    word_shingles,
 )
 
 # Per-language marker words for the n-gram/stopword language-ID heuristic.
@@ -92,3 +93,48 @@ def fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         F.md5(norm).alias("fingerprint_md5"),
         md5_long(norm).alias("fingerprint_long"),
     )
+
+
+def term_counts(
+    docs: DataFrame, keys: list[str] | None = None, text_col: str = "text"
+) -> DataFrame:
+    """(keys…, term, n) long table of lowercased whitespace-token counts.
+
+    One explode + one hash-groupBy with map-side partial counts — the
+    shuffle carries (key, term) partials, not the token stream. The
+    canonical first stage of vocabulary / Zipf / top-terms analyses.
+    """
+    keys = list(keys or [])
+    toks = spread(docs).select(
+        *keys, F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    return toks.groupBy(*keys, "term").agg(F.count(F.lit(1)).alias("n"))
+
+
+def top_terms(
+    docs: DataFrame, k: int = 5, keys: list[str] | None = None, text_col: str = "text"
+) -> DataFrame:
+    """Top-k most frequent terms per key group with a deterministic
+    (count desc, term asc) order. The ranking window runs over the
+    already-aggregated count table (vocabulary-sized, not corpus-sized);
+    Spark's WindowGroupLimit pushes the k cutoff below the sort."""
+    keys = list(keys or [])
+    counts = term_counts(docs, keys, text_col)
+    w = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
+
+
+def ngram_counts(docs: DataFrame, k: int = 2, text_col: str = "text") -> DataFrame:
+    """(ngram, n) global k-word-shingle frequency over lowercased text.
+    Documents shorter than k tokens are dropped (no partial shingle).
+    Same explode→groupBy shape as term_counts."""
+    lt = F.lower(F.col(text_col))
+    base = spread(docs).select(lt.alias("_lt")).filter(F.size(tokens(F.col("_lt"))) >= k)
+    grams = base.select(F.explode(word_shingles(F.col("_lt"), k)).alias("ngram"))
+    return grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))

@@ -243,3 +243,44 @@ def rank_quantiles(
         F.min(value_col).alias("lo"),
         F.max(value_col).alias("hi"),
     )
+
+
+def rank_distribution(
+    df: DataFrame, keys: list[str], value_col: str
+) -> DataFrame:
+    """percent_rank + cume_dist of ``value_col`` within each key group.
+
+    Ties share a rank, so the output is deterministic per ROW even
+    without a unique ordering (unlike ntile). Both functions are exact
+    IEEE divisions of integer rank counters — engine-portable with no
+    rounding step.
+    """
+    w = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(value_col)
+    return df.withColumn("pct_rank", F.percent_rank().over(w)).withColumn(
+        "cume_dist", F.cume_dist().over(w)
+    )
+
+
+def cohort_retention(
+    df: DataFrame, user_col: str, ts_col: str, unit: str = "week"
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by their FIRST activity
+    period, counted distinct in each subsequent period.
+
+    Two shuffles, both on bounded keys: a per-user window for the cohort
+    assignment (user key — high cardinality, even), then the
+    (cohort, offset) count-distinct (low cardinality, partial-agg
+    combinable because distinct-by-user rides the first shuffle's
+    dedup). Offsets are integer period counts — no float arithmetic.
+    """
+    days = {"week": 7, "day": 1}[unit]
+    wu = W.partitionBy(user_col)
+    base = df.select(user_col, F.date_trunc(unit, F.col(ts_col)).alias("_bucket"))
+    withc = base.withColumn("cohort", F.min("_bucket").over(wu))
+    offset = F.floor(
+        F.datediff(F.to_date("_bucket"), F.to_date("cohort")) / days
+    ).cast("long")
+    return (
+        withc.groupBy("cohort", offset.alias("offset"))
+        .agg(F.countDistinct(user_col).cast("long").alias("n_users"))
+    )

@@ -95,3 +95,20 @@ def forward_fill(df: DataFrame, col: str, order_col: str, keys: list[str]) -> Da
         .rowsBetween(W.unboundedPreceding, 0)
     )
     return df.withColumn(col, F.last(col, ignorenulls=True).over(w))
+
+
+def rolling_rows_avg(
+    df: DataFrame, value: Column, order_col: str | list[str], keys: list[str], n: int, alias: str
+) -> DataFrame:
+    """Trailing n-row moving average per key (the rows-frame sibling of
+    ``rolling_time_sum``). Pass ``value`` as an exact decimal so the
+    frame sum is associative; the mean is then decimal-sum → double →
+    one IEEE division — bit-identical on any partitioning."""
+    w = (
+        (W.partitionBy(*keys) if keys else W.partitionBy())
+        .orderBy(*_order(order_col))
+        .rowsBetween(-(n - 1), 0)
+    )
+    return df.withColumn(
+        alias, F.sum(value).over(w).cast("double") / F.count(F.lit(1)).over(w)
+    )
