@@ -884,6 +884,69 @@ def q64_quantile_summary(spark, sf_dir):
     )
 
 
+def q66_group_centroids(spark, sf_dir):
+    """Per-label centroid of the first 4 embedding dims: one hash-groupBy
+    with exact decimal component sums + int-exact decimal→double exit."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("long").alias("label"), "embedding"
+    )
+    return similarity.group_centroids(emb, "label", "embedding", dims=4, scale=6)
+
+
+def q67_top_terms(spark, sf_dir):
+    """Top-3 most frequent (lowercased, whitespace-tokenized) terms per
+    language: explode → map-side-combined count → WindowGroupLimit top-k
+    over the vocabulary-sized count table."""
+    out = textqc.top_terms(_t(spark, sf_dir, "documents"), k=3, keys=["lang"])
+    return _longs(out, "n", "rank")
+
+
+def q68_ngram_counts(spark, sf_dir):
+    """Global word-bigram frequency table (docs shorter than 2 tokens
+    dropped) — the explode→groupBy vocabulary shape."""
+    return _longs(textqc.ngram_counts(_t(spark, sf_dir, "documents"), k=2), "n")
+
+
+def q69_rank_distribution(spark, sf_dir):
+    """percent_rank + cume_dist of value within each event type — exact
+    integer-ratio window functions, deterministic under ties."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return analytics.rank_distribution(ev, ["event_type"], "value")
+
+
+def q70_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: first-activity-week cohorts ×
+    integer week offsets × distinct users."""
+    out = analytics.cohort_retention(
+        _t(spark, sf_dir, "events"), "user_id", "ts", unit="week"
+    )
+    return _longs(out, "offset", "n_users")
+
+
+def q71_rolling_avg(spark, sf_dir):
+    """Trailing 5-row moving average of value per user (decimal frame
+    sum → double; non-null denominator = AVG semantics)."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    return windows.rolling_rows_avg(
+        ev,
+        F.col("value").cast("decimal(18,2)"),
+        ["ts", "event_id"],
+        ["user_id"],
+        n=5,
+        alias="avg5",
+    )
+
+
+def q72_near_dup_lsh(spark, sf_dir):
+    """LSH-bucketed cosine near-dup pairs (the scale-safe default for
+    q37's exact form): bucket self-join, no O(n²) pair space."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("embedding")
+    )
+    out = similarity.near_duplicates_lsh(emb, _LSH_PLANES, threshold=0.35)
+    return out.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -894,57 +957,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Insertion order matters: the driver's correctness gate grades the
+    # FIRST 50 entries. Queries that have never appeared in an official
+    # CORRECTNESS artifact come first (datapipe/analytics/sketch families
+    # + this round's additions); the window is then filled with one
+    # representative per operator family. Entries past 50 are all green
+    # in CORRECTNESS_r02 and re-checkable via tools/check_correctness.py.
     return {
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_restrict_expr": q02_restrict_expr,
-        "q03_semi_join": q03_semi_join,
-        "q04_anti_join": q04_anti_join,
-        "q05_proj_compute": q05_proj_compute,
-        "q06_revenue_by_nation": q06_revenue_by_nation,
-        "q07_left_join_counts": q07_left_join_counts,
-        "q08_union": q08_union,
-        "q09_top": q09_top,
-        "q10_grouped_bounds": q10_grouped_bounds,
-        "q11_distinct": q11_distinct,
-        "q12_dedupe_first": q12_dedupe_first,
-        "q13_qc_deltas": q13_qc_deltas,
-        "q14_running_sum": q14_running_sum,
-        "q15_rolling_1h": q15_rolling_1h,
-        "q16_sessionize": q16_sessionize,
-        "q17_hourly_rollup": q17_hourly_rollup,
-        "q18_asof_join": q18_asof_join,
-        "q19_interval_count": q19_interval_count,
-        "q20_column_stats": q20_column_stats,
-        "q21_timestamp_stats": q21_timestamp_stats,
-        "q22_sync_regression": q22_sync_regression,
-        "q23_param_hash": q23_param_hash,
-        "q24_ownership": q24_ownership,
-        "q25_conditional_agg": q25_conditional_agg,
-        "q26_chunk_windows": q26_chunk_windows,
-        "q27_epoch_lead": q27_epoch_lead,
-        "q28_harp_time": q28_harp_time,
-        "q54_chunked_ts_stats": q54_chunked_ts_stats,
-        "q55_index_aligned_merge": q55_index_aligned_merge,
-        "q56_value_histogram": q56_value_histogram,
-        "q52_forward_fill": q52_forward_fill,
-        "q53_sign_change": q53_sign_change,
-        "q49_shipping_priority": q49_shipping_priority,
-        "q50_order_priority_exists": q50_order_priority_exists,
-        "q51_shipmode_case_sum": q51_shipmode_case_sum,
-        "q29_json_extract": q29_json_extract,
-        "q40_unit_matching": q40_unit_matching,
-        "q41_frontier": q41_frontier,
-        "q42_streaming_hourly": q42_streaming_hourly,
-        "q43_qc_summary": q43_qc_summary,
-        "q44_topk_per_group": q44_topk_per_group,
-        "q45_set_ops": q45_set_ops,
-        "q46_bucketed_range_join": q46_bucketed_range_join,
-        "q47_lsh_knn": q47_lsh_knn,
-        "q48_ivf_knn": q48_ivf_knn,
-        "q30_dedup_exact": q30_dedup_exact,
-        "q31_fingerprint_dedup": q31_fingerprint_dedup,
-        "q32_text_quality": q32_text_quality,
-        "q33_langid": q33_langid,
+        # -- not yet driver-graded: dedup/ANN + analytics/sketch families
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
         "q36_knn_cosine": q36_knn_cosine,
@@ -960,6 +980,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_kmv_distinct": q63_kmv_distinct,
         "q64_quantile_summary": q64_quantile_summary,
         "q65_kmv_rollup": q65_kmv_rollup,
+        # -- round-3 additions
+        "q66_group_centroids": q66_group_centroids,
+        "q67_top_terms": q67_top_terms,
+        "q68_ngram_counts": q68_ngram_counts,
+        "q69_rank_distribution": q69_rank_distribution,
+        "q70_cohort_retention": q70_cohort_retention,
+        "q71_rolling_avg": q71_rolling_avg,
+        "q72_near_dup_lsh": q72_near_dup_lsh,
+        # -- operator-family representatives (all r02-green)
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_restrict_expr": q02_restrict_expr,
+        "q03_semi_join": q03_semi_join,
+        "q04_anti_join": q04_anti_join,
+        "q06_revenue_by_nation": q06_revenue_by_nation,
+        "q07_left_join_counts": q07_left_join_counts,
+        "q10_grouped_bounds": q10_grouped_bounds,
+        "q13_qc_deltas": q13_qc_deltas,
+        "q15_rolling_1h": q15_rolling_1h,
+        "q16_sessionize": q16_sessionize,
+        "q17_hourly_rollup": q17_hourly_rollup,
+        "q18_asof_join": q18_asof_join,
+        "q19_interval_count": q19_interval_count,
+        "q21_timestamp_stats": q21_timestamp_stats,
+        "q22_sync_regression": q22_sync_regression,
+        "q24_ownership": q24_ownership,
+        "q26_chunk_windows": q26_chunk_windows,
+        "q27_epoch_lead": q27_epoch_lead,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q31_fingerprint_dedup": q31_fingerprint_dedup,
+        "q32_text_quality": q32_text_quality,
+        "q33_langid": q33_langid,
+        "q40_unit_matching": q40_unit_matching,
+        "q42_streaming_hourly": q42_streaming_hourly,
+        "q43_qc_summary": q43_qc_summary,
+        "q46_bucketed_range_join": q46_bucketed_range_join,
+        "q47_lsh_knn": q47_lsh_knn,
+        "q48_ivf_knn": q48_ivf_knn,
+        # ---- entries below are past the driver's 50-entry window ----
+        "q05_proj_compute": q05_proj_compute,
+        "q08_union": q08_union,
+        "q09_top": q09_top,
+        "q11_distinct": q11_distinct,
+        "q12_dedupe_first": q12_dedupe_first,
+        "q14_running_sum": q14_running_sum,
+        "q20_column_stats": q20_column_stats,
+        "q23_param_hash": q23_param_hash,
+        "q25_conditional_agg": q25_conditional_agg,
+        "q28_harp_time": q28_harp_time,
+        "q29_json_extract": q29_json_extract,
+        "q41_frontier": q41_frontier,
+        "q44_topk_per_group": q44_topk_per_group,
+        "q45_set_ops": q45_set_ops,
+        "q49_shipping_priority": q49_shipping_priority,
+        "q50_order_priority_exists": q50_order_priority_exists,
+        "q51_shipmode_case_sum": q51_shipmode_case_sum,
+        "q52_forward_fill": q52_forward_fill,
+        "q53_sign_change": q53_sign_change,
+        "q54_chunked_ts_stats": q54_chunked_ts_stats,
+        "q55_index_aligned_merge": q55_index_aligned_merge,
+        "q56_value_histogram": q56_value_histogram,
     }
 
 
@@ -1049,6 +1129,26 @@ def _sql_lsh_knn() -> str:
     SELECT query_id, neighbor_id, round(score, 6) AS score, rank::bigint AS rank
     FROM ranked WHERE rank <= 3"""
 
+
+
+def _sql_near_dup_lsh() -> str:
+    """Oracle for q72: the same hyperplane bucketing as literal SQL —
+    bucket-equal ordered pairs over the cosine threshold."""
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN '1' ELSE '0' END)"
+        for p in _LSH_PLANES
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {bits} AS bucket FROM e
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+             list_dot_product(a.v, bb.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v))) AS cos
+      FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+    SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.35"""
 
 
 def _sql_ivf_knn() -> str:
@@ -1676,5 +1776,74 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.90) AS q90
             FROM events GROUP BY event_type
         """,
+        "q66_group_centroids": """
+            -- component means: decimal(38,6) sums exit via the int-exact
+            -- ×10^6 → bigint → double route, then IEEE divisions only;
+            -- denominator = non-null component count (AVG semantics)
+            SELECT label::bigint AS label, count(*)::bigint AS n,
+                   (sum((embedding::DOUBLE[])[1]::decimal(38,6)) * 1000000)::bigint::double
+                     / 1000000.0 / count((embedding::DOUBLE[])[1])::double AS c0,
+                   (sum((embedding::DOUBLE[])[2]::decimal(38,6)) * 1000000)::bigint::double
+                     / 1000000.0 / count((embedding::DOUBLE[])[2])::double AS c1,
+                   (sum((embedding::DOUBLE[])[3]::decimal(38,6)) * 1000000)::bigint::double
+                     / 1000000.0 / count((embedding::DOUBLE[])[3])::double AS c2,
+                   (sum((embedding::DOUBLE[])[4]::decimal(38,6)) * 1000000)::bigint::double
+                     / 1000000.0 / count((embedding::DOUBLE[])[4])::double AS c3
+            FROM embeddings GROUP BY 1
+        """,
+        "q67_top_terms": """
+            WITH toks AS (
+              SELECT lang,
+                     unnest(CASE WHEN trim(text) = '' THEN []::varchar[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS term
+              FROM documents),
+            counts AS (
+              SELECT lang, term, count(*)::bigint AS n FROM toks GROUP BY 1, 2),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+              FROM counts)
+            SELECT lang, term, n, rank::bigint AS rank FROM ranked WHERE rank <= 3
+        """,
+        "q68_ngram_counts": """
+            WITH toks AS (
+              SELECT CASE WHEN trim(text) = '' THEN []::varchar[]
+                     ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+              FROM documents),
+            shl AS (
+              SELECT list_transform(generate_series(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+1], ' ')) AS sh
+              FROM toks WHERE len(t) >= 2),
+            grams AS (SELECT unnest(sh) AS ngram FROM shl)
+            SELECT ngram, count(*)::bigint AS n FROM grams GROUP BY 1
+        """,
+        "q69_rank_distribution": """
+            SELECT event_id, event_type, value,
+                   percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pct_rank,
+                   cume_dist() OVER (PARTITION BY event_type ORDER BY value) AS cume_dist
+            FROM events
+        """,
+        "q70_cohort_retention": """
+            -- DuckDB's date_trunc('week') yields DATE; cast back so the
+            -- cohort column is a timestamp like Spark's
+            WITH b AS (
+              SELECT user_id, date_trunc('week', ts)::timestamp AS bucket
+              FROM events WHERE ts IS NOT NULL),
+            c AS (
+              SELECT user_id, bucket,
+                     min(bucket) OVER (PARTITION BY user_id) AS cohort
+              FROM b)
+            SELECT cohort,
+                   floor(date_diff('day', cohort::date, bucket::date) / 7)::bigint AS "offset",
+                   count(DISTINCT user_id)::bigint AS n_users
+            FROM c GROUP BY 1, 2
+        """,
+        "q71_rolling_avg": """
+            SELECT event_id, user_id, ts, value,
+                   (sum(value::decimal(18,2)) OVER w)::double / count(value) OVER w AS avg5
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "q72_near_dup_lsh": _sql_near_dup_lsh(),
     }
     return sqls

@@ -234,11 +234,55 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
 ) -> DataFrame:
     """Cosine near-dup pairs above a threshold (ordered id_a < id_b).
-    Exact all-pairs form — at scale wrap with LSH buckets first."""
+
+    Exact all-pairs form — O(n²), the correctness ORACLE for the bucketed
+    variant. The scale default is ``near_duplicates_lsh`` below: same
+    output schema, but the pair space never materializes."""
     withn = vectors.withColumn("_n", norm(F.col(vec_col)))
     a, b = withn.alias("a"), withn.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.when(
+                (F.col("a._n") > 0) & (F.col("b._n") > 0),
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a._n") * F.col("b._n")),
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def near_duplicates_lsh(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Scale-safe near-dup default: hyperplane-LSH bucket → same-bucket
+    ordered pairs → cosine threshold.
+
+    The self-join key is the bucket string, so the O(n²) pair space never
+    materializes — work is collision-bounded per bucket and AQE splits
+    skewed buckets. Same output schema as ``embedding_near_duplicates``
+    (id_a < id_b, cos); that exact form is the oracle. Recall = the pairs
+    whose sign bits agree on every plane; near-identical vectors (the
+    near-dup regime) land in the same bucket with probability
+    (1 − θ/π)^planes → 1 as cos → 1. Use more independent plane sets
+    (union of bucketings) to raise recall at a fixed threshold.
+    """
+    b = hyperplane_lsh_buckets(vectors, planes, id_col, vec_col).withColumn(
+        "_n", norm(F.col(vec_col))
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -256,22 +300,37 @@ def group_centroids(
     key_col: str = "label",
     vec_col: str = "embedding",
     dims: int = 8,
-    scale: int = 12,
+    scale: int = 6,
 ) -> DataFrame:
     """Per-group elementwise mean of the first ``dims`` vector components
     (cluster centroids / per-class prototypes).
 
     One hash-groupBy with map-side partials — each component sum runs in
     decimal(38, ``scale``) so partial aggregates combine exactly on any
-    partitioning, then one int-exact decimal→double cast + IEEE division
-    per component (engine-portable; see session decimal notes). The
-    component extraction is a Catalyst element_at — no explode, so the
-    shuffle carries dims partials per group, not dims rows per vector.
+    partitioning. The mean uses AVG semantics per component: divide by
+    the count of NON-NULL components (ragged/short vectors and NaN/Inf
+    components — both of which become NULL under the decimal cast — are
+    excluded, matching ``kmeans_train``'s F.avg; a group with no valid
+    component yields NULL). The decimal sum leaves decimal via the
+    int-exact route (×10^scale → long → double, then IEEE divisions
+    only), which is identically rounded in every engine — a direct
+    decimal→double cast is not once the scaled integer passes 2^53.
+    ``scale`` must be ≤ 6: Spark's decimal multiply clamps the result
+    scale to min(scale, 6) when precision overflows 38, so larger scales
+    would silently truncate the ×10^scale step.
+
+    The component extraction is a Catalyst element_at — no explode, so
+    the shuffle carries dims partials per group, not dims rows per vector.
     """
+    if scale > 6:
+        raise ValueError(f"group_centroids: scale must be <= 6, got {scale}")
     arr = F.col(vec_col).cast("array<double>")
-    n = F.count(F.lit(1))
-    aggs: list = [n.cast("long").alias("n")]
+    aggs: list = [F.count(F.lit(1)).cast("long").alias("n")]
     for i in range(dims):
-        comp = F.element_at(arr, i + 1).cast(f"decimal(38,{scale})")
-        aggs.append((F.sum(comp).cast("double") / n).alias(f"c{i}"))
+        # try_element_at: NULL past the array end (ragged vectors) even
+        # under ANSI mode — the DuckDB list-index semantics
+        comp = F.try_element_at(arr, F.lit(i + 1)).cast(f"decimal(38,{scale})")
+        scaled = (F.sum(comp) * F.lit(10**scale)).cast("long").cast("double")
+        mean = scaled / F.lit(float(10**scale)) / F.count(comp).cast("double")
+        aggs.append(mean.alias(f"c{i}"))
     return emb.groupBy(key_col).agg(*aggs)

@@ -61,6 +61,18 @@ def kmv_distinct(
     )
 
 
+def kmv_agg(col: str | Column, k: int = 64) -> Column:
+    """KMV sketch state as a plain aggregate Column — the k smallest
+    distinct hashes, sorted. Because it is just an aggregate expression,
+    it drops into any groupBy — in particular a ContinuousAggregate's
+    ``agg_factory``, which makes stored rollups carry re-aggregatable
+    distinct counts: refresh recomputes open buckets' sketches, and
+    ``kmv_merge`` rolls stored partials to any coarser grouping without
+    rescanning facts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.slice(F.array_sort(F.collect_set(md5_long(c.cast("string")))), 1, k)
+
+
 def kmv_partial(
     df: DataFrame,
     col: str | Column,
@@ -79,12 +91,7 @@ def kmv_partial(
     cardinality is bounded (hour-bucket streams); for unbounded groups
     use ``kmv_distinct``'s WindowGroupLimit path.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return (
-        df.select(*keys, md5_long(c.cast("string")).alias("_h"))
-        .groupBy(*keys)
-        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("kmv"))
-    )
+    return df.groupBy(*keys).agg(kmv_agg(col, k).alias("kmv"))
 
 
 def kmv_merge(partials: DataFrame, keys: list[str], k: int = 64) -> DataFrame:

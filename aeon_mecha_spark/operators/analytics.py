@@ -272,10 +272,20 @@ def cohort_retention(
     (cohort, offset) count-distinct (low cardinality, partial-agg
     combinable because distinct-by-user rides the first shuffle's
     dedup). Offsets are integer period counts — no float arithmetic.
+
+    Rows with a NULL timestamp carry no activity period and are dropped
+    (they would otherwise form a meaningless NULL-offset group).
     """
-    days = {"week": 7, "day": 1}[unit]
+    units = {"week": 7, "day": 1}
+    if unit not in units:
+        raise ValueError(
+            f"cohort_retention: unit must be one of {sorted(units)}, got {unit!r}"
+        )
+    days = units[unit]
     wu = W.partitionBy(user_col)
-    base = df.select(user_col, F.date_trunc(unit, F.col(ts_col)).alias("_bucket"))
+    base = df.filter(F.col(ts_col).isNotNull()).select(
+        user_col, F.date_trunc(unit, F.col(ts_col)).alias("_bucket")
+    )
     withc = base.withColumn("cohort", F.min("_bucket").over(wu))
     offset = F.floor(
         F.datediff(F.to_date("_bucket"), F.to_date("cohort")) / days

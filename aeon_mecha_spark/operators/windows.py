@@ -103,12 +103,18 @@ def rolling_rows_avg(
     """Trailing n-row moving average per key (the rows-frame sibling of
     ``rolling_time_sum``). Pass ``value`` as an exact decimal so the
     frame sum is associative; the mean is then decimal-sum → double →
-    one IEEE division — bit-identical on any partitioning."""
+    one IEEE division — bit-identical on any partitioning.
+
+    AVG semantics: the denominator counts NON-NULL frame values (NULLs
+    are excluded from both sum and count, like SQL AVG / pandas
+    ``rolling(...).mean()``); an all-NULL frame yields NULL. Frames
+    shorter than ``n`` (a key's first rows) average over the rows
+    available — pandas ``rolling(n, min_periods=1)``."""
     w = (
         (W.partitionBy(*keys) if keys else W.partitionBy())
         .orderBy(*_order(order_col))
         .rowsBetween(-(n - 1), 0)
     )
     return df.withColumn(
-        alias, F.sum(value).over(w).cast("double") / F.count(F.lit(1)).over(w)
+        alias, F.sum(value).over(w).cast("double") / F.count(value).over(w)
     )

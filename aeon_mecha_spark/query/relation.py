@@ -90,6 +90,28 @@ class Relation:
         if isinstance(cond, (list, tuple)):
             if not cond:
                 return self  # empty OR-list restricts to nothing in DJ; keep-all is safer here
+            # predicate-only lists (str/Column/dict) fold into ONE OR
+            # filter — no union, no dropDuplicates shuffle, and the
+            # disjunction can still push down to the scan
+            preds: list[Column] = []
+            for c in cond:
+                if isinstance(c, str):
+                    preds.append(F.expr(c))
+                elif isinstance(c, Column):
+                    preds.append(c)
+                elif isinstance(c, Mapping):
+                    p = self._dict_pred(c)
+                    # empty/unmatched dict = keep-all part -> whole OR keeps all
+                    preds.append(F.lit(True) if p is None else p)
+                else:
+                    preds = []
+                    break
+            if preds:
+                pred = preds[0]
+                for p in preds[1:]:
+                    pred = pred | p
+                return self._with(self.df.filter(pred))
+            # relation parts need semi-join semantics: union + PK dedupe
             parts = [self.restrict(c).df for c in cond]
             out = parts[0]
             for p in parts[1:]:

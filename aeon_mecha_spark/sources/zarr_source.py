@@ -8,12 +8,21 @@ twin; readers resolve the pair at read time preferring compressed
 
 Spark shape: twin resolution is a *catalog* operation over the file
 listing (pure DataFrame — implemented here, tested); the decode stage is
-``mapInPandas`` over resolved paths using the zarr library, which is NOT
-in this container — gated behind an import-try with a clear error.
+``mapInPandas`` over resolved store paths. Decoding uses the zarr
+library when present, else a pure numpy+json+zlib fallback that reads
+zarr **v2** stores with ``compressor: null`` or ``zlib`` (the subset a
+container without zarr/blosc can still serve); Blosc-compressed stores
+raise a clear error naming the missing codec.
 """
 
 from __future__ import annotations
 
+import itertools
+import json
+import os
+import zlib
+
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -23,6 +32,53 @@ try:  # pragma: no cover - environment-dependent
     HAS_ZARR = True
 except Exception:  # pragma: no cover
     HAS_ZARR = False
+
+
+def decode_zarr_v2(store_path: str) -> np.ndarray:
+    """Pure numpy+json+zlib reader for a zarr v2 array directory.
+
+    Supports the on-disk format the reference's intermediates use minus
+    the Blosc codec: C/F order, any numpy dtype string, ``compressor``
+    null or ``{"id": "zlib"}``, missing chunks filled with
+    ``fill_value``. Runs identically on the driver or inside an
+    executor task (no Spark/zarr imports).
+    """
+    with open(os.path.join(store_path, ".zarray"), "rb") as f:
+        meta = json.load(f)
+    if meta.get("zarr_format") != 2:
+        raise ValueError(f"{store_path}: not a zarr v2 store")
+    if meta.get("filters"):
+        raise NotImplementedError(f"{store_path}: zarr filters unsupported without the zarr library")
+    comp = meta.get("compressor")
+    if comp is not None and comp.get("id") != "zlib":
+        raise NotImplementedError(
+            f"{store_path}: compressor {comp.get('id')!r} needs the zarr/numcodecs "
+            "libraries (only null/zlib decodable with the stdlib fallback)"
+        )
+    shape = tuple(meta["shape"])
+    chunks = tuple(meta["chunks"])
+    dtype = np.dtype(meta["dtype"])
+    order = meta.get("order", "C")
+    fill = meta.get("fill_value", 0)
+    sep = meta.get("dimension_separator", ".")
+    arr = np.full(shape, 0 if fill is None else fill, dtype=dtype)
+    grid = [max(1, -(-s // c)) for s, c in zip(shape, chunks)] or [1]
+    for idx in itertools.product(*[range(g) for g in grid]):
+        name = sep.join(str(i) for i in idx) if shape else "0"
+        path = os.path.join(store_path, name)
+        if not os.path.exists(path):
+            continue  # missing chunk == fill_value
+        with open(path, "rb") as f:
+            raw = f.read()
+        if comp is not None:
+            raw = zlib.decompress(raw)
+        chunk = np.frombuffer(raw, dtype=dtype).reshape(chunks, order=order)
+        sel = tuple(
+            slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)
+        )
+        trim = tuple(slice(0, sl.stop - sl.start) for sl in sel)
+        arr[sel] = chunk[trim]
+    return arr
 
 
 def resolve_twins(listing: DataFrame, path_col: str = "file_path", prefer: str = "zarr") -> DataFrame:
@@ -55,12 +111,46 @@ def resolve_twins(listing: DataFrame, path_col: str = "file_path", prefer: str =
     return out.filter(F.col("resolved_path").isNotNull())
 
 
-def read_zarr_array(spark, resolved: DataFrame, columns: list[str]):  # pragma: no cover
-    """Decode resolved zarr stores via mapInPandas. Requires the zarr
-    library (absent in this container)."""
-    if not HAS_ZARR:
-        raise NotImplementedError(
-            "zarr library not available in this environment; twin resolution "
-            "(resolve_twins) is fully functional, decode requires `zarr`"
-        )
-    raise NotImplementedError("zarr decode to be implemented where zarr is installed")
+def read_zarr_array(
+    spark,
+    resolved: DataFrame,
+    path_col: str = "resolved_path",
+) -> DataFrame:
+    """Decode resolved zarr v2 stores distributedly via ``mapInPandas``.
+
+    Input: one row per store (e.g. ``resolve_twins`` output). Each
+    executor task decodes its stores locally — only row-shaped output
+    crosses the wire, never whole arrays through the driver. Output is
+    long-form: (store_path, idx, values) with ``idx`` the first-axis
+    index and ``values`` the remaining axis as array<double> (a 1-D
+    store yields single-element arrays), ready to join back onto sample
+    indexes the way the reference aligns ephys blocks
+    (ephys_utils.py:24-72).
+
+    Uses the zarr library when installed; otherwise ``decode_zarr_v2``
+    (null/zlib codecs). One store per task row keeps peak executor
+    memory at one decoded array.
+    """
+    import pandas as pd  # local: executors import lazily
+
+    paths = resolved.select(F.col(path_col).cast("string").alias("store_path"))
+
+    def gen(batches):
+        for pdf in batches:
+            for store in pdf["store_path"]:
+                if HAS_ZARR:  # pragma: no cover - container has no zarr
+                    arr = np.asarray(zarr.open(store, mode="r"))
+                else:
+                    arr = decode_zarr_v2(store)
+                mat = arr.reshape(arr.shape[0], -1) if arr.ndim > 1 else arr.reshape(-1, 1)
+                yield pd.DataFrame(
+                    {
+                        "store_path": store,
+                        "idx": np.arange(mat.shape[0], dtype=np.int64),
+                        "values": [row.astype(np.float64) for row in mat],
+                    }
+                )
+
+    return paths.mapInPandas(
+        gen, schema="store_path string, idx long, values array<double>"
+    )

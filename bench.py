@@ -1,11 +1,18 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "runs": {name: [sec, ...]}, "sf": ...}.
 
 Each query is forced end-to-end with a noop sink (full materialization of
 every output column — ``count()`` would let Catalyst prune the computed
 columns and under-report).
+
+Load robustness: every query runs $SPARK_GRAFT_BENCH_REPS times (default
+3) and reports the BEST run — concurrent machine load only ever slows a
+run down, so min is the low-noise estimator of the code's cost; all raw
+runs are emitted under "runs" so variance is visible. The Spark cache is
+cleared between reps (queries that .cache() intermediates would otherwise
+get a warm-cache rep 2+).
 """
 
 from __future__ import annotations
@@ -48,6 +55,8 @@ HEADLINE = [
     "q59_time_weighted_avg",   # lead-window + decimal weighted agg
     "q60_gap_fill",          # sequence/explode gap fill + LOCF window
     "q61_funnel",            # 4-stage ordered funnel
+    "q70_cohort_retention",  # per-user window + distinct rollup
+    "q72_near_dup_lsh",      # LSH-bucketed near-dup (scale-safe default)
 ]
 
 
@@ -63,12 +72,19 @@ def main() -> None:
     # JVM/codegen init (~8 s of fixed cost at this tiny scale)
     for wname in ("q17_hourly_rollup", "q13_qc_deltas", "q06_revenue_by_nation"):
         qs[wname](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        df = qs[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            df = qs[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(round(time.perf_counter() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -78,6 +94,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
+                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -95,6 +95,54 @@ def test_refresh_matches_full_recompute(spark, tmp_path):
     assert got == want
 
 
+def test_kmv_column_refresh_matches_full_recompute(spark, tmp_path):
+    """A KMV sketch column rides the rollup like any other aggregate:
+    incremental open-bucket refresh leaves the stored sketches identical
+    to a from-scratch build, and merging the stored hourly partials to a
+    coarser grouping is bit-identical to sketching the raw facts —
+    distinct counts become composable the way sums already are."""
+    from aeon_mecha_spark.datapipe import sketch
+
+    fact = str(tmp_path / "fact")
+    schema = "ts timestamp, device string, user string"
+    rows = [
+        (T0 + dt.timedelta(minutes=11 * i), f"d{i % 2}", f"u{i % 7}")
+        for i in range(40)
+    ]
+    spark.createDataFrame(rows[:22], schema).write.mode("overwrite").parquet(fact)
+    ca = ContinuousAggregate(
+        source=lambda s: s.read.parquet(fact),
+        ts_col="ts",
+        dims=["device"],
+        agg_factory=lambda: [
+            F.count(F.lit(1)).alias("n"),
+            sketch.kmv_agg("user", k=4).alias("kmv"),
+        ],
+        table=Table("rollup_kmv", pk=["bucket", "device"], root=str(tmp_path)),
+    )
+    ca.refresh(spark)
+    spark.createDataFrame(rows[22:], schema).write.mode("append").parquet(fact)
+    ca.refresh(spark)
+
+    full = (
+        spark.read.parquet(fact)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"), "device")
+        .agg(F.count(F.lit(1)).alias("n"), sketch.kmv_agg("user", k=4).alias("kmv"))
+    )
+    got = sorted(map(tuple, ca.table.read(spark).select("bucket", "device", "n", "kmv").collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want
+
+    # stored hourly partials -> per-device sketches, no fact rescan
+    merged = sketch.kmv_estimate(
+        sketch.kmv_merge(ca.table.read(spark), ["device"], k=4), k=4
+    )
+    direct = sketch.kmv_estimate(
+        sketch.kmv_partial(spark.read.parquet(fact), "user", ["device"], k=4), k=4
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
 def test_dim_partitioned_rollup_keeps_closed_history(spark, tmp_path):
     """A partition spec WITHOUT the bucket column must take the upsert
     path — dynamic overwrite would wipe each dim's closed buckets."""

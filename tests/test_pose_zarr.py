@@ -67,9 +67,22 @@ def test_zarr_twin_resolution(spark):
     assert strict == {"rec1", "rec3"}
 
 
-def test_zarr_decode_is_gated(spark):
-    listing = spark.createDataFrame([Row(file_path="/data/a/rec1.zarr")])
+def test_zarr_blosc_codec_is_gated(spark, tmp_path):
+    """The numpy fallback decodes null/zlib v2 stores (test_zarr_decode);
+    the one remaining gate is the Blosc codec, which needs the zarr lib
+    and must fail with an error naming it."""
+    import json
+
+    store = tmp_path / "rec1.zarr"
+    store.mkdir()
+    (store / ".zarray").write_text(json.dumps({
+        "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+        "compressor": {"id": "blosc", "cname": "zstd"},
+        "fill_value": 0, "order": "C", "filters": None,
+    }))
+    (store / "0").write_bytes(b"\x00" * 16)
+    listing = spark.createDataFrame([Row(file_path=str(store))])
     resolved = Z.resolve_twins(listing)
     if not Z.HAS_ZARR:
-        with pytest.raises(NotImplementedError):
-            Z.read_zarr_array(spark, resolved, ["ch0"])
+        with pytest.raises(Exception, match="blosc"):
+            Z.read_zarr_array(spark, resolved).collect()

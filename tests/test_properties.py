@@ -181,3 +181,80 @@ def test_kmv_exact_under_capacity_and_positive(spark, n, k):
         assert r["est_distinct"] == float(n)
     else:
         assert r["est_distinct"] > 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.decimals(min_value=-999, max_value=999, places=2).map(float),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n=st.integers(min_value=1, max_value=6),
+)
+def test_rolling_rows_avg_matches_exact_reference(spark, vals, n):
+    """rolling_rows_avg == an exact Decimal-sum reference on random
+    frames with NULL holes — same arithmetic as the operator (exact
+    frame sum → double → one IEEE division), which is *more* accurate
+    than pandas' incremental float rolling mean, so pandas only gets an
+    approx comparison."""
+    import math
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from aeon_mecha_spark.operators.windows import rolling_rows_avg
+
+    df = spark.createDataFrame(list(enumerate(vals)), "i long, v double")
+    out = (
+        rolling_rows_avg(df, F.col("v").cast("decimal(18,2)"), "i", [], n=n, alias="m")
+        .orderBy("i")
+        .collect()
+    )
+    approx = pd.Series(vals, dtype="float64").rolling(n, min_periods=1).mean()
+    for i, (r, a) in enumerate(zip(out, approx)):
+        frame = [v for v in vals[max(0, i - n + 1) : i + 1] if v is not None]
+        assert (r["m"] is None) == (not frame) == math.isnan(a)
+        if frame:
+            exact = float(sum(Decimal(str(v)) for v in frame)) / len(frame)
+            assert r["m"] == exact
+            assert r["m"] == pytest.approx(a, rel=1e-12, abs=1e-12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),       # user
+            st.integers(min_value=0, max_value=40),      # day offset
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_cohort_retention_counts_bounded_by_cohort_size(spark, events):
+    """Every (cohort, offset) cell counts at most the cohort's size, the
+    offset-0 cell counts exactly it, and offsets are non-negative."""
+    from aeon_mecha_spark.operators.analytics import cohort_retention
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u, base + dt.timedelta(days=d)) for u, d in events]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = cohort_retention(df, "user_id", "ts", "week").collect()
+    first_week = {}
+    for u, d in events:
+        wk = base + dt.timedelta(days=d)
+        wk = (wk - dt.timedelta(days=wk.weekday())).replace(hour=0)
+        if u not in first_week or wk < first_week[u]:
+            first_week[u] = wk
+    from collections import Counter
+
+    cohort_sizes = Counter(first_week.values())
+    for r in out:
+        assert r["offset"] >= 0
+        assert r["n_users"] <= cohort_sizes[r["cohort"]]
+    zero = {r["cohort"]: r["n_users"] for r in out if r["offset"] == 0}
+    assert zero == dict(cohort_sizes)

@@ -130,3 +130,34 @@ def test_universal_set(rels):
     assert mx == 30.0
     per_g = {r.g: r.total for r in U("g").aggr(a, total="sum(v)").df.collect()}
     assert per_g == {"x": 30.0, "y": 30.0}
+
+
+def test_list_restriction_or_semantics(rels):
+    a, b = rels
+    out = a & ["v > 25", {"g": "x"}]
+    assert sorted(r.k for r in out.df.collect()) == [1, 2, 3]
+    # overlap between parts must not duplicate rows
+    out2 = a & ["v > 5", "v > 15"]
+    assert sorted(r.k for r in out2.df.collect()) == [1, 2, 3]
+
+
+def test_list_restriction_predicates_fold_to_single_filter(rels):
+    """Predicate-only OR lists must stay a shuffle-free Filter (no
+    union + dropDuplicates exchange)."""
+    import contextlib
+    import io
+
+    a, _ = rels
+    out = a & ["v > 25", {"g": "x"}]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.df.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p
+    assert "Union" not in p
+
+
+def test_list_restriction_with_relation_part_still_unions(rels):
+    a, b = rels
+    out = a & [b, "v > 25"]   # semi-join part + predicate part
+    assert sorted(r.k for r in out.df.collect()) == [1, 3]

@@ -1,0 +1,104 @@
+"""Round-trip tests for the zarr v2 numpy fallback decoder (S11 decode
+path): stores are written by hand (json metadata + raw/zlib chunk
+files, the on-disk v2 format), then read back both directly and through
+the distributed mapInPandas reader."""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+
+import numpy as np
+import pytest
+
+from aeon_mecha_spark.sources.zarr_source import decode_zarr_v2, read_zarr_array, resolve_twins
+
+
+def _write_store(path, arr, chunks, compressor=None, order="C", fill_value=0, skip=()):
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "zarr_format": 2,
+        "shape": list(arr.shape),
+        "chunks": list(chunks),
+        "dtype": arr.dtype.str,
+        "compressor": compressor,
+        "fill_value": fill_value,
+        "order": order,
+        "filters": None,
+    }
+    with open(os.path.join(path, ".zarray"), "w") as f:
+        json.dump(meta, f)
+    grid = [-(-s // c) for s, c in zip(arr.shape, chunks)]
+    import itertools
+
+    for idx in itertools.product(*[range(g) for g in grid]):
+        if idx in skip:
+            continue
+        # v2 stores FULL-SIZE chunks; edge chunks are padded
+        block = np.full(chunks, fill_value, dtype=arr.dtype)
+        sel = tuple(slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, arr.shape))
+        part = arr[sel]
+        block[tuple(slice(0, p) for p in part.shape)] = part
+        raw = block.tobytes(order=order)
+        if compressor is not None:
+            raw = zlib.compress(raw)
+        with open(os.path.join(path, ".".join(map(str, idx))), "wb") as f:
+            f.write(raw)
+
+
+def test_decode_uncompressed_2d_with_edge_chunks(tmp_path):
+    rng = np.random.default_rng(3)
+    arr = rng.normal(size=(10, 7)).astype("<f8")
+    store = str(tmp_path / "a.zarr")
+    _write_store(store, arr, chunks=(4, 3))
+    np.testing.assert_array_equal(decode_zarr_v2(store), arr)
+
+
+def test_decode_zlib_int16_fortran_order(tmp_path):
+    arr = (np.arange(60, dtype="<i2") * 7).reshape(12, 5)
+    store = str(tmp_path / "b.zarr")
+    _write_store(store, arr, chunks=(5, 5), compressor={"id": "zlib", "level": 5}, order="F")
+    np.testing.assert_array_equal(decode_zarr_v2(store), arr)
+
+
+def test_decode_missing_chunk_uses_fill_value(tmp_path):
+    arr = np.ones((6, 4), dtype="<f4")
+    store = str(tmp_path / "c.zarr")
+    _write_store(store, arr, chunks=(3, 4), fill_value=-9.0, skip={(1, 0)})
+    out = decode_zarr_v2(store)
+    np.testing.assert_array_equal(out[:3], arr[:3])
+    assert (out[3:] == -9.0).all()
+
+
+def test_decode_rejects_blosc_with_clear_error(tmp_path):
+    arr = np.zeros((2, 2), dtype="<f8")
+    store = str(tmp_path / "d.zarr")
+    _write_store(store, arr, chunks=(2, 2))
+    meta = json.load(open(os.path.join(store, ".zarray")))
+    meta["compressor"] = {"id": "blosc", "cname": "zstd"}
+    json.dump(meta, open(os.path.join(store, ".zarray"), "w"))
+    with pytest.raises(NotImplementedError, match="blosc"):
+        decode_zarr_v2(store)
+
+
+def test_read_zarr_array_distributed_roundtrip(spark, tmp_path):
+    """resolve_twins → read_zarr_array: the full S11 path, zarr preferred
+    over its bin twin, decoded inside executor tasks."""
+    rng = np.random.default_rng(11)
+    ephys = rng.normal(size=(50, 3)).astype("<f8")  # samples x channels
+    clock = np.arange(20, dtype="<u8").astype("<f8") * 32  # 1-D stream
+    s1 = str(tmp_path / "stream_a.zarr")
+    s2 = str(tmp_path / "stream_b.zarr")
+    _write_store(s1, ephys, chunks=(16, 3), compressor={"id": "zlib", "level": 1})
+    _write_store(s2, clock, chunks=(8,))
+    listing = spark.createDataFrame(
+        [(s1,), (str(tmp_path / "stream_a.bin"),), (s2,)], "file_path string"
+    )
+    resolved = resolve_twins(listing, prefer="zarr")
+    assert {r["resolved_format"] for r in resolved.collect()} == {"zarr"}
+    out = read_zarr_array(spark, resolved).toPandas()
+    a = out[out.store_path == s1].sort_values("idx")
+    np.testing.assert_array_equal(np.stack(a["values"].to_numpy()), ephys)
+    b = out[out.store_path == s2].sort_values("idx")
+    np.testing.assert_array_equal(np.stack(b["values"].to_numpy())[:, 0], clock)
