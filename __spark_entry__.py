@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from aeon_mecha_spark.datapipe import dedup, similarity, sketch, textqc
+from aeon_mecha_spark.datapipe import curation, dedup, similarity, sketch, textqc
 from aeon_mecha_spark.functions import text as TX
 from aeon_mecha_spark.functions.hashing import key_hash
 from aeon_mecha_spark.functions.time import chunk_end as f_chunk_end
@@ -947,6 +947,85 @@ def q72_near_dup_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
 
 
+def q73_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: distinct 3-gram overlap of each corpus
+    doc against a broadcast benchmark shingle set (docs with id % 97 == 0
+    play the held-out benchmark)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = curation.decontaminate(corpus, bench, k=3)
+    return _longs(out, "n_shingles", "n_overlap")
+
+
+def q74_hash_sample(spark, sf_dir):
+    """Deterministic 10% Bernoulli sample by seeded MD5 of the doc id —
+    reproducible across engines/partitionings, nested across fractions."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return curation.hash_sample(docs, "doc_id", fraction=0.1, seed=0)
+
+
+def q75_stratified_sample(spark, sf_dir):
+    """Five docs per language, chosen by smallest seeded hash — a fixed-
+    size deterministic stratified sample (WindowGroupLimit plan)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return curation.stratified_sample(docs, ["lang"], 5, "doc_id", seed=0)
+
+
+def q76_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk packing index per source shard: token cumsum →
+    512-token training bins. Integer arithmetic end to end."""
+    docs = _t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    return curation.pack_sequences(docs, budget=512, keys=["source"])
+
+
+def q77_merge_intervals(spark, sf_dir):
+    """Union of overlapping per-user activity intervals (event start +
+    value-derived duration), µs-integer gaps-and-islands."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "user_id",
+        us.alias("start_us"),
+        (us + (F.floor(F.col("value")).cast("long") + 1) * 1_000_000).alias("end_us"),
+    )
+    out = curation.merge_intervals(iv, "start_us", "end_us", ["user_id"])
+    return _longs(out, "start", "end", "n_merged")
+
+
+def q78_redact_pii(spark, sf_dir):
+    """PII redaction counts + cleaned text over docs seeded with one
+    synthetic email/IP/phone each (the base corpus has none — the seed
+    makes the regex path observable)."""
+    d = F.col("doc_id").cast("string")
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"), d, F.lit("@ex"),
+                (F.col("doc_id") % 7).cast("string"), F.lit(".com ip 10."),
+                (F.col("doc_id") % 200).cast("string"), F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"), F.lit(" tel +1 555-01"),
+                (F.col("doc_id") % 90 + 10).cast("string"),
+            ).alias("text"),
+        )
+    )
+    return curation.redact_pii(docs)
+
+
+def q79_dedup_clusters(spark, sf_dir):
+    """Connected components over the LSH candidate pairs: canonical
+    min-id cluster per near-duplicate group (iterative min-label
+    propagation; oracle = recursive-CTE transitive closure)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, num_hashes=_NUM_MINHASH)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=_NUM_MINHASH, bands=_MINHASH_BANDS)
+    return dedup.dedup_clusters(pairs)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -988,6 +1067,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_cohort_retention": q70_cohort_retention,
         "q71_rolling_avg": q71_rolling_avg,
         "q72_near_dup_lsh": q72_near_dup_lsh,
+        "q73_decontaminate": q73_decontaminate,
+        "q74_hash_sample": q74_hash_sample,
+        "q75_stratified_sample": q75_stratified_sample,
+        "q76_pack_sequences": q76_pack_sequences,
+        "q77_merge_intervals": q77_merge_intervals,
+        "q78_redact_pii": q78_redact_pii,
+        "q79_dedup_clusters": q79_dedup_clusters,
         # -- operator-family representatives (all r02-green)
         "q01_pricing_summary": q01_pricing_summary,
         "q02_restrict_expr": q02_restrict_expr,
@@ -1845,5 +1931,132 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "q72_near_dup_lsh": _sql_near_dup_lsh(),
+        "q73_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ), shl AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(generate_series(1, len(t) - 2),
+                                              i -> array_to_string(t[i:i+2], ' '))
+                          ELSE [array_to_string(t, ' ')] END AS sh
+              FROM toks
+            ), corp AS (
+              SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM shl
+              WHERE doc_id % 97 <> 0
+            ), bench AS (
+              SELECT DISTINCT unnest(list_distinct(sh)) AS shingle FROM shl
+              WHERE doc_id % 97 = 0
+            )
+            SELECT c.doc_id,
+                   count(*)::bigint AS n_shingles,
+                   count(b.shingle)::bigint AS n_overlap,
+                   count(b.shingle)::double / count(*)::double AS contamination
+            FROM corp c LEFT JOIN bench b USING (shingle)
+            GROUP BY c.doc_id
+        """,
+        "q74_hash_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5('0:' || doc_id::varchar), 1, 15))::bigint
+                  % 1000000 < 100000
+        """,
+        "q75_stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5('0:' || doc_id::varchar), 1, 15))::bigint,
+                                doc_id) AS rn
+              FROM documents)
+            WHERE rn <= 5
+        """,
+        "q76_pack_sequences": """
+            WITH tc AS (
+              SELECT source, doc_id,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END)::bigint AS n_tokens
+              FROM documents
+            ), packed AS (
+              SELECT source, doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint AS start_offset
+              FROM tc
+            )
+            SELECT source, doc_id, n_tokens, start_offset,
+                   (start_offset // 512)::bigint AS bin_id
+            FROM packed
+        """,
+        "q77_merge_intervals": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + (floor(value)::bigint + 1) * 1000000 AS e
+              FROM events
+            ), fl AS (
+              SELECT user_id, s, e,
+                     CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                          THEN 1 ELSE 0 END AS nw
+              FROM iv
+              WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), isl AS (
+              SELECT user_id, s, e,
+                     sum(nw) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM fl
+            )
+            SELECT user_id, min(s)::bigint AS start, max(e)::bigint AS "end",
+                   count(*)::bigint AS n_merged
+            FROM isl GROUP BY user_id, island
+        """,
+        "q78_redact_pii": """
+            WITH seeded AS (
+              SELECT doc_id,
+                     text || ' contact u' || doc_id::varchar || '@ex'
+                          || (doc_id % 7)::varchar || '.com ip 10.'
+                          || (doc_id % 200)::varchar || '.0.'
+                          || (doc_id % 250)::varchar || ' tel +1 555-01'
+                          || (doc_id % 90 + 10)::varchar AS t
+              FROM documents WHERE doc_id < 200
+            ), s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::bigint AS n_email,
+                     regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g') AS t
+              FROM seeded
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::bigint AS n_ipv4,
+                     regexp_replace(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[REDACTED]', 'g') AS t
+              FROM s1
+            ), s3 AS (
+              SELECT doc_id, n_email, n_ipv4,
+                     len(regexp_extract_all(t, '\\+\\d[\\d\\- ]{7,}\\d'))::bigint AS n_phone,
+                     regexp_replace(t, '\\+\\d[\\d\\- ]{7,}\\d', '[REDACTED]', 'g') AS t
+              FROM s2
+            )
+            SELECT doc_id, n_email, n_ipv4, n_phone, t AS clean_text FROM s3
+        """,
+        "q79_dedup_clusters": _sql_minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1) + f"""
+        , buckets AS (
+            SELECT doc_id, band, bh FROM (
+              SELECT doc_id,
+                     unnest(range({_MINHASH_BANDS})) AS band,
+                     unnest([{', '.join(f"md5(mh_{2*b}::varchar || ',' || mh_{2*b+1}::varchar)" for b in range(_MINHASH_BANDS))}]) AS bh
+              FROM sigs)
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b, id_a FROM pairs
+        ), walk(id, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+        )
+        SELECT id AS doc_id, min(lbl)::bigint AS cluster_id FROM walk GROUP BY id
+        """,
     }
     return sqls

@@ -1,0 +1,246 @@
+"""Training-data curation operators: benchmark decontamination,
+deterministic sampling, sequence packing, interval union, and PII
+redaction.
+
+These are the pipeline stages between raw-document dedup (dedup.py) and
+model training: drop benchmark-contaminated documents, draw reproducible
+samples, pack token streams into fixed budgets, consolidate time/byte
+ranges, and scrub obvious PII. Every operator is a pure Catalyst plan
+built on the engine-portable MD5 hash family and integer arithmetic, so
+each has an exact DuckDB oracle.
+
+Scale design (100 TB of documents):
+- decontamination broadcasts the BENCHMARK shingle set (benchmarks are
+  MBs, corpora are TBs) — the corpus never shuffles;
+- hash sampling is a map-side filter (no shuffle, no sort, no state);
+- stratified sampling is one WindowGroupLimit per stratum — the k cutoff
+  is pushed below the sort, so only k rows per stratum survive the
+  exchange;
+- sequence packing is a running cumsum per shard key; pack per shard
+  (file, source, date) at scale — a global pack is a single-partition
+  window and is only for small corpora;
+- interval merge is the gaps-and-islands window pattern: one shuffle on
+  the key, one pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from aeon_mecha_spark.functions.hashing import md5_long
+from aeon_mecha_spark.functions.text import token_count, word_shingles
+from aeon_mecha_spark.util import spread
+
+# Redaction patterns: portable between Java regex (Spark) and RE2
+# (DuckDB) — no lookaround, no backreferences.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d\- ]{7,}\d",
+}
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination score per corpus document.
+
+    A corpus document is contaminated to the degree its distinct k-word
+    shingles also appear anywhere in the benchmark (eval-set) corpus —
+    the standard train/test overlap check run before training. Returns
+    ``(id, n_shingles, n_overlap, contamination)`` with contamination =
+    n_overlap / n_shingles (one IEEE division; 0 for shingle-less docs).
+    Filter ``contamination >= θ`` to drop, or join back for audit.
+
+    Plan: the benchmark reduces to one distinct-shingle set that is
+    BROADCAST (benchmarks are small by construction); the corpus streams
+    through a map-side shingle explode + broadcast left-semi-style join
+    + one groupBy(id) count. The corpus is never on the build side and
+    never shuffles on the shingle — at 100 TB the only exchange is the
+    per-document count partial.
+    """
+    sh = F.explode(
+        F.array_distinct(word_shingles(F.col(text_col), k))
+    ).alias("shingle")
+    corpus_sh = spread(corpus).select(F.col(id_col), sh)
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias(
+                "shingle"
+            )
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    scored = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("_hit").alias("n_overlap"),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "contamination"
+        ),
+    )
+
+
+def hash_sample(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    fraction: float = 0.1,
+    seed: int = 0,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose seeded 60-bit MD5
+    of ``key_col`` lands below ``fraction`` of the hash space (quantized
+    to ``denom`` buckets so the threshold is an exact integer compare).
+
+    Reproducible across engines, runs, partitionings, and cluster sizes
+    — unlike ``df.sample()``, whose output depends on partition layout.
+    Disjoint seeds give independent samples (train/val/test splits); the
+    same seed at a larger fraction is a SUPERSET of the smaller one, so
+    scaling a sample up keeps every row already drawn. Pure map-side
+    filter — no shuffle, no state.
+    """
+    bucket = md5_long(F.col(key_col).cast("string"), seed=seed) % denom
+    return df.filter(bucket < int(fraction * denom))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: the ``n`` documents
+    with the smallest seeded hash in each group (uniform without
+    replacement, reproducible).
+
+    One window per stratum ordered by (hash, key); Spark's
+    WindowGroupLimit pushes the ``n`` cutoff below the sort so each
+    partition retains only n rows per stratum before the exchange —
+    balanced class subsampling at corpus scale.
+    """
+    h = md5_long(F.col(key_col).cast("string"), seed=seed)
+    w = W.partitionBy(*strata).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are ordered
+    deterministically (by id within each shard key), token counts are
+    cumulatively summed, and each document is assigned the training bin
+    its first token falls in: ``bin_id = start_offset // budget``.
+
+    Returns ``(keys…, id, n_tokens, start_offset, bin_id)`` — the
+    standard packing index for LLM training shards (documents are
+    concatenated into a token stream and split every ``budget`` tokens;
+    a document straddling a boundary is indexed by its starting chunk).
+    Integer arithmetic only — exact on any engine.
+
+    Pass ``keys`` (source file / shard / date) at scale: packing is a
+    running window, so each key packs independently and in parallel.
+    An unkeyed pack is a single-partition window — small corpora only.
+    """
+    keys = list(keys or [])
+    w = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(id_col)
+    n_tok = token_count(F.col(text_col)).cast("long")
+    out = (
+        spread(docs)
+        .select(*keys, F.col(id_col), n_tok.alias("n_tokens"))
+        .withColumn(
+            "start_offset",
+            F.coalesce(F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)).cast("long"),
+        )
+        .withColumn("bin_id", (F.col("start_offset") / budget).cast("long"))
+    )
+    return out
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str = "start",
+    end_col: str = "end",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Union of overlapping/touching intervals per key (gaps-and-islands).
+
+    Consolidates coverage ranges — session spans, processed byte/time
+    ranges, valid-data windows — into disjoint maximal intervals:
+    ``(keys…, start, end, n_merged)``. An interval starting exactly at
+    the previous maximum end is merged (closed intervals).
+
+    One shuffle on the key, then two window passes: island boundary =
+    start > max(end) over all preceding rows (handles nested intervals,
+    not just adjacent ones), island id = running count of boundaries,
+    then one groupBy(island). Engine-portable: the same two windows run
+    verbatim in ANSI SQL.
+    """
+    keys = list(keys or [])
+    wo = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(
+        start_col, end_col
+    )
+    prev_max = F.max(end_col).over(wo.rowsBetween(W.unboundedPreceding, -1))
+    flag = F.when(
+        prev_max.isNull() | (F.col(start_col) > prev_max), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = df.withColumn("_new", flag).withColumn(
+        "_island", F.sum("_new").over(wo.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy(*keys, "_island")
+        .agg(
+            F.min(start_col).alias("start"),
+            F.max(end_col).alias("end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_island")
+    )
+
+
+def redact_pii(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    token: str = "[REDACTED]",
+) -> DataFrame:
+    """Scrub PII-shaped substrings (emails, IPv4 addresses, phone-like
+    digit runs) and count what was removed per category.
+
+    Returns ``(id, clean_text, n_email, n_ipv4, n_phone, …)`` — counts
+    drive corpus-level audit rollups; the cleaned text feeds the next
+    stage. Patterns are applied in dict order (email before phone, so a
+    phone-like sequence inside an address is attributed once). All
+    regexp work is JVM-side, one map pass, no shuffle; patterns avoid
+    lookaround so the identical regex runs under RE2 for the oracle.
+    """
+    patterns = patterns or PII_PATTERNS
+    clean: Column = F.col(text_col)
+    counts = []
+    for name, pat in patterns.items():
+        counts.append(F.regexp_count(clean, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, token)
+    return spread(docs).select(F.col(id_col), *counts, clean.alias("clean_text"))

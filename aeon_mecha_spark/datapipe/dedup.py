@@ -152,6 +152,65 @@ def ngram_jaccard(
     )
 
 
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    reachable through a chain of pair edges gets the same canonical
+    ``cluster_id`` (the minimum doc id in its component) — the step that
+    turns pairwise near-dup verdicts (LSH/Jaccard/cosine) into "keep one
+    representative per duplicate cluster".
+
+    Input: ordered pairs ``(id_a, id_b)``. Output: ``(doc_id,
+    cluster_id)`` for every id appearing in a pair (singletons never
+    enter the pair table and need no row).
+
+    Iterative min-label propagation: each round every vertex takes the
+    minimum label among itself and its neighbours; a fixpoint is reached
+    in O(component diameter) rounds — near-dup clusters are shallow
+    (duplicates of duplicates), so a handful of rounds in practice, with
+    ``max_iter`` as the runaway guard. Each round is one shuffle-join on
+    the edge list + one groupBy(min); intermediate lineage is truncated
+    with ``localCheckpoint`` so plans don't grow with the iteration
+    count. The driver sees only the one-row convergence count per round,
+    never the data.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbour_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbour_min, labels.id == neighbour_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (F.coalesce(F.col("nbr_min"), F.col("cluster_id")) < F.col("cluster_id")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash fingerprint: for each bit position, sign of the sum of
     (+1/−1) votes from token hashes. Implemented as explode(tokens) →

@@ -57,6 +57,7 @@ HEADLINE = [
     "q61_funnel",            # 4-stage ordered funnel
     "q70_cohort_retention",  # per-user window + distinct rollup
     "q72_near_dup_lsh",      # LSH-bucketed near-dup (scale-safe default)
+    "q73_decontaminate",     # broadcast benchmark-shingle overlap
 ]
 
 

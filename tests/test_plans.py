@@ -107,3 +107,29 @@ def test_q63_kmv_prunes_with_window_group_limit(spark, entry, sf_dir):
     shuffle carries ~k rows per group, not every distinct hash."""
     p = plan_str(entry.queries()["q63_kmv_distinct"](spark, sf_dir))
     assert "WindowGroupLimit" in p
+
+
+def test_q73_decontaminate_broadcasts_benchmark(spark, entry, sf_dir):
+    """The benchmark shingle set must be the broadcast build side; the
+    corpus must shuffle only for the per-doc count (never on the
+    shingle), and nothing may degenerate to a nested-loop join."""
+    p = plan_str(entry.queries()["q73_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q75_stratified_sample_pushes_group_limit(spark, entry, sf_dir):
+    """The n-per-stratum cutoff must push below the sort (partial
+    WindowGroupLimit) so each task retains n rows per stratum before the
+    exchange."""
+    p = plan_str(entry.queries()["q75_stratified_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+
+
+def test_q74_hash_sample_is_shuffle_free(spark, entry, sf_dir):
+    """The deterministic hash sample is a pure map-side filter — no
+    Exchange anywhere in the plan."""
+    p = plan_str(entry.queries()["q74_hash_sample"](spark, sf_dir))
+    assert "Exchange" not in p
