@@ -1026,6 +1026,40 @@ def q79_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs)
 
 
+_MIX_FRACTIONS = {"en": 0.5, "zh": 0.3, "fr": 0.05}
+
+
+def q80_mixture_sample(spark, sf_dir):
+    """Deterministic per-language mixture sampling toward a target
+    distribution (unlisted languages fall to the 10% default) — a pure
+    map-side seeded-hash filter."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return curation.mixture_sample(
+        docs, "lang", _MIX_FRACTIONS, "doc_id", seed=0, default_fraction=0.1
+    )
+
+
+def q81_repetition_ratio(spark, sf_dir):
+    """Gopher-style intra-doc repetition: repeated 3-gram occurrence
+    fraction, computed as array sizes in one map pass (no explode)."""
+    out = curation.repetition_ratio(_t(spark, sf_dir, "documents"), k=3)
+    return out.withColumn("rep_ratio", F.round(F.col("rep_ratio"), 6))
+
+
+def q82_quality_filter(spark, sf_dir):
+    """C4/Gopher rule-based filter verdicts: per-rule booleans + the
+    conjunction, all integer-count ratios (engine-exact comparisons)."""
+    return curation.quality_filter(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=10,
+        max_tokens=1000,
+        min_mean_token_len=3.0,
+        max_mean_token_len=6.0,
+        max_punct_ratio=0.05,
+        max_rep_ratio=0.6,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1074,6 +1108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_merge_intervals": q77_merge_intervals,
         "q78_redact_pii": q78_redact_pii,
         "q79_dedup_clusters": q79_dedup_clusters,
+        "q80_mixture_sample": q80_mixture_sample,
+        "q81_repetition_ratio": q81_repetition_ratio,
+        "q82_quality_filter": q82_quality_filter,
         # -- operator-family representatives (all r02-green)
         "q01_pricing_summary": q01_pricing_summary,
         "q02_restrict_expr": q02_restrict_expr,
@@ -2057,6 +2094,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
         )
         SELECT id AS doc_id, min(lbl)::bigint AS cluster_id FROM walk GROUP BY id
+        """,
+        "q80_mixture_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE ('0x' || substr(md5('0:' || doc_id::varchar), 1, 15))::bigint % 1000000
+                  < CASE
+                      {' '.join(f"WHEN lang = '{lang}' THEN {int(frac * 1_000_000)}" for lang, frac in _MIX_FRACTIONS.items())}
+                      ELSE 100000 END
+        """,
+        "q81_repetition_ratio": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ), shl AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(generate_series(1, len(t) - 2),
+                                              i -> array_to_string(t[i:i+2], ' '))
+                          ELSE [array_to_string(t, ' ')] END AS sh
+              FROM toks
+            )
+            SELECT doc_id,
+                   len(sh)::bigint AS n_shingles,
+                   len(list_distinct(sh))::bigint AS n_distinct,
+                   round(CASE WHEN len(sh) > 0
+                         THEN 1.0 - len(list_distinct(sh))::double / len(sh)::double
+                         ELSE 0.0 END, 6) AS rep_ratio
+            FROM shl
+        """,
+        "q82_quality_filter": """
+            WITH toks AS (
+              SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                     len(t)::bigint AS n_tok,
+                     CASE WHEN len(t) > 0
+                          THEN list_sum(list_transform(t, x -> length(x))) / len(t)
+                          ELSE 0.0 END AS mtl,
+                     CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)
+                          ELSE 0.0 END AS pr,
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(generate_series(1, len(t) - 2),
+                                              i -> array_to_string(t[i:i+2], ' '))
+                          ELSE [array_to_string(t, ' ')] END AS sh
+              FROM toks
+            ), rules AS (
+              SELECT doc_id,
+                     (n_tok >= 10 AND n_tok <= 1000) AS ok_n_tokens,
+                     (mtl >= 3.0 AND mtl <= 6.0) AS ok_token_len,
+                     (pr <= 0.05) AS ok_punct,
+                     ((CASE WHEN len(sh) > 0
+                            THEN 1.0 - len(list_distinct(sh))::double / len(sh)::double
+                            ELSE 0.0 END) <= 0.6) AS ok_repetition
+              FROM feats
+            )
+            SELECT doc_id, ok_n_tokens, ok_token_len, ok_punct, ok_repetition,
+                   (ok_n_tokens AND ok_token_len AND ok_punct AND ok_repetition) AS passes
+            FROM rules
         """,
     }
     return sqls

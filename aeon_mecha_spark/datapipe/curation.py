@@ -117,6 +117,120 @@ def hash_sample(
     return df.filter(bucket < int(fraction * denom))
 
 
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 0,
+    default_fraction: float = 0.0,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic mixture sampling: a different Bernoulli fraction per
+    stratum — how a training mix is rebalanced toward a target domain /
+    language / source distribution (upweight curated sources, downweight
+    boilerplate-heavy ones).
+
+    Same seeded-hash threshold as ``hash_sample`` but the cutoff is a
+    per-stratum CASE: strata absent from ``fractions`` fall back to
+    ``default_fraction``. Still a pure map-side filter — no shuffle —
+    and per-stratum samples stay nested across fraction increases, so a
+    mix can be re-weighted without churning rows that both mixes keep.
+    """
+    bucket = md5_long(F.col(key_col).cast("string"), seed=seed) % denom
+    cutoff: Column = F.lit(int(default_fraction * denom))
+    for stratum, frac in fractions.items():
+        cutoff = F.when(
+            F.col(strata_col) == stratum, F.lit(int(frac * denom))
+        ).otherwise(cutoff)
+    return df.filter(bucket < cutoff)
+
+
+def repetition_ratio(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Intra-document repetition score: the fraction of k-word shingle
+    occurrences that are repeats of an earlier shingle in the same
+    document (the Gopher-style "repetitious text" quality signal —
+    boilerplate, keyword stuffing, and template spam score high).
+
+    ``rep_ratio = 1 − distinct_shingles / total_shingles`` (0.0 for
+    documents with a single shingle). Pure per-document Catalyst array
+    work — no explode, no shuffle: the shingle array and its distinct
+    count are computed in one map pass.
+    """
+    sh = word_shingles(F.col(text_col), k)
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    return spread(docs).select(
+        F.col(id_col),
+        total.cast("long").alias("n_shingles"),
+        distinct.cast("long").alias("n_distinct"),
+        F.when(
+            total > 0,
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep_ratio"),
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 2.0,
+    max_mean_token_len: float = 12.0,
+    max_punct_ratio: float = 0.3,
+    max_rep_ratio: float = 0.5,
+    k: int = 3,
+) -> DataFrame:
+    """C4/Gopher-style rule-based document filter: one boolean column per
+    rule plus the conjunction, so corpus audits can attribute every
+    rejection to a rule before the filter is applied.
+
+    Rules: token count in [min, max]; mean token length in a sane band
+    (too low = symbol soup, too high = base64/URL runs); punctuation
+    ratio bounded; intra-doc k-gram repetition bounded. All ratios are
+    integer-count divisions (one IEEE division each), so the rule
+    verdicts are engine-exact. One map pass, no shuffle.
+    """
+    from aeon_mecha_spark.functions.text import (
+        mean_token_len,
+        punct_ratio,
+        token_count,
+    )
+
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    mtl = mean_token_len(t)
+    pr = punct_ratio(t)
+    sh = word_shingles(t, k)
+    rep = F.when(
+        F.size(sh) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh).cast("double"),
+    ).otherwise(F.lit(0.0))
+    rules = {
+        "ok_n_tokens": (n_tok >= min_tokens) & (n_tok <= max_tokens),
+        "ok_token_len": (mtl >= min_mean_token_len) & (mtl <= max_mean_token_len),
+        "ok_punct": pr <= max_punct_ratio,
+        "ok_repetition": rep <= max_rep_ratio,
+    }
+    passes: Column = F.lit(True)
+    for c in rules.values():
+        passes = passes & c
+    return spread(docs).select(
+        F.col(id_col),
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata: list[str],

@@ -204,3 +204,64 @@ def test_dedup_clusters_on_lsh_pairs(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[7] == got[8] == 7
     assert 9 not in got  # singleton never entered the pair table
+
+
+def test_mixture_sample_per_stratum_fractions(spark):
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = curation.mixture_sample(
+        df, "lang", {"a": 0.5, "b": 0.05}, "doc_id", default_fraction=0.0
+    )
+    by_lang: dict[str, int] = {}
+    for r in out.collect():
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert 380 < by_lang.get("a", 0) < 620        # ~50% of 1000
+    assert 15 < by_lang.get("b", 0) < 100         # ~5% of 1000
+    assert "c" not in by_lang                      # default 0 drops the stratum
+    # per-stratum membership must agree with hash_sample at the same fraction
+    only_a = {r["doc_id"] for r in out.collect() if r["lang"] == "a"}
+    ref = {
+        r["doc_id"]
+        for r in curation.hash_sample(
+            df.filter(F.col("lang") == "a"), "doc_id", 0.5
+        ).collect()
+    }
+    assert only_a == ref
+
+
+def test_repetition_ratio_reference(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b c"),       # 7 shingles, 3 distinct
+            (1, "all words fully unique here now"),
+            (2, "tiny"),                     # <k tokens -> 1 shingle, ratio 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.repetition_ratio(docs, k=3).collect()}
+    assert out[0]["n_shingles"] == 7 and out[0]["n_distinct"] == 3
+    assert out[0]["rep_ratio"] == 1.0 - 3.0 / 7.0
+    assert out[1]["rep_ratio"] == 0.0
+    assert out[2]["n_shingles"] == 1 and out[2]["rep_ratio"] == 0.0
+
+
+def test_quality_filter_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "this corpus document has enough good tokens to pass easily today"),
+            (1, "too short"),
+            (2, "!!! ??? ;;; ... !!! ??? ;;; ... !!! ???"),
+            (3, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in curation.quality_filter(
+            docs, min_tokens=5, max_rep_ratio=0.5, max_punct_ratio=0.3
+        ).collect()
+    }
+    assert out[0]["passes"]
+    assert not out[1]["ok_n_tokens"] and not out[1]["passes"]
+    assert not out[2]["ok_punct"] and not out[2]["passes"]
+    assert not out[3]["ok_repetition"] and not out[3]["passes"]
