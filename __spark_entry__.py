@@ -1060,6 +1060,33 @@ def q82_quality_filter(spark, sf_dir):
     )
 
 
+def q83_cm_heavy_hitters(spark, sf_dir):
+    """Count-min sketch frequency estimates for the exact top-10 terms:
+    a depth-2 × width-256 mergeable counter grid probed with the
+    min-over-rows estimator (never under-counts)."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(TX.tokens(F.lower(F.col("text")))).alias("term"))
+    sk = sketch.cm_partial(terms, "term", depth=2, width=256)
+    top = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(10)
+    )
+    return sketch.cm_estimate(
+        sk, top.select(F.col("term").alias("item")), depth=2, width=256
+    )
+
+
+def q84_chunk_documents(spark, sf_dir):
+    """Fixed-token document chunking with overlap (32-token chunks,
+    8-token overlap): tokenize once, slice per chunk, explode — pure
+    per-document array work."""
+    return curation.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1111,6 +1138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_mixture_sample": q80_mixture_sample,
         "q81_repetition_ratio": q81_repetition_ratio,
         "q82_quality_filter": q82_quality_filter,
+        "q83_cm_heavy_hitters": q83_cm_heavy_hitters,
+        "q84_chunk_documents": q84_chunk_documents,
         # -- operator-family representatives (all r02-green)
         "q01_pricing_summary": q01_pricing_summary,
         "q02_restrict_expr": q02_restrict_expr,
@@ -2151,6 +2180,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ok_n_tokens, ok_token_len, ok_punct, ok_repetition,
                    (ok_n_tokens AND ok_token_len AND ok_punct AND ok_repetition) AS passes
             FROM rules
+        """,
+        "q83_cm_heavy_hitters": """
+            WITH toks AS (
+              SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents
+            ), rows_ AS (SELECT unnest([0, 1]) AS r),
+            grid AS (
+              SELECT r,
+                     ('0x' || substr(md5(r::varchar || ':' || term), 1, 15))::bigint % 256 AS bucket,
+                     count(*) AS n
+              FROM toks, rows_
+              GROUP BY r, bucket
+            ), exact AS (
+              SELECT term, count(*) AS n FROM toks GROUP BY term
+              ORDER BY n DESC, term LIMIT 10
+            ), probes AS (
+              SELECT e.term,
+                     r,
+                     ('0x' || substr(md5(r::varchar || ':' || e.term), 1, 15))::bigint % 256 AS bucket
+              FROM exact e, rows_
+            )
+            SELECT p.term AS item, min(coalesce(g.n, 0))::bigint AS est_count
+            FROM probes p LEFT JOIN grid g USING (r, bucket)
+            GROUP BY p.term
+        """,
+        "q84_chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::varchar[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS t
+              FROM documents
+            ), meta AS (
+              SELECT doc_id, t,
+                     greatest((len(t) - 8 + 23) // 24, 1) AS n_chunks
+              FROM toks
+            ), chunks AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(0, (n_chunks - 1) * 24, 24)) AS s
+              FROM meta
+            )
+            SELECT doc_id,
+                   (s // 24)::bigint AS chunk_id,
+                   len(t[s+1 : s+32])::bigint AS n_chunk_tokens,
+                   array_to_string(t[s+1 : s+32], ' ') AS chunk_text
+            FROM chunks
         """,
     }
     return sqls

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from aeon_mecha_spark.functions.hashing import md5_long
-from aeon_mecha_spark.functions.text import token_count, word_shingles
+from aeon_mecha_spark.functions.text import token_count, tokens, word_shingles
 from aeon_mecha_spark.util import spread
 
 # Redaction patterns: portable between Java regex (Spark) and RE2
@@ -291,6 +291,65 @@ def pack_sequences(
         .withColumn("bin_id", (F.col("start_offset") / budget).cast("long"))
     )
     return out
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-token chunks with optional overlap —
+    the preprocessing step that turns variable-length documents into
+    training/embedding-sized pieces.
+
+    Returns ``(id, chunk_id, n_chunk_tokens, chunk_text)`` with chunk
+    starts at 0, stride, 2·stride, … (stride = chunk_tokens − overlap);
+    the final chunk is short rather than padded, and a document shorter
+    than one chunk yields exactly one chunk (empty docs yield chunk 0
+    with 0 tokens). Everything is per-document Catalyst array work —
+    tokenize once, slice per chunk via transform over a sequence — so
+    there is no shuffle and no Python; the explode multiplies rows by
+    ~len/stride exactly like the shingle explode the dedup path already
+    scales with.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"chunk_documents: overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # integer ceil((n - overlap) / stride), clamped to >= 1: double
+    # division + truncating cast is exact at these magnitudes and the
+    # identical expression runs in the oracle
+    n_chunks = F.greatest(
+        ((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride)).cast("long"),
+        F.lit(1),
+    )
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        ((n_chunks - 1) * stride).cast("long"),
+        F.lit(stride).cast("long"),
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            F.slice(toks, s + 1, chunk_tokens).alias("ctoks"),
+        ),
+    )
+    return (
+        spread(docs)
+        .select(F.col(id_col), F.explode(chunks).alias("c"))
+        .select(
+            F.col(id_col),
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.size("c.ctoks").cast("long").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
+        )
+    )
 
 
 def merge_intervals(

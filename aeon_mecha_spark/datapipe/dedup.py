@@ -208,6 +208,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge within max_iter={max_iter} rounds "
+            "(component diameter exceeds the bound); raise max_iter"
+        )
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 

@@ -117,6 +117,101 @@ def kmv_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
     ).drop("kmv")
 
 
+def cm_partial(
+    df: DataFrame,
+    col: str | Column,
+    keys: list[str] | None = None,
+    depth: int = 2,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch state per group: a ``(depth × width)`` grid of
+    bucket counts as a long table ``(keys…, row, bucket, n)``.
+
+    The frequency analogue of the KMV distinct sketch: exact per-term
+    counts over 100 TB force a vocabulary-sized shuffle, while a CM
+    sketch bounds state at depth·width counters per group and stays
+    MERGEABLE — partials from any partitioning, time bucket, or corpus
+    shard merge by plain addition, so stored rollups can carry term
+    frequencies the way they carry sums. Estimates over-count only
+    (collision bias ≤ ε·N with ε = e/width at the usual depth=⌈ln 1/δ⌉).
+
+    Each depth row is an independent seeded hash from the portable MD5
+    family, so the sketch content (not just the estimate) is
+    deterministic and oracle-checkable in DuckDB with the same substr
+    arithmetic. Plan: one explode-free map pass building the depth
+    bucket ids per value, one groupBy — map-side combinable.
+    """
+    keys = list(keys or [])
+    c = F.col(col) if isinstance(col, str) else col
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (md5_long(c.cast("string"), seed=i) % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    exploded = df.select(*keys, F.explode(rows).alias("rb")).select(
+        *keys, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    return exploded.groupBy(*keys, "row", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def cm_merge(partials: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Merge CM sketch partials to a coarser grouping: counts add.
+    Lossless relative to sketching the concatenated input — the merged
+    grid is identical, hence so is every estimate."""
+    keys = list(keys or [])
+    return partials.groupBy(*keys, "row", "bucket").agg(
+        F.sum("n").alias("n")
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str = "item",
+    keys: list[str] | None = None,
+    depth: int = 2,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from CM state: for each item, the MIN
+    over depth rows of its bucket's count (missing buckets count 0).
+
+    ``items`` is small (the candidates being probed — audit terms,
+    suspected heavy hitters), so it broadcasts; the sketch is already
+    tiny. Never under-estimates; over-estimates by colliding mass.
+    Returns ``(keys…, item, est_count)``.
+    """
+    keys = list(keys or [])
+    it = items.select(
+        *keys,
+        F.col(item_col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (md5_long(F.col(item_col).cast("string"), seed=i) % width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(
+        *keys, "item", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    )
+    joined = it.join(sketch, [*keys, "row", "bucket"], "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0))
+    )
+    return joined.groupBy(*keys, "item").agg(F.min("n").cast("long").alias("est_count"))
+
+
 def quantile_summary(
     df: DataFrame,
     value_col: str,

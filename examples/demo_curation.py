@@ -1,0 +1,97 @@
+"""End-to-end training-data curation demo: the full document pipeline a
+100 TB pretraining corpus goes through, on this engine at toy scale.
+
+    quality filter → PII redaction → decontamination → exact dedup →
+    MinHash/LSH near-dup → cluster canonicalization → mixture sampling →
+    sequence packing
+
+Every stage is a pure Catalyst plan (datapipe/curation.py, dedup.py) —
+the same composition runs unchanged on a cluster; only the input path
+and the shard keys change.
+
+Run:  python examples/demo_curation.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from aeon_mecha_spark.datapipe import curation, dedup
+from aeon_mecha_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("demo_curation")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n0 = docs.count()
+    print(f"== corpus: {n0} documents")
+
+    print("== 1. rule-based quality filter (C4/Gopher rules)")
+    verdicts = curation.quality_filter(docs, min_tokens=10, max_rep_ratio=0.6)
+    for row in (
+        verdicts.agg(
+            *[
+                F.sum((~F.col(c)).cast("long")).alias(c)
+                for c in ("ok_n_tokens", "ok_token_len", "ok_punct", "ok_repetition")
+            ]
+        ).collect()
+    ):
+        print("   rejections by rule:", row.asDict())
+    docs = docs.join(verdicts.filter("passes").select("doc_id"), "doc_id")
+    print(f"   kept {docs.count()}/{n0}")
+
+    print("== 2. PII redaction (audit counts ride along)")
+    red = curation.redact_pii(docs)
+    audit = red.agg(
+        F.sum("n_email").alias("emails"),
+        F.sum("n_ipv4").alias("ips"),
+        F.sum("n_phone").alias("phones"),
+    ).collect()[0]
+    print("   redacted:", audit.asDict())
+    docs = docs.join(red.select("doc_id", "clean_text"), "doc_id").select(
+        "doc_id", F.col("clean_text").alias("text"), "lang", "source"
+    )
+
+    print("== 3. benchmark decontamination (3-gram overlap, broadcast bench)")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    scores = curation.decontaminate(corpus, bench)
+    dirty = scores.filter(F.col("contamination") >= 0.5)
+    print(f"   dropping {dirty.count()} contaminated docs (θ=0.5)")
+    docs = corpus.join(dirty.select("doc_id"), "doc_id", "left_anti")
+
+    print("== 4. near-duplicate removal (MinHash → LSH → clusters)")
+    sigs = dedup.minhash_signatures(docs, num_hashes=8)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=8, bands=4)
+    verified = dedup.ngram_jaccard(docs, pairs).filter(F.col("jaccard") >= 0.8)
+    clusters = dedup.dedup_clusters(verified.select("id_a", "id_b"))
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id"))
+    print(f"   {losers.count()} near-duplicates removed, keeping cluster canonicals")
+    docs = docs.join(losers.select("doc_id"), "doc_id", "left_anti")
+
+    print("== 5. mixture sampling toward the target language distribution")
+    docs = curation.mixture_sample(
+        docs, "lang", {"en": 1.0, "zh": 0.8}, default_fraction=0.5
+    )
+    docs.groupBy("lang").count().orderBy("lang").show()
+
+    print("== 6. sequence packing into 512-token training bins (per source)")
+    packed = curation.pack_sequences(docs, budget=512, keys=["source"])
+    packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        (F.max("bin_id") + 1).alias("bins"),
+        F.sum("n_tokens").alias("tokens"),
+    ).orderBy("source").show()
+
+    print(f"== final corpus: {docs.count()} documents (from {n0})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

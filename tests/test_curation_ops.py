@@ -265,3 +265,44 @@ def test_quality_filter_rules(spark):
     assert not out[1]["ok_n_tokens"] and not out[1]["passes"]
     assert not out[2]["ok_punct"] and not out[2]["passes"]
     assert not out[3]["ok_repetition"] and not out[3]["passes"]
+
+
+def test_chunk_documents_reference(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(0, text), (1, "a b c"), (2, "")], "doc_id long, text string"
+    )
+    # no overlap: 10 tokens / 4 -> chunks [0:4],[4:8],[8:10]
+    out = (
+        curation.chunk_documents(docs, chunk_tokens=4)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    got = [(r["doc_id"], r["chunk_id"], r["n_chunk_tokens"], r["chunk_text"]) for r in out]
+    assert got == [
+        (0, 0, 4, "w0 w1 w2 w3"),
+        (0, 1, 4, "w4 w5 w6 w7"),
+        (0, 2, 2, "w8 w9"),
+        (1, 0, 3, "a b c"),
+        (2, 0, 0, ""),
+    ]
+    # overlap 2, stride 2: starts 0,2,4,6 over 10 tokens
+    ov = (
+        curation.chunk_documents(docs.filter("doc_id = 0"), chunk_tokens=4, overlap=2)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    texts = [r["chunk_text"] for r in ov]
+    assert texts == ["w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9"]
+    # every adjacent pair shares exactly the overlap
+    for a, b in zip(texts, texts[1:]):
+        assert a.split()[2:] == b.split()[:2]
+    with pytest.raises(ValueError):
+        curation.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_dedup_clusters_raises_when_not_converged(spark):
+    chain = [(i, i + 1) for i in range(0, 8)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup.dedup_clusters(pairs, max_iter=2)

@@ -132,3 +132,41 @@ def test_kmv_merge_is_lossless(spark):
     merged = kmv_estimate(kmv_merge(partials, ["g"], k=16), k=16)
     got = {r["g"]: (r["n_hashes"], r["est_distinct"]) for r in merged.collect()}
     assert got == direct
+
+
+def test_cm_sketch_overcounts_only_and_merges_losslessly(spark):
+    """CM estimates are >= exact counts (min-over-rows never
+    under-counts), exact when collision-free, and per-shard partials
+    merged with cm_merge give the identical grid (and therefore
+    identical estimates) as one global sketch."""
+    rows = [(f"t{i % 23}", f"s{i % 4}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "term string, shard string")
+    exact = {r["term"]: r["n"] for r in df.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    sk = sketch.cm_partial(df, "term", depth=2, width=256)
+    items = df.select(F.col("term").alias("item")).distinct()
+    est = {
+        r["item"]: r["est_count"]
+        for r in sketch.cm_estimate(sk, items, depth=2, width=256).collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert est[t] >= n  # never under-counts
+    # 23 distinct terms in 2x256 buckets: collisions possible per row but
+    # min-over-2-rows is exact unless both rows collide — assert overall
+    assert sum(est.values()) <= sum(exact.values()) * 2
+
+    # mergeability: per-shard partials -> cm_merge == global grid
+    per_shard = sketch.cm_partial(df, "term", keys=["shard"], depth=2, width=256)
+    merged = sketch.cm_merge(per_shard, keys=[])
+    a = sorted(map(tuple, merged.select("row", "bucket", "n").collect()))
+    b = sorted(map(tuple, sk.select("row", "bucket", "n").collect()))
+    assert a == b
+
+
+def test_cm_estimate_missing_item_is_lower_bounded_by_zero(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "term string")
+    sk = sketch.cm_partial(df, "term", depth=2, width=64)
+    probe = spark.createDataFrame([("zzz-never-seen",)], "item string")
+    [r] = sketch.cm_estimate(sk, probe, depth=2, width=64).collect()
+    assert r["est_count"] >= 0  # may over-count via collision, never negative

@@ -34,6 +34,12 @@ DEFAULT_QUERIES = [
     "q60_gap_fill",
     "q63_kmv_distinct",
     "q64_quantile_summary",
+    # curation layer: float-ratio + window + iterative ops
+    "q73_decontaminate",
+    "q76_pack_sequences",
+    "q77_merge_intervals",
+    "q79_dedup_clusters",
+    "q81_repetition_ratio",
 ]
 
 

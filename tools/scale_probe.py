@@ -35,6 +35,9 @@ DEFAULT_QUERIES = [
     "q35_lsh_jaccard",
     "q57_granularity_rollup",
     "q59_time_weighted_avg",
+    "q73_decontaminate",
+    "q77_merge_intervals",
+    "q81_repetition_ratio",
 ]
 
 # per-table PK/FK columns that must shift together so replica i stays a
