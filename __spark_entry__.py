@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from aeon_mecha_spark.datapipe import curation, dedup, similarity, sketch, textqc
+from aeon_mecha_spark.datapipe import curation, dedup, multimodal, similarity, sketch, textqc
 from aeon_mecha_spark.functions import text as TX
 from aeon_mecha_spark.functions.hashing import key_hash
 from aeon_mecha_spark.functions.time import chunk_end as f_chunk_end
@@ -1087,6 +1087,43 @@ def q84_chunk_documents(spark, sf_dir):
     )
 
 
+def _media(spark, sf_dir):
+    """Synthetic media table over documents: the text bytes play the
+    opaque payload, metadata derives from doc fields — the real
+    multimodal schema with a deterministic stand-in payload."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("video"), F.lit("audio")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        (F.lit(200) + F.col("doc_id") % 800).cast("int").alias("width"),
+        (F.lit(100) + F.col("doc_id") % 600).cast("int").alias("height"),
+        (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+def q85_multimodal_features(spark, sf_dir):
+    """The multimodal decode/embed stage end-to-end through mapInPandas
+    (Arrow-batched, bounded memory) with the deterministic fake codec;
+    the oracle checks the engine-verifiable outputs (byte counts,
+    modality routing, feature dimensionality)."""
+    feats = multimodal.extract_features(_media(spark, sf_dir), dim=16, fake=True)
+    return feats.select(
+        "media_id", "modality", "n_bytes", F.size("feature").cast("long").alias("feat_dim")
+    )
+
+
+def q86_frame_sample_plan(spark, sf_dir):
+    """Video frame-sampling plan: one row per (media_id, frame_ts_ms) at
+    a 1 s cadence — pure Catalyst sequence+explode, the set-oriented form
+    of the reference's frame server paging."""
+    out = multimodal.frame_sample_plan(_media(spark, sf_dir), every_ms=1000)
+    return _longs(out, "frame_ts_ms")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1140,6 +1177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_quality_filter": q82_quality_filter,
         "q83_cm_heavy_hitters": q83_cm_heavy_hitters,
         "q84_chunk_documents": q84_chunk_documents,
+        "q85_multimodal_features": q85_multimodal_features,
+        "q86_frame_sample_plan": q86_frame_sample_plan,
         # -- operator-family representatives (all r02-green)
         "q01_pricing_summary": q01_pricing_summary,
         "q02_restrict_expr": q02_restrict_expr,
@@ -2225,6 +2264,19 @@ def oracle_sql() -> dict[str, str]:
                    len(t[s+1 : s+32])::bigint AS n_chunk_tokens,
                    array_to_string(t[s+1 : s+32], ' ') AS chunk_text
             FROM chunks
+        """,
+        "q85_multimodal_features": """
+            SELECT doc_id AS media_id,
+                   ['image', 'video', 'audio'][(doc_id % 3 + 1)::int] AS modality,
+                   octet_length(encode(text))::bigint AS n_bytes,
+                   16::bigint AS feat_dim
+            FROM documents
+        """,
+        "q86_frame_sample_plan": """
+            SELECT doc_id AS media_id,
+                   unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 1000))::bigint AS frame_ts_ms
+            FROM documents
+            WHERE doc_id % 3 = 1
         """,
     }
     return sqls

@@ -258,3 +258,88 @@ def test_cohort_retention_counts_bounded_by_cohort_size(spark, events):
         assert r["n_users"] <= cohort_sizes[r["cohort"]]
     zero = {r["cohort"]: r["n_users"] for r in out if r["offset"] == 0}
     assert zero == dict(cohort_sizes)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=60),
+    chunk=st.integers(min_value=2, max_value=16),
+    overlap=st.integers(min_value=0, max_value=8),
+)
+def test_chunk_documents_covers_exactly(spark, n_tokens, chunk, overlap):
+    """Chunks reconstruct the document exactly: dropping each chunk's
+    leading overlap (after the first) and concatenating yields the
+    original token stream; every chunk except the last is full-size."""
+    from aeon_mecha_spark.datapipe.curation import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    toks = [f"w{i}" for i in range(n_tokens)]
+    docs = spark.createDataFrame([(0, " ".join(toks))], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=chunk, overlap=overlap).orderBy("chunk_id").collect()
+    assert out[0]["chunk_id"] == 0
+    rebuilt: list[str] = []
+    for i, r in enumerate(out):
+        ctoks = r["chunk_text"].split() if r["chunk_text"] else []
+        assert r["n_chunk_tokens"] == len(ctoks)
+        assert len(ctoks) <= chunk
+        if i < len(out) - 1:
+            assert len(ctoks) == chunk  # only the last chunk may be short
+        rebuilt.extend(ctoks[overlap:] if i else ctoks)
+    assert rebuilt == toks
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 30)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_merge_intervals_matches_python_reference(spark, iv):
+    """merge_intervals == a sequential sweep-line reference on random
+    interval sets (closed intervals, touching merges)."""
+    from aeon_mecha_spark.datapipe.curation import merge_intervals
+
+    rows = [(s, s + d) for s, d in iv]
+    df = spark.createDataFrame(rows, "start long, end long")
+    got = sorted(
+        (r["start"], r["end"], r["n_merged"])
+        for r in merge_intervals(df, "start", "end").collect()
+    )
+    want = []
+    for s, e in sorted(rows):
+        if want and s <= want[-1][1]:
+            want[-1] = (want[-1][0], max(want[-1][1], e), want[-1][2] + 1)
+        else:
+            want.append((s, e, 1))
+    assert got == [tuple(w) for w in want]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=25),
+    budget=st.integers(min_value=5, max_value=64),
+)
+def test_pack_sequences_offsets_partition_the_stream(spark, sizes, budget):
+    """start_offsets are the exclusive prefix sums of token counts, bins
+    are contiguous non-decreasing, and the final offset+len equals the
+    total stream length."""
+    from aeon_mecha_spark.datapipe.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("x" * 1 for _ in range(n))) for i, n in enumerate(sizes)],
+        "doc_id long, text string",
+    )
+    out = pack_sequences(docs, budget=budget).orderBy("doc_id").collect()
+    run = 0
+    prev_bin = 0
+    for r, n in zip(out, sizes):
+        assert r["n_tokens"] == n
+        assert r["start_offset"] == run
+        assert r["bin_id"] == run // budget
+        assert r["bin_id"] >= prev_bin
+        prev_bin = r["bin_id"]
+        run += n
+    assert run == sum(sizes)
