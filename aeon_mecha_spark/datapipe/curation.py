@@ -29,7 +29,13 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from aeon_mecha_spark.functions.hashing import md5_long
-from aeon_mecha_spark.functions.text import token_count, tokens, word_shingles
+from aeon_mecha_spark.functions.text import (
+    mean_token_len,
+    punct_ratio,
+    token_count,
+    tokens,
+    word_shingles,
+)
 from aeon_mecha_spark.util import spread
 
 # Redaction patterns: portable between Java regex (Spark) and RE2
@@ -163,19 +169,24 @@ def repetition_ratio(
     count are computed in one map pass.
     """
     sh = word_shingles(F.col(text_col), k)
-    total = F.size(sh)
-    distinct = F.size(F.array_distinct(sh))
     return spread(docs).select(
         F.col(id_col),
-        total.cast("long").alias("n_shingles"),
-        distinct.cast("long").alias("n_distinct"),
-        F.when(
-            total > 0,
-            F.lit(1.0) - distinct.cast("double") / total.cast("double"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("rep_ratio"),
+        F.size(sh).cast("long").alias("n_shingles"),
+        F.size(F.array_distinct(sh)).cast("long").alias("n_distinct"),
+        _rep_ratio(F.col(text_col), k).alias("rep_ratio"),
     )
+
+
+def _rep_ratio(text: Column, k: int) -> Column:
+    """1 − distinct/total k-word shingles — the single definition of the
+    repetition score, shared by ``repetition_ratio`` and
+    ``quality_filter`` so their semantics can never drift apart."""
+    sh = word_shingles(text, k)
+    total = F.size(sh)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
 
 
 def quality_filter(
@@ -200,21 +211,11 @@ def quality_filter(
     integer-count divisions (one IEEE division each), so the rule
     verdicts are engine-exact. One map pass, no shuffle.
     """
-    from aeon_mecha_spark.functions.text import (
-        mean_token_len,
-        punct_ratio,
-        token_count,
-    )
-
     t = F.col(text_col)
     n_tok = token_count(t)
     mtl = mean_token_len(t)
     pr = punct_ratio(t)
-    sh = word_shingles(t, k)
-    rep = F.when(
-        F.size(sh) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(sh)).cast("double") / F.size(sh).cast("double"),
-    ).otherwise(F.lit(0.0))
+    rep = _rep_ratio(t, k)
     rules = {
         "ok_n_tokens": (n_tok >= min_tokens) & (n_tok <= max_tokens),
         "ok_token_len": (mtl >= min_mean_token_len) & (mtl <= max_mean_token_len),
@@ -369,9 +370,13 @@ def merge_intervals(
     start > max(end) over all preceding rows (handles nested intervals,
     not just adjacent ones), island id = running count of boundaries,
     then one groupBy(island). Engine-portable: the same two windows run
-    verbatim in ANSI SQL.
+    verbatim in ANSI SQL — for NON-NULL bounds. Rows with NULL
+    start/end are rejected up front: Spark windows sort NULLS FIRST
+    while ANSI engines default NULLS LAST, so NULL bounds would change
+    island assignment per engine; a NULL interval is meaningless here.
     """
     keys = list(keys or [])
+    df = df.filter(F.col(start_col).isNotNull() & F.col(end_col).isNotNull())
     wo = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(
         start_col, end_col
     )

@@ -317,7 +317,12 @@ def group_centroids(
     decimal→double cast is not once the scaled integer passes 2^53.
     ``scale`` must be ≤ 6: Spark's decimal multiply clamps the result
     scale to min(scale, 6) when precision overflows 38, so larger scales
-    would silently truncate the ×10^scale step.
+    would silently truncate the ×10^scale step. Validity bound: the
+    int-exact route requires |component sum| · 10^scale < 2^63
+    (|sum| < ~9.2e12 at scale=6). Beyond it, Spark's non-ANSI cast
+    yields NULL for that component while an ANSI engine errors — for
+    groups that large, lower ``scale`` (the sums need fewer fractional
+    digits the bigger they get) or pre-aggregate per shard.
 
     The component extraction is a Catalyst element_at — no explode, so
     the shuffle carries dims partials per group, not dims rows per vector.

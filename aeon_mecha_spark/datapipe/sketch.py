@@ -117,6 +117,21 @@ def kmv_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
     ).drop("kmv")
 
 
+def _cm_buckets(c: Column, depth: int, width: int) -> Column:
+    """The (row, bucket) address array for one value — the single
+    definition of the CM hash scheme, shared by sketch build and probe
+    so they can never drift apart."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (md5_long(c.cast("string"), seed=i) % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def cm_partial(
     df: DataFrame,
     col: str | Column,
@@ -138,21 +153,13 @@ def cm_partial(
     Each depth row is an independent seeded hash from the portable MD5
     family, so the sketch content (not just the estimate) is
     deterministic and oracle-checkable in DuckDB with the same substr
-    arithmetic. Plan: one explode-free map pass building the depth
-    bucket ids per value, one groupBy — map-side combinable.
+    arithmetic. Plan: one map pass hashing each value ``depth`` times,
+    a depth-way explode (a small constant row multiplier, not a data
+    explosion), then one groupBy — map-side combinable.
     """
     keys = list(keys or [])
     c = F.col(col) if isinstance(col, str) else col
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row"),
-                (md5_long(c.cast("string"), seed=i) % width).alias("bucket"),
-            )
-            for i in range(depth)
-        ]
-    )
-    exploded = df.select(*keys, F.explode(rows).alias("rb")).select(
+    exploded = df.select(*keys, F.explode(_cm_buckets(c, depth, width)).alias("rb")).select(
         *keys, F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
     )
     return exploded.groupBy(*keys, "row", "bucket").agg(
@@ -190,19 +197,7 @@ def cm_estimate(
     it = items.select(
         *keys,
         F.col(item_col).alias("item"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        (md5_long(F.col(item_col).cast("string"), seed=i) % width).alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("rb"),
+        F.explode(_cm_buckets(F.col(item_col), depth, width)).alias("rb"),
     ).select(
         *keys, "item", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
     )
