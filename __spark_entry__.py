@@ -1124,6 +1124,47 @@ def q86_frame_sample_plan(spark, sf_dir):
     return _longs(out, "frame_ts_ms")
 
 
+def q87_zarr_decode(spark, sf_dir):
+    """Zarr v2 twin-resolution + distributed decode (S11): writes a
+    deterministic zlib-compressed zarr store, resolves bin/zarr twins,
+    and decodes via mapInPandas with the numpy fallback. Rows-only gate
+    (no SQL engine reads zarr); values are pinned by test_zarr_decode.
+    """
+    import json
+    import tempfile
+    import zlib
+
+    import numpy as np
+
+    from aeon_mecha_spark.sources import zarr_source as Z
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_q87")
+    store = os.path.join(root, "rec1.zarr")
+    os.makedirs(store, exist_ok=True)
+    arr = (np.arange(48, dtype="<f8") * 0.5).reshape(12, 4)
+    with open(os.path.join(store, ".zarray"), "w") as f:
+        json.dump(
+            {
+                "zarr_format": 2, "shape": [12, 4], "chunks": [5, 4],
+                "dtype": "<f8", "compressor": {"id": "zlib", "level": 1},
+                "fill_value": 0.0, "order": "C", "filters": None,
+            },
+            f,
+        )
+    for i in range(3):
+        chunk = np.zeros((5, 4), dtype="<f8")
+        rows = arr[i * 5 : (i + 1) * 5]
+        chunk[: rows.shape[0]] = rows
+        with open(os.path.join(store, f"{i}.0"), "wb") as f:
+            f.write(zlib.compress(chunk.tobytes()))
+    listing = spark.createDataFrame(
+        [(os.path.join(root, "rec1.bin"),), (store,)], "file_path string"
+    )
+    resolved = Z.resolve_twins(listing)
+    out = Z.read_zarr_array(spark, resolved)
+    return out.select("idx", "values").orderBy("idx")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1179,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_chunk_documents": q84_chunk_documents,
         "q85_multimodal_features": q85_multimodal_features,
         "q86_frame_sample_plan": q86_frame_sample_plan,
+        "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
         # -- operator-family representatives (all r02-green)
         "q01_pricing_summary": q01_pricing_summary,
         "q02_restrict_expr": q02_restrict_expr,

@@ -58,6 +58,7 @@ HEADLINE = [
     "q70_cohort_retention",  # per-user window + distinct rollup
     "q72_near_dup_lsh",      # LSH-bucketed near-dup (scale-safe default)
     "q73_decontaminate",     # broadcast benchmark-shingle overlap
+    "q84_chunk_documents",   # tokenize-once chunk explode
 ]
 
 
