@@ -1165,6 +1165,27 @@ def q87_zarr_decode(spark, sf_dir):
     return out.select("idx", "values").orderBy("idx")
 
 
+def q88_tfidf(spark, sf_dir):
+    """Per-(doc, term) TF-IDF over the documents table, rarity-ratio idf
+    (n_docs/df — exact IEEE arithmetic, bit-identical to the oracle).
+    One tokenize explode, two hash groupBys, one vocab join."""
+    return textqc.tfidf(_t(spark, sf_dir, "documents"), log_idf=False)
+
+
+def q89_inverted_index(spark, sf_dir):
+    """term → (df, sorted posting list) inverted index; postings as a
+    comma-joined id string so the column is engine-portable."""
+    return textqc.inverted_index(_t(spark, sf_dir, "documents"))
+
+
+def q90_token_budget(spark, sf_dir):
+    """Greedy best-first selection under a 5000-token global budget over
+    quality_features scores — distributed two-level prefix sum, exactly
+    equal to the oracle's single global cumsum window."""
+    feats = textqc.quality_features(_t(spark, sf_dir, "documents"))
+    return curation.token_budget_select(feats, token_budget=5000)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1221,6 +1242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_multimodal_features": q85_multimodal_features,
         "q86_frame_sample_plan": q86_frame_sample_plan,
         "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
+        "q88_tfidf": q88_tfidf,
+        "q89_inverted_index": q89_inverted_index,
+        "q90_token_budget": q90_token_budget,
         # -- operator-family representatives (all r02-green)
         "q01_pricing_summary": q01_pricing_summary,
         "q02_restrict_expr": q02_restrict_expr,
@@ -1232,13 +1256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_qc_deltas": q13_qc_deltas,
         "q15_rolling_1h": q15_rolling_1h,
         "q16_sessionize": q16_sessionize,
+        # ---- entries below are past the driver's 50-entry window ----
+        # (positions 1-40 above are the never-officially-graded queries;
+        # 41-50 are family representatives; everything from here on is
+        # green in CORRECTNESS_r02 and re-checkable locally)
         "q17_hourly_rollup": q17_hourly_rollup,
         "q18_asof_join": q18_asof_join,
         "q19_interval_count": q19_interval_count,
-        # ---- entries below are past the driver's 50-entry window ----
-        # (positions 1-37 above are the never-officially-graded queries;
-        # 38-50 are family representatives; everything from here on is
-        # green in CORRECTNESS_r02 and re-checkable locally)
         "q21_timestamp_stats": q21_timestamp_stats,
         "q22_sync_regression": q22_sync_regression,
         "q24_ownership": q24_ownership,
@@ -2322,6 +2346,55 @@ def oracle_sql() -> dict[str, str]:
                    unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 1000))::bigint AS frame_ts_ms
             FROM documents
             WHERE doc_id % 3 = 1
+        """,
+        "q88_tfidf": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN trim(text) = '' THEN []::varchar[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS term
+              FROM documents),
+            tc AS (SELECT doc_id, term, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+            dft AS (SELECT term, count(*)::bigint AS df FROM tc GROUP BY 1),
+            n AS (SELECT count(*)::bigint AS n_docs FROM documents)
+            SELECT tc.doc_id, tc.term, tc.tf, dft.df,
+                   tc.tf::double * (n.n_docs::double / dft.df::double) AS tfidf
+            FROM tc JOIN dft USING (term) CROSS JOIN n
+        """,
+        "q89_inverted_index": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN trim(text) = '' THEN []::varchar[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS term
+              FROM documents),
+            pairs AS (SELECT DISTINCT term, doc_id FROM toks)
+            SELECT term, count(*)::bigint AS df,
+                   string_agg(doc_id::varchar, ',' ORDER BY doc_id) AS postings
+            FROM pairs GROUP BY term
+        """,
+        "q90_token_budget": """
+            WITH feats AS (
+              SELECT doc_id,
+                     len(string_split_regex(trim(text), '\\s+'))::bigint AS n_tokens,
+                     round(CASE WHEN length(text) > 0
+                           THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)
+                           ELSE 0.0 END, 6) AS punct_ratio,
+                     round(CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+                           THEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it', 'that', 'for'))) / len(string_split_regex(trim(text), '\\s+'))
+                           ELSE 0.0 END, 6) AS stopword_ratio
+              FROM documents),
+            scored AS (
+              SELECT doc_id, n_tokens,
+                     round(least(n_tokens / 100.0, 1.0) * 0.5
+                           + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+                           + least(stopword_ratio * 5.0, 1.0) * 0.2, 6) AS quality_score
+              FROM feats),
+            c AS (
+              SELECT doc_id, n_tokens, quality_score,
+                     sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)::bigint AS cum_tokens
+              FROM scored)
+            SELECT doc_id, n_tokens, quality_score, cum_tokens
+            FROM c WHERE cum_tokens <= 5000
         """,
     }
     return sqls

@@ -257,6 +257,56 @@ def stratified_sample(
     )
 
 
+def token_budget_select(
+    scored: DataFrame,
+    token_budget: int,
+    score_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Greedy best-first selection under a global token budget: order
+    documents by (score desc, id asc) and keep every document whose
+    running token total — including itself — fits in ``token_budget``.
+    The standard "take the best N tokens" curation step (quality-filter
+    papers select a fixed token count, not a fixed doc count).
+
+    Returns ``(id, tokens, score, cum_tokens)`` for the selected prefix.
+    Rows with NULL score or NULL token count are excluded.
+
+    Scale design: a naive global cumsum is ONE window over an unkeyed
+    ordering — a single-partition sort of the whole corpus. Instead the
+    running total is computed in two levels, exactly like a distributed
+    prefix sum: (1) coarse score buckets (``floor(score·buckets)``; the
+    bucketing is internal, any monotone map works) aggregate to a tiny
+    ≤ buckets-row table whose descending running total gives each
+    bucket's starting offset; (2) a per-bucket window (parallel across
+    buckets) adds the within-bucket running sum to the broadcast offset.
+    Identical output to the single global window — the bucket order is a
+    refinement of the global (score desc, id asc) order — but the big
+    sort is partitioned by bucket. Scores are assumed in [0, 1] (the
+    quality_features contract); out-of-range scores still order
+    correctly, they just land in end buckets.
+    """
+    s = scored.filter(
+        F.col(score_col).isNotNull() & F.col(tokens_col).isNotNull()
+    ).withColumn("_b", F.floor(F.col(score_col) * buckets).cast("long"))
+    per_bucket = s.groupBy("_b").agg(F.sum(tokens_col).cast("long").alias("_bt"))
+    # tiny table (≤ buckets+1 rows): the single-partition window is fine
+    wb = W.orderBy(F.col("_b").desc()).rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_b", F.coalesce(F.sum("_bt").over(wb), F.lit(0)).cast("long").alias("_off")
+    )
+    ww = W.partitionBy("_b").orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    cum = (F.col("_off") + F.sum(tokens_col).over(ww)).cast("long")
+    return (
+        s.join(F.broadcast(offsets), "_b")
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= token_budget)
+        .select(id_col, tokens_col, score_col, "cum_tokens")
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int,

@@ -130,6 +130,86 @@ def top_terms(
     )
 
 
+def tfidf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    log_idf: bool = True,
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF weights: ``(id, term, tf, df, tfidf)``.
+
+    tf = in-document term count, df = number of documents containing the
+    term, n_docs = corpus size — computed as a 1-row aggregate that is
+    broadcast (no driver-side action, no ``count()`` round trip). Two idf
+    forms:
+
+    - ``log_idf=True`` (default): ``ln((n+1)/(df+1)) + 1`` — the smoothed
+      log form; ``ln`` may differ by 1 ulp across engines, so gates use:
+    - ``log_idf=False``: raw rarity ratio ``n/df`` — long→double casts and
+      one IEEE division, bit-identical in any engine, oracle-exact.
+
+    Plan shape: tokenize-once explode → (doc, term) hash groupBy with
+    map-side partials (tf) → vocabulary groupBy (df) → hash join on term.
+    The df table is vocabulary-sized — orders smaller than the corpus —
+    so AQE broadcasts it when it fits; nothing corpus-sized shuffles
+    twice. Mirrors the per-term statistics the reference computes only as
+    pandas post-processing (aeon/analysis/utils.py — per-key value
+    counts), lifted to a distributed plan.
+    """
+    tf = term_counts(docs, keys=[id_col], text_col=text_col).withColumnRenamed(
+        "n", "tf"
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).cast("long").alias("_n_docs"))
+    joined = tf.join(dft, "term").join(F.broadcast(n_docs))
+    n = F.col("_n_docs").cast("double")
+    d = F.col("df").cast("double")
+    if log_idf:
+        idf = F.log((n + F.lit(1.0)) / (d + F.lit(1.0))) + F.lit(1.0)
+    else:
+        idf = n / d
+    return joined.select(
+        id_col,
+        "term",
+        "tf",
+        "df",
+        (F.col("tf").cast("double") * idf).alias("tfidf"),
+    )
+
+
+def inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Term → ``(df, postings)`` inverted index; postings is the sorted
+    comma-joined document-id list (engine-portable string form of the
+    posting array).
+
+    Plan shape: explode → map-side-partial dropDuplicates on
+    (term, doc) → ONE hash groupBy on term. Posting-list size is bounded
+    by per-term df: at 100 TB, stopword-grade terms produce multi-GB
+    postings in ANY engine — shard those by doc-id range (groupBy
+    (term, id mod S)) or store df-only rows for terms above a df cap;
+    frequency queries go through the count-min path (sketch.cm_partial)
+    instead of postings.
+    """
+    pairs = (
+        spread(docs)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .dropDuplicates(["term", "_id"])
+    )
+    postings = F.array_join(
+        F.transform(F.array_sort(F.collect_list("_id")), lambda x: x.cast("string")),
+        ",",
+    )
+    return pairs.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        postings.alias("postings"),
+    )
+
+
 def ngram_counts(docs: DataFrame, k: int = 2, text_col: str = "text") -> DataFrame:
     """(ngram, n) global k-word-shingle frequency over lowercased text.
     Documents shorter than k tokens are dropped (no partial shingle).

@@ -13,7 +13,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from aeon_mecha_spark.datapipe import similarity, textqc
+from aeon_mecha_spark.datapipe import curation, similarity, textqc
 from aeon_mecha_spark.operators import analytics, windows
 
 
@@ -264,3 +264,119 @@ def test_near_dup_lsh_plan_has_no_cartesian(spark):
     p = buf.getvalue()
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# -- tfidf ------------------------------------------------------------------
+
+def test_tfidf_ratio_idf_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c"), (3, "c c d")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["term"]): r
+        for r in textqc.tfidf(docs, log_idf=False).collect()
+    }
+    # n_docs=3; df: a=2, b=1, c=2, d=1
+    assert rows[(1, "a")]["tf"] == 2 and rows[(1, "a")]["df"] == 2
+    assert rows[(1, "a")]["tfidf"] == 2 * (3.0 / 2.0)
+    assert rows[(1, "b")]["tfidf"] == 1 * (3.0 / 1.0)
+    assert rows[(3, "c")]["tfidf"] == 2 * (3.0 / 2.0)
+    assert len(rows) == 6  # distinct (doc, term) pairs
+
+
+def test_tfidf_log_idf_monotone_in_rarity(spark):
+    docs = spark.createDataFrame(
+        [(1, "common rare"), (2, "common"), (3, "common")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["term"]): r["tfidf"]
+        for r in textqc.tfidf(docs, log_idf=True).collect()
+    }
+    # same tf=1: the rarer term must weigh strictly more
+    assert rows[(1, "rare")] > rows[(1, "common")]
+    # smoothed log idf: tf * (ln((n+1)/(df+1)) + 1)
+    assert rows[(1, "rare")] == pytest.approx(math.log(4.0 / 2.0) + 1.0)
+    assert rows[(1, "common")] == pytest.approx(math.log(4.0 / 4.0) + 1.0)
+
+
+def test_tfidf_empty_text_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "   "), (3, "")], "doc_id long, text string"
+    )
+    out = textqc.tfidf(docs, log_idf=False).collect()
+    assert [(r["doc_id"], r["term"]) for r in out] == [(1, "x")]
+    # but n_docs counts the whole corpus, including empty docs
+    assert out[0]["tfidf"] == 1 * (3.0 / 1.0)
+
+
+# -- inverted_index ---------------------------------------------------------
+
+def test_inverted_index_numeric_posting_order(spark):
+    # doc ids 2 and 10 share a term: postings must sort numerically
+    # ("2,10"), not lexicographically ("10,2")
+    docs = spark.createDataFrame(
+        [(10, "alpha beta"), (2, "alpha"), (7, "beta beta")],
+        "doc_id long, text string",
+    )
+    rows = {r["term"]: r for r in textqc.inverted_index(docs).collect()}
+    assert rows["alpha"]["df"] == 2 and rows["alpha"]["postings"] == "2,10"
+    assert rows["beta"]["df"] == 2 and rows["beta"]["postings"] == "7,10"
+
+
+def test_inverted_index_dedupes_repeats_within_doc(spark):
+    docs = spark.createDataFrame([(1, "x x x")], "doc_id long, text string")
+    rows = textqc.inverted_index(docs).collect()
+    assert len(rows) == 1 and rows[0]["df"] == 1 and rows[0]["postings"] == "1"
+
+
+# -- token_budget_select ----------------------------------------------------
+
+def _naive_budget_select(pdf, budget):
+    pdf = pdf.dropna(subset=["quality_score", "n_tokens"])
+    pdf = pdf.sort_values(
+        ["quality_score", "doc_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    pdf["cum_tokens"] = pdf["n_tokens"].cumsum()
+    return pdf[pdf["cum_tokens"] <= budget]
+
+
+def test_token_budget_matches_naive_global_cumsum(spark):
+    import random
+
+    rng = random.Random(7)
+    data = [
+        (i, rng.randint(1, 50), round(rng.random(), 3)) for i in range(300)
+    ]
+    pdf = pd.DataFrame(data, columns=["doc_id", "n_tokens", "quality_score"])
+    df = spark.createDataFrame(
+        data, "doc_id long, n_tokens long, quality_score double"
+    )
+    for budget in (0, 37, 1000, 10**9):
+        got = (
+            curation.token_budget_select(df, budget)
+            .orderBy("cum_tokens")
+            .toPandas()
+        )
+        want = _naive_budget_select(pdf, budget)
+        assert list(got["doc_id"]) == list(want["doc_id"]), budget
+        assert list(got["cum_tokens"]) == list(want["cum_tokens"]), budget
+
+
+def test_token_budget_score_ties_break_by_id(spark):
+    df = spark.createDataFrame(
+        [(5, 10, 0.5), (1, 10, 0.5), (3, 10, 0.5)],
+        "doc_id long, n_tokens long, quality_score double",
+    )
+    got = curation.token_budget_select(df, 20).orderBy("cum_tokens").collect()
+    assert [r["doc_id"] for r in got] == [1, 3]
+
+
+def test_token_budget_excludes_null_rows(spark):
+    df = spark.createDataFrame(
+        [(1, 10, None), (2, None, 0.9), (3, 5, 0.8)],
+        "doc_id long, n_tokens long, quality_score double",
+    )
+    got = curation.token_budget_select(df, 100).collect()
+    assert [r["doc_id"] for r in got] == [3] and got[0]["cum_tokens"] == 5
