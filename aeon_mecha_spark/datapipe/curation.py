@@ -472,3 +472,33 @@ def redact_pii(
         counts.append(F.regexp_count(clean, F.lit(pat)).cast("long").alias(f"n_{name}"))
         clean = F.regexp_replace(clean, pat, token)
     return spread(docs).select(F.col(id_col), *counts, clean.alias("clean_text"))
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    ordering: every row gets ``(shard, pos)`` where ``shard`` is a
+    seeded-hash bucket and ``pos`` is the row's position in the shard's
+    hash order. Reading shards in (shard, pos) order yields a
+    reproducible uniform permutation of the corpus — the "shuffle once,
+    train many" layout — and changing ``seed`` reshuffles.
+
+    Scale design: the permutation is never materialized globally — the
+    ordering window partitions by shard, so each shard sorts
+    independently and in parallel (n_shards-way parallelism, no global
+    sort). Hash ties are broken by the key, so pos is total and
+    deterministic under any partitioning.
+    """
+    h = md5_long(F.col(key_col).cast("string"), seed=seed)
+    w = W.partitionBy("shard").orderBy(F.col("_h").asc(), F.col(key_col).asc())
+    return (
+        spread(df)
+        .withColumn("_h", h)
+        .withColumn("shard", (F.col("_h") % n_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("_h")
+    )

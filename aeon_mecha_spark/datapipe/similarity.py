@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from aeon_mecha_spark.functions.vector import cosine, dot, norm
+from aeon_mecha_spark.util import spread
 
 
 def brute_force_knn(
@@ -339,3 +340,156 @@ def group_centroids(
         mean = scaled / F.lit(float(10**scale)) / F.count(comp).cast("double")
         aggs.append(mean.alias(f"c{i}"))
     return emb.groupBy(key_col).agg(*aggs)
+
+
+def embedding_covariance(
+    vectors: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    quant: int = 10**4,
+) -> DataFrame:
+    """Upper-triangle covariance matrix of an embedding column as a long
+    table ``(i, j, n, s_i, s_j, s_ij, cov)`` for ``i ≤ j``.
+
+    Scale design — the distributed outer-product reduce: a pure-SQL
+    covariance needs either d² aggregate expressions or an
+    (i, j)-explode self-join that multiplies the corpus by d² rows.
+    Instead each Arrow batch computes its d×d partial ``Mᵀ M`` in one
+    numpy matmul (mapInPandas, bounded memory), emitting d(d+1)/2
+    partial rows per batch; the only shuffle is the tiny
+    (partitions × d²)-row partial table reduced by one groupBy. At 100 TB
+    the fact table never shuffles — this is the tree-reduce every
+    distributed PCA/whitening/linear-probe fit starts with.
+
+    Exactness: components are floor-quantized to ``q = floor(x·quant)``
+    int64 first, so every moment is integer arithmetic — partial sums
+    are order-independent and the DuckDB oracle reproduces them
+    bit-for-bit; the covariance then leaves integers through IEEE-only
+    arithmetic. Keep ``n·(quant·max|x|)² < 2^63`` (at quant=10⁴ and
+    unit-norm embeddings that is n < ~10⁸ rows per run; shard and
+    switch the moment sums to decimal(38,0) beyond). Rows with NULL or
+    ragged vectors are excluded (n counts used rows).
+    """
+    arr = F.col(vec_col).cast("array<double>")
+    qv = F.transform(arr, lambda x: F.floor(x * quant).cast("long"))
+    base = (
+        spread(vectors)
+        .filter(F.col(vec_col).isNotNull() & (F.size(arr) == dims))
+        .select(qv.alias("qv"))
+    )
+
+    def part(batches):
+        import numpy as np
+        import pandas as pd
+
+        iu, ju = np.triu_indices(dims)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["qv"].to_numpy()).astype("int64")
+            s = m.sum(axis=0)
+            ss = m.T @ m
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "n": np.int64(len(m)),
+                    "s_i": s[iu],
+                    "s_j": s[ju],
+                    "s_ij": ss[iu, ju],
+                }
+            )
+
+    partials = base.mapInPandas(
+        part, "i int, j int, n long, s_i long, s_j long, s_ij long"
+    )
+    tot = partials.groupBy("i", "j").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s_i").cast("long").alias("s_i"),
+        F.sum("s_j").cast("long").alias("s_j"),
+        F.sum("s_ij").cast("long").alias("s_ij"),
+    )
+    n = F.col("n").cast("double")
+    cov = (
+        F.col("s_ij").cast("double") / n
+        - (F.col("s_i").cast("double") / n) * (F.col("s_j").cast("double") / n)
+    ) / F.lit(float(quant) * float(quant))
+    return tot.withColumn("cov", cov)
+
+
+def pca_project(
+    vectors: DataFrame,
+    dims: int,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 10**4,
+) -> DataFrame:
+    """Project embeddings onto their top-k principal components:
+    ``(id, pc0 … pc{k-1})``.
+
+    Two passes, both cluster-scale-safe: (1) ``embedding_covariance``
+    reduces the corpus to a d(d+1)/2-row matrix — the ONLY thing the
+    driver ever collects; (2) numpy eigendecomposition of the tiny d×d
+    matrix on the driver, and the k eigenvectors return to the cluster
+    as literal coefficients in a pure-Catalyst projection (no UDF, no
+    broadcast variable — the plan embeds ~d·k constants). Eigenvector
+    sign is fixed deterministically (largest-|component| positive) so
+    output is reproducible across runs and partitionings.
+
+    Not SQL-oracle-expressible (eigendecomposition); verified by unit
+    test against numpy PCA on the same data.
+    """
+    import numpy as np
+
+    rows = embedding_covariance(vectors, dims, vec_col, quant=quant).collect()
+    C = np.zeros((dims, dims))
+    for r in rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    w, V = np.linalg.eigh(C)
+    comps = V[:, np.argsort(w)[::-1][:k]].copy()
+    for c in range(k):
+        if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
+            comps[:, c] = -comps[:, c]
+    arr = F.col(vec_col).cast("array<double>")
+    cols = []
+    for c in range(k):
+        terms = [
+            F.element_at(arr, i + 1) * F.lit(float(comps[i, c]))
+            for i in range(dims)
+        ]
+        expr = terms[0]
+        for t in terms[1:]:
+            expr = expr + t
+        cols.append(expr.alias(f"pc{c}"))
+    return vectors.select(id_col, *cols)
+
+
+def quantize_embeddings(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric per-vector integer quantization (the int8 storage /
+    ANN-memory-compression step): ``scale = max|x| / (2^(bits-1)-1)``,
+    ``q = floor(x/scale + 0.5)`` (round-half-up — floor-based so every
+    engine rounds ties identically; IEEE division keeps the quotient
+    bit-identical cross-engine).
+
+    Output is the exploded long form ``(id, i, q, scale)`` — portable
+    for the oracle and joins; re-pack with collect_list(i, q) when
+    storing. All-zero vectors get scale 0 and q 0. Map-only plan: no
+    shuffle, column-pruned to the vector.
+    """
+    qmax = 2 ** (bits - 1) - 1
+    arr = F.col(vec_col).cast("array<double>")
+    scale = (F.array_max(F.transform(arr, lambda x: F.abs(x))) / qmax).alias("scale")
+    base = spread(vectors).select(F.col(id_col), arr.alias("_v"), scale)
+    q = F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+        F.floor(F.col("_x") / F.col("scale") + F.lit(0.5)).cast("int")
+    )
+    return (
+        base.select(F.col(id_col), "scale", F.posexplode("_v").alias("i", "_x"))
+        .select(id_col, F.col("i").cast("int").alias("i"), q.cast("int").alias("q"), "scale")
+    )

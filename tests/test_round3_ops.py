@@ -380,3 +380,114 @@ def test_token_budget_excludes_null_rows(spark):
     )
     got = curation.token_budget_select(df, 100).collect()
     assert [r["doc_id"] for r in got] == [3] and got[0]["cum_tokens"] == 5
+
+
+# -- shuffle_shards ---------------------------------------------------------
+
+def test_shuffle_shards_is_permutation(spark):
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(100)], "doc_id long, text string")
+    out = curation.shuffle_shards(df, n_shards=4, seed=3).collect()
+    assert len(out) == 100
+    assert sorted(r["doc_id"] for r in out) == list(range(100))
+    # positions are 1..n_k contiguous within each shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_shuffle_shards_deterministic_and_seed_sensitive(spark):
+    df = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    a = {(r["doc_id"], r["shard"], r["pos"]) for r in curation.shuffle_shards(df, 4, seed=1).collect()}
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in curation.shuffle_shards(df, 4, seed=1).collect()}
+    c = {(r["doc_id"], r["shard"], r["pos"]) for r in curation.shuffle_shards(df, 4, seed=2).collect()}
+    assert a == b
+    assert a != c
+
+
+# -- embedding_covariance / pca_project -------------------------------------
+
+def _toy_vectors(spark, n=40, d=6, seed=11):
+    import random
+
+    rng = random.Random(seed)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(n)]
+    return rows, spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_embedding_covariance_matches_numpy_on_quantized(spark):
+    import numpy as np
+
+    rows, df = _toy_vectors(spark)
+    got = {(r["i"], r["j"]): r for r in similarity.embedding_covariance(df, dims=6).collect()}
+    m = np.floor(np.array([v for _, v in rows]) * 10**4).astype("int64")
+    n = len(m)
+    for (i, j), r in got.items():
+        assert r["n"] == n
+        assert r["s_i"] == m[:, i].sum() and r["s_j"] == m[:, j].sum()
+        assert r["s_ij"] == (m[:, i] * m[:, j]).sum()
+        want = (m[:, i] * m[:, j]).sum() / n - (m[:, i].sum() / n) * (m[:, j].sum() / n)
+        assert r["cov"] == pytest.approx(want / 1e8, rel=1e-12)
+    assert len(got) == 6 * 7 // 2
+
+
+def test_embedding_covariance_skips_null_and_ragged(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0]), (4, [3.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = similarity.embedding_covariance(df, dims=2).collect()
+    assert all(r["n"] == 2 for r in got)  # only the two well-formed rows
+
+
+def test_embedding_covariance_partition_invariant(spark):
+    _, df = _toy_vectors(spark)
+    a = {(r["i"], r["j"]): (r["s_ij"], r["cov"])
+         for r in similarity.embedding_covariance(df.repartition(7), dims=6).collect()}
+    b = {(r["i"], r["j"]): (r["s_ij"], r["cov"])
+         for r in similarity.embedding_covariance(df.coalesce(1), dims=6).collect()}
+    assert a == b
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    rows, df = _toy_vectors(spark, n=60, d=5)
+    got = similarity.pca_project(df, dims=5, k=2).orderBy("vec_id").toPandas()
+    # reference PCA on the same quantized covariance the operator uses
+    m = np.floor(np.array([v for _, v in rows]) * 10**4).astype("int64")
+    n = len(m)
+    c = (m.T @ m) / n - np.outer(m.sum(0) / n, m.sum(0) / n)
+    c = c / 1e8
+    w, v = np.linalg.eigh(c)
+    comps = v[:, np.argsort(w)[::-1][:2]].copy()
+    for k in range(2):
+        if comps[np.argmax(np.abs(comps[:, k])), k] < 0:
+            comps[:, k] = -comps[:, k]
+    want = np.array([vec for _, vec in rows]) @ comps
+    assert np.allclose(got[["pc0", "pc1"]].to_numpy(), want, atol=1e-9)
+
+
+# -- quantize_embeddings ----------------------------------------------------
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    rows, df = _toy_vectors(spark, n=30, d=8)
+    out = similarity.quantize_embeddings(df).collect()
+    assert len(out) == 30 * 8
+    vals = {(r["vec_id"], r["i"]): r for r in out}
+    for vec_id, vec in rows:
+        max_abs = max(abs(x) for x in vec)
+        scale = max_abs / 127
+        for i, x in enumerate(vec):
+            r = vals[(vec_id, i)]
+            assert abs(r["q"]) <= 127
+            # dequantization error bounded by half a step
+            assert abs(r["q"] * r["scale"] - x) <= scale / 2 + 1e-12
+
+
+def test_quantize_embeddings_zero_vector(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<double>")
+    out = similarity.quantize_embeddings(df).collect()
+    assert all(r["q"] == 0 and r["scale"] == 0.0 for r in out)
