@@ -59,6 +59,10 @@ HEADLINE = [
     "q72_near_dup_lsh",      # LSH-bucketed near-dup (scale-safe default)
     "q73_decontaminate",     # broadcast benchmark-shingle overlap
     "q84_chunk_documents",   # tokenize-once chunk explode
+    "q88_tfidf",             # tf/df groupBys + broadcast vocab join
+    "q90_token_budget",      # distributed two-level prefix sum
+    "q91_shuffle_shards",    # seeded-hash shard + per-shard windows
+    "q92_embedding_covariance",  # mapInPandas outer-product reduce
 ]
 
 

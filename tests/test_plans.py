@@ -133,3 +133,51 @@ def test_q74_hash_sample_is_shuffle_free(spark, entry, sf_dir):
     Exchange anywhere in the plan."""
     p = plan_str(entry.queries()["q74_hash_sample"](spark, sf_dir))
     assert "Exchange" not in p
+
+
+def test_q88_tfidf_broadcasts_vocab_join(spark, entry, sf_dir):
+    """The df (vocabulary) side must broadcast — the corpus-sized tf
+    table never lands on a build side or re-shuffles for the join."""
+    p = plan_str(entry.queries()["q88_tfidf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q90_token_budget_windows_are_bucket_partitioned(spark, entry, sf_dir):
+    """The corpus-sized running sum must be partitioned by score bucket
+    (parallel prefix sum); the only unpartitioned window is the tiny
+    per-bucket offset table. Plan shape: every Window node that follows
+    the full scan sorts by (_b, ...) inside a hashpartitioning(_b)
+    exchange."""
+    p = plan_str(entry.queries()["q90_token_budget"](spark, sf_dir))
+    assert p.count("Window") >= 2
+    assert "hashpartitioning(_b" in p  # the big window is bucket-parallel
+
+
+def test_q91_shuffle_shards_window_partitioned_by_shard(spark, entry, sf_dir):
+    """Per-shard position windows — no global sort, no single-partition
+    window over the corpus."""
+    p = plan_str(entry.queries()["q91_shuffle_shards"](spark, sf_dir))
+    assert "hashpartitioning(shard" in p
+    assert "SinglePartition" not in p
+
+
+def test_q92_covariance_shuffles_only_partials(spark, entry, sf_dir):
+    """The only exchange after the mapInPandas partials is the tiny
+    (i, j) reduce — the vector table itself never shuffles (the one
+    scan-side exchange is spread()'s round-robin repartition, which
+    carries no sort and no join)."""
+    p = plan_str(entry.queries()["q92_embedding_covariance"](spark, sf_dir))
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
+    assert "hashpartitioning(i" in p
+    assert "Join" not in p
+    assert "Sort" not in p.replace("SortAggregate", "")
+
+
+def test_q94_quantize_is_shuffle_free(spark, entry, sf_dir):
+    """Map-only: posexplode + arithmetic, no exchange beyond spread()'s
+    parallelism repartition (round-robin, no keys)."""
+    p = plan_str(entry.queries()["q94_int8_quant"](spark, sf_dir))
+    assert "hashpartitioning" not in p
+    assert "Join" not in p and "Window" not in p
