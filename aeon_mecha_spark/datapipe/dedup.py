@@ -216,6 +216,95 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-recall Jaccard similarity join via prefix filtering (the
+    AllPairs/PPJoin family) — the complement to LSH banding: LSH is
+    probabilistic (tunable recall), this is EXACT. Any pair with
+    J(A, B) ≥ τ must share at least one token among the first
+    |A| − ⌊τ·|A|⌋ tokens of each set when both are sorted by one global
+    order, so joining only on prefix tokens loses nothing; an exact
+    Jaccard verify then removes false positives. Output: every pair with
+    k-shingle Jaccard ≥ τ as (id_a < id_b, jaccard).
+
+    Global order = (document frequency asc, shingle asc): rarest tokens
+    first, so prefixes join on the LEAST common shingles — candidate
+    volume follows rare-token collisions, not the quadratic pair space.
+
+    Plan: shingle explode → token-frequency groupBy (map-side partial)
+    → one window per doc for prefix ranks → self-join on the prefix
+    shingle → distinct pairs → array-intersect verify. Prefix length
+    uses ⌊τ·n⌋ (not ⌈·⌉) so float rounding can only LENGTHEN the prefix
+    — recall is preserved under IEEE jitter; the verify step restores
+    exact precision. A size filter (min ≥ τ·max − ε) prunes pairs that
+    cannot reach τ before the verify join.
+    """
+    from pyspark.sql import Window as W
+
+    sets = shingle_sets(docs, id_col, text_col, k)
+    sized = sets.select(F.col(id_col), F.col("sh"), F.size("sh").alias("_n"))
+    tok = sized.select(F.col(id_col), F.col("_n"), F.explode("sh").alias("shingle"))
+    freq = tok.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = W.partitionBy(id_col).orderBy(F.col("_df").asc(), F.col("shingle").asc())
+    ranked = tok.join(freq, "shingle").withColumn("_rn", F.row_number().over(w))
+    prefix_len = F.col("_n") - F.floor(F.lit(threshold) * F.col("_n")).cast("int") + F.lit(1)
+    prefix = ranked.filter(F.col("_rn") <= prefix_len).select(id_col, "_n", "shingle")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    size_ok = F.least(F.col("a._n"), F.col("b._n")) >= (
+        F.lit(threshold) * F.greatest(F.col("a._n"), F.col("b._n")) - F.lit(1e-9)
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & size_ok,
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates()
+    )
+    verified = ngram_jaccard(docs, cand, id_col, text_col, k, sets=sets)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Exact duplicated-substring signal per document: the fraction of a
+    doc's distinct ``width``-token spans that appear verbatim in ≥ 2
+    documents — the set-oriented form of the exact-substring-dedup
+    criterion (suffix-array dedup finds byte spans repeated across the
+    corpus; here the unit is a fixed-width token window, which a
+    groupBy can count without any suffix structure).
+
+    Plan: span explode → 60-bit MD5 hash (shuffle carries 8-byte hashes,
+    never span text) → span-frequency groupBy with map-side partials →
+    hash-join back (co-partitioned on the hash by the groupBy) → per-doc
+    conditional count. Output: (id, n_spans, n_dup_spans, dup_frac);
+    ``dup_frac`` is an int/int IEEE division, bit-stable across engines.
+    """
+    sh = shingle_table(docs, id_col, text_col, k=width)
+    hashed = sh.select(F.col(id_col), md5_long(F.col("shingle")).alias("_h"))
+    counts = hashed.groupBy("_h").agg(F.count(F.lit(1)).alias("_nd"))
+    return (
+        hashed.join(counts, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_nd") >= 2, 1).otherwise(0)).cast("long").alias("n_dup_spans"),
+        )
+        .withColumn("dup_frac", F.col("n_dup_spans").cast("double") / F.col("n_spans"))
+    )
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash fingerprint: for each bit position, sign of the sum of
     (+1/−1) votes from token hashes. Implemented as explode(tokens) →

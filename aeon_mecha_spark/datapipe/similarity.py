@@ -296,6 +296,48 @@ def near_duplicates_lsh(
     )
 
 
+def semantic_dedup(
+    vectors: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication, end to end: bucket the
+    embeddings with hyperplane LSH, take same-bucket cosine pairs above
+    ``threshold``, close them into duplicate clusters, and elect the
+    minimum id of each cluster as its canonical representative.
+
+    Output: one row per input vector — (id, canonical_id, is_dup) with
+    ``is_dup`` = 1 for every non-canonical member of a duplicate cluster
+    (the rows a curation pipeline drops). Vectors in no near-dup pair
+    are their own canonical.
+
+    Composition of scale-safe parts: ``near_duplicates_lsh`` (pair space
+    never materializes) → ``dedup_clusters`` (O(component-diameter)
+    min-label rounds) → one left join against the id universe. The only
+    iterative state is the tiny (id, label) table.
+    """
+    from aeon_mecha_spark.datapipe.dedup import dedup_clusters
+
+    pairs = near_duplicates_lsh(vectors, planes, id_col, vec_col, threshold)
+    clusters = dedup_clusters(pairs.select("id_a", "id_b")).withColumnRenamed(
+        "doc_id", id_col
+    )
+    return (
+        vectors.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn(
+            "is_dup",
+            F.when(F.col(id_col) != F.col("canonical_id"), 1).otherwise(0).cast("int"),
+        )
+    )
+
+
 def group_centroids(
     emb: DataFrame,
     key_col: str = "label",

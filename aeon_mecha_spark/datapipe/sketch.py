@@ -228,3 +228,86 @@ def quantile_summary(
         for q in quantiles
     ]
     return df.groupBy(*keys).agg(*aggs)
+
+
+_BLOOM_BITS_PER_WORD = 32  # mask < 2^32 keeps shifts sign-safe in every engine
+
+
+def _bloom_positions(c: Column, num_bits: int, num_hashes: int) -> Column:
+    """Bit addresses for one value — one seeded portable MD5 per hash
+    function, shared by build and probe so they can never drift."""
+    return F.array(*[md5_long(c.cast("string"), seed=i) % num_bits for i in range(num_hashes)])
+
+
+def bloom_partial(
+    df: DataFrame,
+    col: str | Column,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter membership state as a long table ``(word_idx, bits)``
+    — word ``i`` holds bit positions [32i, 32i+32) as an OR-ed mask.
+
+    The membership analogue of the KMV/CM sketches: an exact
+    blocklist/seen-set join at 100 TB shuffles every key, while a Bloom
+    filter bounds state at ``num_bits`` bits TOTAL, broadcasts to every
+    executor, and never reports a false NEGATIVE — the property batch
+    dedup-against-history needs (a false positive re-drops a seen-ish
+    row; a false negative would leak a duplicate). Plan: one map pass
+    hashing each value ``num_hashes`` times, a constant-factor explode,
+    one bit_or groupBy — map-side combinable. Deterministic: built on
+    the portable MD5 family, so the exact word values (not just the
+    verdicts) are oracle-checkable in DuckDB.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pos = df.select(F.explode(_bloom_positions(c, num_bits, num_hashes)).alias("_p"))
+    word = (F.col("_p") / _BLOOM_BITS_PER_WORD).cast("long")
+    mask = F.shiftleft(F.lit(1).cast("long"), (F.col("_p") % _BLOOM_BITS_PER_WORD).cast("int"))
+    return (
+        pos.select(word.alias("word_idx"), mask.alias("_m"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+
+def bloom_merge(partials: DataFrame) -> DataFrame:
+    """Merge Bloom partials built with the SAME (num_bits, num_hashes):
+    bitwise OR per word. Lossless — the merged filter is bit-identical
+    to building one filter over the concatenated input, so shards /
+    days / corpus batches fold together without rescanning anything."""
+    return partials.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_contains(
+    df: DataFrame,
+    col: str | Column,
+    bloom: DataFrame,
+    id_cols: list[str],
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Probe a Bloom filter: ``(id_cols…, maybe_member)`` with
+    ``maybe_member`` = 1 iff every hash position's bit is set (possible
+    member / false positive), 0 = definitely absent.
+
+    The filter is tiny (≤ num_bits/32 rows) so Spark broadcasts the
+    probe join — the 100 TB side never shuffles. Probe rows explode to
+    ``num_hashes`` positions and fold back with bool_and; a position
+    whose word is absent from the state is an unset bit.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    probe = df.select(*id_cols, F.explode(_bloom_positions(c, num_bits, num_hashes)).alias("_p"))
+    probe = probe.select(
+        *id_cols,
+        (F.col("_p") / _BLOOM_BITS_PER_WORD).cast("long").alias("word_idx"),
+        F.shiftleft(
+            F.lit(1).cast("long"), (F.col("_p") % _BLOOM_BITS_PER_WORD).cast("int")
+        ).alias("_m"),
+    )
+    hit = F.coalesce(F.col("bits").bitwiseAND(F.col("_m")) == F.col("_m"), F.lit(False))
+    return (
+        probe.join(F.broadcast(bloom), "word_idx", "left")
+        .select(*id_cols, hit.alias("_hit"))
+        .groupBy(*id_cols)
+        .agg(F.when(F.bool_and("_hit"), 1).otherwise(0).cast("int").alias("maybe_member"))
+    )

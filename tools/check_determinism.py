@@ -40,6 +40,13 @@ DEFAULT_QUERIES = [
     "q77_merge_intervals",
     "q79_dedup_clusters",
     "q81_repetition_ratio",
+    # round-3 additions: prefix sums, mapInPandas reduce, eigen path
+    "q88_tfidf",
+    "q90_token_budget",
+    "q91_shuffle_shards",
+    "q92_embedding_covariance",
+    "q93_pca_project",
+    "q94_int8_quant",
 ]
 
 
