@@ -41,6 +41,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp semantics (date_trunc, collected values) must be tz-stable
     # regardless of the driver session's default timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # naive parquet timestamps must read as TIMESTAMP (UTC wall clock),
+    # not TIMESTAMP_NTZ — unix_micros/window arithmetic require LTZ and
+    # DuckDB treats the same bytes as plain TIMESTAMP
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
