@@ -567,7 +567,16 @@ def q42_streaming_hourly(spark, sf_dir):
     feed_dir = tempfile.mkdtemp(prefix="q42_feed_")
     os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(feed_dir, "events.parquet"))
     src = spark.readStream.schema(schema).parquet(feed_dir)
-    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The file-stream source hands back TIMESTAMP(NANOS) as a long whose
+    # scale depends on whether nanosAsLong was in force at plan time (ns)
+    # or the NANOS->MICROS cast path kicked in (µs). Sniff the scale:
+    # 2^58 ns ≈ 1979, while µs values stay < 2^58 until year 11000.
+    src = src.withColumn(
+        "ts",
+        F.timestamp_micros(
+            F.when(F.col("ts") > F.lit(1 << 58), F.expr("ts div 1000")).otherwise(F.col("ts"))
+        ),
+    )
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
@@ -1166,7 +1175,15 @@ def q87_zarr_decode(spark, sf_dir):
     )
     resolved = Z.resolve_twins(listing)
     out = Z.read_zarr_array(spark, resolved)
-    return out.select("idx", "values").orderBy("idx")
+    # Scalar columns only: the driver's canonicalizer factorizes each
+    # column and crashes on list-typed values (CORRECTNESS_r03 q87), so
+    # the array is emitted as a csv string plus checksum aggregates.
+    return out.select(
+        "idx",
+        F.size("values").alias("n_vals"),
+        F.round(F.aggregate("values", F.lit(0.0), lambda a, x: a + x), 6).alias("val_sum"),
+        F.concat_ws(",", F.transform("values", lambda x: F.format_string("%.3f", x))).alias("vals_csv"),
+    ).orderBy("idx")
 
 
 def q88_tfidf(spark, sf_dir):
@@ -1223,6 +1240,34 @@ def q94_int8_quant(spark, sf_dir):
     return similarity.quantize_embeddings(_t(spark, sf_dir, "embeddings"))
 
 
+def q95_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (sketch.py bloom family): benchmark
+    3-gram set folded into an 8192-bit filter, corpus docs report their
+    possible-member shingle counts. Exactly reproduced by the oracle's
+    position-set formulation (bit-in-word == position-in-set)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return curation.bloom_decontaminate(corpus, bench, k=3, num_bits=8192, num_hashes=4)
+
+
+def q96_weighted_sample(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sample: 100 docs drawn ∝ token
+    count, deterministic via the seeded portable MD5 uniform."""
+    docs = _t(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id", "lang", TX.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return curation.weighted_sample(weighted, "n_tokens", 100, "doc_id", seed=7)
+
+
+def q97_substring_dedup(spark, sf_dir):
+    """Cross-document exact-substring duplication at 8-gram granularity:
+    per doc, duplicated gram positions and merged duplicated token
+    coverage (gaps-and-islands union of overlapping gram spans)."""
+    return dedup.substring_duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1240,7 +1285,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # representative per operator family. Entries past 50 are all green
     # in CORRECTNESS_r02 and re-checkable via tools/check_correctness.py.
     return {
-        # -- not yet driver-graded: dedup/ANN + analytics/sketch families
+        # -- round-4 additions + the one query never officially graded:
+        # these must sit inside the driver's 50-entry window
+        "q95_bloom_decontaminate": q95_bloom_decontaminate,
+        "q96_weighted_sample": q96_weighted_sample,
+        "q97_substring_dedup": q97_substring_dedup,
+        "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
+        # -- r03-green families
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
         "q36_knn_cosine": q36_knn_cosine,
@@ -1289,15 +1340,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q02_restrict_expr": q02_restrict_expr,
         "q03_semi_join": q03_semi_join,
+        # ---- entries below are past the driver's 50-entry window ----
         "q04_anti_join": q04_anti_join,
         "q06_revenue_by_nation": q06_revenue_by_nation,
         "q07_left_join_counts": q07_left_join_counts,
         "q10_grouped_bounds": q10_grouped_bounds,
-        # ---- entries below are past the driver's 50-entry window ----
-        # (positions 1-43 above are the never-officially-graded queries;
-        # 44-50 are family representatives; everything from here on is
-        # green in CORRECTNESS_r02 and re-checkable locally)
-        "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
+        # (everything from here on is green in CORRECTNESS_r02/r03 and
+        # re-checkable locally via tools/check_correctness.py)
         "q13_qc_deltas": q13_qc_deltas,
         "q15_rolling_1h": q15_rolling_1h,
         "q16_sessionize": q16_sessionize,
@@ -2480,6 +2529,107 @@ def oracle_sql() -> dict[str, str]:
                         ELSE floor(v[i1] / scale + 0.5)::int END AS q,
                    scale
             FROM e
+        """,
+        # Bloom membership re-expressed as position-set membership: a bit
+        # is set in the Spark filter's (word_idx, bits) state exactly iff
+        # its absolute position is in the benchmark's hashed-position set,
+        # so "all num_hashes bits set" == "all positions found".
+        "q95_bloom_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ), shl AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(generate_series(1, len(t) - 2),
+                                              i -> array_to_string(t[i:i+2], ' '))
+                          ELSE [array_to_string(t, ' ')] END AS sh
+              FROM toks
+            ), corp AS (
+              SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM shl
+              WHERE doc_id % 97 <> 0
+            ), bench AS (
+              SELECT DISTINCT unnest(list_distinct(sh)) AS shingle FROM shl
+              WHERE doc_id % 97 = 0
+            ), seeds AS (
+              SELECT unnest(generate_series(0, 3)) AS i
+            ), bits AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(s.i::varchar || ':' || b.shingle), 1, 15))::bigint
+                     % 8192 AS p
+              FROM bench b, seeds s
+            ), probe AS (
+              SELECT c.doc_id, c.shingle,
+                     ('0x' || substr(md5(s.i::varchar || ':' || c.shingle), 1, 15))::bigint
+                     % 8192 AS p
+              FROM corp c, seeds s
+            ), verdict AS (
+              SELECT doc_id, shingle, (count(bits.p) = 4) AS hit
+              FROM probe LEFT JOIN bits USING (p)
+              GROUP BY doc_id, shingle
+            )
+            SELECT doc_id,
+                   count(*)::bigint AS n_shingles,
+                   sum(CASE WHEN hit THEN 1 ELSE 0 END)::bigint AS n_bloom_hits
+            FROM verdict GROUP BY doc_id
+        """,
+        "q96_weighted_sample": """
+            SELECT doc_id, lang, n_tokens FROM (
+              SELECT doc_id, lang, n_tokens,
+                     -ln((('0x' || substr(md5('7:' || doc_id::varchar), 1, 15))::bigint::double
+                          + 1.0) / 1152921504606846977.0) / n_tokens::double AS skey
+              FROM (
+                SELECT doc_id, lang,
+                       (CASE WHEN trim(text) = '' THEN 0
+                             ELSE len(string_split_regex(trim(text), '\\s+')) END)::bigint
+                       AS n_tokens
+                FROM documents)
+              WHERE n_tokens > 0)
+            ORDER BY skey, doc_id LIMIT 100
+        """,
+        "q97_substring_dedup": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ), el AS (
+              SELECT doc_id, t FROM toks WHERE len(t) >= 8
+            ), gi AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i1 FROM el
+            ), grams AS (
+              SELECT doc_id, (i1 - 1)::bigint AS pos,
+                     ('0x' || substr(md5(array_to_string(t[i1:i1+7], ' ')), 1, 15))::bigint AS gh
+              FROM gi
+            ), dup AS (
+              SELECT gh FROM grams GROUP BY gh HAVING count(DISTINCT doc_id) >= 2
+            ), dp AS (
+              SELECT doc_id, pos, pos + 8 AS e FROM grams JOIN dup USING (gh)
+            ), isl AS (
+              SELECT doc_id, pos, e,
+                     CASE WHEN max(e) OVER w IS NULL OR pos > max(e) OVER w
+                          THEN 1 ELSE 0 END AS nw
+              FROM dp
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), isl2 AS (
+              SELECT doc_id, pos, e,
+                     sum(nw) OVER (PARTITION BY doc_id ORDER BY pos, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS island
+              FROM isl
+            ), spans AS (
+              SELECT doc_id, island, min(pos) AS s, max(e) AS e
+              FROM isl2 GROUP BY doc_id, island
+            ), cov AS (
+              SELECT doc_id, sum(e - s)::bigint AS dup_tokens FROM spans GROUP BY doc_id
+            ), per_doc AS (
+              SELECT doc_id, count(*)::bigint AS n_grams FROM grams GROUP BY doc_id
+            ), dup_agg AS (
+              SELECT doc_id, count(*)::bigint AS n_dup_grams FROM dp GROUP BY doc_id
+            )
+            SELECT p.doc_id, p.n_grams,
+                   coalesce(d.n_dup_grams, 0)::bigint AS n_dup_grams,
+                   coalesce(c.dup_tokens, 0)::bigint AS dup_tokens
+            FROM per_doc p
+            LEFT JOIN dup_agg d USING (doc_id)
+            LEFT JOIN cov c USING (doc_id)
         """,
     }
     return sqls

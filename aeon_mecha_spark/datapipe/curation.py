@@ -101,6 +101,88 @@ def decontaminate(
     )
 
 
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_bits: int = 8192,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter variant of :func:`decontaminate`: the benchmark's
+    shingle set is summarized into a fixed-size Bloom filter instead of
+    an exact broadcast set, and each corpus document reports how many of
+    its distinct k-shingles the filter *might* contain.
+
+    Returns ``(id, n_shingles, n_bloom_hits)``. No false negatives:
+    ``n_bloom_hits >= n_overlap`` from the exact operator, so filtering
+    on ``n_bloom_hits == 0`` is a sound fast-path that clears the vast
+    un-contaminated majority; only flagged docs need the exact check.
+
+    Scale: the exact operator broadcasts the full benchmark shingle SET
+    (~GBs for a large eval suite); the filter is ``num_bits`` bits TOTAL
+    regardless of benchmark size, so this stays broadcastable when the
+    "benchmark" is itself huge (e.g. decontaminating against a prior
+    training corpus). Build = one explode + bit_or groupBy over the
+    benchmark; probe = map-side hashing + one broadcast join; the
+    corpus never shuffles on the shingle.
+    """
+    from aeon_mecha_spark.datapipe import sketch
+
+    bench_sh = benchmark.select(
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle")
+    ).dropDuplicates(["shingle"])
+    bloom = sketch.bloom_partial(bench_sh, "shingle", num_bits, num_hashes)
+    corpus_sh = spread(corpus).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("shingle"),
+    )
+    probed = sketch.bloom_contains(
+        corpus_sh, "shingle", bloom, [id_col, "shingle"], num_bits, num_hashes
+    )
+    return probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("maybe_member").cast("long").alias("n_bloom_hits"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-Res): each row draws ``u`` from its seeded 60-bit MD5 and
+    competes with key ``-ln(u) / w``; the ``n`` smallest keys win. Rows
+    with non-positive weight never qualify. Inclusion probability is
+    proportional to weight, the draw is reproducible across engines,
+    runs, and partitionings, and disjoint seeds give independent draws —
+    the quality-weighted corpus subset selection step of a training mix.
+
+    Plan: one map-side key computation, then a global top-n — Spark
+    plans ``orderBy().limit(n)`` as TakeOrderedAndProject (per-partition
+    heap of n, merge of per-partition winners), so no full sort and no
+    full shuffle ever happens; the only data movement is n rows per
+    partition to one reducer. The sort key is dropped from the output
+    (``-ln`` is the one non-portably-rounded step; verdicts, not keys,
+    are the contract).
+    """
+    u = (md5_long(F.col(key_col).cast("string"), seed=seed).cast("double") + F.lit(1.0)) / F.lit(
+        float((1 << 60) + 1)
+    )
+    skey = -F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_skey", skey)
+        .orderBy("_skey", key_col)
+        .limit(n)
+        .drop("_skey")
+    )
+
+
 def hash_sample(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aeon_mecha_spark.functions.hashing import md5_long
-from aeon_mecha_spark.functions.text import normalize_text, word_shingles
+from aeon_mecha_spark.functions.text import normalize_text, tokens, word_shingles
 from aeon_mecha_spark.util import spread
 
 
@@ -328,3 +328,72 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     for i in range(bits):
         fp = fp + F.when(F.col(f"b_{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
     return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def substring_duplicate_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact substring duplication: for each document, how many of its
+    token positions are covered by an n-token gram that also appears in
+    at least one OTHER document — the cross-document exact-substring
+    signal (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better") that sequence-level dedup misses, at n-gram
+    granularity rather than suffix-array granularity.
+
+    Returns ``(id, n_grams, n_dup_grams, dup_tokens)`` for every doc
+    with ≥ n tokens: total n-gram positions, positions whose gram is
+    cross-doc duplicated, and the merged token coverage of those
+    duplicated spans (overlapping gram hits union into maximal spans,
+    so a verbatim 50-token quote counts 50 tokens, not 43 grams × n).
+    Filter ``dup_tokens / (n_grams + n - 1) > θ`` to drop boilerplate.
+
+    Plan: posexplode grams once, reduce each gram to its 60-bit MD5 (the
+    shuffle key is 8 bytes, not an ~8-word string), one groupBy(gram)
+    to find cross-doc grams, one join back on the gram hash (AQE splits
+    skewed boilerplate grams), then the gaps-and-islands span merge per
+    doc. Every step is a single-shuffle hash exchange; nothing is
+    quadratic in docs or grams.
+    """
+    from aeon_mecha_spark.datapipe.curation import merge_intervals
+
+    eligible = spread(docs).filter(F.size(tokens(F.col(text_col))) >= n)
+    grams = eligible.select(
+        F.col(id_col), F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "gram")
+    ).select(id_col, "pos", md5_long(F.col("gram")).alias("gh"))
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gh")
+    )
+    dup_pos = grams.join(dup, "gh")
+    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    dup_agg = dup_pos.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_grams")
+    )
+    spans = merge_intervals(
+        dup_pos.select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("start"),
+            (F.col("pos") + F.lit(n)).cast("long").alias("end"),
+        ),
+        "start",
+        "end",
+        keys=[id_col],
+    )
+    cov = spans.groupBy(id_col).agg(
+        F.sum(F.col("end") - F.col("start")).cast("long").alias("dup_tokens")
+    )
+    return (
+        per_doc.join(dup_agg, id_col, "left")
+        .join(cov, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).cast("long").alias("n_dup_grams"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+    )

@@ -262,7 +262,11 @@ def bloom_partial(
     c = F.col(col) if isinstance(col, str) else col
     pos = df.select(F.explode(_bloom_positions(c, num_bits, num_hashes)).alias("_p"))
     word = (F.col("_p") / _BLOOM_BITS_PER_WORD).cast("long")
-    mask = F.shiftleft(F.lit(1).cast("long"), (F.col("_p") % _BLOOM_BITS_PER_WORD).cast("int"))
+    # call_function: the Python F.shiftleft only takes a literal shift
+    # count; the SQL builtin accepts a column
+    mask = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.col("_p") % _BLOOM_BITS_PER_WORD).cast("int")
+    )
     return (
         pos.select(word.alias("word_idx"), mask.alias("_m"))
         .groupBy("word_idx")
@@ -300,8 +304,8 @@ def bloom_contains(
     probe = probe.select(
         *id_cols,
         (F.col("_p") / _BLOOM_BITS_PER_WORD).cast("long").alias("word_idx"),
-        F.shiftleft(
-            F.lit(1).cast("long"), (F.col("_p") % _BLOOM_BITS_PER_WORD).cast("int")
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("_p") % _BLOOM_BITS_PER_WORD).cast("int")
         ).alias("_m"),
     )
     hit = F.coalesce(F.col("bits").bitwiseAND(F.col("_m")) == F.col("_m"), F.lit(False))

@@ -93,6 +93,15 @@ def main() -> None:
         timings[name] = min(runs)
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Per-run detail goes to a side file, NOT stdout: the driver parses
+    # the single printed JSON line and chokes past ~2 KB (BENCH_r03 was
+    # recorded as parsed:null when "runs" pushed the line to ~3 KB).
+    # Keep stdout to exactly the five spec keys, compact separators.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump({"runs": all_runs, "reps": reps, "sf": sf}, f, indent=1)
     print(
         json.dumps(
             {
@@ -100,10 +109,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": all_runs,
-                "reps": reps,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -1,0 +1,183 @@
+"""Unit tests for the round-4 operators (gate queries q95-q97):
+Bloom filter build/merge/probe, bloom_decontaminate, weighted_sample,
+and substring_duplicate_spans.
+
+Focus: the sketch-theoretic invariants (no false negatives, lossless
+merge) and the edge shapes the gate data never hits (touching spans,
+within-doc repeats, zero/negative weights, empty inputs)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aeon_mecha_spark.datapipe import curation, dedup, sketch
+
+
+# -- Bloom filter primitives ------------------------------------------------
+
+def _values_df(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v string")
+
+
+def test_bloom_no_false_negatives(spark):
+    vals = [f"item_{i}" for i in range(200)]
+    bloom = sketch.bloom_partial(_values_df(spark, vals), "v", num_bits=4096, num_hashes=3)
+    probe = sketch.bloom_contains(
+        _values_df(spark, vals), "v", bloom, ["v"], num_bits=4096, num_hashes=3
+    )
+    assert probe.filter(F.col("maybe_member") == 0).count() == 0
+
+
+def test_bloom_rejects_most_absent_values(spark):
+    present = [f"in_{i}" for i in range(50)]
+    absent = [f"out_{i}" for i in range(500)]
+    bloom = sketch.bloom_partial(_values_df(spark, present), "v", num_bits=8192, num_hashes=4)
+    probe = sketch.bloom_contains(
+        _values_df(spark, absent), "v", bloom, ["v"], num_bits=8192, num_hashes=4
+    )
+    fp = probe.filter(F.col("maybe_member") == 1).count()
+    # 50 keys in 8192 bits at 4 hashes -> theoretical fp rate ~ (1-e^-200/8192)^4 ~ 3e-7
+    assert fp <= 2
+
+
+def test_bloom_merge_equals_single_build(spark):
+    a = [f"x_{i}" for i in range(80)]
+    b = [f"y_{i}" for i in range(80)]
+    pa = sketch.bloom_partial(_values_df(spark, a), "v", num_bits=2048, num_hashes=3)
+    pb = sketch.bloom_partial(_values_df(spark, b), "v", num_bits=2048, num_hashes=3)
+    merged = sketch.bloom_merge(pa.union(pb))
+    whole = sketch.bloom_partial(_values_df(spark, a + b), "v", num_bits=2048, num_hashes=3)
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, whole.collect()))
+    assert got == want  # bitwise-identical state, not just equal verdicts
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox sat still"),
+            (3, "completely unrelated words appear here instead now"),
+            (4, "quick brown fox jumps high"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 1)
+    corpus = docs.filter(F.col("doc_id") != 1)
+    exact = {
+        r["doc_id"]: r for r in curation.decontaminate(corpus, bench, k=3).collect()
+    }
+    bloomed = {
+        r["doc_id"]: r
+        for r in curation.bloom_decontaminate(
+            corpus, bench, k=3, num_bits=8192, num_hashes=4
+        ).collect()
+    }
+    assert set(bloomed) == set(exact)
+    for d, ex in exact.items():
+        assert bloomed[d]["n_shingles"] == ex["n_shingles"]
+        # Bloom may add false positives but can never miss a true overlap
+        assert bloomed[d]["n_bloom_hits"] >= ex["n_overlap"]
+    assert bloomed[3]["n_bloom_hits"] <= 1  # unrelated doc ~never flagged
+
+
+# -- weighted_sample --------------------------------------------------------
+
+def _weights_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, w double")
+
+
+def test_weighted_sample_size_and_determinism(spark):
+    rows = [(i, float(1 + i % 7)) for i in range(300)]
+    df = _weights_df(spark, rows)
+    a = sorted(r["doc_id"] for r in curation.weighted_sample(df, "w", 40, "doc_id", seed=3).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in curation.weighted_sample(df.repartition(7), "w", 40, "doc_id", seed=3).collect()
+    )
+    assert len(a) == 40 and a == b  # partition-layout independent
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = _weights_df(spark, [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0)])
+    got = {r["doc_id"] for r in curation.weighted_sample(df, "w", 10, "doc_id", seed=0).collect()}
+    assert got == {1, 4}
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # one row carries ~99% of the total weight: over 20 independent
+    # seeds it must virtually always be drawn into a k=5 sample
+    rows = [(0, 10000.0)] + [(i, 1.0) for i in range(1, 100)]
+    df = _weights_df(spark, rows)
+    hits = sum(
+        any(r["doc_id"] == 0 for r in curation.weighted_sample(df, "w", 5, "doc_id", seed=s).collect())
+        for s in range(20)
+    )
+    assert hits >= 19
+
+
+def test_weighted_sample_fewer_rows_than_n(spark):
+    df = _weights_df(spark, [(1, 1.0), (2, 2.0)])
+    assert curation.weighted_sample(df, "w", 10, "doc_id", seed=0).count() == 2
+
+
+# -- substring_duplicate_spans ----------------------------------------------
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_substring_spans_shared_quote_full_coverage(spark):
+    quote = "a b c d e f g h i j"  # 10 tokens -> 3 overlapping 8-grams
+    docs = _docs_df(
+        spark,
+        [
+            (1, quote + " unique1 tail1 words1 here1 now1 x1 y1 z1"),
+            (2, "lead2 intro2 other2 stuff2 " + quote),
+            (3, "nothing shared in this document at all eight tokens"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup.substring_duplicate_spans(docs, n=8).collect()}
+    # overlapping gram hits union into ONE 10-token span in both docs
+    assert out[1]["n_dup_grams"] == 3 and out[1]["dup_tokens"] == 10
+    assert out[2]["n_dup_grams"] == 3 and out[2]["dup_tokens"] == 10
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_tokens"] == 0
+    assert out[3]["n_grams"] == 2  # 9 tokens -> 2 positions
+
+
+def test_substring_spans_within_doc_repeat_not_cross_doc(spark):
+    # the repeated 8-gram lives in ONE doc only -> not cross-doc dup
+    eight = "p q r s t u v w"
+    docs = _docs_df(
+        spark,
+        [
+            (1, eight + " mid " + eight),
+            (2, "totally different eight token text sits right here"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup.substring_duplicate_spans(docs, n=8).collect()}
+    assert out[1]["n_dup_grams"] == 0 and out[1]["dup_tokens"] == 0
+
+
+def test_substring_spans_short_docs_excluded(spark):
+    docs = _docs_df(spark, [(1, "only four tokens here"), (2, "a b c d e f g h")])
+    out = dedup.substring_duplicate_spans(docs, n=8)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+def test_substring_spans_touching_spans_merge(spark):
+    # doc 1 shares tokens 0-7 with doc 2 and tokens 8-15 with doc 3:
+    # two disjoint-but-touching 8-token spans merge into 16 covered tokens
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = _docs_df(
+        spark,
+        [
+            (1, a + " " + b),
+            (2, a + " t2a t2b t2c t2d t2e t2f t2g t2h"),
+            (3, "t3a t3b t3c t3d t3e t3f t3g t3h " + b),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup.substring_duplicate_spans(docs, n=8).collect()}
+    assert out[1]["dup_tokens"] == 16 and out[1]["n_dup_grams"] == 2
