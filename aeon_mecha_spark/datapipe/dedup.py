@@ -363,6 +363,14 @@ def substring_duplicate_spans(
     grams = eligible.select(
         F.col(id_col), F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "gram")
     ).select(id_col, "pos", md5_long(F.col("gram")).alias("gh"))
+    # The gram table feeds four consumers (dup groupBy, join-back,
+    # per-doc totals, span merge); per-consumer column pruning gives
+    # each a DIFFERENT subplan, so exchange reuse can't kick in and the
+    # tokenize+explode+md5 scan — the dominant CPU cost — would run
+    # once per consumer. Persist the compact (id, pos, gh) rows instead
+    # (MEMORY_AND_DISK: ~24 B/row spills, never recomputes); at extreme
+    # scale pre-materialize this table to Parquet and pass it around.
+    grams = grams.persist()
     dup = (
         grams.groupBy("gh")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))

@@ -63,6 +63,8 @@ HEADLINE = [
     "q90_token_budget",      # distributed two-level prefix sum
     "q91_shuffle_shards",    # seeded-hash shard + per-shard windows
     "q92_embedding_covariance",  # mapInPandas outer-product reduce
+    "q95_bloom_decontaminate",   # bloom build + broadcast probe
+    "q97_substring_dedup",   # gram explode + span merge (persist reuse)
 ]
 
 

@@ -181,3 +181,32 @@ def test_q94_quantize_is_shuffle_free(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q94_int8_quant"](spark, sf_dir))
     assert "hashpartitioning" not in p
     assert "Join" not in p and "Window" not in p
+
+
+def test_q95_bloom_probe_is_broadcast_no_smj(spark, entry, sf_dir):
+    """The bloom probe join must broadcast the (tiny, fixed-size) filter
+    state; the corpus side must never sort-merge or shuffle on the
+    shingle."""
+    p = plan_str(entry.queries()["q95_bloom_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q96_weighted_sample_is_take_ordered(spark, entry, sf_dir):
+    """Global weighted top-n must plan as TakeOrderedAndProject (per-
+    partition heaps, no full sort, no exchange before the limit)."""
+    p = plan_str(entry.queries()["q96_weighted_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in p
+    assert "Sort " not in p  # no global sort operator
+
+
+def test_q97_substring_dedup_no_quadratic_join(spark, entry, sf_dir):
+    """Cross-doc gram matching must stay a hash join on the gram hash —
+    never a cartesian/nested-loop pair blowup — and the gram table must
+    be persisted so the explode isn't recomputed per consumer."""
+    df = entry.queries()["q97_substring_dedup"](spark, sf_dir)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p  # persist() reuse of the gram table
+    df.sparkSession.catalog.clearCache()
