@@ -1268,6 +1268,37 @@ def q97_substring_dedup(spark, sf_dir):
     return dedup.substring_duplicate_spans(_t(spark, sf_dir, "documents"), n=8)
 
 
+def q98_correlated_subquery(spark, sf_dir):
+    """Correlated scalar subquery (the TPC-H Q2/Q17 family): each
+    customer's maximum-price orders, written AS a correlated subquery so
+    Catalyst's decorrelation (RewriteCorrelatedScalarSubquery) turns the
+    per-row re-execution into one aggregate + one join — the optimizer
+    path, not a hand-rewritten window. max() keeps the predicate exact
+    on double (no summation-order sensitivity)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_q98")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders_q98 o
+        WHERE o_totalprice = (
+            SELECT max(o2.o_totalprice) FROM v_orders_q98 o2
+            WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+def q99_pq_codes(spark, sf_dir):
+    """Product-quantization codes (rows-only: k-means training is
+    iterative, not SQL-expressible): 4 subspaces x 16 codewords over the
+    64-dim embeddings, deterministic md5-seeded init. Values are pinned
+    by test_round4_ops against cluster-structure invariants."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = similarity.pq_train(emb, m=4, k=16, iters=3)
+    return similarity.pq_assign(emb, books)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1290,6 +1321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_bloom_decontaminate": q95_bloom_decontaminate,
         "q96_weighted_sample": q96_weighted_sample,
         "q97_substring_dedup": q97_substring_dedup,
+        "q98_correlated_subquery": q98_correlated_subquery,
+        "q99_pq_codes": q99_pq_codes,  # rows-only: iterative k-means not in SQL
         "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
         # -- r03-green families
         "q34_minhash": q34_minhash,
@@ -1338,9 +1371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_int8_quant": q94_int8_quant,
         # -- operator-family representatives (all r02-green)
         "q01_pricing_summary": q01_pricing_summary,
+        # ---- entries below are past the driver's 50-entry window ----
         "q02_restrict_expr": q02_restrict_expr,
         "q03_semi_join": q03_semi_join,
-        # ---- entries below are past the driver's 50-entry window ----
         "q04_anti_join": q04_anti_join,
         "q06_revenue_by_nation": q06_revenue_by_nation,
         "q07_left_join_counts": q07_left_join_counts,
@@ -2630,6 +2663,13 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc p
             LEFT JOIN dup_agg d USING (doc_id)
             LEFT JOIN cov c USING (doc_id)
+        """,
+        "q98_correlated_subquery": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders o
+            WHERE o_totalprice = (
+                SELECT max(o2.o_totalprice) FROM orders o2
+                WHERE o2.o_custkey = o.o_custkey)
         """,
     }
     return sqls

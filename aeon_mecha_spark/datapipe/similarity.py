@@ -535,3 +535,72 @@ def quantize_embeddings(
         base.select(F.col(id_col), "scale", F.posexplode("_v").alias("i", "_x"))
         .select(id_col, F.col("i").cast("int").alias("i"), q.cast("int").alias("q"), "scale")
     )
+
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: the d-dim space splits into ``m``
+    contiguous subspaces of d/m dims and each gets its own k-means
+    codebook — m·log2(k) bits per vector instead of 32·d, the memory
+    layout every billion-scale ANN index (IVF-PQ) stores.
+
+    Training reuses :func:`kmeans_train` per subspace (deterministic
+    md5-seeded init, distributed Lloyd iterations; only k·m centroids
+    ever reach the driver). d must divide evenly by m. Returns
+    ``codebooks[sub][code] -> centroid`` for :func:`pq_assign`.
+    """
+    first = vectors.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_train: input has no vectors")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    books = []
+    for s in range(m):
+        sub = vectors.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(vec_col)
+        )
+        books.append(kmeans_train(sub, k, iters, id_col, vec_col))
+    return books
+
+
+def pq_assign(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its PQ code per subspace: ``(id, sub, code)`` —
+    ``code`` = argmin-L2 codeword of that subspace's codebook (first-
+    wins ties, same argmin as :func:`ivf_assign`).
+
+    One union of m map-only Catalyst argmin branches over the SAME scan
+    (no shuffle anywhere — codewords are literals, distances are
+    materialized once per column); at 100 TB this is a single pass over
+    the vectors producing m compact rows each.
+    """
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    parts = []
+    for s in range(m):
+        sub = vectors.select(
+            F.col(id_col), F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(vec_col)
+        )
+        assigned = ivf_assign(sub, codebooks[s], id_col, vec_col)
+        parts.append(
+            assigned.select(
+                F.col(id_col), F.lit(s).cast("int").alias("sub"),
+                F.col("cell").cast("int").alias("code"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -210,3 +210,13 @@ def test_q97_substring_dedup_no_quadratic_join(spark, entry, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "InMemoryTableScan" in p  # persist() reuse of the gram table
     df.sparkSession.catalog.clearCache()
+
+
+def test_q98_subquery_is_decorrelated(spark, entry, sf_dir):
+    """The correlated scalar subquery must be rewritten to one aggregate
+    + one join (RewriteCorrelatedScalarSubquery) — never a per-row
+    subquery re-execution."""
+    plan = entry.queries()["q98_correlated_subquery"](spark, sf_dir)
+    p = plan._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Subquery") == 0
+    assert "HashAggregate" in p

@@ -181,3 +181,48 @@ def test_substring_spans_touching_spans_merge(spark):
     )
     out = {r["doc_id"]: r for r in dedup.substring_duplicate_spans(docs, n=8).collect()}
     assert out[1]["dup_tokens"] == 16 and out[1]["n_dup_grams"] == 2
+
+
+# -- product quantization ----------------------------------------------------
+
+def _clustered_vectors(spark):
+    # two tight, well-separated clusters per subspace (dims 0-1 and 2-3)
+    rows = []
+    for i in range(8):
+        a = 0.0 if i % 2 == 0 else 10.0
+        b = 0.0 if i < 4 else 10.0
+        rows.append((i, [a + 0.01 * i, a - 0.01 * i, b + 0.01 * i, b - 0.01 * i]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_pq_codes_recover_cluster_structure(spark):
+    from aeon_mecha_spark.datapipe import similarity
+
+    df = _clustered_vectors(spark)
+    books = similarity.pq_train(df, m=2, k=2, iters=4)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    codes = {(r["vec_id"], r["sub"]): r["code"] for r in similarity.pq_assign(df, books).collect()}
+    # subspace 0 separates even/odd ids; subspace 1 separates low/high ids
+    for i in range(8):
+        assert codes[(i, 0)] == codes[(i % 2, 0)]
+        assert codes[(i, 1)] == codes[((0 if i < 4 else 4), 1)]
+    assert codes[(0, 0)] != codes[(1, 0)]
+    assert codes[(0, 1)] != codes[(4, 1)]
+
+
+def test_pq_assign_deterministic_across_partitioning(spark):
+    from aeon_mecha_spark.datapipe import similarity
+
+    df = _clustered_vectors(spark)
+    books = similarity.pq_train(df, m=2, k=2, iters=2)
+    a = sorted(map(tuple, similarity.pq_assign(df, books).collect()))
+    b = sorted(map(tuple, similarity.pq_assign(df.repartition(5), books).collect()))
+    assert a == b
+
+
+def test_pq_train_rejects_indivisible_dims(spark):
+    from aeon_mecha_spark.datapipe import similarity
+
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(df, m=2, k=1, iters=1)
