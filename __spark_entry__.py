@@ -1299,6 +1299,22 @@ def q99_pq_codes(spark, sf_dir):
     return similarity.pq_assign(emb, books)
 
 
+def q100_kmv_jaccard(spark, sf_dir):
+    """Pairwise audience-overlap estimates between event types from KMV
+    sketch state alone (k=64 per type): the sketch-composability path —
+    no rescan or re-shuffle of the raw user sets. est columns are
+    IEEE-exact (integer counts + one division each), so the oracle
+    matches bit-for-bit."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = sketch.kmv_partial(ev, "user_id", ["event_type"], k=64)
+    out = sketch.kmv_jaccard(sk, "event_type", k=64)
+    return out.select(
+        "key_a", "key_b", "n_l", "n_common",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("est_union", 4).alias("est_union"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1323,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_substring_dedup": q97_substring_dedup,
         "q98_correlated_subquery": q98_correlated_subquery,
         "q99_pq_codes": q99_pq_codes,  # rows-only: iterative k-means not in SQL
+        "q100_kmv_jaccard": q100_kmv_jaccard,
         "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
         # -- r03-green families
         "q34_minhash": q34_minhash,
@@ -1370,8 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_embedding_covariance": q92_embedding_covariance,
         "q94_int8_quant": q94_int8_quant,
         # -- operator-family representatives (all r02-green)
-        "q01_pricing_summary": q01_pricing_summary,
         # ---- entries below are past the driver's 50-entry window ----
+        "q01_pricing_summary": q01_pricing_summary,
         "q02_restrict_expr": q02_restrict_expr,
         "q03_semi_join": q03_semi_join,
         "q04_anti_join": q04_anti_join,
@@ -2670,6 +2687,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_totalprice = (
                 SELECT max(o2.o_totalprice) FROM orders o2
                 WHERE o2.o_custkey = o.o_custkey)
+        """,
+        "q100_kmv_jaccard": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(user_id::varchar), 1, 15))::bigint AS h
+              FROM events
+            ), rk AS (
+              SELECT event_type, h,
+                     row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+              FROM h
+            ), sk AS (
+              SELECT event_type, list(h ORDER BY h) AS kmv
+              FROM rk WHERE rn <= 64 GROUP BY event_type
+            ), pairs AS (
+              SELECT a.event_type AS key_a, b.event_type AS key_b,
+                     a.kmv AS ka, b.kmv AS kb,
+                     list_slice(list_sort(list_distinct(a.kmv || b.kmv)), 1, 64) AS l
+              FROM sk a JOIN sk b ON a.event_type < b.event_type
+            )
+            SELECT key_a, key_b,
+                   len(l)::bigint AS n_l,
+                   len(list_intersect(list_intersect(l, ka), kb))::bigint AS n_common,
+                   round(len(list_intersect(list_intersect(l, ka), kb))::double
+                         / len(l)::double, 6) AS est_jaccard,
+                   round(CASE WHEN len(l) < 64 THEN len(l)::double
+                         ELSE 63.0 / (l[64]::double / 1152921504606846976.0) END, 4)
+                   AS est_union
+            FROM pairs
         """,
     }
     return sqls

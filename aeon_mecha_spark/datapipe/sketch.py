@@ -315,3 +315,48 @@ def bloom_contains(
         .groupBy(*id_cols)
         .agg(F.when(F.bool_and("_hit"), 1).otherwise(0).cast("int").alias("maybe_member"))
     )
+
+
+def kmv_jaccard(
+    sketches: DataFrame,
+    key: str,
+    k: int = 64,
+) -> DataFrame:
+    """Pairwise set-similarity estimates between groups, computed ONLY
+    from their stored KMV sketch state — no rescan of the raw data.
+
+    For each ordered group pair (a < b): ``L`` = the k smallest hashes
+    of the union (which is itself a valid KMV of the union, so this
+    composes losslessly with :func:`kmv_merge` partials), and
+    ``n_common`` = |L ∩ A ∩ B|. Then ``est_jaccard`` = n_common / |L|
+    (the standard KMV join estimator) and ``est_union`` = the usual
+    (k-1)/max(L) cardinality estimate (exact below sketch capacity).
+
+    Scale: group sketches are ≤ k int64s each, so P groups are P·k
+    longs; the pairwise comparison runs over sketch state alone —
+    estimating every pairwise overlap among thousands of corpus shards
+    touches KBs per shard instead of re-shuffling the raw keys.
+    Input: one row per group ``(key, kmv)`` from :func:`kmv_partial` /
+    :func:`kmv_merge`. Output: ``(key_a, key_b, n_l, n_common,
+    est_jaccard, est_union)``.
+    """
+    a = sketches.select(F.col(key).alias("key_a"), F.col("kmv").alias("_ka"))
+    b = sketches.select(F.col(key).alias("key_b"), F.col("kmv").alias("_kb"))
+    pairs = a.join(b, F.col("key_a") < F.col("key_b"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(F.col("_ka"), F.col("_kb")))), 1, k
+    )
+    with_l = pairs.withColumn("_l", merged)
+    n_l = F.size("_l")
+    n_common = F.size(F.array_intersect(F.array_intersect(F.col("_l"), F.col("_ka")), F.col("_kb")))
+    est_union = F.when(n_l < k, n_l.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.element_at("_l", k).cast("double") / F.lit(_HASH_DOMAIN))
+    )
+    return with_l.select(
+        "key_a",
+        "key_b",
+        n_l.cast("long").alias("n_l"),
+        n_common.cast("long").alias("n_common"),
+        (n_common.cast("double") / n_l.cast("double")).alias("est_jaccard"),
+        est_union.alias("est_union"),
+    )

@@ -226,3 +226,37 @@ def test_pq_train_rejects_indivisible_dims(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>")
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_train(df, m=2, k=1, iters=1)
+
+
+# -- kmv_jaccard -------------------------------------------------------------
+
+def test_kmv_jaccard_exact_below_capacity(spark):
+    # below sketch capacity the union sketch holds EVERY distinct hash,
+    # so the "estimates" are exact set arithmetic
+    rows = [("a", v) for v in range(20)] + [("b", v) for v in range(10, 25)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    sk = sketch.kmv_partial(df, "v", ["g"], k=64)
+    r = sketch.kmv_jaccard(sk, "g", k=64).collect()[0]
+    assert (r["key_a"], r["key_b"]) == ("a", "b")
+    assert r["n_l"] == 25          # |A ∪ B|
+    assert r["n_common"] == 10     # |A ∩ B| (values 10..19)
+    assert r["est_jaccard"] == 10 / 25
+    assert r["est_union"] == 25.0
+
+
+def test_kmv_jaccard_estimates_within_tolerance_above_capacity(spark):
+    # two 600-element sets overlapping in 300: true J = 1/3, union 900
+    rows = [("a", v) for v in range(600)] + [("b", v) for v in range(300, 900)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    sk = sketch.kmv_partial(df, "v", ["g"], k=64)
+    r = sketch.kmv_jaccard(sk, "g", k=64).collect()[0]
+    assert r["n_l"] == 64
+    assert abs(r["est_jaccard"] - 1 / 3) < 0.15   # ~1/sqrt(k) noise
+    assert abs(r["est_union"] - 900) / 900 < 0.35
+
+
+def test_kmv_jaccard_disjoint_sets(spark):
+    rows = [("a", v) for v in range(30)] + [("b", v + 1000) for v in range(30)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    r = sketch.kmv_jaccard(sketch.kmv_partial(df, "v", ["g"], k=64), "g", k=64).collect()[0]
+    assert r["n_common"] == 0 and r["est_jaccard"] == 0.0 and r["est_union"] == 60.0
