@@ -1299,6 +1299,13 @@ def q99_pq_codes(spark, sf_dir):
     return similarity.pq_assign(emb, books)
 
 
+def q101_token_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per document (perplexity
+    proxy): integer-quantized micro-nat contributions keep the sum
+    associative, hence partition- and engine-independent."""
+    return textqc.token_entropy(_t(spark, sf_dir, "documents"))
+
+
 def q100_kmv_jaccard(spark, sf_dir):
     """Pairwise audience-overlap estimates between event types from KMV
     sketch state alone (k=64 per type): the sketch-composability path —
@@ -1340,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_correlated_subquery": q98_correlated_subquery,
         "q99_pq_codes": q99_pq_codes,  # rows-only: iterative k-means not in SQL
         "q100_kmv_jaccard": q100_kmv_jaccard,
+        "q101_token_entropy": q101_token_entropy,
         "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
         # -- r03-green families
         "q34_minhash": q34_minhash,
@@ -1385,9 +1393,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_token_budget": q90_token_budget,
         "q91_shuffle_shards": q91_shuffle_shards,
         "q92_embedding_covariance": q92_embedding_covariance,
-        "q94_int8_quant": q94_int8_quant,
         # -- operator-family representatives (all r02-green)
         # ---- entries below are past the driver's 50-entry window ----
+        "q94_int8_quant": q94_int8_quant,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_restrict_expr": q02_restrict_expr,
         "q03_semi_join": q03_semi_join,
@@ -2715,6 +2723,22 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 63.0 / (l[64]::double / 1152921504606846976.0) END, 4)
                    AS est_union
             FROM pairs
+        """,
+        "q101_token_entropy": """
+            WITH tf AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents WHERE trim(text) <> ''
+            ), cnts AS (
+              SELECT doc_id, tok, count(*)::bigint AS c FROM tf GROUP BY doc_id, tok
+            ), agg AS (
+              SELECT doc_id, sum(c)::bigint AS n_tokens, count(*)::bigint AS n_terms,
+                     sum(floor(c::double * ln(c::double) * 1000000 + 0.5)::bigint)::bigint AS s
+              FROM cnts GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, n_terms,
+                   round(ln(n_tokens::double) - (s::double / 1000000.0)
+                         / n_tokens::double, 6) AS entropy
+            FROM agg
         """,
     }
     return sqls

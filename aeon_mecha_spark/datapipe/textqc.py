@@ -218,3 +218,36 @@ def ngram_counts(docs: DataFrame, k: int = 2, text_col: str = "text") -> DataFra
     base = spread(docs).select(lt.alias("_lt")).filter(F.size(tokens(F.col("_lt"))) >= k)
     grams = base.select(F.explode(word_shingles(F.col("_lt"), k)).alias("ngram"))
     return grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("n"))
+
+
+def token_entropy(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Shannon entropy of each document's token distribution (nats) — a
+    cheap perplexity proxy: boilerplate/template text scores low,
+    natural prose high; filter low-entropy docs alongside
+    repetition_ratio in a quality pipeline.
+
+    Uses H = ln(n) − (Σ c·ln c)/n with the Σ carried as an INTEGER sum
+    of micro-nat contributions (floor(c·ln c·1e6 + 0.5)): integer sums
+    are associative, so the result is independent of partitioning and
+    identical across engines — a raw double Σ would vary with Spark's
+    partial-agg order and could never hash-match an oracle. One
+    explode + two groupBys (both map-side combinable); docs with no
+    tokens produce no row.
+    Output: ``(id, n_tokens, n_terms, entropy)`` (entropy at 6 dp).
+    """
+    tf = (
+        spread(docs)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+        .groupBy(id_col, "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    c = F.col("_c").cast("double")
+    contrib = F.floor(c * F.log(c) * F.lit(1000000.0) + F.lit(0.5))
+    per = tf.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(contrib).cast("long").alias("_s"),
+    )
+    n = F.col("n_tokens").cast("double")
+    ent = F.round(F.log(n) - (F.col("_s").cast("double") / F.lit(1000000.0)) / n, 6)
+    return per.select(id_col, "n_tokens", "n_terms", ent.alias("entropy"))

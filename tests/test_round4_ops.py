@@ -260,3 +260,39 @@ def test_kmv_jaccard_disjoint_sets(spark):
     df = spark.createDataFrame(rows, "g string, v int")
     r = sketch.kmv_jaccard(sketch.kmv_partial(df, "v", ["g"], k=64), "g", k=64).collect()[0]
     assert r["n_common"] == 0 and r["est_jaccard"] == 0.0 and r["est_union"] == 60.0
+
+
+# -- token_entropy -----------------------------------------------------------
+
+def test_token_entropy_values(spark):
+    import math
+
+    from aeon_mecha_spark.datapipe import textqc
+
+    docs = _docs_df(
+        spark,
+        [
+            (1, "a a a a"),            # single term -> H = 0
+            (2, "a b c d"),            # uniform over 4 -> H = ln 4
+            (3, "a a b"),              # H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+            (4, ""),                   # no tokens -> no row
+        ],
+    )
+    out = {r["doc_id"]: r for r in textqc.token_entropy(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_terms"] == 1
+    assert abs(out[2]["entropy"] - math.log(4)) < 1e-5
+    h3 = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+    assert abs(out[3]["entropy"] - h3) < 1e-5
+    assert out[3]["n_tokens"] == 3 and out[3]["n_terms"] == 2
+
+
+def test_token_entropy_partition_independent(spark):
+    from aeon_mecha_spark.datapipe import textqc
+
+    docs = _docs_df(
+        spark, [(i, " ".join(f"w{j % (1 + i % 11)}" for j in range(40))) for i in range(60)]
+    )
+    a = sorted(map(tuple, textqc.token_entropy(docs).collect()))
+    b = sorted(map(tuple, textqc.token_entropy(docs.repartition(13)).collect()))
+    assert a == b  # integer-quantized sum => bit-identical on any layout
