@@ -1,8 +1,9 @@
 """End-to-end training-data curation demo: the full document pipeline a
 100 TB pretraining corpus goes through, on this engine at toy scale.
 
-    quality filter → PII redaction → decontamination → exact dedup →
-    MinHash/LSH near-dup → cluster canonicalization → mixture sampling →
+    quality filter → entropy screen → PII redaction → Bloom pre-filter →
+    decontamination → substring dedup → MinHash/LSH near-dup → cluster
+    canonicalization → mixture sampling → weighted sampling →
     sequence packing
 
 Every stage is a pure Catalyst plan (datapipe/curation.py, dedup.py) —
@@ -21,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from aeon_mecha_spark.datapipe import curation, dedup
+from aeon_mecha_spark.datapipe import curation, dedup, textqc
 from aeon_mecha_spark.session import get_spark
 
 
@@ -46,6 +47,12 @@ def main() -> None:
     docs = docs.join(verdicts.filter("passes").select("doc_id"), "doc_id")
     print(f"   kept {docs.count()}/{n0}")
 
+    print("== 1b. entropy screen (template/boilerplate detector)")
+    ent = textqc.token_entropy(docs)
+    low = ent.filter(F.col("entropy") < 0.5)
+    print(f"   dropping {low.count()} low-entropy docs")
+    docs = docs.join(low.select("doc_id"), "doc_id", "left_anti")
+
     print("== 2. PII redaction (audit counts ride along)")
     red = curation.redact_pii(docs)
     audit = red.agg(
@@ -58,13 +65,28 @@ def main() -> None:
         "doc_id", F.col("clean_text").alias("text"), "lang", "source"
     )
 
-    print("== 3. benchmark decontamination (3-gram overlap, broadcast bench)")
+    print("== 3. benchmark decontamination (Bloom pre-filter, then exact)")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
-    scores = curation.decontaminate(corpus, bench)
+    # fixed-size Bloom filter clears the untouched majority without the
+    # full benchmark shingle set ever broadcasting...
+    flagged = curation.bloom_decontaminate(corpus, bench).filter(
+        F.col("n_bloom_hits") > 0
+    )
+    print(f"   bloom flags {flagged.count()} docs for the exact check")
+    # ...and only flagged docs pay the exact overlap join
+    scores = curation.decontaminate(
+        corpus.join(flagged.select("doc_id"), "doc_id"), bench
+    )
     dirty = scores.filter(F.col("contamination") >= 0.5)
     print(f"   dropping {dirty.count()} contaminated docs (θ=0.5)")
     docs = corpus.join(dirty.select("doc_id"), "doc_id", "left_anti")
+
+    print("== 3b. cross-document substring dedup (8-gram spans)")
+    spans = dedup.substring_duplicate_spans(docs, n=8)
+    heavy = spans.filter(F.col("dup_tokens") * 2 > F.col("n_grams") + 7)
+    print(f"   {heavy.count()} docs are >50% duplicated spans")
+    docs = docs.join(heavy.select("doc_id"), "doc_id", "left_anti")
 
     print("== 4. near-duplicate removal (MinHash → LSH → clusters)")
     sigs = dedup.minhash_signatures(docs, num_hashes=8)
@@ -80,6 +102,13 @@ def main() -> None:
         docs, "lang", {"en": 1.0, "zh": 0.8}, default_fraction=0.5
     )
     docs.groupBy("lang").count().orderBy("lang").show()
+
+    print("== 5b. quality-weighted subset (Efraimidis-Spirakis, top 300)")
+    weighted = docs.withColumn(
+        "w", F.size(F.split(F.trim("text"), r"\s+")).cast("double")
+    )
+    docs = curation.weighted_sample(weighted, "w", 300, "doc_id", seed=11).drop("w")
+    print(f"   kept {docs.count()}")
 
     print("== 6. sequence packing into 512-token training bins (per source)")
     packed = curation.pack_sequences(docs, budget=512, keys=["source"])
