@@ -47,6 +47,13 @@ DEFAULT_QUERIES = [
     "q92_embedding_covariance",
     "q93_pca_project",
     "q94_int8_quant",
+    # round-4 additions: bloom verdicts, ln-keyed top-n, span merges,
+    # sketch-state pairwise estimates, micro-nat entropy sums
+    "q95_bloom_decontaminate",
+    "q96_weighted_sample",
+    "q97_substring_dedup",
+    "q100_kmv_jaccard",
+    "q101_token_entropy",
 ]
 
 
