@@ -142,3 +142,66 @@ def run_to_memory(result: DataFrame, name: str, mode: str = "complete") -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def bloom_dedup_batches(
+    spark: SparkSession,
+    state_path: str,
+    key_col: str = "doc_id",
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+):
+    """Streaming dedup against UNBOUNDED history with BOUNDED state — a
+    ``foreachBatch`` body that keeps a Bloom filter of every key ever
+    accepted (Parquet word table at ``state_path``) instead of the key
+    set itself.
+
+    Each micro-batch: probe the stored filter (broadcast join — the
+    batch never shuffles on the key), emit only rows the filter has
+    definitely never seen, then OR the batch's own partial into the
+    stored state. The Bloom no-false-negative guarantee means a
+    duplicate is NEVER re-emitted; the price is dropping the rare fresh
+    key that false-positives (P ≈ (n·k/m)^k — size ``num_bits`` for the
+    expected history, 2^20 bits ≈ 128 KiB handles ~10^5 keys at k=4
+    under 1e-4). Watermark dedup (``dedup_stream``) bounds state by
+    TIME; this bounds it by SIZE with no horizon — the right trade for
+    ingest-once ledgers over long-lived streams.
+
+    Returns ``(fn, emitted)``: pass ``fn`` to
+    ``writeStream.foreachBatch``; ``emitted`` collects the accepted
+    batches (list of DataFrame-materialized row lists) for sinks that
+    want them — production bodies would write to a table instead.
+    """
+    import os as _os
+
+    from aeon_mecha_spark.datapipe import sketch as _sk
+
+    emitted: list[list] = []
+
+    def fn(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.dropDuplicates([key_col]).persist()
+        try:
+            if _os.path.exists(state_path):
+                state = spark.read.parquet(state_path)
+                probed = _sk.bloom_contains(
+                    batch, key_col, state, [key_col], num_bits, num_hashes
+                )
+                fresh = batch.join(
+                    probed.filter(F.col("maybe_member") == 0).select(key_col),
+                    key_col,
+                )
+            else:
+                state = None
+                fresh = batch
+            emitted.append(fresh.collect())
+            add = _sk.bloom_partial(fresh, key_col, num_bits, num_hashes)
+            merged = _sk.bloom_merge(state.unionByName(add)) if state is not None else add
+            # write-then-swap: state readers never see a half-written table
+            tmp = state_path + "._tmp"
+            merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+            out = spark.read.parquet(tmp)
+            out.write.mode("overwrite").parquet(state_path)
+        finally:
+            batch.unpersist()
+
+    return fn, emitted

@@ -296,3 +296,37 @@ def test_token_entropy_partition_independent(spark):
     a = sorted(map(tuple, textqc.token_entropy(docs).collect()))
     b = sorted(map(tuple, textqc.token_entropy(docs.repartition(13)).collect()))
     assert a == b  # integer-quantized sum => bit-identical on any layout
+
+
+# -- bloom_dedup_batches -----------------------------------------------------
+
+def test_bloom_dedup_batches_never_reemits(spark, tmp_path):
+    from aeon_mecha_spark.streaming.stream import bloom_dedup_batches
+
+    state = str(tmp_path / "bloom_state")
+    fn, emitted = bloom_dedup_batches(spark, state, "doc_id", num_bits=1 << 14)
+    b1 = spark.createDataFrame([(i,) for i in range(100)], "doc_id bigint")
+    b2 = spark.createDataFrame(
+        [(i,) for i in range(50, 150)] + [(60,)], "doc_id bigint"  # 50 dups + re-delivery
+    )
+    fn(b1, 0)
+    fn(b2, 1)
+    first = {r["doc_id"] for r in emitted[0]}
+    second = {r["doc_id"] for r in emitted[1]}
+    assert first == set(range(100))
+    assert second & first == set()          # nothing ever re-emitted
+    # fresh keys survive modulo (rare) bloom false positives
+    assert len(second) >= 48 and second <= set(range(100, 150))
+
+
+def test_bloom_dedup_batches_state_is_cumulative(spark, tmp_path):
+    from aeon_mecha_spark.streaming.stream import bloom_dedup_batches
+
+    state = str(tmp_path / "bloom_state2")
+    fn, emitted = bloom_dedup_batches(spark, state, "doc_id", num_bits=1 << 14)
+    for b in range(3):
+        df = spark.createDataFrame([(i,) for i in range(20 * b, 20 * b + 30)], "doc_id bigint")
+        fn(df, b)
+    # batch 3 re-sends EVERYTHING: nothing comes out
+    fn(spark.createDataFrame([(i,) for i in range(70)], "doc_id bigint"), 3)
+    assert emitted[3] == []
