@@ -1306,6 +1306,21 @@ def q101_token_entropy(spark, sf_dir):
     return textqc.token_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q102_table_fingerprint(spark, sf_dir):
+    """Order-independent per-bucket table digests (Merkle-style
+    reconciliation): equal tables give identical digests on any engine
+    or partitioning; a differing bucket localizes the repair."""
+    from aeon_mecha_spark.pipeline import reconcile
+
+    li = _t(spark, sf_dir, "lineitem")
+    # hash integral columns only: double->string rendering is not
+    # engine-portable (exponent formats differ); quantity is integral
+    li = li.withColumn("qty_i", F.col("l_quantity").cast("long"))
+    return reconcile.table_fingerprint(
+        li, "l_orderkey", ["l_orderkey", "l_linenumber", "qty_i"], num_buckets=64
+    )
+
+
 def q100_kmv_jaccard(spark, sf_dir):
     """Pairwise audience-overlap estimates between event types from KMV
     sketch state alone (k=64 per type): the sketch-composability path —
@@ -1348,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_pq_codes": q99_pq_codes,  # rows-only: iterative k-means not in SQL
         "q100_kmv_jaccard": q100_kmv_jaccard,
         "q101_token_entropy": q101_token_entropy,
+        "q102_table_fingerprint": q102_table_fingerprint,
         "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
         # -- r03-green families
         "q34_minhash": q34_minhash,
@@ -1392,9 +1408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_inverted_index": q89_inverted_index,
         "q90_token_budget": q90_token_budget,
         "q91_shuffle_shards": q91_shuffle_shards,
-        "q92_embedding_covariance": q92_embedding_covariance,
         # -- operator-family representatives (all r02-green)
         # ---- entries below are past the driver's 50-entry window ----
+        "q92_embedding_covariance": q92_embedding_covariance,
         "q94_int8_quant": q94_int8_quant,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_restrict_expr": q02_restrict_expr,
@@ -2723,6 +2739,21 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 63.0 / (l[64]::double / 1152921504606846976.0) END, 4)
                    AS est_union
             FROM pairs
+        """,
+        "q102_table_fingerprint": """
+            WITH rh AS (
+              SELECT ('0x' || substr(md5(l_orderkey::varchar), 1, 15))::bigint % 64
+                       AS bucket,
+                     ('0x' || substr(md5(
+                        concat_ws('|', l_orderkey::varchar, l_linenumber::varchar,
+                                  l_quantity::bigint::varchar)), 1, 15))::bigint AS h
+              FROM lineitem
+            )
+            SELECT bucket,
+                   count(*)::bigint AS n_rows,
+                   bit_xor(h)::bigint AS xor_sig,
+                   sum(h % 1073741824)::bigint AS sum_sig
+            FROM rh GROUP BY bucket
         """,
         "q101_token_entropy": """
             WITH tf AS (

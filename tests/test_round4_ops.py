@@ -330,3 +330,42 @@ def test_bloom_dedup_batches_state_is_cumulative(spark, tmp_path):
     # batch 3 re-sends EVERYTHING: nothing comes out
     fn(spark.createDataFrame([(i,) for i in range(70)], "doc_id bigint"), 3)
     assert emitted[3] == []
+
+
+# -- table fingerprints ------------------------------------------------------
+
+def test_fingerprint_equal_tables_match_any_layout(spark):
+    from aeon_mecha_spark.pipeline import reconcile
+
+    rows = [(i, f"v{i % 17}") for i in range(500)]
+    a = spark.createDataFrame(rows, "k bigint, v string")
+    b = spark.createDataFrame(list(reversed(rows)), "k bigint, v string").repartition(9)
+    fa = reconcile.table_fingerprint(a, "k", ["k", "v"], num_buckets=16)
+    fb = reconcile.table_fingerprint(b, "k", ["k", "v"], num_buckets=16)
+    assert sorted(map(tuple, fa.collect())) == sorted(map(tuple, fb.collect()))
+    assert reconcile.fingerprint_diff(fa, fb).count() == 0
+
+
+def test_fingerprint_detects_single_row_change(spark):
+    from aeon_mecha_spark.pipeline import reconcile
+
+    rows = [(i, f"v{i}") for i in range(500)]
+    a = spark.createDataFrame(rows, "k bigint, v string")
+    changed = [(i, "MUTATED" if i == 137 else f"v{i}") for i in range(500)]
+    b = spark.createDataFrame(changed, "k bigint, v string")
+    fa = reconcile.table_fingerprint(a, "k", ["k", "v"], num_buckets=16)
+    fb = reconcile.table_fingerprint(b, "k", ["k", "v"], num_buckets=16)
+    d = reconcile.fingerprint_diff(fa, fb).collect()
+    assert len(d) == 1  # exactly the mutated row's bucket
+
+
+def test_fingerprint_detects_duplicated_row(spark):
+    # xor alone cancels duplicate pairs; the sum signature must catch it
+    from aeon_mecha_spark.pipeline import reconcile
+
+    rows = [(i, "x") for i in range(100)]
+    a = spark.createDataFrame(rows, "k bigint, v string")
+    b = spark.createDataFrame(rows + [(7, "x")], "k bigint, v string")
+    fa = reconcile.table_fingerprint(a, "k", ["k", "v"], num_buckets=4)
+    fb = reconcile.table_fingerprint(b, "k", ["k", "v"], num_buckets=4)
+    assert reconcile.fingerprint_diff(fa, fb).count() == 1
