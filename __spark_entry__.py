@@ -1306,6 +1306,21 @@ def q101_token_entropy(spark, sf_dir):
     return textqc.token_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q103_knn_recall(spark, sf_dir):
+    """ANN acceptance metric: recall@3 of hyperplane-LSH kNN against the
+    exact brute-force ranking, per query (vec_id < 40). The join runs
+    over two top-k tables, never the corpus."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("embedding")
+    )
+    approx = similarity.lsh_knn(emb, _LSH_PLANES, k=3).filter(F.col("query_id") < 40)
+    exact = similarity.brute_force_knn(emb.filter(F.col("vec_id") < 40), emb, k=3)
+    out = similarity.knn_recall(approx, exact)
+    return out.select(
+        "query_id", "n_exact", "n_hit", F.round("recall", 6).alias("recall")
+    )
+
+
 def q102_table_fingerprint(spark, sf_dir):
     """Order-independent per-bucket table digests (Merkle-style
     reconciliation): equal tables give identical digests on any engine
@@ -1364,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_kmv_jaccard": q100_kmv_jaccard,
         "q101_token_entropy": q101_token_entropy,
         "q102_table_fingerprint": q102_table_fingerprint,
+        "q103_knn_recall": q103_knn_recall,
         "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
         # -- r03-green families
         "q34_minhash": q34_minhash,
@@ -1407,9 +1423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_tfidf": q88_tfidf,
         "q89_inverted_index": q89_inverted_index,
         "q90_token_budget": q90_token_budget,
-        "q91_shuffle_shards": q91_shuffle_shards,
         # -- operator-family representatives (all r02-green)
         # ---- entries below are past the driver's 50-entry window ----
+        "q91_shuffle_shards": q91_shuffle_shards,
         "q92_embedding_covariance": q92_embedding_covariance,
         "q94_int8_quant": q94_int8_quant,
         "q01_pricing_summary": q01_pricing_summary,
@@ -1553,6 +1569,47 @@ def _sql_lsh_knn() -> str:
     SELECT query_id, neighbor_id, round(score, 6) AS score, rank::bigint AS rank
     FROM ranked WHERE rank <= 3"""
 
+
+
+def _sql_knn_recall() -> str:
+    """Oracle for q103: the q47 LSH ranking and a brute-force exact
+    ranking side-by-side, folded into per-query recall@3."""
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN '1' ELSE '0' END)"
+        for p in _LSH_PLANES
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {bits} AS bucket FROM e
+    ), ascored AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM ascored)
+      WHERE rank <= 3 AND query_id < 40
+    ), escored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 40
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+        FROM escored)
+      WHERE rank <= 3
+    )
+    SELECT x.query_id, count(*)::bigint AS n_exact,
+           count(a.neighbor_id)::bigint AS n_hit,
+           round(count(a.neighbor_id)::double / count(*)::double, 6) AS recall
+    FROM exact x LEFT JOIN approx a USING (query_id, neighbor_id)
+    GROUP BY x.query_id"""
 
 
 def _sql_near_dup_lsh() -> str:
@@ -1975,6 +2032,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY er.event_id
         """,
         "q47_lsh_knn": _sql_lsh_knn(),
+        "q103_knn_recall": _sql_knn_recall(),
         "q48_ivf_knn": _sql_ivf_knn(),
         "q30_dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*)::bigint AS n_docs

@@ -604,3 +604,41 @@ def pq_assign(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def knn_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate kNN result against the exact one —
+    the acceptance metric every ANN index (LSH/IVF/PQ) is tuned by.
+
+    Inputs are any two result sets with (query, neighbor) rows (ranks/
+    scores ignored; both sides' k is whatever they returned). Output:
+    ``(query_id, n_exact, n_hit, recall)`` per query. Plan: one inner
+    join on (query, neighbor) + one groupBy — at scale both sides are
+    top-k tables (k rows per query), so the join key space is tiny
+    relative to the corpus; no vector math re-runs.
+    """
+    ex = exact.select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    ).dropDuplicates(["_q", "_n"])
+    ap = approx.select(
+        F.col(query_col).alias("_q"), F.col(neighbor_col).alias("_n")
+    ).dropDuplicates(["_q", "_n"]).withColumn("_hit", F.lit(1))
+    per = (
+        ex.join(ap, ["_q", "_n"], "left")
+        .groupBy("_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.count("_hit").cast("long").alias("n_hit"),
+        )
+    )
+    return per.select(
+        F.col("_q").alias(query_col),
+        "n_exact",
+        "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias("recall"),
+    )

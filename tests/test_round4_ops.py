@@ -369,3 +369,32 @@ def test_fingerprint_detects_duplicated_row(spark):
     fa = reconcile.table_fingerprint(a, "k", ["k", "v"], num_buckets=4)
     fb = reconcile.table_fingerprint(b, "k", ["k", "v"], num_buckets=4)
     assert reconcile.fingerprint_diff(fa, fb).count() == 1
+
+
+# -- knn_recall --------------------------------------------------------------
+
+def test_knn_recall_values(spark):
+    from aeon_mecha_spark.datapipe import similarity
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12), (2, 77), (2, 88)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    out = {r["query_id"]: r for r in similarity.knn_recall(approx, exact).collect()}
+    assert out[1]["n_exact"] == 3 and out[1]["n_hit"] == 2 and out[1]["recall"] == 2 / 3
+    assert out[2]["n_exact"] == 2 and out[2]["n_hit"] == 0 and out[2]["recall"] == 0.0
+
+
+def test_knn_recall_perfect_when_identical(spark):
+    from aeon_mecha_spark.datapipe import similarity
+
+    res = spark.createDataFrame(
+        [(q, n) for q in range(5) for n in range(3)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    out = similarity.knn_recall(res, res)
+    assert out.filter(F.col("recall") != 1.0).count() == 0
