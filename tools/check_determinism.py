@@ -54,6 +54,8 @@ DEFAULT_QUERIES = [
     "q97_substring_dedup",
     "q100_kmv_jaccard",
     "q101_token_entropy",
+    "q102_table_fingerprint",
+    "q103_knn_recall",
 ]
 
 
