@@ -1306,6 +1306,24 @@ def q101_token_entropy(spark, sf_dir):
     return textqc.token_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q104_bpe_tokens(spark, sf_dir):
+    """Whitespace vs BPE-ish pretokenizer token counts per document —
+    the cost model for token-budget pipelines (digit/punct runs cost
+    tokens that whitespace counting misses). One map pass, two regexes,
+    and the identical pattern runs under Java regex and RE2."""
+    docs = _t(spark, sf_dir, "documents")
+    n_ws = TX.token_count(F.col("text")).cast("long")
+    n_bpe = TX.bpe_token_count(F.col("text")).cast("long")
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.when(n_ws > 0, F.round(n_bpe.cast("double") / n_ws.cast("double"), 6)).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
 def q103_knn_recall(spark, sf_dir):
     """ANN acceptance metric: recall@3 of hyperplane-LSH kNN against the
     exact brute-force ranking, per query (vec_id < 40). The join runs
@@ -1380,6 +1398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_token_entropy": q101_token_entropy,
         "q102_table_fingerprint": q102_table_fingerprint,
         "q103_knn_recall": q103_knn_recall,
+        "q104_bpe_tokens": q104_bpe_tokens,
         "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
         # -- r03-green families
         "q34_minhash": q34_minhash,
@@ -1422,9 +1441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
         "q88_tfidf": q88_tfidf,
         "q89_inverted_index": q89_inverted_index,
-        "q90_token_budget": q90_token_budget,
         # -- operator-family representatives (all r02-green)
         # ---- entries below are past the driver's 50-entry window ----
+        "q90_token_budget": q90_token_budget,
         "q91_shuffle_shards": q91_shuffle_shards,
         "q92_embedding_covariance": q92_embedding_covariance,
         "q94_int8_quant": q94_int8_quant,
@@ -2797,6 +2816,23 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 63.0 / (l[64]::double / 1152921504606846976.0) END, 4)
                    AS est_union
             FROM pairs
+        """,
+        "q104_bpe_tokens": """
+            WITH c AS (
+              SELECT doc_id,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END)::bigint
+                       AS n_ws_tokens,
+                     len(regexp_extract_all(text,
+                         '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'
+                     ))::bigint AS n_bpe_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+                   CASE WHEN n_ws_tokens > 0
+                        THEN round(n_bpe_tokens::double / n_ws_tokens::double, 6)
+                   END AS tokens_per_word
+            FROM c
         """,
         "q102_table_fingerprint": """
             WITH rh AS (

@@ -76,3 +76,18 @@ def normalize_text(text: Column) -> Column:
     t = F.regexp_replace(t, r"[^a-z0-9\s]", " ")
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return t
+
+
+# GPT-2-style pretokenizer, restricted to lookahead-free constructs so
+# the SAME pattern runs under Java regex (Spark) and RE2 (DuckDB), both
+# leftmost-first alternation: contractions, space-prefixed letter/digit
+# runs, space-prefixed punctuation runs, residual whitespace.
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate LLM token count via the BPE-ish pretokenizer split —
+    tracks real tokenizer counts far better than whitespace words on
+    punctuation/code/number-heavy text (every run of digits or symbols
+    costs tokens). Pure Catalyst regexp; engine-portable."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0))

@@ -398,3 +398,31 @@ def test_knn_recall_perfect_when_identical(spark):
     )
     out = similarity.knn_recall(res, res)
     assert out.filter(F.col("recall") != 1.0).count() == 0
+
+
+# -- bpe_token_count ---------------------------------------------------------
+
+def test_bpe_token_count_vs_whitespace(spark):
+    from aeon_mecha_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain words here"),          # 3 ws, 3 bpe
+            (2, "don't stop"),                # 2 ws; bpe: don,'t, stop
+            (3, "v1.2.3-rc4"),               # 1 ws word but many bpe tokens
+            (4, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            TX.token_count(F.col("text")).alias("ws"),
+            TX.bpe_token_count(F.col("text")).alias("bpe"),
+        ).collect()
+    }
+    assert out[1]["ws"] == 3 and out[1]["bpe"] == 3
+    assert out[2]["ws"] == 2 and out[2]["bpe"] == 3
+    assert out[3]["ws"] == 1 and out[3]["bpe"] == 9  # v,1,.,2,.,3,-,rc,4
+    assert out[4]["ws"] == 0 and out[4]["bpe"] == 0
