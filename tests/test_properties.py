@@ -343,3 +343,96 @@ def test_pack_sequences_offsets_partition_the_stream(spark, sizes, budget):
         prev_bin = r["bin_id"]
         run += n
     assert run == sum(sizes)
+
+
+# -- round-4 operators vs brute-force Python references ----------------------
+
+def _substring_reference(doc_texts: dict, n: int):
+    """Brute-force Python model of substring_duplicate_spans."""
+    grams = {}  # gram -> set of doc ids
+    positions = {}  # doc -> list of (pos, gram)
+    for d, text in doc_texts.items():
+        toks = text.split()
+        if len(toks) < n:
+            continue
+        positions[d] = []
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i : i + n])
+            positions[d].append((i, g))
+            grams.setdefault(g, set()).add(d)
+    out = {}
+    for d, plist in positions.items():
+        dup = [(p, p + n) for p, g in plist if len(grams[g]) >= 2]
+        cov = 0
+        for s, e in sorted(dup):
+            if cov == 0:
+                cur_s, cur_e, cov = s, e, e - s
+            elif s <= cur_e:
+                cov += max(0, e - cur_e)
+                cur_e = max(cur_e, e)
+            else:
+                cur_s, cur_e = s, e
+                cov += e - s
+        out[d] = (len(plist), len(dup), cov)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("w1 w2 w3 w4 w5".split()), min_size=0, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_substring_spans_match_python_reference(spark, texts):
+    from aeon_mecha_spark.datapipe.dedup import substring_duplicate_spans
+
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs.items()])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_tokens"])
+        for r in substring_duplicate_spans(df, n=3).collect()
+    }
+    assert got == _substring_reference(docs, 3)
+    spark.catalog.clearCache()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    toks=st.lists(st.sampled_from("a b c d e".split()), min_size=1, max_size=30)
+)
+def test_token_entropy_matches_direct_formula(spark, toks):
+    import math
+    from collections import Counter
+
+    from aeon_mecha_spark.datapipe.textqc import token_entropy
+
+    df = spark.createDataFrame([Row(doc_id=1, text=" ".join(toks))])
+    r = token_entropy(df).collect()[0]
+    n = len(toks)
+    cnt = Counter(toks)
+    # the operator's quantized formula: H = ln n - (sum floor(c ln c 1e6 + .5))/1e6/n
+    s = sum(math.floor(c * math.log(c) * 1e6 + 0.5) for c in cnt.values())
+    want = round(math.log(n) - (s / 1e6) / n, 6)
+    assert r["n_tokens"] == n and r["n_terms"] == len(cnt)
+    assert abs(r["entropy"] - want) < 2e-6
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    a=st.sets(st.integers(0, 200), min_size=1, max_size=40),
+    b=st.sets(st.integers(0, 200), min_size=1, max_size=40),
+)
+def test_kmv_jaccard_exact_below_capacity_property(spark, a, b):
+    from aeon_mecha_spark.datapipe import sketch
+
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = sketch.kmv_partial(df, "v", ["g"], k=64)
+    r = sketch.kmv_jaccard(sk, "g", k=64).collect()[0]
+    union, inter = a | b, a & b
+    assert r["n_l"] == min(64, len(union))
+    if len(union) <= 64:
+        assert r["n_common"] == len(inter)
+        assert r["est_union"] == float(len(union))
