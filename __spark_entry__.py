@@ -1306,6 +1306,16 @@ def q101_token_entropy(spark, sf_dir):
     return textqc.token_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q105_span_decontaminate(spark, sf_dir):
+    """Surgical span-level decontamination: excise exactly the 8-gram
+    spans shared with the benchmark (docs with id % 97 == 0), keep the
+    rest of each document; untouched docs pass through verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return curation.remove_contaminated_spans(corpus, bench, n=8)
+
+
 def q104_bpe_tokens(spark, sf_dir):
     """Whitespace vs BPE-ish pretokenizer token counts per document —
     the cost model for token-budget pipelines (digit/punct runs cost
@@ -1399,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_table_fingerprint": q102_table_fingerprint,
         "q103_knn_recall": q103_knn_recall,
         "q104_bpe_tokens": q104_bpe_tokens,
+        "q105_span_decontaminate": q105_span_decontaminate,
         "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
         # -- r03-green families
         "q34_minhash": q34_minhash,
@@ -1440,9 +1451,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_frame_sample_plan": q86_frame_sample_plan,
         "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
         "q88_tfidf": q88_tfidf,
-        "q89_inverted_index": q89_inverted_index,
         # -- operator-family representatives (all r02-green)
         # ---- entries below are past the driver's 50-entry window ----
+        "q89_inverted_index": q89_inverted_index,
         "q90_token_budget": q90_token_budget,
         "q91_shuffle_shards": q91_shuffle_shards,
         "q92_embedding_covariance": q92_embedding_covariance,
@@ -2816,6 +2827,62 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 63.0 / (l[64]::double / 1152921504606846976.0) END, 4)
                    AS est_union
             FROM pairs
+        """,
+        "q105_span_decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t, text
+              FROM documents
+            ), bg AS (
+              SELECT DISTINCT
+                     ('0x' || substr(md5(array_to_string(t[i1:i1+7], ' ')), 1, 15))::bigint AS gh
+              FROM (SELECT t, unnest(generate_series(1, len(t) - 7)) AS i1
+                    FROM toks WHERE doc_id % 97 = 0 AND len(t) >= 8)
+            ), cg AS (
+              SELECT doc_id, (i1 - 1)::bigint AS pos,
+                     ('0x' || substr(md5(array_to_string(t[i1:i1+7], ' ')), 1, 15))::bigint AS gh
+              FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i1
+                    FROM toks WHERE doc_id % 97 <> 0 AND len(t) >= 8)
+            ), hits AS (
+              SELECT doc_id, pos AS s, pos + 8 AS e FROM cg JOIN bg USING (gh)
+            ), isl AS (
+              SELECT doc_id, s, e,
+                     CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                          THEN 1 ELSE 0 END AS nw
+              FROM hits
+              WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), isl2 AS (
+              SELECT doc_id, s, e,
+                     sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+              FROM isl
+            ), spans AS (
+              SELECT doc_id, island, min(s) AS s, max(e) AS e
+              FROM isl2 GROUP BY doc_id, island
+            ), removed AS (
+              SELECT doc_id, sum(e - s)::bigint AS n_tokens_removed
+              FROM spans GROUP BY doc_id
+            ), tk AS (
+              SELECT doc_id, unnest(t) AS tok,
+                     unnest(generate_series(1, len(t))) - 1 AS pos
+              FROM toks
+              WHERE doc_id % 97 <> 0 AND doc_id IN (SELECT doc_id FROM removed)
+            ), kept AS (
+              SELECT tk.doc_id, tk.tok, tk.pos FROM tk
+              WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                WHERE s.doc_id = tk.doc_id
+                                  AND tk.pos >= s.s AND tk.pos < s.e)
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CASE WHEN r.doc_id IS NULL THEN c.text
+                        ELSE coalesce(b.clean_text, '') END AS clean_text,
+                   coalesce(r.n_tokens_removed, 0)::bigint AS n_tokens_removed
+            FROM (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0) c
+            LEFT JOIN removed r USING (doc_id)
+            LEFT JOIN rebuilt b ON b.doc_id = c.doc_id
         """,
         "q104_bpe_tokens": """
             WITH c AS (

@@ -584,3 +584,86 @@ def shuffle_shards(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_h")
     )
+
+
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Surgical decontamination: instead of dropping a contaminated
+    document wholesale, excise exactly the token spans whose n-grams
+    appear in the benchmark and keep the rest — the span-removal
+    treatment (rather than doc-removal) of train/test overlap, which
+    preserves the bulk of long documents that merely quote an eval
+    item.
+
+    Returns ``(id, clean_text, n_tokens_removed)`` for EVERY corpus
+    doc: untouched docs keep their original text verbatim (no
+    re-tokenization round-trip); affected docs are rebuilt from their
+    surviving tokens, single-space joined, with overlapping hit spans
+    first unioned via the gaps-and-islands merge so excisions never
+    double-count.
+
+    Plan: benchmark grams reduce to a distinct 8-byte hash set and
+    BROADCAST; corpus grams probe it map-side (the corpus never
+    shuffles on the gram); only docs WITH hits enter the rebuild path
+    (token posexplode + span anti-range filter + ordered reassembly),
+    so the expensive surgery is proportional to contaminated docs, not
+    the corpus.
+    """
+    from aeon_mecha_spark.functions.hashing import md5_long
+    from aeon_mecha_spark.functions.text import tokens, word_shingles
+
+    bench_g = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("_g")
+        )
+        .select(md5_long(F.col("_g")).alias("gh"))
+        .dropDuplicates(["gh"])
+    )
+    eligible = spread(corpus).filter(F.size(tokens(F.col(text_col))) >= n)
+    grams = eligible.select(
+        F.col(id_col), F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "_g")
+    ).select(id_col, "pos", md5_long(F.col("_g")).alias("gh"))
+    hits = grams.join(F.broadcast(bench_g), "gh").select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("start"),
+        (F.col("pos") + F.lit(n)).cast("long").alias("end"),
+    )
+    spans = merge_intervals(hits, "start", "end", keys=[id_col])
+    affected_ids = spans.select(id_col).dropDuplicates()
+    toks = (
+        corpus.join(affected_ids, id_col)
+        .select(F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("tpos", "tok"))
+    )
+    kept = toks.join(
+        spans,
+        (toks[id_col] == spans[id_col])
+        & (F.col("tpos") >= F.col("start"))
+        & (F.col("tpos") < F.col("end")),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))), lambda x: x["tok"]
+            ),
+        ).alias("clean_text")
+    )
+    removed = spans.groupBy(id_col).agg(
+        F.sum(F.col("end") - F.col("start")).cast("long").alias("n_tokens_removed")
+    )
+    surgically = (
+        removed.join(rebuilt, id_col, "left")
+        .select(id_col, F.coalesce("clean_text", F.lit("")).alias("clean_text"), "n_tokens_removed")
+    )
+    untouched = corpus.join(affected_ids, id_col, "left_anti").select(
+        F.col(id_col),
+        F.col(text_col).alias("clean_text"),
+        F.lit(0).cast("long").alias("n_tokens_removed"),
+    )
+    return untouched.unionByName(surgically)

@@ -426,3 +426,43 @@ def test_bpe_token_count_vs_whitespace(spark):
     assert out[2]["ws"] == 2 and out[2]["bpe"] == 3
     assert out[3]["ws"] == 1 and out[3]["bpe"] == 9  # v,1,.,2,.,3,-,rc,4
     assert out[4]["ws"] == 0 and out[4]["bpe"] == 0
+
+
+# -- remove_contaminated_spans -----------------------------------------------
+
+def test_span_decontaminate_surgery(spark):
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8"  # exactly one 8-gram
+    docs = _docs_df(
+        spark,
+        [
+            (1, "keep1 keep2 " + quote + " keep3 keep4"),
+            (2, "all original text stays here untouched fully verbatim"),
+        ],
+    )
+    bench = _docs_df(spark, [(99, "lead " + quote + " tail")])
+    out = {
+        r["doc_id"]: r
+        for r in curation.remove_contaminated_spans(docs, bench, n=8).collect()
+    }
+    assert out[1]["clean_text"] == "keep1 keep2 keep3 keep4"
+    assert out[1]["n_tokens_removed"] == 8
+    # untouched docs keep the ORIGINAL string (no re-tokenization)
+    assert out[2]["clean_text"] == "all original text stays here untouched fully verbatim"
+    assert out[2]["n_tokens_removed"] == 0
+
+
+def test_span_decontaminate_full_doc_removal(spark):
+    quote = "z1 z2 z3 z4 z5 z6 z7 z8"
+    docs = _docs_df(spark, [(1, quote)])
+    bench = _docs_df(spark, [(99, quote + " more words beyond")])
+    r = curation.remove_contaminated_spans(docs, bench, n=8).collect()[0]
+    assert r["clean_text"] == "" and r["n_tokens_removed"] == 8
+
+
+def test_span_decontaminate_overlapping_spans_merge(spark):
+    # 10-token quote -> 3 overlapping 8-grams -> one 10-token excision
+    quote = "m1 m2 m3 m4 m5 m6 m7 m8 m9 m10"
+    docs = _docs_df(spark, [(1, "pre " + quote + " post")])
+    bench = _docs_df(spark, [(99, quote)])
+    r = curation.remove_contaminated_spans(docs, bench, n=8).collect()[0]
+    assert r["clean_text"] == "pre post" and r["n_tokens_removed"] == 10
