@@ -220,3 +220,12 @@ def test_q98_subquery_is_decorrelated(spark, entry, sf_dir):
     p = plan._jdf.queryExecution().executedPlan().toString()
     assert p.count("Subquery") == 0
     assert "HashAggregate" in p
+
+
+def test_q105_span_surgery_no_nested_loop(spark, entry, sf_dir):
+    """The token-vs-span anti-join carries equality + range conditions;
+    it must stay a hash/sort-merge join on the doc key, never a
+    nested-loop or cartesian pair blowup."""
+    p = plan_str(entry.queries()["q105_span_decontaminate"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p

@@ -56,6 +56,8 @@ DEFAULT_QUERIES = [
     "q101_token_entropy",
     "q102_table_fingerprint",
     "q103_knn_recall",
+    "q104_bpe_tokens",
+    "q105_span_decontaminate",
 ]
 
 
