@@ -1306,6 +1306,33 @@ def q101_token_entropy(spark, sf_dir):
     return textqc.token_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q106_curation_pipeline(spark, sf_dir):
+    """End-to-end curation chain as ONE composed plan: quality filter →
+    exact-dedup canonicalization → deterministic 50% hash sample →
+    per-source sequence packing. The oracle replays the identical four
+    stages as nested CTEs, so the whole pipeline (not just each stage)
+    is hash-verified."""
+    docs = _t(spark, sf_dir, "documents")
+    passes = (
+        curation.quality_filter(
+            docs,
+            min_tokens=10,
+            max_tokens=1000,
+            min_mean_token_len=3.0,
+            max_mean_token_len=6.0,
+            max_punct_ratio=0.05,
+            max_rep_ratio=0.6,
+        )
+        .filter("passes")
+        .select("doc_id")
+    )
+    kept = docs.join(passes, "doc_id")
+    canon = dedup.exact_duplicates(kept).select(F.col("canonical_id").alias("doc_id"))
+    uniq = kept.join(canon, "doc_id")
+    sampled = curation.hash_sample(uniq, "doc_id", fraction=0.5, seed=1)
+    return curation.pack_sequences(sampled, budget=512, keys=["source"])
+
+
 def q105_span_decontaminate(spark, sf_dir):
     """Surgical span-level decontamination: excise exactly the 8-gram
     spans shared with the benchmark (docs with id % 97 == 0), keep the
@@ -1410,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_knn_recall": q103_knn_recall,
         "q104_bpe_tokens": q104_bpe_tokens,
         "q105_span_decontaminate": q105_span_decontaminate,
+        "q106_curation_pipeline": q106_curation_pipeline,
         "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
         # -- r03-green families
         "q34_minhash": q34_minhash,
@@ -1450,9 +1478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_multimodal_features": q85_multimodal_features,
         "q86_frame_sample_plan": q86_frame_sample_plan,
         "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
-        "q88_tfidf": q88_tfidf,
         # -- operator-family representatives (all r02-green)
         # ---- entries below are past the driver's 50-entry window ----
+        "q88_tfidf": q88_tfidf,
         "q89_inverted_index": q89_inverted_index,
         "q90_token_budget": q90_token_budget,
         "q91_shuffle_shards": q91_shuffle_shards,
@@ -2827,6 +2855,59 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 63.0 / (l[64]::double / 1152921504606846976.0) END, 4)
                    AS est_union
             FROM pairs
+        """,
+        "q106_curation_pipeline": """
+            WITH toks AS (
+              SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                     len(t)::bigint AS n_tok,
+                     CASE WHEN len(t) > 0
+                          THEN list_sum(list_transform(t, x -> length(x))) / len(t)
+                          ELSE 0.0 END AS mtl,
+                     CASE WHEN length(text) > 0
+                          THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)
+                          ELSE 0.0 END AS pr,
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(generate_series(1, len(t) - 2),
+                                              i -> array_to_string(t[i:i+2], ' '))
+                          ELSE [array_to_string(t, ' ')] END AS sh
+              FROM toks
+            ), q AS (
+              SELECT doc_id FROM feats
+              WHERE n_tok >= 10 AND n_tok <= 1000
+                AND mtl >= 3.0 AND mtl <= 6.0
+                AND pr <= 0.05
+                AND (CASE WHEN len(sh) > 0
+                          THEN 1.0 - len(list_distinct(sh))::double / len(sh)::double
+                          ELSE 0.0 END) <= 0.6
+            ), kept AS (
+              SELECT d.* FROM documents d JOIN q USING (doc_id)
+            ), canon AS (
+              SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+            ), uniq AS (
+              SELECT k.* FROM kept k JOIN canon USING (doc_id)
+            ), samp AS (
+              SELECT * FROM uniq
+              WHERE ('0x' || substr(md5('1:' || doc_id::varchar), 1, 15))::bigint
+                    % 1000000 < 500000
+            ), tc AS (
+              SELECT source, doc_id,
+                     (CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\\s+')) END)::bigint
+                       AS n_tokens
+              FROM samp
+            ), packed AS (
+              SELECT source, doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::bigint
+                       AS start_offset
+              FROM tc
+            )
+            SELECT source, doc_id, n_tokens, start_offset,
+                   (start_offset // 512)::bigint AS bin_id
+            FROM packed
         """,
         "q105_span_decontaminate": """
             WITH toks AS (
