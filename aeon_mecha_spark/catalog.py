@@ -50,3 +50,49 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+# extension -> (spark format, default reader options)
+_FORMATS: dict[str, tuple[str, dict]] = {
+    ".parquet": ("parquet", {}),
+    ".orc": ("orc", {}),
+    ".json": ("json", {}),
+    ".jsonl": ("json", {}),
+    ".ndjson": ("json", {}),
+    ".csv": ("csv", {"header": "true", "inferSchema": "true"}),
+    ".tsv": ("csv", {"header": "true", "inferSchema": "true", "sep": "\t"}),
+}
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    fmt: str | None = None,
+    schema=None,
+    **options,
+) -> DataFrame:
+    """Format-dispatching scan: parquet / ORC / JSON(-lines) / CSV / TSV
+    by file extension (or explicit ``fmt``), all via Spark's native
+    (JVM, vectorized, pushdown-capable) sources — a corpus delivered in
+    any of the common lake formats loads through one entry point with
+    the same downstream plan.
+
+    Pass ``schema`` for production scans (inference reads the data
+    twice and, for CSV/JSON, samples types that may drift per shard);
+    extra ``options`` go straight to the DataFrameReader.
+    """
+    if fmt is None:
+        ext = os.path.splitext(path.rstrip("/"))[1].lower()
+        if ext not in _FORMATS:
+            raise ValueError(
+                f"read_any: unrecognized extension {ext!r}; pass fmt= explicitly "
+                f"(known: {sorted(_FORMATS)})"
+            )
+        fmt, defaults = _FORMATS[ext]
+    else:
+        defaults = dict(_FORMATS.get("." + fmt, ("", {}))[1])
+    opts = {**defaults, **options}
+    reader = spark.read.format(fmt).options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
