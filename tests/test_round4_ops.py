@@ -466,3 +466,56 @@ def test_span_decontaminate_overlapping_spans_merge(spark):
     bench = _docs_df(spark, [(99, quote)])
     r = curation.remove_contaminated_spans(docs, bench, n=8).collect()[0]
     assert r["clean_text"] == "pre post" and r["n_tokens_removed"] == 10
+
+
+# -- zorder ------------------------------------------------------------------
+
+def test_zorder_interleave_known_values(spark):
+    from aeon_mecha_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame([(1, 1), (2, 3), (0, 0), (65535, 65535)], "a long, b long")
+    out = [
+        r["z"]
+        for r in df.select(
+            zorder_key([F.col("a"), F.col("b")], bits=16).alias("z")
+        ).collect()
+    ]
+    def ref(a, b):
+        z = 0
+        for bit in range(16):
+            z |= ((a >> bit) & 1) << (2 * bit)
+            z |= ((b >> bit) & 1) << (2 * bit + 1)
+        return z
+    assert out == [ref(1, 1), ref(2, 3), 0, ref(65535, 65535)]
+    assert out[3] == (1 << 32) - 1  # all 32 bits set
+
+
+def test_zorder_quantize_bounds(spark):
+    from aeon_mecha_spark.functions.zorder import quantize
+
+    df = spark.createDataFrame([(-5.0,), (0.0,), (50.0,), (100.0,), (200.0,)], "x double")
+    got = [r["q"] for r in df.select(quantize(F.col("x"), 0.0, 100.0, bits=8).alias("q")).collect()]
+    assert got[0] == 0          # clamped low
+    assert got[1] == 0
+    assert got[2] == 128        # midpoint of 256 cells
+    assert got[4] == 255        # clamped high
+    assert 0 <= got[3] <= 255
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    # box query over a 32x32 grid: under z-order the box's rows occupy
+    # far fewer distinct rank-blocks than under row-major (single-col) sort
+    from aeon_mecha_spark.functions.zorder import zorder_key
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    keyed = df.select("x", "y", zorder_key([F.col("x"), F.col("y")], bits=5).alias("z"))
+    ranked = keyed.orderBy("z").withColumn(
+        "blk", (F.row_number().over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("z")) / 32).cast("int")
+    )
+    zblocks = ranked.filter((F.col("x") < 8) & (F.col("y") < 8)).select("blk").distinct().count()
+    rowmajor = df.orderBy("x", "y").withColumn(
+        "blk", (F.row_number().over(__import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy("x", "y")) / 32).cast("int")
+    )
+    rblocks = rowmajor.filter((F.col("x") < 8) & (F.col("y") < 8)).select("blk").distinct().count()
+    assert zblocks < rblocks  # 2-D locality: fewer 32-row blocks touched
