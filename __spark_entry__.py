@@ -1306,6 +1306,13 @@ def q101_token_entropy(spark, sf_dir):
     return textqc.token_entropy(_t(spark, sf_dir, "documents"))
 
 
+def q108_vocab_encode(spark, sf_dir):
+    """Tokenize-to-ids over the documents table: deterministic top-256
+    frequency vocabulary broadcast onto the token stream; OOV -> 0.
+    Long-form (doc, pos, token_id) output for engine parity."""
+    return textqc.vocab_encode(_t(spark, sf_dir, "documents"), vocab_size=256)
+
+
 def q107_zorder_key(spark, sf_dir):
     """Z-order (Morton) layout keys over (user_id, time) — the
     bit-interleaved clustering key that makes 2-D box predicates prune
@@ -1457,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_span_decontaminate": q105_span_decontaminate,
         "q106_curation_pipeline": q106_curation_pipeline,
         "q107_zorder_key": q107_zorder_key,
+        "q108_vocab_encode": q108_vocab_encode,
         "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
         # -- r03-green families
         "q34_minhash": q34_minhash,
@@ -1494,12 +1502,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_quality_filter": q82_quality_filter,
         "q83_cm_heavy_hitters": q83_cm_heavy_hitters,
         "q84_chunk_documents": q84_chunk_documents,
-        "q85_multimodal_features": q85_multimodal_features,
         # q87 stays IN the window: its r03 record is the canonicalizer
         # crash, so the scalar-column fix needs an official verdict
         "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
         # -- operator-family representatives (all r02-green)
         # ---- entries below are past the driver's 50-entry window ----
+        "q85_multimodal_features": q85_multimodal_features,
         "q86_frame_sample_plan": q86_frame_sample_plan,
         "q88_tfidf": q88_tfidf,
         "q89_inverted_index": q89_inverted_index,
@@ -2894,6 +2902,22 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 63.0 / (l[64]::double / 1152921504606846976.0) END, 4)
                    AS est_union
             FROM pairs
+        """,
+        "q108_vocab_encode": """
+            WITH tk AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+                     unnest(generate_series(1, len(string_split_regex(trim(text), '\\s+')))) - 1
+                       AS pos
+              FROM documents WHERE trim(text) <> ''
+            ), vocab AS (
+              SELECT tok,
+                     row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS token_id
+              FROM tk GROUP BY tok
+              ORDER BY count(*) DESC, tok ASC LIMIT 256
+            )
+            SELECT t.doc_id, t.pos::bigint AS pos,
+                   coalesce(v.token_id, 0)::bigint AS token_id
+            FROM tk t LEFT JOIN vocab v USING (tok)
         """,
         "q106_curation_pipeline": """
             WITH toks AS (

@@ -251,3 +251,45 @@ def token_entropy(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     n = F.col("n_tokens").cast("double")
     ent = F.round(F.log(n) - (F.col("_s").cast("double") / F.lit(1000000.0)) / n, 6)
     return per.select(id_col, "n_tokens", "n_terms", ent.alias("entropy"))
+
+
+def vocab_encode(
+    docs: DataFrame,
+    vocab_size: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize-to-ids: build the top-``vocab_size`` frequency vocabulary
+    (rank by count desc, term asc — fully deterministic) and encode every
+    document as ``(id, pos, token_id)`` long-form rows, OOV terms as id
+    0, in-vocab ids 1..V by rank. The final corpus-to-training-ids step
+    once curation is done; long form keeps it engine-checkable and
+    re-packable by any downstream layout.
+
+    Plan: one posexplode; the vocab is a ≤V-row table built with one
+    groupBy + TakeOrdered-style rank and BROADCAST back onto the token
+    stream, so the corpus never shuffles on the token for encoding —
+    at 100 TB the big side is touched exactly twice, map-side both
+    times after the tiny vocab materializes.
+    """
+    toks = spread(docs).select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(vocab_size)
+        .select(
+            "tok",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), F.col("tok").asc()))
+            .cast("long")
+            .alias("token_id"),
+        )
+    )
+    return toks.join(F.broadcast(vocab), "tok", "left").select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        F.coalesce("token_id", F.lit(0).cast("long")).alias("token_id"),
+    )

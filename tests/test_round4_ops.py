@@ -519,3 +519,32 @@ def test_zorder_locality_beats_single_column_sort(spark):
     )
     rblocks = rowmajor.filter((F.col("x") < 8) & (F.col("y") < 8)).select("blk").distinct().count()
     assert zblocks < rblocks  # 2-D locality: fewer 32-row blocks touched
+
+
+# -- vocab_encode ------------------------------------------------------------
+
+def test_vocab_encode_ids_and_oov(spark):
+    from aeon_mecha_spark.datapipe import textqc
+
+    docs = _docs_df(
+        spark,
+        [
+            (1, "cat cat cat dog dog bird"),
+            (2, "cat rare1"),
+        ],
+    )
+    out = textqc.vocab_encode(docs, vocab_size=2)
+    rows = {(r["doc_id"], r["pos"]): r["token_id"] for r in out.collect()}
+    # vocab: cat(4) -> 1, dog(2) -> 2; bird/rare1 OOV -> 0
+    assert rows[(1, 0)] == 1 and rows[(1, 3)] == 2 and rows[(1, 5)] == 0
+    assert rows[(2, 0)] == 1 and rows[(2, 1)] == 0
+    assert len(rows) == 8
+
+
+def test_vocab_encode_tie_break_deterministic(spark):
+    from aeon_mecha_spark.datapipe import textqc
+
+    docs = _docs_df(spark, [(1, "bb aa bb aa")])  # equal counts -> term asc
+    out = {r["token_id"] for r in textqc.vocab_encode(docs, vocab_size=2).collect()}
+    ids = {(r["pos"], r["token_id"]) for r in textqc.vocab_encode(docs, vocab_size=2).collect()}
+    assert ids == {(0, 2), (1, 1), (2, 2), (3, 1)}  # aa -> 1, bb -> 2
