@@ -1338,7 +1338,7 @@ def q106_curation_pipeline(spark, sf_dir):
     stages as nested CTEs, so the whole pipeline (not just each stage)
     is hash-verified."""
     docs = _t(spark, sf_dir, "documents")
-    passes = (
+    verdicts = (
         curation.quality_filter(
             docs,
             min_tokens=10,
@@ -1348,9 +1348,15 @@ def q106_curation_pipeline(spark, sf_dir):
             max_punct_ratio=0.05,
             max_rep_ratio=0.6,
         )
-        .filter("passes")
-        .select("doc_id")
+        # persist the verdict COLUMN, then filter the cached boolean:
+        # filtering the conjunction directly inlines the (interpreted)
+        # shingle/ratio expressions into the predicate where they leave
+        # whole-stage codegen AND recompute per downstream consumer —
+        # 2 int64s per doc of cache state buys both back
+        .select("doc_id", "passes")
+        .persist()
     )
+    passes = verdicts.filter("passes").select("doc_id")
     kept = docs.join(passes, "doc_id")
     canon = dedup.exact_duplicates(kept).select(F.col("canonical_id").alias("doc_id"))
     uniq = kept.join(canon, "doc_id")

@@ -65,6 +65,8 @@ HEADLINE = [
     "q92_embedding_covariance",  # mapInPandas outer-product reduce
     "q95_bloom_decontaminate",   # bloom build + broadcast probe
     "q97_substring_dedup",   # gram explode + span merge (persist reuse)
+    "q106_curation_pipeline",  # 4-stage composed curation chain
+    "q108_vocab_encode",     # top-V vocab + broadcast encode
 ]
 
 

@@ -58,6 +58,9 @@ DEFAULT_QUERIES = [
     "q103_knn_recall",
     "q104_bpe_tokens",
     "q105_span_decontaminate",
+    "q106_curation_pipeline",
+    "q107_zorder_key",
+    "q108_vocab_encode",
 ]
 
 
