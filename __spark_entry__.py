@@ -1306,6 +1306,29 @@ def q101_token_entropy(spark, sf_dir):
     return textqc.token_entropy(_t(spark, sf_dir, "documents"))
 
 
+def _pq_fixed_codebooks(m: int = 4, k: int = 4, d_sub: int = 16):
+    """Deterministic literal codebooks shared by the q109 gate and its
+    oracle — the assignment argmin is then fully SQL-checkable (the
+    trained-codebook path q99 stays rows-only)."""
+    return [
+        [
+            [((s * 31 + c * 17 + j * 7) % 19 - 9) / 10.0 for j in range(d_sub)]
+            for c in range(k)
+        ]
+        for s in range(m)
+    ]
+
+
+def q109_pq_assign_fixed(spark, sf_dir):
+    """PQ code assignment against FIXED literal codebooks: the map-only
+    argmin path hash-verified end-to-end (first-wins ties, left-to-right
+    IEEE distance folds identical to the oracle's unrolled sums)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return similarity.pq_assign(emb, _pq_fixed_codebooks())
+
+
 def q108_vocab_encode(spark, sf_dir):
     """Tokenize-to-ids over the documents table: deterministic top-256
     frequency vocabulary broadcast onto the token stream; OOV -> 0.
@@ -1471,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_curation_pipeline": q106_curation_pipeline,
         "q107_zorder_key": q107_zorder_key,
         "q108_vocab_encode": q108_vocab_encode,
+        "q109_pq_assign_fixed": q109_pq_assign_fixed,
         "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
         # -- r03-green families
         "q34_minhash": q34_minhash,
@@ -1507,12 +1531,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_repetition_ratio": q81_repetition_ratio,
         "q82_quality_filter": q82_quality_filter,
         "q83_cm_heavy_hitters": q83_cm_heavy_hitters,
-        "q84_chunk_documents": q84_chunk_documents,
         # q87 stays IN the window: its r03 record is the canonicalizer
         # crash, so the scalar-column fix needs an official verdict
         "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
         # -- operator-family representatives (all r02-green)
         # ---- entries below are past the driver's 50-entry window ----
+        "q84_chunk_documents": q84_chunk_documents,
         "q85_multimodal_features": q85_multimodal_features,
         "q86_frame_sample_plan": q86_frame_sample_plan,
         "q88_tfidf": q88_tfidf,
@@ -1703,6 +1727,34 @@ def _sql_knn_recall() -> str:
            round(count(a.neighbor_id)::double / count(*)::double, 6) AS recall
     FROM exact x LEFT JOIN approx a USING (query_id, neighbor_id)
     GROUP BY x.query_id"""
+
+
+def _sql_pq_assign_fixed() -> str:
+    """Oracle for q109: unrolled left-to-right L2 folds + first-wins
+    argmin over the same literal codebooks."""
+    books = _pq_fixed_codebooks()
+    selects = []
+    for s, book in enumerate(books):
+        d_sub = len(book[0])
+        lo = s * d_sub + 1
+        dists = []
+        for c in book:
+            terms = "".join(
+                f" + (v[{lo + j}] - ({c[j]})) * (v[{lo + j}] - ({c[j]}))"
+                for j in range(d_sub)
+            )
+            dists.append(f"sqrt(0.0{terms})")
+        d0, d1, d2, d3 = dists
+        code = (
+            f"CASE WHEN {d0} <= {d1} AND {d0} <= {d2} AND {d0} <= {d3} THEN 0 "
+            f"WHEN {d1} <= {d2} AND {d1} <= {d3} THEN 1 "
+            f"WHEN {d2} <= {d3} THEN 2 ELSE 3 END"
+        )
+        selects.append(
+            f"SELECT vec_id, {s}::int AS sub, ({code})::int AS code "
+            f"FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+        )
+    return " UNION ALL ".join(selects)
 
 
 def _sql_zorder() -> str:
@@ -2144,6 +2196,7 @@ def oracle_sql() -> dict[str, str]:
         "q47_lsh_knn": _sql_lsh_knn(),
         "q103_knn_recall": _sql_knn_recall(),
         "q107_zorder_key": _sql_zorder(),
+        "q109_pq_assign_fixed": _sql_pq_assign_fixed(),
         "q48_ivf_knn": _sql_ivf_knn(),
         "q30_dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*)::bigint AS n_docs

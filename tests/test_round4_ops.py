@@ -548,3 +548,22 @@ def test_vocab_encode_tie_break_deterministic(spark):
     out = {r["token_id"] for r in textqc.vocab_encode(docs, vocab_size=2).collect()}
     ids = {(r["pos"], r["token_id"]) for r in textqc.vocab_encode(docs, vocab_size=2).collect()}
     assert ids == {(0, 2), (1, 1), (2, 2), (3, 1)}  # aa -> 1, bb -> 2
+
+
+def test_pq_assign_fixed_codebook_argmin(spark):
+    # assignment against literal codebooks matches a numpy argmin
+    import numpy as np
+
+    import __spark_entry__ as m
+    from aeon_mecha_spark.datapipe import similarity
+
+    books = m._pq_fixed_codebooks(m=2, k=4, d_sub=2)
+    vecs = [(i, [0.1 * i - 1.5, 0.3 * (i % 5) - 0.6, 0.2 * (i % 3), -0.1 * i + 0.4]) for i in range(24)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    got = {(r["vec_id"], r["sub"]): r["code"] for r in similarity.pq_assign(df, books).collect()}
+    for vid, v in vecs:
+        for s in range(2):
+            sub_v = np.array(v[s * 2 : s * 2 + 2])
+            dists = [float(np.sqrt(((sub_v - np.array(c)) ** 2).sum())) for c in books[s]]
+            best = min(range(4), key=lambda i: (dists[i], i))  # first-wins ties
+            assert got[(vid, s)] == best
