@@ -209,9 +209,12 @@ def ivf_knn(
     pairs. At 100 TB the cell id becomes the table's partition column so
     a query touches one partition per probed cell — the same two-stage
     shape as a real IVF index."""
+    # persist the assignment: it feeds BOTH sides of the cell self-join
+    # and the k-way interpreted distance argmin is the dominant per-row
+    # cost — without this the whole quantizer runs twice
     assigned = ivf_assign(vectors, centroids, id_col, vec_col).withColumn(
         "_n", norm(F.col(vec_col))
-    )
+    ).persist()
     a, c = assigned.alias("a"), assigned.alias("c")
     pairs = a.join(
         c,
