@@ -1319,6 +1319,30 @@ def _pq_fixed_codebooks(m: int = 4, k: int = 4, d_sub: int = 16):
     ]
 
 
+def _pca_fixed_components(k: int = 4, dims: int = 64):
+    """Deterministic literal component matrix shared by the q110 gate
+    and its oracle — hash-verifies the PCA *projection* arithmetic
+    (similarity.project_components) end-to-end, mirroring q109's
+    fixed-codebook trick; the eigendecomposition itself stays pinned by
+    the numpy unit test (q93 remains the trained rows-only path)."""
+    return [
+        [((c * 29 + i * 13) % 37 - 18) / 20.0 for i in range(dims)]
+        for c in range(k)
+    ]
+
+
+def q110_pca_project_fixed(spark, sf_dir):
+    """PCA-style projection against FIXED literal components: the
+    map-only left-to-right dot fold hash-verified end-to-end (IEEE
+    double products and sums identical to the oracle's unrolled
+    expression; round(6) on bit-identical doubles is engine-safe)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = similarity.project_components(emb, _pca_fixed_components())
+    return proj.select(
+        "vec_id", *[F.round(F.col(f"pc{c}"), 6).alias(f"pc{c}") for c in range(4)]
+    )
+
+
 def q109_pq_assign_fixed(spark, sf_dir):
     """PQ code assignment against FIXED literal codebooks: the map-only
     argmin path hash-verified end-to-end (first-wins ties, left-to-right
@@ -1472,14 +1496,80 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness gate grades the
-    # FIRST 50 entries. Queries that have never appeared in an official
-    # CORRECTNESS artifact come first (datapipe/analytics/sketch families
-    # + this round's additions); the window is then filled with one
-    # representative per operator family. Entries past 50 are all green
-    # in CORRECTNESS_r02 and re-checkable via tools/check_correctness.py.
+    # FIRST 50 entries. Round-5 rotation: the relational/domain core
+    # (q05, q08, q09, q11-q33, q40-q56) last appeared in an OFFICIAL
+    # driver artifact in r02 -- two rounds of shared-code-path changes
+    # ago -- so it re-enters the window now, together with this round's
+    # new q110 gate and six r03-graded fills. Everything rotated out
+    # (the r03/r04 datapipe families) is green in CORRECTNESS_r03/r04
+    # and re-checkable via tools/check_correctness.py.
     return {
-        # -- round-4 additions + the one query never officially graded:
-        # these must sit inside the driver's 50-entry window
+        # -- new this round: fixed-components PCA projection hash gate
+        "q110_pca_project_fixed": q110_pca_project_fixed,
+        # -- relational/domain core, officially re-graded this round
+        "q05_proj_compute": q05_proj_compute,
+        "q08_union": q08_union,
+        "q09_top": q09_top,
+        "q11_distinct": q11_distinct,
+        "q12_dedupe_first": q12_dedupe_first,
+        "q13_qc_deltas": q13_qc_deltas,
+        "q14_running_sum": q14_running_sum,
+        "q15_rolling_1h": q15_rolling_1h,
+        "q16_sessionize": q16_sessionize,
+        "q17_hourly_rollup": q17_hourly_rollup,
+        "q18_asof_join": q18_asof_join,
+        "q19_interval_count": q19_interval_count,
+        "q20_column_stats": q20_column_stats,
+        "q21_timestamp_stats": q21_timestamp_stats,
+        "q22_sync_regression": q22_sync_regression,
+        "q23_param_hash": q23_param_hash,
+        "q24_ownership": q24_ownership,
+        "q25_conditional_agg": q25_conditional_agg,
+        "q26_chunk_windows": q26_chunk_windows,
+        "q27_epoch_lead": q27_epoch_lead,
+        "q28_harp_time": q28_harp_time,
+        "q29_json_extract": q29_json_extract,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q31_fingerprint_dedup": q31_fingerprint_dedup,
+        "q32_text_quality": q32_text_quality,
+        "q33_langid": q33_langid,
+        "q40_unit_matching": q40_unit_matching,
+        "q41_frontier": q41_frontier,
+        "q42_streaming_hourly": q42_streaming_hourly,
+        "q43_qc_summary": q43_qc_summary,
+        "q44_topk_per_group": q44_topk_per_group,
+        "q45_set_ops": q45_set_ops,
+        "q46_bucketed_range_join": q46_bucketed_range_join,
+        "q47_lsh_knn": q47_lsh_knn,
+        "q48_ivf_knn": q48_ivf_knn,
+        "q49_shipping_priority": q49_shipping_priority,
+        "q50_order_priority_exists": q50_order_priority_exists,
+        "q51_shipmode_case_sum": q51_shipmode_case_sum,
+        "q52_forward_fill": q52_forward_fill,
+        "q53_sign_change": q53_sign_change,
+        "q54_chunked_ts_stats": q54_chunked_ts_stats,
+        "q55_index_aligned_merge": q55_index_aligned_merge,
+        "q56_value_histogram": q56_value_histogram,
+        # -- r03-graded fills (oldest of the remaining official records)
+        "q84_chunk_documents": q84_chunk_documents,
+        "q85_multimodal_features": q85_multimodal_features,
+        "q86_frame_sample_plan": q86_frame_sample_plan,
+        "q88_tfidf": q88_tfidf,
+        "q89_inverted_index": q89_inverted_index,
+        "q90_token_budget": q90_token_budget,
+        # ---- entries below are past the driver's 50-entry window ----
+        # (green in CORRECTNESS_r03/r04; re-checkable locally via
+        # tools/check_correctness.py)
+        "q91_shuffle_shards": q91_shuffle_shards,
+        "q92_embedding_covariance": q92_embedding_covariance,
+        "q94_int8_quant": q94_int8_quant,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_restrict_expr": q02_restrict_expr,
+        "q03_semi_join": q03_semi_join,
+        "q04_anti_join": q04_anti_join,
+        "q06_revenue_by_nation": q06_revenue_by_nation,
+        "q07_left_join_counts": q07_left_join_counts,
+        "q10_grouped_bounds": q10_grouped_bounds,
         "q95_bloom_decontaminate": q95_bloom_decontaminate,
         "q96_weighted_sample": q96_weighted_sample,
         "q97_substring_dedup": q97_substring_dedup,
@@ -1496,7 +1586,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_vocab_encode": q108_vocab_encode,
         "q109_pq_assign_fixed": q109_pq_assign_fixed,
         "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
-        # -- r03-green families
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
         "q36_knn_cosine": q36_knn_cosine,
@@ -1512,7 +1601,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_kmv_distinct": q63_kmv_distinct,
         "q64_quantile_summary": q64_quantile_summary,
         "q65_kmv_rollup": q65_kmv_rollup,
-        # -- round-3 additions
         "q66_group_centroids": q66_group_centroids,
         "q67_top_terms": q67_top_terms,
         "q68_ngram_counts": q68_ngram_counts,
@@ -1531,72 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q81_repetition_ratio": q81_repetition_ratio,
         "q82_quality_filter": q82_quality_filter,
         "q83_cm_heavy_hitters": q83_cm_heavy_hitters,
-        # q87 stays IN the window: its r03 record is the canonicalizer
-        # crash, so the scalar-column fix needs an official verdict
         "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
-        # -- operator-family representatives (all r02-green)
-        # ---- entries below are past the driver's 50-entry window ----
-        "q84_chunk_documents": q84_chunk_documents,
-        "q85_multimodal_features": q85_multimodal_features,
-        "q86_frame_sample_plan": q86_frame_sample_plan,
-        "q88_tfidf": q88_tfidf,
-        "q89_inverted_index": q89_inverted_index,
-        "q90_token_budget": q90_token_budget,
-        "q91_shuffle_shards": q91_shuffle_shards,
-        "q92_embedding_covariance": q92_embedding_covariance,
-        "q94_int8_quant": q94_int8_quant,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_restrict_expr": q02_restrict_expr,
-        "q03_semi_join": q03_semi_join,
-        "q04_anti_join": q04_anti_join,
-        "q06_revenue_by_nation": q06_revenue_by_nation,
-        "q07_left_join_counts": q07_left_join_counts,
-        "q10_grouped_bounds": q10_grouped_bounds,
-        # (everything from here on is green in CORRECTNESS_r02/r03 and
-        # re-checkable locally via tools/check_correctness.py)
-        "q13_qc_deltas": q13_qc_deltas,
-        "q15_rolling_1h": q15_rolling_1h,
-        "q16_sessionize": q16_sessionize,
-        "q17_hourly_rollup": q17_hourly_rollup,
-        "q18_asof_join": q18_asof_join,
-        "q19_interval_count": q19_interval_count,
-        "q21_timestamp_stats": q21_timestamp_stats,
-        "q22_sync_regression": q22_sync_regression,
-        "q24_ownership": q24_ownership,
-        "q26_chunk_windows": q26_chunk_windows,
-        "q27_epoch_lead": q27_epoch_lead,
-        "q30_dedup_exact": q30_dedup_exact,
-        "q31_fingerprint_dedup": q31_fingerprint_dedup,
-        "q32_text_quality": q32_text_quality,
-        "q33_langid": q33_langid,
-        "q40_unit_matching": q40_unit_matching,
-        "q42_streaming_hourly": q42_streaming_hourly,
-        "q43_qc_summary": q43_qc_summary,
-        "q46_bucketed_range_join": q46_bucketed_range_join,
-        "q47_lsh_knn": q47_lsh_knn,
-        "q48_ivf_knn": q48_ivf_knn,
-        "q05_proj_compute": q05_proj_compute,
-        "q08_union": q08_union,
-        "q09_top": q09_top,
-        "q11_distinct": q11_distinct,
-        "q12_dedupe_first": q12_dedupe_first,
-        "q14_running_sum": q14_running_sum,
-        "q20_column_stats": q20_column_stats,
-        "q23_param_hash": q23_param_hash,
-        "q25_conditional_agg": q25_conditional_agg,
-        "q28_harp_time": q28_harp_time,
-        "q29_json_extract": q29_json_extract,
-        "q41_frontier": q41_frontier,
-        "q44_topk_per_group": q44_topk_per_group,
-        "q45_set_ops": q45_set_ops,
-        "q49_shipping_priority": q49_shipping_priority,
-        "q50_order_priority_exists": q50_order_priority_exists,
-        "q51_shipmode_case_sum": q51_shipmode_case_sum,
-        "q52_forward_fill": q52_forward_fill,
-        "q53_sign_change": q53_sign_change,
-        "q54_chunked_ts_stats": q54_chunked_ts_stats,
-        "q55_index_aligned_merge": q55_index_aligned_merge,
-        "q56_value_histogram": q56_value_histogram,
     }
 
 
@@ -1755,6 +1778,23 @@ def _sql_pq_assign_fixed() -> str:
             f"FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
         )
     return " UNION ALL ".join(selects)
+
+
+def _sql_pca_project_fixed() -> str:
+    """Oracle for q110: the same literal components, dot products
+    unrolled strictly left-to-right (SQL + is left-associative, so the
+    IEEE fold order matches project_components exactly)."""
+    comps = _pca_fixed_components()
+    cols = []
+    for c, comp in enumerate(comps):
+        fold = " + ".join(
+            f"v[{i + 1}] * ({comp[i]})" for i in range(len(comp))
+        )
+        cols.append(f"round({fold}, 6) AS pc{c}")
+    return (
+        "SELECT vec_id, " + ", ".join(cols)
+        + " FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+    )
 
 
 def _sql_zorder() -> str:
@@ -2197,6 +2237,7 @@ def oracle_sql() -> dict[str, str]:
         "q103_knn_recall": _sql_knn_recall(),
         "q107_zorder_key": _sql_zorder(),
         "q109_pq_assign_fixed": _sql_pq_assign_fixed(),
+        "q110_pca_project_fixed": _sql_pca_project_fixed(),
         "q48_ivf_knn": _sql_ivf_knn(),
         "q30_dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*)::bigint AS n_docs

@@ -90,7 +90,11 @@ def read_any(
             )
         fmt, defaults = _FORMATS[ext]
     else:
-        defaults = dict(_FORMATS.get("." + fmt, ("", {}))[1])
+        # map aliases ('tsv', 'jsonl', 'ndjson') to the real Spark
+        # format + its defaults; unknown names pass through verbatim so
+        # any registered data source still works
+        fmt, defaults = _FORMATS.get("." + fmt.lower(), (fmt, {}))
+        defaults = dict(defaults)
     opts = {**defaults, **options}
     reader = spark.read.format(fmt).options(**opts)
     if schema is not None:

@@ -169,6 +169,22 @@ def weighted_sample(
     partition to one reducer. The sort key is dropped from the output
     (``-ln`` is the one non-portably-rounded step; verdicts, not keys,
     are the contract).
+
+    Cross-engine boundary risk, quantified: the selected SET differs
+    between engines only if a last-ulp ``ln`` divergence reorders the
+    rank-n and rank-(n+1) keys, i.e. only if those two order statistics
+    lie within a few ulp (~1e-15) of each other. Adjacent order-stat
+    gaps near rank n are ~range/n_rows (~1e-4 at 1e5 rows), so the
+    flip probability is ~1e-11 per draw — latent, not a practical
+    hazard. Quantizing the key (the token_entropy trick) would NOT
+    shrink it: integer bucketing trades one razor-thin boundary for a
+    boundary at EVERY quantum edge (P ≈ ulp/quantum per row, ~1e-3 for
+    O(10) keys at pico resolution), and a quantum coarse enough to be
+    safe collapses small keys (large weights) into tie-broken buckets,
+    biasing the draw. Entropy-style quantization fixes ASSOCIATIVITY
+    (sum order); selection is an ORDER-STATISTIC problem where the
+    continuous key is already the safer form, so the risk is documented
+    rather than "fixed" into a worse one.
     """
     u = (md5_long(F.col(key_col).cast("string"), seed=seed).cast("double") + F.lit(1.0)) / F.lit(
         float((1 << 60) + 1)

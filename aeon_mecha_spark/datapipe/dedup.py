@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from aeon_mecha_spark.functions.hashing import md5_long
 from aeon_mecha_spark.functions.text import normalize_text, tokens, word_shingles
-from aeon_mecha_spark.util import spread
+from aeon_mecha_spark.util import spread, track_cached
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -395,7 +395,7 @@ def substring_duplicate_spans(
     cov = spans.groupBy(id_col).agg(
         F.sum(F.col("end") - F.col("start")).cast("long").alias("dup_tokens")
     )
-    return (
+    out = (
         per_doc.join(dup_agg, id_col, "left")
         .join(cov, id_col, "left")
         .select(
@@ -405,3 +405,6 @@ def substring_duplicate_spans(
             F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
         )
     )
+    # the persisted gram table rides along for explicit release once the
+    # caller has consumed the result (util.release_cached)
+    return track_cached(out, grams)

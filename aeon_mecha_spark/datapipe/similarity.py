@@ -16,7 +16,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from aeon_mecha_spark.functions.vector import cosine, dot, norm
-from aeon_mecha_spark.util import spread
+from aeon_mecha_spark.util import spread, track_cached
 
 
 def brute_force_knn(
@@ -228,7 +228,10 @@ def ivf_knn(
         ).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    out = pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # the persisted assignment rides along for explicit release once
+    # the caller has consumed the result (util.release_cached)
+    return track_cached(out, assigned)
 
 
 def embedding_near_duplicates(
@@ -496,12 +499,33 @@ def pca_project(
     for c in range(k):
         if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
             comps[:, c] = -comps[:, c]
+    return project_components(
+        vectors, [[float(x) for x in comps[:, c]] for c in range(k)],
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
+def project_components(
+    vectors: DataFrame,
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project each vector onto literal component rows — the shared
+    map-only tail of :func:`pca_project`: ``pc_c = Σ_i v[i]·comp[c][i]``
+    folded strictly left-to-right so the IEEE double result is
+    bit-identical in any engine that unrolls the same sum (the q110
+    fixed-components oracle does exactly that). Pure Catalyst — the
+    plan embeds the coefficients as constants; no UDF, no shuffle.
+
+    ``components`` is ``[k][dims]`` (one row per output component).
+    """
     arr = F.col(vec_col).cast("array<double>")
     cols = []
-    for c in range(k):
+    for c, comp in enumerate(components):
         terms = [
-            F.element_at(arr, i + 1) * F.lit(float(comps[i, c]))
-            for i in range(dims)
+            F.element_at(arr, i + 1) * F.lit(float(comp[i]))
+            for i in range(len(comp))
         ]
         expr = terms[0]
         for t in terms[1:]:

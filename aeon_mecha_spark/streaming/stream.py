@@ -150,11 +150,12 @@ def bloom_dedup_batches(
     key_col: str = "doc_id",
     num_bits: int = 1 << 20,
     num_hashes: int = 4,
+    sink=None,
 ):
     """Streaming dedup against UNBOUNDED history with BOUNDED state — a
     ``foreachBatch`` body that keeps a Bloom filter of every key ever
-    accepted (Parquet word table at ``state_path``) instead of the key
-    set itself.
+    accepted (Parquet word table under ``state_path``) instead of the
+    key set itself.
 
     Each micro-batch: probe the stored filter (broadcast join — the
     batch never shuffles on the key), emit only rows the filter has
@@ -167,22 +168,65 @@ def bloom_dedup_batches(
     TIME; this bounds it by SIZE with no horizon — the right trade for
     ingest-once ledgers over long-lived streams.
 
+    ``sink`` selects where accepted rows go:
+
+    * a **path string** — the production form: each batch's fresh rows
+      are written to ``<sink>/batch_id=<n>`` with overwrite, so a
+      retried batch rewrites its own directory (idempotent, no driver
+      materialization; read the sink back with
+      ``spark.read.parquet(sink)`` for the full ledger);
+    * a **callable** ``(fresh_df, batch_id) -> None`` for custom sinks;
+    * ``None`` — test/debug mode: accepted rows are collect()ed into
+      the returned ``emitted`` list.
+
+    Crash safety is commit-ordered: the sink write happens BEFORE the
+    state commit, so a crash between the two re-emits the batch on
+    retry (the idempotent per-batch sink directory absorbs it) instead
+    of silently dropping it, and a retry that arrives AFTER the state
+    commit is detected from the version pointer (which names the last
+    committed batch id) and skipped wholesale — without that check the
+    retried batch would probe its own keys as duplicates and overwrite
+    its sink directory with nothing. State itself is versioned —
+    ``state_path/v<batch_id>`` is written fully, then a one-line
+    ``CURRENT`` pointer file is flipped with an atomic rename
+    (``os.replace``; on HDFS/S3 commit via ``FileSystem.rename`` / a
+    conditional put of the same pointer object) — so readers and
+    crash-retries only ever see a complete, committed filter, and a
+    crash mid-swap leaves the previous version current. Stale version
+    directories are pruned after the flip.
+
     Returns ``(fn, emitted)``: pass ``fn`` to
-    ``writeStream.foreachBatch``; ``emitted`` collects the accepted
-    batches (list of DataFrame-materialized row lists) for sinks that
-    want them — production bodies would write to a table instead.
+    ``writeStream.foreachBatch``.
     """
     import os as _os
+    import shutil as _shutil
 
     from aeon_mecha_spark.datapipe import sketch as _sk
 
     emitted: list[list] = []
+    pointer = _os.path.join(state_path, "CURRENT")
+
+    def _current_version() -> str | None:
+        if not _os.path.exists(pointer):
+            return None
+        with open(pointer) as fh:
+            name = fh.read().strip()
+        return _os.path.join(state_path, name) if name else None
 
     def fn(batch: DataFrame, batch_id: int) -> None:
+        cur0 = _current_version()
+        if cur0 is not None and int(_os.path.basename(cur0)[1:]) >= batch_id:
+            # the pointer doubles as the committed-epoch marker: this
+            # batch's state flip already happened, so its keys are in
+            # the filter and its sink directory is final — reprocessing
+            # would probe them as duplicates and overwrite the sink
+            # with nothing. Retry after full commit is a no-op.
+            return
         batch = batch.dropDuplicates([key_col]).persist()
         try:
-            if _os.path.exists(state_path):
-                state = spark.read.parquet(state_path)
+            cur = _current_version()
+            if cur is not None:
+                state = spark.read.parquet(cur)
                 probed = _sk.bloom_contains(
                     batch, key_col, state, [key_col], num_bits, num_hashes
                 )
@@ -193,14 +237,31 @@ def bloom_dedup_batches(
             else:
                 state = None
                 fresh = batch
-            emitted.append(fresh.collect())
+            # 1. sink first (see docstring: re-emit-on-retry beats drop)
+            if sink is None:
+                emitted.append(fresh.collect())
+            elif callable(sink):
+                sink(fresh, batch_id)
+            else:
+                fresh.write.mode("overwrite").parquet(
+                    _os.path.join(sink, f"batch_id={batch_id}")
+                )
+            # 2. write the new state version in full …
             add = _sk.bloom_partial(fresh, key_col, num_bits, num_hashes)
             merged = _sk.bloom_merge(state.unionByName(add)) if state is not None else add
-            # write-then-swap: state readers never see a half-written table
-            tmp = state_path + "._tmp"
-            merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-            out = spark.read.parquet(tmp)
-            out.write.mode("overwrite").parquet(state_path)
+            vname = f"v{batch_id}"
+            merged.coalesce(1).write.mode("overwrite").parquet(
+                _os.path.join(state_path, vname)
+            )
+            # 3. … then commit with an atomic pointer flip
+            tmp_ptr = pointer + ".tmp"
+            with open(tmp_ptr, "w") as fh:
+                fh.write(vname)
+            _os.replace(tmp_ptr, pointer)
+            # 4. prune superseded versions (best-effort)
+            for d in _os.listdir(state_path):
+                if d.startswith("v") and d != vname:
+                    _shutil.rmtree(_os.path.join(state_path, d), ignore_errors=True)
         finally:
             batch.unpersist()
 

@@ -229,3 +229,21 @@ def test_q105_span_surgery_no_nested_loop(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q105_span_decontaminate"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_q76_pack_sequences_window_partitioned_by_shard(spark, entry, sf_dir):
+    """Keyed packing must run one window PER SHARD KEY — a
+    hashpartitioning(source) exchange, never a single-partition global
+    window over the corpus (the unkeyed form is small-corpora only)."""
+    p = plan_str(entry.queries()["q76_pack_sequences"](spark, sf_dir))
+    assert "hashpartitioning(source" in p
+    assert "SinglePartition" not in p
+
+
+def test_q110_fixed_projection_is_shuffle_free(spark, entry, sf_dir):
+    """The literal-components projection is map-only: coefficients live
+    in the plan as constants — no Exchange, no UDF, no join."""
+    p = plan_str(entry.queries()["q110_pca_project_fixed"](spark, sf_dir))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

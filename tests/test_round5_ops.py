@@ -1,0 +1,206 @@
+"""Round-5 additions: fixed-components projection gate, the
+bloom-dedup production sink + versioned atomic state, catalog alias
+formats, and library unpersist hygiene."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# -- project_components (q110 backing) ---------------------------------------
+
+def test_project_components_matches_numpy(spark):
+    import numpy as np
+
+    from aeon_mecha_spark.datapipe import similarity
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(40, 8)
+    comps = rng.randn(3, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["pc0"], r["pc1"], r["pc2"])
+        for r in similarity.project_components(df, comps.tolist()).collect()
+    }
+    want = vecs @ comps.T
+    for i in range(40):
+        for c in range(3):
+            assert abs(out[i][c] - want[i, c]) < 1e-9
+
+
+def test_pca_project_unchanged_by_refactor(spark):
+    """pca_project still matches numpy PCA after extracting the
+    projection tail into project_components."""
+    import numpy as np
+
+    from aeon_mecha_spark.datapipe import similarity
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 6) * np.array([3.0, 2.0, 1.0, 0.5, 0.25, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["pc0"], r["pc1"])
+        for r in similarity.pca_project(df, dims=6, k=2).collect()
+    }
+    C = np.cov(vecs.T, bias=True)
+    w, V = np.linalg.eigh(C)
+    comps = V[:, np.argsort(w)[::-1][:2]]
+    for c in range(2):
+        if comps[np.argmax(np.abs(comps[:, c])), c] < 0:
+            comps[:, c] = -comps[:, c]
+    # covariance is estimated from quantized moments -> tolerance is the
+    # quantization step, not machine eps
+    want = (vecs - 0.0) @ comps
+    for i in range(60):
+        for c in range(2):
+            assert abs(got[i][c] - want[i, c]) < 1e-2
+
+
+# -- bloom_dedup_batches: production sink + atomic state ---------------------
+
+def test_bloom_dedup_parquet_sink_no_driver_materialization(spark, tmp_path):
+    from aeon_mecha_spark.streaming.stream import bloom_dedup_batches
+
+    state = str(tmp_path / "state")
+    sink = str(tmp_path / "accepted")
+    fn, emitted = bloom_dedup_batches(
+        spark, state, "doc_id", num_bits=1 << 14, sink=sink
+    )
+    fn(spark.createDataFrame([(i,) for i in range(100)], "doc_id bigint"), 0)
+    fn(
+        spark.createDataFrame([(i,) for i in range(50, 150)], "doc_id bigint"),
+        1,
+    )
+    assert emitted == []  # nothing collect()ed on the driver
+    ledger = spark.read.parquet(sink)
+    got = {r["doc_id"] for r in ledger.collect()}
+    assert set(range(100)) <= got <= set(range(150))
+    # batch 1's duplicates (50..99) were dropped
+    b1 = spark.read.parquet(os.path.join(sink, "batch_id=1"))
+    b1_keys = {r["doc_id"] for r in b1.collect()}
+    assert b1_keys & set(range(100)) == set()
+
+
+def test_bloom_dedup_retried_batch_is_idempotent_in_sink(spark, tmp_path):
+    """A foreachBatch retry re-runs the same batch_id: the per-batch
+    sink directory is overwritten, not appended — no duplicate rows."""
+    from aeon_mecha_spark.streaming.stream import bloom_dedup_batches
+
+    state = str(tmp_path / "state")
+    sink = str(tmp_path / "accepted")
+    fn, _ = bloom_dedup_batches(spark, state, "doc_id", num_bits=1 << 14, sink=sink)
+    b0 = spark.createDataFrame([(i,) for i in range(40)], "doc_id bigint")
+    fn(b0, 0)
+    fn(b0, 0)  # redelivery of the same epoch
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows}) == 40
+
+
+def test_bloom_dedup_state_commit_is_versioned_and_pruned(spark, tmp_path):
+    from aeon_mecha_spark.streaming.stream import bloom_dedup_batches
+
+    state = str(tmp_path / "state")
+    fn, emitted = bloom_dedup_batches(spark, state, "doc_id", num_bits=1 << 14)
+    for b in range(3):
+        fn(spark.createDataFrame([(i,) for i in range(10 * b, 10 * b + 15)], "doc_id bigint"), b)
+    with open(os.path.join(state, "CURRENT")) as fh:
+        assert fh.read().strip() == "v2"
+    versions = [d for d in os.listdir(state) if d.startswith("v")]
+    assert versions == ["v2"]  # superseded versions pruned
+    assert not os.path.exists(os.path.join(state, "CURRENT.tmp"))
+
+
+def test_bloom_dedup_crash_before_pointer_flip_keeps_old_state(spark, tmp_path):
+    """Simulate a crash after the new version directory is written but
+    before the pointer flip: the filter still reads the OLD committed
+    version, so the retried batch reproduces the same answer instead of
+    losing the whole history (the pre-round-5 overwrite layout lost it)."""
+    import shutil
+
+    from aeon_mecha_spark.streaming.stream import bloom_dedup_batches
+
+    state = str(tmp_path / "state")
+    fn, emitted = bloom_dedup_batches(spark, state, "doc_id", num_bits=1 << 14)
+    fn(spark.createDataFrame([(i,) for i in range(30)], "doc_id bigint"), 0)
+    # fake the torn batch 1: version dir exists, pointer still at v0
+    shutil.copytree(os.path.join(state, "v0"), os.path.join(state, "v1"))
+    with open(os.path.join(state, "CURRENT")) as fh:
+        assert fh.read().strip() == "v0"
+    # retry of batch 1: everything from batch 0 must still be filtered
+    fn(spark.createDataFrame([(i,) for i in range(30)] + [(99,)], "doc_id bigint"), 1)
+    assert {r["doc_id"] for r in emitted[1]} == {99}
+
+
+# -- catalog: alias formats on the explicit-fmt path -------------------------
+
+def test_read_any_accepts_alias_formats(spark, tmp_path):
+    from aeon_mecha_spark.catalog import read_any
+
+    p = str(tmp_path / "data.txt")  # extension lies: content is TSV
+    with open(p, "w") as fh:
+        fh.write("a\tb\n1\tx\n2\ty\n")
+    df = read_any(spark, p, fmt="tsv", header=True)
+    assert sorted(df.columns) == ["a", "b"]
+    assert df.count() == 2
+
+    j = str(tmp_path / "data.log")
+    with open(j, "w") as fh:
+        fh.write('{"k": 1}\n{"k": 2}\n')
+    for alias in ("jsonl", "ndjson"):
+        df = read_any(spark, j, fmt=alias)
+        assert df.count() == 2 and "k" in df.columns
+
+
+# -- unpersist hygiene -------------------------------------------------------
+
+def _cached_rdd_count(spark) -> int:
+    jsc = spark.sparkContext._jsc.sc()
+    return jsc.getPersistentRDDs().size()
+
+
+def test_ivf_knn_release_cached_frees_all_blocks(spark):
+    import numpy as np
+
+    from aeon_mecha_spark.datapipe import similarity
+    from aeon_mecha_spark.util import release_cached
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(4)]) for i in range(80)],
+        "vec_id bigint, embedding array<double>",
+    )
+    centroids = [[float(x) for x in rng.randn(4)] for _ in range(4)]
+    spark.catalog.clearCache()
+    before = _cached_rdd_count(spark)
+    out = similarity.ivf_knn(df, centroids, k=2)
+    assert out.count() > 0
+    assert _cached_rdd_count(spark) > before  # assignment is cached while in use
+    release_cached(out)
+    assert _cached_rdd_count(spark) == before  # returns-and-consumes cycle is clean
+
+
+def test_substring_spans_release_cached_frees_all_blocks(spark):
+    from aeon_mecha_spark.datapipe import dedup
+    from aeon_mecha_spark.util import release_cached
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    spark.catalog.clearCache()
+    before = _cached_rdd_count(spark)
+    out = dedup.substring_duplicate_spans(docs, n=4)
+    assert out.count() == 6
+    assert _cached_rdd_count(spark) > before
+    release_cached(out)
+    assert _cached_rdd_count(spark) == before
+    release_cached(out)  # idempotent
