@@ -21,6 +21,7 @@ Scale design (100 TB of documents):
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from aeon_mecha_spark.functions.hashing import md5_long
@@ -353,19 +354,26 @@ def substring_duplicate_spans(
     Plan: posexplode grams once, reduce each gram to its 60-bit MD5 (the
     shuffle key is 8 bytes, not an ~8-word string), one groupBy(gram)
     to find cross-doc grams, one join back on the gram hash (AQE splits
-    skewed boilerplate grams), then the gaps-and-islands span merge per
-    doc. Every step is a single-shuffle hash exchange; nothing is
+    skewed boilerplate grams), then a single window + groupBy over ONLY
+    the duplicated positions. The span merge needs no general
+    gaps-and-islands pass: every interval is the same length ``n``, so
+    the union coverage of the sorted dup positions is exactly
+    ``Σ min(n, pos - prev_dup_pos)`` — one lag expression. Per-doc
+    gram totals never touch the exploded table at all:
+    ``n_grams = n_tokens - n + 1`` is a map-only projection of the doc
+    row. Every step is a single-shuffle hash exchange; nothing is
     quadratic in docs or grams.
     """
-    from aeon_mecha_spark.datapipe.curation import merge_intervals
-
     eligible = spread(docs).filter(F.size(tokens(F.col(text_col))) >= n)
+    per_doc = eligible.select(
+        F.col(id_col),
+        (F.size(tokens(F.col(text_col))) - F.lit(n) + F.lit(1)).cast("long").alias("n_grams"),
+    )
     grams = eligible.select(
         F.col(id_col), F.posexplode(word_shingles(F.col(text_col), n)).alias("pos", "gram")
     ).select(id_col, "pos", md5_long(F.col("gram")).alias("gh"))
-    # The gram table feeds four consumers (dup groupBy, join-back,
-    # per-doc totals, span merge); per-consumer column pruning gives
-    # each a DIFFERENT subplan, so exchange reuse can't kick in and the
+    # The gram table feeds two consumers (dup groupBy + join-back) with
+    # different column pruning, so exchange reuse can't kick in and the
     # tokenize+explode+md5 scan — the dominant CPU cost — would run
     # once per consumer. Persist the compact (id, pos, gh) rows instead
     # (MEMORY_AND_DISK: ~24 B/row spills, never recomputes); at extreme
@@ -377,27 +385,25 @@ def substring_duplicate_spans(
         .filter(F.col("nd") >= 2)
         .select("gh")
     )
-    dup_pos = grams.join(dup, "gh")
-    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
-    dup_agg = dup_pos.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_dup_grams")
+    dup_pos = grams.join(dup, "gh").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    # positions are strictly increasing per doc, so lag(pos) is the
+    # previous duplicated gram start; coalesce to pos-n makes the first
+    # dup gram contribute exactly n covered tokens
+    prev_dup = F.lag("pos").over(w)
+    covered = F.least(
+        F.lit(n), F.col("pos") - F.coalesce(prev_dup, F.col("pos") - F.lit(n))
     )
-    spans = merge_intervals(
-        dup_pos.select(
-            F.col(id_col),
-            F.col("pos").cast("long").alias("start"),
-            (F.col("pos") + F.lit(n)).cast("long").alias("end"),
-        ),
-        "start",
-        "end",
-        keys=[id_col],
-    )
-    cov = spans.groupBy(id_col).agg(
-        F.sum(F.col("end") - F.col("start")).cast("long").alias("dup_tokens")
+    dup_agg = (
+        dup_pos.withColumn("_cov", covered)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+            F.sum("_cov").cast("long").alias("dup_tokens"),
+        )
     )
     out = (
         per_doc.join(dup_agg, id_col, "left")
-        .join(cov, id_col, "left")
         .select(
             F.col(id_col),
             "n_grams",

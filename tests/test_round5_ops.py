@@ -199,7 +199,11 @@ def test_substring_spans_release_cached_frees_all_blocks(spark):
     spark.catalog.clearCache()
     before = _cached_rdd_count(spark)
     out = dedup.substring_duplicate_spans(docs, n=4)
-    assert out.count() == 6
+    # consume VALUES, not just row count: under pure column pruning the
+    # outer join to the (unique-keyed) dup aggregate is eliminated and
+    # the gram cache would never materialize
+    rows = out.collect()
+    assert len(rows) == 6
     assert _cached_rdd_count(spark) > before
     release_cached(out)
     assert _cached_rdd_count(spark) == before
