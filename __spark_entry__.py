@@ -750,7 +750,7 @@ def q36_knn_cosine(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     out = similarity.brute_force_knn(
-        emb.filter(F.col("vec_id") < 20), emb, k=3, metric="cosine"
+        emb.filter(F.col("vec_id") < 20), emb, k=3, metric="cosine", dim=64
     )
     return out.select("query_id", "neighbor_id", F.round(F.col("score"), 6).alias("score"))
 
@@ -759,7 +759,7 @@ def q37_embedding_neardup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    out = similarity.embedding_near_duplicates(emb, threshold=0.35)
+    out = similarity.embedding_near_duplicates(emb, threshold=0.35, dim=64)
     return out.select("id_a", "id_b", F.round(F.col("cos"), 6).alias("cos"))
 
 
@@ -1447,7 +1447,7 @@ def q103_knn_recall(spark, sf_dir):
         "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("embedding")
     )
     approx = similarity.lsh_knn(emb, _LSH_PLANES, k=3).filter(F.col("query_id") < 40)
-    exact = similarity.brute_force_knn(emb.filter(F.col("vec_id") < 40), emb, k=3)
+    exact = similarity.brute_force_knn(emb.filter(F.col("vec_id") < 40), emb, k=3, dim=8)
     out = similarity.knn_recall(approx, exact)
     return out.select(
         "query_id", "n_exact", "n_hit", F.round("recall", 6).alias("recall")

@@ -26,9 +26,13 @@ def brute_force_knn(
     vec_col: str = "embedding",
     k: int = 5,
     metric: str = "cosine",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k: broadcast the query set, score every corpus row,
     row_number per query. Returns (query_id, neighbor_id, score, rank).
+    Pass ``dim`` when the embedding width is known: the distance math
+    unrolls into codegen'd element_at arithmetic (same fold order, same
+    floats) instead of interpreted higher-order exprs.
 
     Plan shape at scale: corpus is the big fact (never shuffled — scored
     in place), queries broadcast; the only shuffle is the per-query top-k,
@@ -41,11 +45,11 @@ def brute_force_knn(
     # the float result — is identical to dot/(|q||c|) per pair.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-        norm(F.col(vec_col)).alias("_qn"),
+        norm(F.col(vec_col), dim).alias("_qn"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        norm(F.col(vec_col)).alias("_cn"),
+        norm(F.col(vec_col), dim).alias("_cn"),
     )
     scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
     if metric == "cosine":
@@ -53,10 +57,10 @@ def brute_force_knn(
         # every number — a zero vector would otherwise top every ranking
         score = F.when(
             (F.col("_qn") > 0) & (F.col("_cn") > 0),
-            dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")),
+            dot(F.col("_qv"), F.col("_cv"), dim) / (F.col("_qn") * F.col("_cn")),
         )
     elif metric == "dot":
-        score = dot(F.col("_qv"), F.col("_cv"))
+        score = dot(F.col("_qv"), F.col("_cv"), dim)
     else:
         raise ValueError(metric)
     scored = scored.select("query_id", "neighbor_id", score.alias("score"))
@@ -79,7 +83,11 @@ def hyperplane_lsh_buckets(
     bits = []
     for p in planes:
         arr = F.array(*[F.lit(float(v)) for v in p])
-        bits.append(F.when(dot(F.col(vec_col), arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        # dim is the plane's own length — callers pass vectors of the
+        # same width, so the unrolled (codegen) path is always safe here
+        bits.append(
+            F.when(dot(F.col(vec_col), arr, len(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
     return vectors.select(
         F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket")
     )
@@ -93,9 +101,12 @@ def lsh_knn(
     k: int = 5,
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket pairs. Self-join on the
-    bucket key — collision-bounded work, AQE splits skewed buckets."""
+    bucket key — collision-bounded work, AQE splits skewed buckets.
+    Vectors must be the same width as the planes (the gates slice them
+    so); that width drives the unrolled codegen distance path."""
+    dim = len(planes[0])
     b = hyperplane_lsh_buckets(vectors, planes, id_col, vec_col).withColumn(
-        "_n", norm(F.col(vec_col))
+        "_n", norm(F.col(vec_col), dim)
     )
     a, c = b.alias("a"), b.alias("c")
     pairs = a.join(
@@ -107,7 +118,8 @@ def lsh_knn(
         F.col(f"c.{id_col}").alias("neighbor_id"),
         F.when(
             (F.col("a._n") > 0) & (F.col("c._n") > 0),
-            dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (F.col("a._n") * F.col("c._n")),
+            dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}"), dim)
+            / (F.col("a._n") * F.col("c._n")),
         ).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
@@ -182,7 +194,7 @@ def ivf_assign(
     dist_cols = []
     for i, c in enumerate(centroids):
         arr = F.array(*[F.lit(float(v)) for v in c])
-        dist_cols.append(l2_distance(F.col(vec_col), arr).alias(f"_d{i}"))
+        dist_cols.append(l2_distance(F.col(vec_col), arr, len(c)).alias(f"_d{i}"))
     withd = vectors.select(F.col(id_col), F.col(vec_col), *dist_cols)
     # first-wins argmin over the materialized columns
     expr = None
@@ -212,8 +224,9 @@ def ivf_knn(
     # persist the assignment: it feeds BOTH sides of the cell self-join
     # and the k-way interpreted distance argmin is the dominant per-row
     # cost — without this the whole quantizer runs twice
+    dim = len(centroids[0])
     assigned = ivf_assign(vectors, centroids, id_col, vec_col).withColumn(
-        "_n", norm(F.col(vec_col))
+        "_n", norm(F.col(vec_col), dim)
     ).persist()
     a, c = assigned.alias("a"), assigned.alias("c")
     pairs = a.join(
@@ -224,7 +237,8 @@ def ivf_knn(
         F.col(f"c.{id_col}").alias("neighbor_id"),
         F.when(
             (F.col("a._n") > 0) & (F.col("c._n") > 0),
-            dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")) / (F.col("a._n") * F.col("c._n")),
+            dot(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}"), dim)
+            / (F.col("a._n") * F.col("c._n")),
         ).alias("score"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
@@ -239,13 +253,14 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs above a threshold (ordered id_a < id_b).
 
     Exact all-pairs form — O(n²), the correctness ORACLE for the bucketed
     variant. The scale default is ``near_duplicates_lsh`` below: same
     output schema, but the pair space never materializes."""
-    withn = vectors.withColumn("_n", norm(F.col(vec_col)))
+    withn = vectors.withColumn("_n", norm(F.col(vec_col), dim))
     a, b = withn.alias("a"), withn.alias("b")
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
@@ -254,7 +269,8 @@ def embedding_near_duplicates(
             F.col(f"b.{id_col}").alias("id_b"),
             F.when(
                 (F.col("a._n") > 0) & (F.col("b._n") > 0),
-                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a._n") * F.col("b._n")),
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
+                / (F.col("a._n") * F.col("b._n")),
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
@@ -280,8 +296,9 @@ def near_duplicates_lsh(
     (1 − θ/π)^planes → 1 as cos → 1. Use more independent plane sets
     (union of bucketings) to raise recall at a fixed threshold.
     """
+    dim = len(planes[0])
     b = hyperplane_lsh_buckets(vectors, planes, id_col, vec_col).withColumn(
-        "_n", norm(F.col(vec_col))
+        "_n", norm(F.col(vec_col), dim)
     )
     a, c = b.alias("a"), b.alias("b")
     return (
@@ -295,7 +312,8 @@ def near_duplicates_lsh(
             F.col(f"b.{id_col}").alias("id_b"),
             F.when(
                 (F.col("a._n") > 0) & (F.col("b._n") > 0),
-                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (F.col("a._n") * F.col("b._n")),
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"), dim)
+                / (F.col("a._n") * F.col("b._n")),
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
