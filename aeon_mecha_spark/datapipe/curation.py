@@ -386,9 +386,14 @@ def token_budget_select(
     quality_features contract); out-of-range scores still order
     correctly, they just land in end buckets.
     """
+    from aeon_mecha_spark.util import track_cached
+
     s = scored.filter(
         F.col(score_col).isNotNull() & F.col(tokens_col).isNotNull()
     ).withColumn("_b", F.floor(F.col(score_col) * buckets).cast("long"))
+    # two consumers (bucket totals + the final join) with different
+    # pruning — without this the upstream scoring pipeline runs twice
+    s = s.persist()
     per_bucket = s.groupBy("_b").agg(F.sum(tokens_col).cast("long").alias("_bt"))
     # tiny table (≤ buckets+1 rows): the single-partition window is fine
     wb = W.orderBy(F.col("_b").desc()).rowsBetween(W.unboundedPreceding, -1)
@@ -397,12 +402,14 @@ def token_budget_select(
     )
     ww = W.partitionBy("_b").orderBy(F.col(score_col).desc(), F.col(id_col).asc())
     cum = (F.col("_off") + F.sum(tokens_col).over(ww)).cast("long")
-    return (
+    out = (
         s.join(F.broadcast(offsets), "_b")
         .withColumn("cum_tokens", cum)
         .filter(F.col("cum_tokens") <= token_budget)
         .select(id_col, tokens_col, score_col, "cum_tokens")
     )
+    # persisted scored table rides along for explicit release
+    return track_cached(out, s)
 
 
 def pack_sequences(
