@@ -1353,6 +1353,16 @@ def q109_pq_assign_fixed(spark, sf_dir):
     return similarity.pq_assign(emb, _pq_fixed_codebooks())
 
 
+def q111_winnowing(spark, sf_dir):
+    """MOSS winnowing fingerprints (k=5-token grams, w=4 windows) over
+    the documents table: the selected (pos, min-hash) set per doc.
+    Pure window machinery — hash-verified against the oracle's
+    identical frame min / arg-min."""
+    return dedup.winnowing_fingerprints(
+        _t(spark, sf_dir, "documents"), k=5, w=4
+    )
+
+
 def q108_vocab_encode(spark, sf_dir):
     """Tokenize-to-ids over the documents table: deterministic top-256
     frequency vocabulary broadcast onto the token stream; OOV -> 0.
@@ -1620,6 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_quality_filter": q82_quality_filter,
         "q83_cm_heavy_hitters": q83_cm_heavy_hitters,
         "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
+        "q111_winnowing": q111_winnowing,
     }
 
 
@@ -2922,6 +2933,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
               WHERE n_tokens > 0)
             ORDER BY skey, doc_id LIMIT 100
+        """,
+        "q111_winnowing": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+            ), gl AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i1
+              FROM toks WHERE len(t) >= 5
+            ), grams AS (
+              SELECT doc_id, (i1 - 1)::bigint AS pos,
+                     ('0x' || substr(md5(array_to_string(t[i1:i1+4], ' ')), 1, 15))::bigint AS gh
+              FROM gl
+              UNION ALL
+              SELECT doc_id, 0::bigint AS pos,
+                     ('0x' || substr(md5(array_to_string(t, ' ')), 1, 15))::bigint AS gh
+              FROM toks WHERE len(t) < 5
+            ), wm AS (
+              SELECT doc_id,
+                     row_number() OVER wd AS rn,
+                     count(*) OVER (PARTITION BY doc_id) AS m,
+                     min(gh) OVER wf AS fp,
+                     arg_min(pos, gh) OVER wf AS fpos
+              FROM grams
+              WINDOW wd AS (PARTITION BY doc_id ORDER BY pos),
+                     wf AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            )
+            SELECT DISTINCT doc_id, fpos::bigint AS pos, fp FROM wm
+            WHERE rn >= least(4, m)
         """,
         "q97_substring_dedup": """
             WITH toks AS (

@@ -1,6 +1,6 @@
 """Round-5 additions: fixed-components projection gate, the
 bloom-dedup production sink + versioned atomic state, catalog alias
-formats, and library unpersist hygiene."""
+formats, library unpersist hygiene, and winnowing fingerprints."""
 
 from __future__ import annotations
 
@@ -208,3 +208,62 @@ def test_substring_spans_release_cached_frees_all_blocks(spark):
     release_cached(out)
     assert _cached_rdd_count(spark) == before
     release_cached(out)  # idempotent
+
+
+# -- winnowing fingerprints (q111 backing) -----------------------------------
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Two docs sharing a run of >= w + k - 1 tokens must share a
+    fingerprint (the SIGMOD'03 winnowing guarantee), and disjoint docs
+    must not."""
+    from aeon_mecha_spark.datapipe import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = w+k-1
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three " + shared + " four five six"),
+            (2, "seven eight " + shared + " nine ten"),
+            (3, "completely different words without any overlap here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = dedup.winnowing_fingerprints(docs, k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_density_and_short_docs(spark):
+    from aeon_mecha_spark.datapipe import dedup
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(100))), (2, "only three words"), (3, "x")],
+        "doc_id bigint, text string",
+    )
+    out = dedup.winnowing_fingerprints(docs, k=5, w=4)
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append((r["pos"], r["fp"]))
+    # density: 96 grams, windows of 4 -> expect ~2/(w+1)*96 ≈ 38 selected,
+    # never more than the number of windows and at least m/w
+    n1 = len(per_doc[1])
+    assert 96 // 4 <= n1 <= 93
+    # short docs (< k tokens) hash their whole text as one gram
+    assert len(per_doc[2]) == 1 and per_doc[2][0][0] == 0
+    assert len(per_doc[3]) == 1
+    # fingerprints are a subset of the doc's gram hashes at their positions
+    from aeon_mecha_spark.functions.hashing import md5_long
+    from aeon_mecha_spark.functions.text import word_shingles
+    g = (
+        docs.filter(F.col("doc_id") == 1)
+        .select(F.posexplode(word_shingles(F.col("text"), 5)).alias("pos", "gram"))
+        .select("pos", md5_long(F.col("gram")).alias("gh"))
+        .collect()
+    )
+    gmap = {r["pos"]: r["gh"] for r in g}
+    for pos, fp in per_doc[1]:
+        assert gmap[pos] == fp
