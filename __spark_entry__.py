@@ -1353,6 +1353,15 @@ def q109_pq_assign_fixed(spark, sf_dir):
     return similarity.pq_assign(emb, _pq_fixed_codebooks())
 
 
+def q112_unigram_logprob(spark, sf_dir):
+    """Corpus-trained smoothed unigram LM score per document (CCNet-ish
+    perplexity proxy): integer micro-nat log-prob sums make the mean
+    partition- and engine-independent."""
+    return textqc.unigram_logprob(
+        _t(spark, sf_dir, "documents"), vocab_size=256, alpha=0.5
+    )
+
+
 def q111_winnowing(spark, sf_dir):
     """MOSS winnowing fingerprints (k=5-token grams, w=4 windows) over
     the documents table: the selected (pos, min-hash) set per doc.
@@ -1631,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q83_cm_heavy_hitters": q83_cm_heavy_hitters,
         "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
         "q111_winnowing": q111_winnowing,
+        "q112_unigram_logprob": q112_unigram_logprob,
     }
 
 
@@ -2933,6 +2943,38 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
               WHERE n_tokens > 0)
             ORDER BY skey, doc_id LIMIT 100
+        """,
+        "q112_unigram_logprob": """
+            WITH tk AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents WHERE trim(text) <> ''
+            ), cnt AS (
+              SELECT tok, count(*)::bigint AS c FROM tk GROUP BY tok
+            ), tot AS (
+              SELECT sum(c)::bigint AS n FROM cnt
+            ), vocab AS (
+              SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 256
+            ), model AS (
+              SELECT v.tok,
+                     floor(ln((v.c::double + 0.5) / (t.n::double + 128.5))
+                           * 1000000.0 + 0.5)::bigint AS lp
+              FROM vocab v CROSS JOIN tot t
+            ), oov AS (
+              SELECT floor(ln(0.5 / (n::double + 128.5)) * 1000000.0 + 0.5)::bigint
+                     AS lp
+              FROM tot
+            ), scored AS (
+              SELECT tk.doc_id,
+                     CASE WHEN m.lp IS NULL THEN 1 ELSE 0 END AS oovf,
+                     coalesce(m.lp, (SELECT lp FROM oov)) AS lpx
+              FROM tk LEFT JOIN model m USING (tok)
+            )
+            SELECT doc_id, count(*)::bigint AS n_tokens,
+                   sum(oovf)::bigint AS n_oov,
+                   floor((2.0 * sum(lpx)::double + count(*)::double)
+                         / (2.0 * count(*)::double)) / 1000000.0
+                   AS logprob_per_token
+            FROM scored GROUP BY doc_id
         """,
         "q111_winnowing": """
             WITH toks AS (

@@ -293,3 +293,80 @@ def vocab_encode(
         F.col("pos").cast("long").alias("pos"),
         F.coalesce("token_id", F.lit(0).cast("long")).alias("token_id"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    vocab_size: int = 256,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model score per document — the CCNet-style
+    LM-perplexity quality proxy, with the LM trained on the corpus
+    itself in the same plan: additive-smoothed unigram probabilities
+    over the deterministic top-``vocab_size`` vocabulary,
+    ``p(tok) = (c + α) / (N + α·(V+1))``, every out-of-vocab token
+    sharing the single smoothed mass ``α / (N + α·(V+1))``. Documents
+    scoring far below the corpus mode are boilerplate/garbage; far
+    above, degenerate repetition — both standard curation cuts.
+
+    Output: ``(id, n_tokens, n_oov, logprob_per_token)`` (mean natural
+    log-probability per token, 6 dp); docs with no tokens produce no
+    row.
+
+    Engine parity: each token's log-probability is carried as an
+    INTEGER micro-nat (floor(ln(p)·1e6 + 0.5)) exactly like
+    token_entropy — integer sums are associative, so the per-doc sum is
+    partition- and engine-independent, and a last-ulp libm ln
+    divergence only matters within half a micro-nat of a boundary.
+    The per-token mean is ALSO rounded in integer space:
+    ``S/n`` micro-nats lands on exact .5 boundaries whenever n divides
+    2S oddly (measured: 1 doc in 500), where float round(…, 6) is
+    engine-dependent — so the mean micro-nat is
+    ``floor((2S + n) / (2n))`` (half-up), computed on integers that
+    doubles represent exactly (|2S+n| < 2⁵³ holds through ~10¹⁴
+    micro-nats ≈ a 10M-token doc), then scaled by 1e-6.
+
+    Plan: one explode; counts + total by map-side-combinable groupBys;
+    vocab is a ≤V-row TakeOrdered (count desc, term asc — no global
+    window) joined with the 1-row total; the corpus re-joins the tiny
+    model BROADCAST on the token, so the big side never shuffles on the
+    token; final per-doc groupBy is the only big exchange.
+    """
+    toks = spread(docs).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+    cnt = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    totals = cnt.agg(F.sum("_c").cast("long").alias("_N"))
+    vocab = (
+        cnt.orderBy(F.col("_c").desc(), F.col("_tok").asc())
+        .limit(vocab_size)
+        .crossJoin(F.broadcast(totals))
+    )
+    denom = F.col("_N").cast("double") + F.lit(float(alpha)) * F.lit(float(vocab_size + 1))
+    lp = F.floor(
+        F.log((F.col("_c").cast("double") + F.lit(float(alpha))) / denom) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    model = vocab.select("_tok", lp.alias("_lp"))
+    lp_oov = F.floor(
+        F.log(F.lit(float(alpha)) / denom) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        toks.join(F.broadcast(model), "_tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.when(F.col("_lp").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("_oov"),
+            F.coalesce(F.col("_lp"), lp_oov).alias("_lpx"),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("_oov").cast("long").alias("n_oov"),
+        F.sum("_lpx").cast("long").alias("_s"),
+    )
+    s_d = F.col("_s").cast("double")
+    n_d = F.col("n_tokens").cast("double")
+    mean_micro = F.floor((F.lit(2.0) * s_d + n_d) / (F.lit(2.0) * n_d))
+    mean_lp = mean_micro.cast("double") / F.lit(1000000.0)
+    return per.select(id_col, "n_tokens", "n_oov", mean_lp.alias("logprob_per_token"))

@@ -267,3 +267,42 @@ def test_winnowing_density_and_short_docs(spark):
     gmap = {r["pos"]: r["gh"] for r in g}
     for pos, fp in per_doc[1]:
         assert gmap[pos] == fp
+
+
+# -- unigram LM log-prob (q112 backing) --------------------------------------
+
+def test_unigram_logprob_matches_python_reference(spark):
+    import math
+
+    from aeon_mecha_spark.datapipe import textqc
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog the dog the dog",
+        3: "zzz qqq xxx",  # rare -> mostly OOV under a tiny vocab
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    V, alpha = 4, 0.5
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["logprob_per_token"])
+        for r in textqc.unigram_logprob(docs, vocab_size=V, alpha=alpha).collect()
+    }
+    # python reference with the same integer micro-nat pipeline
+    toks = {d: t.split() for d, t in texts.items()}
+    from collections import Counter
+    cnt = Counter(tok for ts in toks.values() for tok in ts)
+    N = sum(cnt.values())
+    vocab = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    denom = N + alpha * (V + 1)
+    lp = {t: math.floor(math.log((c + alpha) / denom) * 1e6 + 0.5) for t, c in vocab}
+    lp_oov = math.floor(math.log(alpha / denom) * 1e6 + 0.5)
+    for d, ts in toks.items():
+        n = len(ts)
+        S = sum(lp.get(t, lp_oov) for t in ts)
+        n_oov = sum(1 for t in ts if t not in lp)
+        mean = math.floor((2 * S + n) / (2 * n)) / 1e6
+        assert got[d][0] == n
+        assert got[d][1] == n_oov
+        assert abs(got[d][2] - mean) < 1e-12, (d, got[d][2], mean)
+    # ordering sanity: natural-ish text above the all-OOV doc
+    assert got[1][2] > got[3][2]
