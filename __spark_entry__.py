@@ -1353,6 +1353,20 @@ def q109_pq_assign_fixed(spark, sf_dir):
     return similarity.pq_assign(emb, _pq_fixed_codebooks())
 
 
+def q113_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF kNN (nprobe=2, k=3): each query scores against
+    its two nearest cells' members (primary-cell corpus membership, so
+    no pair dedup needed) — the standard IVF recall knob."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("embedding")
+    )
+    out = similarity.ivf_knn(emb, _IVF_CENTROIDS, k=3, nprobe=2)
+    return _longs(
+        out.select("query_id", "neighbor_id", F.round(F.col("score"), 6).alias("score"), "rank"),
+        "rank",
+    )
+
+
 def q112_unigram_logprob(spark, sf_dir):
     """Corpus-trained smoothed unigram LM score per document (CCNet-ish
     perplexity proxy): integer micro-nat log-prob sums make the mean
@@ -1641,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
         "q111_winnowing": q111_winnowing,
         "q112_unigram_logprob": q112_unigram_logprob,
+        "q113_ivf_multiprobe": q113_ivf_multiprobe,
     }
 
 
@@ -1886,6 +1901,44 @@ def _sql_ivf_knn() -> str:
       FROM scored)
     SELECT query_id, neighbor_id, round(score, 6) AS score, rank::bigint AS rank
     FROM ranked WHERE rank <= 3"""
+
+
+def _sql_ivf_multiprobe(nprobe: int = 2, k: int = 3) -> str:
+    """Oracle for q113: distances per (vec, cell) as union-all rows,
+    probe rank by (dist, cell), primary-cell corpus join."""
+    dists = ",\n             ".join(
+        f"sqrt(list_sum(list_transform(generate_series(1, 8), i -> (v[i] - ({c}[i])) * (v[i] - ({c}[i]))))) AS d{j}"
+        for j, c in enumerate(_IVF_CENTROIDS)
+    )
+    cells = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {j} AS cell, d{j} AS dist FROM d"
+        for j in range(len(_IVF_CENTROIDS))
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
+    ), d AS (
+      SELECT vec_id, v,
+             {dists}
+      FROM e
+    ), cl AS (
+      {cells}
+    ), pr AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) - 1 AS probe
+      FROM cl
+    ), scored AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+      FROM (SELECT * FROM pr WHERE probe < {nprobe}) a
+      JOIN (SELECT * FROM pr WHERE probe = 0) c
+        ON a.cell = c.cell AND a.vec_id <> c.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, round(score, 6) AS score, rank::bigint AS rank
+    FROM ranked WHERE rank <= {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2260,6 +2313,7 @@ def oracle_sql() -> dict[str, str]:
         "q109_pq_assign_fixed": _sql_pq_assign_fixed(),
         "q110_pca_project_fixed": _sql_pca_project_fixed(),
         "q48_ivf_knn": _sql_ivf_knn(),
+        "q113_ivf_multiprobe": _sql_ivf_multiprobe(nprobe=2, k=3),
         "q30_dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*)::bigint AS n_docs
             FROM documents GROUP BY 1

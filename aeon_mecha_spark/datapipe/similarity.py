@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from aeon_mecha_spark.functions.vector import cosine, dot, norm
+from aeon_mecha_spark.functions.vector import cosine, dot, l2_distance, norm
 from aeon_mecha_spark.util import spread, track_cached
 
 
@@ -210,25 +210,76 @@ def ivf_assign(
     )
 
 
+def ivf_probe_assign(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Multi-probe coarse quantization: each vector's ``nprobe`` nearest
+    cells as ``(id, vec, probe, cell)`` rows, probe 0 = the primary
+    assignment (identical argmin + tie semantics to :func:`ivf_assign`:
+    struct sort on (distance, cell) is first-wins on equal distance).
+    One map-only pass — distances materialize once, a struct array sort
+    over k entries picks the probe list, posexplode emits it."""
+    n = len(centroids)
+    if not 1 <= nprobe <= n:
+        raise ValueError(f"nprobe={nprobe} out of range 1..{n}")
+    dist_cols = [
+        l2_distance(
+            F.col(vec_col), F.array(*[F.lit(float(v)) for v in c]), len(c)
+        ).alias(f"_d{i}")
+        for i, c in enumerate(centroids)
+    ]
+    withd = vectors.select(F.col(id_col), F.col(vec_col), *dist_cols)
+    arr = F.array(
+        *[F.struct(F.col(f"_d{i}").alias("d"), F.lit(i).alias("c")) for i in range(n)]
+    )
+    probes = F.slice(F.array_sort(arr), 1, nprobe)
+    return withd.select(
+        F.col(id_col), F.col(vec_col), F.posexplode(probes).alias("probe", "_pc")
+    ).select(
+        id_col,
+        vec_col,
+        F.col("probe").cast("int").alias("probe"),
+        F.col("_pc.c").cast("int").alias("cell"),
+    )
+
+
 def ivf_knn(
     vectors: DataFrame,
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF-style approximate top-k (nprobe=1): score only same-cell
-    pairs. At 100 TB the cell id becomes the table's partition column so
-    a query touches one partition per probed cell — the same two-stage
-    shape as a real IVF index."""
+    """IVF-style approximate top-k: score only pairs sharing a probed
+    cell. ``nprobe=1`` is the classic same-cell search; ``nprobe>1``
+    probes each query's nprobe nearest cells (recall rises, work scales
+    ~linearly with nprobe — the standard IVF recall/latency knob).
+    Corpus membership is always the PRIMARY cell, so each (query,
+    neighbor) pair appears at most once and needs no dedup. At 100 TB
+    the cell id becomes the table's partition column so a query touches
+    one partition per probed cell — the same two-stage shape as a real
+    IVF index."""
     # persist the assignment: it feeds BOTH sides of the cell self-join
     # and the k-way interpreted distance argmin is the dominant per-row
     # cost — without this the whole quantizer runs twice
     dim = len(centroids[0])
-    assigned = ivf_assign(vectors, centroids, id_col, vec_col).withColumn(
-        "_n", norm(F.col(vec_col), dim)
-    ).persist()
-    a, c = assigned.alias("a"), assigned.alias("c")
+    if nprobe == 1:
+        assigned = ivf_assign(vectors, centroids, id_col, vec_col).withColumn(
+            "_n", norm(F.col(vec_col), dim)
+        ).persist()
+        a, c = assigned.alias("a"), assigned.alias("c")
+    else:
+        multi = ivf_probe_assign(
+            vectors, centroids, id_col, vec_col, nprobe
+        ).withColumn("_n", norm(F.col(vec_col), dim)).persist()
+        assigned = multi
+        a = multi.alias("a")
+        c = multi.filter(F.col("probe") == 0).alias("c")
     pairs = a.join(
         c,
         (F.col("a.cell") == F.col("c.cell")) & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),

@@ -306,3 +306,57 @@ def test_unigram_logprob_matches_python_reference(spark):
         assert abs(got[d][2] - mean) < 1e-12, (d, got[d][2], mean)
     # ordering sanity: natural-ish text above the all-OOV doc
     assert got[1][2] > got[3][2]
+
+
+# -- multi-probe IVF (q113 backing) ------------------------------------------
+
+def test_ivf_probe_zero_matches_primary_assignment(spark):
+    import numpy as np
+
+    from aeon_mecha_spark.datapipe import similarity
+
+    rng = np.random.RandomState(7)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(4)]) for i in range(60)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = [[float(x) for x in rng.randn(4)] for _ in range(5)]
+    primary = {r["vec_id"]: r["cell"] for r in similarity.ivf_assign(df, cents).collect()}
+    multi = similarity.ivf_probe_assign(df, cents, nprobe=3).collect()
+    p0 = {r["vec_id"]: r["cell"] for r in multi if r["probe"] == 0}
+    assert p0 == primary
+    # each vector probes exactly 3 distinct cells
+    by_vec = {}
+    for r in multi:
+        by_vec.setdefault(r["vec_id"], []).append(r["cell"])
+    assert all(len(cs) == 3 and len(set(cs)) == 3 for cs in by_vec.values())
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark):
+    import numpy as np
+
+    from aeon_mecha_spark.datapipe import similarity
+    from aeon_mecha_spark.util import release_cached
+
+    rng = np.random.RandomState(9)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(6)]) for i in range(120)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = [[float(x) for x in rng.randn(6)] for _ in range(6)]
+    exact = similarity.brute_force_knn(df, df, k=3, dim=6)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def hits(nprobe):
+        out = similarity.ivf_knn(df, cents, k=3, nprobe=nprobe)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        release_cached(out)
+        return sum(len(got.get(q, set()) & t) for q, t in truth.items())
+
+    h1, h2 = hits(1), hits(2)
+    assert h2 >= h1  # more probes can only add candidates
+    assert h2 > 0
