@@ -1353,6 +1353,18 @@ def q109_pq_assign_fixed(spark, sf_dir):
     return similarity.pq_assign(emb, _pq_fixed_codebooks())
 
 
+def q114_grouped_quantiles(spark, sf_dir):
+    """Exact per-group discrete quantiles (type 1, rank = ceil(p*n) in
+    pure integer arithmetic) of extended price by return flag — the
+    output is always an actual data value, so no float ever rounds."""
+    return analytics.grouped_quantiles(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_extendedprice",
+        ps=(0.25, 0.5, 0.75, 0.95),
+    )
+
+
 def q113_ivf_multiprobe(spark, sf_dir):
     """Multi-probe IVF kNN (nprobe=2, k=3): each query scores against
     its two nearest cells' members (primary-cell corpus membership, so
@@ -1656,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_winnowing": q111_winnowing,
         "q112_unigram_logprob": q112_unigram_logprob,
         "q113_ivf_multiprobe": q113_ivf_multiprobe,
+        "q114_grouped_quantiles": q114_grouped_quantiles,
     }
 
 
@@ -2997,6 +3010,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
               WHERE n_tokens > 0)
             ORDER BY skey, doc_id LIMIT 100
+        """,
+        "q114_grouped_quantiles": """
+            WITH b AS (
+              SELECT l_returnflag, l_extendedprice AS v,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY l_extendedprice) AS rn,
+                     count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            )
+            SELECT l_returnflag, p, v AS q
+            FROM b
+            CROSS JOIN (VALUES (0.25::double, 1, 4), (0.5::double, 1, 2),
+                               (0.75::double, 3, 4), (0.95::double, 19, 20))
+                       AS ps(p, num, den)
+            WHERE rn = (num * n + den - 1) // den
         """,
         "q112_unigram_logprob": """
             WITH tk AS (

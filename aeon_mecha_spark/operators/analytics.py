@@ -19,6 +19,8 @@ single-pass Spark plans:
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -293,4 +295,62 @@ def cohort_retention(
     return (
         withc.groupBy("cohort", offset.alias("offset"))
         .agg(F.countDistinct(user_col).cast("long").alias("n_users"))
+    )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    ps: list[float] | tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact per-key quantiles, type-1 (discrete): for each probability
+    ``p`` the value at rank ``ceil(p·n)`` in value order — always an
+    actual data value, never an interpolation. Long-form output
+    ``(keys…, p, q)``.
+
+    Engine-exact by construction: each ``p`` is converted to the exact
+    rational its decimal literal means (Fraction('0.95') = 19/20 — the
+    DOUBLE 0.95 is not 19/20, and ceil(0.95·n) on doubles misranks
+    whenever the product lands an ulp above an integer), and the rank
+    is integer arithmetic ``(num·n + den − 1) div den``. No
+    interpolation means no float at all until the returned value; ties
+    in the value column cannot change the answer because every row of a
+    tie run carries the same value — so the ordering needs no
+    tie-breaker columns.
+
+    Plan: ONE per-key window pass (row_number + count share the sort),
+    then a |ps|-way map-side explode and a rank filter — no joins, no
+    second shuffle; at scale this is a single hash exchange on the key
+    like any grouped aggregate, and WindowGroupLimit does not apply but
+    the filter drops all but |ps| rows per key before anything else
+    moves.
+    """
+    fracs = []
+    for p in ps:
+        fr = Fraction(str(p))
+        if not 0 < fr <= 1:
+            raise ValueError(f"quantile p={p} outside (0, 1]")
+        fracs.append((float(p), fr.numerator, fr.denominator))
+    w = W.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    wc = W.partitionBy(*keys)
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, value_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(wc))
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(pv).alias("p"),
+                F.expr(f"(({num} * _n + {den - 1}) div {den})").alias("rk"),
+            )
+            for pv, num, den in fracs
+        ]
+    )
+    return (
+        base.withColumn("_e", F.explode(arr))
+        .filter(F.col("_rn") == F.col("_e.rk"))
+        .select(*keys, F.col("_e.p").alias("p"), F.col(value_col).alias("q"))
     )

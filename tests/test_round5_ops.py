@@ -360,3 +360,41 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark):
     h1, h2 = hits(1), hits(2)
     assert h2 >= h1  # more probes can only add candidates
     assert h2 > 0
+
+
+# -- grouped discrete quantiles (q114 backing) -------------------------------
+
+def test_grouped_quantiles_matches_numpy_type1(spark):
+    import numpy as np
+
+    from aeon_mecha_spark.operators import analytics
+
+    rng = np.random.RandomState(13)
+    rows = [(("a" if i % 3 else "b"), float(v)) for i, v in enumerate(rng.randn(101) * 50)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    ps = (0.1, 0.5, 0.9, 0.95, 1.0)
+    got = {
+        (r["k"], r["p"]): r["q"]
+        for r in analytics.grouped_quantiles(df, ["k"], "v", ps=ps).collect()
+    }
+    from fractions import Fraction
+    for k in ("a", "b"):
+        vals = sorted(v for kk, v in rows if kk == k)
+        n = len(vals)
+        for p in ps:
+            fr = Fraction(str(p))
+            rank = -((-fr.numerator * n) // fr.denominator)  # ceil(p*n)
+            assert got[(k, p)] == vals[rank - 1], (k, p)
+    assert len(got) == 2 * len(ps)
+
+
+def test_grouped_quantiles_rejects_bad_p(spark):
+    import pytest as _pytest
+
+    from aeon_mecha_spark.operators import analytics
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with _pytest.raises(ValueError):
+        analytics.grouped_quantiles(df, ["k"], "v", ps=(0.0,))
+    with _pytest.raises(ValueError):
+        analytics.grouped_quantiles(df, ["k"], "v", ps=(1.5,))
