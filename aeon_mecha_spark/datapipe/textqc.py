@@ -336,7 +336,10 @@ def unigram_logprob(
     """
     toks = spread(docs).select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
     cnt = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
-    totals = cnt.agg(F.sum("_c").cast("long").alias("_N"))
+    # total straight off the token stream (map-side partial count) —
+    # deriving it from cnt would re-run the token-keyed groupBy for a
+    # second consumer
+    totals = toks.agg(F.count(F.lit(1)).cast("long").alias("_N"))
     vocab = (
         cnt.orderBy(F.col("_c").desc(), F.col("_tok").asc())
         .limit(vocab_size)

@@ -67,6 +67,10 @@ HEADLINE = [
     "q97_substring_dedup",   # gram explode + span merge (persist reuse)
     "q106_curation_pipeline",  # 4-stage composed curation chain
     "q108_vocab_encode",     # top-V vocab + broadcast encode
+    "q111_winnowing",        # MOSS frame-min fingerprints
+    "q112_unigram_logprob",  # corpus-trained unigram LM scoring
+    "q113_ivf_multiprobe",   # nprobe=2 IVF (recall knob)
+    "q114_grouped_quantiles",  # exact type-1 quantiles, one window
 ]
 
 

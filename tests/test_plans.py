@@ -247,3 +247,48 @@ def test_q110_fixed_projection_is_shuffle_free(spark, entry, sf_dir):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_q111_winnowing_one_window_no_joins(spark, entry, sf_dir):
+    """Winnowing is window machinery only: all four window expressions
+    share one per-doc sort, and there is no join anywhere."""
+    p = plan_str(entry.queries()["q111_winnowing"](spark, sf_dir))
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+    # row_number/count + the two frame aggs collapse into window nodes
+    # over a single exchange on the doc key (formatted plans put the
+    # partitioning in the Arguments detail line)
+    assert p.count("hashpartitioning(doc_id") <= 2  # window + distinct
+    assert "hashpartitioning(doc_id" in p
+
+
+def test_q112_unigram_model_broadcast_onto_tokens(spark, entry, sf_dir):
+    """The LM join must broadcast the tiny model — the token stream
+    never shuffles on the token."""
+    p = plan_str(entry.queries()["q112_unigram_logprob"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the only token-keyed exchange is the vocabulary count groupBy;
+    # the corpus total is a map-side count of the token stream and the
+    # corpus-side scoring join reads the broadcast
+    assert p.count("hashpartitioning(_tok") <= 1
+
+
+def test_q113_multiprobe_no_cartesian(spark, entry, sf_dir):
+    p = plan_str(entry.queries()["q113_ivf_multiprobe"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q114_grouped_quantiles_single_window_pass(spark, entry, sf_dir):
+    """One hash exchange on the group key feeds the shared window sort;
+    no joins, no second shuffle."""
+    p = plan_str(entry.queries()["q114_grouped_quantiles"](spark, sf_dir))
+    assert "Join" not in p
+    assert "hashpartitioning(l_returnflag" in p
+    assert p.count("Exchange") - p.count("Exchange (") // 1 >= 0  # structure sanity
+    # exactly one exchange node in the tree (the key partitioning); the
+    # explode expansion is map-side above the windows
+    tree = p.split("(1) ")[0]
+    assert tree.count("Exchange") == 1
+    assert "Generate" in p  # the |ps|-way map-side expansion
