@@ -1353,6 +1353,21 @@ def q109_pq_assign_fixed(spark, sf_dir):
     return similarity.pq_assign(emb, _pq_fixed_codebooks())
 
 
+def q115_range_shard(spark, sf_dir):
+    """Deterministic equal-frequency range sharding of event values:
+    hash-sample boundary estimation + broadcast boundary-count
+    assignment — the reproducible repartitionByRange."""
+    out = curation.range_shard(
+        _t(spark, sf_dir, "events"),
+        "value",
+        8,
+        key_col="event_id",
+        sample_fraction=0.2,
+        seed=0,
+    )
+    return out.select("event_id", "value", "shard")
+
+
 def q114_grouped_quantiles(spark, sf_dir):
     """Exact per-group discrete quantiles (type 1, rank = ceil(p*n) in
     pure integer arithmetic) of extended price by return flag — the
@@ -1669,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_unigram_logprob": q112_unigram_logprob,
         "q113_ivf_multiprobe": q113_ivf_multiprobe,
         "q114_grouped_quantiles": q114_grouped_quantiles,
+        "q115_range_shard": q115_range_shard,
     }
 
 
@@ -3010,6 +3026,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
               WHERE n_tokens > 0)
             ORDER BY skey, doc_id LIMIT 100
+        """,
+        "q115_range_shard": """
+            WITH smp AS (
+              SELECT value AS v FROM events
+              WHERE ('0x' || substr(md5('0:' || event_id::varchar), 1, 15))::bigint
+                    % 1000000 < 200000
+                AND value IS NOT NULL
+            ), rk AS (
+              SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                     count(*) OVER () AS n
+              FROM smp
+            ), bounds AS (
+              SELECT v FROM rk
+              CROSS JOIN (VALUES (1,8),(2,8),(3,8),(4,8),(5,8),(6,8),(7,8))
+                         AS ps(num, den)
+              WHERE rn = (num * n + den - 1) // den
+            ), barr AS (
+              SELECT coalesce(list_sort(list(v)), []) AS arr FROM bounds
+            )
+            SELECT e.event_id, e.value,
+                   CASE WHEN e.value IS NULL THEN NULL
+                        ELSE len(list_filter(barr.arr, x -> x <= e.value))::bigint
+                   END AS shard
+            FROM events e CROSS JOIN barr
         """,
         "q114_grouped_quantiles": """
             WITH b AS (

@@ -690,3 +690,56 @@ def remove_contaminated_spans(
         F.lit(0).cast("long").alias("n_tokens_removed"),
     )
     return untouched.unionByName(surgically)
+
+
+def range_shard(
+    df: DataFrame,
+    value_col: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    sample_fraction: float = 0.2,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic equal-frequency range partitioner: estimate the
+    ``i/n_shards`` quantile boundaries on a seeded hash sample, then
+    assign every row ``shard = #{boundaries ≤ value}`` (0-based). The
+    reproducible replacement for ``repartitionByRange``, whose
+    reservoir sampling makes shard boundaries depend on partition
+    layout and run order — these boundaries are a pure function of
+    (data, seed, fraction), so a re-run, a different cluster, or
+    another engine produces byte-identical shards. Write each shard
+    sorted by the value column and zone maps / min-max row-group
+    pruning work for range predicates — the 1-D complement of the
+    Z-order keys (functions/zorder.py).
+
+    Rows with NULL values get a NULL shard (they carry no range
+    position). Duplicate boundary values merge their shards (empty
+    shard indices stay unused — deterministic on both engines).
+
+    Plan: the sample is a map-side hash filter (q74 machinery); its
+    type-1 quantiles need ONE single-partition window over sample rows
+    only — bounded by ``sample_fraction`` (at 100 TB choose a fraction
+    that keeps the sample in one task's memory, e.g. 1e-4 of rows; the
+    boundary table that leaves the window is n_shards−1 rows). The
+    boundaries collapse into a 1-row sorted array broadcast onto the
+    corpus: assignment is map-only, no shuffle of the big side.
+    """
+    from fractions import Fraction
+
+    from aeon_mecha_spark.operators.analytics import grouped_quantiles
+
+    if n_shards < 2:
+        raise ValueError("n_shards must be >= 2")
+    smp = hash_sample(df, key_col=key_col, fraction=sample_fraction, seed=seed).filter(
+        F.col(value_col).isNotNull()
+    )
+    ps = [Fraction(i, n_shards) for i in range(1, n_shards)]
+    bounds = grouped_quantiles(smp, [], value_col, ps=ps)
+    barr = bounds.agg(
+        F.coalesce(F.sort_array(F.collect_list("q")), F.array()).alias("_bounds")
+    )
+    shard = F.when(
+        F.col(value_col).isNotNull(),
+        F.size(F.filter(F.col("_bounds"), lambda b: b <= F.col(value_col))).cast("long"),
+    )
+    return df.crossJoin(F.broadcast(barr)).withColumn("shard", shard).drop("_bounds")

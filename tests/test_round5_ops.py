@@ -398,3 +398,43 @@ def test_grouped_quantiles_rejects_bad_p(spark):
         analytics.grouped_quantiles(df, ["k"], "v", ps=(0.0,))
     with _pytest.raises(ValueError):
         analytics.grouped_quantiles(df, ["k"], "v", ps=(1.5,))
+
+
+# -- deterministic range sharding (q115 backing) ------------------------------
+
+def test_range_shard_balance_and_determinism(spark):
+    from aeon_mecha_spark.datapipe import curation
+
+    rows = [(i, float((i * 37) % 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, v double")
+    out = curation.range_shard(df, "v", 4, key_col="doc_id", sample_fraction=0.5, seed=3)
+    got = out.collect()
+    assert len(got) == 2000
+    by_shard = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r["v"])
+    # 4 shards, roughly balanced (sampled boundaries: allow wide slack)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for s, vals in by_shard.items():
+        assert 2000 * 0.10 <= len(vals) <= 2000 * 0.40
+    # range property: shards are totally ordered intervals
+    for s in range(3):
+        assert max(by_shard[s]) <= min(by_shard[s + 1])
+    # deterministic: same seed -> identical assignment
+    again = {r["doc_id"]: r["shard"] for r in
+             curation.range_shard(df, "v", 4, key_col="doc_id", sample_fraction=0.5, seed=3).collect()}
+    first = {r["doc_id"]: r["shard"] for r in got}
+    assert again == first
+
+
+def test_range_shard_null_values_get_null_shard(spark):
+    from aeon_mecha_spark.datapipe import curation
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 2.0), (4, 3.0), (5, 4.0), (6, 5.0)],
+        "doc_id bigint, v double",
+    )
+    out = {r["doc_id"]: r["shard"] for r in
+           curation.range_shard(df, "v", 2, key_col="doc_id", sample_fraction=1.0).collect()}
+    assert out[2] is None
+    assert all(v is not None for k, v in out.items() if k != 2)
