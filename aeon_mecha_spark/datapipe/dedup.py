@@ -77,13 +77,25 @@ def minhash_signatures(
         F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle"))).alias(f"_m{s}") for s in range(n_md5)
     ]
     hashed = sh.select(F.col(id_col), *md5_cols)
+    # min over the fixed-length lowercase-hex substrings, base-convert
+    # AFTER the aggregate: same-length same-case hex compares
+    # lexicographically exactly as it compares numerically ('0'-'9' <
+    # 'a'-'f' in ASCII), so min-then-conv == conv-then-min — but the
+    # per-shingle hot path drops num_hashes base conversions per row
+    # and the groupBy carries them only once per (doc, hash)
     aggs = []
     for i in range(num_hashes):
         m = F.col(f"_m{i // 2}")
         start = 1 if i % 2 == 0 else 16
-        h = F.conv(F.substring(m, start, 15), 16, 10).cast("long")
-        aggs.append(F.min(h).alias(f"mh_{i}"))
-    return hashed.groupBy(id_col).agg(*aggs)
+        aggs.append(F.min(F.substring(m, start, 15)).alias(f"_h{i}"))
+    mins = hashed.groupBy(id_col).agg(*aggs)
+    return mins.select(
+        F.col(id_col),
+        *[
+            F.conv(F.col(f"_h{i}"), 16, 10).cast("long").alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def lsh_candidate_pairs(
