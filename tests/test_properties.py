@@ -436,3 +436,73 @@ def test_kmv_jaccard_exact_below_capacity_property(spark, a, b):
     if len(union) <= 64:
         assert r["n_common"] == len(inter)
         assert r["est_union"] == float(len(union))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=60
+    ),
+    pnum=st.integers(min_value=1, max_value=20),
+)
+def test_grouped_quantiles_is_type1_order_statistic(spark, vals, pnum):
+    from fractions import Fraction
+
+    from aeon_mecha_spark.operators.analytics import grouped_quantiles
+
+    p = Fraction(pnum, 20)
+    df = spark.createDataFrame([Row(k="g", v=float(v)) for v in vals])
+    got = grouped_quantiles(df, ["k"], "v", ps=[p]).collect()
+    assert len(got) == 1
+    srt = sorted(vals)
+    n = len(srt)
+    rank = -((-p.numerator * n) // p.denominator)  # ceil(p*n)
+    assert got[0]["q"] == srt[rank - 1]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pre=words, shared=st.lists(
+        st.sampled_from("s1 s2 s3 s4 s5 s6 s7 s8 s9 s10".split()),
+        min_size=8, max_size=12, unique=True,
+    ),
+    post=words,
+)
+def test_winnowing_guarantee_holds_for_any_context(spark, pre, shared, post):
+    """Any two docs embedding the same >= w+k-1-token run share a
+    fingerprint, wherever the run sits."""
+    from aeon_mecha_spark.datapipe.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(pre + shared)),
+            Row(doc_id=2, text=" ".join(shared + post)),
+        ]
+    )
+    fps = winnowing_fingerprints(docs, k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(words, min_size=2, max_size=8),
+    v=st.integers(min_value=1, max_value=6),
+)
+def test_unigram_logprob_bounds_and_oov_consistency(spark, texts, v):
+    from aeon_mecha_spark.datapipe.textqc import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(t)) for i, t in enumerate(texts)]
+    )
+    rows = unigram_logprob(docs, vocab_size=v, alpha=0.5).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert r["logprob_per_token"] < 0.0  # probabilities < 1
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        # a token set drawn from <= 6 distinct words with vocab >= 6
+        # has no OOV at all
+        if v >= 6:
+            assert r["n_oov"] == 0
