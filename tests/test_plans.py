@@ -292,3 +292,14 @@ def test_q114_grouped_quantiles_single_window_pass(spark, entry, sf_dir):
     tree = p.split("(1) ")[0]
     assert tree.count("Exchange") == 1
     assert "Generate" in p  # the |ps|-way map-side expansion
+
+
+def test_q115_range_shard_corpus_never_shuffles(spark, entry, sf_dir):
+    """Assignment is a 1-row boundary-array broadcast onto the corpus:
+    the only exchanges belong to the tiny sample-side quantile window,
+    never to the events scan."""
+    p = plan_str(entry.queries()["q115_range_shard"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row array broadcast
+    assert "SortMergeJoin" not in p
+    # no hash exchange keyed on the corpus row identity
+    assert "hashpartitioning(event_id" not in p
