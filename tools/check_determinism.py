@@ -61,6 +61,12 @@ DEFAULT_QUERIES = [
     "q106_curation_pipeline",
     "q107_zorder_key",
     "q108_vocab_encode",
+    "q110_pca_project_fixed",
+    "q111_winnowing",
+    "q112_unigram_logprob",
+    "q113_ivf_multiprobe",
+    "q114_grouped_quantiles",
+    "q115_range_shard",
 ]
 
 
