@@ -1371,12 +1371,17 @@ def q115_range_shard(spark, sf_dir):
 def q114_grouped_quantiles(spark, sf_dir):
     """Exact per-group discrete quantiles (type 1, rank = ceil(p*n) in
     pure integer arithmetic) of extended price by return flag — the
-    output is always an actual data value, so no float ever rounds."""
+    output is always an actual data value, so no float ever rounds.
+    Runs the two-level ranked-selection path (range_buckets=32): with
+    only 3 groups the single-window form is parallelism-starved, so the
+    gate exercises the form you would run at scale; the oracle is the
+    plain global-window formulation — identical by construction."""
     return analytics.grouped_quantiles(
         _t(spark, sf_dir, "lineitem"),
         ["l_returnflag"],
         "l_extendedprice",
         ps=(0.25, 0.5, 0.75, 0.95),
+        range_buckets=32,
     )
 
 

@@ -303,6 +303,9 @@ def grouped_quantiles(
     keys: list[str],
     value_col: str,
     ps: list[float] | tuple[float, ...] = (0.25, 0.5, 0.75),
+    range_buckets: int | None = None,
+    sample_fraction: float = 0.05,
+    seed: int = 0,
 ) -> DataFrame:
     """Exact per-key quantiles, type-1 (discrete): for each probability
     ``p`` the value at rank ``ceil(p·n)`` in value order — always an
@@ -319,12 +322,18 @@ def grouped_quantiles(
     tie run carries the same value — so the ordering needs no
     tie-breaker columns.
 
-    Plan: ONE per-key window pass (row_number + count share the sort),
-    then a |ps|-way map-side explode and a rank filter — no joins, no
-    second shuffle; at scale this is a single hash exchange on the key
-    like any grouped aggregate, and WindowGroupLimit does not apply but
-    the filter drops all but |ps| rows per key before anything else
-    moves.
+    Plan, default path: ONE per-key window pass (row_number + count
+    share the sort), then a |ps|-way map-side explode and a rank filter
+    — no joins, no second shuffle. Its parallelism is BOUNDED BY THE
+    GROUP COUNT: with 3 keys, 3 tasks sort everything (measured 13× at
+    a 32× scale probe). Pass ``range_buckets=S`` for the scale path:
+    rows are bucketed by S sampled global value boundaries, per-(key,
+    bucket) counts become bucket offsets via a tiny per-key running
+    sum, and ranking happens only WITHIN each (key, bucket) —
+    parallelism keys×S, identical output by construction (bucket
+    order refines value order; equal values straddling a boundary
+    supply the same value at any rank). The only unkeyed window runs
+    over the hash-sampled boundary rows.
     """
     fracs = []
     for p in ps:
@@ -332,25 +341,83 @@ def grouped_quantiles(
         if not 0 < fr <= 1:
             raise ValueError(f"quantile p={p} outside (0, 1]")
         fracs.append((float(p), fr.numerator, fr.denominator))
-    w = W.partitionBy(*keys).orderBy(F.col(value_col).asc())
-    wc = W.partitionBy(*keys)
+    base0 = df.filter(F.col(value_col).isNotNull()).select(*keys, value_col)
+
+    def pick(base):
+        # rank-filter against the per-key totals carried in _n
+        arr = F.array(
+            *[
+                F.struct(
+                    F.lit(pv).alias("p"),
+                    F.expr(f"(({num} * _n + {den - 1}) div {den})").alias("rk"),
+                )
+                for pv, num, den in fracs
+            ]
+        )
+        return (
+            base.withColumn("_e", F.explode(arr))
+            .filter(F.col("_rn") == F.col("_e.rk"))
+            .select(*keys, F.col("_e.p").alias("p"), F.col(value_col).alias("q"))
+        )
+
+    if not range_buckets or range_buckets <= 1:
+        w = W.partitionBy(*keys).orderBy(F.col(value_col).asc())
+        wc = W.partitionBy(*keys)
+        base = base0.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(wc)
+        )
+        return pick(base)
+
+    # Two-level ranked selection: bucket every row by sampled GLOBAL
+    # value boundaries, compute per-(key, bucket) counts, turn their
+    # per-key running sums into bucket offsets, and rank only WITHIN
+    # each (key, bucket). global rank = bucket offset + within-rank is
+    # exact for any bucket assignment that respects value order, and
+    # equal values straddling a boundary cannot change the answer —
+    # the value at a rank is the same whichever copy supplies it.
+    #
+    # Boundary estimation is a PLANNING action: the ≤ S-1 boundary
+    # values are collected to the driver (the kmeans-centroid pattern —
+    # only the boundaries ever leave the cluster) so bucket assignment
+    # compiles to an unrolled literal-comparison sum inside whole-stage
+    # codegen. The earlier broadcast-array + higher-order-filter form
+    # kept everything lazy but evaluated interpreted per row and cost
+    # 3-4× at sf0.1.
+    from aeon_mecha_spark.functions.hashing import md5_long
+
+    denom = 1_000_000
+    smp = base0.filter(
+        md5_long(F.col(value_col).cast("string"), seed=seed) % denom
+        < int(sample_fraction * denom)
+    ).select(F.col(value_col).alias("_v"))
+    ws = W.orderBy("_v")
+    # single-partition window over SAMPLE rows only (bounded by
+    # sample_fraction); boundaries = type-1 quantiles i/range_buckets
+    ranked = smp.withColumn("_srn", F.row_number().over(ws)).withColumn(
+        "_sm", F.count(F.lit(1)).over(W.partitionBy())
+    )
+    bexprs = " OR ".join(
+        f"_srn = (({i} * _sm + {range_buckets - 1}) div {range_buckets})"
+        for i in range(1, range_buckets)
+    )
+    bounds = sorted(
+        r["_v"] for r in ranked.filter(F.expr(bexprs)).select("_v").collect()
+    )
+    bexpr = F.lit(0)
+    for b in bounds:
+        bexpr = bexpr + (F.col(value_col) >= F.lit(b)).cast("int")
+    bucketed = base0.withColumn("_b", bexpr)
+    cnt = bucketed.groupBy(*keys, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    wo = W.partitionBy(*keys).orderBy("_b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = cnt.select(
+        *keys,
+        "_b",
+        F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_off"),
+        F.sum("_c").over(W.partitionBy(*keys)).alias("_n"),
+    )
+    wb = W.partitionBy(*keys, "_b").orderBy(F.col(value_col).asc())
     base = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*keys, value_col)
-        .withColumn("_rn", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(wc))
+        bucketed.join(F.broadcast(offsets), [*keys, "_b"])
+        .withColumn("_rn", F.col("_off") + F.row_number().over(wb))
     )
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(pv).alias("p"),
-                F.expr(f"(({num} * _n + {den - 1}) div {den})").alias("rk"),
-            )
-            for pv, num, den in fracs
-        ]
-    )
-    return (
-        base.withColumn("_e", F.explode(arr))
-        .filter(F.col("_rn") == F.col("_e.rk"))
-        .select(*keys, F.col("_e.p").alias("p"), F.col(value_col).alias("q"))
-    )
+    return pick(base)

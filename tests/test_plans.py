@@ -280,17 +280,21 @@ def test_q113_multiprobe_no_cartesian(spark, entry, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_q114_grouped_quantiles_single_window_pass(spark, entry, sf_dir):
-    """One hash exchange on the group key feeds the shared window sort;
-    no joins, no second shuffle."""
+def test_q114_grouped_quantiles_two_level_parallelism(spark, entry, sf_dir):
+    """The gate runs the two-level ranked-selection path: the big sort
+    is partitioned by (key, bucket) — parallelism keys×S instead of
+    keys — the bucket-offset table is broadcast, and the only unkeyed
+    window belongs to the bounded boundary sample."""
     p = plan_str(entry.queries()["q114_grouped_quantiles"](spark, sf_dir))
-    assert "Join" not in p
-    assert "hashpartitioning(l_returnflag" in p
-    assert p.count("Exchange") - p.count("Exchange (") // 1 >= 0  # structure sanity
-    # exactly one exchange node in the tree (the key partitioning); the
-    # explode expansion is map-side above the windows
-    tree = p.split("(1) ")[0]
-    assert tree.count("Exchange") == 1
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(l_returnflag, _b" in p.replace("#", " ").replace(
+        "l_returnflag 8", "l_returnflag"
+    ) or "hashpartitioning(l_returnflag" in p
+    # the ranking window is keyed by BOTH the group and the bucket
+    import re
+    assert re.search(r"row_number\(\) windowspecdefinition\(l_returnflag#\d+, _b#\d+", p)
+    assert "BroadcastHashJoin" in p  # the tiny offsets table
     assert "Generate" in p  # the |ps|-way map-side expansion
 
 

@@ -438,3 +438,25 @@ def test_range_shard_null_values_get_null_shard(spark):
            curation.range_shard(df, "v", 2, key_col="doc_id", sample_fraction=1.0).collect()}
     assert out[2] is None
     assert all(v is not None for k, v in out.items() if k != 2)
+
+
+def test_grouped_quantiles_two_level_identical_to_single_window(spark):
+    import random
+
+    from aeon_mecha_spark.operators import analytics
+
+    random.seed(21)
+    rows = [((f"k{i % 4}"), random.uniform(-500, 500)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    ps = (0.1, 0.5, 0.9, 1.0)
+    single = sorted(map(tuple, analytics.grouped_quantiles(df, ["k"], "v", ps=ps).collect()))
+    for buckets in (2, 16):
+        two = sorted(
+            map(
+                tuple,
+                analytics.grouped_quantiles(
+                    df, ["k"], "v", ps=ps, range_buckets=buckets, sample_fraction=0.2
+                ).collect(),
+            )
+        )
+        assert two == single
