@@ -385,6 +385,13 @@ def token_budget_select(
     sort is partitioned by bucket. Scores are assumed in [0, 1] (the
     quality_features contract); out-of-range scores still order
     correctly, they just land in end buckets.
+
+    Caching contract (same as ``ivf_knn`` / ``substring_duplicate_spans``):
+    the scored table is persisted internally because two consumers read
+    it (bucket totals + the final join). The persist is attached to the
+    returned DataFrame via ``track_cached`` — long-lived sessions should
+    call ``aeon_mecha_spark.util.release_cached(result)`` once the
+    result has been consumed, or cached blocks accumulate.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -418,6 +425,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     keys: list[str] | None = None,
+    unkeyed_row_limit: int = 5_000_000,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: documents are ordered
     deterministically (by id within each shard key), token counts are
@@ -432,18 +440,33 @@ def pack_sequences(
 
     Pass ``keys`` (source file / shard / date) at scale: packing is a
     running window, so each key packs independently and in parallel.
-    An unkeyed pack is a single-partition window — small corpora only.
+    An unkeyed pack is a single-partition window — small corpora only,
+    and GUARDED: without keys the plan embeds an ``assert_true`` that
+    fails the job as soon as the single partition exceeds
+    ``unkeyed_row_limit`` rows (the row_number shares the window sort,
+    so the guard is free). Library users cannot silently fall into an
+    unbounded global sort; pass keys or raise the limit deliberately.
     """
     keys = list(keys or [])
     w = (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(id_col)
     n_tok = token_count(F.col(text_col)).cast("long")
+    offset = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    ).cast("long")
+    if not keys:
+        guard = F.assert_true(
+            F.row_number().over(w) <= unkeyed_row_limit,
+            F.lit(
+                f"pack_sequences without keys is a single-partition window; "
+                f"input exceeds unkeyed_row_limit={unkeyed_row_limit} rows — "
+                "pass keys=[shard col] to pack in parallel, or raise the limit"
+            ),
+        )
+        offset = F.coalesce(guard.cast("long"), offset)
     out = (
         spread(docs)
         .select(*keys, F.col(id_col), n_tok.alias("n_tokens"))
-        .withColumn(
-            "start_offset",
-            F.coalesce(F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)).cast("long"),
-        )
+        .withColumn("start_offset", offset)
         .withColumn("bin_id", (F.col("start_offset") / budget).cast("long"))
     )
     return out
@@ -697,7 +720,8 @@ def range_shard(
     value_col: str,
     n_shards: int,
     key_col: str = "doc_id",
-    sample_fraction: float = 0.2,
+    sample_fraction: float | None = None,
+    target_sample_rows: int = 1_000_000,
     seed: int = 0,
 ) -> DataFrame:
     """Deterministic equal-frequency range partitioner: estimate the
@@ -718,18 +742,26 @@ def range_shard(
 
     Plan: the sample is a map-side hash filter (q74 machinery); its
     type-1 quantiles need ONE single-partition window over sample rows
-    only — bounded by ``sample_fraction`` (at 100 TB choose a fraction
-    that keeps the sample in one task's memory, e.g. 1e-4 of rows; the
-    boundary table that leaves the window is n_shards−1 rows). The
-    boundaries collapse into a 1-row sorted array broadcast onto the
-    corpus: assignment is map-only, no shuffle of the big side.
+    only — bounded at ~``target_sample_rows`` BY DEFAULT: unless
+    ``sample_fraction`` is given explicitly, the fraction is derived
+    from a cheap planning ``count()`` as ``target_sample_rows / count``,
+    so the sample window cannot grow with the data (the boundary table
+    that leaves the window is n_shards−1 rows). The boundaries collapse
+    into a 1-row sorted array broadcast onto the corpus: assignment is
+    map-only, no shuffle of the big side. (The fraction derivation and
+    boundary estimation are build-time planning actions.)
     """
     from fractions import Fraction
 
-    from aeon_mecha_spark.operators.analytics import grouped_quantiles
+    from aeon_mecha_spark.operators.analytics import (
+        derive_sample_fraction,
+        grouped_quantiles,
+    )
 
     if n_shards < 2:
         raise ValueError("n_shards must be >= 2")
+    if sample_fraction is None:
+        sample_fraction = derive_sample_fraction(df, target_sample_rows)
     smp = hash_sample(df, key_col=key_col, fraction=sample_fraction, seed=seed).filter(
         F.col(value_col).isNotNull()
     )

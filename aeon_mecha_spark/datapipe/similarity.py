@@ -79,7 +79,17 @@ def hyperplane_lsh_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit string over ``planes``.
     Deterministic planes are passed in (seeded offline) so results are
-    reproducible and oracle-checkable."""
+    reproducible and oracle-checkable.
+
+    Width contract: ``vec_col`` entries must be exactly as wide as the
+    planes — the unrolled codegen dot product reads only the first
+    ``len(planes[0])`` elements, so a wider vector would silently score
+    a prefix. A plan-embedded ``assert_true`` enforces this at runtime
+    (fails the job on the first mismatched row; one integer comparison
+    per row, negligible next to the unrolled dot)."""
+    if len({len(p) for p in planes}) != 1:
+        raise ValueError("all LSH planes must have the same width")
+    dim = len(planes[0])
     bits = []
     for p in planes:
         arr = F.array(*[F.lit(float(v)) for v in p])
@@ -88,8 +98,20 @@ def hyperplane_lsh_buckets(
         bits.append(
             F.when(dot(F.col(vec_col), arr, len(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
         )
+    width_ok = F.assert_true(
+        F.size(F.col(vec_col)) == dim,
+        F.concat(
+            F.lit(f"LSH width contract: vectors must have exactly {dim} "
+                  "elements (plane width); got "),
+            F.size(F.col(vec_col)).cast("string"),
+        ),
+    )
     return vectors.select(
-        F.col(id_col), F.col(vec_col), F.concat(*bits).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        # width_ok is NULL whenever the assert passes, so coalesce is a
+        # no-op on the bucket string; a mismatched row raises instead
+        F.coalesce(width_ok.cast("string"), F.concat(*bits)).alias("bucket"),
     )
 
 
@@ -348,6 +370,11 @@ def near_duplicates_lsh(
     near-dup regime) land in the same bucket with probability
     (1 − θ/π)^planes → 1 as cos → 1. Use more independent plane sets
     (union of bucketings) to raise recall at a fixed threshold.
+
+    Width contract: vectors must be exactly ``len(planes[0])`` wide —
+    the cosine here is computed over that width, and the bucketing step
+    embeds a runtime ``assert_true`` that fails the job on any
+    mismatched row (no silent prefix truncation).
     """
     dim = len(planes[0])
     b = hyperplane_lsh_buckets(vectors, planes, id_col, vec_col).withColumn(

@@ -298,13 +298,32 @@ def cohort_retention(
     )
 
 
+def derive_sample_fraction(df: DataFrame, target_rows: int) -> float:
+    """Fraction that bounds a hash sample of ``df`` at ~``target_rows``
+    rows regardless of input size: ``min(1, target_rows / count)``.
+
+    One planning ``count()`` — over a parquet scan this is
+    metadata-cheap, and even over a computed input it is a map-side
+    count-aggregate, far cheaper than the operator it sizes. This is
+    what makes boundary-sample operators (grouped_quantiles
+    range_buckets, range_shard) scale-safe by default: the
+    single-partition window over the sample stays ~target_rows at
+    100 TB instead of growing linearly with the data.
+    """
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    n = df.count()
+    return 1.0 if n <= target_rows else target_rows / n
+
+
 def grouped_quantiles(
     df: DataFrame,
     keys: list[str],
     value_col: str,
     ps: list[float] | tuple[float, ...] = (0.25, 0.5, 0.75),
     range_buckets: int | None = None,
-    sample_fraction: float = 0.05,
+    sample_fraction: float | None = None,
+    target_sample_rows: int = 1_000_000,
     seed: int = 0,
 ) -> DataFrame:
     """Exact per-key quantiles, type-1 (discrete): for each probability
@@ -334,6 +353,15 @@ def grouped_quantiles(
     order refines value order; equal values straddling a boundary
     supply the same value at any rank). The only unkeyed window runs
     over the hash-sampled boundary rows.
+
+    Boundary-sample sizing is scale-safe BY DEFAULT: unless
+    ``sample_fraction`` is given explicitly, the fraction is derived as
+    ``target_sample_rows / count`` (one cheap planning count), so the
+    single-partition boundary window is bounded at ~``target_sample_rows``
+    rows at ANY input size — a fixed fraction would grow it linearly
+    with the data. Note the ``range_buckets`` path therefore runs TWO
+    planning actions at build time (the count and the boundary
+    collect); the default path stays fully lazy.
     """
     fracs = []
     for p in ps:
@@ -385,6 +413,8 @@ def grouped_quantiles(
     # 3-4× at sf0.1.
     from aeon_mecha_spark.functions.hashing import md5_long
 
+    if sample_fraction is None:
+        sample_fraction = derive_sample_fraction(base0, target_sample_rows)
     denom = 1_000_000
     smp = base0.filter(
         md5_long(F.col(value_col).cast("string"), seed=seed) % denom

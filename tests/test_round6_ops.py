@@ -1,0 +1,196 @@
+"""Round-6 hardening tests: live global-window detection in the plan
+audit, the LSH vector-width contract, target-row boundary sampling, and
+the unkeyed pack_sequences guard."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+# -- plan-audit global-window detector ---------------------------------------
+
+
+def _plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_gwindow_detector_global_vs_keyed(spark):
+    from tools.plan_audit import count_global_window_specs
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).alias("k"), (F.col("id") * 2).alias("v")
+    )
+    keyed = df.withColumn("rn", F.row_number().over(W.partitionBy("k").orderBy("v")))
+    glob = df.withColumn("rn", F.row_number().over(W.orderBy("v")))
+    assert count_global_window_specs(_plan_text(keyed)) == 0
+    assert count_global_window_specs(_plan_text(glob)) > 0
+    # a keyed and a global window in the same plan: only the global counts
+    both = keyed.withColumn("g", F.sum("v").over(W.orderBy("v")))
+    assert count_global_window_specs(_plan_text(both)) > 0
+
+
+def test_gwindow_detector_frame_only_spec(spark):
+    from tools.plan_audit import count_global_window_specs
+
+    # no partition AND no order: spec starts with specifiedwindowframe
+    df = spark.range(10).withColumn("t", F.sum("id").over(W.partitionBy()))
+    assert count_global_window_specs(_plan_text(df)) > 0
+
+
+def test_gwindow_q115_flags_bounded_sample_window(spark):
+    """q115's boundary-sample window is global by design (bounded rows);
+    the detector must SEE it — r5's regex never could."""
+    import __spark_entry__ as entry
+
+    from tools.plan_audit import audit_plan
+
+    df = entry.queries()["q115_range_shard"](spark, "/root/testdata/sf0.001")
+    assert audit_plan(df)["gwindow"] > 0
+
+
+def test_plan_audit_allowlist_names_are_real():
+    import __spark_entry__ as entry
+
+    from tools.plan_audit import TINY_GLOBAL_WINDOW_OK
+
+    assert TINY_GLOBAL_WINDOW_OK <= set(entry.queries())
+
+
+# -- LSH width contract ------------------------------------------------------
+
+
+def test_lsh_width_mismatch_raises(spark):
+    from aeon_mecha_spark.datapipe.similarity import hyperplane_lsh_buckets
+
+    wide = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id int, embedding array<double>"
+    )
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    with pytest.raises(Exception) as ei:
+        hyperplane_lsh_buckets(wide, planes).collect()
+    assert "width contract" in str(ei.value)
+
+
+def test_lsh_width_match_still_buckets(spark):
+    from aeon_mecha_spark.datapipe.similarity import hyperplane_lsh_buckets
+
+    ok = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [-1.0, -2.0])], "vec_id int, embedding array<double>"
+    )
+    rows = hyperplane_lsh_buckets(ok, [[1.0, 0.0], [0.0, 1.0]]).collect()
+    got = {r["vec_id"]: r["bucket"] for r in rows}
+    assert got == {1: "11", 2: "00"}
+
+
+def test_lsh_ragged_planes_rejected(spark):
+    from aeon_mecha_spark.datapipe.similarity import hyperplane_lsh_buckets
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError):
+        hyperplane_lsh_buckets(df, [[1.0, 0.0], [0.0, 1.0, 2.0]])
+
+
+# -- target-row boundary sampling --------------------------------------------
+
+
+def test_derive_sample_fraction_bounds_sample(spark):
+    from aeon_mecha_spark.operators.analytics import derive_sample_fraction
+
+    big = spark.range(2_000_000)
+    fr = derive_sample_fraction(big, 100_000)
+    assert fr == pytest.approx(0.05)
+    small = spark.range(50)
+    assert derive_sample_fraction(small, 100_000) == 1.0
+    with pytest.raises(ValueError):
+        derive_sample_fraction(small, 0)
+
+
+def test_grouped_quantiles_derived_fraction_exact(spark):
+    """range_buckets path with the DEFAULT (derived) fraction must still
+    equal the single-window path exactly."""
+    from aeon_mecha_spark.operators.analytics import grouped_quantiles
+
+    df = spark.range(3_000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        ((F.col("id") * 37) % 1000).cast("double").alias("v"),
+    )
+    ps = (0.25, 0.5, 0.95)
+    base = {
+        (r["k"], r["p"]): r["q"]
+        for r in grouped_quantiles(df, ["k"], "v", ps=ps).collect()
+    }
+    two = {
+        (r["k"], r["p"]): r["q"]
+        for r in grouped_quantiles(
+            df, ["k"], "v", ps=ps, range_buckets=8, target_sample_rows=200
+        ).collect()
+    }
+    assert base == two
+
+
+def test_range_shard_derived_fraction_matches_explicit(spark):
+    from aeon_mecha_spark.datapipe.curation import range_shard
+
+    df = spark.range(1_000).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 13) % 500).cast("double").alias("v")
+    )
+    derived = range_shard(df, "v", 4)  # fraction derived (1.0 here: n <= target)
+    explicit = range_shard(df, "v", 4, sample_fraction=1.0)
+    assert sorted((r["doc_id"], r["shard"]) for r in derived.collect()) == sorted(
+        (r["doc_id"], r["shard"]) for r in explicit.collect()
+    )
+    # shards are contiguous in value order and all used at fraction 1.0
+    shards = derived.groupBy("shard").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).orderBy("shard").collect()
+    assert [r["shard"] for r in shards] == [0, 1, 2, 3]
+    for a, b in zip(shards, shards[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+# -- unkeyed pack_sequences guard --------------------------------------------
+
+
+def test_pack_sequences_unkeyed_over_limit_raises(spark):
+    from aeon_mecha_spark.datapipe.curation import pack_sequences
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    with pytest.raises(Exception) as ei:
+        pack_sequences(docs, budget=10, unkeyed_row_limit=10).collect()
+    assert "unkeyed_row_limit" in str(ei.value)
+
+
+def test_pack_sequences_unkeyed_under_limit_ok(spark):
+    from aeon_mecha_spark.datapipe.curation import pack_sequences
+
+    docs = spark.range(5).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    rows = pack_sequences(docs, budget=6, unkeyed_row_limit=100).orderBy("doc_id").collect()
+    assert [r["start_offset"] for r in rows] == [0, 3, 6, 9, 12]
+    assert [r["bin_id"] for r in rows] == [0, 0, 1, 1, 2]
+
+
+def test_pack_sequences_keyed_unaffected_by_guard(spark):
+    from aeon_mecha_spark.datapipe.curation import pack_sequences
+
+    docs = spark.range(40).select(
+        (F.col("id") % 4).alias("shard"),
+        F.col("id").alias("doc_id"),
+        F.lit("x y").alias("text"),
+    )
+    # guard only applies unkeyed: a tiny limit must NOT trip keyed packing
+    rows = pack_sequences(
+        docs, budget=4, keys=["shard"], unkeyed_row_limit=1
+    ).collect()
+    assert len(rows) == 40

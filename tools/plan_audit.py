@@ -34,32 +34,53 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF", "/root/testdata/sf0.001")
 
-# queries whose single-partition windows are documented as bounded-size
-# (vocab after limit(V), <=1024-row bucket offsets, n_shards-1 boundary
-# rows, sample-quantile windows, unkeyed demo forms)
+# queries whose single-partition windows are documented as bounded-size.
+# Keep this list MINIMAL — exactly the queries the live detector finds a
+# global window in today, each with its bound — so any NEW global window
+# anywhere else is a red flag, not an allowlisted surprise.
 TINY_GLOBAL_WINDOW_OK = {
-    "q88_tfidf",
-    "q90_token_budget",
-    "q96_weighted_sample",
-    "q102_table_fingerprint",
-    "q108_vocab_encode",
-    "q112_unigram_logprob",
-    "q114_grouped_quantiles",  # single group key 'l_returnflag' -> 3 partitions, not global
-    "q115_range_shard",
-    "q11_distinct",
-    "q41_frontier",
-    "q45_set_ops",
-    "q56_value_histogram",
-    "q62_rank_quantiles",
-    "q63_kmv_distinct",
-    "q64_kmv_merge",
-    "q65_cm_sketch",
-    "q66_funnel_counts",
-    "q68_top_terms",
-    "q83_cm_heavy_hitters",
-    "q100_kmv_jaccard",
-    "q104_bpe_tokens",
+    "q90_token_budget",  # <=1024-row bucket-offset table (two-level prefix sum)
+    "q108_vocab_encode",  # vocab ranking after limit(V)
+    "q115_range_shard",  # boundary quantiles over the bounded hash sample
 }
+
+
+def count_global_window_specs(plan_text: str) -> int:
+    """Count ``windowspecdefinition(...)`` occurrences with an EMPTY
+    partition spec (single-partition window sorts).
+
+    The spec's argument list is ``partCol, ..., ordCol ASC/DESC ...,
+    specifiedwindowframe(...)``: partition columns come first and are
+    plain expressions, order columns carry an ``ASC``/``DESC`` marker,
+    and the frame is last.  A spec is GLOBAL iff its FIRST top-level
+    argument is already an order column (contains ``ASC``/``DESC``) or
+    the frame itself (no partition AND no order columns).
+    """
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(", plan_text):
+        start = m.end()
+        depth, i = 1, start
+        first_arg = None
+        while i < len(plan_text) and depth > 0:
+            c = plan_text[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and first_arg is None:
+                    first_arg = plan_text[start:i]
+            elif c == "," and depth == 1 and first_arg is None:
+                first_arg = plan_text[start:i]
+            i += 1
+        if first_arg is None:
+            continue
+        first_arg = first_arg.strip()
+        if (
+            first_arg.startswith("specifiedwindowframe(")
+            or re.search(r"\b(ASC|DESC)\b", first_arg)
+        ):
+            n += 1
+    return n
 
 
 def audit_plan(df) -> dict:
@@ -76,8 +97,9 @@ def audit_plan(df) -> dict:
         "smj": tree.count("SortMergeJoin"),
         "bnl": tree.count("BroadcastNestedLoopJoin"),
         "cartesian": tree.count("CartesianProduct"),
-        "gwindow": len(re.findall(r"windowspecdefinition\((?!\w)", p))
-        + p.count("windowspecdefinition(,"),
+        # count in the numbered-operator tree only so each Window node's
+        # spec is seen once (the summary tree elides argument detail)
+        "gwindow": count_global_window_specs(p),
         # distinct codegen ids = whole-stage codegen spans
         "wsc": len(set(re.findall(r"codegen id : (\d+)", p))),
         "pyudf": sum(
@@ -122,10 +144,11 @@ def main() -> None:
         if isinstance(a, str):
             out.write(f"| {name} | {a} |\n")
         else:
-            ok = "" if (a["cartesian"] or (a["gwindow"] and name not in TINY_GLOBAL_WINDOW_OK)) else ""
+            bad = a["cartesian"] or (a["gwindow"] and name not in TINY_GLOBAL_WINDOW_OK)
             out.write(
                 f"| {name} | {a['exch']} | {a['bhj']} | {a['smj']} | {a['bnl']} "
-                f"| {a['cartesian']} | {a['gwindow']} | {a['wsc']} | {a['pyudf']} |{ok}\n"
+                f"| {a['cartesian']} | {a['gwindow']} | {a['wsc']} | {a['pyudf']} |"
+                f"{' RED' if bad else ''}\n"
             )
     if flags:
         out.write("\n## RED FLAGS\n\n")
