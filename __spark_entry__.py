@@ -1382,6 +1382,10 @@ def q114_grouped_quantiles(spark, sf_dir):
         "l_extendedprice",
         ps=(0.25, 0.5, 0.75, 0.95),
         range_buckets=32,
+        # keep the boundary sample bounded even at bench scale (sf0.1 is
+        # 600k rows; the 1M default would sample everything) — the gate
+        # runs the same derived-fraction machinery a 100 TB run uses
+        target_sample_rows=20_000,
     )
 
 
@@ -1551,6 +1555,149 @@ def q100_kmv_jaccard(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Round 6: official gates for the scale machinery (salted joins, bucketed
+# joins, continuous aggregates, semantic dedup) + two new operators
+# (cross-corpus dedup, IQR outlier fences)
+# ---------------------------------------------------------------------------
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+
+
+def q116_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style end-to-end semantic dedup over the embeddings:
+    hyperplane-LSH near-dup pairs → connected components → canonical
+    (min-id) election. Output: (vec_id, canonical_id, is_dup) for every
+    vector — the drop-list a curation pipeline consumes. The oracle
+    replays the bucketing + a recursive-CTE min-label walk."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("embedding")
+    )
+    out = similarity.semantic_dedup(emb, _LSH_PLANES, threshold=0.35)
+    return _longs(out, "vec_id", "canonical_id", "is_dup")
+
+
+def q117_salted_join(spark, sf_dir):
+    """Deterministic salted join (operators/skew.py): the skewed fact
+    side (events — few distinct event_type keys is INHERENT skew) gets
+    an xxhash salt, the dim side replicates salt×; semantics are exactly
+    the plain equi-join, which is what the oracle runs. Aggregated so
+    the verified surface is every joined row's contribution."""
+    from aeon_mecha_spark.operators import skew
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        _t(spark, sf_dir, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("w", F.length("event_type").cast("long"))
+    )
+    j = skew.salted_join(ev, dim, on=["event_type"], salt_from=["event_id"], salt=8)
+    vmicro = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("w") * vmicro).alias("wsum_micro"),
+        )
+    )
+
+
+def q118_bucketed_join(spark, sf_dir):
+    """Co-located bucketed join (pipeline/bucketing.py): both sides are
+    written bucketed on the join key (8 buckets, sorted), so the merge
+    join reads matching buckets with NO shuffle exchange on either side
+    — the pay-once-at-ingest layout for repeated big joins. The result
+    must equal the plain join, which is the oracle. (This gate WRITES
+    the two bucketed tables each run — it is an ingest demo, not a
+    read-only query.)"""
+    import shutil
+
+    from aeon_mecha_spark.pipeline import bucketing
+
+    tag = _sf_tag(sf_dir)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    t_o, t_c = f"b6_orders_{tag}", f"b6_customer_{tag}"
+    # a FRESH session's catalog has no memory of a previous run's tables,
+    # but their files survive in the warehouse dir — CTAS refuses a
+    # non-empty location, so clear both catalog entry and files first
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh[len("file:") :] if wh.startswith("file:") else wh
+    for t in (t_o, t_c):
+        bucketing.drop_table(spark, t)
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    bucketing.write_bucketed(orders, t_o, ["o_custkey"], num_buckets=8, sort_cols=["o_custkey"])
+    bucketing.write_bucketed(cust, t_c, ["c_custkey"], num_buckets=8, sort_cols=["c_custkey"])
+    bo = bucketing.read_table(spark, t_o)
+    bc = bucketing.read_table(spark, t_c)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    return (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum(cents).alias("sum_cents"))
+    )
+
+
+def q119_continuous_rollup(spark, sf_dir):
+    """Continuous aggregate (pipeline/continuous.py): an hourly rollup
+    of events built INCREMENTALLY — first refresh covers history up to a
+    mid-stream split, the second refresh re-opens only the watermark
+    bucket and rolls forward. The stored result must equal the direct
+    one-shot GROUP BY, which is the oracle. Each run rebuilds from
+    scratch (rmtree) so the gate is deterministic."""
+    import datetime as dt
+    import shutil
+
+    from aeon_mecha_spark.pipeline.continuous import ContinuousAggregate
+    from aeon_mecha_spark.pipeline.orchestrator import Table
+
+    ev = _t(spark, sf_dir, "events")
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "spark-warehouse")
+    table = Table(name=f"cont_rollup_{_sf_tag(sf_dir)}", pk=["bucket", "event_type"], root=root)
+    shutil.rmtree(table.path, ignore_errors=True)
+    vmicro = F.floor(F.col("value") * 1000000.0 + 0.5).cast("long")
+    ca = ContinuousAggregate(
+        source=lambda s: _t(s, sf_dir, "events").withColumn("_vm", vmicro),
+        ts_col="ts",
+        dims=["event_type"],
+        agg_factory=lambda: [
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_vm").alias("sum_micro"),
+        ],
+        table=table,
+        granularity="hour",
+    )
+    lohi = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    mid = lohi["lo"] + (lohi["hi"] - lohi["lo"]) / 2
+    ca.refresh(spark, until=mid)  # history up to the split
+    ca.refresh(spark)  # watermark bucket re-opened + rolled forward
+    return table.read(spark).select("bucket", "event_type", "n", "sum_micro")
+
+
+def q120_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier QC per event type: exact type-1 quartiles →
+    fences q1/q3 ∓ 1.5·IQR → per-group outlier counts. Fences are raw
+    data values ± two single-rounded IEEE ops, so they hash-match the
+    oracle bit-for-bit without rounding."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.iqr_outliers(ev, ["event_type"], "value", k=1.5)
+
+
+def q121_crosscorpus_dedup(spark, sf_dir):
+    """Cross-corpus MinHash dedup: documents with id % 7 == 0 play the
+    existing training set; the rest are the new crawl. LSH band buckets
+    of the two sides meet in a two-table join (never |A|×|B|), then
+    exact 3-gram Jaccard ≥ 0.5 verifies. The self-join dedup (q34/q35)
+    cannot express this asymmetric containment check."""
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    out = dedup.cross_corpus_duplicates(corpus, ref, k=3, threshold=0.5)
+    return out.select("doc_id", "ref_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -1561,20 +1708,95 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness gate grades the
-    # FIRST 50 entries. Round-5 rotation: the relational/domain core
-    # (q05, q08, q09, q11-q33, q40-q56) last appeared in an OFFICIAL
-    # driver artifact in r02 -- two rounds of shared-code-path changes
-    # ago -- so it re-enters the window now, together with this round's
-    # new q110 gate and six r03-graded fills. Everything rotated out
-    # (the r03/r04 datapipe families) is green in CORRECTNESS_r03/r04
-    # and re-checkable via tools/check_correctness.py.
+    # FIRST 50 entries. Round-6 rotation: q111-q115 (round-5 operators,
+    # never officially graded) and this round's new q116-q121 lead;
+    # then the r04-graded similarity/analytics/datapipe families
+    # (q34-q39, q57-q75, q95-q109 ex rows-only) — the oldest remaining
+    # official records. Everything rotated out (relational core q05-q56,
+    # q84-q90, q110) is green in CORRECTNESS_r05 and re-checkable via
+    # tools/check_correctness.py.
     return {
-        # -- new this round: fixed-components PCA projection hash gate
+        # -- round-5 operators: first official grading
+        "q111_winnowing": q111_winnowing,
+        "q112_unigram_logprob": q112_unigram_logprob,
+        "q113_ivf_multiprobe": q113_ivf_multiprobe,
+        "q114_grouped_quantiles": q114_grouped_quantiles,
+        "q115_range_shard": q115_range_shard,
+        # -- new this round
+        "q116_semantic_dedup": q116_semantic_dedup,
+        "q117_salted_join": q117_salted_join,
+        "q118_bucketed_join": q118_bucketed_join,
+        "q119_continuous_rollup": q119_continuous_rollup,
+        "q120_iqr_outliers": q120_iqr_outliers,
+        "q121_crosscorpus_dedup": q121_crosscorpus_dedup,
+        # -- r04-graded families, officially re-graded this round
+        "q34_minhash": q34_minhash,
+        "q35_lsh_jaccard": q35_lsh_jaccard,
+        "q36_knn_cosine": q36_knn_cosine,
+        "q37_embedding_neardup": q37_embedding_neardup,
+        "q38_simhash": q38_simhash,
+        "q39_lang_token_stats": q39_lang_token_stats,
+        "q57_granularity_rollup": q57_granularity_rollup,
+        "q58_event_pivot": q58_event_pivot,
+        "q59_time_weighted_avg": q59_time_weighted_avg,
+        "q60_gap_fill": q60_gap_fill,
+        "q61_funnel": q61_funnel,
+        "q62_rank_quantiles": q62_rank_quantiles,
+        "q63_kmv_distinct": q63_kmv_distinct,
+        "q64_quantile_summary": q64_quantile_summary,
+        "q65_kmv_rollup": q65_kmv_rollup,
+        "q66_group_centroids": q66_group_centroids,
+        "q67_top_terms": q67_top_terms,
+        "q68_ngram_counts": q68_ngram_counts,
+        "q69_rank_distribution": q69_rank_distribution,
+        "q70_cohort_retention": q70_cohort_retention,
+        "q71_rolling_avg": q71_rolling_avg,
+        "q72_near_dup_lsh": q72_near_dup_lsh,
+        "q73_decontaminate": q73_decontaminate,
+        "q74_hash_sample": q74_hash_sample,
+        "q75_stratified_sample": q75_stratified_sample,
+        "q95_bloom_decontaminate": q95_bloom_decontaminate,
+        "q96_weighted_sample": q96_weighted_sample,
+        "q97_substring_dedup": q97_substring_dedup,
+        "q98_correlated_subquery": q98_correlated_subquery,
+        "q100_kmv_jaccard": q100_kmv_jaccard,
+        "q101_token_entropy": q101_token_entropy,
+        "q102_table_fingerprint": q102_table_fingerprint,
+        "q103_knn_recall": q103_knn_recall,
+        "q104_bpe_tokens": q104_bpe_tokens,
+        "q105_span_decontaminate": q105_span_decontaminate,
+        "q106_curation_pipeline": q106_curation_pipeline,
+        "q107_zorder_key": q107_zorder_key,
+        "q108_vocab_encode": q108_vocab_encode,
+        "q109_pq_assign_fixed": q109_pq_assign_fixed,
+        # ---- entries below are past the driver's 50-entry window ----
+        # (green in CORRECTNESS_r05 or r04; re-checkable locally via
+        # tools/check_correctness.py)
+        "q76_pack_sequences": q76_pack_sequences,
+        "q77_merge_intervals": q77_merge_intervals,
+        "q78_redact_pii": q78_redact_pii,
+        "q79_dedup_clusters": q79_dedup_clusters,
+        "q80_mixture_sample": q80_mixture_sample,
+        "q81_repetition_ratio": q81_repetition_ratio,
+        "q82_quality_filter": q82_quality_filter,
+        "q83_cm_heavy_hitters": q83_cm_heavy_hitters,
+        "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
+        "q91_shuffle_shards": q91_shuffle_shards,
+        "q92_embedding_covariance": q92_embedding_covariance,
+        "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
+        "q94_int8_quant": q94_int8_quant,
+        "q99_pq_codes": q99_pq_codes,  # rows-only: iterative k-means not in SQL
         "q110_pca_project_fixed": q110_pca_project_fixed,
-        # -- relational/domain core, officially re-graded this round
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_restrict_expr": q02_restrict_expr,
+        "q03_semi_join": q03_semi_join,
+        "q04_anti_join": q04_anti_join,
         "q05_proj_compute": q05_proj_compute,
+        "q06_revenue_by_nation": q06_revenue_by_nation,
+        "q07_left_join_counts": q07_left_join_counts,
         "q08_union": q08_union,
         "q09_top": q09_top,
+        "q10_grouped_bounds": q10_grouped_bounds,
         "q11_distinct": q11_distinct,
         "q12_dedupe_first": q12_dedupe_first,
         "q13_qc_deltas": q13_qc_deltas,
@@ -1615,81 +1837,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_chunked_ts_stats": q54_chunked_ts_stats,
         "q55_index_aligned_merge": q55_index_aligned_merge,
         "q56_value_histogram": q56_value_histogram,
-        # -- r03-graded fills (oldest of the remaining official records)
         "q84_chunk_documents": q84_chunk_documents,
         "q85_multimodal_features": q85_multimodal_features,
         "q86_frame_sample_plan": q86_frame_sample_plan,
         "q88_tfidf": q88_tfidf,
         "q89_inverted_index": q89_inverted_index,
         "q90_token_budget": q90_token_budget,
-        # ---- entries below are past the driver's 50-entry window ----
-        # (green in CORRECTNESS_r03/r04; re-checkable locally via
-        # tools/check_correctness.py)
-        "q91_shuffle_shards": q91_shuffle_shards,
-        "q92_embedding_covariance": q92_embedding_covariance,
-        "q94_int8_quant": q94_int8_quant,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_restrict_expr": q02_restrict_expr,
-        "q03_semi_join": q03_semi_join,
-        "q04_anti_join": q04_anti_join,
-        "q06_revenue_by_nation": q06_revenue_by_nation,
-        "q07_left_join_counts": q07_left_join_counts,
-        "q10_grouped_bounds": q10_grouped_bounds,
-        "q95_bloom_decontaminate": q95_bloom_decontaminate,
-        "q96_weighted_sample": q96_weighted_sample,
-        "q97_substring_dedup": q97_substring_dedup,
-        "q98_correlated_subquery": q98_correlated_subquery,
-        "q99_pq_codes": q99_pq_codes,  # rows-only: iterative k-means not in SQL
-        "q100_kmv_jaccard": q100_kmv_jaccard,
-        "q101_token_entropy": q101_token_entropy,
-        "q102_table_fingerprint": q102_table_fingerprint,
-        "q103_knn_recall": q103_knn_recall,
-        "q104_bpe_tokens": q104_bpe_tokens,
-        "q105_span_decontaminate": q105_span_decontaminate,
-        "q106_curation_pipeline": q106_curation_pipeline,
-        "q107_zorder_key": q107_zorder_key,
-        "q108_vocab_encode": q108_vocab_encode,
-        "q109_pq_assign_fixed": q109_pq_assign_fixed,
-        "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
-        "q34_minhash": q34_minhash,
-        "q35_lsh_jaccard": q35_lsh_jaccard,
-        "q36_knn_cosine": q36_knn_cosine,
-        "q37_embedding_neardup": q37_embedding_neardup,
-        "q38_simhash": q38_simhash,
-        "q39_lang_token_stats": q39_lang_token_stats,
-        "q57_granularity_rollup": q57_granularity_rollup,
-        "q58_event_pivot": q58_event_pivot,
-        "q59_time_weighted_avg": q59_time_weighted_avg,
-        "q60_gap_fill": q60_gap_fill,
-        "q61_funnel": q61_funnel,
-        "q62_rank_quantiles": q62_rank_quantiles,
-        "q63_kmv_distinct": q63_kmv_distinct,
-        "q64_quantile_summary": q64_quantile_summary,
-        "q65_kmv_rollup": q65_kmv_rollup,
-        "q66_group_centroids": q66_group_centroids,
-        "q67_top_terms": q67_top_terms,
-        "q68_ngram_counts": q68_ngram_counts,
-        "q69_rank_distribution": q69_rank_distribution,
-        "q70_cohort_retention": q70_cohort_retention,
-        "q71_rolling_avg": q71_rolling_avg,
-        "q72_near_dup_lsh": q72_near_dup_lsh,
-        "q73_decontaminate": q73_decontaminate,
-        "q74_hash_sample": q74_hash_sample,
-        "q75_stratified_sample": q75_stratified_sample,
-        "q76_pack_sequences": q76_pack_sequences,
-        "q77_merge_intervals": q77_merge_intervals,
-        "q78_redact_pii": q78_redact_pii,
-        "q79_dedup_clusters": q79_dedup_clusters,
-        "q80_mixture_sample": q80_mixture_sample,
-        "q81_repetition_ratio": q81_repetition_ratio,
-        "q82_quality_filter": q82_quality_filter,
-        "q83_cm_heavy_hitters": q83_cm_heavy_hitters,
-        "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
-        "q111_winnowing": q111_winnowing,
-        "q112_unigram_logprob": q112_unigram_logprob,
-        "q113_ivf_multiprobe": q113_ivf_multiprobe,
-        "q114_grouped_quantiles": q114_grouped_quantiles,
-        "q115_range_shard": q115_range_shard,
     }
 
 
@@ -1973,6 +2126,99 @@ def _sql_ivf_multiprobe(nprobe: int = 2, k: int = 3) -> str:
       FROM scored)
     SELECT query_id, neighbor_id, round(score, 6) AS score, rank::bigint AS rank
     FROM ranked WHERE rank <= {k}"""
+
+
+def _sql_semantic_dedup() -> str:
+    """Oracle for q116: q72's bucketing + cosine pairs, closed into
+    components with a recursive min-label walk, canonical = min id."""
+    bits = " || ".join(
+        f"(CASE WHEN list_dot_product(v, {p}) >= 0 THEN '1' ELSE '0' END)"
+        for p in _LSH_PLANES
+    )
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v, {bits} AS bucket FROM e
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+      FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+      WHERE list_dot_product(a.v, bb.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(bb.v, bb.v)))
+            >= 0.35
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), walk(id, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT w.id, e2.dst FROM walk w JOIN edges e2 ON e2.src = w.lbl
+    ), comp AS (
+      SELECT id, min(lbl) AS lbl FROM walk GROUP BY id
+    )
+    SELECT e.vec_id::bigint AS vec_id,
+           coalesce(c.lbl, e.vec_id)::bigint AS canonical_id,
+           (CASE WHEN coalesce(c.lbl, e.vec_id) <> e.vec_id THEN 1 ELSE 0 END)::bigint AS is_dup
+    FROM e LEFT JOIN comp c ON c.id = e.vec_id"""
+
+
+def _sql_crosscorpus_dedup() -> str:
+    """Oracle for q121: the minhash/band CTEs instantiated twice (corpus
+    = doc_id %% 7 <> 0, reference = %% 7 = 0), band buckets joined
+    across the two sides, exact 3-gram Jaccard >= 0.5 verify."""
+    mins = ",\n      ".join(
+        f"min(('0x' || substr(md5('{i // 2}:' || shingle), {1 if i % 2 == 0 else 16}, 15))::bigint) AS mh_{i}"
+        for i in range(_NUM_MINHASH)
+    )
+    bands = ", ".join(
+        f"md5(mh_{2 * b}::varchar || ',' || mh_{2 * b + 1}::varchar)"
+        for b in range(_MINHASH_BANDS)
+    )
+
+    def side(tag: str, pred: str) -> str:
+        return f"""
+    toks{tag} AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE {pred}
+    ), shl{tag} AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                                      i -> array_to_string(t[i:i+2], ' '))
+                  ELSE [array_to_string(t, ' ')] END AS sh
+      FROM toks{tag}
+    ), shingles{tag} AS (
+      SELECT doc_id, unnest(list_distinct(sh)) AS shingle FROM shl{tag}
+    ), sigs{tag} AS (
+      SELECT doc_id,
+      {mins}
+      FROM shingles{tag} GROUP BY doc_id
+    ), buckets{tag} AS (
+      SELECT doc_id, band, bh FROM (
+        SELECT doc_id,
+               unnest(range({_MINHASH_BANDS})) AS band,
+               unnest([{bands}]) AS bh
+        FROM sigs{tag})
+    ), sets{tag} AS (
+      SELECT doc_id, list_distinct(sh) AS s FROM shl{tag}
+    )"""
+
+    return f"""
+    WITH {side('C', 'doc_id % 7 <> 0')}, {side('R', 'doc_id % 7 = 0')},
+    cand AS (
+      SELECT DISTINCT c.doc_id AS doc_id, r.doc_id AS ref_id
+      FROM bucketsC c JOIN bucketsR r ON c.band = r.band AND c.bh = r.bh
+    ), j AS (
+      SELECT cand.doc_id, cand.ref_id,
+             CASE WHEN len(list_distinct(list_concat(sc.s, sr.s))) > 0
+                  THEN len(list_intersect(sc.s, sr.s))::double
+                       / len(list_distinct(list_concat(sc.s, sr.s)))
+                  ELSE 0.0 END AS jacc
+      FROM cand JOIN setsC sc ON sc.doc_id = cand.doc_id
+                JOIN setsR sr ON sr.doc_id = cand.ref_id
+    )
+    SELECT doc_id, ref_id, round(jacc, 6) AS jaccard FROM j WHERE jacc >= 0.5"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3032,6 +3278,54 @@ def oracle_sql() -> dict[str, str]:
               WHERE n_tokens > 0)
             ORDER BY skey, doc_id LIMIT 100
         """,
+        "q116_semantic_dedup": _sql_semantic_dedup(),
+        "q117_salted_join": """
+            WITH dim AS (
+              SELECT DISTINCT event_type, length(event_type)::bigint AS w
+              FROM events
+            )
+            SELECT e.event_type, count(*)::bigint AS n,
+                   sum(d.w * floor(e.value * 1000000.0 + 0.5)::bigint)::bigint AS wsum_micro
+            FROM events e JOIN dim d USING (event_type)
+            GROUP BY e.event_type
+        """,
+        "q118_bucketed_join": """
+            SELECT c_mktsegment, count(*)::bigint AS n_orders,
+                   sum(floor(o_totalprice * 100.0 + 0.5)::bigint)::bigint AS sum_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "q119_continuous_rollup": """
+            SELECT date_trunc('hour', ts) AS bucket, event_type,
+                   count(*)::bigint AS n,
+                   sum(floor(value * 1000000.0 + 0.5)::bigint)::bigint AS sum_micro
+            FROM events GROUP BY 1, 2
+        """,
+        "q120_iqr_outliers": """
+            WITH b AS (
+              SELECT event_type, value AS v,
+                     row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events WHERE value IS NOT NULL
+            ), qs AS (
+              SELECT event_type,
+                     min(CASE WHEN rn = (1 * n + 3) // 4 THEN v END) AS q1,
+                     min(CASE WHEN rn = (3 * n + 3) // 4 THEN v END) AS q3
+              FROM b GROUP BY event_type
+            ), f AS (
+              SELECT event_type, q1, q3,
+                     q1 - 1.5 * (q3 - q1) AS lo,
+                     q3 + 1.5 * (q3 - q1) AS hi
+              FROM qs
+            )
+            SELECT f.event_type, f.q1, f.q3, f.lo, f.hi,
+                   count(*)::bigint AS n,
+                   sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END)::bigint AS n_outliers
+            FROM events e JOIN f ON e.event_type = f.event_type
+            WHERE e.value IS NOT NULL
+            GROUP BY 1, 2, 3, 4, 5
+        """,
+        "q121_crosscorpus_dedup": _sql_crosscorpus_dedup(),
         "q115_range_shard": """
             WITH smp AS (
               SELECT value AS v FROM events

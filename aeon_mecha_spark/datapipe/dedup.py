@@ -229,6 +229,80 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), "cluster_id")
 
 
+def cross_corpus_duplicates(
+    corpus: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Cross-corpus near-dup join: find documents in ``corpus`` that are
+    near-duplicates of any document in ``reference`` — the "dedup the
+    new crawl against the existing training set" step, which a SELF-join
+    dedup cannot express (it would also pair corpus docs with each
+    other).
+
+    Same MinHash+LSH machinery as the self-dedup path, but the band
+    buckets of the two sides meet in a two-table equi-join on
+    (band, band_hash): candidate volume follows bucket collisions
+    BETWEEN the corpora, never |corpus|×|reference|. With a
+    ``threshold``, candidates are verified with exact k-gram Jaccard
+    (array intersect over the two shingle sets) and filtered — the
+    columns are then (doc_id, ref_id, jaccard); without, all candidate
+    pairs return as (doc_id, ref_id).
+
+    Scale notes: at 100 TB the reference side's signatures/buckets are
+    computed once per training-set release — persist them and pass the
+    bucketed form through ``reference`` on each new crawl. Both inputs
+    only shuffle on the band key (plus the id-joins of the verify step);
+    AQE splits skewed boilerplate buckets.
+    """
+    sig_c = minhash_signatures(corpus, id_col, text_col, k, num_hashes)
+    sig_r = minhash_signatures(reference, id_col, text_col, k, num_hashes)
+
+    def buckets(sig: DataFrame, out_id: str) -> DataFrame:
+        rows = num_hashes // bands
+        band_cols = []
+        for b in range(bands):
+            cols = [F.col(f"mh_{b * rows + r}").cast("string") for r in range(rows)]
+            band_cols.append(
+                F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *cols)).alias("bh"))
+            )
+        return sig.select(
+            F.col(id_col).alias(out_id), F.explode(F.array(*band_cols)).alias("b")
+        ).select(out_id, F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+    cand = (
+        buckets(sig_c, "doc_id")
+        .join(buckets(sig_r, "ref_id"), ["band", "bh"])
+        .select("doc_id", "ref_id")
+        .dropDuplicates()
+    )
+    if threshold is None:
+        return cand
+    sets_c = shingle_sets(corpus, id_col, text_col, k).select(
+        F.col(id_col).alias("doc_id"), F.col("sh").alias("sh_a")
+    )
+    sets_r = shingle_sets(reference, id_col, text_col, k).select(
+        F.col(id_col).alias("ref_id"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sets_c, "doc_id")
+        .join(sets_r, "ref_id")
+        .select(
+            "doc_id",
+            "ref_id",
+            F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def prefix_filter_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -298,6 +298,60 @@ def cohort_retention(
     )
 
 
+def iqr_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: float = 1.5,
+    range_buckets: int | None = None,
+) -> DataFrame:
+    """Tukey-fence outlier detection per group: fences are
+    ``[q1 − k·IQR, q3 + k·IQR]`` with q1/q3 the exact type-1 quartiles
+    (``grouped_quantiles``), so the bounds are actual data values ±
+    single-rounded IEEE arithmetic — deterministic on any engine.
+
+    Output, one row per key: ``(keys…, q1, q3, lo, hi, n, n_outliers)``
+    — the per-group QC summary (flagging individual rows is the same
+    join without the final aggregate). NULL values are excluded from
+    both the quantiles and the counts.
+
+    Plan: the quartile table is keys×2 rows — broadcast back onto the
+    data, so the big side is scanned twice (once under the ranking
+    window, once for the count) but never joins shuffle-to-shuffle.
+    Pass ``range_buckets`` to use the two-level ranked-selection
+    quantile path at scale.
+    """
+    q = grouped_quantiles(
+        df, keys, value_col, ps=(0.25, 0.75), range_buckets=range_buckets
+    )
+    fences = (
+        q.groupBy(*keys)
+        .agg(
+            F.min(F.when(F.col("p") == 0.25, F.col("q"))).alias("q1"),
+            F.min(F.when(F.col("p") == 0.75, F.col("q"))).alias("q3"),
+        )
+        .withColumn("lo", F.col("q1") - F.lit(k) * (F.col("q3") - F.col("q1")))
+        .withColumn("hi", F.col("q3") + F.lit(k) * (F.col("q3") - F.col("q1")))
+    )
+    data = df.filter(F.col(value_col).isNotNull()).select(*keys, value_col)
+    out_of = (F.col(value_col) < F.col("lo")) | (F.col(value_col) > F.col("hi"))
+    joined = (
+        data.join(F.broadcast(fences), keys)
+        if keys
+        # keyless: fences is one row — a broadcast 1-row cross join
+        else data.crossJoin(F.broadcast(fences))
+    )
+    return (
+        joined
+        .groupBy(*keys, "q1", "q3", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out_of.cast("long")).alias("n_outliers"),
+        )
+        .select(*keys, "q1", "q3", "lo", "hi", "n", "n_outliers")
+    )
+
+
 def derive_sample_fraction(df: DataFrame, target_rows: int) -> float:
     """Fraction that bounds a hash sample of ``df`` at ~``target_rows``
     rows regardless of input size: ``min(1, target_rows / count)``.

@@ -71,7 +71,37 @@ HEADLINE = [
     "q112_unigram_logprob",  # corpus-trained unigram LM scoring
     "q113_ivf_multiprobe",   # nprobe=2 IVF (recall knob)
     "q114_grouped_quantiles",  # exact type-1 quantiles, one window
+    "q115_range_shard",      # sampled-boundary deterministic range shard
+    "q116_semantic_dedup",   # LSH pairs -> components -> canonical
+    "q117_salted_join",      # hot-key salted equi-join
+    "q118_bucketed_join",    # bucketed write + shuffle-free merge join
+    "q119_continuous_rollup",  # two-step incremental rollup refresh
+    "q120_iqr_outliers",     # quartile fences broadcast back
+    "q121_crosscorpus_dedup",  # two-corpus band-bucket join + verify
 ]
+
+
+def sentinel_seconds(spark, reps: int) -> float:
+    """Host-throughput sentinel: a fixed synthetic aggregation (range →
+    modulo groupBy) that exercises codegen + shuffle but touches NO repo
+    code and NO input files. Its runtime moves with hypervisor weather
+    exactly like the real queries (same JVM, same cores), so
+    ``queries[q] / sentinel_sec`` is comparable ACROSS rounds even when
+    the host's absolute throughput drifts ±30 % (SCALE.md). Min of
+    ``reps`` runs, like the queries."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .groupBy((F.col("id") % 9973).alias("k"))
+            .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite").format("noop").save()
+        )
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
 
 
 def main() -> None:
@@ -93,13 +123,20 @@ def main() -> None:
         runs = []
         for _ in range(reps):
             spark.catalog.clearCache()
-            df = qs[name](spark, SF_DIR)
+            # plan construction runs INSIDE the timer: several operators
+            # legitimately act at build time (boundary-sample collects,
+            # incremental refreshes, iterative components) and that work
+            # is part of the query's cost — timing only the final sink
+            # would report a near-zero for them (q116/q119 showed 0.1 s
+            # while their refresh/fixpoint ran untimed)
             t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
             runs.append(round(time.perf_counter() - t0, 3))
         all_runs[name] = runs
         timings[name] = min(runs)
     total = round(sum(timings.values()), 3)
+    sentinel = sentinel_seconds(spark, reps)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Per-run detail goes to a side file, NOT stdout: the driver parses
     # the single printed JSON line and chokes past ~2 KB (BENCH_r03 was
@@ -108,8 +145,20 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    normalized = {q: round(t / sentinel, 3) for q, t in timings.items()}
     with open(detail_path, "w") as f:
-        json.dump({"runs": all_runs, "reps": reps, "sf": sf}, f, indent=1)
+        json.dump(
+            {
+                "runs": all_runs,
+                "reps": reps,
+                "sf": sf,
+                "sentinel_sec": sentinel,
+                "normalized": normalized,
+                "normalized_total": round(total / sentinel, 3),
+            },
+            f,
+            indent=1,
+        )
     print(
         json.dumps(
             {
@@ -117,6 +166,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "sentinel_sec": sentinel,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),

@@ -98,6 +98,31 @@ def main() -> None:
         F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
     )
 
+    # 9. ingest ledger: versioned-Bloom streaming dedup with the
+    #    PRODUCTION Parquet sink — each micro-batch's accepted rows land
+    #    in <sink>/batch_id=<n>, state commits via write-version-then-
+    #    flip-pointer, and a replayed duplicate batch emits nothing new.
+    #    (Living documentation of the bloom_dedup_batches commit
+    #    contract; the unit tests pin the crash/retry corners.)
+    import shutil
+    import tempfile
+
+    from aeon_mecha_spark.streaming.stream import bloom_dedup_batches
+
+    ledger_root = tempfile.mkdtemp(prefix="bloom_ledger_")
+    sink_path = os.path.join(ledger_root, "accepted")
+    fn, _ = bloom_dedup_batches(
+        spark, os.path.join(ledger_root, "state"), key_col="doc_id", sink=sink_path
+    )
+    batch1 = chosen.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source")
+    batch2 = chosen.select("doc_id", "source")  # replays every batch-1 key
+    fn(batch1, 0)
+    fn(batch2, 1)
+    ledger = spark.read.parquet(sink_path)  # full ledger: both batch dirs
+    n_b1 = batch1.count()
+    n_led = ledger.count()
+    n_b2_fresh = ledger.filter(F.col("batch_id") == 1).count()
+
     print(f"after exact dedup:      {n1}")
     print(f"after near-dup dedup:   {n2}")
     print(f"after decontamination:  {n3}")
@@ -105,6 +130,12 @@ def main() -> None:
     print("output shards (docs / tokens):")
     for r in bins.orderBy("shard").collect():
         print(f"  shard {r['shard']}: {r['docs']:5d} docs  {r['tokens']:8d} tokens")
+    print(
+        f"bloom ledger: batch 0 accepted {n_b1}, batch 1 accepted "
+        f"{n_b2_fresh} fresh (replayed {n_b1} dups dropped), "
+        f"ledger total {n_led}"
+    )
+    shutil.rmtree(ledger_root)
 
     release_cached(budgeted)
     spark.stop()

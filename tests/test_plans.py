@@ -307,3 +307,58 @@ def test_q115_range_shard_corpus_never_shuffles(spark, entry, sf_dir):
     assert "SortMergeJoin" not in p
     # no hash exchange keyed on the corpus row identity
     assert "hashpartitioning(event_id" not in p
+
+
+def test_q117_salted_join_is_plain_hash_join(spark, entry, sf_dir):
+    """Salting must not degrade the join: still an equi hash join on
+    (key, salt), no nested loop, no cartesian."""
+    p = plan_str(entry.queries()["q117_salted_join"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("BroadcastHashJoin" in p) or ("SortMergeJoin" in p)
+
+
+def test_q118_bucketed_join_reads_buckets_no_join_shuffle(spark, entry, sf_dir):
+    """The whole point of the bucketed layout: both scans read buckets
+    directly and the JOIN itself needs no Exchange. With broadcast
+    disabled the join is the co-located sort-merge form."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_str(entry.queries()["q118_bucketed_join"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in p
+    assert "SortMergeJoin" in p
+    # no exchange keyed on the join key — bucket co-location replaces it
+    assert "hashpartitioning(o_custkey" not in p
+    assert "hashpartitioning(c_custkey" not in p
+
+
+def test_q120_iqr_fences_broadcast_back(spark, entry, sf_dir):
+    """The keys x 2-row fence table must broadcast onto the data — the
+    big side joins without shuffling on the group key twice."""
+    p = plan_str(entry.queries()["q120_iqr_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q121_crosscorpus_band_join_no_cartesian(spark, entry, sf_dir):
+    """Cross-corpus candidates come from the (band, bh) bucket join —
+    the |corpus| x |reference| pair space must never appear."""
+    p = plan_str(entry.queries()["q121_crosscorpus_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q116_semantic_dedup_result_is_fixpoint(spark, entry, sf_dir):
+    """Semantic dedup output invariants: canonical <= id, canonicals
+    are their own canonical (fixpoint), one row per input vector."""
+    out = entry.queries()["q116_semantic_dedup"](spark, sf_dir).collect()
+    n_in = len(out)
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == n_in
+    for r in out:
+        assert r["canonical_id"] <= r["vec_id"]
+        assert by_id[r["canonical_id"]]["canonical_id"] == r["canonical_id"]
+        assert r["is_dup"] == (1 if r["canonical_id"] != r["vec_id"] else 0)

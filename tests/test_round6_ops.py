@@ -194,3 +194,82 @@ def test_pack_sequences_keyed_unaffected_by_guard(spark):
         docs, budget=4, keys=["shard"], unkeyed_row_limit=1
     ).collect()
     assert len(rows) == 40
+
+
+# -- new round-6 operators ---------------------------------------------------
+
+
+def test_cross_corpus_duplicates_finds_planted_dup(spark):
+    from aeon_mecha_spark.datapipe.dedup import cross_corpus_duplicates
+
+    ref = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog"),
+         (101, "an entirely different reference document text here")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 100
+         (2, "completely unrelated corpus content with no overlap at all")],
+        "doc_id long, text string",
+    )
+    out = cross_corpus_duplicates(corpus, ref, k=3, threshold=0.5).collect()
+    assert [(r["doc_id"], r["ref_id"]) for r in out] == [(1, 100)]
+    assert out[0]["jaccard"] == 1.0
+
+
+def test_cross_corpus_duplicates_never_pairs_within_corpus(spark):
+    from aeon_mecha_spark.datapipe.dedup import cross_corpus_duplicates
+
+    # two identical corpus docs, reference shares nothing: a SELF-join
+    # dedup would pair (1, 2); the cross join must return nothing
+    corpus = spark.createDataFrame(
+        [(1, "same text repeated across corpus documents"),
+         (2, "same text repeated across corpus documents")],
+        "doc_id long, text string",
+    )
+    ref = spark.createDataFrame(
+        [(100, "reference side holds wholly distinct material")],
+        "doc_id long, text string",
+    )
+    assert cross_corpus_duplicates(corpus, ref, k=3, threshold=0.1).count() == 0
+
+
+def test_cross_corpus_candidates_without_threshold(spark):
+    from aeon_mecha_spark.datapipe.dedup import cross_corpus_duplicates
+
+    ref = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    out = cross_corpus_duplicates(corpus, ref, k=3)
+    assert out.columns == ["doc_id", "ref_id"]
+    assert out.collect()[0].asDict() == {"doc_id": 1, "ref_id": 9}
+
+
+def test_iqr_outliers_exact_fences(spark):
+    from aeon_mecha_spark.operators.analytics import iqr_outliers
+
+    # group a: values 1..8 plus an outlier 100
+    rows = [("a", float(v)) for v in range(1, 9)] + [("a", 100.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {r["k"]: r for r in iqr_outliers(df, ["k"], "v").collect()}
+    a = out["a"]
+    # n=9: q1 = value at ceil(9/4)=rank 3 -> 3.0; q3 = ceil(27/4)=rank 7 -> 7.0
+    assert (a["q1"], a["q3"]) == (3.0, 7.0)
+    assert (a["lo"], a["hi"]) == (3.0 - 1.5 * 4.0, 7.0 + 1.5 * 4.0)
+    assert (a["n"], a["n_outliers"]) == (9, 1)
+    b = out["b"]
+    assert (b["q1"], b["q3"], b["n_outliers"]) == (5.0, 5.0, 0)
+
+
+def test_iqr_outliers_keyless(spark):
+    from aeon_mecha_spark.operators.analytics import iqr_outliers
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 9)] + [(1000.0,)], "v double"
+    )
+    r = iqr_outliers(df, [], "v").collect()
+    assert len(r) == 1
+    assert r[0]["n"] == 9 and r[0]["n_outliers"] == 1

@@ -1,0 +1,89 @@
+"""IVF scaling-law probe: fixed-k vs k ∝ N, single- and multi-probe.
+
+The correctness gates (q48/q113) pin a FIXED k=4 literal codebook for
+oracle-checkability, which makes their naive scale ratio superlinear by
+construction (same-cell pair count is N²/k). The operator's actual
+operating rule is the standard IVF law k ∝ N (constant cell size); this
+probe measures both configurations on the same replicated corpus so
+SCALE.md's claim stays reproducible instead of ad-hoc:
+
+  1×  corpus, k=4          (the gate shape; cell ≈ N/4)
+  N×  corpus, k=4          (the degenerate fixed-codebook shape)
+  N×  corpus, k=4·N        (k ∝ N: cell size back to the 1× value)
+
+each timed for ivf_knn(nprobe=1) and ivf_knn(nprobe=2). Centroids for
+the k ∝ N config come from kmeans_train (deterministic min-md5 init) —
+the same training path a production index build uses.
+
+Writes only under /tmp. Usage: python tools/ivf_scale_probe.py [N]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DIMS = 8
+
+
+def emb_table(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.slice(F.col("embedding").cast("array<double>"), 1, DIMS).alias("embedding")
+    )
+
+
+def run(spark, emb, centroids, nprobe: int) -> float:
+    from aeon_mecha_spark.datapipe import similarity
+
+    t0 = time.time()
+    similarity.ivf_knn(emb, centroids, k=3, nprobe=nprobe).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+    from aeon_mecha_spark.datapipe import similarity
+    from aeon_mecha_spark.session import get_spark
+
+    from tools.scale_probe import BASE, build_scaled
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("ivf-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled_dir = build_scaled(spark, n)
+
+    base = emb_table(spark, BASE)
+    scaled = emb_table(spark, scaled_dir)
+    k_fixed = len(entry_mod._IVF_CENTROIDS)
+    k_scaled = k_fixed * n
+    cent_big = similarity.kmeans_train(scaled, k=k_scaled, iters=5)
+
+    # warmup (JVM/codegen init out of the measurement)
+    run(spark, base, entry_mod._IVF_CENTROIDS, 1)
+
+    report = {"n": n, "k_fixed": k_fixed, "k_scaled": k_scaled, "configs": {}}
+    for nprobe in (1, 2):
+        report["configs"][f"nprobe{nprobe}"] = {
+            "base_k_fixed_s": run(spark, base, entry_mod._IVF_CENTROIDS, nprobe),
+            "scaled_k_fixed_s": run(spark, scaled, entry_mod._IVF_CENTROIDS, nprobe),
+            "scaled_k_prop_s": run(spark, scaled, cent_big, nprobe),
+        }
+    for cfg, r in report["configs"].items():
+        r["ratio_fixed"] = round(r["scaled_k_fixed_s"] / r["base_k_fixed_s"], 2)
+        r["ratio_k_prop"] = round(r["scaled_k_prop_s"] / r["base_k_fixed_s"], 2)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
