@@ -1697,6 +1697,69 @@ def q121_crosscorpus_dedup(spark, sf_dir):
     return out.select("doc_id", "ref_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q122_bloom_ledger(spark, sf_dir):
+    """Versioned-Bloom streaming dedup with the production Parquet sink
+    (streaming/stream.py:147): three growing micro-batches (batch b =
+    docs with id % 3 <= b, so every earlier key REPLAYS in every later
+    batch); the ledger read back from the sink must contain each doc
+    exactly once, in the first batch it appeared — which the oracle
+    states directly as batch_id = doc_id % 3. This hash-gates the
+    no-false-negative guarantee and the write-version-then-flip-pointer
+    commit under replay. (The gate WRITES state + sink each run.)"""
+    import shutil
+
+    from aeon_mecha_spark.streaming.stream import bloom_dedup_batches
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "spark-warehouse",
+        f"bloom_ledger_{_sf_tag(sf_dir)}",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    fn, _ = bloom_dedup_batches(
+        spark,
+        os.path.join(root, "state"),
+        key_col="doc_id",
+        sink=os.path.join(root, "accepted"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    for b in range(3):
+        fn(docs.filter(F.col("doc_id") % 3 <= b), b)
+    led = spark.read.parquet(os.path.join(root, "accepted"))
+    return _longs(led.select("doc_id", "source", "batch_id"), "batch_id")
+
+
+def q123_interpolate_linear(spark, sf_dir):
+    """Time-weighted linear interpolation of NULL gaps (every 5th event
+    masked): one sort, four window expressions over two frames, fixed
+    IEEE expression tree — hash-identical to the oracle's window SQL."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    masked = ev.withColumn(
+        "value", F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    out = analytics.interpolate_linear(
+        masked, ["user_id"], "ts", "value", order_cols=["ts", "event_id"]
+    )
+    return out.select(
+        "event_id", "user_id", "was_null",
+        F.round("value_interp", 6).alias("value_interp"),
+    )
+
+
+def q124_key_skew_stats(spark, sf_dir):
+    """Hot-key diagnostic (operators/skew.py): top-10 heaviest lineitem
+    supplier keys with row share — the pre-flight measurement that
+    decides when a join needs salting. groupBy + TakeOrdered, no global
+    window over the distinct-key table."""
+    from aeon_mecha_spark.operators import skew
+
+    out = skew.key_skew_stats(_t(spark, sf_dir, "lineitem"), ["l_suppkey"], top_n=10)
+    return _longs(
+        out.select("l_suppkey", "n", F.round("share", 9).alias("share"), "rank"),
+        "n", "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1729,6 +1792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_continuous_rollup": q119_continuous_rollup,
         "q120_iqr_outliers": q120_iqr_outliers,
         "q121_crosscorpus_dedup": q121_crosscorpus_dedup,
+        "q122_bloom_ledger": q122_bloom_ledger,
+        "q123_interpolate_linear": q123_interpolate_linear,
+        "q124_key_skew_stats": q124_key_skew_stats,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -1766,12 +1832,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_bpe_tokens": q104_bpe_tokens,
         "q105_span_decontaminate": q105_span_decontaminate,
         "q106_curation_pipeline": q106_curation_pipeline,
-        "q107_zorder_key": q107_zorder_key,
-        "q108_vocab_encode": q108_vocab_encode,
-        "q109_pq_assign_fixed": q109_pq_assign_fixed,
         # ---- entries below are past the driver's 50-entry window ----
         # (green in CORRECTNESS_r05 or r04; re-checkable locally via
         # tools/check_correctness.py)
+        "q107_zorder_key": q107_zorder_key,
+        "q108_vocab_encode": q108_vocab_encode,
+        "q109_pq_assign_fixed": q109_pq_assign_fixed,
         "q76_pack_sequences": q76_pack_sequences,
         "q77_merge_intervals": q77_merge_intervals,
         "q78_redact_pii": q78_redact_pii,
@@ -3326,6 +3392,52 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2, 3, 4, 5
         """,
         "q121_crosscorpus_dedup": _sql_crosscorpus_dedup(),
+        "q122_bloom_ledger": """
+            SELECT doc_id, source, (doc_id % 3)::bigint AS batch_id
+            FROM documents
+        """,
+        "q123_interpolate_linear": """
+            WITH m AS (
+              SELECT event_id, user_id, epoch_us(ts) AS t,
+                     CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v,
+                     ts
+              FROM events
+            ), w AS (
+              SELECT event_id, user_id, v, t,
+                     last_value(v IGNORE NULLS) OVER wp AS pv,
+                     last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wp AS pt,
+                     first_value(v IGNORE NULLS) OVER wn AS nv,
+                     first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wn AS nt
+              FROM m
+              WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     wn AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, user_id, v IS NULL AS was_null,
+                   round(CASE WHEN v IS NOT NULL THEN v
+                              WHEN pv IS NULL THEN nv
+                              WHEN nv IS NULL THEN pv
+                              ELSE pv + (nv - pv) * ((t - pt)::double / (nt - pt)::double)
+                         END, 6) AS value_interp
+            FROM w
+        """,
+        "q124_key_skew_stats": """
+            WITH c AS (
+              SELECT l_suppkey, count(*)::bigint AS n
+              FROM lineitem GROUP BY l_suppkey
+            ), t AS (
+              SELECT sum(n)::bigint AS total FROM c
+            ), r AS (
+              SELECT l_suppkey, n,
+                     row_number() OVER (ORDER BY n DESC, l_suppkey) AS rank
+              FROM c
+            )
+            SELECT l_suppkey, n,
+                   round(n::double / total::double, 9) AS share,
+                   rank::bigint AS rank
+            FROM r CROSS JOIN t WHERE rank <= 10
+        """,
         "q115_range_shard": """
             WITH smp AS (
               SELECT value AS v FROM events

@@ -166,6 +166,62 @@ def gap_fill_locf(
     return joined
 
 
+def interpolate_linear(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Time-weighted linear interpolation of NULL gaps per key — the
+    complement of ``gap_fill_locf``: instead of carrying the last value
+    forward, a NULL row gets
+    ``prev + (next − prev) · (t − t_prev)/(t_next − t_prev)``
+    between its nearest non-null neighbours (pandas ``interpolate
+    (method='time')`` semantics). Rows before the first observation
+    backfill from the next; after the last, LOCF from the prev; keys
+    with no observation stay NULL. Adds ``value_interp`` (original
+    non-null values pass through bit-unchanged) and ``was_null``.
+
+    Determinism: ``order_cols`` (default ``[ts_col]``) must be unique
+    per key so the neighbour choice is total-order-stable; time deltas
+    are integer µs cast to double, and the interpolation is a fixed
+    IEEE expression tree — identical in any engine, so the q123 gate
+    hash-matches DuckDB.
+
+    Plan: FOUR window expressions over TWO frame specs (backward
+    prev-carry, forward next-carry) on the same (keys, order) sort —
+    one Exchange + one sort, both window passes reuse the partitioning.
+    No joins, no explode; scale is the per-key sort.
+    """
+    order_cols = order_cols or [ts_col]
+    wp = (
+        W.partitionBy(*keys)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wn = (
+        W.partitionBy(*keys)
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    t_us = F.unix_micros(F.col(ts_col))
+    obs_t = F.when(v.isNotNull(), t_us)
+    prev_v = F.last(v, ignorenulls=True).over(wp)
+    prev_t = F.last(obs_t, ignorenulls=True).over(wp)
+    next_v = F.first(v, ignorenulls=True).over(wn)
+    next_t = F.first(obs_t, ignorenulls=True).over(wn)
+    frac = (t_us - prev_t).cast("double") / (next_t - prev_t).cast("double")
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(prev_v.isNull(), next_v)  # before first obs (also all-null key)
+        .when(next_v.isNull(), prev_v)  # after last obs
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return df.withColumn("was_null", v.isNull()).withColumn("value_interp", interp)
+
+
 def funnel(
     df: DataFrame,
     user_col: str,

@@ -49,3 +49,38 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return left.join(right, [*on, "_salt"], how).drop("_salt")
+
+
+def key_skew_stats(
+    df: DataFrame,
+    keys: list[str],
+    top_n: int = 20,
+) -> DataFrame:
+    """Hot-key diagnostic: the ``top_n`` heaviest join/group keys with
+    their row counts and share of the table — the measurement that
+    decides whether a join needs ``salted_join`` (or AQE skew split)
+    BEFORE the straggler task appears in production.
+
+    Output: ``(keys…, n, share, rank)`` ordered by weight;
+    ``share = n / total`` (one double division — engine-exact). A key
+    whose share approaches 1/shuffle-partitions is a straggler in
+    waiting; a share over a few percent at 100 TB means that single
+    reducer task receives terabytes.
+
+    Plan: one hash-groupBy (map-side partial) + a TakeOrdered top-n on
+    the counts (orderBy+limit — never a global window over the
+    unbounded distinct-key table) + a 1-row total broadcast; the rank
+    window runs over the already-limited ≤ top_n rows.
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    order = [F.col("n").desc(), *[F.col(k).asc() for k in keys]]
+    top = counts.orderBy(*order).limit(top_n)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n").cast("double") / F.col("_total").cast("double"))
+        .withColumn("rank", F.row_number().over(W.orderBy(*order)))
+        .drop("_total")
+    )

@@ -78,6 +78,12 @@ HEADLINE = [
     "q119_continuous_rollup",  # two-step incremental rollup refresh
     "q120_iqr_outliers",     # quartile fences broadcast back
     "q121_crosscorpus_dedup",  # two-corpus band-bucket join + verify
+    # (q122_bloom_ledger is deliberately NOT in the headline set: its
+    # cost is three micro-batch parquet sink+state writes, an ingest
+    # shape the correctness gate covers; timing it here would measure
+    # disk, not plans)
+    "q123_interpolate_linear",  # 4 window exprs, 2 frames, one sort
+    "q124_key_skew_stats",   # groupBy + TakeOrdered hot-key diagnostic
 ]
 
 

@@ -273,3 +273,96 @@ def test_iqr_outliers_keyless(spark):
     r = iqr_outliers(df, [], "v").collect()
     assert len(r) == 1
     assert r[0]["n"] == 9 and r[0]["n_outliers"] == 1
+
+
+# -- interpolate_linear / key_skew_stats / bloom ledger gate ------------------
+
+
+def test_interpolate_linear_values(spark):
+    from aeon_mecha_spark.operators.analytics import interpolate_linear
+
+    rows = [
+        ("a", 0, 10.0),
+        ("a", 10, None),   # between 10.0 and 40.0, 1/3 of the way -> 20.0
+        ("a", 30, 40.0),
+        ("a", 40, None),   # after last obs -> LOCF 40.0
+        ("b", 0, None),    # before first obs -> backfill 7.0
+        ("b", 10, 7.0),
+        ("c", 5, None),    # key with no obs -> stays NULL
+    ]
+    df = spark.createDataFrame(
+        [(k, __import__("datetime").datetime(2024, 1, 1, 0, 0, s), v) for k, s, v in rows],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        (r["k"], r["ts"].second): (r["value_interp"], r["was_null"])
+        for r in interpolate_linear(df, ["k"], "ts", "v").collect()
+    }
+    assert out[("a", 0)] == (10.0, False)
+    assert out[("a", 10)] == (20.0, True)
+    assert out[("a", 30)] == (40.0, False)
+    assert out[("a", 40)] == (40.0, True)
+    assert out[("b", 0)] == (7.0, True)
+    assert out[("c", 5)] == (None, True)
+
+
+def test_interpolate_linear_single_sort(spark):
+    """Both window frames must share one partitioning+sort: exactly one
+    Exchange, one Sort in the plan."""
+    import re
+
+    from aeon_mecha_spark.operators.analytics import interpolate_linear
+
+    df = spark.createDataFrame(
+        [("a", __import__("datetime").datetime(2024, 1, 1), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        interpolate_linear(df, ["k"], "ts", "v").explain("formatted")
+    p = buf.getvalue()
+    tree = p.split("(1) ")[0]
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 1
+    assert len(re.findall(r"\(\d+\) Sort\b", p)) <= 1
+
+
+def test_key_skew_stats_ranks_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.operators.skew import key_skew_stats
+
+    df = spark.range(100).select(
+        F.when(F.col("id") < 60, F.lit("hot")).otherwise((F.col("id") % 4).cast("string")).alias("k")
+    )
+    out = key_skew_stats(df, ["k"], top_n=2).collect()
+    assert out[0]["k"] == "hot" and out[0]["n"] == 60 and out[0]["rank"] == 1
+    assert out[0]["share"] == 0.6
+    assert len(out) == 2 and out[1]["rank"] == 2
+
+
+def test_key_skew_stats_plan_is_take_ordered(spark):
+    import contextlib, io
+
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.operators.skew import key_skew_stats
+
+    df = spark.range(1000).select((F.col("id") % 7).alias("k"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        key_skew_stats(df, ["k"], top_n=3).explain("formatted")
+    p = buf.getvalue()
+    assert "TakeOrderedAndProject" in p  # orderBy+limit, not a global sort
+
+
+def test_bloom_ledger_gate_replay_safe(spark):
+    """q122 at sf0.001: replayed keys never re-emit; ledger batch_id is
+    first-appearance."""
+    import __spark_entry__ as m
+
+    rows = m.queries()["q122_bloom_ledger"](spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})  # no dup emission
+    for r in rows:
+        assert r["batch_id"] == r["doc_id"] % 3

@@ -39,14 +39,21 @@ def emb_table(spark, sf_dir: str):
     )
 
 
-def run(spark, emb, centroids, nprobe: int) -> float:
+def run(spark, emb, centroids, nprobe: int, reps: int = 3) -> float:
+    """Best of ``reps`` runs — single-shot timings of the k=32 literal
+    codebook are dominated by first-compile of the unrolled distance
+    expressions (observed 12.6 s single-shot vs 4.9 s warm)."""
     from aeon_mecha_spark.datapipe import similarity
 
-    t0 = time.time()
-    similarity.ivf_knn(emb, centroids, k=3, nprobe=nprobe).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    return round(time.time() - t0, 3)
+    best = None
+    for _ in range(reps):
+        t0 = time.time()
+        similarity.ivf_knn(emb, centroids, k=3, nprobe=nprobe).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
 
 
 def main() -> None:

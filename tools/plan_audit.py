@@ -42,6 +42,7 @@ TINY_GLOBAL_WINDOW_OK = {
     "q90_token_budget",  # <=1024-row bucket-offset table (two-level prefix sum)
     "q108_vocab_encode",  # vocab ranking after limit(V)
     "q115_range_shard",  # boundary quantiles over the bounded hash sample
+    "q124_key_skew_stats",  # rank window over the already-limited <= top_n rows
 }
 
 
