@@ -1760,6 +1760,60 @@ def q124_key_skew_stats(spark, sf_dir):
     )
 
 
+def q125_fuzzy_blocked_join(spark, sf_dir):
+    """Blocked record linkage (datapipe/linkage.py) in its
+    multiplicity-collapsed form: part names are massively duplicated
+    (sf0.1: 20k rows, 64 distinct names — raw pairwise linkage emits
+    3.1M pairs in 35 s), so the census collapses to distinct texts,
+    Levenshtein-verifies only same-block distinct-name pairs, and
+    recovers exact row-pair counts arithmetically (C(m,2) per same-name
+    group; m_a·m_b per near pair). Same numbers as the naive pairwise
+    run, at distinct-text cost."""
+    from aeon_mecha_spark.datapipe import linkage
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id"), F.col("p_name").alias("text")
+    )
+    out = linkage.fuzzy_duplicate_stats(p, "text", max_dist=1)
+    return _longs(out, "dist", "n_text_pairs", "n_row_pairs")
+
+
+def q126_scd2_merge(spark, sf_dir):
+    """SCD type-2 dimension merge (pipeline/scd.py): customer balances
+    as the tracked attribute — an update batch with changed keys (+100),
+    no-op keys (same balance), and brand-new keys. The open slice joins
+    the batch once; history never joins. Oracle replays the same four
+    branches as UNION ALL CTEs, so the full output dimension (closed +
+    kept-open + newly-closed + reopened + fresh) is hash-verified."""
+    from aeon_mecha_spark.pipeline import scd
+
+    cust = _t(spark, sf_dir, "customer")
+    eff = F.lit("2024-06-01").cast("timestamp")
+    dim = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit("2024-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 10 == 5).select("c_custkey", "c_acctbal")
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+            )
+        )
+        .withColumn("effective_ts", eff)
+    )
+    return scd.scd2_apply(dim, upd, ["c_custkey"], ["c_acctbal"])
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1795,6 +1849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_bloom_ledger": q122_bloom_ledger,
         "q123_interpolate_linear": q123_interpolate_linear,
         "q124_key_skew_stats": q124_key_skew_stats,
+        "q125_fuzzy_blocked_join": q125_fuzzy_blocked_join,
+        "q126_scd2_merge": q126_scd2_merge,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -1830,11 +1886,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_table_fingerprint": q102_table_fingerprint,
         "q103_knn_recall": q103_knn_recall,
         "q104_bpe_tokens": q104_bpe_tokens,
-        "q105_span_decontaminate": q105_span_decontaminate,
-        "q106_curation_pipeline": q106_curation_pipeline,
         # ---- entries below are past the driver's 50-entry window ----
         # (green in CORRECTNESS_r05 or r04; re-checkable locally via
         # tools/check_correctness.py)
+        "q105_span_decontaminate": q105_span_decontaminate,
+        "q106_curation_pipeline": q106_curation_pipeline,
         "q107_zorder_key": q107_zorder_key,
         "q108_vocab_encode": q108_vocab_encode,
         "q109_pq_assign_fixed": q109_pq_assign_fixed,
@@ -3421,6 +3477,68 @@ def oracle_sql() -> dict[str, str]:
                               ELSE pv + (nv - pv) * ((t - pt)::double / (nt - pt)::double)
                          END, 6) AS value_interp
             FROM w
+        """,
+        "q125_fuzzy_blocked_join": """
+            WITH names AS (
+              SELECT p_name AS text, count(*)::bigint AS m
+              FROM part GROUP BY p_name
+            ), nb AS (
+              SELECT text, m,
+                     split_part(text, ' ', 1) || ':' ||
+                       (length(text) // 4)::varchar AS blk,
+                     length(text) AS len
+              FROM names
+            ), near AS (
+              SELECT levenshtein(a.text, b.text) AS dist,
+                     a.m AS ma, b.m AS mb
+              FROM nb a JOIN nb b
+                ON a.blk = b.blk AND a.text < b.text AND abs(a.len - b.len) <= 1
+            )
+            SELECT 0::bigint AS dist, count(*)::bigint AS n_text_pairs,
+                   sum(m * (m - 1) // 2)::bigint AS n_row_pairs
+            FROM names WHERE m >= 2
+            HAVING count(*) > 0
+            UNION ALL
+            SELECT dist::bigint, count(*)::bigint, sum(ma * mb)::bigint
+            FROM near WHERE dist BETWEEN 1 AND 1 GROUP BY dist
+        """,
+        "q126_scd2_merge": """
+            WITH dim AS (
+              SELECT c_custkey, c_acctbal, c_mktsegment,
+                     TIMESTAMP '2024-01-01' AS valid_from,
+                     NULL::TIMESTAMP AS valid_to,
+                     TRUE AS is_current
+              FROM customer
+            ), upd AS (
+              SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+              FROM customer WHERE c_custkey % 10 = 0
+              UNION ALL
+              SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 10 = 5
+              UNION ALL
+              SELECT c_custkey + 1000000, 0.0 FROM customer WHERE c_custkey % 100 = 0
+            ), j AS (
+              SELECT d.c_custkey, d.c_acctbal, d.c_mktsegment, d.valid_from,
+                     d.valid_to, d.is_current, u.new_bal,
+                     (u.c_custkey IS NOT NULL
+                      AND d.c_acctbal IS DISTINCT FROM u.new_bal) AS changed
+              FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
+            )
+            SELECT c_custkey, c_acctbal, c_mktsegment, valid_from, valid_to,
+                   is_current
+            FROM j WHERE NOT changed
+            UNION ALL
+            SELECT c_custkey, c_acctbal, c_mktsegment, valid_from,
+                   TIMESTAMP '2024-06-01', FALSE
+            FROM j WHERE changed
+            UNION ALL
+            SELECT c_custkey, new_bal, c_mktsegment, TIMESTAMP '2024-06-01',
+                   NULL::TIMESTAMP, TRUE
+            FROM j WHERE changed
+            UNION ALL
+            SELECT u.c_custkey, u.new_bal, NULL, TIMESTAMP '2024-06-01',
+                   NULL::TIMESTAMP, TRUE
+            FROM upd u LEFT JOIN dim d ON u.c_custkey = d.c_custkey
+            WHERE d.c_custkey IS NULL
         """,
         "q124_key_skew_stats": """
             WITH c AS (

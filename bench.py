@@ -84,6 +84,8 @@ HEADLINE = [
     # disk, not plans)
     "q123_interpolate_linear",  # 4 window exprs, 2 frames, one sort
     "q124_key_skew_stats",   # groupBy + TakeOrdered hot-key diagnostic
+    "q125_fuzzy_blocked_join",  # multiplicity-collapsed blocked linkage
+    "q126_scd2_merge",       # SCD2 open-slice merge (4-branch union)
 ]
 
 

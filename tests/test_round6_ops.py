@@ -366,3 +366,151 @@ def test_bloom_ledger_gate_replay_safe(spark):
     assert len(rows) == len({r["doc_id"] for r in rows})  # no dup emission
     for r in rows:
         assert r["batch_id"] == r["doc_id"] % 3
+
+
+# -- record linkage / SCD2 ----------------------------------------------------
+
+
+def test_blocked_fuzzy_pairs_dist1(spark):
+    from aeon_mecha_spark.datapipe.linkage import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget"),
+            (2, "red widgex"),   # dist 1 from 1, same block (red:2)
+            (3, "red widgetxyz"),  # same first token, length band differs
+            (4, "blue widget"),  # different block
+            (5, "red widget"),   # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["dist"] for r in blocked_fuzzy_pairs(df, "text").collect()}
+    assert out == {(1, 2): 1, (1, 5): 0, (2, 5): 1}
+
+
+def test_blocked_fuzzy_join_two_tables(spark):
+    from aeon_mecha_spark.datapipe.linkage import blocked_fuzzy_join
+
+    master = spark.createDataFrame([(100, "acme corp")], "id_b long, text string")
+    feed = spark.createDataFrame(
+        [(1, "acme corp"), (2, "acme corpx"), (3, "emca corp")],
+        "id_a long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           blocked_fuzzy_join(feed, master, "text").collect()}
+    # id 3's first token differs -> blocked away even though dist is 2
+    assert got == {(1, 100): 0, (2, 100): 1}
+
+
+def test_blocked_fuzzy_pairs_no_cartesian(spark):
+    import contextlib, io
+
+    from aeon_mecha_spark.datapipe.linkage import blocked_fuzzy_pairs
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        blocked_fuzzy_pairs(df, "text").explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def _scd_dim(spark):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "seg", "2024-01-01 00:00:00", None, True),
+            (1, 5.0, "seg", "2023-01-01 00:00:00", "2024-01-01 00:00:00", False),
+            (2, 20.0, "seg", "2024-01-01 00:00:00", None, True),
+            (3, 30.0, "seg", "2024-01-01 00:00:00", None, True),
+        ],
+        "k long, bal double, seg string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "bal", "seg",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+
+
+def test_scd2_apply_branches(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.pipeline.scd import scd2_apply
+
+    dim = _scd_dim(spark)
+    updates = spark.createDataFrame(
+        [
+            (1, 11.0, "2024-06-01 00:00:00"),  # changed
+            (2, 20.0, "2024-06-01 00:00:00"),  # no-op (same value)
+            (9, 99.0, "2024-06-01 00:00:00"),  # brand new
+        ],
+        "k long, bal double, effective_ts string",
+    ).withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    out = scd2_apply(dim, updates, ["k"], ["bal"]).collect()
+    eff = dt.datetime(2024, 6, 1)
+    rows = {(r["k"], r["valid_from"]): r for r in out}
+    assert len(out) == 6  # 1 closed-history + 3 open-ish + 1 newly-closed + 1 fresh
+    # key 1: old open row closed at eff, new open row with 11.0
+    closed = rows[(1, dt.datetime(2024, 1, 1))]
+    assert closed["valid_to"] == eff and closed["is_current"] is False and closed["bal"] == 10.0
+    reopened = rows[(1, eff)]
+    assert reopened["bal"] == 11.0 and reopened["is_current"] is True and reopened["valid_to"] is None
+    # key 2 no-op: still the original open row
+    assert rows[(2, dt.datetime(2024, 1, 1))]["is_current"] is True
+    # key 3 untouched; key 9 fresh with null carried attrs
+    assert rows[(3, dt.datetime(2024, 1, 1))]["is_current"] is True
+    fresh = rows[(9, eff)]
+    assert fresh["bal"] == 99.0 and fresh["seg"] is None and fresh["is_current"] is True
+    # history row passed through bit-unchanged
+    assert rows[(1, dt.datetime(2023, 1, 1))]["is_current"] is False
+
+
+def test_scd2_apply_idempotent_on_replay(spark):
+    """Re-applying the SAME batch to the merged dimension is a no-op on
+    open rows (values already match) — the property that makes the merge
+    safe under at-least-once delivery."""
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.pipeline.scd import scd2_apply
+
+    dim = _scd_dim(spark)
+    updates = spark.createDataFrame(
+        [(1, 11.0, "2024-06-01 00:00:00")], "k long, bal double, effective_ts string"
+    ).withColumn("effective_ts", F.col("effective_ts").cast("timestamp"))
+    once = scd2_apply(dim, updates, ["k"], ["bal"])
+    twice = scd2_apply(once, updates, ["k"], ["bal"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+
+
+def test_fuzzy_duplicate_stats_matches_pairwise(spark):
+    """Collapsed census must equal counting the naive pairwise output."""
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.datapipe.linkage import (
+        blocked_fuzzy_pairs,
+        fuzzy_duplicate_stats,
+    )
+
+    rows = [
+        (1, "red widget"), (2, "red widget"), (3, "red widget"),  # m=3 -> C(3,2)=3
+        (4, "red widgex"), (5, "red widgex"),                     # m=2 -> 1; x3 near = 6
+        (6, "blue bolt"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    naive = blocked_fuzzy_pairs(df, "text", max_dist=1).groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_row_pairs")
+    )
+    naive_m = {r["dist"]: r["n_row_pairs"] for r in naive.collect()}
+    stats = {r["dist"]: (r["n_text_pairs"], r["n_row_pairs"])
+             for r in fuzzy_duplicate_stats(df, "text", max_dist=1).collect()}
+    assert stats[0] == (2, 3 + 1)        # two duplicated texts; C(3,2)+C(2,2)
+    assert stats[1] == (1, 6)            # one near name-pair, 3*2 row pairs
+    assert naive_m == {0: 4, 1: 6}
+    assert {d: s[1] for d, s in stats.items()} == naive_m
