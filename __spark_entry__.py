@@ -1814,6 +1814,53 @@ def q126_scd2_merge(spark, sf_dir):
     return scd.scd2_apply(dim, upd, ["c_custkey"], ["c_acctbal"])
 
 
+def q127_pagerank(spark, sf_dir):
+    """Integer-exact PageRank (operators/graph.py) over the user
+    transition graph (consecutive users per event_type stream): 5
+    iterations of rank div out_degree contributions with 0.85 damping,
+    all in long micro-units — bit-identical on any engine/partitioning,
+    which is what lets an ITERATIVE algorithm be hash-gated. The oracle
+    unrolls the same 5 iterations as nested CTEs."""
+    from aeon_mecha_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    edges = graph.transition_edges(ev)
+    out = graph.pagerank_int(edges, iters=5)
+    return out.select(F.col("node").alias("user_id"), "rank_micro")
+
+
+def q128_temporal_join(spark, sf_dir):
+    """Effective-dated dimension lookup (pipeline/scd.py temporal_join)
+    — the read side of SCD2: orders join the customer-balance VERSION
+    valid at their order date (dimension split 1998-01-01 by
+    scd2_apply, so pre/post orders see different balances). Broadcast
+    hash join with the interval as residual predicate; never a
+    nested-loop over versions."""
+    from aeon_mecha_spark.pipeline import scd
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    upd = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + 100.0).alias("c_acctbal"),
+        F.lit("1998-01-01").cast("timestamp").alias("effective_ts"),
+    )
+    dim2 = scd.scd2_apply(dim, upd, ["c_custkey"], ["c_acctbal"])
+    facts = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_orderdate"
+    )
+    out = scd.temporal_join(facts, dim2, ["c_custkey"], "o_orderdate")
+    return out.select(
+        "o_orderkey", "c_custkey", "o_orderdate", "c_acctbal", "valid_from", "is_current"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1851,6 +1898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_key_skew_stats": q124_key_skew_stats,
         "q125_fuzzy_blocked_join": q125_fuzzy_blocked_join,
         "q126_scd2_merge": q126_scd2_merge,
+        "q127_pagerank": q127_pagerank,
+        "q128_temporal_join": q128_temporal_join,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -1884,11 +1933,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_kmv_jaccard": q100_kmv_jaccard,
         "q101_token_entropy": q101_token_entropy,
         "q102_table_fingerprint": q102_table_fingerprint,
-        "q103_knn_recall": q103_knn_recall,
-        "q104_bpe_tokens": q104_bpe_tokens,
         # ---- entries below are past the driver's 50-entry window ----
         # (green in CORRECTNESS_r05 or r04; re-checkable locally via
         # tools/check_correctness.py)
+        "q103_knn_recall": q103_knn_recall,
+        "q104_bpe_tokens": q104_bpe_tokens,
         "q105_span_decontaminate": q105_span_decontaminate,
         "q106_curation_pipeline": q106_curation_pipeline,
         "q107_zorder_key": q107_zorder_key,
@@ -2341,6 +2390,40 @@ def _sql_crosscorpus_dedup() -> str:
                 JOIN setsR sr ON sr.doc_id = cand.ref_id
     )
     SELECT doc_id, ref_id, round(jacc, 6) AS jaccard FROM j WHERE jacc >= 0.5"""
+
+
+def _sql_pagerank(iters: int = 5, scale: int = 1_000_000, damping_pct: int = 85) -> str:
+    """Oracle for q127: the same integer PageRank with each iteration
+    unrolled as a CTE (r1..rN)."""
+    base = scale * (100 - damping_pct) // 100
+    ctes = [f"""
+    e AS (
+      SELECT src, dst FROM (
+        SELECT user_id AS src,
+               lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+        FROM events)
+      WHERE dst IS NOT NULL AND src <> dst
+    ), deg AS (
+      SELECT src, count(*)::bigint AS c FROM e GROUP BY src
+    ), nodes AS (
+      SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ), r0 AS (
+      SELECT node, {scale}::bigint AS r FROM nodes
+    )"""]
+    for k in range(1, iters + 1):
+        ctes.append(f""",
+    r{k} AS (
+      SELECT n.node,
+             ({base} + ({damping_pct} * coalesce(s.m, 0)) // 100)::bigint AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, sum(r{k - 1}.r // deg.c)::bigint AS m
+        FROM e JOIN r{k - 1} ON e.src = r{k - 1}.node
+               JOIN deg ON deg.src = e.src
+        GROUP BY e.dst) s ON s.dst = n.node
+    )""")
+    return "WITH" + "".join(ctes) + f"""
+    SELECT node AS user_id, r AS rank_micro FROM r{iters}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3539,6 +3622,29 @@ def oracle_sql() -> dict[str, str]:
                    NULL::TIMESTAMP, TRUE
             FROM upd u LEFT JOIN dim d ON u.c_custkey = d.c_custkey
             WHERE d.c_custkey IS NULL
+        """,
+        "q127_pagerank": _sql_pagerank(),
+        "q128_temporal_join": """
+            WITH dim AS (
+              SELECT c_custkey, c_acctbal,
+                     TIMESTAMP '1990-01-01' AS valid_from,
+                     NULL::TIMESTAMP AS valid_to, TRUE AS is_current
+              FROM customer WHERE c_custkey % 10 <> 0
+              UNION ALL
+              SELECT c_custkey, c_acctbal, TIMESTAMP '1990-01-01',
+                     TIMESTAMP '1998-01-01', FALSE
+              FROM customer WHERE c_custkey % 10 = 0
+              UNION ALL
+              SELECT c_custkey, c_acctbal + 100.0, TIMESTAMP '1998-01-01',
+                     NULL::TIMESTAMP, TRUE
+              FROM customer WHERE c_custkey % 10 = 0
+            )
+            SELECT o.o_orderkey, o.o_custkey AS c_custkey, o.o_orderdate,
+                   d.c_acctbal, d.valid_from, d.is_current
+            FROM orders o JOIN dim d
+              ON o.o_custkey = d.c_custkey
+             AND o.o_orderdate >= d.valid_from
+             AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
         """,
         "q124_key_skew_stats": """
             WITH c AS (

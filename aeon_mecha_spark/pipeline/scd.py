@@ -105,3 +105,38 @@ def scd2_apply(
         .unionByName(reopened.select(*out_cols))
         .unionByName(fresh.select(*out_cols))
     )
+
+
+def temporal_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Effective-dated dimension lookup — the read side of SCD2: each
+    fact row joins the dimension VERSION whose validity interval covers
+    the fact's timestamp (``valid_from <= ts < valid_to``, open rows
+    have NULL ``valid_to`` = +infinity). With an ``scd2_apply``-
+    maintained dimension, intervals per key are disjoint, so every fact
+    matches at most one version.
+
+    Plan: equi-join on the keys (broadcast when the dimension fits —
+    dimensions are small next to facts by definition) with the interval
+    predicate evaluated inside the same join — a hash join with a
+    residual range filter, never a nested-loop over versions.
+    """
+    f, d = facts.alias("f"), dim.alias("d")
+    cond = (F.col(f"f.{ts_col}") >= F.col(f"d.{valid_from}")) & (
+        F.col(f"d.{valid_to}").isNull()
+        | (F.col(f"f.{ts_col}") < F.col(f"d.{valid_to}"))
+    )
+    for k in keys:
+        cond = cond & (F.col(f"f.{k}") == F.col(f"d.{k}"))
+    dside = F.broadcast(d) if broadcast_dim else d
+    dup = set(keys) | (set(facts.columns) & set(dim.columns))
+    dcols = [F.col(f"d.{c}") for c in dim.columns if c not in dup]
+    return f.join(dside, cond, how).select("f.*", *dcols)

@@ -86,6 +86,8 @@ HEADLINE = [
     "q124_key_skew_stats",   # groupBy + TakeOrdered hot-key diagnostic
     "q125_fuzzy_blocked_join",  # multiplicity-collapsed blocked linkage
     "q126_scd2_merge",       # SCD2 open-slice merge (4-branch union)
+    "q127_pagerank",         # 5-iteration integer PageRank (join+agg per iter)
+    "q128_temporal_join",    # effective-dated dim lookup (broadcast + range)
 ]
 
 

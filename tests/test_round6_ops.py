@@ -514,3 +514,79 @@ def test_fuzzy_duplicate_stats_matches_pairwise(spark):
     assert stats[1] == (1, 6)            # one near name-pair, 3*2 row pairs
     assert naive_m == {0: 4, 1: 6}
     assert {d: s[1] for d, s in stats.items()} == naive_m
+
+
+# -- graph / temporal join ----------------------------------------------------
+
+
+def test_transition_edges(spark):
+    import datetime as dt
+
+    from aeon_mecha_spark.operators.graph import transition_edges
+
+    rows = [
+        (1, "a", dt.datetime(2024, 1, 1, 0, 0, 0), 10),
+        (2, "a", dt.datetime(2024, 1, 1, 0, 0, 1), 11),
+        (2, "a", dt.datetime(2024, 1, 1, 0, 0, 2), 12),  # self-loop dropped
+        (3, "a", dt.datetime(2024, 1, 1, 0, 0, 3), 13),
+        (7, "b", dt.datetime(2024, 1, 1, 0, 0, 0), 14),  # other stream
+        (8, "b", dt.datetime(2024, 1, 1, 0, 0, 1), 15),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp, event_id long")
+    got = sorted((r["src"], r["dst"]) for r in transition_edges(df).collect())
+    assert got == [(1, 2), (2, 3), (7, 8)]
+
+
+def test_pagerank_int_star_graph(spark):
+    """Star a->c, b->c: after 1 iter, c holds base + 85% of two full
+    contributions; a and b (no in-edges) hold base."""
+    from aeon_mecha_spark.operators.graph import pagerank_int
+
+    edges = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    r = {x["node"]: x["rank_micro"] for x in pagerank_int(edges, iters=1).collect()}
+    assert r[1] == r[2] == 150_000
+    assert r[3] == 150_000 + (85 * 2_000_000) // 100
+
+
+def test_pagerank_int_deterministic_across_partitioning(spark):
+    from aeon_mecha_spark.operators.graph import pagerank_int
+
+    edges = [(i % 17, (i * 7) % 17) for i in range(200) if i % 17 != (i * 7) % 17]
+    one = spark.createDataFrame(edges, "src long, dst long").coalesce(1)
+    many = spark.createDataFrame(edges, "src long, dst long").repartition(16)
+    ra = sorted(map(tuple, pagerank_int(one, iters=3).collect()))
+    rb = sorted(map(tuple, pagerank_int(many, iters=3).collect()))
+    assert ra == rb
+
+
+def test_temporal_join_picks_covering_version(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.pipeline.scd import temporal_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, 10.0, "2020-01-01 00:00:00", "2022-01-01 00:00:00", False),
+            (1, 20.0, "2022-01-01 00:00:00", None, True),
+        ],
+        "k long, bal double, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "bal",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, "2021-06-01 00:00:00"), (101, 1, "2022-01-01 00:00:00"),
+         (102, 1, "2019-01-01 00:00:00"), (103, 2, "2021-01-01 00:00:00")],
+        "fid long, k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["fid"]: r["bal"] for r in temporal_join(facts, dim, ["k"], "ts").collect()}
+    # 100 -> old version; 101 exactly at the boundary -> NEW version
+    # (valid_from inclusive, valid_to exclusive); 102 pre-history and
+    # 103 unknown key -> no match under inner join
+    assert got == {100: 10.0, 101: 20.0}
+    left = temporal_join(facts, dim, ["k"], "ts", how="left")
+    assert left.count() == 4
