@@ -1861,6 +1861,36 @@ def q128_temporal_join(spark, sf_dir):
     )
 
 
+def q129_stateful_dropcount(spark, sf_dir):
+    """Custom stateful streaming operator, officially gated: the
+    applyInPandasWithState dropped-frame counter
+    (streaming/stateful.py) run over the events feed (device =
+    event_type, hardware counter = event_id) with an AvailableNow
+    drain. One input file → one micro-batch, so the per-device running
+    totals have a closed form the oracle states directly:
+    drops = max − min − n + 1 of a strictly increasing counter."""
+    import tempfile
+    import uuid
+
+    from aeon_mecha_spark.streaming import stateful, stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
+    feed_dir = tempfile.mkdtemp(prefix="q129_feed_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(feed_dir, "events.parquet")
+    )
+    src = spark.readStream.schema(schema).parquet(feed_dir)
+    frames = src.select(
+        F.col("event_type").alias("device"), F.col("event_id").alias("hw_counter")
+    )
+    out = stateful.streaming_drop_counter(frames)
+    name = f"q129_mem_{uuid.uuid4().hex[:8]}"
+    stream.run_to_memory(out, name, mode="append")
+    return spark.table(name).select("device", "batch_rows", "last_counter", "total_drops")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1900,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_scd2_merge": q126_scd2_merge,
         "q127_pagerank": q127_pagerank,
         "q128_temporal_join": q128_temporal_join,
+        "q129_stateful_dropcount": q129_stateful_dropcount,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -1932,10 +1963,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_correlated_subquery": q98_correlated_subquery,
         "q100_kmv_jaccard": q100_kmv_jaccard,
         "q101_token_entropy": q101_token_entropy,
-        "q102_table_fingerprint": q102_table_fingerprint,
         # ---- entries below are past the driver's 50-entry window ----
         # (green in CORRECTNESS_r05 or r04; re-checkable locally via
         # tools/check_correctness.py)
+        "q102_table_fingerprint": q102_table_fingerprint,
         "q103_knn_recall": q103_knn_recall,
         "q104_bpe_tokens": q104_bpe_tokens,
         "q105_span_decontaminate": q105_span_decontaminate,
@@ -3645,6 +3676,12 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = d.c_custkey
              AND o.o_orderdate >= d.valid_from
              AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        """,
+        "q129_stateful_dropcount": """
+            SELECT event_type AS device, count(*)::bigint AS batch_rows,
+                   max(event_id)::bigint AS last_counter,
+                   (max(event_id) - min(event_id) - count(*) + 1)::bigint AS total_drops
+            FROM events GROUP BY event_type
         """,
         "q124_key_skew_stats": """
             WITH c AS (

@@ -88,6 +88,9 @@ HEADLINE = [
     "q126_scd2_merge",       # SCD2 open-slice merge (4-branch union)
     "q127_pagerank",         # 5-iteration integer PageRank (join+agg per iter)
     "q128_temporal_join",    # effective-dated dim lookup (broadcast + range)
+    # (q129_stateful_dropcount is NOT in the headline set for the same
+    # reason as q122: it drains a Structured Streaming query whose cost
+    # is dominated by stream setup/checkpointing, not the plan)
 ]
 
 

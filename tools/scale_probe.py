@@ -56,7 +56,12 @@ def build_scaled(spark, n: int) -> str:
     from pyspark.sql import functions as F
 
     # events stores TIMESTAMP(NANOS): read/write it as a ns bigint so the
-    # replica keeps the exact on-disk semantics the queries expect
+    # replica keeps the exact on-disk semantics the queries expect.
+    # inferTimestampNTZ must be OFF (exactly as __spark_entry__._t sets
+    # it) or Spark 4 reads the nanos column as TIMESTAMP_NTZ instead of
+    # the legacy long — the replica would then be written as a true NTZ
+    # column and unix_micros-based queries break on the scaled copy
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out_dir = os.path.join(SCRATCH, f"x{n}")
     if os.path.exists(out_dir):
