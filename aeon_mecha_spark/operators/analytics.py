@@ -524,7 +524,11 @@ def grouped_quantiles(
     from aeon_mecha_spark.functions.hashing import md5_long
 
     if sample_fraction is None:
-        sample_fraction = derive_sample_fraction(base0, target_sample_rows)
+        # size against the PRE-filter input: an upper bound on the
+        # filtered row count, so the sample stays <= target while the
+        # count can run as a parquet-footer metadata read (no filter
+        # blocks aggregate pushdown)
+        sample_fraction = derive_sample_fraction(df, target_sample_rows)
     denom = 1_000_000
     smp = base0.filter(
         md5_long(F.col(value_col).cast("string"), seed=seed) % denom
