@@ -1891,6 +1891,41 @@ def q129_stateful_dropcount(spark, sf_dir):
     return spark.table(name).select("device", "batch_rows", "last_counter", "total_drops")
 
 
+def q130_temperature_sample(spark, sf_dir):
+    """Temperature-balanced domain sampling (α=0.5): rare languages are
+    upsampled by √(max_n/n_d), the mT5/XLM-R-style rebalancing rule.
+    α=½ keeps the rate inside correctly-rounded IEEE ops (sqrt, not
+    libm pow), so the per-row keep decision hash-matches the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    out = curation.temperature_sample(
+        docs, "lang", base_fraction=0.3, alpha=0.5, key_col="doc_id", seed=0
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+def q131_bm25(spark, sf_dir):
+    """Okapi BM25 scoring of the corpus against a fixed query-term set
+    (the lexical retrieval half of a RAG stack): per-term df/idf tables
+    restrict to the query before any join and broadcast; the corpus
+    tokenizes once map-side."""
+    out = textqc.bm25_scores(
+        _t(spark, sf_dir, "documents"),
+        ["join", "hash", "window", "shuffle"],
+    )
+    return out
+
+
+def q132_split_assign(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by seeded hash
+    interval — stable under corpus growth (a doc's split never changes
+    when other docs arrive), reproducible on any engine, unlike
+    randomSplit. Verified row-by-row."""
+    out = curation.split_assign(
+        _t(spark, sf_dir, "documents"), weights=(0.8, 0.1, 0.1), seed=0
+    )
+    return out.select("doc_id", "lang", "split")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1931,6 +1966,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_pagerank": q127_pagerank,
         "q128_temporal_join": q128_temporal_join,
         "q129_stateful_dropcount": q129_stateful_dropcount,
+        "q130_temperature_sample": q130_temperature_sample,
+        "q131_bm25": q131_bm25,
+        "q132_split_assign": q132_split_assign,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -1960,12 +1998,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_bloom_decontaminate": q95_bloom_decontaminate,
         "q96_weighted_sample": q96_weighted_sample,
         "q97_substring_dedup": q97_substring_dedup,
-        "q98_correlated_subquery": q98_correlated_subquery,
-        "q100_kmv_jaccard": q100_kmv_jaccard,
-        "q101_token_entropy": q101_token_entropy,
         # ---- entries below are past the driver's 50-entry window ----
         # (green in CORRECTNESS_r05 or r04; re-checkable locally via
         # tools/check_correctness.py)
+        "q98_correlated_subquery": q98_correlated_subquery,
+        "q100_kmv_jaccard": q100_kmv_jaccard,
+        "q101_token_entropy": q101_token_entropy,
         "q102_table_fingerprint": q102_table_fingerprint,
         "q103_knn_recall": q103_knn_recall,
         "q104_bpe_tokens": q104_bpe_tokens,
@@ -3676,6 +3714,66 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = d.c_custkey
              AND o.o_orderdate >= d.valid_from
              AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        """,
+        "q130_temperature_sample": """
+            WITH c AS (
+              SELECT lang, count(*)::bigint AS n FROM documents GROUP BY lang
+            ), m AS (
+              SELECT max(n)::bigint AS mx FROM c
+            ), r AS (
+              SELECT lang,
+                     floor(least(1000000.0,
+                                 300000.0 * sqrt(mx::double / n::double)))::bigint
+                       AS cutoff
+              FROM c CROSS JOIN m
+            )
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d JOIN r ON d.lang = r.lang
+            WHERE ('0x' || substr(md5('0:' || d.doc_id::varchar), 1, 15))::bigint
+                  % 1000000 < r.cutoff
+        """,
+        "q131_bm25": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents WHERE trim(text) <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*)::bigint AS tf
+              FROM toks WHERE term IN ('join', 'hash', 'window', 'shuffle')
+              GROUP BY doc_id, term
+            ), dft AS (
+              SELECT term, count(*)::bigint AS df FROM tf GROUP BY term
+            ), stats AS (
+              SELECT count(*)::bigint AS n_docs,
+                     sum(CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(string_split_regex(trim(text), '\\s+')) END)::bigint
+                       AS total_tokens
+              FROM documents
+            ), dlen AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END::bigint AS dl
+              FROM documents
+            )
+            SELECT tf.doc_id, count(*)::bigint AS n_terms_hit,
+                   round(sum(
+                     ln(1.0 + (n_docs::double - df::double + 0.5) / (df::double + 0.5))
+                     * tf::double * 2.2
+                     / (tf::double + 1.2 * (0.25 + 0.75 * dl::double
+                                            / (total_tokens::double / n_docs::double)))
+                   ), 6) AS score
+            FROM tf JOIN dft USING (term)
+                    JOIN dlen USING (doc_id)
+                    CROSS JOIN stats
+            GROUP BY tf.doc_id
+        """,
+        "q132_split_assign": """
+            SELECT doc_id, lang,
+                   CASE WHEN ('0x' || substr(md5('0:' || doc_id::varchar), 1, 15))::bigint
+                             % 1000000 < 800000 THEN 'train'
+                        WHEN ('0x' || substr(md5('0:' || doc_id::varchar), 1, 15))::bigint
+                             % 1000000 < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "q129_stateful_dropcount": """
             SELECT event_type AS device, count(*)::bigint AS batch_rows,

@@ -775,3 +775,83 @@ def range_shard(
         F.size(F.filter(F.col("_bounds"), lambda b: b <= F.col(value_col))).cast("long"),
     )
     return df.crossJoin(F.broadcast(barr)).withColumn("shard", shard).drop("_bounds")
+
+
+def temperature_sample(
+    df: DataFrame,
+    domain_col: str,
+    base_fraction: float = 0.5,
+    alpha: float = 0.5,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-balanced domain sampling — the multilingual/
+    multi-domain rebalancing rule (the ``p_d ∝ n_d^α`` family behind
+    mT5/XLM-R style mixes and DoReMi-ish reweighting): rare domains are
+    UPSAMPLED relative to dominant ones by scaling each domain's keep
+    rate with ``(max_n / n_d)^(1−α)``, capped at 1. α = 1 reproduces the
+    natural distribution; α → 0 approaches uniform-over-domains.
+
+    ``rate_d = min(1, base_fraction · (max_n / n_d)^(1−α))`` applied as
+    the same seeded-hash Bernoulli threshold as ``hash_sample`` — one
+    map-side filter over the corpus; the per-domain counts are a tiny
+    broadcast aggregate. Samples stay nested as ``base_fraction`` grows.
+
+    Engine determinism: at the default α = 0.5 the exponent is 1/2 and
+    the rate is computed with ``sqrt`` — correctly rounded in IEEE 754,
+    so the keep decision is bit-identical in any engine (the q130 gate
+    hashes it). Other α values go through ``pow``, which libm does NOT
+    guarantee to the last ulp — fine in production, but an oracle
+    comparison may flip a boundary row; keep hash-gated uses at α = ½.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    mx = counts.agg(F.max("_n").alias("_mx"))
+    ratio = F.col("_mx").cast("double") / F.col("_n").cast("double")
+    boost = (
+        F.sqrt(ratio)
+        if alpha == 0.5
+        else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    rates = counts.crossJoin(F.broadcast(mx)).select(
+        domain_col,
+        F.least(
+            F.lit(float(denom)), F.lit(float(base_fraction) * denom) * boost
+        ).cast("long").alias("_cutoff"),
+    )
+    bucket = md5_long(F.col(key_col).cast("string"), seed=seed) % denom
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(bucket < F.col("_cutoff"))
+        .drop("_cutoff")
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    weights: tuple[float, ...] = (0.8, 0.1, 0.1),
+    labels: tuple[str, ...] = ("train", "val", "test"),
+    key_col: str = "doc_id",
+    seed: int = 0,
+    denom: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row gets the split
+    whose cumulative-weight interval its seeded hash bucket falls in —
+    a pure map-side expression, reproducible on any engine/cluster, and
+    STABLE under corpus growth (a document's split never changes when
+    other documents are added, unlike randomSplit). Adds ``split``.
+    """
+    if len(weights) != len(labels):
+        raise ValueError("weights and labels must align")
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError("weights must sum to 1")
+    bucket = md5_long(F.col(key_col).cast("string"), seed=seed) % denom
+    cum = 0.0
+    expr = None
+    for w, lab in zip(weights, labels):
+        cum += w
+        cond = bucket < F.lit(int(round(cum * denom)))
+        expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
+    return df.withColumn("split", expr.otherwise(F.lit(labels[-1])))

@@ -375,3 +375,64 @@ def unigram_logprob(
     mean_micro = F.floor((F.lit(2.0) * s_d + n_d) / (F.lit(2.0) * n_d))
     mean_lp = mean_micro.cast("double") / F.lit(1000000.0)
     return per.select(id_col, "n_tokens", "n_oov", mean_lp.alias("logprob_per_token"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed query-term set
+    — the retrieval scorer on top of the ``tfidf``/``inverted_index``
+    machinery (and the standard lexical half of RAG retrieval):
+
+    ``score(D) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|D|/avgdl))``
+    with the Robertson–Spärck Jones idf
+    ``ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    Output: ``(id, n_terms_hit, score)`` for documents matching ≥ 1
+    query term, with ``score`` rounded to 6 dp (ln is libm-rounded; the
+    q131 gate relies on the same-expression-tree agreement the q112
+    unigram gate already demonstrates for ln).
+
+    Plan: term stats restrict to the QUERY terms before any join — the
+    per-term df/tf tables collapse to |query| rows/doc-hits, the (tiny)
+    df + corpus-stats tables broadcast, and the corpus is tokenized
+    once map-side. Nothing corpus-sized shuffles except the per-(doc,
+    term) tf partials for matching terms.
+    """
+    qlit = [F.lit(t) for t in query_terms]
+    tf_all = term_counts(docs, keys=[id_col], text_col=text_col).withColumnRenamed(
+        "n", "tf"
+    )
+    tf = tf_all.filter(F.col("term").isin(query_terms))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    stats = docs.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("_n_docs"),
+        F.sum(token_count(F.col(text_col)).cast("long")).alias("_total_tokens"),
+    )
+    dlen = spread(docs).select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("_dl")
+    )
+    n = F.col("_n_docs").cast("double")
+    d = F.col("df").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (n - d + F.lit(0.5)) / (d + F.lit(0.5))
+    )
+    avgdl = F.col("_total_tokens").cast("double") / n
+    tfd = F.col("tf").cast("double")
+    denom = tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / avgdl)
+    contrib = idf * tfd * F.lit(k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dft), "term")
+        .join(dlen, id_col)
+        .join(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.round(F.sum(contrib), 6).alias("score"),
+        )
+    )

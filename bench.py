@@ -91,6 +91,9 @@ HEADLINE = [
     # (q129_stateful_dropcount is NOT in the headline set for the same
     # reason as q122: it drains a Structured Streaming query whose cost
     # is dominated by stream setup/checkpointing, not the plan)
+    "q130_temperature_sample",  # sqrt-rate domain rebalancing (broadcast rates)
+    "q131_bm25",             # query-restricted BM25 (broadcast df/stats)
+    "q132_split_assign",     # map-side hash-interval split
 ]
 
 

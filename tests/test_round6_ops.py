@@ -590,3 +590,78 @@ def test_temporal_join_picks_covering_version(spark):
     assert got == {100: 10.0, 101: 20.0}
     left = temporal_join(facts, dim, ["k"], "ts", how="left")
     assert left.count() == 4
+
+
+# -- temperature sampling / BM25 / split assignment ---------------------------
+
+
+def test_temperature_sample_upsamples_rare_domains(spark):
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.datapipe.curation import temperature_sample
+
+    df = spark.range(1100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit("big")).otherwise(F.lit("small")).alias("d"),
+    )
+    out = temperature_sample(df, "d", base_fraction=0.3, alpha=0.5)
+    rates = {r["d"]: r["n"] for r in out.groupBy("d").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # big domain keeps ~30%; small (10x rarer) keeps ~min(1, 0.3*sqrt(10))~95%
+    assert 0.2 < rates["big"] / 1000 < 0.4
+    assert rates["small"] / 100 > 0.8
+    # alpha=1 reproduces the plain fraction for every domain
+    flat = temperature_sample(df, "d", base_fraction=0.3, alpha=1.0)
+    fr = {r["d"]: r["n"] for r in flat.groupBy("d").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert 0.2 < fr["small"] / 100 < 0.45
+    with __import__("pytest").raises(ValueError):
+        temperature_sample(df, "d", alpha=0.0)
+
+
+def test_temperature_sample_nested_in_base_fraction(spark):
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.datapipe.curation import temperature_sample
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("d")
+    )
+    small = {r["doc_id"] for r in temperature_sample(df, "d", base_fraction=0.2).collect()}
+    big = {r["doc_id"] for r in temperature_sample(df, "d", base_fraction=0.5).collect()}
+    assert small <= big
+
+
+def test_bm25_ranks_term_dense_docs(spark):
+    from aeon_mecha_spark.datapipe.textqc import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join join join plan"),
+            (2, "spark join plan"),
+            (3, "nothing relevant here at all"),
+            (4, "join " * 2 + "filler " * 50),  # long doc: length-normalized down
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_scores(docs, ["join"]).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["score"] > out[2]["score"] > out[4]["score"] > 0
+    assert out[1]["n_terms_hit"] == 1
+
+
+def test_split_assign_deterministic_and_stable(spark):
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.datapipe.curation import split_assign
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = split_assign(df).groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    n = {r["split"]: r["n"] for r in out.collect()}
+    assert abs(n["train"] - 1600) < 120 and abs(n["val"] - 200) < 60 and abs(n["test"] - 200) < 60
+    # stability: a doc's split is unchanged when the corpus doubles
+    sub = {r["doc_id"]: r["split"] for r in split_assign(df.filter(F.col("doc_id") < 500)).collect()}
+    full = {r["doc_id"]: r["split"] for r in split_assign(df).collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    with __import__("pytest").raises(ValueError):
+        split_assign(df, weights=(0.5, 0.2), labels=("a", "b", "c"))
+    with __import__("pytest").raises(ValueError):
+        split_assign(df, weights=(0.5, 0.2, 0.2))
