@@ -1926,6 +1926,19 @@ def q132_split_assign(spark, sf_dir):
     return out.select("doc_id", "lang", "split")
 
 
+def q133_table_profile(spark, sf_dir):
+    """One-pass long-form table profile (the dataset-card primitive):
+    per-column rows with null/distinct counts and numeric extremes,
+    computed in a SINGLE aggregation (multi-count-distinct via
+    Catalyst's Expand) + a map-side unpivot."""
+    out = stats.table_profile(
+        _t(spark, sf_dir, "lineitem"),
+        numeric_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        other_cols=["l_returnflag", "l_linestatus"],
+    )
+    return _longs(out, "n_rows", "n_nulls", "n_distinct")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1969,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_temperature_sample": q130_temperature_sample,
         "q131_bm25": q131_bm25,
         "q132_split_assign": q132_split_assign,
+        "q133_table_profile": q133_table_profile,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -1997,10 +2011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_stratified_sample": q75_stratified_sample,
         "q95_bloom_decontaminate": q95_bloom_decontaminate,
         "q96_weighted_sample": q96_weighted_sample,
-        "q97_substring_dedup": q97_substring_dedup,
         # ---- entries below are past the driver's 50-entry window ----
         # (green in CORRECTNESS_r05 or r04; re-checkable locally via
         # tools/check_correctness.py)
+        "q97_substring_dedup": q97_substring_dedup,
         "q98_correlated_subquery": q98_correlated_subquery,
         "q100_kmv_jaccard": q100_kmv_jaccard,
         "q101_token_entropy": q101_token_entropy,
@@ -3714,6 +3728,41 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = d.c_custkey
              AND o.o_orderdate >= d.valid_from
              AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        """,
+        "q133_table_profile": """
+            WITH base AS (SELECT count(*)::bigint AS n FROM lineitem)
+            SELECT 'l_quantity' AS "column", n AS n_rows,
+                   (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL)::bigint AS n_nulls,
+                   (SELECT count(DISTINCT l_quantity) FROM lineitem)::bigint AS n_distinct,
+                   (SELECT min(l_quantity::double) FROM lineitem) AS min_val,
+                   (SELECT max(l_quantity::double) FROM lineitem) AS max_val
+            FROM base
+            UNION ALL
+            SELECT 'l_extendedprice', n,
+                   (SELECT count(*) FROM lineitem WHERE l_extendedprice IS NULL)::bigint,
+                   (SELECT count(DISTINCT l_extendedprice) FROM lineitem)::bigint,
+                   (SELECT min(l_extendedprice::double) FROM lineitem),
+                   (SELECT max(l_extendedprice::double) FROM lineitem)
+            FROM base
+            UNION ALL
+            SELECT 'l_discount', n,
+                   (SELECT count(*) FROM lineitem WHERE l_discount IS NULL)::bigint,
+                   (SELECT count(DISTINCT l_discount) FROM lineitem)::bigint,
+                   (SELECT min(l_discount::double) FROM lineitem),
+                   (SELECT max(l_discount::double) FROM lineitem)
+            FROM base
+            UNION ALL
+            SELECT 'l_returnflag', n,
+                   (SELECT count(*) FROM lineitem WHERE l_returnflag IS NULL)::bigint,
+                   (SELECT count(DISTINCT l_returnflag) FROM lineitem)::bigint,
+                   NULL::double, NULL::double
+            FROM base
+            UNION ALL
+            SELECT 'l_linestatus', n,
+                   (SELECT count(*) FROM lineitem WHERE l_linestatus IS NULL)::bigint,
+                   (SELECT count(DISTINCT l_linestatus) FROM lineitem)::bigint,
+                   NULL::double, NULL::double
+            FROM base
         """,
         "q130_temperature_sample": """
             WITH c AS (

@@ -77,3 +77,56 @@ def timestamp_stats(df: DataFrame, ts_col: str, group_keys: list[str]) -> DataFr
     )
     rate = F.when(F.col("_median_ns") > 0, F.round(F.lit(1e9) / F.col("_median_ns"), 2))
     return agg.withColumn("sampling_rate_hz", rate).drop("_median_ns")
+
+
+def table_profile(
+    df: DataFrame,
+    numeric_cols: list[str],
+    other_cols: list[str] | None = None,
+) -> DataFrame:
+    """Long-form table profile — the "dataset card" primitive: one row
+    per column with ``(column, n_rows, n_nulls, n_distinct, min_val,
+    max_val)``; ``min_val``/``max_val`` are NULL for non-numeric
+    columns (string formatting of extremes is not engine-portable, so
+    only counts are profiled there).
+
+    ONE aggregation over the table computes every column's stats
+    simultaneously (Catalyst plans the multiple count-distincts via a
+    single Expand — input rows multiply by the distinct-column count,
+    the standard engine strategy, in exchange for a single scan and a
+    single shuffle of tiny partials). The long form is produced by a
+    map-side unpivot of the 1-row wide aggregate.
+    """
+    other_cols = list(other_cols or [])
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in [*numeric_cols, *other_cols]:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    for c in numeric_cols:
+        aggs.append(F.min(F.col(c).cast("double")).alias(f"_mn_{c}"))
+        aggs.append(F.max(F.col(c).cast("double")).alias(f"_mx_{c}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for c in numeric_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_mn_{c}").alias("min_val"),
+                F.col(f"_mx_{c}").alias("max_val"),
+            )
+        )
+    for c in other_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_val"),
+                F.lit(None).cast("double").alias("max_val"),
+            )
+        )
+    return wide.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

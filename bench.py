@@ -94,6 +94,7 @@ HEADLINE = [
     "q130_temperature_sample",  # sqrt-rate domain rebalancing (broadcast rates)
     "q131_bm25",             # query-restricted BM25 (broadcast df/stats)
     "q132_split_assign",     # map-side hash-interval split
+    "q133_table_profile",    # one-pass multi-column profile (Expand)
 ]
 
 

@@ -665,3 +665,30 @@ def test_split_assign_deterministic_and_stable(spark):
         split_assign(df, weights=(0.5, 0.2), labels=("a", "b", "c"))
     with __import__("pytest").raises(ValueError):
         split_assign(df, weights=(0.5, 0.2, 0.2))
+
+
+def test_table_profile_one_pass(spark):
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.operators.stats import table_profile
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "a"), (3, 8.0, None), (3, 8.0, "b")],
+        "k long, v double, s string",
+    )
+    out = {r["column"]: r for r in table_profile(df, ["k", "v"], ["s"]).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 0 and out["k"]["n_distinct"] == 3
+    assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
+    assert (out["v"]["min_val"], out["v"]["max_val"]) == (2.0, 8.0)
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_val"] is None
+    # one aggregation -> a single job over the table (no per-column scans)
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        table_profile(df, ["k", "v"], ["s"]).explain("formatted")
+    p = buf.getvalue()
+    # one numbered Scan operator (formatted output mentions each node
+    # twice — tree + detail — so count the numbered tree entries)
+    import re
+    assert len(re.findall(r"\(\d+\) Scan", p)) == 1
