@@ -362,3 +362,28 @@ def test_q116_semantic_dedup_result_is_fixpoint(spark, entry, sf_dir):
         assert r["canonical_id"] <= r["vec_id"]
         assert by_id[r["canonical_id"]]["canonical_id"] == r["canonical_id"]
         assert r["is_dup"] == (1 if r["canonical_id"] != r["vec_id"] else 0)
+
+
+def test_q130_temperature_rates_broadcast(spark, entry, sf_dir):
+    """The per-domain rate table must broadcast onto the corpus — the
+    big side never shuffles on the domain key."""
+    p = plan_str(entry.queries()["q130_temperature_sample"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "hashpartitioning(doc_id" not in p
+
+
+def test_q131_bm25_broadcasts_df_and_stats(spark, entry, sf_dir):
+    """df/stats tables are query-term-sized: both must broadcast; the
+    corpus-side tf partials are the only real shuffle."""
+    p = plan_str(entry.queries()["q131_bm25"](spark, sf_dir))
+    assert p.count("BroadcastHashJoin") + p.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in p
+
+
+def test_q132_split_assign_is_map_only(spark, entry, sf_dir):
+    """Split assignment is a pure map expression: ZERO shuffle
+    exchanges in the whole plan."""
+    p = plan_str(entry.queries()["q132_split_assign"](spark, sf_dir))
+    tree = p.split("(1) ")[0]
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 0
