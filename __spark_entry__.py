@@ -1939,6 +1939,29 @@ def q133_table_profile(spark, sf_dir):
     return _longs(out, "n_rows", "n_nulls", "n_distinct")
 
 
+def q134_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest') with a 30-minute tolerance: every event takes
+    its user's closest mark (events with id % 7 == 0), ties to the
+    earlier side. Both directions come out of ONE sort (backward last +
+    forward first over two frames); the right side is deduped to one
+    row per (user, ts) so the nearest choice is total-order
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    wdd = W.partitionBy("user_id", "ts").orderBy("event_id")
+    right = (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .withColumn("_rn", F.row_number().over(wdd))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    out = intervals.asof_join_nearest(
+        left, right, ["user_id"], "ts", "ts", ["value"], tolerance_us=1_800_000_000
+    )
+    return out.select("event_id", "user_id", "ts", "asof_gap_us", "value")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1983,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_bm25": q131_bm25,
         "q132_split_assign": q132_split_assign,
         "q133_table_profile": q133_table_profile,
+        "q134_asof_nearest": q134_asof_nearest,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -2010,10 +2034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_hash_sample": q74_hash_sample,
         "q75_stratified_sample": q75_stratified_sample,
         "q95_bloom_decontaminate": q95_bloom_decontaminate,
-        "q96_weighted_sample": q96_weighted_sample,
         # ---- entries below are past the driver's 50-entry window ----
         # (green in CORRECTNESS_r05 or r04; re-checkable locally via
         # tools/check_correctness.py)
+        "q96_weighted_sample": q96_weighted_sample,
         "q97_substring_dedup": q97_substring_dedup,
         "q98_correlated_subquery": q98_correlated_subquery,
         "q100_kmv_jaccard": q100_kmv_jaccard,
@@ -3728,6 +3752,52 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = d.c_custkey
              AND o.o_orderdate >= d.valid_from
              AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+        """,
+        "q134_asof_nearest": """
+            WITH l AS (
+              SELECT event_id, user_id, ts, epoch_us(ts) AS t FROM events
+            ), r0 AS (
+              SELECT user_id, ts, value,
+                     row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+              FROM events WHERE event_id % 7 = 0
+            ), r AS (
+              SELECT user_id, epoch_us(ts) AS rt, value FROM r0 WHERE rn = 1
+            ), u AS (
+              SELECT user_id, t AS sort_us, 1 AS is_left, event_id, ts,
+                     NULL::BIGINT AS rt, NULL::DOUBLE AS rv
+              FROM l
+              UNION ALL
+              SELECT user_id, rt, 0, NULL, NULL, rt, value FROM r
+            ), w AS (
+              SELECT *,
+                last_value(CASE WHEN is_left = 0
+                                THEN struct_pack(rt := rt, rv := rv) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY sort_us, is_left
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b,
+                first_value(CASE WHEN is_left = 0
+                                 THEN struct_pack(rt := rt, rv := rv) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY sort_us, is_left
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f
+              FROM u
+            ), c AS (
+              SELECT event_id, user_id, ts, sort_us,
+                     CASE WHEN b IS NULL OR (sort_us - b.rt) > 1800000000
+                          THEN NULL ELSE b END AS bb,
+                     CASE WHEN f IS NULL OR (f.rt - sort_us) > 1800000000
+                          THEN NULL ELSE f END AS ff,
+                     (sort_us - b.rt) AS bgap, (f.rt - sort_us) AS fgap
+              FROM w WHERE is_left = 1
+            ), ch AS (
+              SELECT event_id, user_id, ts, sort_us,
+                     CASE WHEN bb IS NULL THEN ff
+                          WHEN ff IS NULL THEN bb
+                          WHEN bgap <= fgap THEN bb ELSE ff END AS pick
+              FROM c
+            )
+            SELECT event_id, user_id, ts,
+                   (pick.rt - sort_us)::BIGINT AS asof_gap_us,
+                   pick.rv AS value
+            FROM ch
         """,
         "q133_table_profile": """
             WITH base AS (SELECT count(*)::bigint AS n FROM lineitem)

@@ -170,3 +170,84 @@ def asof_join(
     for c in value_cols:
         out = out.withColumn(f"{c}{suffix}" if suffix else c, F.col(f"{payload}.{c}"))
     return out.drop(payload)
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(
+    direction='nearest')``): each left row takes the right row with the
+    smallest ``|right_ts − left_ts|``; distance ties prefer the earlier
+    (backward) row, deterministically. ``tolerance_us`` drops matches
+    farther than the bound (µs); unmatched rows keep NULL values. Adds
+    ``value_cols`` plus ``asof_gap_us`` (signed right−left µs, NULL when
+    unmatched).
+
+    Plan: the same union-merge as :func:`asof_join`, but BOTH
+    directions come out of ONE shuffle + ONE sort — the backward
+    candidate is a ``last(…, ignorenulls)`` over the preceding frame
+    and the forward candidate a ``first(…, ignorenulls)`` over the
+    following frame of the same ascending (ts, right-first) order —
+    then a row-local distance comparison picks the winner. No joins,
+    no second exchange; scale is the per-key sort, exactly like the
+    backward form.
+    """
+    lcols = left.columns
+    marker, ts, pay = "_is_left", "_asof_ts", "_asof_payload"
+    rstruct = F.struct(
+        F.unix_micros(F.col(right_ts)).alias("_rts_us"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    payload_type = right.select(rstruct.alias(pay)).schema[pay].dataType
+    lnorm = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias(ts),
+        F.lit(1).alias(marker),
+        F.lit(None).cast(payload_type).alias(pay),
+    )
+    rnorm = right.select(
+        *[
+            F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c)
+            for c in lcols
+            if c not in on
+        ],
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias(ts),
+        F.lit(0).alias(marker),
+        rstruct.alias(pay),
+    ).select(*[c for c in lcols], F.col(ts), F.col(marker), F.col(pay))
+    unioned = lnorm.unionByName(rnorm)
+    order = [F.col(ts).asc(), F.col(marker).asc()]
+    wb = W.partitionBy(*on).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    wf = W.partitionBy(*on).orderBy(*order).rowsBetween(0, W.unboundedFollowing)
+    back = F.last(pay, ignorenulls=True).over(wb)
+    fwd = F.first(pay, ignorenulls=True).over(wf)
+    t_us = F.unix_micros(F.col(ts))
+    bgap = t_us - back.getField("_rts_us")  # >= 0
+    fgap = fwd.getField("_rts_us") - t_us  # >= 0
+    if tolerance_us is not None:
+        back = F.when(bgap <= tolerance_us, back)
+        fwd = F.when(fgap <= tolerance_us, fwd)
+    chosen = (
+        F.when(back.isNull(), fwd)
+        .when(fwd.isNull(), back)
+        .when(bgap <= fgap, back)  # distance tie -> earlier row
+        .otherwise(fwd)
+    )
+    out = (
+        unioned.withColumn("_chosen", chosen)
+        .filter(F.col(marker) == 1)
+        .withColumn(
+            "asof_gap_us", F.col("_chosen").getField("_rts_us") - t_us
+        )
+        .drop(marker, ts, pay)
+    )
+    for c in value_cols:
+        out = out.withColumn(c, F.col("_chosen").getField(c))
+    return out.drop("_chosen")

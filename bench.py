@@ -95,6 +95,7 @@ HEADLINE = [
     "q131_bm25",             # query-restricted BM25 (broadcast df/stats)
     "q132_split_assign",     # map-side hash-interval split
     "q133_table_profile",    # one-pass multi-column profile (Expand)
+    "q134_asof_nearest",     # nearest as-of: one sort, two frames
 ]
 
 

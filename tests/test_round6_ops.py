@@ -692,3 +692,68 @@ def test_table_profile_one_pass(spark):
     # twice — tree + detail — so count the numbered tree entries)
     import re
     assert len(re.findall(r"\(\d+\) Scan", p)) == 1
+
+
+def test_asof_nearest_picks_closer_side_and_tolerance(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.operators.intervals import asof_join_nearest
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, "u", ts(10)), (2, "u", ts(95)), (3, "u", ts(500)), (4, "v", ts(10))],
+        "fid long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", ts(0), 1.0), ("u", ts(100), 2.0)], "k string, ts timestamp, v double"
+    )
+    out = {r["fid"]: r for r in asof_join_nearest(
+        left, right, ["k"], "ts", "ts", ["v"], tolerance_us=120_000_000
+    ).collect()}
+    assert out[1]["v"] == 1.0 and out[1]["asof_gap_us"] == -10_000_000  # closer backward
+    assert out[2]["v"] == 2.0 and out[2]["asof_gap_us"] == 5_000_000    # closer forward
+    assert out[3]["v"] is None and out[3]["asof_gap_us"] is None        # beyond tolerance
+    assert out[4]["v"] is None                                          # key with no marks
+
+
+def test_asof_nearest_distance_tie_prefers_backward(spark):
+    import datetime as dt
+
+    from aeon_mecha_spark.operators.intervals import asof_join_nearest
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, "u", base + dt.timedelta(seconds=50))], "fid long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", base, 1.0), ("u", base + dt.timedelta(seconds=100), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    r = asof_join_nearest(left, right, ["k"], "ts", "ts", ["v"]).collect()[0]
+    assert r["v"] == 1.0 and r["asof_gap_us"] == -50_000_000
+
+
+def test_asof_nearest_single_sort_plan(spark):
+    import contextlib, io, re
+    import datetime as dt
+
+    from aeon_mecha_spark.operators.intervals import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, "u", dt.datetime(2024, 1, 1))], "fid long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", dt.datetime(2024, 1, 1), 1.0)], "k string, ts timestamp, v double"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join_nearest(left, right, ["k"], "ts", "ts", ["v"]).explain("formatted")
+    p = buf.getvalue()
+    assert "Join" not in p  # union-merge, never a join
+    assert len(re.findall(r"\(\d+\) Sort\b", p)) <= 1  # both frames share one sort
