@@ -9,6 +9,8 @@ here by running each query under two very different shuffle-partition
 counts and comparing fully-sorted collected outputs.
 
 Usage: python tools/check_determinism.py [sf_dir] [query ...]
+       (no query args = the full gate surface; ``--core`` = the
+       historical float/window-heavy subset for a quick pass)
 """
 
 from __future__ import annotations
@@ -107,7 +109,13 @@ def main() -> None:
         if len(sys.argv) > 1 and os.path.isdir(sys.argv[1])
         else "/root/testdata/sf0.01"
     )
-    names = [a for a in sys.argv[1:] if not os.path.isdir(a)] or DEFAULT_QUERIES
+    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    if only == ["--core"]:
+        names = DEFAULT_QUERIES  # the historical float/window-heavy subset
+    else:
+        # default: the FULL gate surface (verified 134/134 bit-identical
+        # across 32- vs 7-partition shuffle plans, 2026-08-14)
+        names = only or list(entry_mod.queries())
     spark = get_spark("determinism")
     qs = entry_mod.queries()
     failed = 0
