@@ -1962,6 +1962,91 @@ def q134_asof_nearest(spark, sf_dir):
     return out.select("event_id", "user_id", "ts", "asof_gap_us", "value")
 
 
+def q135_sliding_window(spark, sf_dir):
+    """Hopping-window aggregation (T1 generalized): 1-hour windows
+    starting every 15 minutes — each event lands in 4 overlapping
+    windows, exploded map-side by ``F.window`` so the shuffle carries
+    only per-(window, type) partials. The same declaration runs as a
+    watermarked stream (batch==streaming parity is pinned in
+    tests/test_stream_join.py); sums route through decimal for
+    cross-engine bit-equality."""
+    from aeon_mecha_spark.streaming.stream import sliding_window_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return sliding_window_stats(
+        ev, "ts", ["event_type"], window="1 hour", slide="15 minutes", value_col="value"
+    )
+
+
+def q136_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream event-time interval join (the one
+    Structured Streaming join shape; reference polls + re-joins device
+    streams to epochs each cycle — here the pairing is continuous).
+    Clicks join purchases by the same user within the following 24 h;
+    both sides are independent file-source streams, the join drains via
+    AvailableNow into an append sink, and the gate aggregates the
+    drained pairs per user (count + decimal-exact purchase sum)."""
+    import tempfile
+    import uuid
+
+    from aeon_mecha_spark.streaming.stream import stream_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    feed_dir = tempfile.mkdtemp(prefix="q136_feed_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(feed_dir, "events.parquet")
+    )
+
+    def _src():
+        s = spark.readStream.schema(schema).parquet(feed_dir)
+        # same TIMESTAMP(NANOS) scale sniff as q42: the file-stream
+        # source may hand back ns or µs longs depending on plan-time conf
+        return s.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.when(F.col("ts") > F.lit(1 << 58), F.expr("ts div 1000")).otherwise(
+                    F.col("ts")
+                )
+            ),
+        )
+
+    clicks = _src().filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = (
+        _src().filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    )
+    joined = stream_interval_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "ts",
+        "ts",
+        upper="24 hours",
+        watermark="25 hours",
+        right_cols=["value"],
+    )
+    name = f"q136_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"""
+        SELECT user_id, count(*) AS n_pairs,
+               CAST(sum(CAST(r_value AS decimal(27,6))) AS double) AS sum_purchase
+        FROM {name} GROUP BY user_id
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -1974,11 +2059,11 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness gate grades the
     # FIRST 50 entries. Round-6 rotation: q111-q115 (round-5 operators,
-    # never officially graded) and this round's new q116-q121 lead;
+    # never officially graded) and this round's new q116-q136 lead;
     # then the r04-graded similarity/analytics/datapipe families
-    # (q34-q39, q57-q75, q95-q109 ex rows-only) — the oldest remaining
-    # official records. Everything rotated out (relational core q05-q56,
-    # q84-q90, q110) is green in CORRECTNESS_r05 and re-checkable via
+    # (q34-q39, q57-q74) — the oldest remaining official records.
+    # Everything rotated out (relational core q05-q56, q75, q84-q110)
+    # is green in CORRECTNESS_r05/r04 and re-checkable via
     # tools/check_correctness.py.
     return {
         # -- round-5 operators: first official grading
@@ -2007,6 +2092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_split_assign": q132_split_assign,
         "q133_table_profile": q133_table_profile,
         "q134_asof_nearest": q134_asof_nearest,
+        "q135_sliding_window": q135_sliding_window,
+        "q136_stream_stream_join": q136_stream_stream_join,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -2032,11 +2119,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_near_dup_lsh": q72_near_dup_lsh,
         "q73_decontaminate": q73_decontaminate,
         "q74_hash_sample": q74_hash_sample,
-        "q75_stratified_sample": q75_stratified_sample,
-        "q95_bloom_decontaminate": q95_bloom_decontaminate,
         # ---- entries below are past the driver's 50-entry window ----
         # (green in CORRECTNESS_r05 or r04; re-checkable locally via
         # tools/check_correctness.py)
+        "q75_stratified_sample": q75_stratified_sample,
+        "q95_bloom_decontaminate": q95_bloom_decontaminate,
         "q96_weighted_sample": q96_weighted_sample,
         "q97_substring_dedup": q97_substring_dedup,
         "q98_correlated_subquery": q98_correlated_subquery,
@@ -3798,6 +3885,36 @@ def oracle_sql() -> dict[str, str]:
                    (pick.rt - sort_us)::BIGINT AS asof_gap_us,
                    pick.rv AS value
             FROM ch
+        """,
+        "q135_sliding_window": """
+            -- window/slide = 4, so every row lands in EXACTLY the 4
+            -- slide-aligned (epoch-origin) windows starting at
+            -- floor(t/S)*S - i*S, i = 0..3 — the same per-row explode
+            -- Spark's F.window(ts, '1 hour', '15 minutes') performs
+            WITH b AS (
+              SELECT epoch_us(ts) AS tus, event_type, value FROM events
+            ), k AS (
+              SELECT * FROM (VALUES (0), (1), (2), (3)) t(i)
+            )
+            SELECT make_timestamp((b.tus // 900000000 - k.i) * 900000000) AS win_start,
+                   b.event_type,
+                   count(*)::bigint AS n,
+                   CAST(sum(b.value::decimal(27,6)) AS DOUBLE) AS sum_value
+            FROM b CROSS JOIN k
+            GROUP BY 1, 2
+        """,
+        "q136_stream_stream_join": """
+            WITH a AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'click'
+            ), b AS (
+              SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+            )
+            SELECT a.user_id, count(*)::bigint AS n_pairs,
+                   CAST(sum(b.value::decimal(27,6)) AS DOUBLE) AS sum_purchase
+            FROM a JOIN b ON a.user_id = b.user_id
+                         AND b.ts >= a.ts
+                         AND b.ts <= a.ts + INTERVAL 24 HOUR
+            GROUP BY 1
         """,
         "q133_table_profile": """
             WITH base AS (SELECT count(*)::bigint AS n FROM lineitem)

@@ -266,3 +266,92 @@ def bloom_dedup_batches(
             batch.unpersist()
 
     return fn, emitted
+
+
+def sliding_window_stats(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    value_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Hopping-window aggregation: overlapping windows of ``window``
+    duration starting every ``slide`` (each row lands in window/slide
+    windows; ``F.window`` explodes it map-side, so the shuffle carries
+    one pre-aggregated partial per (window, key) — no row blow-up past
+    the map stage).
+
+    Works identically on a batch DataFrame and on a stream (pass
+    ``watermark`` there so window state can be evicted once closed) —
+    the reference recomputes rolling views batch-wise per chunk cycle
+    (aeon/io/api.py load windows + dj_pipeline block analyses); here
+    one declaration serves both modes, and batch==streaming parity is
+    test-pinned.
+
+    Sums route through decimal so the result is shuffle-plan-independent
+    and bit-identical to the SQL oracle.
+    """
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(27,6)")).cast("double").alias("sum_value")
+        )
+    return (
+        src.groupBy(F.window(ts_col, window, slide).alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            F.col("w.start").alias("win_start"),
+            *keys,
+            "n",
+            *(["sum_value"] if value_col else []),
+        )
+    )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    watermark: str = "0 seconds",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Watermarked stream-stream event-time interval join: pair each
+    left row with the right rows sharing ``keys`` whose event time falls
+    in ``[left_ts, left_ts + upper]``.
+
+    This is the streaming twin of operators/intervals.py's batch
+    interval join (the reference joins device streams to enclosing
+    epochs per poll cycle — dj_pipeline ingest; a stream-stream join
+    keeps those pairings continuous). Both sides carry a watermark and
+    the join condition bounds BOTH event times, so Spark can evict
+    state: left rows older than watermark + ``upper`` can never match
+    again and are dropped — bounded state at any input rate.
+
+    ``upper`` / ``watermark`` are SQL interval strings ("24 hours").
+    Equality ``keys`` hash-partition both sides, so matching is
+    co-located and never quadratic in anything but per-key density.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    # disambiguate columns: the join condition must reference each
+    # side's own event-time attribute. Rename FIRST, then watermark the
+    # renamed column — withWatermark tags a specific attribute and a
+    # later select/alias would silently drop the tag.
+    rsel = [F.col(k).alias(f"r_{k}") for k in keys] + [
+        F.col(right_ts).alias(f"r_{right_ts}")
+    ] + [F.col(c).alias(f"r_{c}") for c in (right_cols or [])]
+    rw = right.select(*rsel).withWatermark(f"r_{right_ts}", watermark)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"r_{k}"))
+    cond = (
+        cond
+        & (F.col(f"r_{right_ts}") >= F.col(left_ts))
+        & (F.col(f"r_{right_ts}") <= F.expr(f"{left_ts} + INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, "inner")

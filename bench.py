@@ -96,6 +96,9 @@ HEADLINE = [
     "q132_split_assign",     # map-side hash-interval split
     "q133_table_profile",    # one-pass multi-column profile (Expand)
     "q134_asof_nearest",     # nearest as-of: one sort, two frames
+    "q135_sliding_window",   # hopping windows: map-side explode + partial agg
+    # (q136_stream_stream_join is NOT in the headline set for the same
+    # reason as q122/q129: stream setup + memory-sink drain dominate)
 ]
 
 
