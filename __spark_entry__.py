@@ -62,6 +62,54 @@ def _longs(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def _stream_feed(sf_dir: str, table: str, prefix: str) -> str:
+    """Expose a testdata table to the file-stream source via a temp dir
+    of symlinks. Handles both layouts: a single parquet FILE (driver
+    testdata) and a parquet DIRECTORY of part files (e.g. the scale
+    probe's replicated tables) — the file source lists only the top
+    level, so a symlinked directory would silently stream zero rows."""
+    import tempfile
+
+    feed_dir = tempfile.mkdtemp(prefix=prefix)
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        n = 0
+        for f in sorted(os.listdir(src)):
+            if f.endswith(".parquet"):
+                os.symlink(os.path.join(src, f), os.path.join(feed_dir, f"part{n:05d}.parquet"))
+                n += 1
+        if n == 0:
+            raise FileNotFoundError(f"no part files under {src}")
+    else:
+        os.symlink(src, os.path.join(feed_dir, f"{table}.parquet"))
+    return feed_dir
+
+
+def _stream_events(spark: SparkSession, feed_dir: str) -> DataFrame:
+    """File-source stream over an events feed with ``ts`` normalized to
+    a µs TIMESTAMP whatever the on-disk encoding: driver testdata is
+    TIMESTAMP(NANOS) read as a legacy long (ns or µs depending on
+    plan-time conf — sniffed: 2^58 ns ≈ 1979 while µs stays below it
+    until year 11000), replicated probe data is a plain TIMESTAMP. The
+    stream schema comes from the files themselves so the two layouts
+    can't mismatch."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    actual = spark.read.parquet(feed_dir).schema
+    src = spark.readStream.schema(actual).parquet(feed_dir)
+    if {f.name: f.dataType.simpleString() for f in actual}.get("ts") == "bigint":
+        src = src.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.when(F.col("ts") > F.lit(1 << 58), F.expr("ts div 1000")).otherwise(
+                    F.col("ts")
+                )
+            ),
+        )
+    return src
+
+
 # ---------------------------------------------------------------------------
 # Relational core (SURVEY §2.2-2.7) over the TPC-H-ish tables
 # ---------------------------------------------------------------------------
@@ -559,24 +607,10 @@ def q42_streaming_hourly(spark, sf_dir):
     import tempfile
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
     # the file-stream source wants a directory; expose the single parquet
     # file through a temp dir symlink (testdata is read-only)
-    feed_dir = tempfile.mkdtemp(prefix="q42_feed_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(feed_dir, "events.parquet"))
-    src = spark.readStream.schema(schema).parquet(feed_dir)
-    # The file-stream source hands back TIMESTAMP(NANOS) as a long whose
-    # scale depends on whether nanosAsLong was in force at plan time (ns)
-    # or the NANOS->MICROS cast path kicked in (µs). Sniff the scale:
-    # 2^58 ns ≈ 1979, while µs values stay < 2^58 until year 11000.
-    src = src.withColumn(
-        "ts",
-        F.timestamp_micros(
-            F.when(F.col("ts") > F.lit(1 << 58), F.expr("ts div 1000")).otherwise(F.col("ts"))
-        ),
-    )
+    feed_dir = _stream_feed(sf_dir, "events", "q42_feed_")
+    src = _stream_events(spark, feed_dir)
     agg = (
         src.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
         .agg(
@@ -1877,10 +1911,7 @@ def q129_stateful_dropcount(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
-    feed_dir = tempfile.mkdtemp(prefix="q129_feed_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(feed_dir, "events.parquet")
-    )
+    feed_dir = _stream_feed(sf_dir, "events", "q129_feed_")
     src = spark.readStream.schema(schema).parquet(feed_dir)
     frames = src.select(
         F.col("event_type").alias("device"), F.col("event_id").alias("hw_counter")
@@ -1991,29 +2022,10 @@ def q136_stream_stream_join(spark, sf_dir):
 
     from aeon_mecha_spark.streaming.stream import stream_interval_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
-    feed_dir = tempfile.mkdtemp(prefix="q136_feed_")
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(feed_dir, "events.parquet")
-    )
+    feed_dir = _stream_feed(sf_dir, "events", "q136_feed_")
 
     def _src():
-        s = spark.readStream.schema(schema).parquet(feed_dir)
-        # same TIMESTAMP(NANOS) scale sniff as q42: the file-stream
-        # source may hand back ns or µs longs depending on plan-time conf
-        return s.withColumn(
-            "ts",
-            F.timestamp_micros(
-                F.when(F.col("ts") > F.lit(1 << 58), F.expr("ts div 1000")).otherwise(
-                    F.col("ts")
-                )
-            ),
-        )
+        return _stream_events(spark, feed_dir)
 
     clicks = _src().filter(F.col("event_type") == "click").select("user_id", "ts")
     purchases = (
