@@ -71,7 +71,12 @@ def _stream_feed(sf_dir: str, table: str, prefix: str) -> str:
     import tempfile
 
     feed_dir = tempfile.mkdtemp(prefix=prefix)
-    src = os.path.join(sf_dir, f"{table}.parquet")
+    # abspath: symlink targets resolve against the LINK's directory, so a
+    # relative sf_dir would dangle from /tmp; missing tables must fail
+    # eagerly here, not as a confusing zero-row stream downstream
+    src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
+    if not os.path.exists(src):
+        raise FileNotFoundError(src)
     if os.path.isdir(src):
         n = 0
         for f in sorted(os.listdir(src)):
@@ -604,7 +609,6 @@ def q42_streaming_hourly(spark, sf_dir):
     """Streaming==batch parity (T1/T4): the hourly rollup computed via
     Structured Streaming (AvailableNow drain to a memory sink) must equal
     the batch oracle exactly."""
-    import tempfile
     import uuid
 
     # the file-stream source wants a directory; expose the single parquet
@@ -1903,16 +1907,12 @@ def q129_stateful_dropcount(spark, sf_dir):
     drain. One input file → one micro-batch, so the per-device running
     totals have a closed form the oracle states directly:
     drops = max − min − n + 1 of a strictly increasing counter."""
-    import tempfile
     import uuid
 
     from aeon_mecha_spark.streaming import stateful, stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = "event_id bigint, ts bigint, user_id bigint, event_type string, value double, props string"
     feed_dir = _stream_feed(sf_dir, "events", "q129_feed_")
-    src = spark.readStream.schema(schema).parquet(feed_dir)
+    src = _stream_events(spark, feed_dir)
     frames = src.select(
         F.col("event_type").alias("device"), F.col("event_id").alias("hw_counter")
     )
@@ -2017,7 +2017,6 @@ def q136_stream_stream_join(spark, sf_dir):
     both sides are independent file-source streams, the join drains via
     AvailableNow into an append sink, and the gate aggregates the
     drained pairs per user (count + decimal-exact purchase sum)."""
-    import tempfile
     import uuid
 
     from aeon_mecha_spark.streaming.stream import stream_interval_join

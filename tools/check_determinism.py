@@ -104,17 +104,16 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
-    sf_dir = (
-        sys.argv[1]
-        if len(sys.argv) > 1 and os.path.isdir(sys.argv[1])
-        else "/root/testdata/sf0.01"
-    )
-    only = [a for a in sys.argv[1:] if not os.path.isdir(a)]
-    if only == ["--core"]:
+    dirs = [a for a in sys.argv[1:] if os.path.isdir(a)]
+    sf_dir = dirs[0] if dirs else "/root/testdata/sf0.01"
+    rest = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    use_core = "--core" in rest
+    only = [a for a in rest if a != "--core"]
+    if use_core and not only:
         names = DEFAULT_QUERIES  # the historical float/window-heavy subset
     else:
-        # default: the FULL gate surface (verified 134/134 bit-identical
-        # across 32- vs 7-partition shuffle plans, 2026-08-14)
+        # default: the FULL gate surface — re-run after adding gates so
+        # the shuffle-plan-independence property stays verified end to end
         names = only or list(entry_mod.queries())
     spark = get_spark("determinism")
     qs = entry_mod.queries()
