@@ -2058,6 +2058,31 @@ def q136_stream_stream_join(spark, sf_dir):
     )
 
 
+def q137_hist_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch (the quantile member of the sketch
+    family, alongside KMV/CM/Bloom): equi-width histogram partials
+    built on two DISJOINT slices of lineitem (odd/even line numbers —
+    standing in for two rollup shards), vector-added by hist_merge,
+    then p50/p90/p99 of l_extendedprice per return flag estimated from
+    the merged state. One pass over facts, O(bins) state per group,
+    exact-integer rank arithmetic — the only float is the final
+    in-bin interpolation, in a pinned operation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo, hi, bins = 900.0, 105000.0, 512
+    even = sketch.hist_partial(
+        li.filter(F.col("l_linenumber") % 2 == 0), "l_extendedprice",
+        ["l_returnflag"], lo, hi, bins,
+    )
+    odd = sketch.hist_partial(
+        li.filter(F.col("l_linenumber") % 2 == 1), "l_extendedprice",
+        ["l_returnflag"], lo, hi, bins,
+    )
+    merged = sketch.hist_merge(even.unionByName(odd), ["l_returnflag"])
+    return sketch.hist_quantiles(
+        merged, ["l_returnflag"], lo, hi, bins, quantiles=(0.5, 0.9, 0.99)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2105,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_asof_nearest": q134_asof_nearest,
         "q135_sliding_window": q135_sliding_window,
         "q136_stream_stream_join": q136_stream_stream_join,
+        "q137_hist_quantile_sketch": q137_hist_quantile_sketch,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -2129,10 +2155,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_rolling_avg": q71_rolling_avg,
         "q72_near_dup_lsh": q72_near_dup_lsh,
         "q73_decontaminate": q73_decontaminate,
-        "q74_hash_sample": q74_hash_sample,
         # ---- entries below are past the driver's 50-entry window ----
         # (green in CORRECTNESS_r05 or r04; re-checkable locally via
         # tools/check_correctness.py)
+        "q74_hash_sample": q74_hash_sample,
         "q75_stratified_sample": q75_stratified_sample,
         "q95_bloom_decontaminate": q95_bloom_decontaminate,
         "q96_weighted_sample": q96_weighted_sample,
@@ -3926,6 +3952,35 @@ def oracle_sql() -> dict[str, str]:
                          AND b.ts >= a.ts
                          AND b.ts <= a.ts + INTERVAL 24 HOUR
             GROUP BY 1
+        """,
+        "q137_hist_quantile_sketch": """
+            -- same grid as hist_partial: bin = clamp(floor(((v-lo)/span)*bins))
+            WITH b AS (
+              SELECT l_returnflag AS k,
+                     least(greatest(floor(((l_extendedprice - 900.0) / 104100.0) * 512), 0), 511)::bigint AS bin
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ), h AS (
+              SELECT k, bin, count(*)::bigint AS cnt FROM b GROUP BY 1, 2
+            ), c AS (
+              SELECT k, bin, cnt,
+                     sum(cnt) OVER (PARTITION BY k ORDER BY bin) AS cum,
+                     sum(cnt) OVER (PARTITION BY k) AS n
+              FROM h
+            ), t AS (
+              SELECT *,
+                     (n * 500000 + 999999) // 1000000 AS t50,
+                     (n * 900000 + 999999) // 1000000 AS t90,
+                     (n * 990000 + 999999) // 1000000 AS t99
+              FROM c
+            )
+            SELECT k AS l_returnflag, max(n)::bigint AS n,
+                   max(CASE WHEN cum >= t50 AND cum - cnt < t50 THEN
+                     round(900.0 + 104100.0 * ((bin + (t50 - (cum - cnt))::double / cnt::double) / 512), 6) END) AS p50,
+                   max(CASE WHEN cum >= t90 AND cum - cnt < t90 THEN
+                     round(900.0 + 104100.0 * ((bin + (t90 - (cum - cnt))::double / cnt::double) / 512), 6) END) AS p90,
+                   max(CASE WHEN cum >= t99 AND cum - cnt < t99 THEN
+                     round(900.0 + 104100.0 * ((bin + (t99 - (cum - cnt))::double / cnt::double) / 512), 6) END) AS p99
+            FROM t GROUP BY k
         """,
         "q133_table_profile": """
             WITH base AS (SELECT count(*)::bigint AS n FROM lineitem)

@@ -360,3 +360,103 @@ def kmv_jaccard(
         (n_common.cast("double") / n_l.cast("double")).alias("est_jaccard"),
         est_union.alias("est_union"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch: the mergeable QUANTILE member of the
+# sketch family (KMV = distinct, CM = frequency, Bloom = membership).
+# One pass, O(bins) state per group, partials merge by vector add —
+# the rollup-table pattern that answers "p99 latency per hour, any
+# coarser grouping later" at 100 TB without re-scanning facts.
+# Deterministic (integer bin counts + one fixed-form float estimate),
+# so unlike GK/KLL it is cross-engine hash-verifiable.
+# ---------------------------------------------------------------------------
+
+
+def hist_partial(
+    df: DataFrame,
+    col: str | Column,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+) -> DataFrame:
+    """Materializable equi-width histogram state per group: one row per
+    non-empty ``(keys…, bin)`` with its count.
+
+    ``bin = clamp(floor(((v - lo) / (hi - lo)) * bins), 0, bins - 1)``
+    — NULLs are dropped, out-of-range values clamp into the edge bins
+    (their mass is counted but their position saturates; pick [lo, hi)
+    from domain knowledge or a prior min/max scan). The float
+    expression is written in exactly this operation order so an
+    external SQL engine can reproduce bins bit-for-bit.
+
+    Map-side partial aggregation means the shuffle carries at most
+    ``bins`` rows per (group, input partition) — independent of row
+    count.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    span = float(hi) - float(lo)
+    raw = F.floor(((c.cast("double") - F.lit(float(lo))) / F.lit(span)) * F.lit(int(bins)))
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(int(bins) - 1)).cast("long")
+    return (
+        df.filter(c.isNotNull())
+        .select(*keys, b.alias("bin"))
+        .groupBy(*keys, "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def hist_merge(partials: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge histogram partials (any union of :func:`hist_partial`
+    outputs over the same ``[lo, hi) × bins`` grid): counts add."""
+    return partials.groupBy(*keys, "bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    bins: int = 1024,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from histogram state: per group, the value at
+    rank ``ceil(q·n)`` located by cumulative bin counts, linearly
+    interpolated inside its bin and rounded to 6 dp.
+
+    Rank arithmetic is exact integers (q in micro-units, ceil via
+    ``(n·qm + 999999) div 1e6``); only the final position estimate is
+    float, in a fixed operation order, so results are
+    shuffle-plan-independent and SQL-reproducible. Error is bounded by
+    one bin width — (hi−lo)/bins — by construction.
+
+    One window pass per group ordered by bin (≤ ``bins`` rows per
+    group) then a tiny aggregate: state size, not data size.
+    """
+    span = float(hi) - float(lo)
+    wcum = W.partitionBy(*keys).orderBy("bin")
+    wall = W.partitionBy(*keys)
+    s = sketch.withColumn("_cum", F.sum("cnt").over(wcum)).withColumn(
+        "_n", F.sum("cnt").over(wall)
+    )
+    aggs = []
+    for q in quantiles:
+        qm = round(q * 1_000_000)
+        t = ((F.col("_n") * F.lit(qm)) + F.lit(999_999)) / F.lit(1_000_000)
+        t = F.floor(t).cast("long")
+        before = F.col("_cum") - F.col("cnt")
+        frac = (t - before).cast("double") / F.col("cnt").cast("double")
+        est = F.round(
+            F.lit(float(lo))
+            + F.lit(span) * ((F.col("bin").cast("double") + frac) / F.lit(int(bins))),
+            6,
+        )
+        crossing = (F.col("_cum") >= t) & (before < t)
+        # p50/p90/p99 for whole-percent quantiles; exact micro-units
+        # otherwise (p999000 for q=0.999) so nothing ever collides
+        label = f"p{qm // 10000:02d}" if qm % 10000 == 0 else f"p{qm}"
+        aggs.append(F.max(F.when(crossing, est)).alias(label))
+    return s.groupBy(*keys).agg(
+        F.max("_n").cast("long").alias("n"), *aggs
+    )

@@ -99,6 +99,7 @@ HEADLINE = [
     "q135_sliding_window",   # hopping windows: map-side explode + partial agg
     # (q136_stream_stream_join is NOT in the headline set for the same
     # reason as q122/q129: stream setup + memory-sink drain dominate)
+    "q137_hist_quantile_sketch",  # mergeable histogram quantiles (O(bins) state)
 ]
 
 

@@ -170,3 +170,54 @@ def test_cm_estimate_missing_item_is_lower_bounded_by_zero(spark):
     probe = spark.createDataFrame([("zzz-never-seen",)], "item string")
     [r] = sketch.cm_estimate(sk, probe, depth=2, width=64).collect()
     assert r["est_count"] >= 0  # may over-count via collision, never negative
+
+
+def test_hist_sketch_merge_equals_direct_and_bounds_error(spark):
+    """Partials over an arbitrary split merge to the same state as one
+    direct pass, and quantile estimates are within one bin width of the
+    exact percentile (the sketch's error bound by construction)."""
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.uniform(0.0, 100.0) for _ in range(4000)]
+    df = spark.createDataFrame(
+        [("g", v, i % 3) for i, v in enumerate(vals)], "k string, v double, s int"
+    )
+    lo, hi, bins = 0.0, 100.0, 200
+
+    direct = sketch.hist_partial(df, "v", ["k"], lo, hi, bins)
+    parts = [
+        sketch.hist_partial(df.filter(F.col("s") == i), "v", ["k"], lo, hi, bins)
+        for i in range(3)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    merged = sketch.hist_merge(u, ["k"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+    [r] = sketch.hist_quantiles(merged, ["k"], lo, hi, bins).collect()
+    assert r["n"] == 4000
+    width = (hi - lo) / bins
+    svals = sorted(vals)
+    for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        exact = svals[max(0, -(-int(q * 4000)) - 1)]
+        assert abs(r[col] - exact) <= width + 1e-9, (q, r[col], exact)
+
+
+def test_hist_sketch_clamps_out_of_range_and_drops_nulls(spark):
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 0.5), ("g", 99.0), ("g", 250.0), ("g", None)],
+        "k string, v double",
+    )
+    h = {r["bin"]: r["cnt"] for r in sketch.hist_partial(df, "v", ["k"], 0.0, 100.0, 10).collect()}
+    assert h[0] == 2          # -5 clamps into bin 0 alongside 0.5
+    assert h[9] == 2          # 250 clamps into the top bin alongside 99
+    assert sum(h.values()) == 4  # NULL dropped
+
+
+def test_hist_quantile_label_collision_safe(spark):
+    df = spark.createDataFrame([("g", float(i)) for i in range(100)], "k string, v double")
+    sk = sketch.hist_partial(df, "v", ["k"], 0.0, 100.0, 100)
+    out = sketch.hist_quantiles(sk, ["k"], 0.0, 100.0, 100, quantiles=(0.99, 0.999))
+    assert {"p99", "p999000"} <= set(out.columns)
