@@ -2083,6 +2083,37 @@ def q137_hist_quantile_sketch(spark, sf_dir):
     )
 
 
+def q138_streaming_sessions(spark, sf_dir):
+    """Session windows in STREAMING mode (T2 as a gate — completes the
+    windowing trio: tumbling q42, hopping q135, session here): per
+    event type, a session closes after 10 minutes of silence; window
+    end = last event + gap, matching the gaps-and-islands oracle
+    exactly. Session-window state is the one window shape whose
+    boundaries depend on the DATA (windows merge as events arrive), so
+    parity with the closed-form SQL is a real check on the merge
+    logic."""
+    import uuid
+
+    from aeon_mecha_spark.streaming.stream import session_epochs
+
+    feed_dir = _stream_feed(sf_dir, "events", "q138_feed_")
+    src = _stream_events(spark, feed_dir)
+    sessions = session_epochs(src, "ts", ["event_type"], gap="10 minutes")
+    name = f"q138_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT epoch_start, epoch_end, event_type, "
+        f"CAST(sample_count AS bigint) AS sample_count FROM {name}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2131,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_sliding_window": q135_sliding_window,
         "q136_stream_stream_join": q136_stream_stream_join,
         "q137_hist_quantile_sketch": q137_hist_quantile_sketch,
+        "q138_streaming_sessions": q138_streaming_sessions,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -2154,10 +2186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_cohort_retention": q70_cohort_retention,
         "q71_rolling_avg": q71_rolling_avg,
         "q72_near_dup_lsh": q72_near_dup_lsh,
-        "q73_decontaminate": q73_decontaminate,
         # ---- entries below are past the driver's 50-entry window ----
         # (green in CORRECTNESS_r05 or r04; re-checkable locally via
         # tools/check_correctness.py)
+        "q73_decontaminate": q73_decontaminate,
         "q74_hash_sample": q74_hash_sample,
         "q75_stratified_sample": q75_stratified_sample,
         "q95_bloom_decontaminate": q95_bloom_decontaminate,
@@ -3981,6 +4013,27 @@ def oracle_sql() -> dict[str, str]:
                    max(CASE WHEN cum >= t99 AND cum - cnt < t99 THEN
                      round(900.0 + 104100.0 * ((bin + (t99 - (cum - cnt))::double / cnt::double) / 512), 6) END) AS p99
             FROM t GROUP BY k
+        """,
+        "q138_streaming_sessions": """
+            -- gaps-and-islands twin of Spark session_window(ts, 10 min):
+            -- a new session starts when the gap to the previous event is
+            -- >= the 10-minute gap; window end = last event + gap
+            WITH d AS (
+              SELECT event_type, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 600000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts)
+            ), s AS (
+              SELECT *, sum(brk) OVER (PARTITION BY event_type ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM d
+            )
+            SELECT min(ts) AS epoch_start,
+                   max(ts) + INTERVAL 10 MINUTE AS epoch_end,
+                   event_type, count(*)::bigint AS sample_count
+            FROM s GROUP BY event_type, sid
         """,
         "q133_table_profile": """
             WITH base AS (SELECT count(*)::bigint AS n FROM lineitem)

@@ -100,6 +100,8 @@ HEADLINE = [
     # (q136_stream_stream_join is NOT in the headline set for the same
     # reason as q122/q129: stream setup + memory-sink drain dominate)
     "q137_hist_quantile_sketch",  # mergeable histogram quantiles (O(bins) state)
+    # (q138_streaming_sessions is NOT in the headline set for the same
+    # reason as q122/q129/q136: the AvailableNow drain dominates)
 ]
 
 

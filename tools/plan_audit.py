@@ -117,6 +117,10 @@ def main() -> None:
 
     write = "--write" in sys.argv
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if write and args:
+        # PLAN_AUDIT.md is the FULL-surface artifact; writing a subset
+        # would silently truncate it to the named queries
+        sys.exit("--write only works with the full surface (drop the query names)")
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
