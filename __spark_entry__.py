@@ -2114,6 +2114,30 @@ def q138_streaming_sessions(spark, sf_dir):
     )
 
 
+def q139_table_diff(spark, sf_dir):
+    """Row-level CDC diff between two table versions (the repair step
+    after fingerprint_diff localizes buckets): orders vs a derived
+    snapshot with deterministic removals (key % 97), in-place changes
+    (totalprice bump at key % 89), and additions (key-shifted copies at
+    key % 101). Each side ships only (key, row-hash) into one
+    full-outer join — shuffle width is a digest, not the row."""
+    from aeon_mecha_spark.pipeline import reconcile
+
+    o = _t(spark, sf_dir, "orders")
+    kept = o.filter(F.col("o_orderkey") % 97 != 0)
+    bumped = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(100000000)
+    )
+    new = bumped.unionByName(added)
+    return reconcile.table_diff(o, new, ["o_orderkey"])
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2163,6 +2187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_stream_stream_join": q136_stream_stream_join,
         "q137_hist_quantile_sketch": q137_hist_quantile_sketch,
         "q138_streaming_sessions": q138_streaming_sessions,
+        "q139_table_diff": q139_table_diff,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -2185,10 +2210,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_rank_distribution": q69_rank_distribution,
         "q70_cohort_retention": q70_cohort_retention,
         "q71_rolling_avg": q71_rolling_avg,
-        "q72_near_dup_lsh": q72_near_dup_lsh,
         # ---- entries below are past the driver's 50-entry window ----
         # (green in CORRECTNESS_r05 or r04; re-checkable locally via
         # tools/check_correctness.py)
+        "q72_near_dup_lsh": q72_near_dup_lsh,
         "q73_decontaminate": q73_decontaminate,
         "q74_hash_sample": q74_hash_sample,
         "q75_stratified_sample": q75_stratified_sample,
@@ -4034,6 +4059,19 @@ def oracle_sql() -> dict[str, str]:
                    max(ts) + INTERVAL 10 MINUTE AS epoch_end,
                    event_type, count(*)::bigint AS sample_count
             FROM s GROUP BY event_type, sid
+        """,
+        "q139_table_diff": """
+            -- closed form of the derived snapshot: % 97 keys vanish,
+            -- surviving % 89 keys change (price bump always differs),
+            -- % 101 keys reappear key-shifted as additions
+            SELECT o_orderkey, 'removed' AS change_type
+            FROM orders WHERE o_orderkey % 97 = 0
+            UNION ALL
+            SELECT o_orderkey, 'changed'
+            FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 0
+            UNION ALL
+            SELECT o_orderkey + 100000000, 'added'
+            FROM orders WHERE o_orderkey % 101 = 0
         """,
         "q133_table_profile": """
             WITH base AS (SELECT count(*)::bigint AS n FROM lineitem)

@@ -102,6 +102,7 @@ HEADLINE = [
     "q137_hist_quantile_sketch",  # mergeable histogram quantiles (O(bins) state)
     # (q138_streaming_sessions is NOT in the headline set for the same
     # reason as q122/q129/q136: the AvailableNow drain dominates)
+    "q139_table_diff",       # CDC diff: digest-width full-outer join
 ]
 
 

@@ -757,3 +757,31 @@ def test_asof_nearest_single_sort_plan(spark):
     p = buf.getvalue()
     assert "Join" not in p  # union-merge, never a join
     assert len(re.findall(r"\(\d+\) Sort\b", p)) <= 1  # both frames share one sort
+
+
+def test_table_diff_classifies_and_skips_unchanged(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.pipeline.reconcile import table_diff
+
+    old = spark.createDataFrame(
+        [Row(k=1, v="a", w=1.0), Row(k=2, v="b", w=2.0), Row(k=3, v="c", w=None)]
+    )
+    new = spark.createDataFrame(
+        [Row(k=1, v="a", w=1.0),       # unchanged -> dropped
+         Row(k=2, v="B", w=2.0),       # changed
+         Row(k=4, v="d", w=4.0)]       # added; k=3 removed
+    )
+    got = {r["k"]: r["change_type"] for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_table_diff_null_vs_value_is_a_change(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.pipeline.reconcile import table_diff
+
+    old = spark.createDataFrame([Row(k=1, v=None)], "k int, v string")
+    new = spark.createDataFrame([Row(k=1, v="")], "k int, v string")
+    [r] = table_diff(old, new, ["k"]).collect()
+    assert r["change_type"] == "changed"  # NULL encodes distinctly from ''
