@@ -436,3 +436,63 @@ def bm25_scores(
             F.round(F.sum(contrib), 6).alias("score"),
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_n: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation (phrase) mining by pointwise mutual information over
+    word bigrams — the corpus statistic behind multi-word-expression
+    discovery and tokenizer-merge candidates.
+
+    Rather than computing ``log(p(ab)/(p(a)p(b)))`` in floats (libm log
+    is not correctly rounded, so two engines can disagree at a rounding
+    boundary), the score is the EXACT linearized PMI in parts-per-
+    million: ``score = (c_ab · N² · 10⁶) div (M · c_a · c_b)`` carried
+    in decimal(38,0) integral arithmetic — the same monotone ordering
+    as PMI, deterministic on any engine. The decimal width bounds the
+    corpus at ~10¹⁰ tokens; past that, pre-scale the counts (rounding
+    error then bounded by the scaling factor, the ordering unaffected
+    for well-separated scores).
+
+    Plan: one tokenize pass each for unigram/bigram count tables (both
+    map-side combinable), the two 1-row totals broadcast, bigrams join
+    their component unigram counts on the term key, then a TakeOrdered
+    top-``top_n`` by (score desc, ngram) — a total order, so the cut
+    is deterministic. Shuffles carry count tables, never the token
+    stream.
+
+    Output: ``(ngram, c12, c1, c2, score)``, ``score`` bigint ppm.
+    """
+    uni = term_counts(docs, text_col=text_col)
+    big = ngram_counts(docs, k=2, text_col=text_col)
+    totals = uni.agg(F.sum("n").cast("decimal(38,0)").alias("_N")).crossJoin(
+        big.agg(F.sum("n").cast("decimal(38,0)").alias("_M"))
+    )
+    f = (
+        big.filter(F.col("n") >= min_count)
+        .select(
+            "ngram",
+            F.col("n").alias("c12"),
+            F.split_part(F.col("ngram"), F.lit(" "), F.lit(1)).alias("_w1"),
+            F.split_part(F.col("ngram"), F.lit(" "), F.lit(2)).alias("_w2"),
+        )
+    )
+    u1 = uni.select(F.col("term").alias("_w1"), F.col("n").alias("c1"))
+    u2 = uni.select(F.col("term").alias("_w2"), F.col("n").alias("c2"))
+    j = f.join(u1, "_w1").join(u2, "_w2").crossJoin(F.broadcast(totals))
+    score = F.expr(
+        "CAST(CAST(c12 AS DECIMAL(38,0)) * _N * _N * 1000000 "
+        "div (_M * CAST(c1 AS DECIMAL(38,0)) * CAST(c2 AS DECIMAL(38,0))) AS BIGINT)"
+    )
+    scored = j.select(
+        "ngram",
+        F.col("c12").cast("long").alias("c12"),
+        F.col("c1").cast("long").alias("c1"),
+        F.col("c2").cast("long").alias("c2"),
+        score.alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col("ngram")).limit(top_n)

@@ -103,6 +103,7 @@ HEADLINE = [
     # (q138_streaming_sessions is NOT in the headline set for the same
     # reason as q122/q129/q136: the AvailableNow drain dominates)
     "q139_table_diff",       # CDC diff: digest-width full-outer join
+    "q140_pmi_collocations",  # exact linearized-PMI collocation mining
 ]
 
 

@@ -785,3 +785,33 @@ def test_table_diff_null_vs_value_is_a_change(spark):
     new = spark.createDataFrame([Row(k=1, v="")], "k int, v string")
     [r] = table_diff(old, new, ["k"]).collect()
     assert r["change_type"] == "changed"  # NULL encodes distinctly from ''
+
+
+def test_pmi_collocations_exact_scores_and_tiebreak(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.datapipe.textqc import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(["a b", "a b", "a c", "d d"])]
+    )
+    rows = pmi_collocations(docs, min_count=1, top_n=10).collect()
+    # N=8 tokens, M=4 bigrams; linearized-PMI ppm, hand-computed
+    got = [(r["ngram"], r["c12"], r["c1"], r["c2"], r["score"]) for r in rows]
+    assert got == [
+        ("a b", 2, 3, 2, 5333333),   # (2*64e6)//(4*3*2)
+        ("a c", 1, 3, 1, 5333333),   # tie on score -> ngram ascending
+        ("d d", 1, 2, 2, 4000000),
+    ]
+
+
+def test_pmi_collocations_min_count_filters(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.datapipe.textqc import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(["x y", "x y", "p q"])]
+    )
+    rows = pmi_collocations(docs, min_count=2, top_n=10).collect()
+    assert [r["ngram"] for r in rows] == ["x y"]
