@@ -2149,6 +2149,35 @@ def q140_pmi_collocations(spark, sf_dir):
     )
 
 
+def q141_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: duplicate
+    token/2-gram/3-gram occurrence fractions plus top-bigram coverage,
+    all in exact ppm integer arithmetic (no float-threshold risk)."""
+    return textqc.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+def q142_constraint_check(spark, sf_dir):
+    """Deequ-style declarative constraint suite over lineitem: not-null,
+    range, accepted-values, predicate, composite-key uniqueness, and
+    referential integrity to orders — one aggregate pass + one anti-join,
+    one row per constraint."""
+    from aeon_mecha_spark.pipeline import validate as V
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return V.check_constraints(
+        li,
+        checks=[
+            V.not_null("l_orderkey"),
+            V.in_range("l_quantity", 1, 50),
+            V.accepted_values("l_returnflag", ["A", "N", "R"]),
+            V.satisfies("positive_price", F.col("l_extendedprice") > 0),
+        ],
+        unique=[["l_orderkey", "l_linenumber"]],
+        foreign_keys=[("fk_orders", ["l_orderkey"], orders, ["o_orderkey"])],
+    ).orderBy("constraint")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2200,6 +2229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_streaming_sessions": q138_streaming_sessions,
         "q139_table_diff": q139_table_diff,
         "q140_pmi_collocations": q140_pmi_collocations,
+        "q141_repetition_signals": q141_repetition_signals,
+        "q142_constraint_check": q142_constraint_check,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -2219,11 +2250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_group_centroids": q66_group_centroids,
         "q67_top_terms": q67_top_terms,
         "q68_ngram_counts": q68_ngram_counts,
-        "q69_rank_distribution": q69_rank_distribution,
-        "q70_cohort_retention": q70_cohort_retention,
         # ---- entries below are past the driver's 50-entry window ----
         # (green in CORRECTNESS_r05 or r04; re-checkable locally via
         # tools/check_correctness.py)
+        "q69_rank_distribution": q69_rank_distribution,
+        "q70_cohort_retention": q70_cohort_retention,
         "q71_rolling_avg": q71_rolling_avg,
         "q72_near_dup_lsh": q72_near_dup_lsh,
         "q73_decontaminate": q73_decontaminate,
@@ -4084,6 +4115,99 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey + 100000000, 'added'
             FROM orders WHERE o_orderkey % 101 = 0
+        """,
+        "q141_repetition_signals": """
+            -- Gopher-style repetition signals in exact ppm floor-div
+            -- arithmetic; raw (non-lowercased) whitespace tokens
+            WITH toks AS (
+              SELECT doc_id, CASE WHEN trim(text) = '' THEN []::varchar[]
+                     ELSE string_split_regex(trim(text), '\\s+') END AS t
+              FROM documents),
+            base AS (
+              SELECT doc_id, len(t)::BIGINT AS n_tok,
+                     len(list_distinct(t))::BIGINT AS d_tok,
+                     CASE WHEN len(t) >= 2 THEN list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> array_to_string(t[i:i+1], ' '))
+                     ELSE []::varchar[] END AS g2,
+                     CASE WHEN len(t) >= 3 THEN list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' '))
+                     ELSE []::varchar[] END AS g3
+              FROM toks),
+            feats AS (
+              SELECT doc_id, n_tok AS n_tokens,
+                CASE WHEN n_tok > 0
+                  THEN ((n_tok - d_tok) * 1000000) // n_tok ELSE 0 END
+                  AS dup_token_frac_ppm,
+                CASE WHEN len(g2) > 0
+                  THEN ((len(g2) - len(list_distinct(g2)))::BIGINT * 1000000)
+                       // len(g2)::BIGINT ELSE 0 END AS dup_2gram_frac_ppm,
+                CASE WHEN len(g3) > 0
+                  THEN ((len(g3) - len(list_distinct(g3)))::BIGINT * 1000000)
+                       // len(g3)::BIGINT ELSE 0 END AS dup_3gram_frac_ppm
+              FROM base),
+            cnt AS (
+              SELECT doc_id, gram, count(*)::BIGINT AS c
+              FROM (SELECT doc_id, unnest(g2) AS gram FROM base)
+              GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, gram AS top_bigram, c AS top_bigram_count
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY c DESC, gram) AS rn
+                    FROM cnt)
+              WHERE rn = 1)
+            SELECT f.doc_id, f.n_tokens, f.dup_token_frac_ppm,
+                   f.dup_2gram_frac_ppm, f.dup_3gram_frac_ppm,
+                   coalesce(t.top_bigram, '') AS top_bigram,
+                   coalesce(t.top_bigram_count, 0)::BIGINT AS top_bigram_count,
+                   CASE WHEN f.n_tokens > 0
+                     THEN (coalesce(t.top_bigram_count, 0) * 2000000)
+                          // f.n_tokens
+                     ELSE 0 END AS top_bigram_frac_ppm
+            FROM feats f LEFT JOIN top t USING (doc_id)
+        """,
+        "q142_constraint_check": """
+            -- Deequ-style constraint suite: one row per constraint
+            WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM lineitem),
+            rows_out AS (
+              SELECT 'not_null(l_orderkey)' AS "constraint", n_rows,
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_orderkey IS NULL)::BIGINT AS violations
+              FROM n
+              UNION ALL
+              SELECT 'in_range(l_quantity,1,50)', n_rows,
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_quantity IS NULL
+                         OR l_quantity < 1 OR l_quantity > 50)::BIGINT
+              FROM n
+              UNION ALL
+              SELECT 'accepted_values(l_returnflag,[A,N,R])', n_rows,
+                     (SELECT count(*) FROM lineitem
+                      WHERE l_returnflag IS NULL
+                         OR l_returnflag NOT IN ('A','N','R'))::BIGINT
+              FROM n
+              UNION ALL
+              SELECT 'satisfies(positive_price)', n_rows,
+                     (SELECT count(*) FROM lineitem
+                      WHERE NOT coalesce(l_extendedprice > 0, false))::BIGINT
+              FROM n
+              UNION ALL
+              SELECT 'unique(l_orderkey,l_linenumber)', n_rows,
+                     (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+                      FROM lineitem)::BIGINT
+              FROM n
+              UNION ALL
+              SELECT 'fk_orders', n_rows,
+                     (SELECT count(*) FROM lineitem l
+                      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+                        ON l.l_orderkey = o.o_orderkey
+                      WHERE o.o_orderkey IS NULL)::BIGINT
+              FROM n)
+            SELECT "constraint", n_rows, violations,
+                   CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+            FROM rows_out
+            ORDER BY "constraint"
         """,
         "q140_pmi_collocations": """
             -- exact linearized PMI in ppm: (c12*N^2*1e6) // (M*c1*c2),

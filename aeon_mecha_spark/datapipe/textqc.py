@@ -496,3 +496,90 @@ def pmi_collocations(
         score.alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col("ngram")).limit(top_n)
+
+
+def repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals (Rae et al. 2021,
+    app. A1.1, adapted to whitespace tokens): the fraction of token /
+    2-gram / 3-gram occurrences that repeat an earlier occurrence, plus
+    the share of the document covered by its single most frequent
+    bigram. High values mark boilerplate, spam, and looping generations
+    — the standard pre-training repetition cut, finer-grained than the
+    single shingle score of ``curation.repetition_ratio``.
+
+    All ratios are exact integers in parts-per-million (``div`` floor
+    division on longs), so any engine reproduces them bit-for-bit —
+    no float rounding at a filter threshold.
+
+    Plan: the dup-fraction family is pure per-row map work
+    (``array_distinct`` inside codegen — no shuffle). The top-bigram
+    mode needs per-(doc, gram) counts: explode → partial-aggregated
+    ``groupBy(doc, gram)`` → top-1 window partitioned by doc → a
+    doc-keyed join back. Every shuffle is keyed by ``doc_id``, so
+    parallelism scales with the corpus; no global operator anywhere.
+
+    Output: ``(id, n_tokens, dup_token_frac_ppm, dup_2gram_frac_ppm,
+    dup_3gram_frac_ppm, top_bigram, top_bigram_count,
+    top_bigram_frac_ppm)``.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+
+    def grams(k: int) -> Column:
+        idx = F.sequence(F.lit(1), n_tok - (k - 1))
+        joined = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        return F.when(n_tok >= k, joined).otherwise(F.array().cast("array<string>"))
+
+    g2, g3 = grams(2), grams(3)
+    base = spread(docs).select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("_d_tok"),
+        F.size(g2).cast("long").alias("_n_g2"),
+        F.size(F.array_distinct(g2)).cast("long").alias("_d_g2"),
+        F.size(g3).cast("long").alias("_n_g3"),
+        F.size(F.array_distinct(g3)).cast("long").alias("_d_g3"),
+    )
+
+    def ppm(dup: str, n: str) -> Column:
+        # long div long → exact floor; never route ratios through doubles.
+        return F.expr(f"CASE WHEN {n} > 0 THEN (({dup}) * 1000000L) div {n} ELSE 0L END")
+
+    feats = base.select(
+        id_col,
+        "n_tokens",
+        ppm("n_tokens - _d_tok", "n_tokens").alias("dup_token_frac_ppm"),
+        ppm("_n_g2 - _d_g2", "_n_g2").alias("dup_2gram_frac_ppm"),
+        ppm("_n_g3 - _d_g3", "_n_g3").alias("dup_3gram_frac_ppm"),
+    )
+    counts = (
+        spread(docs)
+        .select(F.col(id_col), F.explode(g2).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("top_bigram_count"))
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("top_bigram_count").desc(), F.col("gram"))
+    top = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col(id_col), F.col("gram").alias("top_bigram"), "top_bigram_count")
+    )
+    out = feats.join(top, id_col, "left")
+    return out.select(
+        id_col,
+        "n_tokens",
+        "dup_token_frac_ppm",
+        "dup_2gram_frac_ppm",
+        "dup_3gram_frac_ppm",
+        F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("long").alias("top_bigram_count"),
+        F.expr(
+            "CASE WHEN n_tokens > 0 THEN "
+            "(coalesce(top_bigram_count, 0L) * 2000000L) div n_tokens ELSE 0L END"
+        ).alias("top_bigram_frac_ppm"),
+    )

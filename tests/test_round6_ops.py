@@ -815,3 +815,120 @@ def test_pmi_collocations_min_count_filters(spark):
     )
     rows = pmi_collocations(docs, min_count=2, top_n=10).collect()
     assert [r["ngram"] for r in rows] == ["x y"]
+
+
+# -- repetition signals (Gopher-style) ---------------------------------------
+
+
+def test_repetition_signals_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.datapipe.textqc import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            # 6 tokens, 4 distinct -> dup_tok 2/6; g2: 5 occ, 4 distinct
+            # ("a b" twice); g3: 4 occ, all distinct; top bigram "a b" x2
+            Row(doc_id=0, text="a b a b c d"),
+            # all distinct
+            Row(doc_id=1, text="p q r"),
+            # single token: no bigrams at all
+            Row(doc_id=2, text="solo"),
+            # empty text
+            Row(doc_id=3, text="   "),
+        ]
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+    r0 = got[0]
+    assert r0["n_tokens"] == 6
+    assert r0["dup_token_frac_ppm"] == (2 * 1000000) // 6
+    assert r0["dup_2gram_frac_ppm"] == (1 * 1000000) // 5
+    assert r0["dup_3gram_frac_ppm"] == 0
+    assert (r0["top_bigram"], r0["top_bigram_count"]) == ("a b", 2)
+    assert r0["top_bigram_frac_ppm"] == (2 * 2000000) // 6
+    r1 = got[1]
+    assert (r1["dup_token_frac_ppm"], r1["dup_2gram_frac_ppm"]) == (0, 0)
+    assert r1["top_bigram_count"] == 1  # any bigram; tie -> lexicographic
+    assert r1["top_bigram"] == "p q"
+    r2 = got[2]
+    assert (r2["n_tokens"], r2["top_bigram"], r2["top_bigram_count"]) == (1, "", 0)
+    assert r2["top_bigram_frac_ppm"] == 0
+    r3 = got[3]
+    assert (r3["n_tokens"], r3["dup_token_frac_ppm"], r3["top_bigram"]) == (0, 0, "")
+
+
+def test_repetition_signals_tie_breaks_lexicographic(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.datapipe.textqc import repetition_signals
+
+    # "z a z a" -> bigrams "z a","a z","z a": top is "z a" x2
+    docs = spark.createDataFrame([Row(doc_id=0, text="z a z a")])
+    r = repetition_signals(docs).collect()[0]
+    assert (r["top_bigram"], r["top_bigram_count"]) == ("z a", 2)
+
+
+# -- constraint checking (Deequ-style) ---------------------------------------
+
+
+def test_check_constraints_counts_and_status(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.pipeline import validate as V
+
+    df = spark.createDataFrame(
+        [
+            Row(k=1, sub=1, v=10, flag="A"),
+            Row(k=1, sub=1, v=200, flag="B"),   # dup key, v out of range
+            Row(k=2, sub=1, v=None, flag="A"),  # null v
+            Row(k=3, sub=2, v=50, flag="Z"),    # bad flag
+        ]
+    )
+    parent = spark.createDataFrame([Row(k=1), Row(k=2)])
+    out = V.check_constraints(
+        df,
+        checks=[
+            V.not_null("v"),
+            V.in_range("v", 0, 100),
+            V.accepted_values("flag", ["A", "B"]),
+            V.satisfies("v_times_ten", F.col("v") % 10 == 0),
+        ],
+        unique=[["k", "sub"]],
+        foreign_keys=[("fk_parent", ["k"], parent, ["k"])],
+    )
+    got = {r["constraint"]: (r["n_rows"], r["violations"], r["status"]) for r in out.collect()}
+    assert got["not_null(v)"] == (4, 1, "fail")
+    assert got["in_range(v,0,100)"] == (4, 2, "fail")  # 200 + NULL
+    assert got["accepted_values(flag,[A,B])"] == (4, 1, "fail")
+    assert got["satisfies(v_times_ten)"] == (4, 1, "fail")  # NULL counts
+    assert got["unique(k,sub)"] == (4, 1, "fail")
+    assert got["fk_parent"] == (4, 1, "fail")  # k=3 has no parent
+
+
+def test_check_constraints_all_pass_and_single_pass_plan(spark):
+    import contextlib
+    import io
+
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.pipeline import validate as V
+
+    df = spark.createDataFrame([Row(k=i, v=i * 10) for i in range(5)])
+    out = V.check_constraints(
+        df,
+        checks=[V.not_null("k"), V.in_range("v", 0, 100)],
+        unique=[["k"]],
+    )
+    # all row-level + uniqueness checks fold into ONE pass over df: a
+    # single scan feeding the (count-distinct-expanded) aggregate chain.
+    # Explain BEFORE acting: post-run AQE explain repeats the plan text.
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue().lower()
+    # formatted explain lists each node twice (tree + detail): one scan = 2
+    assert plan.count("scan existingrdd") == 2
+    assert "cartesianproduct" not in plan
+    rows = out.collect()
+    assert {r["status"] for r in rows} == {"pass"}
+    assert {r["violations"] for r in rows} == {0}
