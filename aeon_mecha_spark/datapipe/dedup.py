@@ -556,3 +556,50 @@ def winnowing_fingerprints(
         .select(F.col(id_col), F.col("pos").cast("long").alias("pos"), "fp")
         .distinct()
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty profile: the fraction of a document's
+    distinct k-word shingles that first appear in THIS document — i.e.
+    no document with a smaller id contains them. The curation metric
+    behind "how much genuinely new text does each source add" (and the
+    gradient complement of exact dedup: novelty 0 = pure rehash,
+    novelty 1e6 ppm = entirely unseen).
+
+    Ownership is ``min(id)`` per shingle — the same keep-first rule as
+    the ownership dedup family, applied at the gram grain. Shingle
+    semantics match ``curation.decontaminate`` (docs shorter than ``k``
+    contribute their whole-text join, so every doc has ≥ 1 gram).
+    Ratio is an exact ppm floor-division integer.
+
+    Plan: doc-distinct shingle explode → ``groupBy(gram)`` min-id
+    (map-side partial) → gram-keyed join back → per-doc count. Every
+    shuffle is keyed by gram or doc id; nothing global, nothing
+    quadratic — the pair space never materializes.
+    """
+    grams = spread(docs).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), k))).alias("gram"),
+    )
+    owner = grams.groupBy("gram").agg(F.min(id_col).alias("_owner"))
+    per_doc = (
+        grams.join(owner, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("_owner") == F.col(id_col), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        F.expr("(n_novel * 1000000L) div n_grams").alias("novelty_ppm"),
+    )

@@ -767,3 +767,59 @@ def knn_recall(
         "n_hit",
         (F.col("n_hit").cast("double") / F.col("n_exact").cast("double")).alias("recall"),
     )
+
+
+def rrf_fuse(
+    rankings,
+    id_cols,
+    by=(),
+    k: int = 60,
+    limit: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N candidate
+    lists: each item scores ``sum over lists of 1/(k + rank)``. The
+    standard zero-tuning way to blend heterogeneous retrieval signals
+    (BM25 + embedding kNN + recency ...) — only ranks matter, so the
+    signals' score scales never need calibration.
+
+    ``rankings`` is a sequence of ``(df, order_exprs)`` pairs; each df
+    carries ``id_cols`` (+ ``by`` for per-query fusion) and is ranked by
+    its own ``order_exprs`` (pass ``F.col(...).desc()`` as needed;
+    ``id_cols`` are appended as the tie-break so ranks are total).
+    Contributions are EXACT integer parts-per-billion
+    ``10⁹ div (k + rank)`` — engine-independent, no float sums.
+
+    Scale shape: candidate lists should be bounded (top-N per signal —
+    RRF's own contract). With ``by=()`` pass ``limit`` to cut each list
+    to its distributed TakeOrdered top-``limit`` FIRST, so the global
+    rank window only ever sorts ``limit`` rows; with per-query ``by``
+    the rank window is partitioned by query and needs no cut. The
+    fused aggregate shuffles on (by, id) — never a cross product.
+
+    Output: ``(*by, *id_cols, rrf_ppb, n_lists)``.
+    """
+    parts = []
+    for df, order in rankings:
+        order = list(order) + [F.col(c) for c in id_cols]
+        d = df
+        if limit is not None and not by:
+            d = d.orderBy(*order).limit(limit)
+        w = W.partitionBy(*by).orderBy(*order)
+        parts.append(
+            d.select(
+                *by,
+                *id_cols,
+                F.row_number().over(w).alias("_rank"),
+            ).select(
+                *by,
+                *id_cols,
+                F.expr(f"1000000000L div ({int(k)} + _rank)").alias("_c"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(*by, *id_cols).agg(
+        F.sum("_c").cast("long").alias("rrf_ppb"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )

@@ -565,3 +565,58 @@ def grouped_quantiles(
         .withColumn("_rn", F.col("_off") + F.row_number().over(wb))
     )
     return pick(base)
+
+
+def chi_square_cells(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Chi-squared association between two categorical columns, as the
+    per-cell contingency table with EXACT integral test-statistic terms.
+
+    For each (a, b) cell — including zero-observation cells of the full
+    category grid — emits observed count, row/column totals, the
+    expected count in exact milli-units ``(R·C·1000) div N``, and the
+    chi² term in ppm: ``((O·N − R·C)² · 10⁶) div (N·R·C)``. The test
+    statistic is ``sum(term_ppm)/1e6`` (sum of per-cell floors — a
+    deterministic, engine-independent integral variant; each floor is
+    exact, so the total undershoots true chi² by < #cells/1e6).
+    Decimal(38,0) arithmetic bounds N at ~10⁸ rows of any one table
+    slice; past that, pre-scale the counts (same convention as
+    ``textqc.pmi_collocations``).
+
+    Plan: ONE shuffle builds the (a, b) count table; row totals, column
+    totals, and N are tiny re-aggregations of it; the full grid is the
+    crossJoin of the two aggregated (small, categorical) dimension
+    tables — broadcast, never the fact table. Intended for categorical
+    dims: the grid is |A|·|B| rows, independent of the fact row count.
+    """
+    counts = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    rows_t = counts.groupBy("a").agg(F.sum("observed").cast("long").alias("row_total"))
+    cols_t = counts.groupBy("b").agg(F.sum("observed").cast("long").alias("col_total"))
+    n_t = counts.agg(F.sum("observed").cast("decimal(38,0)").alias("_N"))
+    grid = rows_t.crossJoin(cols_t)  # small aggregated dims only
+    full = (
+        grid.join(counts, ["a", "b"], "left")
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(n_t))
+    )
+    d = "(CAST(observed AS DECIMAL(38,0)) * _N - CAST(row_total AS DECIMAL(38,0)) * CAST(col_total AS DECIMAL(38,0)))"
+    return full.select(
+        "a",
+        "b",
+        "observed",
+        "row_total",
+        "col_total",
+        F.expr(
+            "CAST(CAST(row_total AS DECIMAL(38,0)) * CAST(col_total AS DECIMAL(38,0)) * 1000 "
+            "div _N AS BIGINT)"
+        ).alias("expected_milli"),
+        F.expr(
+            f"CAST({d} * {d} * 1000000 div "
+            "(_N * CAST(row_total AS DECIMAL(38,0)) * CAST(col_total AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("term_ppm"),
+    )

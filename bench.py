@@ -104,6 +104,11 @@ HEADLINE = [
     # reason as q122/q129/q136: the AvailableNow drain dominates)
     "q139_table_diff",       # CDC diff: digest-width full-outer join
     "q140_pmi_collocations",  # exact linearized-PMI collocation mining
+    "q141_repetition_signals",  # Gopher repetition: map-side + doc-keyed mode
+    "q142_constraint_check",  # Deequ suite: one agg pass + one anti-join
+    "q143_chi_square",       # exact integral contingency cells
+    "q144_ngram_novelty",    # keep-first gram ownership, gram/doc-keyed
+    "q145_rrf_fusion",       # RRF blend over TakeOrdered top-200 lists
 ]
 
 

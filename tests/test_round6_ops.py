@@ -932,3 +932,145 @@ def test_check_constraints_all_pass_and_single_pass_plan(spark):
     rows = out.collect()
     assert {r["status"] for r in rows} == {"pass"}
     assert {r["violations"] for r in rows} == {0}
+
+
+# -- chi-squared association -------------------------------------------------
+
+
+def test_chi_square_cells_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import chi_square_cells
+
+    # 2x2: a=x: (10, 20); a=y: (30, 40). N=100, R_x=30, R_y=70,
+    # C_1=40, C_2=60.
+    rows = []
+    rows += [Row(a="x", b="1")] * 10 + [Row(a="x", b="2")] * 20
+    rows += [Row(a="y", b="1")] * 30 + [Row(a="y", b="2")] * 40
+    out = {
+        (r["a"], r["b"]): r.asDict()
+        for r in chi_square_cells(spark.createDataFrame(rows), "a", "b").collect()
+    }
+    assert len(out) == 4
+    c = out[("x", "1")]
+    assert (c["observed"], c["row_total"], c["col_total"]) == (10, 30, 40)
+    assert c["expected_milli"] == (30 * 40 * 1000) // 100          # 12.000
+    assert c["term_ppm"] == ((10 * 100 - 30 * 40) ** 2 * 10**6) // (100 * 30 * 40)
+    # chi2 = sum(term)/1e6 ~ 0.7937 for this table
+    total = sum(v["term_ppm"] for v in out.values())
+    assert abs(total / 1e6 - 0.79365) < 1e-4
+
+
+def test_chi_square_cells_includes_zero_cells(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import chi_square_cells
+
+    df = spark.createDataFrame(
+        [Row(a="x", b="1"), Row(a="x", b="1"), Row(a="y", b="2")]
+    )
+    out = {(r["a"], r["b"]): r for r in chi_square_cells(df, "a", "b").collect()}
+    assert len(out) == 4  # full grid: (x,2) and (y,1) are zero cells
+    assert out[("x", "2")]["observed"] == 0
+    assert out[("x", "2")]["term_ppm"] > 0  # zero cells still contribute
+
+
+# -- n-gram novelty ----------------------------------------------------------
+
+
+def test_ngram_novelty_keep_first_ownership(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.datapipe.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="a b c d"),        # grams: abc, bcd -> all novel
+            Row(doc_id=1, text="a b c e"),        # abc owned by 0; bce novel
+            Row(doc_id=2, text="a b c d"),        # exact rehash -> novelty 0
+        ]
+    )
+    got = {r["doc_id"]: r.asDict() for r in ngram_novelty(docs, k=3).collect()}
+    assert got[0]["n_grams"] == 2 and got[0]["novelty_ppm"] == 1000000
+    assert got[1] == {"doc_id": 1, "n_grams": 2, "n_novel": 1, "novelty_ppm": 500000}
+    assert got[2]["n_novel"] == 0 and got[2]["novelty_ppm"] == 0
+
+
+def test_ngram_novelty_short_docs_whole_text(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.datapipe.dedup import ngram_novelty
+
+    # shorter than k: the whole text is the single gram (decontaminate
+    # semantics); identical short docs dedupe by ownership
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="hi there"), Row(doc_id=1, text="hi there")]
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, k=3).collect()}
+    assert got[0]["novelty_ppm"] == 1000000
+    assert got[1]["novelty_ppm"] == 0
+
+
+# -- reciprocal-rank fusion --------------------------------------------------
+
+
+def test_rrf_fuse_exact_contributions(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.datapipe.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [Row(id=1, s=30), Row(id=2, s=20), Row(id=3, s=10)]
+    )
+    b = spark.createDataFrame(
+        [Row(id=3, s=5), Row(id=2, s=4), Row(id=1, s=3)]
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in rrf_fuse(
+            [(a, [F.col("s").desc()]), (b, [F.col("s").desc()])],
+            id_cols=["id"],
+            k=60,
+        ).collect()
+    }
+    # id=1: rank 1 in a, rank 3 in b; id=2: rank 2 twice; id=3: 3 then 1
+    c = lambda r: 1_000_000_000 // (60 + r)
+    assert out[1]["rrf_ppb"] == c(1) + c(3)
+    assert out[2]["rrf_ppb"] == c(2) + c(2)
+    assert out[3]["rrf_ppb"] == c(3) + c(1)
+    assert {v["n_lists"] for v in out.values()} == {2}
+
+
+def test_rrf_fuse_limit_cuts_each_list(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.datapipe.similarity import rrf_fuse
+
+    a = spark.createDataFrame([Row(id=i, s=100 - i) for i in range(10)])
+    b = spark.createDataFrame([Row(id=i, s=i) for i in range(10)])
+    out = rrf_fuse(
+        [(a, [F.col("s").desc()]), (b, [F.col("s").desc()])],
+        id_cols=["id"],
+        k=60,
+        limit=3,
+    ).collect()
+    # a keeps ids 0,1,2; b keeps ids 9,8,7 -> 6 fused rows, each 1 list
+    assert len(out) == 6
+    assert {r["n_lists"] for r in out} == {1}
+
+
+def test_rrf_fuse_per_query_partitioned(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.datapipe.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [Row(q="q1", id=1, s=2), Row(q="q1", id=2, s=1), Row(q="q2", id=1, s=1)]
+    )
+    out = {
+        (r["q"], r["id"]): r["rrf_ppb"]
+        for r in rrf_fuse([(a, [F.col("s").desc()])], id_cols=["id"], by=["q"]).collect()
+    }
+    # ranks restart per query
+    assert out[("q1", 1)] == out[("q2", 1)] == 1_000_000_000 // 61
+    assert out[("q1", 2)] == 1_000_000_000 // 62
