@@ -620,3 +620,154 @@ def chi_square_cells(
             "(_N * CAST(row_total AS DECIMAL(38,0)) * CAST(col_total AS DECIMAL(38,0))) AS BIGINT)"
         ).alias("term_ppm"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+    out_col: str | None = None,
+    **quantile_kwargs,
+) -> DataFrame:
+    """Per-key winsorization: clip ``value_col`` to its group's exact
+    type-1 [p_lo, p_hi] quantiles — the standard heavy-tail taming step
+    before averaging metrics or fitting on features. Because the
+    quantiles are ACTUAL data values (``grouped_quantiles``), clipped
+    rows take values already present in the group: no interpolation, no
+    float manufacture, engine-exact.
+
+    Plan: one quantile pass (inherits ``grouped_quantiles``'s scale
+    path via ``**quantile_kwargs``, e.g. ``range_buckets=``), the
+    keys×2 bound table pivoted map-side and BROADCAST back onto the
+    fact rows — the fact table never reshuffles. NULLs pass through
+    unclipped.
+    """
+    out_col = out_col or f"{value_col}_winsorized"
+    qs = grouped_quantiles(df, keys, value_col, ps=(p_lo, p_hi), **quantile_kwargs)
+    bounds = qs.groupBy(*keys).agg(
+        F.min(F.when(F.col("p") == float(p_lo), F.col("q"))).alias("_lo"),
+        F.min(F.when(F.col("p") == float(p_hi), F.col("q"))).alias("_hi"),
+    )
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col(value_col))),
+    )
+    return (
+        df.join(F.broadcast(bounds), keys, "left")
+        .withColumn(out_col, clipped)
+        .drop("_lo", "_hi")
+    )
+
+
+def impute(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    strategy: str = "median",
+    out_col: str | None = None,
+    **quantile_kwargs,
+) -> DataFrame:
+    """Group-wise NULL imputation — ``median`` (exact type-1 via
+    ``grouped_quantiles``: always an actual group value, engine-exact),
+    ``mean`` (decimal(38,6)-exact sum/count, cast once at the end), or
+    ``mode`` (most frequent value, ties broken by smallest value — a
+    total order, deterministic).
+
+    Plan: one aggregation pass builds the per-key statistic table
+    (keys-sized), BROADCAST back onto the fact rows; the fact table
+    never reshuffles. ``keys=[]`` is rejected for ``median`` (a global
+    median is a single sort — pre-bucket or pass keys); mean/mode
+    degrade to a 1-row broadcast spine. ``median`` forwards
+    ``**quantile_kwargs`` to ``grouped_quantiles`` — pass
+    ``range_buckets=`` when the group count is far below the core
+    count (the single-window path sorts each group in one task).
+    """
+    out_col = out_col or f"{value_col}_imputed"
+    if strategy == "median":
+        if not keys:
+            raise ValueError("impute(median) requires keys; a global median is a single sort")
+        stat = (
+            grouped_quantiles(df, keys, value_col, ps=(0.5,), **quantile_kwargs)
+            .select(*keys, F.col("q").alias("_fill"))
+        )
+    elif strategy == "mean":
+        agg = F.avg(F.col(value_col).cast("decimal(38,6)")).cast("double").alias("_fill")
+        stat = df.groupBy(*keys).agg(agg) if keys else df.agg(agg)
+    elif strategy == "mode":
+        counts = (
+            df.filter(F.col(value_col).isNotNull())
+            .groupBy(*keys, value_col)
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        w = W.partitionBy(*keys).orderBy(F.col("_c").desc(), F.col(value_col))
+        stat = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*keys, F.col(value_col).alias("_fill"))
+        )
+    else:
+        raise ValueError(f"unknown impute strategy {strategy!r}")
+    joined = (
+        df.join(F.broadcast(stat), keys, "left")
+        if keys
+        else df.crossJoin(F.broadcast(stat))
+    )
+    return joined.withColumn(
+        out_col, F.coalesce(F.col(value_col), F.col("_fill"))
+    ).drop("_fill")
+
+
+def sequence_match(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    type_col: str,
+    first: str,
+    second: str,
+    within,
+) -> DataFrame:
+    """Sequential-pattern mining: per key, how many ``first``-type
+    events are followed by a ``second``-type event STRICTLY after them
+    and within ``within`` (same integer units as ``ts_col`` — pass µs
+    longs for exact time math). The "A then B within Δt" primitive
+    behind conversion windows, alert escalation, and retry analysis —
+    a time-constrained refinement of ``funnel`` (which only orders
+    min-timestamps).
+
+    Matching uses a per-key RANGE frame ``(ts+1, ts+within)`` over the
+    event stream: each A-row asks "does any B fall in my window" via
+    ``min(B.ts)`` over the frame — so equal-timestamp ties need no
+    tie-break ordering at all (the frame is value-based, not
+    row-based), and the answer is engine-exact integer arithmetic.
+
+    Plan: one filter to the two event types (pushed to the scan), ONE
+    per-key window sort, one partial-aggregated groupBy — no joins, no
+    pair materialization (a naive A×B self-join is quadratic per key).
+
+    Output: ``(keys…, n_first, n_matched, match_ppm)`` for keys with at
+    least one ``first`` event.
+    """
+    e = df.filter(F.col(type_col).isin([first, second])).select(
+        *keys, F.col(ts_col).alias("_ts"), F.col(type_col).alias("_ty")
+    )
+    frame = (
+        W.partitionBy(*keys).orderBy(F.col("_ts").asc()).rangeBetween(1, int(within))
+    )
+    next_b = F.min(F.when(F.col("_ty") == second, F.col("_ts"))).over(frame)
+    flagged = e.withColumn("_hit", next_b.isNotNull())
+    out = (
+        flagged.filter(F.col("_ty") == first)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_first"),
+            F.sum(F.when(F.col("_hit"), 1).otherwise(0)).cast("long").alias("n_matched"),
+        )
+    )
+    return out.select(
+        *keys,
+        "n_first",
+        "n_matched",
+        F.expr("(n_matched * 1000000L) div n_first").alias("match_ppm"),
+    )

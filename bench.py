@@ -109,6 +109,9 @@ HEADLINE = [
     "q143_chi_square",       # exact integral contingency cells
     "q144_ngram_novelty",    # keep-first gram ownership, gram/doc-keyed
     "q145_rrf_fusion",       # RRF blend over TakeOrdered top-200 lists
+    "q146_sequence_pattern",  # A-then-B via value-based RANGE frame
+    "q147_impute_median",    # group-median fill, two-level quantile path
+    "q148_winsorize",        # clip to broadcast [p05,p95] group bounds
 ]
 
 

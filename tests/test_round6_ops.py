@@ -1074,3 +1074,113 @@ def test_rrf_fuse_per_query_partitioned(spark):
     # ranks restart per query
     assert out[("q1", 1)] == out[("q2", 1)] == 1_000_000_000 // 61
     assert out[("q1", 2)] == 1_000_000_000 // 62
+
+
+# -- sequence pattern (A then B within dt) -----------------------------------
+
+
+def test_sequence_match_within_and_strictly_after(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import sequence_match
+
+    ev = spark.createDataFrame(
+        [
+            Row(u=1, t=100, ty="view"),   # click at 150 -> matched
+            Row(u=1, t=150, ty="click"),
+            Row(u=1, t=400, ty="view"),   # next click at 1000 > 400+200 -> no
+            Row(u=1, t=1000, ty="click"),
+            Row(u=2, t=10, ty="view"),    # click at SAME ts -> not strictly after
+            Row(u=2, t=10, ty="click"),
+            Row(u=3, t=5, ty="view"),     # no click at all
+            Row(u=4, t=7, ty="click"),    # click only: no 'view' row emitted
+        ]
+    )
+    got = {
+        r["u"]: (r["n_first"], r["n_matched"], r["match_ppm"])
+        for r in sequence_match(ev, ["u"], "t", "ty", "view", "click", within=200).collect()
+    }
+    assert got[1] == (2, 1, 500000)
+    assert got[2] == (1, 0, 0)
+    assert got[3] == (1, 0, 0)
+    assert 4 not in got
+
+
+def test_sequence_match_boundary_inclusive(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import sequence_match
+
+    # B exactly at t + within is IN the frame (rangeBetween is inclusive)
+    ev = spark.createDataFrame(
+        [Row(u=1, t=0, ty="a"), Row(u=1, t=50, ty="b")]
+    )
+    r = sequence_match(ev, ["u"], "t", "ty", "a", "b", within=50).collect()[0]
+    assert (r["n_first"], r["n_matched"]) == (1, 1)
+    r2 = sequence_match(ev, ["u"], "t", "ty", "a", "b", within=49).collect()[0]
+    assert (r2["n_first"], r2["n_matched"]) == (1, 0)
+
+
+# -- imputation --------------------------------------------------------------
+
+
+def test_impute_median_mean_mode(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import impute
+
+    df = spark.createDataFrame(
+        [
+            Row(k="a", v=1.0), Row(k="a", v=3.0), Row(k="a", v=None),
+            Row(k="b", v=10.0), Row(k="b", v=10.0), Row(k="b", v=20.0),
+            Row(k="b", v=None),
+        ]
+    )
+    med = {(r["k"], r["v"]): r["v_imputed"] for r in impute(df, ["k"], "v", "median").collect()}
+    # type-1 median of [1,3] = rank ceil(2/2)=1 -> 1.0
+    assert med[("a", None)] == 1.0
+    assert med[("b", None)] == 10.0
+    mean = {(r["k"], r["v"]): r["v_imputed"] for r in impute(df, ["k"], "v", "mean").collect()}
+    assert mean[("a", None)] == 2.0
+    mode = {(r["k"], r["v"]): r["v_imputed"] for r in impute(df, ["k"], "v", "mode").collect()}
+    assert mode[("b", None)] == 10.0  # most frequent
+    assert mode[("a", None)] == 1.0   # tie 1 vs 3 -> smallest value
+    # non-null rows pass through unchanged everywhere
+    assert med[("a", 3.0)] == 3.0 and mean[("b", 20.0)] == 20.0
+
+
+def test_impute_global_mean_and_median_guard(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import impute
+
+    df = spark.createDataFrame([Row(v=1.0), Row(v=3.0), Row(v=None)])
+    got = {r["v"]: r["v_imputed"] for r in impute(df, [], "v", "mean").collect()}
+    assert got[None] == 2.0
+    with _pytest.raises(ValueError):
+        impute(df, [], "v", "median")
+
+
+# -- winsorization -----------------------------------------------------------
+
+
+def test_winsorize_clips_to_group_quantiles(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import winsorize
+
+    rows = [Row(k="a", v=float(i)) for i in range(1, 101)]  # 1..100
+    rows += [Row(k="b", v=1000.0), Row(k="b", v=2000.0), Row(k="b", v=None)]
+    out = winsorize(
+        spark.createDataFrame(rows), ["k"], "v", p_lo=0.05, p_hi=0.95
+    ).collect()
+    a = {r["v"]: r["v_winsorized"] for r in out if r["k"] == "a"}
+    # group a: p05 = rank ceil(5)=5 -> 5.0; p95 = rank 95 -> 95.0
+    assert a[1.0] == 5.0 and a[4.0] == 5.0 and a[5.0] == 5.0
+    assert a[100.0] == 95.0 and a[95.0] == 95.0
+    assert a[50.0] == 50.0  # interior untouched
+    b = {r["v"]: r["v_winsorized"] for r in out if r["k"] == "b"}
+    # n=2: p05 rank ceil(0.1)=1 -> 1000; p95 rank ceil(1.9)=2 -> 2000
+    assert b[1000.0] == 1000.0 and b[2000.0] == 2000.0
+    assert b[None] is None  # NULLs pass through unclipped
