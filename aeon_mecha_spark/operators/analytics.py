@@ -771,3 +771,72 @@ def sequence_match(
         "n_matched",
         F.expr("(n_matched * 1000000L) div n_first").alias("match_ppm"),
     )
+
+
+def cube_agg(
+    df: DataFrame,
+    dims: list[str],
+    aggs: list[Column],
+    level_col: str = "level",
+) -> DataFrame:
+    """Multi-dimensional CUBE aggregation over categorical dims: every
+    subset of ``dims`` grouped in ONE pass, each output row tagged with
+    the bitmask ``grouping_id`` (bit i set ⇔ dims[i] is rolled up) —
+    the OLAP companion to ``granularity_rollup``'s time-axis ROLLUP.
+
+    Catalyst expands the 2^|dims| grouping sets inside a single
+    Expand + aggregate (one shuffle, map-side partials), not a
+    |sets|-way union of scans. Rolled-up positions surface as NULL
+    dim values; ``level_col`` disambiguates a rollup NULL from a data
+    NULL. Keep |dims| small (each row expands 2^|dims|×).
+    """
+    return df.cube(*dims).agg(
+        *aggs, F.grouping_id().cast("long").alias(level_col)
+    )
+
+
+def target_encode(
+    df: DataFrame,
+    keys: list[str],
+    target_col: str,
+    m: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Smoothed target (mean) encoding — the classic categorical→numeric
+    feature: ``enc = (Σy + m·prior) / (n + m)`` with the global mean as
+    the prior, shrinking rare categories toward it (m = pseudo-count
+    weight).
+
+    Engine-exact: the target is quantized to micro-units via ONE
+    decimal cast of the raw column (both engines round a raw double to
+    decimal identically), sums stay integral, the prior is the floor
+    global micro-mean, and the encoding is integer floor division —
+    ``(sum_u + m·prior_u) div (n + m)`` in micro-units. No float sum
+    ever happens, so partition order is irrelevant.
+
+    Plan: one partial-aggregated groupBy builds the per-key table; the
+    1-row global prior is crossJoin-broadcast onto it. Output
+    ``(keys…, n, enc_micro)`` — join it back (broadcast if keys are
+    low-cardinality) to featurize rows.
+    """
+    u = F.col(target_col).cast("decimal(27,6)") * scale
+    per_key = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(u).cast("decimal(38,0)").alias("_sum_u"),
+    )
+    prior = df.agg(
+        F.expr(
+            f"CAST(CAST(sum(CAST({target_col} AS DECIMAL(27,6)) * {scale}) AS DECIMAL(38,0)) "
+            f"div count(1) AS DECIMAL(38,0))"
+        ).alias("_prior_u")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(prior))
+        .select(
+            *keys,
+            "n",
+            F.expr(
+                f"CAST((_sum_u + {int(m)} * _prior_u) div (n + {int(m)}) AS BIGINT)"
+            ).alias("enc_micro"),
+        )
+    )

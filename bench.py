@@ -112,6 +112,8 @@ HEADLINE = [
     "q146_sequence_pattern",  # A-then-B via value-based RANGE frame
     "q147_impute_median",    # group-median fill, two-level quantile path
     "q148_winsorize",        # clip to broadcast [p05,p95] group bounds
+    "q149_cube_agg",         # 2-dim CUBE in one Expand+aggregate
+    "q150_target_encode",    # integral micro-unit smoothed encoding
 ]
 
 

@@ -1184,3 +1184,65 @@ def test_winsorize_clips_to_group_quantiles(spark):
     # n=2: p05 rank ceil(0.1)=1 -> 1000; p95 rank ceil(1.9)=2 -> 2000
     assert b[1000.0] == 1000.0 and b[2000.0] == 2000.0
     assert b[None] is None  # NULLs pass through unclipped
+
+
+# -- cube aggregation --------------------------------------------------------
+
+
+def test_cube_agg_all_subsets_and_levels(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import cube_agg
+
+    df = spark.createDataFrame(
+        [Row(a="x", b="1", v=1), Row(a="x", b="2", v=2), Row(a="y", b="1", v=4)]
+    )
+    out = cube_agg(df, ["a", "b"], [F.sum("v").cast("long").alias("s")])
+    rows = {(r["a"], r["b"], r["level"]): r["s"] for r in out.collect()}
+    assert rows[("x", "1", 0)] == 1
+    assert rows[("x", None, 1)] == 3      # b rolled up -> bit 0 (LSB)
+    assert rows[(None, "1", 2)] == 5      # a rolled up -> bit 1 (MSB)
+    assert rows[(None, None, 3)] == 7     # grand total
+    assert len(rows) == 3 + 2 + 2 + 1
+
+
+def test_cube_agg_single_pass_plan(spark):
+    import contextlib
+    import io
+
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import cube_agg
+
+    df = spark.createDataFrame([Row(a="x", b="1", v=1)])
+    out = cube_agg(df, ["a", "b"], [F.count(F.lit(1)).alias("n")])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue().lower()
+    # Catalyst expands the 4 grouping sets via Expand, not a union of scans
+    assert plan.count("scan existingrdd") == 2  # tree + detail = one scan
+    assert "expand" in plan
+
+
+# -- target encoding ---------------------------------------------------------
+
+
+def test_target_encode_shrinks_toward_prior(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import target_encode
+
+    # global mean = 4.0 -> prior_u = 4_000_000
+    df = spark.createDataFrame(
+        [Row(k="rare", y=100.0)]
+        + [Row(k="common", y=2.0)] * 31
+    )
+    out = {r["k"]: r for r in target_encode(df, ["k"], "y", m=10).collect()}
+    # rare: (100e6 + 10*prior)/(1+10); global mean = (100+62)/32 = 5.0625
+    prior = (100_000_000 + 31 * 2_000_000) // 32
+    assert out["rare"]["enc_micro"] == (100_000_000 + 10 * prior) // 11
+    assert out["common"]["enc_micro"] == (31 * 2_000_000 + 10 * prior) // 41
+    # shrinkage: rare sits far from its raw mean, common barely moves
+    assert out["rare"]["enc_micro"] < 100_000_000
+    assert abs(out["common"]["enc_micro"] - 2_000_000) < 1_500_000
