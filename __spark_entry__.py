@@ -2268,6 +2268,52 @@ def q150_target_encode(spark, sf_dir):
     return analytics.target_encode(li, ["l_partkey"], "l_quantity", m=10)
 
 
+def q151_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier flags: |x − median| > 3·MAD per return-flag
+    group — both medians exact type-1 data values (two-level quantile
+    path), the comparison a fixed IEEE expression tree."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = analytics.mad_outliers(
+        li, ["l_returnflag"], "l_extendedprice", k=3.0, range_buckets=32
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("_median").alias("grp_median"),
+        F.col("_mad").alias("grp_mad"),
+        "is_outlier",
+    )
+
+
+def q152_basket_rules(spark, sf_dir):
+    """Market-basket association rules at the brand grain: support /
+    confidence / lift for brand pairs co-bought in ≥50 orders, all in
+    exact ppm floor-division integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    pt = _t(spark, sf_dir, "part")
+    baskets = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
+        "l_orderkey", "p_brand"
+    )
+    return analytics.basket_rules(
+        baskets, "l_orderkey", "p_brand", min_support=50
+    ).orderBy("item_a", "item_b")
+
+
+def q153_event_paths(spark, sf_dir):
+    """Top-20 3-step user journeys: first three event types per user in
+    (ts, event_id) order, counted across users — ranks cut before the
+    shuffle, sort_array makes the path assembly order-total."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("tsu"), "event_id", "event_type"
+    )
+    return analytics.event_paths(
+        ev, ["user_id"], "tsu", "event_type",
+        order_cols=["tsu", "event_id"], depth=3, top_n=20,
+    )
+
+
 def q142_constraint_check(spark, sf_dir):
     """Deequ-style declarative constraint suite over lineitem: not-null,
     range, accepted-values, predicate, composite-key uniqueness, and
@@ -2351,6 +2397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_winsorize": q148_winsorize,
         "q149_cube_agg": q149_cube_agg,
         "q150_target_encode": q150_target_encode,
+        "q151_mad_outliers": q151_mad_outliers,
+        "q152_basket_rules": q152_basket_rules,
+        "q153_event_paths": q153_event_paths,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
@@ -2359,10 +2408,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_simhash": q38_simhash,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
+        # ---- entries below are past the driver's 50-entry window ----
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
         "q60_gap_fill": q60_gap_fill,
-        # ---- entries below are past the driver's 50-entry window ----
         "q61_funnel": q61_funnel,
         "q62_rank_quantiles": q62_rank_quantiles,
         "q63_kmv_distinct": q63_kmv_distinct,
@@ -4235,6 +4284,85 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey + 100000000, 'added'
             FROM orders WHERE o_orderkey % 101 = 0
+        """,
+        "q151_mad_outliers": """
+            -- MAD fences: both medians exact type-1 (rank = ceil(n/2));
+            -- |x-med| and the 3*MAD compare are fixed IEEE expressions
+            WITH b AS (
+              SELECT l_returnflag, l_extendedprice AS v,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY l_extendedprice) AS rn,
+                     count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            med AS (
+              SELECT l_returnflag, v AS m FROM b
+              WHERE rn = (1 * n + 1) // 2),
+            dev AS (
+              SELECT l.l_returnflag, abs(l.l_extendedprice - m.m) AS d
+              FROM lineitem l JOIN med m USING (l_returnflag)
+              WHERE l.l_extendedprice IS NOT NULL),
+            db AS (
+              SELECT l_returnflag, d,
+                     row_number() OVER (PARTITION BY l_returnflag
+                                        ORDER BY d) AS rn,
+                     count(*) OVER (PARTITION BY l_returnflag) AS n
+              FROM dev),
+            mad AS (
+              SELECT l_returnflag, d AS mad FROM db
+              WHERE rn = (1 * n + 1) // 2)
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+                   l.l_extendedprice,
+                   m.m AS grp_median, a.mad AS grp_mad,
+                   CASE WHEN l.l_extendedprice IS NOT NULL
+                        THEN abs(l.l_extendedprice - m.m) > 3.0 * a.mad
+                   END AS is_outlier
+            FROM lineitem l
+            LEFT JOIN med m USING (l_returnflag)
+            LEFT JOIN mad a USING (l_returnflag)
+        """,
+        "q152_basket_rules": """
+            -- pairwise association rules at the brand grain, exact ppm:
+            -- support n_ab/N, confidence n_ab/n_a, lift n_ab*N/(n_a*n_b)
+            WITH items AS (
+              SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+            nb AS (SELECT count(DISTINCT b)::HUGEINT AS nbk FROM items),
+            cnt AS (SELECT i, count(*)::BIGINT AS cn FROM items GROUP BY 1),
+            pairs AS (
+              SELECT a.i AS item_a, b2.i AS item_b, count(*)::BIGINT AS n_ab
+              FROM items a JOIN items b2 ON a.b = b2.b AND a.i < b2.i
+              GROUP BY 1, 2 HAVING count(*) >= 50)
+            SELECT p.item_a, p.item_b, p.n_ab,
+                   ca.cn AS n_a, cb.cn AS n_b,
+                   CAST(p.n_ab::HUGEINT * 1000000 // nbk AS BIGINT)
+                     AS support_ppm,
+                   (p.n_ab * 1000000) // ca.cn AS confidence_ppm,
+                   CAST(p.n_ab::HUGEINT * nbk * 1000000
+                        // (ca.cn::HUGEINT * cb.cn::HUGEINT) AS BIGINT)
+                     AS lift_ppm
+            FROM pairs p
+            JOIN cnt ca ON p.item_a = ca.i
+            JOIN cnt cb ON p.item_b = cb.i
+            CROSS JOIN nb
+            ORDER BY item_a, item_b
+        """,
+        "q153_event_paths": """
+            -- first-3-event journeys per user; deterministic (tsu,
+            -- event_id) order; top-20 by (count desc, path)
+            WITH e AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts), event_id)
+                       AS rn
+              FROM events),
+            p AS (
+              SELECT user_id,
+                     string_agg(event_type, '>' ORDER BY rn) AS path
+              FROM e WHERE rn <= 3 GROUP BY user_id)
+            SELECT path, count(*)::BIGINT AS n_keys
+            FROM p GROUP BY 1
+            ORDER BY n_keys DESC, path
+            LIMIT 20
         """,
         "q149_cube_agg": """
             -- CUBE with GROUPING bitmask (same bit order as Spark's

@@ -840,3 +840,160 @@ def target_encode(
             ).alias("enc_micro"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: float = 3.0,
+    **quantile_kwargs,
+) -> DataFrame:
+    """Robust per-group outlier flagging by Median Absolute Deviation:
+    a row is an outlier when ``|x − median| > k · MAD`` where
+    ``MAD = median(|x − median|)`` — the breakdown-point-0.5 companion
+    to ``iqr_outliers`` (a single wild value cannot move the fence,
+    unlike mean/stddev z-scores).
+
+    Exactness: both medians are type-1 ``grouped_quantiles`` (actual
+    data values); ``|x − median|`` is one exactly-rounded IEEE subtract
+    and the comparison against ``k·MAD`` is a fixed expression tree —
+    identical in any engine, no accumulation anywhere. Note all-equal
+    groups have MAD 0, flagging every deviating row — the standard MAD
+    degeneracy; pre-filter or fall back to IQR for heavily tied data.
+
+    Plan: TWO quantile passes (value median, then deviation median),
+    each inheriting the ``range_buckets`` scale path via kwargs, with
+    the keys-sized stat tables broadcast back — the fact table itself
+    never reshuffles. Adds ``_median``/``_mad``/``is_outlier``.
+    """
+    med = (
+        grouped_quantiles(df, keys, value_col, ps=(0.5,), **quantile_kwargs)
+        .select(*keys, F.col("q").alias("_median"))
+    )
+    with_med = df.join(F.broadcast(med), keys, "left")
+    dev = with_med.withColumn("_dev", F.abs(F.col(value_col) - F.col("_median")))
+    mad = (
+        grouped_quantiles(dev, keys, "_dev", ps=(0.5,), **quantile_kwargs)
+        .select(*keys, F.col("q").alias("_mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), keys, "left")
+        .withColumn(
+            "is_outlier",
+            F.when(
+                F.col(value_col).isNotNull(),
+                F.col("_dev") > F.lit(float(k)) * F.col("_mad"),
+            ),
+        )
+        .drop("_dev")
+    )
+
+
+def basket_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Pairwise association rules (market-basket support / confidence /
+    lift): for every unordered item pair co-occurring in at least
+    ``min_support`` baskets, the classic Agrawal-style statistics in
+    EXACT ppm integers — ``support = n_ab/N``, ``confidence(a→b) =
+    n_ab/n_a``, ``lift = n_ab·N/(n_a·n_b)`` — each as a single floor
+    division (lift in decimal(38,0), same width convention as
+    ``textqc.pmi_collocations``).
+
+    Plan: presence table (basket, item) distinct → basket-keyed
+    self-join with ``item_a < item_b`` generates pairs (fan-out bounded
+    by basket size squared — baskets, not the corpus, bound the
+    blow-up; cap giant baskets upstream), partial-aggregated pair
+    counts, then item-count and 1-row total joins. Item counts shuffle
+    on the item key; nothing global, no cross product.
+
+    Output: ``(item_a, item_b, n_ab, n_a, n_b, support_ppm,
+    confidence_ppm, lift_ppm)``.
+    """
+    items = df.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_baskets = items.agg(
+        F.count_distinct(F.col("_b")).cast("decimal(38,0)").alias("_N")
+    )
+    counts = items.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    a = items.select(F.col("_b"), F.col("_i").alias("item_a"))
+    b = items.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= int(min_support))
+    )
+    j = (
+        pairs.join(counts.select(F.col("_i").alias("item_a"), F.col("_n").alias("n_a")), "item_a")
+        .join(counts.select(F.col("_i").alias("item_b"), F.col("_n").alias("n_b")), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    return j.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        F.expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000000 div _N AS BIGINT)").alias(
+            "support_ppm"
+        ),
+        F.expr("(n_ab * 1000000L) div n_a").alias("confidence_ppm"),
+        F.expr(
+            "CAST(CAST(n_ab AS DECIMAL(38,0)) * _N * 1000000 "
+            "div (CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+
+
+def event_paths(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    type_col: str,
+    order_cols: list[str] | None = None,
+    depth: int = 3,
+    top_n: int = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Top journey prefixes: each key's first ``depth`` event types (in
+    time order) joined into a path string, counted across keys, top
+    ``top_n`` paths by (count desc, path) — the entry-funnel discovery
+    primitive ("what do users actually do first").
+
+    Determinism: ``order_cols`` (default ``[ts_col]``) should be unique
+    per key; the path is assembled by sorting the collected (rank,
+    type) structs — ``collect_list`` order is nondeterministic across
+    partitions, ``sort_array`` makes it total again.
+
+    Plan: one per-key window pass keeps ranks ≤ depth (everything else
+    is filtered before the shuffle-side aggregate), one per-key
+    aggregate builds the path, one partial-aggregated global count, and
+    a distributed TakeOrdered cut — no global window anywhere.
+
+    Output: ``(path, n_keys)``.
+    """
+    order_cols = order_cols or [ts_col]
+    w = W.partitionBy(*keys).orderBy(*[F.col(c) for c in order_cols])
+    ranked = (
+        df.select(*keys, *order_cols, F.col(type_col).alias("_ty"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(depth))
+    )
+    per_key = ranked.groupBy(*keys).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_rn", "_ty"))),
+                lambda s: s["_ty"],
+            ),
+        ).alias("path")
+    )
+    out = per_key.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+    return out.orderBy(F.col("n_keys").desc(), "path").limit(int(top_n))

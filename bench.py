@@ -114,6 +114,9 @@ HEADLINE = [
     "q148_winsorize",        # clip to broadcast [p05,p95] group bounds
     "q149_cube_agg",         # 2-dim CUBE in one Expand+aggregate
     "q150_target_encode",    # integral micro-unit smoothed encoding
+    "q151_mad_outliers",     # two quantile passes + broadcast fences
+    "q152_basket_rules",     # basket-keyed pair join, exact ppm stats
+    "q153_event_paths",      # rank-cut journeys + TakeOrdered top-20
 ]
 
 

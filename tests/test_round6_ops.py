@@ -1246,3 +1246,111 @@ def test_target_encode_shrinks_toward_prior(spark):
     # shrinkage: rare sits far from its raw mean, common barely moves
     assert out["rare"]["enc_micro"] < 100_000_000
     assert abs(out["common"]["enc_micro"] - 2_000_000) < 1_500_000
+
+
+# -- MAD outliers ------------------------------------------------------------
+
+
+def test_mad_outliers_flags_wild_value(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import mad_outliers
+
+    rows = [Row(k="a", v=float(v)) for v in [10, 11, 12, 13, 14, 1000]]
+    out = {r["v"]: r for r in mad_outliers(spark.createDataFrame(rows), ["k"], "v").collect()}
+    # median of 6 values = rank ceil(3)=3 -> 12; dev = [2,1,0,1,2,988];
+    # MAD = median(sorted devs)[3] = 1; fence = 3
+    assert out[1000.0]["is_outlier"] is True
+    assert out[14.0]["is_outlier"] is False
+    assert out[12.0]["_median"] == 12.0 and out[12.0]["_mad"] == 1.0
+
+
+def test_mad_outliers_robust_vs_mean_fence(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import mad_outliers
+
+    # the wild value does NOT drag the fence: all normal points stay in
+    rows = [Row(k="a", v=float(v)) for v in range(100)] + [Row(k="a", v=1e9)]
+    out = mad_outliers(spark.createDataFrame(rows), ["k"], "v").collect()
+    flagged = [r["v"] for r in out if r["is_outlier"]]
+    assert flagged == [1e9]
+
+
+# -- basket rules ------------------------------------------------------------
+
+
+def test_basket_rules_exact_stats(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import basket_rules
+
+    # 4 baskets: {x,y} {x,y} {x} {y,z}; multiplicity inside a basket
+    # must not count (presence semantics)
+    rows = [
+        Row(b=1, i="x"), Row(b=1, i="y"), Row(b=1, i="y"),
+        Row(b=2, i="x"), Row(b=2, i="y"),
+        Row(b=3, i="x"),
+        Row(b=4, i="y"), Row(b=4, i="z"),
+    ]
+    out = {
+        (r["item_a"], r["item_b"]): r.asDict()
+        for r in basket_rules(spark.createDataFrame(rows), "b", "i", min_support=1).collect()
+    }
+    xy = out[("x", "y")]
+    assert (xy["n_ab"], xy["n_a"], xy["n_b"]) == (2, 3, 3)
+    assert xy["support_ppm"] == (2 * 1000000) // 4
+    assert xy["confidence_ppm"] == (2 * 1000000) // 3
+    assert xy["lift_ppm"] == (2 * 4 * 1000000) // (3 * 3)
+    yz = out[("y", "z")]
+    assert (yz["n_ab"], yz["n_a"], yz["n_b"]) == (1, 3, 1)
+    assert ("x", "z") not in out  # never co-occur
+
+
+def test_basket_rules_min_support_cuts(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import basket_rules
+
+    rows = [Row(b=1, i="x"), Row(b=1, i="y"), Row(b=2, i="y"), Row(b=2, i="z")]
+    out = basket_rules(spark.createDataFrame(rows), "b", "i", min_support=2).collect()
+    assert out == []
+
+
+# -- event paths -------------------------------------------------------------
+
+
+def test_event_paths_prefix_and_topn(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import event_paths
+
+    rows = [
+        # user 1 and 2: view > click > buy (4th event ignored)
+        Row(u=1, t=1, e=10, ty="view"), Row(u=1, t=2, e=11, ty="click"),
+        Row(u=1, t=3, e=12, ty="buy"), Row(u=1, t=4, e=13, ty="view"),
+        Row(u=2, t=1, e=20, ty="view"), Row(u=2, t=2, e=21, ty="click"),
+        Row(u=2, t=3, e=22, ty="buy"),
+        # user 3: short journey, 1 event
+        Row(u=3, t=9, e=30, ty="view"),
+    ]
+    out = event_paths(
+        spark.createDataFrame(rows), ["u"], "t", "ty",
+        order_cols=["t", "e"], depth=3, top_n=10,
+    ).collect()
+    got = [(r["path"], r["n_keys"]) for r in out]
+    assert got == [("view>click>buy", 2), ("view", 1)]
+
+
+def test_event_paths_tie_order_deterministic(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import event_paths
+
+    # same timestamp: event_id breaks the tie
+    rows = [Row(u=1, t=5, e=2, ty="b"), Row(u=1, t=5, e=1, ty="a")]
+    out = event_paths(
+        spark.createDataFrame(rows), ["u"], "t", "ty",
+        order_cols=["t", "e"], depth=3,
+    ).collect()
+    assert out[0]["path"] == "a>b"
