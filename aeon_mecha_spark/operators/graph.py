@@ -91,3 +91,66 @@ def pagerank_int(
             )
         )
     return ranks
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle count and local clustering coefficient — the
+    community-structure workhorse next to PageRank (centrality) and
+    min-label propagation (components).
+
+    Input is an edge list treated as an UNDIRECTED simple graph
+    (direction and multiplicity are normalized away; self-loops
+    dropped). Triangles are enumerated once each via the canonical
+    ordered-wedge join: with every edge stored low→high, the wedges
+    out of the smallest vertex — (a,b),(a,c) with b<c — close into a
+    triangle iff (b,c) is an edge, so each triangle (a<b<c) is found
+    exactly once and needs no overcount fixup. Per-node counts come from exploding
+    each found triangle to its three corners.
+
+    Clustering coefficient in exact ppm: ``(2·T·10⁶) div (d·(d−1))``
+    for degree ≥ 2, else 0 — integer floor division, engine-exact.
+
+    Scale: two shuffles build the wedge join (keyed by the wedge
+    apex, then by the closing edge pair) — the standard distributed
+    triangle enumeration; skewed hub vertices bound the wedge fan-out
+    (cap degree upstream for pathological hubs). No cross product.
+
+    Output: ``(node, degree, triangles, clustering_ppm)`` for every
+    node of the normalized graph.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    # wedges at apex a: pairs of neighbours (b, c) with a < b < c
+    e1 = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    closing = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tris = wedges.join(closing, ["b", "c"])  # one row per triangle a<b<c
+    corner_counts = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    out = deg.join(corner_counts, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("triangles"), F.lit(0)).cast("long").alias("triangles"),
+        F.expr(
+            "CASE WHEN degree >= 2 THEN "
+            "(coalesce(triangles, 0L) * 2000000L) div (degree * (degree - 1)) "
+            "ELSE 0L END"
+        ).alias("clustering_ppm"),
+    )
+    return out

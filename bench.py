@@ -117,6 +117,7 @@ HEADLINE = [
     "q151_mad_outliers",     # two quantile passes + broadcast fences
     "q152_basket_rules",     # basket-keyed pair join, exact ppm stats
     "q153_event_paths",      # rank-cut journeys + TakeOrdered top-20
+    "q154_triangle_stats",   # ordered-wedge triangles, exact ppm CC
 ]
 
 

@@ -1354,3 +1354,56 @@ def test_event_paths_tie_order_deterministic(spark):
         order_cols=["t", "e"], depth=3,
     ).collect()
     assert out[0]["path"] == "a>b"
+
+
+# -- triangle stats ----------------------------------------------------------
+
+
+def test_triangle_stats_k4_graph(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.graph import triangle_stats
+
+    # complete graph K4: every node has degree 3, 4 triangles total,
+    # 3 per node, clustering 1.0
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    out = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert len(out) == 4
+    for n in range(4):
+        assert out[n]["degree"] == 3
+        assert out[n]["triangles"] == 3
+        assert out[n]["clustering_ppm"] == 1000000
+
+
+def test_triangle_stats_normalizes_direction_and_dupes(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.graph import triangle_stats
+
+    # triangle 1-2-3 given with mixed directions, duplicates, a self
+    # loop, and a pendant node 4
+    rows = [
+        Row(src=1, dst=2), Row(src=2, dst=1), Row(src=2, dst=3),
+        Row(src=3, dst=1), Row(src=1, dst=3), Row(src=3, dst=3),
+        Row(src=4, dst=1),
+    ]
+    out = {r["node"]: r for r in triangle_stats(spark.createDataFrame(rows)).collect()}
+    assert out[1]["degree"] == 3 and out[1]["triangles"] == 1
+    # node 1: d=3, T=1 -> 2*1e6/(3*2) = 333333
+    assert out[1]["clustering_ppm"] == 333333
+    assert out[2]["triangles"] == 1 and out[2]["clustering_ppm"] == 1000000
+    assert out[4]["degree"] == 1 and out[4]["triangles"] == 0
+    assert out[4]["clustering_ppm"] == 0  # degree < 2
+
+
+def test_triangle_stats_no_triangles(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.graph import triangle_stats
+
+    # path graph 1-2-3: open wedge at 2, no closure
+    df = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=3)])
+    out = {r["node"]: r for r in triangle_stats(df).collect()}
+    assert all(r["triangles"] == 0 for r in out.values())
+    assert out[2]["degree"] == 2 and out[2]["clustering_ppm"] == 0
