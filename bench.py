@@ -199,13 +199,16 @@ def main() -> None:
             f,
             indent=1,
         )
+    # short qNNN keys on stdout: 60+ full names would push the line past
+    # the driver's ~2 KB capture (full names live in BENCH_DETAIL.json)
+    short = {n.split("_", 1)[0]: t for n, t in timings.items()}
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": short,
                 "sentinel_sec": sentinel,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },

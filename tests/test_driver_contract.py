@@ -79,7 +79,9 @@ def test_bench_line_fits_driver_capture():
     driver drops lines past ~2000 chars (BENCH_r03 lesson)."""
     import bench
 
-    fake = {n: 99.999 for n in bench.HEADLINE}
+    # bench prints short qNNN keys (full names go to BENCH_DETAIL.json)
+    fake = {n.split("_", 1)[0]: 99.999 for n in bench.HEADLINE}
+    assert len(fake) == len(bench.HEADLINE), "qNNN prefixes must be unique"
     line = json.dumps(
         {
             "metric": "headline_queries_total_runtime",
