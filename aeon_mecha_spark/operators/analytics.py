@@ -997,3 +997,74 @@ def event_paths(
     )
     out = per_key.groupBy("path").agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
     return out.orderBy(F.col("n_keys").desc(), "path").limit(int(top_n))
+
+
+def grouped_weighted_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    weight_col: str,
+    ps: list[float] | tuple[float, ...] = (0.5, 0.9),
+) -> DataFrame:
+    """Exact per-key WEIGHTED quantiles, the mass analogue of
+    ``grouped_quantiles``: for each probability ``p``, the smallest
+    value whose running weight (in value order) reaches ``ceil(p·W)``
+    where ``W`` is the key's total weight. With token counts as weights
+    this answers the curation question "which document-length
+    percentile covers p of the corpus tokens" — a row-count quantile
+    badly misestimates it when length and mass correlate.
+
+    Exactness: weights must be integral (token counts, byte sizes,
+    row multiplicities); each ``p`` becomes its exact rational and the
+    threshold ``(num·W + den − 1) div den`` is integer arithmetic.
+    Equal values straddling the threshold return the same value
+    whichever copy crosses it, so no value tie-break is needed; the
+    running sum itself orders by (value, weight) for a deterministic
+    prefix within ties.
+
+    Plan: ONE per-key window pass computes the running weight and the
+    per-key total (shared sort), then a |ps|-way map-side explode keeps
+    the FIRST row at-or-past each threshold. Like ``grouped_quantiles``'s
+    default path, parallelism is bounded by the key count — pre-bucket
+    very large single keys the same two-level way if that ever binds.
+
+    Output: ``(keys…, p, q, w_total)``.
+    """
+    fracs = []
+    for p in ps:
+        fr = Fraction(str(p))
+        if not 0 < fr <= 1:
+            raise ValueError(f"quantile p={p} outside (0, 1]")
+        fracs.append((float(p), fr.numerator, fr.denominator))
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(weight_col).isNotNull()
+    ).select(*keys, value_col, F.col(weight_col).cast("long").alias("_w"))
+    w = W.partitionBy(*keys).orderBy(F.col(value_col).asc(), F.col("_w").asc())
+    wc = W.partitionBy(*keys)
+    ranked = (
+        base.withColumn("_cw", F.sum("_w").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("_wt", F.sum("_w").over(wc))
+    )
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(pv).alias("p"),
+                F.expr(f"(({num} * _wt + {den - 1}) div {den})").alias("th"),
+            )
+            for pv, num, den in fracs
+        ]
+    )
+    hit = (
+        ranked.withColumn("_e", F.explode(arr))
+        # first row at-or-past the threshold: its predecessor was short
+        .filter(
+            (F.col("_cw") >= F.col("_e.th"))
+            & (F.col("_cw") - F.col("_w") < F.col("_e.th"))
+        )
+    )
+    return hit.select(
+        *keys,
+        F.col("_e.p").alias("p"),
+        F.col(value_col).alias("q"),
+        F.col("_wt").alias("w_total"),
+    )

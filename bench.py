@@ -118,6 +118,7 @@ HEADLINE = [
     "q152_basket_rules",     # basket-keyed pair join, exact ppm stats
     "q153_event_paths",      # rank-cut journeys + TakeOrdered top-20
     "q154_triangle_stats",   # ordered-wedge triangles, exact ppm CC
+    "q155_weighted_quantiles",  # mass thresholds over one shared sort
 ]
 
 

@@ -1407,3 +1407,39 @@ def test_triangle_stats_no_triangles(spark):
     out = {r["node"]: r for r in triangle_stats(df).collect()}
     assert all(r["triangles"] == 0 for r in out.values())
     assert out[2]["degree"] == 2 and out[2]["clustering_ppm"] == 0
+
+
+# -- weighted quantiles ------------------------------------------------------
+
+
+def test_grouped_weighted_quantiles_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import grouped_weighted_quantiles
+
+    # values 1..4 with weights 1,1,1,7 (W=10): p=0.5 -> threshold 5,
+    # running weights 1,2,3,10 -> q=4 (mass-weighted, NOT the row median 2)
+    df = spark.createDataFrame(
+        [Row(k="a", v=1.0, w=1), Row(k="a", v=2.0, w=1),
+         Row(k="a", v=3.0, w=1), Row(k="a", v=4.0, w=7)]
+    )
+    got = {
+        r["p"]: (r["q"], r["w_total"])
+        for r in grouped_weighted_quantiles(df, ["k"], "v", "w", ps=(0.5, 0.9, 0.2)).collect()
+    }
+    assert got[0.5] == (4.0, 10)
+    assert got[0.9] == (4.0, 10)
+    assert got[0.2] == (2.0, 10)   # threshold 2 -> second row crosses
+
+
+def test_grouped_weighted_quantiles_tie_values_stable(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.operators.analytics import grouped_weighted_quantiles
+
+    # threshold lands inside a run of equal values: answer is that value
+    df = spark.createDataFrame(
+        [Row(k="a", v=5.0, w=3), Row(k="a", v=5.0, w=3), Row(k="a", v=9.0, w=4)]
+    )
+    got = {r["p"]: r["q"] for r in grouped_weighted_quantiles(df, ["k"], "v", "w", ps=(0.5,)).collect()}
+    assert got[0.5] == 5.0
