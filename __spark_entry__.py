@@ -2219,7 +2219,8 @@ def q147_impute_median(spark, sf_dir):
         F.nullif(F.col("l_quantity"), F.lit(25.0)).alias("qty"),
     )
     out = analytics.impute(
-        li, ["l_returnflag"], "qty", strategy="median", range_buckets=32
+        li, ["l_returnflag"], "qty", strategy="median", range_buckets=32,
+        target_sample_rows=100_000,
     )
     return out.select("l_orderkey", "l_linenumber", "l_returnflag", "qty", "qty_imputed")
 
@@ -2231,7 +2232,7 @@ def q148_winsorize(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     out = analytics.winsorize(
         li, ["l_returnflag"], "l_extendedprice", p_lo=0.05, p_hi=0.95,
-        range_buckets=32,
+        range_buckets=32, target_sample_rows=100_000,
     )
     return out.select(
         "l_orderkey",
@@ -2274,7 +2275,8 @@ def q151_mad_outliers(spark, sf_dir):
     path), the comparison a fixed IEEE expression tree."""
     li = _t(spark, sf_dir, "lineitem")
     out = analytics.mad_outliers(
-        li, ["l_returnflag"], "l_extendedprice", k=3.0, range_buckets=32
+        li, ["l_returnflag"], "l_extendedprice", k=3.0, range_buckets=32,
+        target_sample_rows=100_000,
     )
     return out.select(
         "l_orderkey",

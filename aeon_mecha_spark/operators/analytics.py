@@ -867,6 +867,17 @@ def mad_outliers(
     the keys-sized stat tables broadcast back — the fact table itself
     never reshuffles. Adds ``_median``/``_mad``/``is_outlier``.
     """
+    if quantile_kwargs.get("range_buckets") and "sample_fraction" not in quantile_kwargs:
+        # derive the boundary-sample fraction ONCE from the base table
+        # (a metadata-cheap count); the deviation pass would otherwise
+        # derive it by counting a join — a full extra scan. Row counts
+        # are identical (the median join is left, 1 row per key).
+        quantile_kwargs = dict(
+            quantile_kwargs,
+            sample_fraction=derive_sample_fraction(
+                df, quantile_kwargs.pop("target_sample_rows", 1_000_000)
+            ),
+        )
     med = (
         grouped_quantiles(df, keys, value_col, ps=(0.5,), **quantile_kwargs)
         .select(*keys, F.col("q").alias("_median"))
