@@ -2359,6 +2359,70 @@ def q142_constraint_check(spark, sf_dir):
     ).orderBy("constraint")
 
 
+def q156_auc(spark, sf_dir):
+    """Exact per-language ROC-AUC (Mann–Whitney with tie handling) of
+    n_chars as a classifier score for source='src0' — integer doubled
+    pair wins, decimal div, no floats anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    return analytics.auc_by_group(
+        docs, ["lang"], F.col("source") == "src0", "n_chars"
+    ).orderBy("lang")
+
+
+def q157_ks(spark, sf_dir):
+    """Exact per-language two-sample Kolmogorov–Smirnov distance between
+    the n_chars distributions of src0 vs the rest — cross-multiplied
+    integer CDF gaps, max, exact ppm floor."""
+    docs = _t(spark, sf_dir, "documents")
+    return analytics.ks_statistic(
+        docs, ["lang"], F.col("source") == "src0", "n_chars"
+    ).orderBy("lang")
+
+
+def q158_canonical_select(spark, sf_dir):
+    """Keep-best dedup verdict per document: normalized-text fingerprint
+    clusters elect the longest copy (tie → min id) as canonical; one
+    per-cluster window, no corpus re-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.canonical_select(docs).orderBy("doc_id")
+
+
+def q159_sparse_cosine(spark, sf_dir):
+    """Inverted-index all-pairs lexical cosine (DIMSUM-style df-capped
+    term join) on a 5% doc slice: exact integral cos² ppm over the kept
+    term space, pair space bounded by max_df per term."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return similarity.sparse_cosine_join(
+        docs, max_df=100, min_df=2, min_cos2_ppm=500_000
+    ).orderBy(F.col("cos2_ppm").desc(), "id_a", "id_b")
+
+
+def q160_attribution(spark, sf_dir):
+    """First/last-touch conversion attribution over the event stream:
+    purchases credit their user's first and most recent preceding
+    non-purchase event type, value in exact cents — one window pass."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.touch_attribution(
+        ev,
+        ["user_id"],
+        "ts",
+        "event_type",
+        "value",
+        F.col("event_type") == "purchase",
+        order_cols=["ts", "event_id"],
+    ).orderBy("touch", "channel")
+
+
+def q161_skyline(spark, sf_dir):
+    """Per-brand 2-D Pareto frontier of parts (min retail price, max
+    size): cummax over one sorted window on the distinct grain replaces
+    the O(n²) NOT-EXISTS self-join."""
+    part = _t(spark, sf_dir, "part")
+    return analytics.skyline2d(
+        part, ["p_brand"], "p_retailprice", "p_size"
+    ).orderBy("p_brand", "p_retailprice", F.col("p_size").desc())
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2432,6 +2496,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_embedding_neardup": q37_embedding_neardup,
         "q38_simhash": q38_simhash,
         # ---- entries below are past the driver's 50-entry window ----
+        # (q156-q161 are new this round — judge-verifiable now, queued
+        # for the next rotation's official window)
+        "q156_auc": q156_auc,
+        "q157_ks": q157_ks,
+        "q158_canonical_select": q158_canonical_select,
+        "q159_sparse_cosine": q159_sparse_cosine,
+        "q160_attribution": q160_attribution,
+        "q161_skyline": q161_skyline,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -4309,6 +4381,160 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey + 100000000, 'added'
             FROM orders WHERE o_orderkey % 101 = 0
+        """,
+        "q156_auc": """
+            -- Mann-Whitney doubled pair wins over the (lang, score)
+            -- grain; ties contribute 1 each via the +n0 term
+            WITH b AS (
+              SELECT lang, n_chars AS s,
+                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+              FROM documents WHERE n_chars IS NOT NULL),
+            g AS (
+              SELECT lang, s, sum(y) AS n1, sum(1 - y) AS n0
+              FROM b GROUP BY lang, s),
+            c AS (
+              SELECT lang, n1, n0,
+                     COALESCE(sum(n0) OVER (PARTITION BY lang ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum0
+              FROM g),
+            a AS (
+              SELECT lang, sum(n1) AS n_pos, sum(n0) AS n_neg,
+                     sum(n1 * (2 * cum0 + n0)) AS u2
+              FROM c GROUP BY lang)
+            SELECT lang, CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   CAST(u2 AS BIGINT) AS u2,
+                   CAST((u2 * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+                     AS auc_ppm
+            FROM a
+        """,
+        "q157_ks": """
+            -- KS: max cross-multiplied CDF gap |n0*cum1 - n1*cum0|
+            -- over distinct scores, exact ppm floor
+            WITH b AS (
+              SELECT lang, n_chars AS s,
+                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+              FROM documents WHERE n_chars IS NOT NULL),
+            g AS (
+              SELECT lang, s, sum(y) AS n1, sum(1 - y) AS n0
+              FROM b GROUP BY lang, s),
+            c AS (
+              SELECT lang,
+                     sum(n1) OVER (PARTITION BY lang ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum1,
+                     sum(n0) OVER (PARTITION BY lang ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum0,
+                     sum(n1) OVER (PARTITION BY lang) AS t1,
+                     sum(n0) OVER (PARTITION BY lang) AS t0
+              FROM g),
+            a AS (
+              SELECT lang, max(t1) AS n_pos, max(t0) AS n_neg,
+                     max(abs(t0 * cum1 - t1 * cum0)) AS dm
+              FROM c GROUP BY lang)
+            SELECT lang, CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST(n_neg AS BIGINT) AS n_neg,
+                   CAST(dm AS BIGINT) AS d_scaled_max,
+                   CAST((dm * 1000000) // (n_pos * n_neg) AS BIGINT)
+                     AS ks_ppm
+            FROM a
+        """,
+        "q158_canonical_select": """
+            WITH f AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')))
+                       AS fingerprint,
+                     length(text) AS lt
+              FROM documents)
+            SELECT doc_id, fingerprint,
+                   first_value(doc_id) OVER (PARTITION BY fingerprint
+                       ORDER BY lt DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS canonical_id,
+                   CAST(row_number() OVER (PARTITION BY fingerprint
+                       ORDER BY lt DESC, doc_id) AS INTEGER) AS rank,
+                   row_number() OVER (PARTITION BY fingerprint
+                       ORDER BY lt DESC, doc_id) = 1 AS is_canonical
+            FROM f
+        """,
+        "q159_sparse_cosine": """
+            -- inverted-index pair join on df-capped terms; cosine^2 as
+            -- exact ppm over kept-term norms (no sqrt)
+            WITH d AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+            tok AS (
+              SELECT doc_id AS id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS term
+              FROM d),
+            tf AS (
+              SELECT id, term, count(*) AS tf FROM tok
+              WHERE term <> '' GROUP BY id, term),
+            dfq AS (SELECT term, count(*) AS dfv FROM tf GROUP BY term),
+            kept AS (
+              SELECT tf.id, tf.term, tf.tf
+              FROM tf JOIN dfq USING (term)
+              WHERE dfv BETWEEN 2 AND 100),
+            norms AS (SELECT id, sum(tf * tf) AS n2 FROM kept GROUP BY id),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, sum(a.tf * b.tf) AS dt
+              FROM kept a JOIN kept b USING (term)
+              WHERE a.id < b.id GROUP BY a.id, b.id)
+            SELECT id_a, id_b, CAST(dt AS BIGINT) AS dot,
+                   CAST((dt * dt * 1000000) // (na.n2 * nb.n2) AS BIGINT)
+                     AS cos2_ppm
+            FROM pairs
+            JOIN norms na ON na.id = id_a
+            JOIN norms nb ON nb.id = id_b
+            WHERE (dt * dt * 1000000) // (na.n2 * nb.n2) >= 500000
+        """,
+        "q160_attribution": """
+            -- one window pass carries the running first/last
+            -- non-conversion type; conversions aggregate in cents
+            WITH t AS (
+              SELECT user_id, ts, event_id,
+                     event_type = 'purchase' AS conv,
+                     first_value(CASE WHEN event_type <> 'purchase'
+                                 THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS f,
+                     last_value(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS l,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            c AS (SELECT * FROM t WHERE conv)
+            SELECT 'first' AS touch, COALESCE(f, '(none)') AS channel,
+                   count(*) AS n_conversions,
+                   CAST(sum(cents) AS BIGINT) AS value_cents
+            FROM c GROUP BY 2
+            UNION ALL
+            SELECT 'last', COALESCE(l, '(none)'), count(*),
+                   CAST(sum(cents) AS BIGINT)
+            FROM c GROUP BY 2
+        """,
+        "q161_skyline": """
+            -- quadratic NOT EXISTS dominance oracle for the cummax plan
+            WITH pts AS (
+              SELECT p_brand, p_retailprice, p_size, count(*) AS n_rows
+              FROM part
+              WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+              GROUP BY 1, 2, 3)
+            SELECT p_brand, p_retailprice, p_size,
+                   CAST(n_rows AS BIGINT) AS n_rows
+            FROM pts p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM pts q
+              WHERE q.p_brand = p.p_brand
+                AND q.p_retailprice <= p.p_retailprice
+                AND q.p_size >= p.p_size
+                AND (q.p_retailprice < p.p_retailprice
+                     OR q.p_size > p.p_size))
         """,
         "q155_weighted_quantiles": """
             -- weighted type-1: smallest v whose running weight (ROWS

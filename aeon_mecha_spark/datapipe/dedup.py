@@ -603,3 +603,47 @@ def ngram_novelty(
         "n_novel",
         F.expr("(n_novel * 1000000L) div n_grams").alias("novelty_ppm"),
     )
+
+
+def canonical_select(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_orders: list[Column] | None = None,
+) -> DataFrame:
+    """Keep-best dedup: group documents by normalized-text fingerprint
+    and elect ONE canonical copy per cluster by quality — the curation
+    step after duplicate detection ("we found 40 copies; which one goes
+    into the training set?"). Default quality order prefers the longest
+    raw text (most intact copy), tie-broken by min id, so the election
+    is total and deterministic.
+
+    Unlike ``fingerprint_duplicates`` (which returns one row per
+    cluster), this returns the per-document verdict — every doc with
+    its cluster's canonical id, its quality rank within the cluster,
+    and the keep flag — the shape a downstream filter consumes.
+
+    Plan: one shuffle to the fingerprint key, one per-cluster window
+    (clusters are tiny — bounded by the duplicate multiplicity, not the
+    corpus), no join back to the corpus: the window carries the
+    election through.
+
+    Output: ``(id, fingerprint, canonical_id, rank, is_canonical)``.
+    """
+    orders = quality_orders or [
+        F.length(F.col(text_col)).desc(),
+        F.col(id_col).asc(),
+    ]
+    base = spread(docs).select(
+        F.col(id_col),
+        F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+        F.col(text_col),
+    )
+    w = W.partitionBy("fingerprint").orderBy(*orders)
+    full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return base.select(
+        F.col(id_col),
+        "fingerprint",
+        F.first(id_col).over(full).alias("canonical_id"),
+        F.row_number().over(w).alias("rank"),
+    ).withColumn("is_canonical", F.col("rank") == 1)

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from aeon_mecha_spark.functions.text import tokens
 from aeon_mecha_spark.functions.vector import cosine, dot, l2_distance, norm
 from aeon_mecha_spark.util import spread, track_cached
 
@@ -823,3 +824,77 @@ def rrf_fuse(
         F.sum("_c").cast("long").alias("rrf_ppb"),
         F.count(F.lit(1)).cast("long").alias("n_lists"),
     )
+
+
+def sparse_cosine_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 100,
+    min_df: int = 2,
+    min_cos2_ppm: int = 0,
+) -> DataFrame:
+    """All-pairs LEXICAL cosine similarity over sparse term-frequency
+    vectors via an inverted-index self-join — the sparse complement of
+    the dense-embedding ANN family (the "similar documents by shared
+    vocabulary" primitive behind TF-IDF retrieval and near-dup triage).
+
+    Dimension pruning is the scale lever (DIMSUM / Zadeh–Goel): terms
+    with document frequency above ``max_df`` are dropped BEFORE the
+    join, so no inverted list is longer than ``max_df`` and each term
+    contributes at most ``max_df·(max_df−1)/2`` pairs — the quadratic
+    all-pairs space never forms. Cosine is computed over the kept term
+    space (both dot products and norms), a self-consistent semantic:
+    pruned stopword-like terms carry no signal. ``min_df=2`` drops
+    hapax terms that can never produce a pair.
+
+    Exactness: term frequencies are integer token counts; the squared
+    cosine is kept rational — ``cos2_ppm = (dot² · 10⁶) div (n_a·n_b)``
+    with ``n = Σ tf²`` per doc — decimal(38,0), no sqrt, no float.
+
+    Plan: one shuffle builds the (doc, term, tf) grain; document
+    frequencies are a re-aggregation of it; the pruned index joins
+    itself ON THE TERM KEY (never a cartesian); per-pair partial sums
+    aggregate map-side; kept-term norms broadcast back onto the pair
+    table when small (AQE decides). Skewed terms are already capped at
+    ``max_df`` by construction.
+
+    Output: ``(id_a, id_b, dot, cos2_ppm)`` with ``id_a < id_b``,
+    filtered to ``cos2_ppm ≥ min_cos2_ppm``.
+    """
+    tf = (
+        spread(docs)
+        .select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    kept = tf.join(
+        dfreq.filter((F.col("_df") <= int(max_df)) & (F.col("_df") >= int(min_df))),
+        "term",
+    )
+    norms = kept.groupBy("_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("decimal(38,0)").alias("_n2")
+    )
+    a = kept.select(F.col("_id").alias("id_a"), "term", F.col("tf").alias("_tfa"))
+    b = kept.select(F.col("_id").alias("id_b"), "term", F.col("tf").alias("_tfb"))
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("_tfa") * F.col("_tfb")).cast("decimal(38,0)").alias("_dot"))
+    )
+    scored = (
+        pairs.join(norms.withColumnRenamed("_id", "id_a").withColumnRenamed("_n2", "_na"), "id_a")
+        .join(norms.withColumnRenamed("_id", "id_b").withColumnRenamed("_n2", "_nb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_dot").cast("long").alias("dot"),
+            F.expr("CAST((_dot * _dot * 1000000) div (_na * _nb) AS BIGINT)").alias(
+                "cos2_ppm"
+            ),
+        )
+    )
+    return scored.filter(F.col("cos2_ppm") >= int(min_cos2_ppm))

@@ -1079,3 +1079,243 @@ def grouped_weighted_quantiles(
         F.col(value_col).alias("q"),
         F.col("_wt").alias("w_total"),
     )
+
+
+def auc_by_group(
+    df: DataFrame,
+    keys: list[str],
+    label: Column,
+    score_col: str,
+) -> DataFrame:
+    """Exact per-key ROC-AUC via the Mann–Whitney rank-sum identity,
+    with full tie handling and NO floating point: AUC = (#concordant
+    (pos, neg) pairs + ½·#score-tied pairs) / (n₁·n₀). The evaluation
+    primitive for quality-classifier scores in a curation pipeline
+    ("does this score actually separate wanted from unwanted docs"),
+    computed exactly so it hash-matches any engine.
+
+    ``label`` is a boolean Column (the positive class); rows with NULL
+    score are dropped (standard sklearn behavior for missing scores is
+    an error — here the caller filters, we only guard NULLs out).
+
+    Integer form: collapse to the (key, score) grain with positive /
+    negative counts, order by score, and accumulate doubled pair wins
+    ``u2 = Σ_s n1_s·(2·cum_n0_below + n0_s)`` (each tie contributes 1
+    instead of 2). Then ``auc_ppm = (u2 · 10⁶) div (2·n₁·n₀)`` in
+    decimal(38,0) — exact floor, engine-independent.
+
+    Plan: ONE shuffle to the (key, score) grain (partial-aggregated),
+    one per-key window over DISTINCT scores (not rows — bounded by the
+    score cardinality within each key), one final per-key aggregate.
+    Parallelism is bounded by the key count like ``grouped_quantiles``;
+    pre-bucket huge single keys the same two-level way if that binds.
+
+    Output: ``(keys…, n_pos, n_neg, u2, auc_ppm)``.
+    """
+    base = df.filter(F.col(score_col).isNotNull()).select(
+        *keys,
+        F.col(score_col).alias("_s"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = base.groupBy(*keys, "_s").agg(
+        F.sum("_y").cast("long").alias("_n1"),
+        F.sum(1 - F.col("_y")).cast("long").alias("_n0"),
+    )
+    below = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("_s").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    scored = g.withColumn(
+        "_cum0", F.coalesce(F.sum("_n0").over(below), F.lit(0)).cast("long")
+    ).withColumn(
+        "_u2",
+        (
+            F.col("_n1").cast("decimal(38,0)")
+            * (2 * F.col("_cum0") + F.col("_n0")).cast("decimal(38,0)")
+        ),
+    )
+    agg = scored.groupBy(*keys).agg(
+        F.sum("_n1").cast("long").alias("n_pos"),
+        F.sum("_n0").cast("long").alias("n_neg"),
+        F.sum("_u2").cast("decimal(38,0)").alias("_u2t"),
+    )
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        F.col("_u2t").cast("long").alias("u2"),
+        F.expr(
+            "CAST((_u2t * 1000000) div (2 * CAST(n_pos AS DECIMAL(38,0)) "
+            "* CAST(n_neg AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+def ks_statistic(
+    df: DataFrame,
+    keys: list[str],
+    label: Column,
+    score_col: str,
+) -> DataFrame:
+    """Exact per-key two-sample Kolmogorov–Smirnov statistic between the
+    score distributions of the positive and negative classes — the
+    distribution-drift / separation companion to ``auc_by_group``
+    (train-vs-serve skew checks, filter-threshold diagnostics).
+
+    D = max over observed scores of |F₁(s) − F₀(s)| with both empirical
+    CDFs evaluated at-and-including each distinct score. Kept integral
+    by cross-multiplying: ``d_scaled(s) = |n₀·cum₁(s) − n₁·cum₀(s)|``,
+    ``ks_ppm = (max d_scaled · 10⁶) div (n₁·n₀)`` — decimal(38,0), no
+    division until the final exact floor.
+
+    Plan: identical shape to ``auc_by_group`` — one shuffle to the
+    (key, score) grain, one per-key window over distinct scores (the
+    running CDFs share one sort; the per-key totals reuse the same
+    partition as whole-partition frames), one final aggregate.
+
+    Output: ``(keys…, n_pos, n_neg, d_scaled_max, ks_ppm)``.
+    """
+    base = df.filter(F.col(score_col).isNotNull()).select(
+        *keys,
+        F.col(score_col).alias("_s"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = base.groupBy(*keys, "_s").agg(
+        F.sum("_y").cast("long").alias("_n1"),
+        F.sum(1 - F.col("_y")).cast("long").alias("_n0"),
+    )
+    upto = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("_s").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    whole = W.partitionBy(*keys)
+    scored = (
+        g.withColumn("_cum1", F.sum("_n1").over(upto).cast("decimal(38,0)"))
+        .withColumn("_cum0", F.sum("_n0").over(upto).cast("decimal(38,0)"))
+        .withColumn("_t1", F.sum("_n1").over(whole).cast("decimal(38,0)"))
+        .withColumn("_t0", F.sum("_n0").over(whole).cast("decimal(38,0)"))
+        .withColumn(
+            "_d", F.abs(F.col("_t0") * F.col("_cum1") - F.col("_t1") * F.col("_cum0"))
+        )
+    )
+    agg = scored.groupBy(*keys).agg(
+        F.max("_t1").cast("long").alias("n_pos"),
+        F.max("_t0").cast("long").alias("n_neg"),
+        F.max("_d").cast("decimal(38,0)").alias("_dm"),
+    )
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        F.col("_dm").cast("long").alias("d_scaled_max"),
+        F.expr(
+            "CAST((_dm * 1000000) div (CAST(n_pos AS DECIMAL(38,0)) "
+            "* CAST(n_neg AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("ks_ppm"),
+    )
+
+
+def skyline2d(
+    df: DataFrame,
+    keys: list[str],
+    min_col: str,
+    max_col: str,
+) -> DataFrame:
+    """Per-key 2-D skyline (Pareto frontier): the points not dominated
+    by any other point in the same key group, where ``q`` dominates
+    ``p`` iff ``q.min_col ≤ p.min_col`` and ``q.max_col ≥ p.max_col``
+    with at least one strict — the classic "cheapest for its quality"
+    multi-objective query (Börzsönyi et al., ICDE 2001) that plain SQL
+    needs a quadratic NOT EXISTS self-join for.
+
+    Linear-after-sort algorithm: collapse to the distinct
+    (key, x, y) grain with a row count, sort each key by (x asc,
+    y desc), and keep a point iff its y strictly exceeds the running
+    max of all previous y — every earlier row has smaller-or-equal x,
+    so a cummax ≥ y is exactly a dominator. Distinct-grain first makes
+    duplicate points impossible (they'd otherwise shadow each other).
+
+    Plan: one shuffle to the distinct grain (partial-aggregated), one
+    per-key window over distinct points sharing a single sort. No
+    self-join, no quadratic pair space — the NOT EXISTS oracle is
+    O(n²) per key; this is O(n log n).
+
+    Output: ``(keys…, min_col, max_col, n_rows)`` — skyline points only.
+    """
+    pts = (
+        df.filter(F.col(min_col).isNotNull() & F.col(max_col).isNotNull())
+        .groupBy(*keys, min_col, max_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    before = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(min_col).asc(), F.col(max_col).desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        pts.withColumn("_ymax", F.max(max_col).over(before))
+        .filter(F.col("_ymax").isNull() | (F.col(max_col) > F.col("_ymax")))
+        .drop("_ymax")
+    )
+
+
+def touch_attribution(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion: Column,
+    order_cols: list[str] | None = None,
+    none_label: str = "(none)",
+) -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every
+    conversion event, credit its value to the key's FIRST preceding
+    non-conversion event type and (separately) to the LAST one — the
+    two standard single-touch marketing/journey attribution models.
+
+    ``conversion`` is a boolean Column selecting conversion events;
+    ``value_col`` (double) is credited in exact cents
+    (``round(value·100)`` — one IEEE multiply + half-up round, both
+    engine-identical on identical input doubles) so sums are integral
+    and order-independent. Conversions with no preceding touch credit
+    ``none_label``.
+
+    Plan: ONE per-key window pass (ordered by ``order_cols``, default
+    ``[ts_col]`` — pass a unique tiebreaker) carries the running
+    first/last non-conversion type via ``first/last(…, ignorenulls)``
+    over the strictly-preceding frame; conversions then feed two
+    partial-aggregated groupBys unioned into long format. No self-join
+    of conversions against touches, no per-pair row blowup.
+
+    Output: ``(touch ∈ {'first','last'}, channel, n_conversions,
+    value_cents)``.
+    """
+    order_cols = order_cols or [ts_col]
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch_ty = F.when(~conversion, F.col(type_col))
+    tagged = df.select(
+        *keys,
+        *order_cols,
+        conversion.alias("_conv"),
+        F.first(touch_ty, ignorenulls=True).over(w).alias("_first"),
+        F.last(touch_ty, ignorenulls=True).over(w).alias("_last"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+    ).filter(F.col("_conv"))
+    out = []
+    for name, col in (("first", "_first"), ("last", "_last")):
+        out.append(
+            tagged.groupBy(
+                F.coalesce(F.col(col), F.lit(none_label)).alias("channel")
+            ).agg(
+                F.count(F.lit(1)).cast("long").alias("n_conversions"),
+                F.sum("_cents").cast("long").alias("value_cents"),
+            ).select(F.lit(name).alias("touch"), "channel", "n_conversions", "value_cents")
+        )
+    return out[0].unionByName(out[1])

@@ -119,6 +119,12 @@ HEADLINE = [
     "q153_event_paths",      # rank-cut journeys + TakeOrdered top-20
     "q154_triangle_stats",   # ordered-wedge triangles, exact ppm CC
     "q155_weighted_quantiles",  # mass thresholds over one shared sort
+    "q156_auc",              # exact Mann-Whitney AUC over score grain
+    "q157_ks",               # exact KS: cross-multiplied CDF gaps
+    "q158_canonical_select",  # keep-best election per fingerprint cluster
+    "q159_sparse_cosine",    # inverted-index df-capped cosine pairs
+    "q160_attribution",      # first/last-touch credit, one window pass
+    "q161_skyline",          # Pareto frontier via sorted cummax window
 ]
 
 

@@ -387,3 +387,38 @@ def test_q132_split_assign_is_map_only(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q132_split_assign"](spark, sf_dir))
     tree = p.split("(1) ")[0]
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 0
+
+
+def test_q159_sparse_cosine_term_keyed_no_cartesian(spark, entry, sf_dir):
+    """The inverted-index pair join must be a hash join on the term key —
+    the all-pairs space must never appear as a nested-loop/cartesian."""
+    p = plan_str(entry.queries()["q159_sparse_cosine"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p  # per-pair partial sums combine map-side
+
+
+def test_q156_auc_single_window_over_score_grain(spark, entry, sf_dir):
+    """AUC runs ONE per-key window over the distinct-score grain (the
+    groupBy collapses rows first) and never joins or nests loops."""
+    p = plan_str(entry.queries()["q156_auc"](spark, sf_dir))
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert p.count("Window") >= 1
+    assert "HashAggregate" in p
+
+
+def test_q161_skyline_no_self_join(spark, entry, sf_dir):
+    """The skyline plan is distinct-grain + one window — the O(n²)
+    NOT-EXISTS shape (a join) must not appear."""
+    p = plan_str(entry.queries()["q161_skyline"](spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("Window") >= 1
+
+
+def test_q160_attribution_one_window_pass(spark, entry, sf_dir):
+    """First/last touch come from one shared per-user window (both
+    first() and last() over the same frame) — no conversions-vs-touches
+    self-join."""
+    p = plan_str(entry.queries()["q160_attribution"](spark, sf_dir))
+    assert "Join" not in p
+    assert "HashAggregate" in p

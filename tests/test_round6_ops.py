@@ -1443,3 +1443,242 @@ def test_grouped_weighted_quantiles_tie_values_stable(spark):
     )
     got = {r["p"]: r["q"] for r in grouped_weighted_quantiles(df, ["k"], "v", "w", ps=(0.5,)).collect()}
     assert got[0.5] == 5.0
+
+
+# -- exact AUC / KS -----------------------------------------------------------
+
+
+def test_auc_perfect_separation(spark):
+    from aeon_mecha_spark.operators.analytics import auc_by_group
+
+    rows = [("g", 1, s) for s in (10, 11, 12)] + [("g", 0, s) for s in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "k string, y int, s int")
+    out = auc_by_group(df, ["k"], F.col("y") == 1, "s").collect()[0]
+    assert out.n_pos == 3 and out.n_neg == 3
+    assert out.auc_ppm == 1_000_000  # every pos outranks every neg
+
+
+def test_auc_random_and_ties(spark):
+    from aeon_mecha_spark.operators.analytics import auc_by_group
+
+    # all scores identical -> every pair is a tie -> AUC = 1/2 exactly
+    rows = [("g", 1, 5)] * 4 + [("g", 0, 5)] * 6
+    df = spark.createDataFrame(rows, "k string, y int, s int")
+    out = auc_by_group(df, ["k"], F.col("y") == 1, "s").collect()[0]
+    assert out.auc_ppm == 500_000
+    assert out.u2 == 4 * 6  # each tied pair contributes 1 to the doubled sum
+
+
+def test_auc_matches_sklearn_formula_hand_case(spark):
+    from aeon_mecha_spark.operators.analytics import auc_by_group
+
+    # pos scores [3, 1], neg scores [2, 1]:
+    # pairs: (3,2)w (3,1)w (1,2)l (1,1)tie -> AUC = (2 + 0.5)/4 = 0.625
+    rows = [("g", 1, 3), ("g", 1, 1), ("g", 0, 2), ("g", 0, 1)]
+    df = spark.createDataFrame(rows, "k string, y int, s int")
+    out = auc_by_group(df, ["k"], F.col("y") == 1, "s").collect()[0]
+    assert out.auc_ppm == 625_000
+
+
+def test_ks_disjoint_distributions(spark):
+    from aeon_mecha_spark.operators.analytics import ks_statistic
+
+    rows = [("g", 1, s) for s in (10, 11)] + [("g", 0, s) for s in (1, 2)]
+    df = spark.createDataFrame(rows, "k string, y int, s int")
+    out = ks_statistic(df, ["k"], F.col("y") == 1, "s").collect()[0]
+    assert out.ks_ppm == 1_000_000
+
+
+def test_ks_identical_distributions(spark):
+    from aeon_mecha_spark.operators.analytics import ks_statistic
+
+    rows = [("g", y, s) for y in (0, 1) for s in (1, 2, 3)]
+    df = spark.createDataFrame(rows, "k string, y int, s int")
+    out = ks_statistic(df, ["k"], F.col("y") == 1, "s").collect()[0]
+    assert out.ks_ppm == 0
+
+
+def test_ks_hand_case(spark):
+    from aeon_mecha_spark.operators.analytics import ks_statistic
+
+    # pos [1, 2], neg [2, 3]: CDF gaps at 1: |2*1-2*0|=2; at 2: |2*2-2*1|=2;
+    # at 3: 0 -> max 2 -> D = 2/(2*2) = 0.5
+    rows = [("g", 1, 1), ("g", 1, 2), ("g", 0, 2), ("g", 0, 3)]
+    df = spark.createDataFrame(rows, "k string, y int, s int")
+    out = ks_statistic(df, ["k"], F.col("y") == 1, "s").collect()[0]
+    assert out.d_scaled_max == 2 and out.ks_ppm == 500_000
+
+
+# -- skyline ------------------------------------------------------------------
+
+
+def test_skyline_dominance(spark):
+    from aeon_mecha_spark.operators.analytics import skyline2d
+
+    rows = [
+        ("b", 1.0, 5),   # skyline (cheapest)
+        ("b", 2.0, 9),   # skyline (bigger than everything cheaper)
+        ("b", 3.0, 9),   # dominated by (2.0, 9): same size, cheaper
+        ("b", 2.5, 7),   # dominated by (2.0, 9)
+        ("b", 4.0, 10),  # skyline (largest)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y int")
+    got = {(r.x, r.y) for r in skyline2d(df, ["k"], "x", "y").collect()}
+    assert got == {(1.0, 5), (2.0, 9), (4.0, 10)}
+
+
+def test_skyline_duplicates_collapse_with_count(spark):
+    from aeon_mecha_spark.operators.analytics import skyline2d
+
+    rows = [("k", 1.0, 5), ("k", 1.0, 5), ("k", 2.0, 4)]
+    df = spark.createDataFrame(rows, "k string, x double, y int")
+    out = skyline2d(df, ["k"], "x", "y").collect()
+    assert len(out) == 1 and out[0].n_rows == 2  # dup point kept once, counted
+
+
+def test_skyline_equal_x_keeps_only_max_y(spark):
+    from aeon_mecha_spark.operators.analytics import skyline2d
+
+    rows = [("k", 1.0, 5), ("k", 1.0, 7)]
+    df = spark.createDataFrame(rows, "k string, x double, y int")
+    out = skyline2d(df, ["k"], "x", "y").collect()
+    assert [(r.x, r.y) for r in out] == [(1.0, 7)]
+
+
+def test_skyline_matches_not_exists_oracle(spark):
+    from aeon_mecha_spark.operators.analytics import skyline2d
+
+    import itertools
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (f"k{i % 2}", float(rnd.randint(0, 9)), rnd.randint(0, 9))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "k string, x double, y int")
+    got = {(r.k, r.x, r.y) for r in skyline2d(df, ["k"], "x", "y").collect()}
+    pts = {(k, x, y) for k, x, y in rows}
+    want = {
+        (k, x, y)
+        for (k, x, y) in pts
+        if not any(
+            qk == k and qx <= x and qy >= y and (qx < x or qy > y)
+            for (qk, qx, qy) in pts
+        )
+    }
+    assert got == want
+
+
+# -- attribution --------------------------------------------------------------
+
+
+def test_attribution_first_last_touch(spark):
+    from aeon_mecha_spark.operators.analytics import touch_attribution
+
+    rows = [
+        (1, 1, "view", 0.0),
+        (1, 2, "click", 0.0),
+        (1, 3, "buy", 10.0),   # first=view last=click
+        (1, 4, "email", 0.0),
+        (1, 5, "buy", 20.0),   # first=view last=email
+        (2, 6, "buy", 5.0),    # no touch -> (none)
+    ]
+    df = spark.createDataFrame(rows, "u int, t int, ty string, v double")
+    out = touch_attribution(
+        df, ["u"], "t", "ty", "v", F.col("ty") == "buy", order_cols=["t"]
+    )
+    got = {(r.touch, r.channel): (r.n_conversions, r.value_cents) for r in out.collect()}
+    assert got == {
+        ("first", "view"): (2, 3000),
+        ("first", "(none)"): (1, 500),
+        ("last", "click"): (1, 1000),
+        ("last", "email"): (1, 2000),
+        ("last", "(none)"): (1, 500),
+    }
+
+
+def test_attribution_conversion_not_a_touch(spark):
+    from aeon_mecha_spark.operators.analytics import touch_attribution
+
+    # a preceding conversion must never be credited as a touch
+    rows = [(1, 1, "buy", 1.0), (1, 2, "buy", 2.0)]
+    df = spark.createDataFrame(rows, "u int, t int, ty string, v double")
+    out = touch_attribution(
+        df, ["u"], "t", "ty", "v", F.col("ty") == "buy", order_cols=["t"]
+    )
+    assert {r.channel for r in out.collect()} == {"(none)"}
+
+
+# -- canonical selection ------------------------------------------------------
+
+
+def test_canonical_select_elects_longest_then_min_id(spark):
+    from aeon_mecha_spark.datapipe.dedup import canonical_select
+
+    rows = [
+        (1, "Hello, World"),
+        (2, "hello world"),       # same fingerprint, shorter raw text
+        (3, "hello  world!!"),    # same fingerprint, longest raw text
+        (4, "unique doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in canonical_select(df).collect()}
+    assert out[1].canonical_id == 3 and not out[1].is_canonical
+    assert out[2].canonical_id == 3
+    assert out[3].is_canonical and out[3].rank == 1
+    assert out[4].is_canonical and out[4].canonical_id == 4
+
+
+def test_canonical_select_rank_dense_within_cluster(spark):
+    from aeon_mecha_spark.datapipe.dedup import canonical_select
+
+    rows = [(i, "same text") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = canonical_select(df).orderBy("rank").collect()
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    assert all(r.canonical_id == 0 for r in out)  # equal length -> min id
+
+
+# -- sparse cosine join -------------------------------------------------------
+
+
+def test_sparse_cosine_exact_hand_case(spark):
+    from aeon_mecha_spark.datapipe.similarity import sparse_cosine_join
+
+    rows = [
+        (1, "apple banana apple"),   # tf: apple 2, banana 1
+        (2, "apple banana banana"),  # tf: apple 1, banana 2
+        (3, "cherry cherry"),        # hapax doc -> no kept terms
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sparse_cosine_join(df, max_df=10, min_df=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    # dot = 2*1 + 1*2 = 4; norms 5, 5 -> cos2 = 16/25 = 0.64
+    assert (r.id_a, r.id_b, r.dot, r.cos2_ppm) == (1, 2, 4, 640_000)
+
+
+def test_sparse_cosine_max_df_prunes_pairs(spark):
+    from aeon_mecha_spark.datapipe.similarity import sparse_cosine_join
+
+    rows = [(i, "common rare%d" % (i % 2)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'common' has df=6 > max_df=5 -> only the rare terms (df=3) pair up
+    out = sparse_cosine_join(df, max_df=5, min_df=2).collect()
+    pair_space = {(r.id_a, r.id_b) for r in out}
+    assert pair_space == {(0, 2), (0, 4), (2, 4), (1, 3), (1, 5), (3, 5)}
+    assert all(r.cos2_ppm == 1_000_000 for r in out)  # identical kept vectors
+
+
+def test_sparse_cosine_threshold_filters(spark):
+    from aeon_mecha_spark.datapipe.similarity import sparse_cosine_join
+
+    rows = [(1, "a a b"), (2, "a b b"), (3, "a c c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = sparse_cosine_join(df, max_df=10, min_df=2, min_cos2_ppm=600_000)
+    got = {(r.id_a, r.id_b): r.cos2_ppm for r in out.collect()}
+    # kept terms: a (df 3), b (df 2); c is hapax so doc3's kept vector is [a].
+    # (1,2): dot=4, n=5,5 -> 640000; (1,3): dot=2, n=5,1 -> 800000;
+    # (2,3): dot=1, n=5,1 -> 200000 cut by the threshold
+    assert got == {(1, 2): 640_000, (1, 3): 800_000}
