@@ -18,7 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from aeon_mecha_spark.datapipe import curation, dedup, multimodal, similarity, sketch, textqc
+from aeon_mecha_spark.datapipe import bpe, curation, dedup, multimodal, similarity, sketch, textqc
 from aeon_mecha_spark.functions import text as TX
 from aeon_mecha_spark.functions.hashing import key_hash
 from aeon_mecha_spark.functions.time import chunk_end as f_chunk_end
@@ -2413,6 +2413,33 @@ def q160_attribution(spark, sf_dir):
     ).orderBy("touch", "channel")
 
 
+# First 8 merges learned by bpe_learn on the sf0.01 documents slice
+# (doc_id % 20 == 0) — FIXED constants so the application pass is
+# hash-verifiable against a SQL oracle, the q109/q110 trained-model
+# pattern: training is rows-only (q163), application is exact (q162).
+_BPE_MERGES = [
+    ("e", "r"), ("s", "t"), ("o", "r"), ("o", "w"),
+    ("i", "n"), ("l", "u"), ("m", "er"), ("a", "t"),
+]
+
+
+def q162_bpe_apply(spark, sf_dir):
+    """Corpus token accounting under a fixed 8-merge BPE tokenizer:
+    map-only higher-order transform with the merge loop unrolled into
+    literal replaces — no explode, no shuffle, exact ppm ratio."""
+    docs = _t(spark, sf_dir, "documents")
+    return bpe.apply_bpe_merges(docs, _BPE_MERGES).orderBy("doc_id")
+
+
+def q163_bpe_learn(spark, sf_dir):
+    """Sennrich BPE training on the 5% doc slice: 8 rounds of weighted
+    pair-count argmax over the distinct-word table (rows-only: an
+    iterative argmax chain has no SQL form; the merge sequence is
+    value-pinned in tests and its application is hash-gated as q162)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return bpe.bpe_learn(docs, n_merges=8)
+
+
 def q161_skyline(spark, sf_dir):
     """Per-brand 2-D Pareto frontier of parts (min retail price, max
     size): cummax over one sorted window on the distinct grain replaces
@@ -2421,6 +2448,43 @@ def q161_skyline(spark, sf_dir):
     return analytics.skyline2d(
         part, ["p_brand"], "p_retailprice", "p_size"
     ).orderBy("p_brand", "p_retailprice", F.col("p_size").desc())
+
+
+def q164_exact_split(spark, sf_dir):
+    """Stratified train/val/test with EXACT largest-remainder quotas per
+    language (8/1/1): integer apportionment + seeded-hash ranking —
+    deterministic membership, quotas always sum to the stratum size."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.exact_split_quota(
+        docs, ["lang"], "doc_id", [("train", 8), ("val", 1), ("test", 1)], seed=0
+    ).orderBy("lang", "doc_id")
+
+
+def q165_corr_pairs(spark, sf_dir):
+    """Exact Pearson correlation of four lineitem measures in one
+    aggregate pass: decimal moments over integer-scaled columns, r²
+    as shared-shrink integral ppm, sign separate — no sqrt, no float
+    accumulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax_pct"),
+    )
+    return analytics.corr_pairs(base, ["qty", "price_c", "disc_pct", "tax_pct"]).orderBy(
+        "col_a", "col_b"
+    )
+
+
+def q166_woe(spark, sf_dir):
+    """Weight-of-evidence + information value of order priority against
+    fulfilled status: micro-nat WOE (unigram-LM integer convention),
+    integral IV terms, totals broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.woe_encode(
+        orders, "o_orderpriority", F.col("o_orderstatus") == "F"
+    ).orderBy("category")
 
 
 # ---------------------------------------------------------------------------
@@ -2504,6 +2568,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_sparse_cosine": q159_sparse_cosine,
         "q160_attribution": q160_attribution,
         "q161_skyline": q161_skyline,
+        "q162_bpe_apply": q162_bpe_apply,
+        "q163_bpe_learn": q163_bpe_learn,  # rows-only: iterative argmax not in SQL
+        "q164_exact_split": q164_exact_split,
+        "q165_corr_pairs": q165_corr_pairs,
+        "q166_woe": q166_woe,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -2769,6 +2838,71 @@ def _sql_pq_assign_fixed() -> str:
             f"FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
         )
     return " UNION ALL ".join(selects)
+
+
+def _sql_bpe_apply_fixed() -> str:
+    """Oracle for q162: the same fixed merge list unrolled into nested
+    literal replaces over the char-spaced word — replace() is
+    left-to-right non-overlapping in both engines, so the greedy merge
+    semantics match exactly."""
+    expr = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')"
+    for left, right in _BPE_MERGES:
+        expr = f"replace({expr}, ' {left} {right} ', ' {left}{right} ')"
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS word
+          FROM documents WHERE trim(text) <> ''),
+        t AS (
+          SELECT doc_id, length(word) AS nc,
+                 len(string_split_regex(trim({expr}), '\\s+')) AS nt
+          FROM w)
+        SELECT doc_id, count(*) AS n_words,
+               CAST(sum(nc) AS BIGINT) AS n_chars,
+               CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+               CAST((sum(nt) * 1000000) // sum(nc) AS BIGINT) AS ratio_ppm
+        FROM t GROUP BY doc_id
+    """
+
+
+def _sql_corr_pairs() -> str:
+    """Oracle for q165: the same shared-shrink integral r² arithmetic in
+    HUGEINT (int128) — every division operand is non-negative (abs before
+    the shrink), so DuckDB's // and Spark's div agree."""
+    cols = ["qty", "price_c", "disc_pct", "tax_pct"]
+    moment_sel = ["CAST(count(*) AS HUGEINT) AS n"]
+    for c in cols:
+        moment_sel.append(f"sum(CAST({c} AS HUGEINT)) AS s_{c}")
+        moment_sel.append(f"sum(CAST({c} AS HUGEINT) * {c}) AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        moment_sel.append(f"sum(CAST({a} AS HUGEINT) * {b}) AS sp_{a}_{b}")
+    pair_rows = []
+    for a, b in pairs:
+        num = f"(n * sp_{a}_{b} - s_{a} * s_{b})"
+        denx = f"(n * ss_{a} - s_{a} * s_{a})"
+        deny = f"(n * ss_{b} - s_{b} * s_{b})"
+        k = f"(1 + greatest(abs({num}), {denx}, {deny}) // 1000000000000)"
+        nd, xd, yd = f"(abs({num}) // {k})", f"({denx} // {k})", f"({deny} // {k})"
+        pair_rows.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n, "
+            f"CAST(CASE WHEN {num} < 0 THEN -1 WHEN {num} > 0 THEN 1 "
+            f"ELSE 0 END AS INTEGER) AS sign, "
+            f"CASE WHEN {xd} > 0 AND {yd} > 0 THEN "
+            f"CAST(({nd} * {nd} * 1000000) // ({xd} * {yd}) AS BIGINT) "
+            f"END AS r2_ppm FROM m"
+        )
+    union = " UNION ALL ".join(pair_rows)
+    return f"""
+        WITH b AS (
+          SELECT CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                 CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+                 CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+          FROM lineitem),
+        m AS (SELECT {", ".join(moment_sel)} FROM b)
+        {union}
+    """
 
 
 def _sql_pca_project_fixed() -> str:
@@ -4381,6 +4515,63 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT o_orderkey + 100000000, 'added'
             FROM orders WHERE o_orderkey % 101 = 0
+        """,
+        "q162_bpe_apply": _sql_bpe_apply_fixed(),
+        "q164_exact_split": """
+            -- largest-remainder quotas per stratum, seeded-hash ranks
+            WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+            s(i, split, w) AS (VALUES (0, 'train', 8), (1, 'val', 1), (2, 'test', 1)),
+            q0 AS (
+              SELECT lang, n, i, split, (n * w) // 10 AS base, (n * w) % 10 AS rem
+              FROM n CROSS JOIN s),
+            q1 AS (
+              SELECT *, n - sum(base) OVER (PARTITION BY lang) AS leftover,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY rem DESC, i) AS rrank
+              FROM q0),
+            q2 AS (
+              SELECT lang, i, split,
+                     base + CASE WHEN rrank <= leftover THEN 1 ELSE 0 END AS quota
+              FROM q1),
+            q3 AS (
+              SELECT lang, split, quota,
+                     sum(quota) OVER (PARTITION BY lang ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS hi
+              FROM q2),
+            b AS (SELECT lang, split, hi - quota AS lo, hi FROM q3),
+            r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY ('0x' || substr(md5('0:' ||
+                                   CAST(doc_id AS VARCHAR)), 1, 15))::bigint,
+                                  doc_id) AS rn
+              FROM documents)
+            SELECT r.lang, r.doc_id, b.split
+            FROM r JOIN b ON r.lang = b.lang AND r.rn > b.lo AND r.rn <= b.hi
+        """,
+        "q165_corr_pairs": _sql_corr_pairs(),
+        "q166_woe": """
+            -- micro-nat WOE (floor(ln*1e6 + 0.5)) + sign-split integral IV
+            WITH g AS (
+              SELECT o_orderpriority AS category,
+                     sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ng,
+                     sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS nb
+              FROM orders GROUP BY 1),
+            t AS (SELECT sum(ng) AS gt, sum(nb) AS bt FROM g),
+            w AS (
+              SELECT category, ng, nb, gt, bt,
+                     CAST(floor(ln(((ng + 0.5) / gt) / ((nb + 0.5) / bt))
+                                * 1000000.0 + 0.5) AS BIGINT) AS woe_unat,
+                     CAST(ng AS HUGEINT) * bt - CAST(nb AS HUGEINT) * gt AS ev
+              FROM g CROSS JOIN t)
+            SELECT category, CAST(ng AS BIGINT) AS n_good,
+                   CAST(nb AS BIGINT) AS n_bad, woe_unat,
+                   CAST((CASE WHEN ev * woe_unat < 0 THEN -1
+                              WHEN ev * woe_unat > 0 THEN 1 ELSE 0 END)
+                        * (abs(ev * woe_unat) //
+                           (CAST(gt AS HUGEINT) * bt)) AS BIGINT) AS iv_micro
+            FROM w
         """,
         "q156_auc": """
             -- Mann-Whitney doubled pair wins over the (lang, score)

@@ -855,3 +855,82 @@ def split_assign(
         cond = bucket < F.lit(int(round(cum * denom)))
         expr = F.when(cond, F.lit(lab)) if expr is None else expr.when(cond, F.lit(lab))
     return df.withColumn("split", expr.otherwise(F.lit(labels[-1])))
+
+
+def exact_split_quota(
+    df: DataFrame,
+    strata: list[str],
+    id_col: str,
+    splits: list[tuple[str, int]],
+    seed: int = 0,
+) -> DataFrame:
+    """Stratified train/val/test assignment with EXACT per-stratum
+    proportions via largest-remainder quotas — the apportionment fix
+    for ``split_assign``'s hash-proportional splits, whose per-stratum
+    counts only approximate the requested fractions. Here every stratum
+    hands out exactly ``round-to-quota`` rows per split: quotas are
+    ``base_i = (n·w_i) div W`` plus one extra for the ``n − Σ base``
+    splits with the largest remainders (ties broken by split order) —
+    integer arithmetic, quotas always sum to n.
+
+    Rows are ranked inside each stratum by seeded MD5 of the id (id
+    tiebreak), so membership is deterministic across engines, runs, and
+    partitionings, and re-running with a new seed reshuffles membership
+    while preserving the exact quotas.
+
+    Plan: one count per stratum (partial-aggregated), the quota table
+    is |strata|×|splits| rows — broadcast back onto the ranked rows
+    (one per-stratum window over the hash order; parallelism bounded by
+    the stratum count like ``grouped_quantiles`` — pre-bucket a huge
+    single stratum the same two-level way if that binds).
+
+    Output: ``(strata…, id, split)``.
+    """
+    den = sum(w for _, w in splits)
+    counts = df.groupBy(*strata).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    split_arr = F.array(
+        *[
+            F.struct(F.lit(i).alias("_i"), F.lit(name).alias("_split"), F.lit(w).alias("_w"))
+            for i, (name, w) in enumerate(splits)
+        ]
+    )
+    q = (
+        counts.select(*strata, "_n", F.explode(split_arr).alias("_s"))
+        .select(
+            *strata,
+            "_n",
+            F.col("_s._i").alias("_i"),
+            F.col("_s._split").alias("_split"),
+            ((F.col("_n") * F.col("_s._w")) / F.lit(den)).cast("long").alias("_base"),
+            ((F.col("_n") * F.col("_s._w")) % F.lit(den)).alias("_rem"),
+        )
+    )
+    ws = W.partitionBy(*strata)
+    wr = ws.orderBy(F.col("_rem").desc(), F.col("_i").asc())
+    q = (
+        q.withColumn("_left", F.col("_n") - F.sum("_base").over(ws))
+        .withColumn("_rrank", F.row_number().over(wr))
+        .withColumn(
+            "_quota",
+            F.col("_base") + F.when(F.col("_rrank") <= F.col("_left"), 1).otherwise(0),
+        )
+    )
+    wc = ws.orderBy(F.col("_i").asc()).rowsBetween(W.unboundedPreceding, 0)
+    q = q.withColumn("_hi", F.sum("_quota").over(wc)).withColumn(
+        "_lo", F.col("_hi") - F.col("_quota")
+    )
+    wn = ws.orderBy(
+        md5_long(F.col(id_col).cast("string"), seed=seed).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(*strata, id_col).withColumn("_rn", F.row_number().over(wn))
+    bounds = q.select(*strata, "_split", "_lo", "_hi")
+    return (
+        ranked.join(
+            F.broadcast(bounds),
+            [
+                *strata,
+            ],
+        )
+        .filter((F.col("_rn") > F.col("_lo")) & (F.col("_rn") <= F.col("_hi")))
+        .select(*strata, id_col, F.col("_split").alias("split"))
+    )

@@ -1319,3 +1319,128 @@ def touch_attribution(
             ).select(F.lit(name).alias("touch"), "channel", "n_conversions", "value_cents")
         )
     return out[0].unionByName(out[1])
+
+
+def corr_pairs(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Exact Pearson correlation for every column pair in ONE aggregate
+    pass — the numeric-profile companion to ``chi_square_cells``
+    (categorical) and ``table_profile``: which measures move together.
+
+    Inputs must be INTEGER-VALUED columns (pre-scale monetary doubles
+    to cents etc.): all five moments (Σx, Σy, Σx², Σy², Σxy) accumulate
+    in decimal(38,0), so partial aggregates combine exactly and the
+    result is partition- and engine-independent. The correlation is
+    reported as ``sign`` and ``r2_ppm = num²·10⁶ div (denx·deny)``
+    (``num = n·Σxy − Σx·Σy``, ``den· = n·Σ·² − (Σ·)²``) — no sqrt, no
+    float. To keep ``num²`` inside decimal(38) at any scale, all three
+    terms are pre-shrunk by a SHARED factor ``k = 1 + max(|num|, denx,
+    deny) div 10¹²`` — pure integer ops, identical in every engine, and
+    ≤ 10⁻¹² relative error (beyond the ppm output grain). Constant
+    columns (den = 0) report NULL r2.
+
+    Plan: one map-side-combinable aggregate over the fact table (no
+    shuffle of the facts — the single result row is the only exchange),
+    then a literal |pairs|-row explode. O(k²) moments per row for k
+    columns, all inside whole-stage codegen.
+
+    Output: ``(col_a, col_b, n, sign, r2_ppm)``.
+    """
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(d(c)).alias(f"_s_{c}"))
+        aggs.append(F.sum(d(c) * d(c)).alias(f"_ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(d(a) * d(b)).alias(f"_sp_{a}_{b}"))
+    row = df.agg(*aggs)
+    # The quotient arithmetic is clearer in SQL-expression form; build the
+    # final projection with expr() so div (integer floor) is explicit.
+    sel = []
+    for a, b in pairs:
+        num = f"CAST(_n * _sp_{a}_{b} - _s_{a} * _s_{b} AS DECIMAL(38,0))"
+        denx = f"CAST(_n * _ss_{a} - _s_{a} * _s_{a} AS DECIMAL(38,0))"
+        deny = f"CAST(_n * _ss_{b} - _s_{b} * _s_{b} AS DECIMAL(38,0))"
+        k = f"CAST(1 + greatest(abs({num}), {denx}, {deny}) div 1000000000000 AS DECIMAL(38,0))"
+        # decimal `div` yields BIGINT, so each shrunk term is re-cast to
+        # decimal before the products (a long*long product would overflow)
+        # abs() before the shrink: Spark `div` truncates toward zero while
+        # other engines' integer division may floor — non-negative
+        # operands make them identical, and r² only needs |num|
+        nd = f"CAST(abs({num}) div {k} AS DECIMAL(38,0))"
+        xd = f"CAST({denx} div {k} AS DECIMAL(38,0))"
+        yd = f"CAST({deny} div {k} AS DECIMAL(38,0))"
+        sel.append(
+            f"struct('{a}' AS col_a, '{b}' AS col_b, CAST(_n AS BIGINT) AS n, "
+            f"CAST(sign(CAST({num} AS DOUBLE)) AS INT) AS sign, "
+            f"CASE WHEN {xd} > 0 AND {yd} > 0 THEN "
+            f"CAST(({nd} * {nd} * 1000000) div ({xd} * {yd}) AS BIGINT) "
+            f"END AS r2_ppm)"
+        )
+    return row.select(
+        F.explode(F.expr("array(" + ", ".join(sel) + ")")).alias("_p")
+    ).select("_p.col_a", "_p.col_b", "_p.n", "_p.sign", "_p.r2_ppm")
+
+
+def woe_encode(
+    df: DataFrame,
+    cat_col: str,
+    label: Column,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Weight-of-evidence encoding + information value per category —
+    the credit-scoring-style categorical diagnostic ("how strongly does
+    this category shift the class odds, and how much total evidence
+    does the column carry").
+
+    ``woe_i = ln(((g_i+α)/G) / ((b_i+α)/B))`` carried as an INTEGER
+    micro-nat (``floor(ln·10⁶ + 0.5)`` — the ``unigram_logprob``
+    half-up convention: a last-ulp libm divergence only matters within
+    half a micro-nat of a rounding boundary). The per-category IV term
+    stays integral too: ``iv_micro = (g_i·B − b_i·G) · woe_unat div
+    (G·B)`` (micro-nats; Σ/1e6 is the column's information value).
+
+    Plan: one map-side-combinable groupBy on the category; the 1-row
+    totals broadcast back. Category cardinality bounds the output, not
+    the fact rows.
+
+    Output: ``(category, n_good, n_bad, woe_unat, iv_micro)``.
+    """
+    base = df.select(
+        F.col(cat_col).alias("category"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = base.groupBy("category").agg(
+        F.sum("_y").cast("long").alias("n_good"),
+        F.sum(1 - F.col("_y")).cast("long").alias("n_bad"),
+    )
+    totals = g.agg(
+        F.sum("n_good").cast("long").alias("_G"), F.sum("n_bad").cast("long").alias("_B")
+    )
+    a = F.lit(float(alpha))
+    full = g.crossJoin(F.broadcast(totals))
+    woe = F.floor(
+        F.log(
+            ((F.col("n_good").cast("double") + a) / F.col("_G").cast("double"))
+            / ((F.col("n_bad").cast("double") + a) / F.col("_B").cast("double"))
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return full.withColumn("woe_unat", woe).select(
+        "category",
+        "n_good",
+        "n_bad",
+        "woe_unat",
+        # sign·(abs div): keeps integer division on non-negative operands
+        # only, so truncating (Spark) and flooring (other engines)
+        # semantics agree even when the evidence term goes negative
+        F.expr(
+            "CAST(sign((CAST(n_good AS DECIMAL(38,0)) * _B - CAST(n_bad AS DECIMAL(38,0)) * _G) * woe_unat) "
+            "* (abs((CAST(n_good AS DECIMAL(38,0)) * _B - CAST(n_bad AS DECIMAL(38,0)) * _G) * woe_unat) "
+            "div (CAST(_G AS DECIMAL(38,0)) * CAST(_B AS DECIMAL(38,0)))) AS BIGINT)"
+        ).alias("iv_micro"),
+    )

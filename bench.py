@@ -125,6 +125,11 @@ HEADLINE = [
     "q159_sparse_cosine",    # inverted-index df-capped cosine pairs
     "q160_attribution",      # first/last-touch credit, one window pass
     "q161_skyline",          # Pareto frontier via sorted cummax window
+    "q162_bpe_apply",        # map-only fixed-merge BPE token accounting
+    "q163_bpe_learn",        # 8-round weighted pair-argmax over word table
+    "q164_exact_split",      # largest-remainder quotas + hash ranks
+    "q165_corr_pairs",       # 15 exact moments in one aggregate pass
+    "q166_woe",              # micro-nat WOE / IV, totals broadcast
 ]
 
 

@@ -17,7 +17,7 @@ import json
 import pytest
 
 # rows-only queries: no oracle by design (documented in queries())
-ROWS_ONLY = {"q87_zarr_decode", "q93_pca_project", "q99_pq_codes"}
+ROWS_ONLY = {"q87_zarr_decode", "q93_pca_project", "q99_pq_codes", "q163_bpe_learn"}
 # queries whose construction is itself expensive (driver-side training
 # loops) — schema-checked less often; their outputs are pinned by tests
 SKIP_SCHEMA = {"q99_pq_codes"}

@@ -422,3 +422,41 @@ def test_q160_attribution_one_window_pass(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q160_attribution"](spark, sf_dir))
     assert "Join" not in p
     assert "HashAggregate" in p
+
+
+def test_q162_bpe_apply_is_map_only(spark, entry, sf_dir):
+    """Fixed-merge BPE application must be a pure map plan: no exchange,
+    no explode-shuffle — the merge loop lives inside a higher-order
+    transform over the word array."""
+    p = plan_str(entry.queries()["q162_bpe_apply"](spark, sf_dir))
+    assert "Join" not in p
+    assert "Generate" not in p  # no explode
+    assert "HashAggregate" not in p  # token math is per-row, not grouped
+    # at most 2 exchange nodes (each listed twice in formatted plans),
+    # both row-preserving: spread()'s round-robin + the orderBy range
+    assert p.count(") Exchange") <= 4
+    assert "hashpartitioning" not in p  # never shuffles on a key
+
+
+def test_q165_corr_pairs_single_aggregate(spark, entry, sf_dir):
+    """All 15 moments accumulate in ONE aggregate over the fact scan;
+    the only exchange carries the single partial-agg row."""
+    p = plan_str(entry.queries()["q165_corr_pairs"](spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_q164_exact_split_bounds_broadcast(spark, entry, sf_dir):
+    """Quota bounds (strata x splits rows) must broadcast onto the
+    ranked corpus — the big side never shuffles for the join."""
+    p = plan_str(entry.queries()["q164_exact_split"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q166_woe_totals_broadcast(spark, entry, sf_dir):
+    """The 1-row totals join back broadcast; category cardinality, not
+    fact rows, bounds everything after the first aggregate."""
+    p = plan_str(entry.queries()["q166_woe"](spark, sf_dir))
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" not in p
+    assert p.count("HashAggregate") >= 2

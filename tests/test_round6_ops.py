@@ -1682,3 +1682,167 @@ def test_sparse_cosine_threshold_filters(spark):
     # (1,2): dot=4, n=5,5 -> 640000; (1,3): dot=2, n=5,1 -> 800000;
     # (2,3): dot=1, n=5,1 -> 200000 cut by the threshold
     assert got == {(1, 2): 640_000, (1, 3): 800_000}
+
+
+# -- BPE ----------------------------------------------------------------------
+
+
+def test_bpe_learn_sennrich_example(spark):
+    from aeon_mecha_spark.datapipe.bpe import bpe_learn
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new newer newest")],
+        "doc_id long, text string",
+    )
+    got = [(r.rank, r.left, r.right, r.pair_count) for r in bpe_learn(df, 5).collect()]
+    # hand-derived: (l,o)x4, (lo,w)x4, then 3-way tie (e,w)/(n,e) -> left asc,
+    # then (n,ew)x3, then count-2 tie broken by (left, right) asc -> (e,r)
+    assert got == [
+        (1, "l", "o", 4),
+        (2, "lo", "w", 4),
+        (3, "e", "w", 3),
+        (4, "n", "ew", 3),
+        (5, "e", "r", 2),
+    ]
+
+
+def test_bpe_learn_stops_below_min_count(spark):
+    from aeon_mecha_spark.datapipe.bpe import bpe_learn
+
+    df = spark.createDataFrame([(1, "ab ab cd")], "doc_id long, text string")
+    got = bpe_learn(df, 10, min_count=2).collect()
+    assert [(r.left, r.right) for r in got] == [("a", "b")]  # (c,d) count 1 stops
+
+
+def test_bpe_apply_exact_token_counts(spark):
+    from aeon_mecha_spark.datapipe.bpe import apply_bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low"), (2, "new newer newest")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in apply_bpe_merges(
+            df, [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t")]
+        ).collect()
+    }
+    # doc1: low=1, low|e|r=3, low|est=2, low=1 -> 7 tokens over 17 chars
+    assert (out[1].n_words, out[1].n_chars, out[1].n_bpe_tokens) == (4, 17, 7)
+    # doc2: n|e|w=3, n|e|w|e|r=5, n|e|w|est=4 -> 12 over 14
+    assert (out[2].n_words, out[2].n_chars, out[2].n_bpe_tokens) == (3, 14, 12)
+    assert out[1].ratio_ppm == (7 * 1_000_000) // 17
+
+
+def test_bpe_apply_greedy_left_to_right_non_overlapping(spark):
+    from aeon_mecha_spark.datapipe.bpe import apply_bpe_merges
+
+    # 'aaa' with merge (a,a): greedy left-to-right -> (aa)(a) = 2 tokens
+    df = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    out = apply_bpe_merges(df, [("a", "a")]).collect()[0]
+    assert out.n_bpe_tokens == 2
+
+
+def test_bpe_merges_never_cross_word_boundaries(spark):
+    from aeon_mecha_spark.datapipe.bpe import apply_bpe_merges
+
+    df = spark.createDataFrame([(1, "ab a b")], "doc_id long, text string")
+    out = apply_bpe_merges(df, [("a", "b")]).collect()[0]
+    # 'ab' -> merged 1 token; 'a' 'b' are separate words -> 1 + 1
+    assert out.n_bpe_tokens == 3
+
+
+# -- exact split quotas -------------------------------------------------------
+
+
+def test_exact_split_quota_largest_remainder(spark):
+    from aeon_mecha_spark.datapipe.curation import exact_split_quota
+
+    df = spark.range(34).selectExpr("id AS doc_id", "'s' AS lang")
+    out = exact_split_quota(
+        df, ["lang"], "doc_id", [("train", 8), ("val", 1), ("test", 1)]
+    )
+    counts = {r.split: r.cnt for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    # n=34: base (27,3,3), leftover 1 -> val (rem 4) beats test (rem 4) by order
+    assert counts == {"train": 27, "val": 4, "test": 3}
+
+
+def test_exact_split_quota_total_and_disjoint(spark):
+    from aeon_mecha_spark.datapipe.curation import exact_split_quota
+
+    df = spark.range(101).selectExpr("id AS doc_id", "CAST(id % 3 AS STRING) AS lang")
+    out = exact_split_quota(
+        df, ["lang"], "doc_id", [("a", 1), ("b", 1)], seed=3
+    ).collect()
+    assert len(out) == 101  # every row assigned exactly once
+    per = {}
+    for r in out:
+        per.setdefault(r.lang, []).append(r.split)
+    for lang, splits in per.items():
+        n = len(splits)
+        assert abs(splits.count("a") - splits.count("b")) <= 1  # exact halves
+
+
+def test_exact_split_quota_deterministic_across_runs(spark):
+    from aeon_mecha_spark.datapipe.curation import exact_split_quota
+
+    df = spark.range(50).selectExpr("id AS doc_id", "'x' AS lang").repartition(7)
+    a = {(r.doc_id, r.split) for r in exact_split_quota(df, ["lang"], "doc_id", [("t", 4), ("v", 1)]).collect()}
+    b = {(r.doc_id, r.split) for r in exact_split_quota(df.repartition(3), ["lang"], "doc_id", [("t", 4), ("v", 1)]).collect()}
+    assert a == b
+
+
+# -- corr_pairs / woe ---------------------------------------------------------
+
+
+def test_corr_pairs_perfect_and_none(spark):
+    from aeon_mecha_spark.operators.analytics import corr_pairs
+
+    rows = [(i, 3 * i + 7, 5) for i in range(50)]
+    df = spark.createDataFrame(rows, "x long, y long, c long")
+    got = {(r.col_a, r.col_b): r for r in corr_pairs(df, ["x", "y", "c"]).collect()}
+    assert got[("x", "y")].sign == 1 and got[("x", "y")].r2_ppm == 1_000_000
+    assert got[("x", "c")].r2_ppm is None  # constant column -> undefined
+
+
+def test_corr_pairs_matches_numpy(spark):
+    import numpy as np
+
+    from aeon_mecha_spark.operators.analytics import corr_pairs
+
+    import random
+
+    rnd = random.Random(5)
+    rows = [(rnd.randint(0, 99), rnd.randint(0, 99)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = corr_pairs(df, ["x", "y"]).collect()[0]
+    r = np.corrcoef([a for a, _ in rows], [b for _, b in rows])[0, 1]
+    assert got.sign == (1 if r > 0 else -1)
+    assert abs(got.r2_ppm - int(r * r * 1e6)) <= 1
+
+
+def test_corr_pairs_negative_correlation_sign(spark):
+    from aeon_mecha_spark.operators.analytics import corr_pairs
+
+    rows = [(i, 100 - i) for i in range(40)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = corr_pairs(df, ["x", "y"]).collect()[0]
+    assert got.sign == -1 and got.r2_ppm == 1_000_000
+
+
+def test_woe_hand_computed(spark):
+    import math
+
+    from aeon_mecha_spark.operators.analytics import woe_encode
+
+    rows = [("a", 1)] * 30 + [("a", 0)] * 10 + [("b", 1)] * 10 + [("b", 0)] * 30
+    df = spark.createDataFrame(rows, "c string, y int")
+    got = {r.category: r for r in woe_encode(df, "c", F.col("y") == 1).collect()}
+    want_a = math.floor(math.log(((30 + 0.5) / 40) / ((10 + 0.5) / 40)) * 1e6 + 0.5)
+    assert got["a"].woe_unat == want_a
+    assert got["a"].n_good == 30 and got["a"].n_bad == 10
+    # iv term: (g*B - b*G) * woe / (G*B) with G=B=40
+    want_iv = (30 * 40 - 10 * 40) * want_a // (40 * 40)
+    assert got["a"].iv_micro == want_iv
+    # symmetric category contributes equal positive IV
+    assert got["b"].iv_micro == want_iv and got["b"].woe_unat == -want_a
