@@ -2487,6 +2487,44 @@ def q166_woe(spark, sf_dir):
     ).orderBy("category")
 
 
+def q167_cdf_transform(spark, sf_dir):
+    """Quantile normalization of document length within language: exact
+    ppm empirical CDF via one RANGE-frame window — ties share a value,
+    no row-order ambiguity."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return analytics.cdf_transform(docs, ["lang"], "n_chars").orderBy("doc_id")
+
+
+def q168_seasonal_anomaly(spark, sf_dir):
+    """Seasonality-aware outlier QC on the event stream: hour-of-day
+    median baselines per event type, Tukey fences on the integer
+    residuals — catches 3 am spikes a flat fence averages away."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    return analytics.seasonal_anomalies(
+        ev, ["event_type"], "ts", "cents", k=1.5
+    ).orderBy("event_type", "hod")
+
+
+def q169_lift_table(spark, sf_dir):
+    """Exact decile gain/lift table of n_chars as a src0 classifier
+    score: distinct-score-grain buckets (deterministic — no ntile tie
+    splitting), integral ppm rates, capture, and lift."""
+    docs = _t(spark, sf_dir, "documents")
+    return analytics.lift_table(
+        docs, F.col("source") == "src0", "n_chars", n_buckets=10
+    )
+
+
+def q170_gini(spark, sf_dir):
+    """Per-language Gini coefficient of document length — exact ppm
+    concentration from one ranked window pass (rank·value sums are
+    tie-order invariant)."""
+    docs = _t(spark, sf_dir, "documents")
+    return analytics.gini_by_group(docs, ["lang"], "n_chars").orderBy("lang")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2573,6 +2611,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_exact_split": q164_exact_split,
         "q165_corr_pairs": q165_corr_pairs,
         "q166_woe": q166_woe,
+        "q167_cdf_transform": q167_cdf_transform,
+        "q168_seasonal_anomaly": q168_seasonal_anomaly,
+        "q169_lift_table": q169_lift_table,
+        "q170_gini": q170_gini,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -4551,6 +4593,125 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN b ON r.lang = b.lang AND r.rn > b.lo AND r.rn <= b.hi
         """,
         "q165_corr_pairs": _sql_corr_pairs(),
+        "q167_cdf_transform": """
+            -- RANGE-frame count collapses ties into one CDF value
+            WITH b AS (
+              SELECT doc_id, lang, n_chars,
+                     count(*) OVER (PARTITION BY lang ORDER BY n_chars
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS le,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM documents WHERE n_chars IS NOT NULL)
+            SELECT doc_id, lang, n_chars,
+                   CAST((CAST(le AS HUGEINT) * 1000000) // n AS BIGINT)
+                     AS cdf_ppm
+            FROM b
+        """,
+        "q168_seasonal_anomaly": """
+            -- phase medians (type-1 rank ceil(n/2)) -> integer
+            -- residuals -> Tukey fences on residual quartiles
+            WITH b AS (
+              SELECT event_type, hour(ts) AS hod,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL),
+            m0 AS (
+              SELECT event_type, hod, v,
+                     row_number() OVER (PARTITION BY event_type, hod
+                                        ORDER BY v) AS rn,
+                     count(*) OVER (PARTITION BY event_type, hod) AS n
+              FROM b),
+            med AS (
+              SELECT event_type, hod,
+                     min(CASE WHEN rn = (1 * n + 1) // 2 THEN v END) AS med
+              FROM m0 GROUP BY event_type, hod),
+            r AS (
+              SELECT b.event_type, b.hod, b.v - med.med AS r
+              FROM b JOIN med USING (event_type, hod)),
+            r0 AS (
+              SELECT event_type, hod, r,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY r) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM r),
+            qs AS (
+              SELECT event_type,
+                     min(CASE WHEN rn = (1 * n + 3) // 4 THEN r END) AS q1,
+                     min(CASE WHEN rn = (3 * n + 3) // 4 THEN r END) AS q3
+              FROM r0 GROUP BY event_type),
+            f AS (
+              SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+                     q3 + 1.5 * (q3 - q1) AS hi
+              FROM qs)
+            SELECT r.event_type, r.hod, count(*) AS n,
+                   CAST(sum(CASE WHEN r.r < f.lo OR r.r > f.hi
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+            FROM r JOIN f ON r.event_type = f.event_type
+            GROUP BY r.event_type, r.hod
+        """,
+        "q169_lift_table": """
+            -- distinct-score-grain buckets: cum_before*B div n
+            WITH b AS (
+              SELECT n_chars AS s,
+                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS y
+              FROM documents WHERE n_chars IS NOT NULL),
+            g AS (SELECT s, count(*) AS n, sum(y) AS p FROM b GROUP BY s),
+            c AS (
+              SELECT s, n, p,
+                     COALESCE(sum(n) OVER (ORDER BY s DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS cumb,
+                     sum(n) OVER () AS nt, sum(p) OVER () AS pt
+              FROM g),
+            d AS (
+              SELECT CAST((CAST(cumb AS HUGEINT) * 10) // nt AS INT)
+                       AS bucket, n, p, nt, pt
+              FROM c),
+            a AS (
+              SELECT bucket, sum(n) AS n, sum(p) AS n_pos,
+                     max(nt) AS nt, max(pt) AS pt
+              FROM d GROUP BY bucket),
+            e AS (
+              SELECT bucket, n, n_pos, nt, pt,
+                     sum(n_pos) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cump
+              FROM a)
+            SELECT bucket, CAST(n AS BIGINT) AS n,
+                   CAST(n_pos AS BIGINT) AS n_pos,
+                   CAST((CAST(n_pos AS HUGEINT) * 1000000) // n AS BIGINT)
+                     AS rate_ppm,
+                   CAST(CASE WHEN pt > 0 THEN
+                        (CAST(cump AS HUGEINT) * 1000000) // pt END
+                        AS BIGINT) AS cum_capture_ppm,
+                   CAST(CASE WHEN pt > 0 THEN
+                        (CAST(n_pos AS HUGEINT) * nt * 1000000) //
+                        (CAST(n AS HUGEINT) * pt) END AS BIGINT) AS lift_ppm
+            FROM e
+        """,
+        "q170_gini": """
+            -- G = (2*Sum(i*x) - (n+1)*Sum(x)) / (n*Sum(x)), ppm floor
+            WITH b AS (
+              SELECT lang, CAST(n_chars AS BIGINT) AS x,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS i
+              FROM documents WHERE n_chars IS NOT NULL),
+            a AS (
+              SELECT lang, count(*) AS n, sum(x) AS total,
+                     sum(CAST(i AS HUGEINT) * x) AS ix
+              FROM b GROUP BY lang)
+            SELECT lang, CAST(n AS BIGINT) AS n,
+                   CAST(total AS BIGINT) AS total,
+                   CAST(CASE WHEN total > 0 THEN
+                        (CASE WHEN 2 * ix - (CAST(n AS HUGEINT) + 1) * total < 0
+                              THEN -1
+                              WHEN 2 * ix - (CAST(n AS HUGEINT) + 1) * total > 0
+                              THEN 1 ELSE 0 END)
+                        * ((abs(2 * ix - (CAST(n AS HUGEINT) + 1) * total)
+                            * 1000000) //
+                           (CAST(n AS HUGEINT) * total)) END AS BIGINT)
+                     AS gini_ppm
+            FROM a
+        """,
         "q166_woe": """
             -- micro-nat WOE (floor(ln*1e6 + 0.5)) + sign-split integral IV
             WITH g AS (

@@ -1444,3 +1444,220 @@ def woe_encode(
             "div (CAST(_G AS DECIMAL(38,0)) * CAST(_B AS DECIMAL(38,0)))) AS BIGINT)"
         ).alias("iv_micro"),
     )
+
+
+def cdf_transform(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization: map each value to its within-key empirical
+    CDF in exact ppm — ``cdf_ppm = #\\{rows ≤ v\\}·10⁶ div n`` — the
+    rank-uniform feature transform (ties share one CDF value, so the
+    output is a pure function of (key, value): deterministic on any
+    engine and partitioning, unlike percent_rank over an ambiguous row
+    order).
+
+    Plan: one per-key window with a RANGE frame (count of rows at-or-
+    below the value — ties collapse into the frame, no tiebreak order
+    needed) sharing a single sort with the whole-partition n. Appends
+    ``cdf_ppm`` to the input row. Parallelism is bounded by the key
+    count like ``grouped_quantiles``.
+    """
+    wv = (
+        W.partitionBy(*keys)
+        .orderBy(F.col(value_col).asc())
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    wn = W.partitionBy(*keys)
+    base = df.filter(F.col(value_col).isNotNull())
+    return (
+        base.withColumn("_le", F.count(F.lit(1)).over(wv).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(wn).cast("long"))
+        .withColumn(
+            "cdf_ppm",
+            F.expr("CAST((CAST(_le AS DECIMAL(38,0)) * 1000000) div _n AS BIGINT)"),
+        )
+        .drop("_le", "_n")
+    )
+
+
+def lift_table(
+    df: DataFrame,
+    label: Column,
+    score_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Exact decile/gain table for a classifier score at the DISTINCT-
+    SCORE grain: scores sort descending, each distinct score lands
+    whole in the bucket its cumulative row mass starts in
+    (``bucket = cum_before·B div n``) — no tie splitting, so the table
+    is a pure function of the score distribution (ntile's row-order tie
+    splitting is partition-ambiguous and engine-dependent; bucket
+    populations here can deviate from n/B by the size of ties, which is
+    the price of determinism).
+
+    Per bucket: rows, positives, exact-ppm positive rate, cumulative
+    capture (share of ALL positives found so far — the gain curve), and
+    lift vs the base rate, all integer ppm via decimal div.
+
+    Plan: one shuffle to the distinct-score grain, one global window
+    over distinct scores (bounded by score cardinality, not row count —
+    same bounded-window contract as ``auc_by_group``'s per-key variant;
+    bucketize very-high-cardinality scores first), one final groupBy.
+
+    Output: ``(bucket, n, n_pos, rate_ppm, cum_capture_ppm, lift_ppm)``.
+    """
+    base = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("_s"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = base.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_p"),
+    )
+    before = W.orderBy(F.col("_s").desc()).rowsBetween(W.unboundedPreceding, -1)
+    whole = W.partitionBy()
+    scored = (
+        g.withColumn("_cumb", F.coalesce(F.sum("_n").over(before), F.lit(0)).cast("long"))
+        .withColumn("_nt", F.sum("_n").over(whole).cast("long"))
+        .withColumn("_pt", F.sum("_p").over(whole).cast("long"))
+        .withColumn(
+            "bucket",
+            F.expr(
+                f"CAST((CAST(_cumb AS DECIMAL(38,0)) * {int(n_buckets)}) div _nt AS INT)"
+            ),
+        )
+    )
+    agg = scored.groupBy("bucket").agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.sum("_p").cast("long").alias("n_pos"),
+        F.max("_nt").alias("_nt"),
+        F.max("_pt").alias("_pt"),
+    )
+    wcum = W.orderBy(F.col("bucket").asc()).rowsBetween(W.unboundedPreceding, 0)
+    return (
+        agg.withColumn("_cump", F.sum("n_pos").over(wcum).cast("long"))
+        .select(
+            "bucket",
+            "n",
+            "n_pos",
+            F.expr(
+                "CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)"
+            ).alias("rate_ppm"),
+            F.expr(
+                "CAST(CASE WHEN _pt > 0 THEN (CAST(_cump AS DECIMAL(38,0)) * 1000000) div _pt END AS BIGINT)"
+            ).alias("cum_capture_ppm"),
+            F.expr(
+                "CAST(CASE WHEN _pt > 0 THEN (CAST(n_pos AS DECIMAL(38,0)) * _nt * 1000000) "
+                "div (CAST(n AS DECIMAL(38,0)) * _pt) END AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Exact per-key Gini concentration coefficient of a non-negative
+    integral measure — "is the corpus's token mass spread evenly or
+    owned by a few documents", the inequality diagnostic behind
+    dedup/sampling decisions.
+
+    ``G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx)`` with values ascending and
+    ``i`` the 1-based rank — equal values contribute the same Σ i·xᵢ
+    under any tie order (swapping equal x's is a no-op), so no
+    tiebreak is needed and the result is engine-independent. Emitted
+    as exact ppm via decimal div with the standard sign·abs split
+    (G < 0 is impossible for non-negative x, but the guard keeps the
+    arithmetic uniformly floor-safe).
+
+    Plan: one per-key window (row_number + running i·x share one
+    sort), one final per-key aggregate. Same key-count parallelism
+    contract as ``grouped_quantiles``.
+
+    Output: ``(keys…, n, total, gini_ppm)``.
+    """
+    w = W.partitionBy(*keys).orderBy(F.col("_x").asc())
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, F.col(value_col).cast("long").alias("_x"))
+        .withColumn("_i", F.row_number().over(w).cast("long"))
+    )
+    agg = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("total"),
+        F.sum(F.col("_i").cast("decimal(38,0)") * F.col("_x"))
+        .cast("decimal(38,0)")
+        .alias("_ix"),
+    )
+    num = (
+        "(2 * _ix - (CAST(n AS DECIMAL(38,0)) + 1) * CAST(total AS DECIMAL(38,0)))"
+    )
+    den = "(CAST(n AS DECIMAL(38,0)) * CAST(total AS DECIMAL(38,0)))"
+    return agg.select(
+        *keys,
+        "n",
+        "total",
+        F.expr(
+            f"CAST(CASE WHEN total > 0 THEN sign({num}) * ((abs({num}) * 1000000) div {den}) END AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Seasonality-aware outlier QC: remove each key's hour-of-day
+    baseline (the per-(key, hour) exact median), then apply Tukey
+    fences to the RESIDUALS per key — catches values that are normal
+    at 3 pm but anomalous at 3 am, which a flat per-key fence
+    (``iqr_outliers``) averages away.
+
+    Values must be integral (pre-scale to cents): the phase median is
+    then an observed integer, residuals are exact integers, and the
+    residual quartiles/fences follow ``iqr_outliers``'s raw-value
+    arithmetic — hash-stable across engines.
+
+    Plan: one groupBy pass to the (key, hour, value) grain feeds the
+    phase-median windows (keys×24 partitions), medians broadcast back
+    onto the facts, then the residual fences reuse the ``iqr_outliers``
+    shape (quartiles per key + broadcast). Three aggregates, zero
+    cartesian, fact table shuffled once per stage on its keys.
+
+    Output: ``(keys…, hod, n, n_anomalies)`` per (key, hour-of-day).
+    """
+    hod = F.hour(F.col(ts_col)).alias("hod")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, hod, F.col(value_col).cast("long").alias("_v")
+    )
+    med = grouped_quantiles(base, [*keys, "hod"], "_v", ps=(0.5,)).select(
+        *keys, "hod", F.col("q").alias("_med")
+    )
+    resid = base.join(F.broadcast(med), [*keys, "hod"]).withColumn(
+        "_r", F.col("_v") - F.col("_med")
+    )
+    q = grouped_quantiles(resid, keys, "_r", ps=(0.25, 0.75))
+    fences = (
+        q.groupBy(*keys)
+        .agg(
+            F.min(F.when(F.col("p") == 0.25, F.col("q"))).alias("_q1"),
+            F.min(F.when(F.col("p") == 0.75, F.col("q"))).alias("_q3"),
+        )
+        .withColumn("_lo", F.col("_q1") - F.lit(k) * (F.col("_q3") - F.col("_q1")))
+        .withColumn("_hi", F.col("_q3") + F.lit(k) * (F.col("_q3") - F.col("_q1")))
+        .select(*keys, "_lo", "_hi")
+    )
+    flagged = resid.join(F.broadcast(fences), list(keys))
+    out_of = (F.col("_r") < F.col("_lo")) | (F.col("_r") > F.col("_hi"))
+    return flagged.groupBy(*keys, "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(out_of.cast("long")).cast("long").alias("n_anomalies"),
+    )

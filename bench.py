@@ -130,6 +130,10 @@ HEADLINE = [
     "q164_exact_split",      # largest-remainder quotas + hash ranks
     "q165_corr_pairs",       # 15 exact moments in one aggregate pass
     "q166_woe",              # micro-nat WOE / IV, totals broadcast
+    "q167_cdf_transform",    # RANGE-frame CDF, one per-key sort
+    "q168_seasonal_anomaly",  # phase medians + residual Tukey fences
+    "q169_lift_table",       # distinct-score-grain decile gains
+    "q170_gini",             # ranked-sum concentration per key
 ]
 
 

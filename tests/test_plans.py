@@ -460,3 +460,35 @@ def test_q166_woe_totals_broadcast(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q166_woe"](spark, sf_dir))
     assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_q167_cdf_no_join_single_sort(spark, entry, sf_dir):
+    """CDF transform: both window frames (range-count + whole-partition
+    n) share one per-key sort — no join back, no self-join."""
+    p = plan_str(entry.queries()["q167_cdf_transform"](spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("(") > 0 and "Window" in p
+
+
+def test_q168_seasonal_medians_broadcast(spark, entry, sf_dir):
+    """Phase medians and residual fences must broadcast back onto the
+    facts — the event table never shuffles for either join."""
+    p = plan_str(entry.queries()["q168_seasonal_anomaly"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_q169_lift_window_over_distinct_scores(spark, entry, sf_dir):
+    """The only global window runs on the distinct-score grain (after
+    the groupBy), never on raw rows."""
+    p = plan_str(entry.queries()["q169_lift_table"](spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2  # score grain + bucket agg
+
+
+def test_q170_gini_single_window_pass(spark, entry, sf_dir):
+    """Gini: rank and rank·value share one per-key sort; no join."""
+    p = plan_str(entry.queries()["q170_gini"](spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("Window") >= 1

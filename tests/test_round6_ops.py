@@ -1846,3 +1846,80 @@ def test_woe_hand_computed(spark):
     assert got["a"].iv_micro == want_iv
     # symmetric category contributes equal positive IV
     assert got["b"].iv_micro == want_iv and got["b"].woe_unat == -want_a
+
+
+# -- cdf / lift / gini / seasonal --------------------------------------------
+
+
+def test_cdf_transform_ties_share_value(spark):
+    from aeon_mecha_spark.operators.analytics import cdf_transform
+
+    df = spark.createDataFrame([("a", v) for v in [1, 2, 2, 3, 10]], "k string, v long")
+    got = {(r.v, r.cdf_ppm) for r in cdf_transform(df, ["k"], "v").collect()}
+    assert got == {(1, 200_000), (2, 600_000), (3, 800_000), (10, 1_000_000)}
+
+
+def test_cdf_transform_partition_invariant(spark):
+    from aeon_mecha_spark.operators.analytics import cdf_transform
+
+    df = spark.range(100).selectExpr("CAST(id % 3 AS STRING) AS k", "id % 7 AS v")
+    a = sorted((r.k, r.v, r.cdf_ppm) for r in cdf_transform(df.repartition(13), ["k"], "v").collect())
+    b = sorted((r.k, r.v, r.cdf_ppm) for r in cdf_transform(df.coalesce(1), ["k"], "v").collect())
+    assert a == b
+
+
+def test_lift_table_perfect_classifier(spark):
+    from aeon_mecha_spark.operators.analytics import lift_table
+
+    df = spark.createDataFrame([(i, i >= 70) for i in range(100)], "s long, y boolean")
+    got = {r.bucket: r for r in lift_table(df, F.col("y"), "s", 10).collect()}
+    # top 3 deciles hold all 30 positives; base rate 0.3 -> lift 10/3
+    assert got[0].rate_ppm == 1_000_000 and got[0].lift_ppm == 3_333_333
+    assert got[2].cum_capture_ppm == 1_000_000
+    assert got[9].n_pos == 0 and got[9].lift_ppm == 0
+    assert sum(r.n for r in got.values()) == 100
+
+
+def test_lift_table_heavy_tie_stays_whole(spark):
+    from aeon_mecha_spark.operators.analytics import lift_table
+
+    # 50 rows share score 5 -> one bucket holds the whole tie
+    rows = [(5, True)] * 50 + [(i, False) for i in range(50)]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    got = lift_table(df, F.col("y"), "s", 10).collect()
+    big = [r for r in got if r.n >= 50]
+    # scores 49..6 (44 rows) precede the tie; cum_before=44 -> bucket 4,
+    # which holds the WHOLE 51-row tie (50 pos + the score-5 negative)
+    assert len(big) == 1 and big[0].n_pos == 50 and big[0].n == 55
+    assert all(r.n_pos == 0 for r in got if r.bucket != big[0].bucket)
+
+
+def test_gini_extremes_and_hand_value(spark):
+    from aeon_mecha_spark.operators.analytics import gini_by_group
+
+    eq = spark.createDataFrame([("a", 5)] * 4, "k string, v long")
+    assert gini_by_group(eq, ["k"], "v").collect()[0].gini_ppm == 0
+    # [1,2,2,3,10]: G = (2*73 - 6*18)/(5*18) = 38/90
+    df = spark.createDataFrame([("a", v) for v in [1, 2, 2, 3, 10]], "k string, v long")
+    assert gini_by_group(df, ["k"], "v").collect()[0].gini_ppm == 38 * 1_000_000 // 90
+    # all mass on one row of n: G -> (n-1)/n
+    conc = spark.createDataFrame([("a", 0)] * 9 + [("a", 100)], "k string, v long")
+    assert gini_by_group(conc, ["k"], "v").collect()[0].gini_ppm == 900_000
+
+
+def test_seasonal_anomalies_finds_phase_shifted_outlier(spark):
+    import datetime
+
+    from aeon_mecha_spark.operators.analytics import seasonal_anomalies
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    for day in range(10):
+        for hod, v in ((3, 10), (15, 1000)):  # night low, day high
+            rows.append(("t", base + datetime.timedelta(days=day, hours=hod), v))
+    # a 'normal-at-3pm' value occurring at 3am: flat fences would pass it
+    rows.append(("t", base + datetime.timedelta(days=3, hours=3, minutes=30), 1000))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, cents long")
+    got = {r.hod: r for r in seasonal_anomalies(df, ["event_type"], "ts", "cents").collect()}
+    assert got[3].n_anomalies == 1  # the shifted spike
+    assert got[15].n_anomalies == 0
