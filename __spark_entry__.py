@@ -2525,6 +2525,43 @@ def q170_gini(spark, sf_dir):
     return analytics.gini_by_group(docs, ["lang"], "n_chars").orderBy("lang")
 
 
+def q171_cohens_kappa(spark, sf_dir):
+    """Chance-corrected agreement between the marker-based language-ID
+    heuristic and the stored labels: exact integral kappa from one
+    confusion pass + marginal products."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = textqc.language_id(docs).select("doc_id", "pred_lang")
+    j = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    return analytics.cohens_kappa(j, "pred_lang", "lang")
+
+
+def q172_benford(spark, sf_dir):
+    """Benford first-digit audit of price cents: string-derived digits
+    (no float log10), fixed ppm expectations, exact integral chi²-style
+    deviation terms per digit."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"))
+    return analytics.benford_deviation(base, "cents")
+
+
+def q173_stuck_runs(spark, sf_dir):
+    """Frozen-sensor QC on the event stream: gaps-and-islands runs of
+    identical consecutive values per event type — run counts, longest
+    run, stuck runs (≥2) from two shared-sort windows."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.constant_runs(
+        ev, ["event_type"], ["ts", "event_id"], "value", min_len=2
+    ).orderBy("event_type")
+
+
+def q174_vocab_overlap(spark, sf_dir):
+    """Pairwise language vocabulary Jaccard: distinct-term self-join on
+    the term key (per-term fanout bounded by the group count), sizes
+    broadcast back, exact ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    return textqc.group_term_jaccard(docs, "lang").orderBy("g_a", "g_b")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2615,6 +2652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_seasonal_anomaly": q168_seasonal_anomaly,
         "q169_lift_table": q169_lift_table,
         "q170_gini": q170_gini,
+        "q171_cohens_kappa": q171_cohens_kappa,
+        "q172_benford": q172_benford,
+        "q173_stuck_runs": q173_stuck_runs,
+        "q174_vocab_overlap": q174_vocab_overlap,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -2907,6 +2948,70 @@ def _sql_bpe_apply_fixed() -> str:
     """
 
 
+def _sql_kappa_langid() -> str:
+    """Oracle for q171: the language-ID CTE (same marker lists) feeds
+    the exact integral kappa arithmetic in HUGEINT."""
+    num = "(CAST(n AS HUGEINT) * diag - pe)"
+    den = "(CAST(n AS HUGEINT) * n - pe)"
+    return f"""
+        WITH p AS ({_sql_langid()}),
+        j AS (
+          SELECT p.pred_lang AS a, d.lang AS b
+          FROM p JOIN documents d USING (doc_id)),
+        tot AS (
+          SELECT count(*) AS n,
+                 sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS diag
+          FROM j),
+        ma AS (SELECT a, count(*) AS na FROM j GROUP BY a),
+        mb AS (SELECT b, count(*) AS nb FROM j GROUP BY b),
+        pe AS (
+          SELECT COALESCE(sum(CAST(na AS HUGEINT) * nb), 0) AS pe
+          FROM ma JOIN mb ON ma.a = mb.b)
+        SELECT CAST(n AS BIGINT) AS n, CAST(diag AS BIGINT) AS n_agree,
+               CAST((CAST(diag AS HUGEINT) * 1000000) // n AS BIGINT)
+                 AS po_ppm,
+               CAST(CASE WHEN {den} > 0 THEN
+                    (CASE WHEN {num} < 0 THEN -1
+                          WHEN {num} > 0 THEN 1 ELSE 0 END)
+                    * ((abs({num}) * 1000000) // {den}) END AS BIGINT)
+                 AS kappa_ppm
+        FROM tot CROSS JOIN pe
+    """
+
+
+def _sql_benford() -> str:
+    """Oracle for q172: the same BENFORD_PPM constants as a literal
+    VALUES grid, same integral deviation terms."""
+    from aeon_mecha_spark.operators.analytics import BENFORD_PPM
+
+    values = ", ".join(f"({d}, {e})" for d, e in BENFORD_PPM.items())
+    diff = "(CAST(observed AS HUGEINT) * 1000000 - CAST(e_ppm AS HUGEINT) * N)"
+    return f"""
+        WITH b AS (
+          SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem
+          WHERE l_extendedprice IS NOT NULL
+            AND round(l_extendedprice * 100) > 0),
+        o AS (
+          SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit, count(*) AS observed
+          FROM b GROUP BY 1),
+        n AS (SELECT sum(observed) AS N FROM o),
+        grid(digit, e_ppm) AS (VALUES {values}),
+        filled AS (
+          SELECT g.digit, g.e_ppm,
+                 COALESCE(o.observed, 0) AS observed, n.N
+          FROM grid g LEFT JOIN o ON g.digit = o.digit CROSS JOIN n)
+        SELECT digit, CAST(observed AS BIGINT) AS observed,
+               CAST((CAST(e_ppm AS HUGEINT) * N) // 1000 AS BIGINT)
+                 AS expected_milli,
+               CAST(({diff} * {diff} * 1000) //
+                    (CAST(e_ppm AS HUGEINT) * N * 1000000) AS BIGINT)
+                 AS term_milli
+        FROM filled
+    """
+
+
 def _sql_corr_pairs() -> str:
     """Oracle for q165: the same shared-shrink integral r² arithmetic in
     HUGEINT (int128) — every division operand is non-negative (abs before
@@ -2924,7 +3029,7 @@ def _sql_corr_pairs() -> str:
         num = f"(n * sp_{a}_{b} - s_{a} * s_{b})"
         denx = f"(n * ss_{a} - s_{a} * s_{a})"
         deny = f"(n * ss_{b} - s_{b} * s_{b})"
-        k = f"(1 + greatest(abs({num}), {denx}, {deny}) // 1000000000000)"
+        k = f"(1 + greatest(abs({num}), {denx}, {deny}) // 1000000000000000)"
         nd, xd, yd = f"(abs({num}) // {k})", f"({denx} // {k})", f"({deny} // {k})"
         pair_rows.append(
             f"SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n, "
@@ -4593,6 +4698,47 @@ def oracle_sql() -> dict[str, str]:
             FROM r JOIN b ON r.lang = b.lang AND r.rn > b.lo AND r.rn <= b.hi
         """,
         "q165_corr_pairs": _sql_corr_pairs(),
+        "q171_cohens_kappa": _sql_kappa_langid(),
+        "q172_benford": _sql_benford(),
+        "q173_stuck_runs": """
+            -- gaps & islands: rn(key) - rn(key, value) is constant
+            -- within a run of identical consecutive values
+            WITH i AS (
+              SELECT event_type, value AS v,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id)
+                   - row_number() OVER (PARTITION BY event_type, value
+                                        ORDER BY ts, event_id) AS isl
+              FROM events),
+            r AS (
+              SELECT event_type, v, isl, count(*) AS len
+              FROM i GROUP BY event_type, v, isl)
+            SELECT event_type, CAST(sum(len) AS BIGINT) AS n_rows,
+                   count(*) AS n_runs, CAST(max(len) AS BIGINT) AS max_run,
+                   CAST(sum(CASE WHEN len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_stuck_runs
+            FROM r GROUP BY event_type
+        """,
+        "q174_vocab_overlap": """
+            -- distinct-vocab self-join on the term key; sizes rejoin
+            WITH tok AS (
+              SELECT lang AS g,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS t
+              FROM documents),
+            vt AS (SELECT DISTINCT g, t FROM tok WHERE t <> ''),
+            sizes AS (SELECT g, count(*) AS sz FROM vt GROUP BY g),
+            i AS (
+              SELECT a.g AS g_a, b.g AS g_b, count(*) AS inter
+              FROM vt a JOIN vt b USING (t)
+              WHERE a.g < b.g GROUP BY a.g, b.g)
+            SELECT g_a, g_b, CAST(inter AS BIGINT) AS inter,
+                   CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_n,
+                   CAST((CAST(inter AS HUGEINT) * 1000000) //
+                        (sa.sz + sb.sz - inter) AS BIGINT) AS jaccard_ppm
+            FROM i
+            JOIN sizes sa ON sa.g = i.g_a
+            JOIN sizes sb ON sb.g = i.g_b
+        """,
         "q167_cdf_transform": """
             -- RANGE-frame count collapses ties into one CDF value
             WITH b AS (

@@ -583,3 +583,60 @@ def repetition_signals(
             "(coalesce(top_bigram_count, 0L) * 2000000L) div n_tokens ELSE 0L END"
         ).alias("top_bigram_frac_ppm"),
     )
+
+
+def group_term_jaccard(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary overlap between document groups — exact
+    Jaccard of each group pair's distinct-term sets, the corpus-mixture
+    diagnostic ("how much does the German slice share vocabulary with
+    the French one") that guides dedup scope and sampling mixtures.
+
+    Plan: one shuffle builds the distinct (group, term) vocabulary;
+    group sizes are a re-aggregation of it; the pair intersection is a
+    self-join ON THE TERM KEY (per-term fanout is bounded by the group
+    count, so a term contributes at most |G|²/2 pairs — never a
+    corpus-sized cross product); sizes join back broadcast.
+    ``jaccard_ppm = inter·10⁶ div (|A|+|B|−inter)`` — exact integers.
+
+    Output: ``(g_a, g_b, inter, union_n, jaccard_ppm)`` with
+    ``g_a < g_b``.
+    """
+    vt = (
+        spread(docs)
+        .select(F.col(group_col).alias("_g"), F.explode(tokens(F.col(text_col))).alias("_t"))
+        .filter(F.col("_t") != "")
+        .distinct()
+    )
+    sizes = vt.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    a = vt.select(F.col("_g").alias("g_a"), "_t")
+    b = vt.select(F.col("_g").alias("g_b"), "_t")
+    inter = (
+        a.join(b, "_t")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("_g", "g_a").withColumnRenamed("_sz", "_sa")),
+            "g_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("_g", "g_b").withColumnRenamed("_sz", "_sb")),
+            "g_b",
+        )
+        .withColumn("union_n", F.col("_sa") + F.col("_sb") - F.col("inter"))
+    )
+    return out.select(
+        "g_a",
+        "g_b",
+        "inter",
+        "union_n",
+        F.expr(
+            "CAST((CAST(inter AS DECIMAL(38,0)) * 1000000) div union_n AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )

@@ -1337,7 +1337,7 @@ def corr_pairs(
     (``num = n·Σxy − Σx·Σy``, ``den· = n·Σ·² − (Σ·)²``) — no sqrt, no
     float. To keep ``num²`` inside decimal(38) at any scale, all three
     terms are pre-shrunk by a SHARED factor ``k = 1 + max(|num|, denx,
-    deny) div 10¹²`` — pure integer ops, identical in every engine, and
+    deny) div 10¹⁵`` — pure integer ops, identical in every engine, and
     ≤ 10⁻¹² relative error (beyond the ppm output grain). Constant
     columns (den = 0) report NULL r2.
 
@@ -1348,14 +1348,19 @@ def corr_pairs(
 
     Output: ``(col_a, col_b, n, sign, r2_ppm)``.
     """
-    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    # per-row products stay in LONG (whole-stage codegen; BigDecimal
+    # per-row math is ~50x slower) — the CONTRACT is that any pairwise
+    # product fits int64 (ANSI mode faults loudly if not; pre-scale
+    # down if your magnitudes exceed ~3e9). Only the partial-aggregate
+    # accumulation runs in decimal(38,0), where exactness matters.
+    dsum = lambda e: F.sum(e.cast("decimal(38,0)")).cast("decimal(38,0)")  # noqa: E731
     aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("_n")]
     for c in cols:
-        aggs.append(F.sum(d(c)).alias(f"_s_{c}"))
-        aggs.append(F.sum(d(c) * d(c)).alias(f"_ss_{c}"))
+        aggs.append(dsum(F.col(c)).alias(f"_s_{c}"))
+        aggs.append(dsum(F.col(c) * F.col(c)).alias(f"_ss_{c}"))
     pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
     for a, b in pairs:
-        aggs.append(F.sum(d(a) * d(b)).alias(f"_sp_{a}_{b}"))
+        aggs.append(dsum(F.col(a) * F.col(b)).alias(f"_sp_{a}_{b}"))
     row = df.agg(*aggs)
     # The quotient arithmetic is clearer in SQL-expression form; build the
     # final projection with expr() so div (integer floor) is explicit.
@@ -1364,7 +1369,7 @@ def corr_pairs(
         num = f"CAST(_n * _sp_{a}_{b} - _s_{a} * _s_{b} AS DECIMAL(38,0))"
         denx = f"CAST(_n * _ss_{a} - _s_{a} * _s_{a} AS DECIMAL(38,0))"
         deny = f"CAST(_n * _ss_{b} - _s_{b} * _s_{b} AS DECIMAL(38,0))"
-        k = f"CAST(1 + greatest(abs({num}), {denx}, {deny}) div 1000000000000 AS DECIMAL(38,0))"
+        k = f"CAST(1 + greatest(abs({num}), {denx}, {deny}) div 1000000000000000 AS DECIMAL(38,0))"
         # decimal `div` yields BIGINT, so each shrunk term is re-cast to
         # decimal before the products (a long*long product would overflow)
         # abs() before the shrink: Spark `div` truncates toward zero while
@@ -1660,4 +1665,161 @@ def seasonal_anomalies(
     return flagged.groupBy(*keys, "hod").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(out_of.cast("long")).cast("long").alias("n_anomalies"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Exact Cohen's kappa between two categorical labelings — the
+    chance-corrected agreement score for comparing a heuristic labeler
+    against ground truth (or two annotators / two model versions):
+    ``κ = (pₒ − pₑ)/(1 − pₑ)`` with pₒ the observed agreement and pₑ
+    the marginal-product chance agreement.
+
+    Integral form: ``num = N·Σdiag − Σ_k nA_k·nB_k``,
+    ``den = N² − Σ_k nA_k·nB_k``, ``kappa_ppm = sign·(abs(num)·10⁶ div
+    den)`` in decimal(38,0) — the division runs on non-negative
+    operands so truncating and flooring engines agree. κ < 0 (worse
+    than chance) keeps its sign.
+
+    Plan: one aggregate for N/diag, two marginal groupBys joined on the
+    class (classes missing from either side contribute zero products,
+    so the inner join is complete), everything after the first pass is
+    class-cardinality-sized. Output: 1 row ``(n, n_agree, po_ppm,
+    kappa_ppm)``.
+    """
+    base = df.select(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+    tot = base.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum((F.col("_a") == F.col("_b")).cast("long")).cast("long").alias("_diag"),
+    )
+    ma = base.groupBy("_a").agg(F.count(F.lit(1)).cast("long").alias("_na"))
+    mb = base.groupBy("_b").agg(F.count(F.lit(1)).cast("long").alias("_nb"))
+    pe = (
+        ma.join(mb, ma["_a"] == mb["_b"])
+        .agg(
+            F.sum(F.col("_na").cast("decimal(38,0)") * F.col("_nb"))
+            .cast("decimal(38,0)")
+            .alias("_pe")
+        )
+    )
+    num = "(CAST(_n AS DECIMAL(38,0)) * _diag - _pe)"
+    den = "(CAST(_n AS DECIMAL(38,0)) * _n - _pe)"
+    return tot.crossJoin(F.broadcast(pe)).select(
+        F.col("_n").alias("n"),
+        F.col("_diag").alias("n_agree"),
+        F.expr(
+            "CAST((CAST(_diag AS DECIMAL(38,0)) * 1000000) div _n AS BIGINT)"
+        ).alias("po_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {den} > 0 THEN sign({num}) * "
+            f"((abs({num}) * 1000000) div {den}) END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
+# Benford first-digit expectations log10(1 + 1/d) in exact ppm — module
+# constants so the Spark plan and every SQL oracle embed the SAME
+# integers (no runtime log10 anywhere).
+BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910,
+               5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit audit of a positive integral measure
+    (amounts in cents) — the forensic data-quality screen for
+    fabricated or truncated numeric columns.
+
+    The first significant digit comes from the integer's STRING form
+    (integer→string is identical in every engine; float log10 at
+    power-of-ten boundaries is not). Expected shares are the fixed
+    ``BENFORD_PPM`` constants; each digit row carries the exact
+    integral chi²-style deviation term
+    ``term_milli = (O·10⁶ − e·N)²·1000 div (e·N·10⁶)`` — sum/1000 is
+    the test statistic. Digits with zero observations still appear
+    (full 1–9 grid).
+
+    Plan: map-side digit extraction, one 9-group aggregate, the
+    literal grid joined broadcast. Output: ``(digit, observed,
+    expected_milli, term_milli)``.
+    """
+    obs = (
+        df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0))
+        .select(
+            F.substring(F.col(value_col).cast("long").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    n = obs.agg(F.sum("observed").cast("long").alias("_N"))
+    grid = obs.sparkSession.createDataFrame(
+        [(d, e) for d, e in BENFORD_PPM.items()], "digit int, e_ppm long"
+    )
+    full = (
+        grid.join(obs, "digit", "left")
+        .withColumn("observed", F.coalesce(F.col("observed"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(n))
+    )
+    diff = "(CAST(observed AS DECIMAL(38,0)) * 1000000 - CAST(e_ppm AS DECIMAL(38,0)) * _N)"
+    return full.select(
+        "digit",
+        "observed",
+        F.expr(
+            "CAST((CAST(e_ppm AS DECIMAL(38,0)) * _N) div 1000 AS BIGINT)"
+        ).alias("expected_milli"),
+        F.expr(
+            f"CAST(({diff} * {diff} * 1000) div "
+            "(CAST(e_ppm AS DECIMAL(38,0)) * _N * 1000000) AS BIGINT)"
+        ).alias("term_milli"),
+    ).orderBy("digit")
+
+
+def constant_runs(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    min_len: int = 3,
+) -> DataFrame:
+    """Stuck-value detection via gaps-and-islands: per key, group
+    consecutive rows (in ``order_cols`` order — pass a unique
+    tiebreaker) carrying the SAME value into runs, then report run
+    statistics — the classic frozen-sensor / repeated-ingest QC screen
+    (the reference's QC layer flags repeated video frame timestamps the
+    same way).
+
+    Island id = row_number(key) − row_number(key, value): constant
+    within a run, distinct across runs of equal values separated by
+    other values. All integer window arithmetic — deterministic and
+    SQL-expressible 1:1.
+
+    Plan: two row_number windows sharing one per-key sort (the second
+    partitions by (key, value) but orders identically), one island
+    aggregate, one per-key rollup. Output: ``(keys…, n_rows, n_runs,
+    max_run, n_stuck_runs)`` where stuck = length ≥ ``min_len``.
+    """
+    order = [F.col(c) for c in order_cols]
+    w_key = W.partitionBy(*keys).orderBy(*order)
+    w_kv = W.partitionBy(*keys, value_col).orderBy(*order)
+    islands = df.select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        (F.row_number().over(w_key) - F.row_number().over(w_kv)).alias("_isl"),
+    )
+    runs = islands.groupBy(*keys, "_v", "_isl").agg(
+        F.count(F.lit(1)).cast("long").alias("_len")
+    )
+    return runs.groupBy(*keys).agg(
+        F.sum("_len").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.max("_len").cast("long").alias("max_run"),
+        F.sum((F.col("_len") >= int(min_len)).cast("long")).cast("long").alias("n_stuck_runs"),
     )

@@ -134,6 +134,10 @@ HEADLINE = [
     "q168_seasonal_anomaly",  # phase medians + residual Tukey fences
     "q169_lift_table",       # distinct-score-grain decile gains
     "q170_gini",             # ranked-sum concentration per key
+    "q171_cohens_kappa",     # langid-vs-label chance-corrected agreement
+    "q172_benford",          # string-digit audit vs fixed ppm grid
+    "q173_stuck_runs",       # gaps-and-islands frozen-value QC
+    "q174_vocab_overlap",    # term-keyed pairwise vocab Jaccard
 ]
 
 

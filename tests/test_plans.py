@@ -492,3 +492,29 @@ def test_q170_gini_single_window_pass(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q170_gini"](spark, sf_dir))
     assert "Join" not in p
     assert p.count("Window") >= 1
+
+
+def test_q172_benford_grid_broadcast(spark, entry, sf_dir):
+    """The 9-row Benford grid and 1-row total must broadcast; the fact
+    scan aggregates map-side into 9 groups — no sort-merge, no
+    cartesian beyond the 1-row total."""
+    p = plan_str(entry.queries()["q172_benford"](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q173_stuck_runs_windows_share_sort(spark, entry, sf_dir):
+    """Both island row_numbers must ride per-key partitions — no
+    unpartitioned window over the event stream."""
+    p = plan_str(entry.queries()["q173_stuck_runs"](spark, sf_dir))
+    assert "Join" not in p
+    assert "hashpartitioning(event_type" in p
+
+
+def test_q174_vocab_overlap_term_keyed(spark, entry, sf_dir):
+    """The pair join must key on the term (bounded per-term fanout),
+    sizes broadcast — never a group-pair cartesian of vocabularies."""
+    p = plan_str(entry.queries()["q174_vocab_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # sizes rejoin

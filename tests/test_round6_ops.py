@@ -1923,3 +1923,96 @@ def test_seasonal_anomalies_finds_phase_shifted_outlier(spark):
     got = {r.hod: r for r in seasonal_anomalies(df, ["event_type"], "ts", "cents").collect()}
     assert got[3].n_anomalies == 1  # the shifted spike
     assert got[15].n_anomalies == 0
+
+
+# -- kappa / benford / runs / vocab overlap -----------------------------------
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    from aeon_mecha_spark.operators.analytics import cohens_kappa
+
+    perfect = spark.createDataFrame([("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string")
+    r = cohens_kappa(perfect, "a", "b").collect()[0]
+    assert r.po_ppm == 1_000_000 and r.kappa_ppm == 1_000_000
+    # independent marginals at 50/50 -> po = pe = 0.5 -> kappa 0
+    chance = spark.createDataFrame(
+        [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")], "a string, b string"
+    )
+    assert cohens_kappa(chance, "a", "b").collect()[0].kappa_ppm == 0
+
+
+def test_cohens_kappa_worse_than_chance_is_negative(spark):
+    from aeon_mecha_spark.operators.analytics import cohens_kappa
+
+    anti = spark.createDataFrame([("x", "y")] * 5 + [("y", "x")] * 5, "a string, b string")
+    r = cohens_kappa(anti, "a", "b").collect()[0]
+    assert r.po_ppm == 0 and r.kappa_ppm == -1_000_000
+
+
+def test_cohens_kappa_hand_case(spark):
+    from aeon_mecha_spark.operators.analytics import cohens_kappa
+
+    # classic 2x2: diag 45, N=60, pe_num = 30*25 + 30*35 = 1800
+    rows = [("p", "p")] * 20 + [("p", "n")] * 10 + [("n", "p")] * 5 + [("n", "n")] * 25
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    # num = 60*45 - 1800 = 900; den = 3600 - 1800 = 1800 -> 0.5
+    assert r.kappa_ppm == 500_000
+
+
+def test_benford_grid_complete_and_uniform_data(spark):
+    from aeon_mecha_spark.operators.analytics import BENFORD_PPM, benford_deviation
+
+    assert sum(BENFORD_PPM.values()) == 1_000_000
+    df = spark.range(1, 1000).selectExpr("id AS v")  # 1..999 uniform
+    out = benford_deviation(df, "v").collect()
+    assert [r.digit for r in out] == list(range(1, 10))
+    got = {r.digit: r for r in out}
+    # each leading digit owns 111 of 999 values; expected under Benford
+    # for digit 1 is ~300.7 -> big deviation term
+    assert got[1].observed == 111
+    assert got[1].term_milli > got[9].term_milli
+    assert sum(r.observed for r in out) == 999
+
+
+def test_benford_digit_from_string_not_log(spark):
+    from aeon_mecha_spark.operators.analytics import benford_deviation
+
+    # exact powers of ten must land on digit 1 (float log10 can misbin)
+    df = spark.createDataFrame([(10,), (100,), (1000,), (10**12,)], "v long")
+    out = {r.digit: r.observed for r in benford_deviation(df, "v").collect()}
+    assert out[1] == 4 and all(out[d] == 0 for d in range(2, 10))
+
+
+def test_constant_runs_islands(spark):
+    from aeon_mecha_spark.operators.analytics import constant_runs
+
+    vals = [5, 5, 5, 2, 5, 5, 7]  # runs: 5x3, 2x1, 5x2, 7x1
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    r = constant_runs(df, ["k"], ["t"], "v", min_len=2).collect()[0]
+    assert (r.n_rows, r.n_runs, r.max_run, r.n_stuck_runs) == (7, 4, 3, 2)
+
+
+def test_constant_runs_separated_equal_values_are_distinct_runs(spark):
+    from aeon_mecha_spark.operators.analytics import constant_runs
+
+    rows = [("k", 0, 1), ("k", 1, 2), ("k", 2, 1)]
+    df = spark.createDataFrame(rows, "k string, t int, v int")
+    r = constant_runs(df, ["k"], ["t"], "v", min_len=2).collect()[0]
+    assert r.n_runs == 3 and r.max_run == 1
+
+
+def test_group_term_jaccard_hand_case(spark):
+    from aeon_mecha_spark.datapipe.textqc import group_term_jaccard
+
+    rows = [
+        (1, "en", "cat dog bird"),
+        (2, "en", "dog fish"),
+        (3, "de", "dog fish wolf"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    r = group_term_jaccard(df, "lang").collect()[0]
+    # en vocab {cat,dog,bird,fish}, de vocab {dog,fish,wolf}: inter 2, union 5
+    assert (r.g_a, r.g_b, r.inter, r.union_n) == ("de", "en", 2, 5)
+    assert r.jaccard_ppm == 400_000
