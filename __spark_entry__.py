@@ -2562,6 +2562,42 @@ def q174_vocab_overlap(spark, sf_dir):
     return textqc.group_term_jaccard(docs, "lang").orderBy("g_a", "g_b")
 
 
+def q175_decompose(spark, sf_dir):
+    """STL-lite trend + hour-of-day seasonal + residual decomposition of
+    event values per type — exact milli-integer identity
+    (1000·v = trend + seasonal + residual), centered ±12-row MA."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return analytics.decompose_seasonal(
+        ev, ["event_type"], "ts", "cents", order_cols=["ts", "event_id"],
+        half_window=12,
+    ).orderBy("event_type", "ts", "value")
+
+
+def q176_rolling_median(spark, sf_dir):
+    """Exact 5-row trailing rolling median per event type: ordered-frame
+    collect + sort + type-1 pick — the spike-resistant smoother."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "value")
+    return analytics.rolling_median(
+        ev, ["event_type"], ["ts", "event_id"], "value", window=5
+    ).orderBy("event_id")
+
+
+def q177_cusum(spark, sf_dir):
+    """Offline CUSUM change-point per event type: argmax of the
+    cross-multiplied mean-shift statistic |n·Sᵢ − i·T| — one shared
+    per-key sort for prefix, totals, and rank."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return analytics.cusum_changepoint(
+        ev, ["event_type"], ["ts", "event_id"], "cents"
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2656,6 +2692,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_benford": q172_benford,
         "q173_stuck_runs": q173_stuck_runs,
         "q174_vocab_overlap": q174_vocab_overlap,
+        "q175_decompose": q175_decompose,
+        "q176_rolling_median": q176_rolling_median,
+        "q177_cusum": q177_cusum,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -4700,6 +4739,94 @@ def oracle_sql() -> dict[str, str]:
         "q165_corr_pairs": _sql_corr_pairs(),
         "q171_cohens_kappa": _sql_kappa_langid(),
         "q172_benford": _sql_benford(),
+        "q175_decompose": """
+            -- centered MA trend, per-(type, hod) mean of detrended,
+            -- all integer milli arithmetic (sign-split divisions)
+            WITH b AS (
+              SELECT event_type, ts, event_id, hour(ts) AS hod,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL),
+            t AS (
+              SELECT event_type, ts, hod, v,
+                     sum(v) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                       AS tsum,
+                     count(*) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+                       AS tcnt
+              FROM b),
+            t2 AS (
+              SELECT event_type, ts, hod, v,
+                     CAST((CAST(tsum AS HUGEINT) * 1000) // tcnt AS BIGINT)
+                       AS trend_milli
+              FROM t),
+            t3 AS (
+              SELECT *, v * 1000 - trend_milli AS detr FROM t2),
+            s AS (
+              SELECT event_type, hod,
+                     sum(CAST(detr AS HUGEINT)) AS ssum,
+                     count(*) AS scnt
+              FROM t3 GROUP BY event_type, hod),
+            s2 AS (
+              SELECT event_type, hod,
+                     CAST((CASE WHEN ssum < 0 THEN -1
+                                WHEN ssum > 0 THEN 1 ELSE 0 END)
+                          * (abs(ssum) // scnt) AS BIGINT)
+                       AS seasonal_milli
+              FROM s)
+            SELECT t3.event_type, t3.ts, t3.v AS value, t3.trend_milli,
+                   s2.seasonal_milli,
+                   t3.detr - s2.seasonal_milli AS residual_milli
+            FROM t3 JOIN s2 USING (event_type, hod)
+        """,
+        "q176_rolling_median": """
+            -- ordered-frame list + sort + type-1 pick (1-based ceil(n/2))
+            WITH r AS (
+              SELECT event_type, ts, event_id, value,
+                     list_sort(list(value) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS arr
+              FROM events)
+            SELECT event_type, ts, event_id, value,
+                   arr[(len(arr) + 1) // 2] AS rolling_median
+            FROM r
+        """,
+        "q177_cusum": """
+            -- argmax |n*S_i - i*T| per key; earliest index on ties
+            WITH b AS (
+              SELECT event_type, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL),
+            s AS (
+              SELECT event_type, ts, v,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id) AS i,
+                     sum(v) OVER (PARTITION BY event_type
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ps,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     sum(v) OVER (PARTITION BY event_type) AS t
+              FROM b),
+            d AS (
+              SELECT event_type, ts, i, n, t,
+                     abs(CAST(n AS HUGEINT) * ps - CAST(i AS HUGEINT) * t)
+                       AS dv
+              FROM s),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY dv DESC, i) AS rk
+              FROM d)
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(i AS BIGINT) AS cp_index, ts AS cp_ts,
+                   CAST(dv AS BIGINT) AS dev_scaled,
+                   CAST(CASE WHEN abs(t) > 0 THEN
+                        (dv * 1000000) // (CAST(n AS HUGEINT) * abs(t))
+                        ELSE 0 END AS BIGINT) AS dev_ppm
+            FROM r WHERE rk = 1
+        """,
         "q173_stuck_runs": """
             -- gaps & islands: rn(key) - rn(key, value) is constant
             -- within a run of identical consecutive values

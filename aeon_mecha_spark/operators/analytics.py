@@ -1823,3 +1823,161 @@ def constant_runs(
         F.max("_len").cast("long").alias("max_run"),
         F.sum((F.col("_len") >= int(min_len)).cast("long")).cast("long").alias("n_stuck_runs"),
     )
+
+
+def decompose_seasonal(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    half_window: int = 12,
+) -> DataFrame:
+    """STL-lite additive decomposition of an integral series into
+    trend + hour-of-day seasonal + residual, all in milli-units of the
+    input — the explainability pass before anomaly detection ("is this
+    spike trend, rhythm, or genuinely unusual").
+
+    - trend: centered moving average over ``±half_window`` rows
+      (``sum·1000 div count`` — integer, shrinking frames at the series
+      edges as usual);
+    - seasonal: per-(key, hour-of-day) mean of the detrended series
+      (``sum div count`` on milli ints);
+    - residual: detrended − seasonal.
+
+    All divisions are integer on exact sums, so the decomposition is
+    partition- and engine-independent. ``order_cols`` (default
+    ``[ts_col]``) must be a unique total order — ROWS frames depend on
+    it.
+
+    Plan: one per-key window (trend), one (key, hod) aggregate whose
+    result broadcasts back, both over a single fact shuffle. Output:
+    input keys + ``(ts, value, trend_milli, seasonal_milli,
+    residual_milli)``.
+    """
+    order_cols = order_cols or [ts_col]
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-int(half_window), int(half_window))
+    )
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.col(ts_col).alias("ts"),
+        *[F.col(c) for c in order_cols if c != ts_col],
+        F.col(value_col).cast("long").alias("value"),
+        F.hour(F.col(ts_col)).alias("_hod"),
+    )
+    trended = base.withColumn(
+        "_tsum", F.sum("value").over(w).cast("long")
+    ).withColumn("_tcnt", F.count(F.lit(1)).over(w).cast("long"))
+    trended = trended.withColumn(
+        "trend_milli",
+        F.expr("CAST((CAST(_tsum AS DECIMAL(38,0)) * 1000) div _tcnt AS BIGINT)"),
+    ).withColumn("_detr", F.col("value") * 1000 - F.col("trend_milli"))
+    seas = trended.groupBy(*keys, "_hod").agg(
+        F.sum("_detr").cast("decimal(38,0)").alias("_ssum"),
+        F.count(F.lit(1)).cast("long").alias("_scnt"),
+    ).select(
+        *keys,
+        "_hod",
+        F.expr(
+            "CAST(sign(_ssum) * (abs(_ssum) div _scnt) AS BIGINT)"
+        ).alias("seasonal_milli"),
+    )
+    out = trended.join(F.broadcast(seas), [*keys, "_hod"])
+    return out.select(
+        *keys,
+        "ts",
+        "value",
+        "trend_milli",
+        "seasonal_milli",
+        (F.col("_detr") - F.col("seasonal_milli")).alias("residual_milli"),
+    )
+
+
+def rolling_median(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    window: int = 5,
+) -> DataFrame:
+    """Exact trailing rolling median over the last ``window`` rows per
+    key — the robust smoother (spike-resistant, unlike a moving mean).
+
+    The frame's values are collected, sorted, and the type-1 median
+    (element ``ceil(n/2)``, 1-based) selected — frames shrink at the
+    series start. ``collect_list`` over an ORDERED window frame is
+    order-deterministic, and the sort makes the result a pure function
+    of the frame's multiset anyway. ``order_cols`` must be a unique
+    total order (ROWS frames). Keep ``window`` small (O(w log w) per
+    row); this is the exact small-window primitive, not a quantile
+    sketch.
+
+    Plan: one per-key window pass. Appends ``rolling_median``.
+    """
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(int(window) - 1), 0)
+    )
+    arr = F.sort_array(F.collect_list(F.col(value_col)).over(w))
+    return df.withColumn(
+        "rolling_median",
+        F.element_at(arr, ((F.size(arr) + F.lit(1)) / 2).cast("int")),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Offline CUSUM change-point detection per key: the split index
+    maximizing the scaled mean-shift statistic
+    ``D_i = |n·S_i − i·T|`` (``S_i`` the prefix sum, ``T`` the total) —
+    integer cross-multiplication instead of subtracting a fractional
+    mean, so the argmax is exact. Ties break to the earliest index.
+
+    Returns one row per key: the change-point's order position, its
+    timestamp-ish order value, and the deviation both raw
+    (``dev_scaled``, units value·rows) and normalized to ppm of the
+    maximum possible ``n·|T|`` (0 when T = 0). A large ``dev_ppm``
+    means the series mean shifts at that point; uniform series score 0.
+
+    Plan: prefix sum + whole-partition totals + rank share ONE per-key
+    sort (three window functions, one window exchange), then a filter.
+    """
+    order = [F.col(c) for c in order_cols]
+    wp = W.partitionBy(*keys).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    ww = W.partitionBy(*keys)
+    wr = W.partitionBy(*keys)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, *order_cols, F.col(value_col).cast("long").alias("_v")
+    )
+    scored = (
+        base.withColumn("_i", F.row_number().over(W.partitionBy(*keys).orderBy(*order)).cast("long"))
+        .withColumn("_s", F.sum("_v").over(wp).cast("decimal(38,0)"))
+        .withColumn("_n", F.count(F.lit(1)).over(ww).cast("long"))
+        .withColumn("_t", F.sum("_v").over(ww).cast("decimal(38,0)"))
+        .withColumn("_d", F.expr("abs(CAST(_n AS DECIMAL(38,0)) * _s - CAST(_i AS DECIMAL(38,0)) * _t)"))
+    )
+    ranked = scored.withColumn(
+        "_rk",
+        F.row_number().over(
+            W.partitionBy(*keys).orderBy(F.col("_d").desc(), F.col("_i").asc())
+        ),
+    ).filter(F.col("_rk") == 1)
+    return ranked.select(
+        *keys,
+        F.col("_n").alias("n"),
+        F.col("_i").alias("cp_index"),
+        *[F.col(c).alias(f"cp_{c}") for c in order_cols[:1]],
+        F.col("_d").cast("long").alias("dev_scaled"),
+        F.expr(
+            "CAST(CASE WHEN abs(_t) > 0 THEN (_d * 1000000) div "
+            "(CAST(_n AS DECIMAL(38,0)) * abs(_t)) ELSE 0 END AS BIGINT)"
+        ).alias("dev_ppm"),
+    )

@@ -138,6 +138,9 @@ HEADLINE = [
     "q172_benford",          # string-digit audit vs fixed ppm grid
     "q173_stuck_runs",       # gaps-and-islands frozen-value QC
     "q174_vocab_overlap",    # term-keyed pairwise vocab Jaccard
+    "q175_decompose",        # STL-lite trend/seasonal/residual, milli ints
+    "q176_rolling_median",   # 5-row exact rolling median per key
+    "q177_cusum",            # argmax mean-shift statistic, one sort
 ]
 
 

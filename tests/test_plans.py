@@ -518,3 +518,27 @@ def test_q174_vocab_overlap_term_keyed(spark, entry, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p  # sizes rejoin
+
+
+def test_q175_decompose_seasonal_broadcast(spark, entry, sf_dir):
+    """The (type, hod) seasonal table joins back broadcast; the event
+    stream shuffles once for the trend window."""
+    p = plan_str(entry.queries()["q175_decompose"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_q176_rolling_median_single_window(spark, entry, sf_dir):
+    """One per-key window pass; the frame collect never joins."""
+    p = plan_str(entry.queries()["q176_rolling_median"](spark, sf_dir))
+    assert "Join" not in p
+    assert "hashpartitioning(event_type" in p
+
+
+def test_q177_cusum_one_sort_three_functions(spark, entry, sf_dir):
+    """Prefix sum, totals, and rank must ride per-key partitions; no
+    join, no unpartitioned window."""
+    p = plan_str(entry.queries()["q177_cusum"](spark, sf_dir))
+    assert "Join" not in p
+    assert "hashpartitioning(event_type" in p
+    assert "SinglePartition" not in p

@@ -2016,3 +2016,69 @@ def test_group_term_jaccard_hand_case(spark):
     # en vocab {cat,dog,bird,fish}, de vocab {dog,fish,wolf}: inter 2, union 5
     assert (r.g_a, r.g_b, r.inter, r.union_n) == ("de", "en", 2, 5)
     assert r.jaccard_ppm == 400_000
+
+
+# -- decompose / rolling median / cusum --------------------------------------
+
+
+def test_decompose_identity_and_seasonality(spark):
+    import datetime
+
+    from aeon_mecha_spark.operators.analytics import decompose_seasonal
+
+    base = datetime.datetime(2024, 1, 1)
+    # 4 days, value = 100 + 50 when hod == 6 (pure seasonal signal)
+    rows = [
+        ("k", base + datetime.timedelta(days=d, hours=h), 100 + (50 if h == 6 else 0))
+        for d in range(4)
+        for h in range(24)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v long")
+    out = decompose_seasonal(df, ["k"], "ts", "v", half_window=24).orderBy("ts").collect()
+    # exact additive identity in milli units
+    assert all(1000 * r.value == r.trend_milli + r.seasonal_milli + r.residual_milli for r in out)
+    mid = [r for r in out if 24 <= out.index(r) < 72]
+    spikes = [r for r in mid if r.ts.hour == 6]
+    flats = [r for r in mid if r.ts.hour != 6]
+    # the seasonal component absorbs the hod-6 bump, not the residual
+    assert all(r.seasonal_milli > 40_000 for r in spikes)
+    assert all(abs(r.residual_milli) < 10_000 for r in spikes + flats)
+
+
+def test_rolling_median_resists_spike(spark):
+    from aeon_mecha_spark.operators.analytics import rolling_median
+
+    rows = [("k", i, 100 if i != 5 else 99999) for i in range(12)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    out = rolling_median(df, ["k"], ["t"], "v", window=3).orderBy("t").collect()
+    assert all(r.rolling_median == 100 for r in out)  # spike never wins a 3-frame
+
+
+def test_rolling_median_shrinking_head_frames(spark):
+    from aeon_mecha_spark.operators.analytics import rolling_median
+
+    rows = [("k", i, v) for i, v in enumerate([1, 9, 5])]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    got = [r.rolling_median for r in rolling_median(df, ["k"], ["t"], "v", 3).orderBy("t").collect()]
+    # frames: [1] -> 1; [1,9] -> type-1 at ceil(2/2)=1 -> 1; [1,9,5] -> 5
+    assert got == [1, 1, 5]
+
+
+def test_cusum_finds_mean_shift(spark):
+    from aeon_mecha_spark.operators.analytics import cusum_changepoint
+
+    rows = [("k", i, 100 if i < 10 else 200) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    r = cusum_changepoint(df, ["k"], ["t"], "v").collect()[0]
+    # D_i = |20*S_i - i*3000| peaks at i=10: |20*1000 - 10*3000| = 10000
+    assert r.cp_index == 10 and r.dev_scaled == 10_000
+    assert r.dev_ppm == 10_000 * 1_000_000 // (20 * 3000)
+
+
+def test_cusum_uniform_series_scores_zero(spark):
+    from aeon_mecha_spark.operators.analytics import cusum_changepoint
+
+    rows = [("k", i, 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    r = cusum_changepoint(df, ["k"], ["t"], "v").collect()[0]
+    assert r.dev_scaled == 0 and r.dev_ppm == 0 and r.cp_index == 1  # earliest tie

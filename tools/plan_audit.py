@@ -44,6 +44,7 @@ TINY_GLOBAL_WINDOW_OK = {
     "q115_range_shard",  # boundary quantiles over the bounded hash sample
     "q124_key_skew_stats",  # rank window over the already-limited <= top_n rows
     "q145_rrf_fusion",  # rank windows over TakeOrdered-cut top-200 lists
+    "q169_lift_table",  # cumulative window over the DISTINCT-SCORE grain
 }
 
 
