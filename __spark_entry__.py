@@ -2598,6 +2598,39 @@ def q177_cusum(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q178_confusion(spark, sf_dir):
+    """Full per-class evaluation of the language-ID heuristic: exact
+    integral precision / recall / F1 (harmonic mean via the
+    2tp/(2tp+fp+fn) identity — no float)."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = textqc.language_id(docs).select("doc_id", "pred_lang")
+    j = pred.join(docs.select("doc_id", "lang"), "doc_id")
+    return analytics.confusion_metrics(j, "lang", "pred_lang").orderBy("label")
+
+
+def q179_categorical_kl(spark, sf_dir):
+    """Smoothed KL divergence of the src0 slice's language mix against
+    the rest of the corpus — micro-nat log ratios (q112 convention),
+    exact rational weights with doubled-out ½ smoothing."""
+    docs = _t(spark, sf_dir, "documents")
+    return analytics.categorical_kl(
+        docs, "lang", F.col("source") == "src0"
+    ).orderBy("category")
+
+
+def q180_ndcg(spark, sf_dir):
+    """NDCG@10 per language for length-ranked retrieval of src0 docs:
+    literal micro-unit discount table (no runtime logs), exact ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    return analytics.ndcg_at_k(
+        docs,
+        ["lang"],
+        F.col("source") == "src0",
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+        k=10,
+    ).orderBy("lang")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2695,6 +2728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_decompose": q175_decompose,
         "q176_rolling_median": q176_rolling_median,
         "q177_cusum": q177_cusum,
+        "q178_confusion": q178_confusion,
+        "q179_categorical_kl": q179_categorical_kl,
+        "q180_ndcg": q180_ndcg,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -2984,6 +3020,81 @@ def _sql_bpe_apply_fixed() -> str:
                CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
                CAST((sum(nt) * 1000000) // sum(nc) AS BIGINT) AS ratio_ppm
         FROM t GROUP BY doc_id
+    """
+
+
+def _sql_confusion_langid() -> str:
+    """Oracle for q178: language-ID CTE + marginal/diagonal confusion
+    metrics with exact HUGEINT ppm ratios."""
+    return f"""
+        WITH p AS ({_sql_langid()}),
+        j AS (
+          SELECT d.lang AS a, p.pred_lang AS pr
+          FROM p JOIN documents d USING (doc_id)),
+        g AS (SELECT a, pr, count(*) AS c FROM j GROUP BY a, pr),
+        diag AS (SELECT a AS label, c AS tp FROM g WHERE a = pr),
+        act AS (SELECT a AS label, sum(c) AS na FROM g GROUP BY a),
+        pred AS (SELECT pr AS label, sum(c) AS np FROM g GROUP BY pr),
+        f AS (
+          SELECT label, COALESCE(tp, 0) AS tp,
+                 COALESCE(np, 0) - COALESCE(tp, 0) AS fp,
+                 COALESCE(na, 0) - COALESCE(tp, 0) AS fn
+          FROM act FULL OUTER JOIN pred USING (label)
+          LEFT JOIN diag USING (label))
+        SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               CAST(CASE WHEN tp + fp > 0 THEN
+                    (CAST(tp AS HUGEINT) * 1000000) // (tp + fp) END
+                    AS BIGINT) AS precision_ppm,
+               CAST(CASE WHEN tp + fn > 0 THEN
+                    (CAST(tp AS HUGEINT) * 1000000) // (tp + fn) END
+                    AS BIGINT) AS recall_ppm,
+               CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN
+                    (CAST(tp AS HUGEINT) * 2000000) // (2 * tp + fp + fn)
+                    END AS BIGINT) AS f1_ppm
+        FROM f
+    """
+
+
+def _sql_ndcg(k: int = 10) -> str:
+    """Oracle for q180: the SAME literal discount table (micro units)."""
+    from aeon_mecha_spark.operators.analytics import _dcg_discount_micro
+
+    disc = _dcg_discount_micro(k)
+    cum, t = [], 0
+    for d in disc:
+        t += d
+        cum.append(t)
+    dvals = ", ".join(f"({i + 1}, {d})" for i, d in enumerate(disc))
+    cvals = ", ".join(f"({i + 1}, {c})" for i, c in enumerate(cum))
+    return f"""
+        WITH b AS (
+          SELECT lang, doc_id, n_chars,
+                 CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS rel
+          FROM documents),
+        r AS (
+          SELECT lang, rel,
+                 row_number() OVER (PARTITION BY lang
+                     ORDER BY n_chars DESC, doc_id) AS rn
+          FROM b),
+        d(rn, disc) AS (VALUES {dvals}),
+        cumt(kk, c) AS (VALUES {cvals}),
+        dcg AS (
+          SELECT lang,
+                 COALESCE(sum(CASE WHEN rel = 1 THEN disc END), 0)
+                   AS dcg_micro
+          FROM r JOIN d USING (rn) WHERE rn <= {k} GROUP BY lang),
+        nrel AS (SELECT lang, sum(rel) AS n_relevant FROM b GROUP BY lang)
+        SELECT nrel.lang, CAST(n_relevant AS BIGINT) AS n_relevant,
+               CAST(COALESCE(dcg_micro, 0) AS BIGINT) AS dcg_micro,
+               CAST(CASE WHEN n_relevant > 0 THEN
+                    (SELECT c FROM cumt WHERE kk = least(n_relevant, {k}))
+                    END AS BIGINT) AS idcg_micro,
+               CAST(CASE WHEN n_relevant > 0 THEN
+                    (CAST(COALESCE(dcg_micro, 0) AS HUGEINT) * 1000000) //
+                    (SELECT c FROM cumt WHERE kk = least(n_relevant, {k}))
+                    END AS BIGINT) AS ndcg_ppm
+        FROM nrel LEFT JOIN dcg USING (lang)
     """
 
 
@@ -4739,6 +4850,41 @@ def oracle_sql() -> dict[str, str]:
         "q165_corr_pairs": _sql_corr_pairs(),
         "q171_cohens_kappa": _sql_kappa_langid(),
         "q172_benford": _sql_benford(),
+        "q178_confusion": _sql_confusion_langid(),
+        "q180_ndcg": _sql_ndcg(10),
+        "q179_categorical_kl": """
+            -- micro-nat log ratios; exact rational weights with the
+            -- 1/2 smoothing doubled out: (2*cP+1)/(2*NP+K)
+            WITH b AS (
+              SELECT lang AS category,
+                     CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS inp
+              FROM documents),
+            g AS (
+              SELECT category, sum(inp) AS n_p, sum(1 - inp) AS n_q
+              FROM b GROUP BY category),
+            t AS (
+              SELECT sum(n_p) AS np, sum(n_q) AS nq, count(*) AS k
+              FROM g),
+            s AS (
+              SELECT category, n_p, n_q, np, k,
+                     CAST(floor(ln(((n_p + 0.5) / (np + 0.5 * k)) /
+                                   ((n_q + 0.5) / (nq + 0.5 * k)))
+                                * 1000000.0 + 0.5) AS BIGINT)
+                       AS log_ratio_unat
+              FROM g CROSS JOIN t)
+            SELECT category, CAST(n_p AS BIGINT) AS n_p,
+                   CAST(n_q AS BIGINT) AS n_q, log_ratio_unat,
+                   CAST((CASE WHEN (2 * CAST(n_p AS HUGEINT) + 1)
+                                   * log_ratio_unat < 0 THEN -1
+                              WHEN (2 * CAST(n_p AS HUGEINT) + 1)
+                                   * log_ratio_unat > 0 THEN 1
+                              ELSE 0 END)
+                        * (abs((2 * CAST(n_p AS HUGEINT) + 1)
+                               * log_ratio_unat) //
+                           (2 * CAST(np AS HUGEINT) + k)) AS BIGINT)
+                     AS term_unat
+            FROM s
+        """,
         "q175_decompose": """
             -- centered MA trend, per-(type, hod) mean of detrended,
             -- all integer milli arithmetic (sign-split divisions)

@@ -1981,3 +1981,209 @@ def cusum_changepoint(
             "(CAST(_n AS DECIMAL(38,0)) * abs(_t)) ELSE 0 END AS BIGINT)"
         ).alias("dev_ppm"),
     )
+
+
+def confusion_metrics(
+    df: DataFrame,
+    actual_col: str,
+    predicted_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 from one confusion pass — the
+    full multi-class evaluation report behind a single-number kappa.
+
+    All three metrics are exact integral ppm: ``precision = tp div
+    (tp+fp)``, ``recall = tp div (tp+fn)``, and F1 via the identity
+    ``2·tp / (2·tp + fp + fn)`` — no floating harmonic mean. Classes
+    appearing in either column get a row (absent side contributes 0);
+    undefined ratios (empty denominator) are NULL.
+
+    Plan: one groupBy to the (actual, predicted) grain; marginals and
+    the diagonal are tiny re-aggregations full-outer-joined on the
+    class label. Everything after the first pass is
+    class-cardinality-sized. Output: ``(label, tp, fp, fn,
+    precision_ppm, recall_ppm, f1_ppm)``.
+    """
+    g = df.groupBy(
+        F.col(actual_col).alias("_a"), F.col(predicted_col).alias("_p")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    diag = g.filter(F.col("_a") == F.col("_p")).select(
+        F.col("_a").alias("label"), F.col("_c").alias("tp")
+    )
+    act = g.groupBy(F.col("_a").alias("label")).agg(F.sum("_c").cast("long").alias("_na"))
+    pred = g.groupBy(F.col("_p").alias("label")).agg(F.sum("_c").cast("long").alias("_np"))
+    full = (
+        act.join(pred, "label", "full_outer")
+        .join(diag, "label", "left")
+        .select(
+            "label",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            (F.coalesce(F.col("_np"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fp"),
+            (F.coalesce(F.col("_na"), F.lit(0)) - F.coalesce(F.col("tp"), F.lit(0)))
+            .cast("long")
+            .alias("fn"),
+        )
+    )
+    return full.select(
+        "label",
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CAST(CASE WHEN tp + fp > 0 THEN (CAST(tp AS DECIMAL(38,0)) * 1000000) "
+            "div (tp + fp) END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CASE WHEN tp + fn > 0 THEN (CAST(tp AS DECIMAL(38,0)) * 1000000) "
+            "div (tp + fn) END AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN 2 * tp + fp + fn > 0 THEN "
+            "(CAST(tp AS DECIMAL(38,0)) * 2000000) div (2 * tp + fp + fn) "
+            "END AS BIGINT)"
+        ).alias("f1_ppm"),
+    )
+
+
+def categorical_kl(
+    df: DataFrame,
+    cat_col: str,
+    split: Column,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Smoothed KL divergence D(P‖Q) between the category distributions
+    of two row populations (``split`` = true → P, false → Q) — the
+    categorical drift metric that complements the KS statistic
+    (numeric): "has the language/source mix shifted".
+
+    Per category: ``p = (cP+α)/(NP+α·K)``, ``q = (cQ+α)/(NQ+α·K)``
+    (K = observed category count), and the contribution
+    ``term_unat = sign · (cP+α-weighted)``… carried integrally as
+    ``ln(p/q)`` in micro-nats (the ``unigram_logprob`` half-up
+    convention) times the exact rational weight:
+    ``term = sign(w·l)·(abs((2·cP+1)·l) div (2·NP+K))`` — the ½-unit
+    smoothing is cleared by doubling, so everything stays integer.
+    Σ term_unat / 10⁶ is the divergence in nats.
+
+    Plan: one groupBy on the category with conditional partial counts,
+    1-row totals broadcast back. Output: ``(category, n_p, n_q,
+    log_ratio_unat, term_unat)``.
+    """
+    if alpha != 0.5:
+        raise ValueError("integral smoothing is derived for alpha=0.5 only")
+    base = df.select(
+        F.col(cat_col).alias("category"),
+        F.when(split, F.lit(1)).otherwise(F.lit(0)).alias("_in_p"),
+    )
+    g = base.groupBy("category").agg(
+        F.sum("_in_p").cast("long").alias("n_p"),
+        F.sum(1 - F.col("_in_p")).cast("long").alias("n_q"),
+    )
+    tot = g.agg(
+        F.sum("n_p").cast("long").alias("_NP"),
+        F.sum("n_q").cast("long").alias("_NQ"),
+        F.count(F.lit(1)).cast("long").alias("_K"),
+    )
+    full = g.crossJoin(F.broadcast(tot))
+    a = 0.5
+    p = (F.col("n_p").cast("double") + F.lit(a)) / (
+        F.col("_NP").cast("double") + F.lit(a) * F.col("_K").cast("double")
+    )
+    q = (F.col("n_q").cast("double") + F.lit(a)) / (
+        F.col("_NQ").cast("double") + F.lit(a) * F.col("_K").cast("double")
+    )
+    l_unat = F.floor(F.log(p / q) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    # weight p_i = (2*cP + 1) / (2*NP + K) exactly (α=1/2 doubled out)
+    scored = full.withColumn("log_ratio_unat", l_unat)
+    num = "((2 * CAST(n_p AS DECIMAL(38,0)) + 1) * log_ratio_unat)"
+    den = "(2 * CAST(_NP AS DECIMAL(38,0)) + _K)"
+    return scored.select(
+        "category",
+        "n_p",
+        "n_q",
+        "log_ratio_unat",
+        F.expr(
+            f"CAST(sign({num}) * (abs({num}) div {den}) AS BIGINT)"
+        ).alias("term_unat"),
+    )
+
+
+def _dcg_discount_micro(k: int) -> list[int]:
+    """1/log2(i+1) for ranks 1..k in exact micro-units, computed ONCE in
+    Python and embedded as literals in both the Spark plan and the SQL
+    oracle — no runtime logarithms anywhere."""
+    import math
+
+    return [round(1_000_000 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    keys: list[str],
+    relevance: Column,
+    order_cols: list[Column],
+    k: int = 10,
+) -> DataFrame:
+    """Exact NDCG@k per key for binary relevance: how well does the
+    ranking implied by ``order_cols`` surface relevant items — the
+    standard retrieval-quality metric, computed with a LITERAL
+    micro-unit discount table (``1/log2(rank+1)``) so there is no
+    float accumulation and the score hash-matches any engine.
+
+    DCG sums the discounts at relevant ranks ≤ k; the ideal DCG takes
+    the top ``min(k, n_relevant)`` discounts. ``ndcg_ppm =
+    dcg_micro·10⁶ div idcg_micro``; keys with no relevant item report
+    NULL.
+
+    Plan: one per-key rank window cut at k (WindowGroupLimit-eligible)
+    plus a per-key relevant-count aggregate joined broadcast; the ideal
+    side is a literal-array lookup, not a second sort. Output:
+    ``(keys…, n_relevant, dcg_micro, idcg_micro, ndcg_ppm)``.
+    """
+    disc = _dcg_discount_micro(int(k))
+    cum = []
+    t = 0
+    for d in disc:
+        t += d
+        cum.append(t)  # cumulative ideal DCG for 1..k relevant items
+    rel = relevance.cast("int")
+    w = W.partitionBy(*keys).orderBy(*order_cols)
+    ranked = (
+        df.withColumn("_rel", rel)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+    )
+    disc_arr = F.array(*[F.lit(d) for d in disc])
+    dcg = ranked.groupBy(*keys).agg(
+        F.sum(
+            F.when(F.col("_rel") == 1, F.element_at(disc_arr, F.col("_rn"))).otherwise(0)
+        )
+        .cast("long")
+        .alias("dcg_micro")
+    )
+    nrel = (
+        df.withColumn("_rel", rel)
+        .groupBy(*keys)
+        .agg(F.sum("_rel").cast("long").alias("n_relevant"))
+    )
+    cum_arr = F.array(*[F.lit(c) for c in cum])
+    out = nrel.join(dcg, list(keys), "left").select(
+        *keys,
+        "n_relevant",
+        F.coalesce(F.col("dcg_micro"), F.lit(0)).cast("long").alias("dcg_micro"),
+        F.when(
+            F.col("n_relevant") > 0,
+            F.element_at(cum_arr, F.least(F.col("n_relevant"), F.lit(int(k))).cast("int")),
+        )
+        .cast("long")
+        .alias("idcg_micro"),
+    )
+    return out.withColumn(
+        "ndcg_ppm",
+        F.expr(
+            "CAST(CASE WHEN idcg_micro > 0 THEN "
+            "(CAST(dcg_micro AS DECIMAL(38,0)) * 1000000) div idcg_micro "
+            "END AS BIGINT)"
+        ),
+    )

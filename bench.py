@@ -141,6 +141,9 @@ HEADLINE = [
     "q175_decompose",        # STL-lite trend/seasonal/residual, milli ints
     "q176_rolling_median",   # 5-row exact rolling median per key
     "q177_cusum",            # argmax mean-shift statistic, one sort
+    "q178_confusion",        # per-class P/R/F1, class-sized joins
+    "q179_categorical_kl",   # micro-nat KL drift, totals broadcast
+    "q180_ndcg",             # literal-discount NDCG@10, rank cut at k
 ]
 
 

@@ -542,3 +542,27 @@ def test_q177_cusum_one_sort_three_functions(spark, entry, sf_dir):
     assert "Join" not in p
     assert "hashpartitioning(event_type" in p
     assert "SinglePartition" not in p
+
+
+def test_q178_confusion_class_sized_joins(spark, entry, sf_dir):
+    """After the (actual, predicted) grain, everything is
+    class-cardinality-sized — marginal joins must not sort-merge the
+    corpus."""
+    p = plan_str(entry.queries()["q178_confusion"](spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q179_kl_totals_broadcast(spark, entry, sf_dir):
+    """Category counts in one pass; 1-row totals broadcast back."""
+    p = plan_str(entry.queries()["q179_categorical_kl"](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q180_ndcg_rank_cut_before_dcg(spark, entry, sf_dir):
+    """The rank window cuts at k before the DCG aggregate — a
+    WindowGroupLimit-eligible top-k, never a full-corpus carry."""
+    p = plan_str(entry.queries()["q180_ndcg"](spark, sf_dir))
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p

@@ -2082,3 +2082,90 @@ def test_cusum_uniform_series_scores_zero(spark):
     df = spark.createDataFrame(rows, "k string, t int, v long")
     r = cusum_changepoint(df, ["k"], ["t"], "v").collect()[0]
     assert r.dev_scaled == 0 and r.dev_ppm == 0 and r.cp_index == 1  # earliest tie
+
+
+# -- confusion / KL / ndcg ----------------------------------------------------
+
+
+def test_confusion_metrics_sklearn_hand_case(spark):
+    from aeon_mecha_spark.operators.analytics import confusion_metrics
+
+    rows = (
+        [("a", "a")] * 8 + [("a", "b")] * 2 + [("b", "b")] * 5
+        + [("b", "c")] * 1 + [("c", "a")] * 1
+    )
+    df = spark.createDataFrame(rows, "act string, pred string")
+    got = {r.label: r for r in confusion_metrics(df, "act", "pred").collect()}
+    a = got["a"]  # tp 8, fp 1 (c->a), fn 2
+    assert (a.tp, a.fp, a.fn) == (8, 1, 2)
+    assert a.precision_ppm == 8_000_000 // 9 and a.recall_ppm == 800_000
+    assert a.f1_ppm == 16_000_000 // 19
+    c = got["c"]  # never predicted correctly
+    assert (c.tp, c.fp, c.fn) == (0, 1, 1) and c.f1_ppm == 0
+
+
+def test_confusion_metrics_class_only_predicted(spark):
+    from aeon_mecha_spark.operators.analytics import confusion_metrics
+
+    df = spark.createDataFrame([("x", "y"), ("x", "x")], "act string, pred string")
+    got = {r.label: r for r in confusion_metrics(df, "act", "pred").collect()}
+    # 'y' exists only on the predicted side: recall undefined -> NULL
+    assert got["y"].fp == 1 and got["y"].fn == 0
+    assert got["y"].recall_ppm is None
+
+
+def test_categorical_kl_identical_distributions_zero(spark):
+    from aeon_mecha_spark.operators.analytics import categorical_kl
+
+    rows = [("x", s) for s in (0, 1) for _ in range(30)] + [
+        ("y", s) for s in (0, 1) for _ in range(10)
+    ]
+    df = spark.createDataFrame(rows, "c string, s int")
+    out = categorical_kl(df, "c", F.col("s") == 1).collect()
+    assert all(r.term_unat == 0 and r.log_ratio_unat == 0 for r in out)
+
+
+def test_categorical_kl_matches_hand_formula(spark):
+    import math
+
+    from aeon_mecha_spark.operators.analytics import categorical_kl
+
+    rows = [("x", 1)] * 50 + [("y", 1)] * 50 + [("x", 0)] * 90 + [("y", 0)] * 10
+    df = spark.createDataFrame(rows, "c string, s int")
+    got = {r.category: r for r in categorical_kl(df, "c", F.col("s") == 1).collect()}
+    lx = math.floor(math.log((50.5 / 101.0) / (90.5 / 101.0)) * 1e6 + 0.5)
+    assert got["x"].log_ratio_unat == lx
+    # term = sign * abs((2*50+1)*lx) // (2*100+2)
+    assert got["x"].term_unat == -(abs(101 * lx) // 202)
+    assert got["y"].term_unat > 0  # overrepresented in P
+
+
+def test_ndcg_perfect_and_tail_ranking(spark):
+    from aeon_mecha_spark.operators.analytics import _dcg_discount_micro, ndcg_at_k
+
+    rows = [("g", i, i >= 7) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, s long, rel boolean")
+    top = ndcg_at_k(df, ["k"], F.col("rel"), [F.col("s").desc()], 5).collect()[0]
+    assert top.ndcg_ppm == 1_000_000  # relevant items rank 1-3
+    worst = ndcg_at_k(df, ["k"], F.col("rel"), [F.col("s").asc()], 5).collect()[0]
+    assert worst.dcg_micro == 0 and worst.ndcg_ppm == 0  # pushed past k
+
+
+def test_ndcg_partial_hand_value(spark):
+    from aeon_mecha_spark.operators.analytics import _dcg_discount_micro, ndcg_at_k
+
+    rows = [("g", i, i in (0, 5)) for i in range(10)]  # rel at desc-ranks 10, 5
+    df = spark.createDataFrame(rows, "k string, s long, rel boolean")
+    r = ndcg_at_k(df, ["k"], F.col("rel"), [F.col("s").desc()], 5).collect()[0]
+    d = _dcg_discount_micro(5)
+    assert r.dcg_micro == d[4]  # only the rank-5 hit lands inside k
+    assert r.idcg_micro == d[0] + d[1]
+    assert r.ndcg_ppm == d[4] * 1_000_000 // (d[0] + d[1])
+
+
+def test_ndcg_key_with_no_relevant_is_null(spark):
+    from aeon_mecha_spark.operators.analytics import ndcg_at_k
+
+    df = spark.createDataFrame([("g", 1, False), ("g", 2, False)], "k string, s long, rel boolean")
+    r = ndcg_at_k(df, ["k"], F.col("rel"), [F.col("s").desc()], 5).collect()[0]
+    assert r.n_relevant == 0 and r.idcg_micro is None and r.ndcg_ppm is None
