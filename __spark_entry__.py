@@ -2631,6 +2631,39 @@ def q180_ndcg(spark, sf_dir):
     ).orderBy("lang")
 
 
+def q181_ewma(spark, sf_dir):
+    """Exact finite-kernel EWMA (α=¼, 16 lags, literal micro weights)
+    of event values per type — one window, no recursion, no floats."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return windows.ewma(
+        ev, ["event_type"], ["ts", "event_id"], "cents",
+        alpha_num=1, alpha_den=4, depth=16,
+    ).orderBy("event_id")
+
+
+def q182_bootstrap_se(spark, sf_dir):
+    """Deterministic Poisson-bootstrap SE of mean document length per
+    language: seeded-hash Poisson(1) weights from a literal ppm CDF
+    ladder, 32 replicates, integral variance identity."""
+    docs = _t(spark, sf_dir, "documents")
+    return analytics.bootstrap_se(
+        docs, ["lang"], "doc_id", "n_chars", replicates=32, seed=0
+    ).orderBy("lang")
+
+
+def q183_compaction(spark, sf_dir):
+    """Small-file compaction plan over the documents listing (n_chars as
+    file size, 50 kB target bins): balanced round-robin by size —
+    deterministic bin assignment + per-bin fill stats."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.compaction_plan(docs, "doc_id", "n_chars", 50_000).orderBy(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2731,6 +2764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_confusion": q178_confusion,
         "q179_categorical_kl": q179_categorical_kl,
         "q180_ndcg": q180_ndcg,
+        "q181_ewma": q181_ewma,
+        "q182_bootstrap_se": q182_bootstrap_se,
+        "q183_compaction": q183_compaction,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -3020,6 +3056,95 @@ def _sql_bpe_apply_fixed() -> str:
                CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
                CAST((sum(nt) * 1000000) // sum(nc) AS BIGINT) AS ratio_ppm
         FROM t GROUP BY doc_id
+    """
+
+
+def _sql_ewma(alpha_num: int = 1, alpha_den: int = 4, depth: int = 16) -> str:
+    """Oracle for q181: the SAME literal micro weights, lags unrolled."""
+    from aeon_mecha_spark.operators.windows import ewma_weights_micro
+
+    ws = ewma_weights_micro(alpha_num, alpha_den, depth)
+    over = "OVER (PARTITION BY event_type ORDER BY ts, event_id)"
+
+    def lag(i: int) -> str:
+        return "v" if i == 0 else f"lag(v, {i}) {over}"
+
+    num = " + ".join(
+        f"COALESCE(CAST({lag(i)} AS HUGEINT) * {w}, 0)" for i, w in enumerate(ws)
+    )
+    den = " + ".join(
+        f"CASE WHEN {lag(i)} IS NOT NULL THEN {w} ELSE 0 END"
+        for i, w in enumerate(ws)
+    )
+    return f"""
+        WITH b AS (
+          SELECT event_type, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events),
+        r AS (
+          SELECT event_type, ts, event_id, v,
+                 ({num}) AS num, ({den}) AS den
+          FROM b)
+        SELECT event_type, ts, event_id, v AS cents,
+               CAST((CASE WHEN num < 0 THEN -1
+                          WHEN num > 0 THEN 1 ELSE 0 END)
+                    * ((abs(num) * 1000) // den) AS BIGINT) AS ewma_milli
+        FROM r
+    """
+
+
+def _sql_bootstrap(replicates: int = 32) -> str:
+    """Oracle for q182: same seeded hashes, same Poisson ppm ladder."""
+    from aeon_mecha_spark.operators.analytics import poisson1_cdf_ppm
+
+    cdf = poisson1_cdf_ppm(5)
+    ladder = (
+        "CASE "
+        + " ".join(f"WHEN u < {t} THEN {k}" for k, t in enumerate(cdf))
+        + f" ELSE {len(cdf)} END"
+    )
+    var = "(CAST(n_replicates AS HUGEINT) * sm2 - sm * sm)"
+    return f"""
+        WITH rep AS (SELECT unnest(range(0, {replicates})) AS r),
+        b AS (
+          SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS v
+          FROM documents WHERE n_chars IS NOT NULL),
+        e AS (
+          SELECT lang, v, r,
+                 ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)
+                     || ':' || CAST(r AS VARCHAR)), 1, 15))::bigint
+                   % 1000000 AS u
+          FROM b CROSS JOIN rep),
+        w AS (
+          SELECT lang, r, sum(CAST({ladder} AS HUGEINT) * v) AS wv,
+                 sum({ladder}) AS wn
+          FROM e GROUP BY lang, r),
+        m AS (
+          SELECT lang,
+                 CAST((CASE WHEN wv < 0 THEN -1
+                            WHEN wv > 0 THEN 1 ELSE 0 END)
+                      * ((abs(wv) * 1000000) // wn) AS BIGINT) AS m
+          FROM w WHERE wn > 0),
+        pk AS (
+          SELECT lang, count(*) AS n_replicates,
+                 sum(CAST(m AS HUGEINT)) AS sm,
+                 sum(CAST(m AS HUGEINT) * m) AS sm2
+          FROM m GROUP BY lang),
+        nr AS (
+          SELECT lang, count(*) AS n, sum(CAST(v AS HUGEINT)) AS sv
+          FROM b GROUP BY lang)
+        SELECT nr.lang, CAST(n AS BIGINT) AS n,
+               CAST((CASE WHEN sv < 0 THEN -1
+                          WHEN sv > 0 THEN 1 ELSE 0 END)
+                    * ((abs(sv) * 1000000) // n) AS BIGINT) AS mean_micro,
+               CAST(CASE WHEN n_replicates > 1 THEN
+                    (CASE WHEN {var} < 0 THEN -1
+                          WHEN {var} > 0 THEN 1 ELSE 0 END)
+                    * (abs({var}) //
+                       (CAST(n_replicates AS HUGEINT) * (n_replicates - 1)))
+                    END AS BIGINT) AS var_micro2,
+               CAST(n_replicates AS BIGINT) AS n_replicates
+        FROM nr JOIN pk USING (lang)
     """
 
 
@@ -4852,6 +4977,28 @@ def oracle_sql() -> dict[str, str]:
         "q172_benford": _sql_benford(),
         "q178_confusion": _sql_confusion_langid(),
         "q180_ndcg": _sql_ndcg(10),
+        "q181_ewma": _sql_ewma(1, 4, 16),
+        "q182_bootstrap_se": _sql_bootstrap(32),
+        "q183_compaction": """
+            -- balanced round-robin by (size desc, id): bin = (rn-1) % nb
+            WITH s AS (
+              SELECT doc_id, CAST(n_chars AS BIGINT) AS size
+              FROM documents WHERE n_chars IS NOT NULL),
+            t AS (
+              SELECT greatest(CAST((sum(size) + 49999) // 50000 AS INT), 1)
+                       AS nb
+              FROM s),
+            r AS (
+              SELECT doc_id, size,
+                     CAST((row_number() OVER (ORDER BY size DESC, doc_id)
+                           - 1) % nb AS INT) AS bin_id
+              FROM s CROSS JOIN t)
+            SELECT doc_id, size, bin_id,
+                   count(*) OVER (PARTITION BY bin_id) AS bin_files,
+                   CAST(sum(size) OVER (PARTITION BY bin_id) AS BIGINT)
+                     AS bin_total
+            FROM r
+        """,
         "q179_categorical_kl": """
             -- micro-nat log ratios; exact rational weights with the
             -- 1/2 smoothing doubled out: (2*cP+1)/(2*NP+K)

@@ -934,3 +934,47 @@ def exact_split_quota(
         .filter((F.col("_rn") > F.col("_lo")) & (F.col("_rn") <= F.col("_hi")))
         .select(*strata, id_col, F.col("_split").alias("split"))
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    id_col: str,
+    size_col: str,
+    target_size: int,
+) -> DataFrame:
+    """Deterministic small-file compaction planner: assign files to
+    merge bins so each bin lands near ``target_size`` — the lakehouse
+    maintenance primitive behind OPTIMIZE/rewrite jobs.
+
+    Balanced round-robin by size: ``n_bins = max(1, ceil(Σsize/target))``
+    (a 1-row planning aggregate, broadcast back); files sort by
+    (size desc, id) and file i goes to bin ``(i−1) mod n_bins`` — the
+    classic LPT-style spread that keeps every bin within one max-file
+    of the mean, with none of first-fit's sequential dependence, so the
+    plan is a pure function of the file listing.
+
+    The ranking window is global over the FILE LISTING — metadata, not
+    data (a 100 TB table at 128 MB files is ~10⁶ rows), the same
+    bounded-window class as vocab ranking.
+
+    Output: one row per file ``(id, size, bin_id, bin_files,
+    bin_total)``.
+    """
+    sized = files.filter(F.col(size_col).isNotNull()).select(
+        F.col(id_col), F.col(size_col).cast("long").alias("size")
+    )
+    tot = sized.agg(
+        F.expr(f"CAST((sum(size) + {int(target_size)} - 1) div {int(target_size)} AS INT)").alias("_nb")
+    ).select(F.greatest(F.col("_nb"), F.lit(1)).alias("_nb"))
+    w = W.orderBy(F.col("size").desc(), F.col(id_col).asc())
+    ranked = sized.crossJoin(F.broadcast(tot)).withColumn(
+        "bin_id", ((F.row_number().over(w) - 1) % F.col("_nb")).cast("int")
+    )
+    wb = W.partitionBy("bin_id")
+    return ranked.select(
+        id_col,
+        "size",
+        "bin_id",
+        F.count(F.lit(1)).over(wb).cast("long").alias("bin_files"),
+        F.sum("size").over(wb).cast("long").alias("bin_total"),
+    )

@@ -24,6 +24,8 @@ from fractions import Fraction
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from aeon_mecha_spark.functions.hashing import md5_long
+
 
 def granularity_rollup(
     df: DataFrame,
@@ -2186,4 +2188,103 @@ def ndcg_at_k(
             "(CAST(dcg_micro AS DECIMAL(38,0)) * 1000000) div idcg_micro "
             "END AS BIGINT)"
         ),
+    )
+
+
+def poisson1_cdf_ppm(max_k: int = 5) -> list[int]:
+    """Cumulative Poisson(1) probabilities in exact-rounded ppm for
+    k = 0..max_k−1, computed once in Python — the literal thresholds
+    that turn a uniform hash into a deterministic Poisson draw in any
+    engine (weights above ``max_k`` clamp)."""
+    import math
+
+    cum, acc, fact = [], 0.0, 1
+    for k in range(max_k):
+        if k:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        cum.append(round(acc * 1_000_000))
+    return cum
+
+
+def bootstrap_se(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    value_col: str,
+    replicates: int = 32,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-key Poisson-bootstrap standard error of the mean — the
+    distributed-bootstrap construction (each row draws an independent
+    Poisson(1) replication weight per replicate; no resampling pass
+    over the data), made fully DETERMINISTIC: the uniform driving each
+    draw is the seeded MD5 of (id, replicate), and the Poisson inverse
+    CDF is a literal ppm threshold ladder — identical replicate
+    weights in any engine, on any partitioning.
+
+    Replicate means are carried as exact (Σwv, Σw) pairs, quantized to
+    micro-value units only at the replicate grain, and the across-
+    replicate variance uses the integral identity
+    ``(R·Σm² − (Σm)²) div (R·(R−1))`` — reported as ``var_micro2``
+    (micro-units²; sqrt is left to the caller, keeping the gate
+    float-free). Empty replicates (possible only for tiny keys) drop
+    out of R.
+
+    Plan: one |replicates|-way literal explode (map-side; the
+    combiner immediately collapses to the (key, replicate) grain — the
+    ×R row blowup never shuffles), one (key, replicate) aggregate, one
+    per-key aggregate. The classic scalable bootstrap: cost is
+    R × the cost of one aggregation.
+
+    Output: ``(keys…, n, mean_micro, var_micro2, n_replicates)``.
+    """
+    cdf = poisson1_cdf_ppm(5)
+    r_arr = F.array(*[F.lit(i) for i in range(int(replicates))])
+    u = md5_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("_r").cast("string")),
+        seed=seed,
+    ) % 1_000_000
+    wexpr = F.lit(len(cdf))
+    for k in range(len(cdf) - 1, -1, -1):
+        wexpr = F.when(u < cdf[k], F.lit(k)).otherwise(wexpr)
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, F.col(id_col), F.col(value_col).cast("long").alias("_v"))
+        .withColumn("_r", F.explode(r_arr))
+        .withColumn("_w", wexpr)
+    )
+    rep = base.groupBy(*keys, "_r").agg(
+        F.sum(F.col("_w").cast("decimal(38,0)") * F.col("_v")).alias("_wv"),
+        F.sum("_w").cast("long").alias("_wn"),
+    ).filter(F.col("_wn") > 0)
+    m = rep.withColumn(
+        "_m",
+        F.expr("CAST(sign(_wv) * ((abs(_wv) * 1000000) div _wn) AS BIGINT)"),
+    )
+    per_key = m.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_replicates"),
+        F.sum("_m").cast("decimal(38,0)").alias("_sm"),
+        F.sum(F.col("_m").cast("decimal(38,0)") * F.col("_m")).alias("_sm2"),
+    )
+    nrows = df.filter(F.col(value_col).isNotNull()).groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col(value_col).cast("decimal(38,0)")).alias("_sv"),
+    )
+    out = nrows.join(per_key, list(keys))
+    var = (
+        "(CAST(n_replicates AS DECIMAL(38,0)) * _sm2 - _sm * _sm)"
+    )
+    den = "(CAST(n_replicates AS DECIMAL(38,0)) * (n_replicates - 1))"
+    return out.select(
+        *keys,
+        "n",
+        F.expr("CAST(sign(_sv) * ((abs(_sv) * 1000000) div n) AS BIGINT)").alias(
+            "mean_micro"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN n_replicates > 1 THEN sign({var}) * "
+            f"(abs({var}) div {den}) END AS BIGINT)"
+        ).alias("var_micro2"),
+        "n_replicates",
     )

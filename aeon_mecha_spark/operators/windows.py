@@ -118,3 +118,59 @@ def rolling_rows_avg(
     return df.withColumn(
         alias, F.sum(value).over(w).cast("double") / F.count(value).over(w)
     )
+
+
+def ewma_weights_micro(alpha_num: int, alpha_den: int, depth: int) -> list[int]:
+    """EWMA lag weights ``α(1−α)^i`` for i = 0..depth−1 in exact
+    micro-units, computed ONCE from the rational α = num/den in Python
+    integer arithmetic — the same literals embed in the Spark plan and
+    any SQL oracle (no runtime float powers)."""
+    out = []
+    for i in range(depth):
+        # α(1−α)^i = num·(den−num)^i / den^(i+1), floored to micro
+        out.append(1_000_000 * alpha_num * (alpha_den - alpha_num) ** i // alpha_den ** (i + 1))
+    return out
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list,
+    value_col: str,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    depth: int = 16,
+) -> DataFrame:
+    """Exponentially-weighted moving average as a FINITE unrolled lag
+    kernel — the streaming-telemetry smoother, made exact and
+    engine-portable: true EWMA is a recursion no SQL window expresses,
+    but its weights decay geometrically, so a ``depth``-term truncation
+    (residual mass ``(1−α)^depth`` ≈ 1% at α=¼, depth=16) evaluated
+    with LITERAL micro-unit weights is deterministic everywhere.
+
+    Per row: ``ewma_milli = (Σᵢ lagᵢ(v)·wᵢ · 1000) div Σᵢ{present} wᵢ``
+    — integer dot product over the last ``depth`` values, renormalized
+    over the lags that exist (series heads shorter than the kernel use
+    the weight mass actually present, like pandas ``adjust=True``).
+
+    Plan: ONE per-key window carrying ``depth`` lag expressions over a
+    single sort — no self-join, no frame collect. ``order_cols`` must
+    be a unique total order. Appends ``ewma_milli``.
+    """
+    w = W.partitionBy(*keys).orderBy(*[F.col(c) for c in _order(order_cols)])
+    weights = ewma_weights_micro(alpha_num, alpha_den, depth)
+    num = F.lit(0).cast("decimal(38,0)")
+    den = F.lit(0).cast("long")
+    for i, wt in enumerate(weights):
+        lag_i = F.lag(F.col(value_col), i).over(w)
+        num = num + F.coalesce(lag_i.cast("decimal(38,0)") * F.lit(wt), F.lit(0))
+        den = den + F.when(lag_i.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return (
+        df.withColumn("_ewma_num", num)
+        .withColumn("_ewma_den", den)
+        .withColumn(
+            "ewma_milli",
+            F.expr("CAST(sign(_ewma_num) * ((abs(_ewma_num) * 1000) div _ewma_den) AS BIGINT)"),
+        )
+        .drop("_ewma_num", "_ewma_den")
+    )

@@ -144,6 +144,9 @@ HEADLINE = [
     "q178_confusion",        # per-class P/R/F1, class-sized joins
     "q179_categorical_kl",   # micro-nat KL drift, totals broadcast
     "q180_ndcg",             # literal-discount NDCG@10, rank cut at k
+    "q181_ewma",             # 16 literal-weight lags, one window
+    "q182_bootstrap_se",     # x32 Poisson replicates, map-side collapse
+    "q183_compaction",       # balanced round-robin bin packing
 ]
 
 

@@ -566,3 +566,28 @@ def test_q180_ndcg_rank_cut_before_dcg(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q180_ndcg"](spark, sf_dir))
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p
+
+
+def test_q181_ewma_one_window_sixteen_lags(spark, entry, sf_dir):
+    """All 16 lag expressions must ride ONE per-key window (a single
+    Window node, one sort) — not one pass per lag."""
+    p = plan_str(entry.queries()["q181_ewma"](spark, sf_dir))
+    assert "Join" not in p
+    assert "hashpartitioning(event_type" in p
+
+
+def test_q182_bootstrap_explode_collapses_before_shuffle(spark, entry, sf_dir):
+    """The x32 replicate explode must partial-aggregate map-side — the
+    exchange carries (key, replicate) partials, not exploded rows."""
+    p = plan_str(entry.queries()["q182_bootstrap_se"](spark, sf_dir))
+    assert "Generate" in p  # the replicate explode
+    assert p.count("HashAggregate") >= 4  # partial+final at two grains
+    assert "CartesianProduct" not in p
+
+
+def test_q183_compaction_metadata_window(spark, entry, sf_dir):
+    """Planner windows run over the file LISTING; the 1-row bin-count
+    broadcasts (no shuffle for it)."""
+    p = plan_str(entry.queries()["q183_compaction"](spark, sf_dir))
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p

@@ -2169,3 +2169,84 @@ def test_ndcg_key_with_no_relevant_is_null(spark):
     df = spark.createDataFrame([("g", 1, False), ("g", 2, False)], "k string, s long, rel boolean")
     r = ndcg_at_k(df, ["k"], F.col("rel"), [F.col("s").desc()], 5).collect()[0]
     assert r.n_relevant == 0 and r.idcg_micro is None and r.ndcg_ppm is None
+
+
+# -- ewma / bootstrap / compaction -------------------------------------------
+
+
+def test_ewma_weights_exact_geometric(spark):
+    from aeon_mecha_spark.operators.windows import ewma_weights_micro
+
+    ws = ewma_weights_micro(1, 4, 4)
+    assert ws == [250000, 187500, 140625, 105468]  # floor(1e6*0.25*0.75^i)
+
+
+def test_ewma_converges_to_step(spark):
+    from aeon_mecha_spark.operators.windows import ewma
+
+    rows = [("k", i, 100 if i < 5 else 200) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    got = [r.ewma_milli for r in ewma(df, ["k"], ["t"], "v").orderBy("t").collect()]
+    assert got[0] == 100_000  # head renormalization keeps level exact
+    assert got[4] == 100_000
+    assert 100_000 < got[5] < 200_000  # step response
+    assert got[-1] > 195_000  # converged near the new level
+
+
+def test_ewma_head_renormalizes_like_adjust(spark):
+    from aeon_mecha_spark.operators.windows import ewma
+
+    # constant series must be EXACTLY constant at every prefix length
+    df = spark.createDataFrame([("k", i, 77) for i in range(6)], "k string, t int, v long")
+    got = {r.t: r.ewma_milli for r in ewma(df, ["k"], ["t"], "v", depth=4).collect()}
+    assert all(v == 77_000 for v in got.values())
+
+
+def test_bootstrap_se_deterministic_and_sane(spark):
+    from aeon_mecha_spark.operators.analytics import bootstrap_se
+
+    df = spark.range(1000).selectExpr("'g' AS k", "id", "id % 100 AS v")
+    a = bootstrap_se(df.repartition(7), ["k"], "id", "v", replicates=16).collect()[0]
+    b = bootstrap_se(df.coalesce(1), ["k"], "id", "v", replicates=16).collect()[0]
+    assert tuple(a) == tuple(b)  # partitioning-invariant
+    assert a.mean_micro == 49_500_000  # exact mean of 0..99
+    # analytic Var(mean) ~ 0.833 micro2*1e12; 16 replicates -> loose band
+    assert 0.2e12 < a.var_micro2 < 3e12
+
+
+def test_bootstrap_se_seed_changes_replicates_not_mean(spark):
+    from aeon_mecha_spark.operators.analytics import bootstrap_se
+
+    df = spark.range(500).selectExpr("'g' AS k", "id", "id % 50 AS v")
+    a = bootstrap_se(df, ["k"], "id", "v", replicates=8, seed=0).collect()[0]
+    b = bootstrap_se(df, ["k"], "id", "v", replicates=8, seed=1).collect()[0]
+    assert a.mean_micro == b.mean_micro
+    assert a.var_micro2 != b.var_micro2  # different draws
+
+
+def test_compaction_plan_bin_balance(spark):
+    from aeon_mecha_spark.datapipe.curation import compaction_plan
+
+    # 100 files of 30 -> total 3000, target 300 -> 10 bins of 10 files
+    df = spark.range(100).selectExpr("id", "30 AS sz")
+    out = compaction_plan(df, "id", "sz", 300).collect()
+    bins = {}
+    for r in out:
+        bins.setdefault(r.bin_id, []).append(r.size)
+    assert len(bins) == 10
+    assert all(sum(v) == 300 and len(v) == 10 for v in bins.values())
+    assert all(r.bin_total == 300 and r.bin_files == 10 for r in out)
+
+
+def test_compaction_plan_skewed_sizes_spread(spark):
+    from aeon_mecha_spark.datapipe.curation import compaction_plan
+
+    # one huge file + many tiny: nbins from the total, big file alone-ish
+    rows = [(0, 1000)] + [(i, 10) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, "id long, sz long")
+    out = compaction_plan(df, "id", "sz", 500)  # total 1500 -> 3 bins
+    stats = {r.bin_id: r.bin_total for r in out.collect()}
+    assert len(stats) == 3
+    big_bin = [r.bin_id for r in out.collect() if r.id == 0][0]
+    # round-robin puts the huge file in bin 0 with ~1/3 of the tinies
+    assert stats[big_bin] >= 1000
