@@ -2664,6 +2664,45 @@ def q183_compaction(spark, sf_dir):
     )
 
 
+def q184_quantile_map(spark, sf_dir):
+    """Distribution matching: every document's length mapped onto the
+    ENGLISH length scale via exact type-1 inverse-CDF — the as-of
+    union-merge on the CDF axis, no range join."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return analytics.quantile_map(docs, "lang", "n_chars", "en").orderBy("doc_id")
+
+
+def q185_temporal_2hop(spark, sf_dir):
+    """Time-respecting 2-hop reachability over the user-handoff graph
+    (10-min gap): mid-keyed self-join, causal-order predicates — a
+    static 2-hop would count time-reversed paths."""
+    from aeon_mecha_spark.operators import graph as G
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            F.lead("user_id").over(w).alias("dst"),
+            F.lead("ts").over(w).alias("ts"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
+    )
+    return G.temporal_two_hop(edges, max_gap_s=600).orderBy("src", "dst2")
+
+
+def q186_pps_sample(spark, sf_dir):
+    """Systematic PPS sample, 10 per language: rows containing the
+    evenly-spaced cumulative-weight boundaries — inclusion ∝ length,
+    zero randomness, exact cross-multiplied boundary counts."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.pps_systematic_sample(
+        docs, ["lang"], "doc_id", "n_chars", 10
+    ).select("lang", "doc_id", "weight", "cum_weight", "n_boundaries").orderBy(
+        "lang", "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2767,6 +2806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_ewma": q181_ewma,
         "q182_bootstrap_se": q182_bootstrap_se,
         "q183_compaction": q183_compaction,
+        "q184_quantile_map": q184_quantile_map,
+        "q185_temporal_2hop": q185_temporal_2hop,
+        "q186_pps_sample": q186_pps_sample,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -4979,6 +5021,68 @@ def oracle_sql() -> dict[str, str]:
         "q180_ndcg": _sql_ndcg(10),
         "q181_ewma": _sql_ewma(1, 4, 16),
         "q182_bootstrap_se": _sql_bootstrap(32),
+        "q184_quantile_map": """
+            -- inverse-CDF lookup as a correlated min() (the Spark side
+            -- solves the same lookup with a union-merge window)
+            WITH b AS (
+              SELECT doc_id, lang, n_chars
+              FROM documents WHERE n_chars IS NOT NULL),
+            g AS (
+              SELECT lang, n_chars AS v, count(*) AS n
+              FROM b GROUP BY lang, n_chars),
+            c AS (
+              SELECT lang, v,
+                     CAST((CAST(sum(n) OVER (PARTITION BY lang ORDER BY v)
+                           AS HUGEINT) * 1000000) //
+                          (sum(n) OVER (PARTITION BY lang)) AS BIGINT)
+                       AS cdf_ppm
+              FROM g),
+            r AS (SELECT v, cdf_ppm FROM c WHERE lang = 'en')
+            SELECT b.doc_id, b.lang, b.n_chars, c.cdf_ppm,
+                   (SELECT min(r.v) FROM r WHERE r.cdf_ppm >= c.cdf_ppm)
+                     AS mapped_value
+            FROM b JOIN c ON b.lang = c.lang AND b.n_chars = c.v
+        """,
+        "q185_temporal_2hop": """
+            -- causal 2-hop: mid-keyed join, strict time order, 10-min gap
+            WITH e AS (
+              SELECT user_id AS src,
+                     lead(user_id) OVER w AS dst,
+                     lead(ts) OVER w AS ts
+              FROM events
+              WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+            ed AS (
+              SELECT src, dst, epoch_us(ts) AS t
+              FROM e WHERE dst IS NOT NULL AND src <> dst),
+            p AS (
+              SELECT e1.src AS src, e2.dst AS dst2, e2.src AS m
+              FROM ed e1 JOIN ed e2 ON e1.dst = e2.src
+              WHERE e2.t > e1.t AND e2.t <= e1.t + 600000000)
+            SELECT src, dst2, count(*) AS n_paths,
+                   CAST(count(DISTINCT m) AS BIGINT) AS n_mids
+            FROM p GROUP BY src, dst2
+        """,
+        "q186_pps_sample": """
+            -- select rows whose weight interval contains a boundary:
+            -- floor(cum*k/W) > floor((cum-w)*k/W), k=10
+            WITH b AS (
+              SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS weight
+              FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 0),
+            c AS (
+              SELECT lang, doc_id, weight,
+                     CAST(sum(weight) OVER (PARTITION BY lang
+                          ORDER BY doc_id) AS BIGINT) AS cum_weight,
+                     sum(weight) OVER (PARTITION BY lang) AS w
+              FROM b)
+            SELECT lang, doc_id, weight, cum_weight,
+                   CAST((CAST(cum_weight AS HUGEINT) * 10) // w
+                      - (CAST(cum_weight - weight AS HUGEINT) * 10) // w
+                        AS BIGINT) AS n_boundaries
+            FROM c
+            WHERE (CAST(cum_weight AS HUGEINT) * 10) // w
+                > (CAST(cum_weight - weight AS HUGEINT) * 10) // w
+        """,
         "q183_compaction": """
             -- balanced round-robin by (size desc, id): bin = (rn-1) % nb
             WITH s AS (

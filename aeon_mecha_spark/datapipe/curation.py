@@ -978,3 +978,53 @@ def compaction_plan(
         F.count(F.lit(1)).over(wb).cast("long").alias("bin_files"),
         F.sum("size").over(wb).cast("long").alias("bin_total"),
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    strata: list[str],
+    id_col: str,
+    weight_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: lay each
+    stratum's rows (in id order) along a line of cumulative weight and
+    pick the rows containing the ``k`` evenly-spaced boundaries
+    ``⌈j·W/k⌉, j = 1..k`` — inclusion probability ∝ weight with NO
+    randomness: the draw is a pure function of the data, so it is
+    reproducible and engine-checkable (classic survey-sampling PPS with
+    a fixed rather than random start).
+
+    A row is selected iff its weight interval ``(cum−w, cum]`` contains
+    at least one boundary — integer comparison of ``(cum·k) div W``
+    against ``((cum−w)·k) div W`` with ceiling-corrected endpoints…
+    equivalently the floor-count form used here:
+    ``selected = floor(cum·k/W) > floor((cum−w)·k/W)`` (boundaries at
+    multiples of W/k, exact rational arithmetic via cross-multiply).
+    Rows heavier than W/k contain several boundaries and are selected
+    once — the without-replacement convention, yielding ≤ k rows.
+
+    Plan: one per-stratum window (cumsum + total share a sort), one
+    filter — the ``grouped_quantiles`` parallelism contract.
+
+    Output: selected rows as ``(strata…, id, weight, cum_weight,
+    n_boundaries)``.
+    """
+    w = W.partitionBy(*strata).orderBy(F.col(id_col).asc())
+    base = (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .select(*strata, F.col(id_col), F.col(weight_col).cast("long").alias("weight"))
+        .withColumn(
+            "cum_weight",
+            F.sum("weight").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+        )
+        .withColumn("_W", F.sum("weight").over(W.partitionBy(*strata)).cast("long"))
+    )
+    k = int(n_per_stratum)
+    hi = f"(CAST(cum_weight AS DECIMAL(38,0)) * {k}) div _W"
+    lo = f"(CAST(cum_weight - weight AS DECIMAL(38,0)) * {k}) div _W"
+    return (
+        base.withColumn("n_boundaries", F.expr(f"CAST({hi} - {lo} AS BIGINT)"))
+        .filter(F.col("n_boundaries") > 0)
+        .drop("_W")
+    )

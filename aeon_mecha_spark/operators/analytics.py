@@ -2288,3 +2288,73 @@ def bootstrap_se(
         ).alias("var_micro2"),
         "n_replicates",
     )
+
+
+def quantile_map(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ref_group: str,
+) -> DataFrame:
+    """Quantile normalization BETWEEN groups (distribution matching):
+    map every value onto the reference group's scale — a German doc at
+    its length median maps to the English median length. The transform
+    is ``v → min{u ∈ ref : cdf_ref(u) ≥ cdf_g(v)}`` — exact type-1
+    inverse-CDF lookup, no interpolation, no floats.
+
+    The lookup is an AS-OF on the CDF axis, solved with the union-merge
+    trick (no range join): reference boundary rows and query rows
+    union, sort once by (cdf, tag) — queries before references at equal
+    CDF so the ≥ is inclusive — and each query takes the FIRST
+    reference value at-or-after it. One global window over the
+    DISTINCT-VALUE grain of all groups (bounded by value cardinality,
+    the ``lift_table`` contract — bucketize very-high-cardinality
+    values first), then a broadcast join back to rows.
+
+    Output: input rows + ``(cdf_ppm, mapped_value)``; reference-group
+    rows map onto themselves. Queries above the reference maximum CDF
+    cannot happen (both CDFs end at 10⁶).
+    """
+    base = df.filter(F.col(value_col).isNotNull())
+    g = base.groupBy(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    upto = (
+        W.partitionBy("_g").orderBy(F.col("_v").asc()).rowsBetween(W.unboundedPreceding, 0)
+    )
+    whole = W.partitionBy("_g")
+    cdf = (
+        g.withColumn("_cum", F.sum("_n").over(upto).cast("long"))
+        .withColumn("_tot", F.sum("_n").over(whole).cast("long"))
+        .withColumn(
+            "cdf_ppm",
+            F.expr("CAST((CAST(_cum AS DECIMAL(38,0)) * 1000000) div _tot AS BIGINT)"),
+        )
+        .select("_g", "_v", "cdf_ppm")
+    )
+    refs = cdf.filter(F.col("_g") == ref_group).select(
+        F.col("cdf_ppm").alias("_p"), F.lit(1).alias("_tag"), F.col("_v").alias("_ref_v")
+    )
+    queries = cdf.select(
+        F.col("cdf_ppm").alias("_p"), F.lit(0).alias("_tag"),
+        F.lit(None).cast(dict(g.dtypes)["_v"]).alias("_ref_v"),
+        "_g", "_v",
+    )
+    merged = refs.select("_p", "_tag", "_ref_v", F.lit(None).cast(dict(g.dtypes)["_g"]).alias("_g"), F.lit(None).cast(dict(g.dtypes)["_v"]).alias("_v")).unionByName(queries)
+    after = (
+        W.orderBy(F.col("_p").asc(), F.col("_tag").asc())
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    mapped = (
+        merged.withColumn("_mapped", F.first("_ref_v", ignorenulls=True).over(after))
+        .filter(F.col("_tag") == 0)
+        .select("_g", "_v", "_p", "_mapped")
+    )
+    return base.join(
+        F.broadcast(mapped),
+        (F.col(group_col) == F.col("_g")) & (F.col(value_col) == F.col("_v")),
+    ).select(
+        *df.columns,
+        F.col("_p").alias("cdf_ppm"),
+        F.col("_mapped").alias("mapped_value"),
+    )

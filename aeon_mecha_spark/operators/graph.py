@@ -154,3 +154,52 @@ def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         ).alias("clustering_ppm"),
     )
     return out
+
+
+def temporal_two_hop(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ts_col: str = "ts",
+    max_gap_s: int = 3600,
+    min_paths: int = 1,
+) -> DataFrame:
+    """Time-respecting 2-hop reachability: count paths a→b→c where the
+    second hop happens AFTER the first and within ``max_gap_s`` — the
+    influence/contagion primitive (who reaches whom, through whom,
+    in causal order) that a static 2-hop join gets wrong by counting
+    time-reversed paths.
+
+    Plan: ONE self-join keyed on the mid node (the only shuffle key);
+    the time predicates are post-join filters on the hash-joined pairs
+    — never a cartesian. Path fanout is bounded by per-node degree ×
+    the gap window; at scale, shorten ``max_gap_s`` or pre-filter
+    low-degree mids rather than salting (hub mids are the skew to
+    watch — AQE skew-join splits them).
+
+    Self-loops a→b→a are counted (returning to the start IS a valid
+    temporal path); same-timestamp hops are not (strict >).
+
+    Output: ``(src, dst2, n_paths, n_mids)`` for pairs with
+    ``n_paths ≥ min_paths``.
+    """
+    e1 = edges.select(
+        F.col(src).alias("_a"), F.col(dst).alias("_m"),
+        F.unix_micros(F.col(ts_col)).alias("_t1"),
+    )
+    e2 = edges.select(
+        F.col(src).alias("_m"), F.col(dst).alias("_c"),
+        F.unix_micros(F.col(ts_col)).alias("_t2"),
+    )
+    paths = e1.join(e2, "_m").filter(
+        (F.col("_t2") > F.col("_t1"))
+        & (F.col("_t2") <= F.col("_t1") + F.lit(int(max_gap_s) * 1_000_000))
+    )
+    return (
+        paths.groupBy(F.col("_a").alias(src), F.col("_c").alias("dst2"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.countDistinct("_m").cast("long").alias("n_mids"),
+        )
+        .filter(F.col("n_paths") >= int(min_paths))
+    )

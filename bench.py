@@ -147,6 +147,9 @@ HEADLINE = [
     "q181_ewma",             # 16 literal-weight lags, one window
     "q182_bootstrap_se",     # x32 Poisson replicates, map-side collapse
     "q183_compaction",       # balanced round-robin bin packing
+    "q184_quantile_map",     # CDF-axis union-merge distribution matching
+    "q185_temporal_2hop",    # mid-keyed causal 2-hop reachability
+    "q186_pps_sample",       # systematic PPS boundary selection
 ]
 
 

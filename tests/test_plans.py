@@ -591,3 +591,28 @@ def test_q183_compaction_metadata_window(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q183_compaction"](spark, sf_dir))
     assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" not in p
     assert "Window" in p
+
+
+def test_q184_quantile_map_no_range_join(spark, entry, sf_dir):
+    """The inverse-CDF lookup must be the union-merge window + a
+    broadcast equi-join back — never a range/theta join."""
+    p = plan_str(entry.queries()["q184_quantile_map"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_q185_temporal_2hop_mid_keyed_hash_join(spark, entry, sf_dir):
+    """The 2-hop join must hash on the mid node; time predicates are
+    post-join filters, never a nested loop."""
+    p = plan_str(entry.queries()["q185_temporal_2hop"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_q186_pps_single_stratum_sort(spark, entry, sf_dir):
+    """Cumsum and stratum total share one per-lang sort; map-side
+    filter selects boundary rows — no join."""
+    p = plan_str(entry.queries()["q186_pps_sample"](spark, sf_dir))
+    assert "Join" not in p
+    assert "hashpartitioning(lang" in p

@@ -2250,3 +2250,83 @@ def test_compaction_plan_skewed_sizes_spread(spark):
     big_bin = [r.bin_id for r in out.collect() if r.id == 0][0]
     # round-robin puts the huge file in bin 0 with ~1/3 of the tinies
     assert stats[big_bin] >= 1000
+
+
+# -- quantile map / temporal 2hop / pps ---------------------------------------
+
+
+def test_quantile_map_matches_ref_scale(spark):
+    from aeon_mecha_spark.operators.analytics import quantile_map
+
+    rows = [("en", v) for v in (10, 20, 30, 40, 50)] + [("de", v) for v in (1, 2, 3, 4, 5)]
+    df = spark.createDataFrame([(i, g, v) for i, (g, v) in enumerate(rows)], "id long, g string, v long")
+    got = {(r.g, r.v): r.mapped_value for r in quantile_map(df, "g", "v", "en").collect()}
+    assert got == {
+        ("de", 1): 10, ("de", 2): 20, ("de", 3): 30, ("de", 4): 40, ("de", 5): 50,
+        ("en", 10): 10, ("en", 20): 20, ("en", 30): 30, ("en", 40): 40, ("en", 50): 50,
+    }
+
+
+def test_quantile_map_skewed_sizes_inclusive_lookup(spark):
+    from aeon_mecha_spark.operators.analytics import quantile_map
+
+    # de has 2 values (cdf 50/100), en has 4 (25/50/75/100):
+    # de@500000 -> smallest en value with cdf >= 500000 -> the 2nd
+    rows = [("en", v) for v in (1, 2, 3, 4)] + [("de", 100), ("de", 200)]
+    df = spark.createDataFrame([(i, g, v) for i, (g, v) in enumerate(rows)], "id long, g string, v long")
+    got = {(r.g, r.v): r.mapped_value for r in quantile_map(df, "g", "v", "en").collect()}
+    assert got[("de", 100)] == 2 and got[("de", 200)] == 4
+
+
+def test_temporal_two_hop_causal_only(spark):
+    import datetime
+
+    from aeon_mecha_spark.operators.graph import temporal_two_hop
+
+    b = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return b + datetime.timedelta(minutes=m)
+
+    edges = spark.createDataFrame(
+        [("a", "b", ts(0)), ("b", "c", ts(5)), ("b", "d", ts(120)), ("x", "b", ts(10))],
+        "src string, dst string, ts timestamp",
+    )
+    got = {(r.src, r.dst2): (r.n_paths, r.n_mids) for r in temporal_two_hop(edges, max_gap_s=3600).collect()}
+    # a->b(0) then b->c(5) ok; b->d(120min) outside gap; x->b(10) has no
+    # later b-outgoing edge inside the gap except b->d (outside)
+    assert got == {("a", "c"): (1, 1)}
+
+
+def test_temporal_two_hop_rejects_same_timestamp(spark):
+    import datetime
+
+    from aeon_mecha_spark.operators.graph import temporal_two_hop
+
+    t0 = datetime.datetime(2024, 1, 1)
+    edges = spark.createDataFrame(
+        [("a", "b", t0), ("b", "c", t0)], "src string, dst string, ts timestamp"
+    )
+    assert temporal_two_hop(edges).count() == 0  # strict >
+
+
+def test_pps_uniform_weights_evenly_spaced(spark):
+    from aeon_mecha_spark.datapipe.curation import pps_systematic_sample
+
+    df = spark.range(100).selectExpr("'s' AS g", "id", "1 AS w")
+    out = sorted(r.id for r in pps_systematic_sample(df, ["g"], "id", "w", 10).collect())
+    # uniform weights -> exactly every 10th row (cum = id+1; boundary
+    # multiples of 10 land on ids 9, 19, ..., 99)
+    assert out == [9, 19, 29, 39, 49, 59, 69, 79, 89, 99]
+
+
+def test_pps_heavy_row_counted_once_with_boundary_count(spark):
+    from aeon_mecha_spark.datapipe.curation import pps_systematic_sample
+
+    # one row carries half the mass -> it contains ~k/2 boundaries
+    rows = [(0, 100)] + [(i, 2) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    df = df.selectExpr("'s' AS g", "id", "w")
+    out = {r.id: r.n_boundaries for r in pps_systematic_sample(df, ["g"], "id", "w", 10).collect()}
+    assert out[0] == 5  # 100/200 of the mass -> 5 of 10 boundaries
+    assert sum(out.values()) == 10  # boundaries conserved
