@@ -2703,6 +2703,104 @@ def q186_pps_sample(spark, sf_dir):
     )
 
 
+def q187_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_5 suppliers' revenue share inside ASIA
+    customers' orders per year — a six-table snowflake join with all
+    dims broadcast, volume in exact centi-cent integers, share in
+    exact ppm."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    vol = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("decimal(38,0)")
+    n_c = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("s_nation")
+    )
+    asia = region.filter(F.col("r_name") == "ASIA").select(
+        F.col("r_regionkey").alias("c_rk")
+    )
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(asia), "c_rk")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("_vol"),
+            (F.col("s_nation") == "NATION_5").alias("_target"),
+        )
+    )
+    agg = j.groupBy("o_year").agg(
+        F.sum(F.when(F.col("_target"), F.col("_vol")).otherwise(F.lit(0).cast("decimal(38,0)")))
+        .cast("decimal(38,0)")
+        .alias("_num"),
+        F.sum("_vol").cast("decimal(38,0)").alias("_den"),
+    )
+    return agg.select(
+        "o_year",
+        F.col("_num").cast("long").alias("nation_volume"),
+        F.col("_den").cast("long").alias("total_volume"),
+        F.expr("CAST((_num * 1000000) div _den AS BIGINT)").alias("share_ppm"),
+    ).orderBy("o_year")
+
+
+def q188_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count
+    (non-urgent orders only) — left outer join keeps zero-order
+    customers, then a two-level aggregate."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q189_funnel_latency(spark, sf_dir):
+    """Funnel step latency: per user, first view → first click → first
+    purchase; exact integer-second deltas for users who progress in
+    order, type-1 median + p90 per step pair."""
+    ev = _t(spark, sf_dir, "events")
+    firsts = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.min(F.unix_micros("ts")))
+    )
+    pairs = []
+    for a, b in (("view", "click"), ("click", "purchase")):
+        pairs.append(
+            firsts.filter(
+                F.col(a).isNotNull() & F.col(b).isNotNull() & (F.col(b) > F.col(a))
+            ).select(
+                F.lit(f"{a}->{b}").alias("step_pair"),
+                F.expr(f"CAST(({b} - {a}) div 1000000 AS BIGINT)").alias("delta_s"),
+            )
+        )
+    deltas = pairs[0].unionByName(pairs[1])
+    return analytics.grouped_quantiles(
+        deltas, ["step_pair"], "delta_s", ps=(0.5, 0.9)
+    ).orderBy("step_pair", "p")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2809,6 +2907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_quantile_map": q184_quantile_map,
         "q185_temporal_2hop": q185_temporal_2hop,
         "q186_pps_sample": q186_pps_sample,
+        "q187_market_share": q187_market_share,
+        "q188_custdist": q188_custdist,
+        "q189_funnel_latency": q189_funnel_latency,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -5061,6 +5162,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT src, dst2, count(*) AS n_paths,
                    CAST(count(DISTINCT m) AS BIGINT) AS n_mids
             FROM p GROUP BY src, dst2
+        """,
+        "q187_market_share": """
+            -- Q8 shape: six-table snowflake, exact centi-cent volume
+            WITH j AS (
+              SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                     CAST(round(l.l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                       AS vol,
+                     ns.n_name = 'NATION_5' AS target
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+              JOIN region r ON nc.n_regionkey = r.r_regionkey
+                           AND r.r_name = 'ASIA'
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation ns ON s.s_nationkey = ns.n_nationkey)
+            SELECT o_year,
+                   CAST(sum(CASE WHEN target THEN vol ELSE 0 END)
+                        AS BIGINT) AS nation_volume,
+                   CAST(sum(vol) AS BIGINT) AS total_volume,
+                   CAST((sum(CASE WHEN target THEN vol ELSE 0 END)
+                         * 1000000) // sum(vol) AS BIGINT) AS share_ppm
+            FROM j GROUP BY o_year
+        """,
+        "q188_custdist": """
+            -- Q13 shape: zero-order customers kept by the left join
+            WITH o AS (
+              SELECT o_custkey, o_orderkey FROM orders
+              WHERE o_orderpriority <> '1-URGENT'),
+            pc AS (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   count(*) AS custdist
+            FROM pc GROUP BY c_count
+        """,
+        "q189_funnel_latency": """
+            -- first-touch per step; integer-second deltas; type-1
+            -- median/p90 via the rank idiom
+            WITH f AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view'
+                         THEN epoch_us(ts) END) AS v,
+                     min(CASE WHEN event_type = 'click'
+                         THEN epoch_us(ts) END) AS c,
+                     min(CASE WHEN event_type = 'purchase'
+                         THEN epoch_us(ts) END) AS p
+              FROM events GROUP BY user_id),
+            d AS (
+              SELECT 'view->click' AS step_pair,
+                     (c - v) // 1000000 AS delta_s
+              FROM f WHERE v IS NOT NULL AND c IS NOT NULL AND c > v
+              UNION ALL
+              SELECT 'click->purchase', (p - c) // 1000000
+              FROM f WHERE c IS NOT NULL AND p IS NOT NULL AND p > c),
+            r AS (
+              SELECT step_pair, delta_s,
+                     row_number() OVER (PARTITION BY step_pair
+                                        ORDER BY delta_s) AS rn,
+                     count(*) OVER (PARTITION BY step_pair) AS n
+              FROM d)
+            SELECT step_pair, p, delta_s AS q
+            FROM r
+            CROSS JOIN (VALUES (0.5::double, 1, 2), (0.9::double, 9, 10))
+                       AS ps(p, num, den)
+            WHERE rn = (num * n + den - 1) // den
         """,
         "q186_pps_sample": """
             -- select rows whose weight interval contains a boundary:

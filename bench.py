@@ -150,6 +150,9 @@ HEADLINE = [
     "q184_quantile_map",     # CDF-axis union-merge distribution matching
     "q185_temporal_2hop",    # mid-keyed causal 2-hop reachability
     "q186_pps_sample",       # systematic PPS boundary selection
+    "q187_market_share",     # Q8 snowflake: six tables, exact ppm share
+    "q188_custdist",         # Q13: left join + two-level aggregate
+    "q189_funnel_latency",   # first-touch deltas, type-1 median/p90
 ]
 
 

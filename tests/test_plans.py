@@ -616,3 +616,19 @@ def test_q186_pps_single_stratum_sort(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q186_pps_sample"](spark, sf_dir))
     assert "Join" not in p
     assert "hashpartitioning(lang" in p
+
+
+def test_q187_snowflake_dims_broadcast(spark, entry, sf_dir):
+    """Nation/region dims broadcast; only the li-orders-customer chain
+    may shuffle — no cartesian, no nested loop."""
+    p = plan_str(entry.queries()["q187_market_share"](spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q188_custdist_two_level_aggregate(spark, entry, sf_dir):
+    """Left join keeps zero-order customers; both aggregates partial."""
+    p = plan_str(entry.queries()["q188_custdist"](spark, sf_dir))
+    assert "LeftOuter" in p
+    assert p.count("HashAggregate") >= 2

@@ -2330,3 +2330,40 @@ def test_pps_heavy_row_counted_once_with_boundary_count(spark):
     out = {r.id: r.n_boundaries for r in pps_systematic_sample(df, ["g"], "id", "w", 10).collect()}
     assert out[0] == 5  # 100/200 of the mass -> 5 of 10 boundaries
     assert sum(out.values()) == 10  # boundaries conserved
+
+
+# -- relational composition gates (Q8/Q13/funnel latency) ---------------------
+
+
+def test_market_share_exact_partition(spark):
+    import __spark_entry__ as m
+
+    out = m.queries()["q187_market_share"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r.nation_volume <= r.total_volume
+        assert r.share_ppm == r.nation_volume * 1_000_000 // r.total_volume
+
+
+def test_custdist_counts_all_customers(spark):
+    import duckdb
+
+    import __spark_entry__ as m
+
+    out = m.queries()["q188_custdist"](spark, "/root/testdata/sf0.001").collect()
+    total = sum(r.custdist for r in out)
+    n_cust = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/customer.parquet'"
+    ).fetchone()[0]
+    assert total == n_cust  # zero-order customers included
+
+
+def test_funnel_latency_positive_and_ordered(spark):
+    import __spark_entry__ as m
+
+    out = m.queries()["q189_funnel_latency"](spark, "/root/testdata/sf0.001").collect()
+    by_pair = {}
+    for r in out:
+        by_pair.setdefault(r.step_pair, {})[r.p] = r.q
+    for pair, qs in by_pair.items():
+        assert qs[0.5] >= 0 and qs[0.9] >= qs[0.5]  # p90 >= median
