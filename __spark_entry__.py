@@ -2801,6 +2801,27 @@ def q189_funnel_latency(spark, sf_dir):
     ).orderBy("step_pair", "p")
 
 
+def q190_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct users per event type with ZERO floats: rank
+    from an integer threshold ladder (log2 misrounds at 2^53−1), the
+    harmonic mean cleared of fractions by factoring 2^maxM, literal α
+    and linear-counting tables — the estimate itself hash-gates."""
+    ev = _t(spark, sf_dir, "events")
+    return sketch.hll_distinct(ev, ["event_type"], "user_id").orderBy("event_type")
+
+
+def q191_kcore(spark, sf_dir):
+    """3-round k-core peel (k=3) of the user-handoff graph: semi-join
+    induced subgraphs per round, degrees within the final core. Fixed
+    rounds make the peel SQL-unrollable, so the iterative graph op
+    hash-gates (the q162/q163 fixed-vs-trained pattern for graphs)."""
+    from aeon_mecha_spark.operators import graph as G
+
+    ev = _t(spark, sf_dir, "events")
+    edges = G.transition_edges(ev)
+    return G.kcore(edges, k=3, max_rounds=3).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2910,6 +2931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_market_share": q187_market_share,
         "q188_custdist": q188_custdist,
         "q189_funnel_latency": q189_funnel_latency,
+        "q190_hll_distinct": q190_hll_distinct,
+        "q191_kcore": q191_kcore,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -3200,6 +3223,78 @@ def _sql_bpe_apply_fixed() -> str:
                CAST((sum(nt) * 1000000) // sum(nc) AS BIGINT) AS ratio_ppm
         FROM t GROUP BY doc_id
     """
+
+
+def _sql_hll() -> str:
+    """Oracle for q190: the SAME rank ladder, α, and LC table."""
+    from aeon_mecha_spark.datapipe.sketch import hll_lc_counts, hll_rank_case
+
+    rank = hll_rank_case("(h // 64)")
+    lc = "[" + ", ".join(str(v) for v in hll_lc_counts()) + "]"
+    return f"""
+        WITH b AS (
+          SELECT event_type,
+                 ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)),
+                  1, 15))::bigint AS h
+          FROM events WHERE user_id IS NOT NULL),
+        r AS (SELECT event_type, h % 64 AS j, {rank} AS rk FROM b),
+        regs AS (
+          SELECT event_type, j, max(rk) AS m FROM r GROUP BY event_type, j),
+        regs2 AS (
+          SELECT event_type, m,
+                 max(m) OVER (PARTITION BY event_type) AS maxm
+          FROM regs),
+        pk AS (
+          SELECT event_type, count(*) AS n_registers, max(m) AS maxm,
+                 sum(CAST(CAST(1 AS BIGINT) << CAST(maxm - m AS INT)
+                     AS HUGEINT)) AS snum_set
+          FROM regs2 GROUP BY event_type),
+        sc AS (
+          SELECT event_type, n_registers, maxm,
+                 64 - n_registers AS v_zeros,
+                 snum_set + CAST(64 - n_registers AS HUGEINT)
+                   * (CAST(1 AS BIGINT) << CAST(maxm AS INT)) AS snum
+          FROM pk),
+        est AS (
+          SELECT event_type, n_registers, v_zeros,
+                 CAST((CAST(709341 AS HUGEINT) * 4096
+                       * (CAST(1 AS BIGINT) << CAST(maxm AS INT)))
+                      // (snum * 1000000) AS BIGINT) AS raw
+          FROM sc)
+        SELECT event_type, CAST(n_registers AS BIGINT) AS n_registers,
+               CAST(v_zeros AS BIGINT) AS v_zeros,
+               CAST(CASE WHEN raw < 160 AND v_zeros > 0
+                    THEN {lc}[v_zeros] ELSE raw END AS BIGINT) AS estimate
+        FROM est
+    """
+
+
+def _sql_kcore(k: int = 3, rounds: int = 3) -> str:
+    """Oracle for q191: the fixed-round peel unrolled (a converged peel
+    makes the extra rounds no-ops, matching the engine's early break)."""
+    body = """
+        WITH e0 AS (
+          SELECT user_id AS src, lead(user_id) OVER w AS dst
+          FROM events
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        und AS (
+          SELECT src AS a, dst AS b FROM e0
+          WHERE dst IS NOT NULL AND src <> dst),
+        sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und)"""
+    prev = "sym"
+    for i in range(1, rounds + 1):
+        body += f""",
+        d{i} AS (SELECT a, count(*) AS d FROM {prev} GROUP BY a),
+        n{i} AS (SELECT a FROM d{i} WHERE d >= {k}),
+        e{i} AS (
+          SELECT s.a, s.b FROM sym s
+          JOIN n{i} x ON s.a = x.a
+          JOIN n{i} y ON s.b = y.a)"""
+        prev = f"e{i}"
+    body += f"""
+        SELECT a AS node, count(*) AS degree FROM {prev} GROUP BY a
+    """
+    return body
 
 
 def _sql_ewma(alpha_num: int = 1, alpha_den: int = 4, depth: int = 16) -> str:
@@ -5122,6 +5217,8 @@ def oracle_sql() -> dict[str, str]:
         "q180_ndcg": _sql_ndcg(10),
         "q181_ewma": _sql_ewma(1, 4, 16),
         "q182_bootstrap_se": _sql_bootstrap(32),
+        "q190_hll_distinct": _sql_hll(),
+        "q191_kcore": _sql_kcore(3, 3),
         "q184_quantile_map": """
             -- inverse-CDF lookup as a correlated min() (the Spark side
             -- solves the same lookup with a union-merge window)

@@ -460,3 +460,100 @@ def hist_quantiles(
     return s.groupBy(*keys).agg(
         F.max("_n").cast("long").alias("n"), *aggs
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — exactly-integral variant
+# ---------------------------------------------------------------------------
+
+HLL_M = 64
+HLL_ALPHA_PPM = 709341  # round(1e6 * 0.7213 / (1 + 1.079/64))
+
+
+def hll_rank_case(w_expr: str, width: int = 54) -> str:
+    """SQL CASE computing the HLL rank (position of the first 1-bit from
+    the left of a ``width``-bit value, 1-based; all-zero → width+1) by
+    integer threshold comparisons — float log2 misrounds near powers of
+    two (log2(2^53−1) rounds to exactly 53.0), so the ladder is the
+    only engine-exact form. The SAME generated string is embedded in
+    the Spark plan (via expr) and the SQL oracle."""
+    whens = " ".join(
+        f"WHEN {w_expr} >= {1 << (width - i)} THEN {i}" for i in range(1, width + 1)
+    )
+    return f"(CASE {whens} ELSE {width + 1} END)"
+
+
+def hll_lc_counts(m: int = HLL_M) -> list[int]:
+    """Linear-counting table ``round(m·ln(m/V))`` for V=1..m — integer
+    count estimates precomputed in Python, literal in both engines (no
+    runtime log, no division)."""
+    import math
+
+    return [round(m * math.log(m / v)) for v in range(1, m + 1)]
+
+
+def hll_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """HyperLogLog distinct-count per key (m=64 registers) with ZERO
+    floating point: the register rank comes from an integer threshold
+    ladder (never log2), the harmonic mean is cleared of fractions by
+    factoring ``Σ2^(−Mⱼ) = Σ2^(maxM−Mⱼ) / 2^maxM`` (integers), the bias
+    constant α and the small-range linear-counting correction
+    ``m·ln(m/V)`` are literal tables — the estimate is bit-identical on
+    any engine and partitioning, so the sketch itself is hash-gateable
+    (KMV's cousin with O(m) state instead of O(k) values).
+
+    Standard HLL flow: bucket = low 6 hash bits, rank = leading-run
+    position in the remaining 54; small-range correction applies when
+    raw < 5m/2 and empty registers exist.
+
+    Plan: one groupBy to (keys, bucket) registers (max — map-side
+    combinable), one per-key aggregate folding the ≤64 registers.
+    Output: ``(keys…, n_registers, v_zeros, estimate)``.
+    """
+    h = md5_long(F.col(value_col).cast("string"), seed=seed)
+    bucket = (h % HLL_M).alias("_j")
+    rank = F.expr(hll_rank_case("(_h div 64)"))
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, h.alias("_h"), bucket)
+        .withColumn("_r", rank)
+        .groupBy(*keys, "_j")
+        .agg(F.max("_r").cast("long").alias("_m"))
+    )
+    wk = W.partitionBy(*keys)
+    regs2 = regs.withColumn("_maxm", F.max("_m").over(wk)).withColumn(
+        "_contrib",
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(_maxm - _m AS INT)) AS DECIMAL(38,0))"),
+    )
+    per_key = regs2.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.max("_m").cast("long").alias("_maxm"),
+        F.sum("_contrib").cast("decimal(38,0)").alias("_snum_set"),
+    )
+    zeros = (F.lit(HLL_M) - F.col("n_registers")).cast("long")
+    scored = (
+        per_key.withColumn("v_zeros", zeros)
+        .withColumn(
+            "_snum",
+            F.expr(
+                "_snum_set + CAST(64 - n_registers AS DECIMAL(38,0)) "
+                "* CAST(shiftleft(CAST(1 AS BIGINT), CAST(_maxm AS INT)) AS DECIMAL(38,0))"
+            ),
+        )
+    )
+    lc_arr = F.array(*[F.lit(v) for v in hll_lc_counts()])
+    raw = (
+        "CAST((CAST(709341 AS DECIMAL(38,0)) * 4096 * "
+        "CAST(shiftleft(CAST(1 AS BIGINT), CAST(_maxm AS INT)) AS DECIMAL(38,0))) "
+        "div (_snum * 1000000) AS BIGINT)"
+    )
+    est = F.when(
+        (F.expr(raw) < F.lit(5 * HLL_M // 2)) & (F.col("v_zeros") > 0),
+        F.element_at(lc_arr, F.col("v_zeros").cast("int")).cast("long"),
+    ).otherwise(F.expr(raw))
+    return scored.select(*keys, "n_registers", "v_zeros", est.alias("estimate"))

@@ -203,3 +203,53 @@ def temporal_two_hop(
         )
         .filter(F.col("n_paths") >= int(min_paths))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-core extraction: iteratively peel nodes of degree < k until the
+    survivors all have ≥ k neighbours inside the surviving subgraph —
+    the standard dense-community / spam-ring filter.
+
+    Driver-bounded peel loop (the k-means / connected-components
+    pattern): each round recomputes degrees over the induced subgraph
+    (semi-joins on both endpoints), drops light nodes, and checks the
+    survivor count (one small ``count`` action per round; the node set
+    is persisted per round and released). Converges in ≤ diameter-ish
+    rounds; ``max_rounds`` bounds the loop, and a FIXED ``max_rounds``
+    makes the result a deterministic partial peel — the q191 gate runs
+    3 fixed rounds so a SQL oracle can unroll them exactly.
+
+    Edges are treated undirected; self-loops are ignored. Output:
+    surviving ``(node, degree)`` — degree within the final core.
+    """
+    und = (
+        edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+    )
+    sym = und.unionByName(und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    nodes = None  # None = all nodes
+    cur_edges = sym
+    prev_n = None
+    for _ in range(int(max_rounds)):
+        deg = cur_edges.groupBy("_a").agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        keep = deg.filter(F.col("_d") >= int(k)).select("_a").persist()
+        n = keep.count()
+        if prev_n is not None and n == prev_n:
+            keep.unpersist()
+            break
+        prev_n = n
+        if nodes is not None:
+            nodes.unpersist()
+        nodes = keep
+        cur_edges = (
+            sym.join(nodes, "_a", "left_semi")
+            .join(nodes.select(F.col("_a").alias("_b")), "_b", "left_semi")
+        )
+    out = cur_edges.groupBy("_a").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return out.select(F.col("_a").alias("node"), "degree")

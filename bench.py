@@ -153,6 +153,8 @@ HEADLINE = [
     "q187_market_share",     # Q8 snowflake: six tables, exact ppm share
     "q188_custdist",         # Q13: left join + two-level aggregate
     "q189_funnel_latency",   # first-touch deltas, type-1 median/p90
+    "q190_hll_distinct",     # float-free HLL registers + literal tables
+    "q191_kcore",            # 3-round semi-join peel (fixed, unrollable)
 ]
 
 

@@ -632,3 +632,19 @@ def test_q188_custdist_two_level_aggregate(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q188_custdist"](spark, sf_dir))
     assert "LeftOuter" in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_q190_hll_register_grain_combines_mapside(spark, entry, sf_dir):
+    """Register max is a map-side-combinable aggregate; the per-key fold
+    touches <= 64 rows per key."""
+    p = plan_str(entry.queries()["q190_hll_distinct"](spark, sf_dir))
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q191_kcore_semi_join_induction(spark, entry, sf_dir):
+    """Each peel round induces the subgraph via semi-joins — no
+    cartesian, no nested loop, survivors persisted between rounds."""
+    p = plan_str(entry.queries()["q191_kcore"](spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p

@@ -2367,3 +2367,77 @@ def test_funnel_latency_positive_and_ordered(spark):
         by_pair.setdefault(r.step_pair, {})[r.p] = r.q
     for pair, qs in by_pair.items():
         assert qs[0.5] >= 0 and qs[0.9] >= qs[0.5]  # p90 >= median
+
+
+# -- HLL / k-core -------------------------------------------------------------
+
+
+def test_hll_small_range_exact_via_linear_counting(spark):
+    from aeon_mecha_spark.datapipe.sketch import hll_distinct
+
+    df = spark.range(10).selectExpr("'g' AS g", "CAST(id AS STRING) AS v")
+    r = hll_distinct(df, ["g"], "v").collect()[0]
+    assert r.v_zeros == 54  # 10 distinct hashes landed in 10 buckets
+    assert abs(r.estimate - 10) <= 2  # LC regime: 64*ln(64/54) ~ 10.9
+
+
+def test_hll_error_within_bounds(spark):
+    from aeon_mecha_spark.datapipe.sketch import hll_distinct
+
+    for n in (1000, 20000):
+        df = spark.range(n).selectExpr("'g' AS g", "CAST(id AS STRING) AS v")
+        r = hll_distinct(df, ["g"], "v").collect()[0]
+        # 3 sigma at m=64: 3*1.04/8 = 39%
+        assert abs(r.estimate - n) / n < 0.39
+
+
+def test_hll_partition_invariant(spark):
+    from aeon_mecha_spark.datapipe.sketch import hll_distinct
+
+    df = spark.range(5000).selectExpr("CAST(id % 3 AS STRING) AS g", "CAST(id AS STRING) AS v")
+    a = sorted(tuple(r) for r in hll_distinct(df.repartition(13), ["g"], "v").collect())
+    b = sorted(tuple(r) for r in hll_distinct(df.coalesce(1), ["g"], "v").collect())
+    assert a == b
+
+
+def test_hll_rank_case_thresholds(spark):
+    from aeon_mecha_spark.datapipe.sketch import hll_rank_case
+
+    rows = spark.sql(
+        "SELECT " + hll_rank_case("w") + " AS r FROM VALUES "
+        + ", ".join(f"({v})" for v in [2**53, 2**53 - 1, 1, 0]) + " AS t(w)"
+    ).collect()
+    # 2^53 -> rank 1; 2^53-1 -> rank 2 (float log2 would say 1); 1 -> 54; 0 -> 55
+    assert [r.r for r in rows] == [1, 2, 54, 55]
+
+
+def test_kcore_triangle_with_tail(spark):
+    from aeon_mecha_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    got = sorted((r.node, r.degree) for r in kcore(edges, 2).collect())
+    assert got == [("a", 2), ("b", 2), ("c", 2)]  # tail peeled
+
+
+def test_kcore_clique_survives_its_own_k(spark):
+    from aeon_mecha_spark.operators.graph import kcore
+
+    k4 = [(x, y) for i, x in enumerate("wxyz") for y in "wxyz"[i + 1 :]]
+    edges = spark.createDataFrame(k4, "src string, dst string")
+    got = sorted((r.node, r.degree) for r in kcore(edges, 3).collect())
+    assert got == [("w", 3), ("x", 3), ("y", 3), ("z", 3)]
+    assert kcore(edges, 4).count() == 0  # no 4-core in a 4-clique
+
+
+def test_kcore_cascade_peel_needs_multiple_rounds(spark):
+    from aeon_mecha_spark.operators.graph import kcore
+
+    # path graph: peeling ends at empty for k=2, one endpoint per round
+    path = [(str(i), str(i + 1)) for i in range(6)]
+    edges = spark.createDataFrame(path, "src string, dst string")
+    assert kcore(edges, 2, max_rounds=20).count() == 0
+    # a FIXED 1-round peel keeps the interior (partial peel semantics)
+    assert kcore(edges, 2, max_rounds=1).count() > 0
