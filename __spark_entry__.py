@@ -5693,7 +5693,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(n_pos AS BIGINT) AS n_pos,
                    CAST(n_neg AS BIGINT) AS n_neg,
                    CAST(u2 AS BIGINT) AS u2,
-                   CAST((u2 * 1000000) // (2 * n_pos * n_neg) AS BIGINT)
+                   CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                        (u2 * 1000000) // (2 * n_pos * n_neg) END AS BIGINT)
                      AS auc_ppm
             FROM a
         """,
@@ -5725,7 +5726,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, CAST(n_pos AS BIGINT) AS n_pos,
                    CAST(n_neg AS BIGINT) AS n_neg,
                    CAST(dm AS BIGINT) AS d_scaled_max,
-                   CAST((dm * 1000000) // (n_pos * n_neg) AS BIGINT)
+                   CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                        (dm * 1000000) // (n_pos * n_neg) END AS BIGINT)
                      AS ks_ppm
             FROM a
         """,

@@ -1147,9 +1147,11 @@ def auc_by_group(
         "n_pos",
         "n_neg",
         F.col("_u2t").cast("long").alias("u2"),
+        # single-class keys have no pair space: AUC undefined -> NULL
         F.expr(
-            "CAST((_u2t * 1000000) div (2 * CAST(n_pos AS DECIMAL(38,0)) "
-            "* CAST(n_neg AS DECIMAL(38,0))) AS BIGINT)"
+            "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+            "(_u2t * 1000000) div (2 * CAST(n_pos AS DECIMAL(38,0)) "
+            "* CAST(n_neg AS DECIMAL(38,0))) END AS BIGINT)"
         ).alias("auc_ppm"),
     )
 
@@ -1212,9 +1214,11 @@ def ks_statistic(
         "n_pos",
         "n_neg",
         F.col("_dm").cast("long").alias("d_scaled_max"),
+        # a one-class key has no second CDF: KS undefined -> NULL
         F.expr(
-            "CAST((_dm * 1000000) div (CAST(n_pos AS DECIMAL(38,0)) "
-            "* CAST(n_neg AS DECIMAL(38,0))) AS BIGINT)"
+            "CAST(CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+            "(_dm * 1000000) div (CAST(n_pos AS DECIMAL(38,0)) "
+            "* CAST(n_neg AS DECIMAL(38,0))) END AS BIGINT)"
         ).alias("ks_ppm"),
     )
 

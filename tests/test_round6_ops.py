@@ -2441,3 +2441,15 @@ def test_kcore_cascade_peel_needs_multiple_rounds(spark):
     assert kcore(edges, 2, max_rounds=20).count() == 0
     # a FIXED 1-round peel keeps the interior (partial peel semantics)
     assert kcore(edges, 2, max_rounds=1).count() > 0
+
+
+def test_auc_ks_single_class_key_is_null_not_error(spark):
+    from aeon_mecha_spark.operators.analytics import auc_by_group, ks_statistic
+
+    # a key with only positives must yield NULL metrics, not DIVIDE_BY_ZERO
+    rows = [("only_pos", 1, s) for s in (1, 2, 3)] + [("both", y, y) for y in (0, 1)]
+    df = spark.createDataFrame(rows, "k string, y int, s int")
+    auc = {r.k: r.auc_ppm for r in auc_by_group(df, ["k"], F.col("y") == 1, "s").collect()}
+    ks = {r.k: r.ks_ppm for r in ks_statistic(df, ["k"], F.col("y") == 1, "s").collect()}
+    assert auc["only_pos"] is None and ks["only_pos"] is None
+    assert auc["both"] is not None and ks["both"] is not None
