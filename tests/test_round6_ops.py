@@ -2453,3 +2453,16 @@ def test_auc_ks_single_class_key_is_null_not_error(spark):
     ks = {r.k: r.ks_ppm for r in ks_statistic(df, ["k"], F.col("y") == 1, "s").collect()}
     assert auc["only_pos"] is None and ks["only_pos"] is None
     assert auc["both"] is not None and ks["both"] is not None
+
+
+def test_bpe_gate_constants_match_training(spark):
+    """The fixed _BPE_MERGES literals that hash-gate q162 must be exactly
+    what q163's trainer produces on its slice — the trained-model pair
+    stays self-consistent if either side changes."""
+    import __spark_entry__ as m
+
+    learned = [
+        (r.left, r.right)
+        for r in m.queries()["q163_bpe_learn"](spark, "/root/testdata/sf0.01").collect()
+    ]
+    assert learned == list(m._BPE_MERGES)
