@@ -2822,6 +2822,25 @@ def q191_kcore(spark, sf_dir):
     return G.kcore(edges, k=3, max_rounds=3).orderBy("node")
 
 
+def q192_feature_hash(spark, sf_dir):
+    """Hashing-trick vectorizer: tokens → 256 signed hash buckets,
+    sparse long form — the vocabulary-free text featurizer, map-side
+    until one (doc, feature) aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    return textqc.feature_hash(docs, n_features=256).orderBy("doc_id", "feature")
+
+
+def q193_position_attribution(spark, sf_dir):
+    """U-shaped (40/20/40) multi-touch attribution: ordered prior-touch
+    lists from one window pass, exact integer credit splits that
+    conserve every cent (remainder to the last touch)."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.position_attribution(
+        ev, ["user_id"], "ts", "event_type", "value",
+        F.col("event_type") == "purchase", order_cols=["ts", "event_id"],
+    ).orderBy("channel")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2933,6 +2952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q189_funnel_latency": q189_funnel_latency,
         "q190_hll_distinct": q190_hll_distinct,
         "q191_kcore": q191_kcore,
+        "q192_feature_hash": q192_feature_hash,
+        "q193_position_attribution": q193_position_attribution,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -5219,6 +5240,67 @@ def oracle_sql() -> dict[str, str]:
         "q182_bootstrap_se": _sql_bootstrap(32),
         "q190_hll_distinct": _sql_hll(),
         "q191_kcore": _sql_kcore(3, 3),
+        "q192_feature_hash": """
+            -- hashing trick: bucket = h % D, sign from the next hash bit
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('0:' || tok), 1, 15))::bigint AS h
+              FROM t WHERE tok <> ''),
+            s AS (
+              SELECT doc_id, CAST(h % 256 AS INT) AS feature,
+                     CASE WHEN h % 512 >= 256 THEN 1 ELSE -1 END AS sgn
+              FROM h)
+            SELECT doc_id, feature, CAST(sum(sgn) AS BIGINT) AS value
+            FROM s GROUP BY doc_id, feature
+            HAVING sum(sgn) <> 0
+        """,
+        "q193_position_attribution": """
+            -- ordered prior-touch list per conversion; integral 40/20/40
+            -- split, remainder to the last touch (credit conserves)
+            WITH t AS (
+              SELECT user_id, ts, event_id, event_type,
+                     event_type = 'purchase' AS conv,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            c0 AS (
+              -- window BEFORE the conversion filter (WHERE runs first
+              -- in SQL; the Spark side filters after the window too)
+              SELECT user_id, cents, conv,
+                     list_filter(
+                       list(CASE WHEN NOT conv THEN event_type END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING),
+                       x -> x IS NOT NULL) AS touches
+              FROM t),
+            c2 AS (
+              SELECT user_id, cents, touches FROM c0
+              WHERE conv AND len(touches) > 0),
+            e AS (
+              SELECT touches, cents, len(touches) AS n,
+                     unnest(range(len(touches))) AS i
+              FROM c2),
+            x AS (
+              SELECT touches[i + 1] AS channel, n, i, cents,
+                     cents * 40 // 100 AS fc,
+                     cents * 40 // 100 AS lc,
+                     cents - 2 * (cents * 40 // 100) AS mt
+              FROM e)
+            SELECT channel, count(*) AS n_touches,
+                   CAST(sum(CASE
+                        WHEN n = 1 THEN cents
+                        WHEN n = 2 AND i = 0 THEN fc + mt
+                        WHEN n = 2 AND i = 1 THEN lc
+                        WHEN i = 0 THEN fc
+                        WHEN i = n - 1 THEN
+                          lc + mt - (mt // (n - 2)) * (n - 2)
+                        ELSE mt // (n - 2) END) AS BIGINT) AS credit_cents
+            FROM x GROUP BY channel
+        """,
         "q184_quantile_map": """
             -- inverse-CDF lookup as a correlated min() (the Spark side
             -- solves the same lookup with a union-merge window)

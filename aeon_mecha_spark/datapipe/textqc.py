@@ -640,3 +640,46 @@ def group_term_jaccard(
             "CAST((CAST(inter AS DECIMAL(38,0)) * 1000000) div union_n AS BIGINT)"
         ).alias("jaccard_ppm"),
     )
+
+
+def feature_hash(
+    docs: DataFrame,
+    n_features: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al., ICML 2009): map tokens to a
+    FIXED feature space by hash bucket, with a second hash bit deciding
+    the sign — the vocabulary-free vectorizer that makes text features
+    joinable/aggregable at any scale without a fitted dictionary.
+
+    Output is the sparse long form ``(id, feature, value)`` (value =
+    signed count; zero-sum buckets drop out), which downstream ops
+    consume directly — ``corr_pairs``-style moments, cosine via a
+    feature-keyed join, or a pivot to dense when n_features is small.
+    MD5-based like every hash here, so buckets and signs are
+    engine-portable and the gate hash-verifies.
+
+    Plan: explode → map-side bucket/sign arithmetic → one (id, feature)
+    groupBy (partial-aggregated). Feature cardinality is the fixed
+    ``n_features``, whatever the vocabulary grows to.
+    """
+    h = md5_long(F.col("_tok"), seed=seed)
+    toks = (
+        spread(docs)
+        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_tok"))
+        .filter(F.col("_tok") != "")
+    )
+    signed = toks.select(
+        F.col(id_col),
+        (h % n_features).cast("int").alias("feature"),
+        F.when((h % (2 * n_features)) >= n_features, F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("_sgn"),
+    )
+    return (
+        signed.groupBy(id_col, "feature")
+        .agg(F.sum("_sgn").cast("long").alias("value"))
+        .filter(F.col("value") != 0)
+    )

@@ -2362,3 +2362,99 @@ def quantile_map(
         F.col("_p").alias("cdf_ppm"),
         F.col("_mapped").alias("mapped_value"),
     )
+
+
+def position_attribution(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    conversion: Column,
+    order_cols: list[str] | None = None,
+    first_pct: int = 40,
+    last_pct: int = 40,
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    conversion's value splits ``first_pct``% to the first preceding
+    touch, ``last_pct``% to the most recent, and the remainder evenly
+    across the middle touches — the standard 40/20/40 model that
+    ``touch_attribution``'s single-touch variants bracket.
+
+    Exact integral credit: value converts to cents, each share is an
+    integer ``div`` with the REMAINDER of the middle split assigned to
+    the last-listed middle touch (deterministic; credit always sums to
+    the conversion's cents exactly — no lost pennies). Conversions with
+    one touch give it everything; with two, the middle share splits
+    between them ``first/last``-proportionally… simplified here to the
+    standard degenerate rules: 1 touch → 100%, 2 touches → first+middle
+    to the first, last+remainder to the last.
+
+    Plan: one per-key window pass collects the ordered prior touch list
+    per conversion (running collect_list over the preceding frame —
+    list length bounded by journey length), then a map-side explode of
+    per-touch credits and one channel aggregate. No joins.
+
+    Output: ``(channel, n_touches, credit_cents)``.
+    """
+    order_cols = order_cols or [ts_col]
+    w = (
+        W.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(~conversion, F.col(type_col))
+    convs = (
+        df.select(
+            *keys,
+            *order_cols,
+            conversion.alias("_conv"),
+            F.filter(
+                F.collect_list(touch).over(w), lambda x: x.isNotNull()
+            ).alias("_touches"),
+            F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+        )
+        .filter(F.col("_conv") & (F.size("_touches") > 0))
+    )
+    n = F.size("_touches")
+    first_c = F.expr(f"CAST(_cents * {int(first_pct)} div 100 AS BIGINT)")
+    last_c = F.expr(f"CAST(_cents * {int(last_pct)} div 100 AS BIGINT)")
+    mid_total = (F.col("_cents") - first_c - last_c).cast("long")
+    per_touch = convs.select(
+        "_touches",
+        n.alias("_n"),
+        first_c.alias("_fc"),
+        last_c.alias("_lc"),
+        mid_total.alias("_mt"),
+        F.col("_cents"),
+    ).select(
+        F.posexplode("_touches").alias("_i", "channel"),
+        "_n",
+        "_fc",
+        "_lc",
+        "_mt",
+        "_cents",
+    )
+    nmid = (F.col("_n") - 2).cast("long")
+    mid_share = F.expr("CAST(_mt div (_n - 2) AS BIGINT)")
+    mid_rem = (F.col("_mt") - mid_share * nmid).cast("long")
+    credit = (
+        F.when(F.col("_n") == 1, F.col("_cents"))
+        .when((F.col("_n") == 2) & (F.col("_i") == 0), F.col("_fc") + F.col("_mt"))
+        .when((F.col("_n") == 2) & (F.col("_i") == 1), F.col("_lc"))
+        .when(F.col("_i") == 0, F.col("_fc"))
+        .when(F.col("_i") == F.col("_n") - 1, F.col("_lc") + F.col("_mt") - mid_share * nmid)
+        .otherwise(mid_share)
+    )
+    # the last middle touch absorbs the division remainder... except the
+    # rule above gives the remainder to the LAST touch itself — simpler
+    # and still exactly conserving: first + (n-2)*mid_share + (last +
+    # remainder) == cents
+    return (
+        per_touch.withColumn("_credit", credit.cast("long"))
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("_credit").cast("long").alias("credit_cents"),
+        )
+    )

@@ -155,6 +155,8 @@ HEADLINE = [
     "q189_funnel_latency",   # first-touch deltas, type-1 median/p90
     "q190_hll_distinct",     # float-free HLL registers + literal tables
     "q191_kcore",            # 3-round semi-join peel (fixed, unrollable)
+    "q192_feature_hash",     # hashing-trick vectorizer, map-side
+    "q193_position_attribution",  # U-shaped credit, one window + explode
 ]
 
 

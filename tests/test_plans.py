@@ -648,3 +648,19 @@ def test_q191_kcore_semi_join_induction(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q191_kcore"](spark, sf_dir))
     assert "LeftSemi" in p
     assert "CartesianProduct" not in p
+
+
+def test_q192_feature_hash_fixed_grain(spark, entry, sf_dir):
+    """Map-side explode + one (doc, feature) aggregate — no joins, no
+    windows; feature cardinality is the fixed 256."""
+    p = plan_str(entry.queries()["q192_feature_hash"](spark, sf_dir))
+    assert "Join" not in p and "Window" not in p
+    assert "HashAggregate" in p
+
+
+def test_q193_position_attribution_one_window(spark, entry, sf_dir):
+    """The touch list rides ONE per-user window; credits explode
+    map-side — no conversions-vs-touches join."""
+    p = plan_str(entry.queries()["q193_position_attribution"](spark, sf_dir))
+    assert "Join" not in p
+    assert "hashpartitioning(user_id" in p

@@ -2466,3 +2466,55 @@ def test_bpe_gate_constants_match_training(spark):
         for r in m.queries()["q163_bpe_learn"](spark, "/root/testdata/sf0.01").collect()
     ]
     assert learned == list(m._BPE_MERGES)
+
+
+# -- feature hashing / position attribution -----------------------------------
+
+
+def test_feature_hash_fixed_space_and_signs(spark):
+    from aeon_mecha_spark.datapipe.textqc import feature_hash
+
+    df = spark.createDataFrame([(1, "a b a c"), (2, "b b d")], "doc_id long, text string")
+    out = feature_hash(df, 16).collect()
+    assert all(0 <= r.feature < 16 for r in out)
+    # the same token always lands in the same signed bucket: doc1 has
+    # 'a' twice -> one bucket holds |value| == 2
+    assert any(abs(r.value) == 2 for r in out if r.doc_id == 1)
+
+
+def test_feature_hash_partition_invariant(spark):
+    from aeon_mecha_spark.datapipe.textqc import feature_hash
+
+    df = spark.range(50).selectExpr("id AS doc_id", "concat('tok', CAST(id % 7 AS STRING), ' x y') AS text")
+    a = sorted(tuple(r) for r in feature_hash(df.repartition(9), 32).collect())
+    b = sorted(tuple(r) for r in feature_hash(df.coalesce(1), 32).collect())
+    assert a == b
+
+
+def test_position_attribution_u_shape_and_conservation(spark):
+    from aeon_mecha_spark.operators.analytics import position_attribution
+
+    rows = [
+        (1, 1, "view", 0.0), (1, 2, "email", 0.0), (1, 3, "click", 0.0), (1, 4, "buy", 10.0),
+        (2, 5, "view", 0.0), (2, 6, "buy", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "u int, t int, ty string, v double")
+    got = {r.channel: r.credit_cents for r in position_attribution(
+        df, ["u"], "t", "ty", "v", F.col("ty") == "buy", order_cols=["t"]
+    ).collect()}
+    assert got == {"view": 400 + 500, "email": 200, "click": 400}
+    assert sum(got.values()) == 1500  # every cent conserved
+
+
+def test_position_attribution_remainder_to_last(spark):
+    from aeon_mecha_spark.operators.analytics import position_attribution
+
+    # 10.01 over 4 touches: fc=400, lc=400, mt=201 -> middles 100+100,
+    # last gets 400 + (201 - 200) = 401
+    rows = [(1, i, f"ch{i}", 0.0) for i in range(4)] + [(1, 9, "buy", 10.01)]
+    df = spark.createDataFrame(rows, "u int, t int, ty string, v double")
+    got = {r.channel: r.credit_cents for r in position_attribution(
+        df, ["u"], "t", "ty", "v", F.col("ty") == "buy", order_cols=["t"]
+    ).collect()}
+    assert got == {"ch0": 400, "ch1": 100, "ch2": 100, "ch3": 401}
+    assert sum(got.values()) == 1001

@@ -45,6 +45,8 @@ TINY_GLOBAL_WINDOW_OK = {
     "q124_key_skew_stats",  # rank window over the already-limited <= top_n rows
     "q145_rrf_fusion",  # rank windows over TakeOrdered-cut top-200 lists
     "q169_lift_table",  # cumulative window over the DISTINCT-SCORE grain
+    "q183_compaction",  # planner rank over the FILE LISTING (metadata rows)
+    "q184_quantile_map",  # union-merge over the distinct-VALUE grain
 }
 
 
