@@ -71,3 +71,55 @@ def test_null_counters_and_reset(spark, tmp_path):
     # reset re-seeds (no invented cross-reset drops); in-batch gap 1->4 = 2
     assert latest.total_drops == 9
     assert latest.last_counter == 4
+
+
+# -- streaming HLL with batch parity -----------------------------------------
+
+HLL_SCHEMA = "k string, v string"
+
+
+def _drain_hll(spark, feed, sink, ckpt):
+    from aeon_mecha_spark.streaming.stateful import streaming_hll_distinct
+
+    src = spark.readStream.schema(HLL_SCHEMA).parquet(feed)
+    out = streaming_hll_distinct(src, "k", "v")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_streaming_hll_matches_batch_after_two_drains(spark, tmp_path):
+    from aeon_mecha_spark.datapipe.sketch import hll_distinct
+
+    feed = str(tmp_path / "hfeed")
+    sink = str(tmp_path / "hsink")
+    ckpt = str(tmp_path / "hckpt")
+
+    b1 = [("g", f"v{i}") for i in range(300)]
+    b2 = [("g", f"v{i}") for i in range(200, 700)]  # overlap on purpose
+    spark.createDataFrame(b1, HLL_SCHEMA).coalesce(1).write.mode("append").parquet(feed)
+    _drain_hll(spark, feed, sink, ckpt)
+    spark.createDataFrame(b2, HLL_SCHEMA).coalesce(1).write.mode("append").parquet(feed)
+    _drain_hll(spark, feed, sink, ckpt)
+
+    # latest streaming emission (largest register fill)
+    rows = spark.read.parquet(sink).filter("key = 'g'").collect()
+    latest = max(rows, key=lambda r: r.n_registers)
+
+    batch = hll_distinct(
+        spark.createDataFrame(b1 + b2, HLL_SCHEMA), ["k"], "v"
+    ).collect()[0]
+    # BIT parity with the batch operator over the unioned feed
+    assert (latest.n_registers, latest.v_zeros, latest.estimate) == (
+        batch.n_registers,
+        batch.v_zeros,
+        batch.estimate,
+    )
+    # and the estimate is a sane distinct count of 700 true values
+    assert abs(latest.estimate - 700) / 700 < 0.4
