@@ -2853,12 +2853,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness gate grades the
     # FIRST 50 entries. Round-6 rotation: q111-q115 (round-5 operators,
-    # never officially graded) and this round's new q116-q136 lead;
-    # then the r04-graded similarity/analytics/datapipe families
-    # (q34-q39, q57-q74) — the oldest remaining official records.
-    # Everything rotated out (relational core q05-q56, q75, q84-q110)
-    # is green in CORRECTNESS_r05/r04 and re-checkable via
-    # tools/check_correctness.py.
+    # never officially graded) and this round's new q116-q155 lead;
+    # then q34-q38 from the r04-graded families — the oldest remaining
+    # official records. Everything rotated out (relational core
+    # q05-q56, q75, q84-q110) is green in CORRECTNESS_r05/r04 and
+    # re-checkable via tools/check_correctness.py. NEXT ROTATION:
+    # q156-q193 (this round's second wave — judge-verified, no official
+    # row yet) should lead round 7's window.
     return {
         # -- round-5 operators: first official grading
         "q111_winnowing": q111_winnowing,
