@@ -2841,6 +2841,165 @@ def q193_position_attribution(spark, sf_dir):
     ).orderBy("channel")
 
 
+def _revenue_centicents():
+    """Exact revenue: cents × (100 − discount%), integral centi-cents."""
+    return (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("decimal(38,0)")
+
+
+def q194_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue —
+    per-supplier aggregate, 1-row max broadcast back (tie-inclusive),
+    exact centi-cent totals."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = li.select(F.col("l_suppkey"), _revenue_centicents().alias("_r")).groupBy(
+        "l_suppkey"
+    ).agg(F.sum("_r").cast("decimal(38,0)").alias("_rev"))
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("_rev").cast("long").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q195_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue locked in small-quantity Brand#2 orders
+    — the per-part 20%-of-average filter cross-multiplied to exact
+    integers (5·qty·n < Σqty), total reported and /7'd in milli."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("_sq"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    j = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(stats, "l_partkey")
+        .filter(
+            5 * F.round(F.col("l_quantity")).cast("long") * F.col("_n") < F.col("_sq")
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+        .cast("long")
+        .alias("total_cents"),
+    ).select(
+        "n_lines",
+        "total_cents",
+        F.expr(
+            "CAST((CAST(total_cents AS DECIMAL(38,0)) * 1000) div 7 AS BIGINT)"
+        ).alias("avg_yearly_milli"),
+    )
+
+
+def q196_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: customers behind bulk orders — per-order
+    quantity sums above 150, joined back to orders/customers, top 100
+    with a full deterministic tiebreak."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("totalprice_cents").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q197_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape, EXISTS-free: per (order, supplier) late flags
+    (shipped > 60 days after the order date), keep multi-supplier
+    orders where EXACTLY ONE supplier is fully late, count per
+    supplier — the double-EXISTS rewritten as two aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.unix_micros(F.col("l_shipdate"))
+            > F.unix_micros(F.col("o_orderdate")) + F.lit(60 * 86400 * 1_000_000)
+        ).cast("int").alias("_late"),
+    )
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(
+        F.min("_late").cast("int").alias("_all_late")  # every line late
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_supp"),
+        F.sum("_all_late").cast("long").alias("_n_late"),
+    )
+    blamed = (
+        per_os.filter(F.col("_all_late") == 1)
+        .join(
+            per_o.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)),
+            "l_orderkey",
+        )
+    )
+    return (
+        blamed.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+    )
+
+
+def q198_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: wealthy customers with no orders, per nation —
+    the scalar AVG subquery cross-multiplied to exact cents
+    (bal·n > Σbal over positive balances), the NOT EXISTS an
+    anti-join."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("_bal"),
+    )
+    # "idle" = no RECENT orders (the synthetic data gives every customer
+    # lifetime orders, so the classic no-orders-ever filter is empty)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-08-01"
+    ).select("o_custkey")
+    pos = cust.filter(F.col("_bal") > 0).agg(
+        F.sum("_bal").cast("decimal(38,0)").alias("_sb"),
+        F.count(F.lit(1)).cast("long").alias("_nb"),
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("_bal").cast("decimal(38,0)") * F.col("_nb") > F.col("_sb"))
+    )
+    idle = rich.join(orders, rich["c_custkey"] == orders["o_custkey"], "left_anti")
+    return (
+        idle.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("_bal").cast("long").alias("totacctbal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2955,6 +3114,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_kcore": q191_kcore,
         "q192_feature_hash": q192_feature_hash,
         "q193_position_attribution": q193_position_attribution,
+        "q194_top_supplier": q194_top_supplier,
+        "q195_small_qty_revenue": q195_small_qty_revenue,
+        "q196_large_orders": q196_large_orders,
+        "q197_waiting_supplier": q197_waiting_supplier,
+        "q198_idle_customers": q198_idle_customers,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -5241,6 +5405,102 @@ def oracle_sql() -> dict[str, str]:
         "q182_bootstrap_se": _sql_bootstrap(32),
         "q190_hll_distinct": _sql_hll(),
         "q191_kcore": _sql_kcore(3, 3),
+        "q194_top_supplier": """
+            -- Q15 shape: max revenue, tie-inclusive
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS r
+              FROM lineitem
+              WHERE l_shipdate >= '1997-01-01'
+                AND l_shipdate < '1997-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, CAST(r AS BIGINT) AS total_revenue
+            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE r = (SELECT max(r) FROM rev)
+        """,
+        "q195_small_qty_revenue": """
+            -- Q17 shape: qty < 0.2*avg cross-multiplied (5*q*n < sum)
+            WITH st AS (
+              SELECT l_partkey,
+                     sum(CAST(round(l_quantity) AS BIGINT)) AS sq,
+                     count(*) AS n
+              FROM lineitem GROUP BY l_partkey),
+            j AS (
+              SELECT l.l_extendedprice
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+                         AND p.p_brand = 'Brand#2'
+              JOIN st ON l.l_partkey = st.l_partkey
+              WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * st.n < st.sq)
+            SELECT count(*) AS n_lines,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   CAST((sum(CAST(round(l_extendedprice * 100) AS HUGEINT))
+                         * 1000) // 7 AS BIGINT) AS avg_yearly_milli
+            FROM j
+        """,
+        "q196_large_orders": """
+            -- Q18 shape: bulk orders joined back, deterministic top-100
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 150)
+            SELECT c.c_name, c.c_custkey, o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                     AS totalprice_cents,
+                   CAST(sum_qty AS BIGINT) AS sum_qty
+            FROM big
+            JOIN orders o ON big.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY sum_qty DESC, totalprice_cents DESC, o_orderkey
+            LIMIT 100
+        """,
+        "q197_waiting_supplier": """
+            -- Q21 shape without EXISTS: late flags -> two aggregates
+            WITH j AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                     CASE WHEN epoch_us(l.l_shipdate) >
+                          epoch_us(o.o_orderdate) + 5184000000000
+                          THEN 1 ELSE 0 END AS late
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            per_os AS (
+              SELECT l_orderkey, l_suppkey, min(late) AS all_late
+              FROM j GROUP BY l_orderkey, l_suppkey),
+            per_o AS (
+              SELECT l_orderkey, count(*) AS n_supp,
+                     sum(all_late) AS n_late
+              FROM per_os GROUP BY l_orderkey)
+            SELECT s.l_suppkey AS s_suppkey, count(*) AS numwait
+            FROM per_os s
+            JOIN per_o p ON s.l_orderkey = p.l_orderkey
+            WHERE s.all_late = 1 AND p.n_supp >= 2 AND p.n_late = 1
+            GROUP BY s.l_suppkey
+        """,
+        "q198_idle_customers": """
+            -- Q22 shape: bal*n > sum(positive bal), NOT EXISTS -> anti
+            WITH b AS (
+              SELECT c_custkey, c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+              FROM customer),
+            t AS (
+              SELECT sum(CAST(bal AS HUGEINT)) AS sb, count(*) AS nb
+              FROM b WHERE bal > 0),
+            rich AS (
+              SELECT b.* FROM b CROSS JOIN t
+              WHERE CAST(bal AS HUGEINT) * nb > sb),
+            idle AS (
+              SELECT * FROM rich
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = rich.c_custkey
+                                  AND o.o_orderdate >=
+                                      TIMESTAMP '2000-08-01'))
+            SELECT c_nationkey, count(*) AS numcust,
+                   CAST(sum(bal) AS BIGINT) AS totacctbal_cents
+            FROM idle GROUP BY c_nationkey
+        """,
         "q192_feature_hash": """
             -- hashing trick: bucket = h % D, sign from the next hash bit
             WITH t AS (

@@ -157,6 +157,11 @@ HEADLINE = [
     "q191_kcore",            # 3-round semi-join peel (fixed, unrollable)
     "q192_feature_hash",     # hashing-trick vectorizer, map-side
     "q193_position_attribution",  # U-shaped credit, one window + explode
+    "q194_top_supplier",     # Q15: scalar max broadcast, tie-inclusive
+    "q195_small_qty_revenue",  # Q17: cross-multiplied avg filter
+    "q196_large_orders",     # Q18: HAVING + join-back, det. top-100
+    "q197_waiting_supplier",  # Q21: EXISTS-free double aggregate
+    "q198_idle_customers",   # Q22: scalar avg + anti-join
 ]
 
 

@@ -664,3 +664,28 @@ def test_q193_position_attribution_one_window(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q193_position_attribution"](spark, sf_dir))
     assert "Join" not in p
     assert "hashpartitioning(user_id" in p
+
+
+def test_q194_scalar_max_broadcast(spark, entry, sf_dir):
+    """The 1-row max joins back broadcast; the revenue aggregate is
+    computed once (exchange reuse), never a sort-merge."""
+    p = plan_str(entry.queries()["q194_top_supplier"](spark, sf_dir))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_q197_waiting_no_exists_joins(spark, entry, sf_dir):
+    """The double-EXISTS shape must be two aggregates + equi-joins —
+    no nested-loop correlation."""
+    p = plan_str(entry.queries()["q197_waiting_supplier"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4  # per-(o,s) + per-o, partial+final
+
+
+def test_q198_idle_anti_join(spark, entry, sf_dir):
+    """NOT EXISTS compiles to an anti-join with the recent-orders
+    filter pushed to the scan."""
+    p = plan_str(entry.queries()["q198_idle_customers"](spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p

@@ -2518,3 +2518,86 @@ def test_position_attribution_remainder_to_last(spark):
     ).collect()}
     assert got == {"ch0": 400, "ch1": 100, "ch2": 100, "ch3": 401}
     assert sum(got.values()) == 1001
+
+
+# -- TPC-H Q15/Q17/Q18/Q21/Q22 shapes ----------------------------------------
+
+
+def test_top_supplier_tie_inclusive(spark):
+    import __spark_entry__ as m
+
+    out = m.queries()["q194_top_supplier"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) >= 1
+    assert len({r.total_revenue for r in out}) == 1  # all rows share the max
+
+
+def test_small_qty_filter_cross_multiplied(spark):
+    import __spark_entry__ as m
+
+    r = m.queries()["q195_small_qty_revenue"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.avg_yearly_milli == r.total_cents * 1000 // 7
+
+
+def test_large_orders_threshold_and_ordering(spark):
+    import __spark_entry__ as m
+
+    out = m.queries()["q196_large_orders"](spark, "/root/testdata/sf0.001").collect()
+    assert all(r.sum_qty > 150 for r in out)
+    qtys = [r.sum_qty for r in out]
+    assert qtys == sorted(qtys, reverse=True)
+
+
+def test_waiting_supplier_exactly_one_blamed(spark):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as m
+
+    # hand graph: order 1 has suppliers A (all late) and B (on time)
+    # -> A blamed; order 2 single-supplier late -> nobody blamed
+    spark.createDataFrame(
+        [(1, 10, "1998-01-01"), (2, 20, "1998-01-01")],
+        "o_orderkey long, o_custkey long, d string",
+    ).selectExpr("o_orderkey", "o_custkey", "CAST(d AS TIMESTAMP) AS o_orderdate").createOrReplaceTempView("_ord")
+    spark.createDataFrame(
+        [
+            (1, 100, "1998-06-01"),  # A late
+            (1, 200, "1998-01-15"),  # B on time
+            (2, 100, "1998-06-01"),  # single-supplier order
+        ],
+        "l_orderkey long, l_suppkey long, d string",
+    ).selectExpr("l_orderkey", "l_suppkey", "CAST(d AS TIMESTAMP) AS l_shipdate").createOrReplaceTempView("_li")
+    li = spark.table("_li")
+    orders = spark.table("_ord")
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey", "l_suppkey",
+        (F.unix_micros("l_shipdate") > F.unix_micros("o_orderdate") + 60 * 86400 * 1_000_000)
+        .cast("int").alias("_late"),
+    )
+    per_os = j.groupBy("l_orderkey", "l_suppkey").agg(F.min("_late").alias("_all_late"))
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supp"), F.sum("_all_late").alias("_n_late")
+    )
+    blamed = per_os.filter(F.col("_all_late") == 1).join(
+        per_o.filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1)), "l_orderkey"
+    )
+    assert [(r.l_suppkey) for r in blamed.collect()] == [100]
+
+
+def test_idle_customers_cross_multiplied_avg(spark):
+    import duckdb
+
+    import __spark_entry__ as m
+
+    out = m.queries()["q198_idle_customers"](spark, "/root/testdata/sf0.01").collect()
+    total = sum(r.numcust for r in out)
+    want = duckdb.sql("""
+        WITH b AS (SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT) AS bal
+                   FROM '/root/testdata/sf0.01/customer.parquet'),
+        t AS (SELECT sum(CAST(bal AS HUGEINT)) sb, count(*) nb FROM b WHERE bal > 0),
+        rich AS (SELECT b.* FROM b CROSS JOIN t WHERE CAST(bal AS HUGEINT)*nb > sb)
+        SELECT count(*) FROM rich WHERE NOT EXISTS (
+          SELECT 1 FROM '/root/testdata/sf0.01/orders.parquet' o
+          WHERE o.o_custkey = rich.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-08-01')
+    """).fetchone()[0]
+    assert total == want and total > 0
