@@ -2437,7 +2437,6 @@ def position_attribution(
     )
     nmid = (F.col("_n") - 2).cast("long")
     mid_share = F.expr("CAST(_mt div (_n - 2) AS BIGINT)")
-    mid_rem = (F.col("_mt") - mid_share * nmid).cast("long")
     credit = (
         F.when(F.col("_n") == 1, F.col("_cents"))
         .when((F.col("_n") == 2) & (F.col("_i") == 0), F.col("_fc") + F.col("_mt"))
@@ -2446,10 +2445,6 @@ def position_attribution(
         .when(F.col("_i") == F.col("_n") - 1, F.col("_lc") + F.col("_mt") - mid_share * nmid)
         .otherwise(mid_share)
     )
-    # the last middle touch absorbs the division remainder... except the
-    # rule above gives the remainder to the LAST touch itself — simpler
-    # and still exactly conserving: first + (n-2)*mid_share + (last +
-    # remainder) == cents
     return (
         per_touch.withColumn("_credit", credit.cast("long"))
         .groupBy("channel")
