@@ -2860,9 +2860,12 @@ def q194_top_supplier(spark, sf_dir):
     rev = li.select(F.col("l_suppkey"), _revenue_centicents().alias("_r")).groupBy(
         "l_suppkey"
     ).agg(F.sum("_r").cast("decimal(38,0)").alias("_rev"))
-    mx = rev.agg(F.max("_rev").alias("_mx"))
+    # scalar max as a whole-partition window over the SUPPLIER grain
+    # (bounded — dims, not facts): one lineitem scan, vs the textbook
+    # scalar-subquery form that recomputes the revenue aggregate twice
+    mx = F.max("_rev").over(W.partitionBy())
     return (
-        rev.crossJoin(F.broadcast(mx))
+        rev.withColumn("_mx", mx)
         .filter(F.col("_rev") == F.col("_mx"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(

@@ -47,6 +47,7 @@ TINY_GLOBAL_WINDOW_OK = {
     "q169_lift_table",  # cumulative window over the DISTINCT-SCORE grain
     "q183_compaction",  # planner rank over the FILE LISTING (metadata rows)
     "q184_quantile_map",  # union-merge over the distinct-VALUE grain
+    "q194_top_supplier",  # scalar max over the SUPPLIER grain (dim-sized)
 }
 
 
