@@ -3003,6 +3003,58 @@ def q198_idle_customers(spark, sf_dir):
     )
 
 
+def q199_rolling_distinct(spark, sf_dir):
+    """Exact rolling distinct users over the last 20 events per type —
+    frame collect + distinct size (the small-window exact form; HLL
+    state is the unbounded-window answer)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "event_id", "user_id")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    return ev.withColumn(
+        "rolling_distinct",
+        F.size(F.array_distinct(F.collect_list("user_id").over(w))).cast("long"),
+    ).orderBy("event_id")
+
+
+def q200_snapshot_fingerprint(spark, sf_dir):
+    """Whole-snapshot acceptance digest: one commutative (xor + capped
+    sum) row-hash fingerprint per table — equal snapshots produce an
+    identical 5-row digest on any engine, row order, or partitioning;
+    the cross-system reconciliation gate in one query."""
+    from aeon_mecha_spark.pipeline.reconcile import row_hash
+
+    specs = {
+        "lineitem": ("l_orderkey", ["l_orderkey", "l_linenumber", "l_quantity"]),
+        "orders": ("o_orderkey", ["o_orderkey", "o_custkey", "o_orderstatus"]),
+        "customer": ("c_custkey", ["c_custkey", "c_nationkey", "c_mktsegment"]),
+        "part": ("p_partkey", ["p_partkey", "p_brand", "p_size"]),
+        "documents": ("doc_id", ["doc_id", "lang", "n_chars"]),
+    }
+    parts = []
+    for tname, (_key, cols) in specs.items():
+        t = _t(spark, sf_dir, tname)
+        rh = row_hash(
+            *[
+                (F.round(F.col(c)).cast("long") if c == "l_quantity" else F.col(c))
+                for c in cols
+            ]
+        ).alias("_rh")
+        parts.append(
+            t.select(rh).agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.bit_xor("_rh").alias("xor_sig"),
+                F.sum(F.col("_rh") % F.lit(1 << 30)).cast("long").alias("sum_sig"),
+            ).select(F.lit(tname).alias("table_name"), "n_rows", "xor_sig", "sum_sig")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("table_name")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3122,6 +3174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_large_orders": q196_large_orders,
         "q197_waiting_supplier": q197_waiting_supplier,
         "q198_idle_customers": q198_idle_customers,
+        "q199_rolling_distinct": q199_rolling_distinct,
+        "q200_snapshot_fingerprint": q200_snapshot_fingerprint,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -5408,6 +5462,62 @@ def oracle_sql() -> dict[str, str]:
         "q182_bootstrap_se": _sql_bootstrap(32),
         "q190_hll_distinct": _sql_hll(),
         "q191_kcore": _sql_kcore(3, 3),
+        "q199_rolling_distinct": """
+            WITH r AS (
+              SELECT event_type, ts, event_id, user_id,
+                     list_distinct(list(user_id) OVER (
+                         PARTITION BY event_type ORDER BY ts, event_id
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+                       AS du
+              FROM events)
+            SELECT event_type, ts, event_id, user_id,
+                   CAST(len(du) AS BIGINT) AS rolling_distinct
+            FROM r
+        """,
+        "q200_snapshot_fingerprint": """
+            -- one commutative digest row per table (xor + low-30-bit sum)
+            WITH li AS (
+              SELECT ('0x' || substr(md5(concat_ws('|',
+                       l_orderkey::varchar, l_linenumber::varchar,
+                       CAST(round(l_quantity) AS BIGINT)::varchar)),
+                       1, 15))::bigint AS h
+              FROM lineitem),
+            o AS (
+              SELECT ('0x' || substr(md5(concat_ws('|',
+                       o_orderkey::varchar, o_custkey::varchar,
+                       o_orderstatus)), 1, 15))::bigint AS h
+              FROM orders),
+            c AS (
+              SELECT ('0x' || substr(md5(concat_ws('|',
+                       c_custkey::varchar, c_nationkey::varchar,
+                       c_mktsegment)), 1, 15))::bigint AS h
+              FROM customer),
+            p AS (
+              SELECT ('0x' || substr(md5(concat_ws('|',
+                       p_partkey::varchar, p_brand, p_size::varchar)),
+                       1, 15))::bigint AS h
+              FROM part),
+            d AS (
+              SELECT ('0x' || substr(md5(concat_ws('|',
+                       doc_id::varchar, lang, n_chars::varchar)),
+                       1, 15))::bigint AS h
+              FROM documents)
+            SELECT 'customer' AS table_name, count(*) AS n_rows,
+                   bit_xor(h) AS xor_sig,
+                   CAST(sum(h % 1073741824) AS BIGINT) AS sum_sig FROM c
+            UNION ALL
+            SELECT 'documents', count(*), bit_xor(h),
+                   CAST(sum(h % 1073741824) AS BIGINT) FROM d
+            UNION ALL
+            SELECT 'lineitem', count(*), bit_xor(h),
+                   CAST(sum(h % 1073741824) AS BIGINT) FROM li
+            UNION ALL
+            SELECT 'orders', count(*), bit_xor(h),
+                   CAST(sum(h % 1073741824) AS BIGINT) FROM o
+            UNION ALL
+            SELECT 'part', count(*), bit_xor(h),
+                   CAST(sum(h % 1073741824) AS BIGINT) FROM p
+        """,
         "q194_top_supplier": """
             -- Q15 shape: max revenue, tie-inclusive
             WITH rev AS (

@@ -162,6 +162,8 @@ HEADLINE = [
     "q196_large_orders",     # Q18: HAVING + join-back, det. top-100
     "q197_waiting_supplier",  # Q21: EXISTS-free double aggregate
     "q198_idle_customers",   # Q22: scalar avg + anti-join
+    "q199_rolling_distinct",  # 20-row exact rolling distinct per key
+    "q200_snapshot_fingerprint",  # 5-table commutative acceptance digest
 ]
 
 

@@ -2601,3 +2601,38 @@ def test_idle_customers_cross_multiplied_avg(spark):
             AND o.o_orderdate >= TIMESTAMP '2000-08-01')
     """).fetchone()[0]
     assert total == want and total > 0
+
+
+def test_rolling_distinct_hand_sequence(spark):
+    import __spark_entry__ as m
+    from pyspark.sql import functions as F, Window as W
+
+    rows = [("t", i, i, u) for i, u in enumerate([1, 1, 2, 1, 3])]
+    df = spark.createDataFrame(rows, "event_type string, ts long, event_id long, user_id long")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    out = df.withColumn(
+        "rd", F.size(F.array_distinct(F.collect_list("user_id").over(w)))
+    ).orderBy("ts").collect()
+    assert [r.rd for r in out] == [1, 1, 2, 2, 3]
+
+
+def test_snapshot_fingerprint_detects_one_row_change(spark):
+    import __spark_entry__ as m
+
+    base = m.queries()["q200_snapshot_fingerprint"](spark, "/root/testdata/sf0.001")
+    a = {r.table_name: (r.n_rows, r.xor_sig, r.sum_sig) for r in base.collect()}
+    assert set(a) == {"customer", "documents", "lineitem", "orders", "part"}
+    # recompute with one mutated document: digest must differ ONLY there
+    from aeon_mecha_spark.pipeline.reconcile import row_hash
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").withColumn(
+        "n_chars", F.when(F.col("doc_id") == 0, F.col("n_chars") + 1).otherwise(F.col("n_chars"))
+    )
+    rh = row_hash(F.col("doc_id"), F.col("lang"), F.col("n_chars")).alias("_rh")
+    mut = docs.select(rh).agg(
+        F.count(F.lit(1)).alias("n"), F.bit_xor("_rh").alias("x"),
+        F.sum(F.col("_rh") % F.lit(1 << 30)).alias("s"),
+    ).collect()[0]
+    assert (mut.n, mut.x, mut.s) != a["documents"]
+    assert mut.n == a["documents"][0]  # same row count, different content
