@@ -3055,6 +3055,17 @@ def q200_snapshot_fingerprint(spark, sf_dir):
     return out.orderBy("table_name")
 
 
+def q201_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: HLL register partials built at the
+    (event_type, hour) grain, merged up to event_type, then estimated —
+    the oracle computes the DIRECT per-type sketch, so the hash match
+    PROVES the merge is lossless (register max is associative)."""
+    ev = _t(spark, sf_dir, "events").withColumn("_hod", F.hour("ts"))
+    parts = sketch.hll_partial(ev, ["event_type", "_hod"], "user_id")
+    merged = sketch.hll_merge(parts, ["event_type"])
+    return sketch.hll_estimate_registers(merged, ["event_type"]).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3176,6 +3187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_idle_customers": q198_idle_customers,
         "q199_rolling_distinct": q199_rolling_distinct,
         "q200_snapshot_fingerprint": q200_snapshot_fingerprint,
+        "q201_hll_rollup": q201_hll_rollup,
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
         "q58_event_pivot": q58_event_pivot,
@@ -5461,6 +5473,9 @@ def oracle_sql() -> dict[str, str]:
         "q181_ewma": _sql_ewma(1, 4, 16),
         "q182_bootstrap_se": _sql_bootstrap(32),
         "q190_hll_distinct": _sql_hll(),
+        # q201 rolls registers up from (type, hour) partials; the DIRECT
+        # sketch is the oracle — equality proves lossless mergeability
+        "q201_hll_rollup": _sql_hll(),
         "q191_kcore": _sql_kcore(3, 3),
         "q199_rolling_distinct": """
             WITH r AS (

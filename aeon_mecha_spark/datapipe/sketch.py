@@ -515,16 +515,41 @@ def hll_distinct(
     combinable), one per-key aggregate folding the ≤64 registers.
     Output: ``(keys…, n_registers, v_zeros, estimate)``.
     """
+    return hll_estimate_registers(hll_partial(df, keys, value_col, seed=seed), keys)
+
+
+def hll_partial(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """HLL register state at the given key grain, LONG FORM
+    ``(keys…, _j, _m)`` — the re-aggregatable sketch: merging registers
+    upward is ``max`` per (coarser keys, _j), and
+    ``hll_estimate_registers`` of the merged state equals the sketch
+    built directly at the coarse grain (max is associative), which the
+    q201 gate proves by hash-equality against the direct oracle."""
     h = md5_long(F.col(value_col).cast("string"), seed=seed)
     bucket = (h % HLL_M).alias("_j")
     rank = F.expr(hll_rank_case("(_h div 64)"))
-    regs = (
+    return (
         df.filter(F.col(value_col).isNotNull())
         .select(*keys, h.alias("_h"), bucket)
         .withColumn("_r", rank)
         .groupBy(*keys, "_j")
         .agg(F.max("_r").cast("long").alias("_m"))
     )
+
+
+def hll_merge(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge register states up to a coarser key grain (lossless)."""
+    return regs.groupBy(*keys, "_j").agg(F.max("_m").cast("long").alias("_m"))
+
+
+def hll_estimate_registers(regs: DataFrame, keys: list[str]) -> DataFrame:
+    """The exact integral HLL estimate from a long-form register table
+    (see ``hll_distinct`` for the arithmetic)."""
     wk = W.partitionBy(*keys)
     regs2 = regs.withColumn("_maxm", F.max("_m").over(wk)).withColumn(
         "_contrib",

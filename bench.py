@@ -164,6 +164,7 @@ HEADLINE = [
     "q198_idle_customers",   # Q22: scalar avg + anti-join
     "q199_rolling_distinct",  # 20-row exact rolling distinct per key
     "q200_snapshot_fingerprint",  # 5-table commutative acceptance digest
+    "q201_hll_rollup",       # register partials merged up, direct-equal
 ]
 
 

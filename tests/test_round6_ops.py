@@ -2636,3 +2636,25 @@ def test_snapshot_fingerprint_detects_one_row_change(spark):
     ).collect()[0]
     assert (mut.n, mut.x, mut.s) != a["documents"]
     assert mut.n == a["documents"][0]  # same row count, different content
+
+
+def test_hll_merge_lossless_vs_direct(spark):
+    from aeon_mecha_spark.datapipe.sketch import (
+        hll_distinct,
+        hll_estimate_registers,
+        hll_merge,
+        hll_partial,
+    )
+
+    df = spark.range(3000).selectExpr(
+        "CAST(id % 2 AS STRING) AS g", "CAST(id % 5 AS STRING) AS sub",
+        "CAST(id AS STRING) AS v",
+    )
+    direct = sorted(tuple(r) for r in hll_distinct(df, ["g"], "v").collect())
+    rolled = sorted(
+        tuple(r)
+        for r in hll_estimate_registers(
+            hll_merge(hll_partial(df, ["g", "sub"], "v"), ["g"]), ["g"]
+        ).collect()
+    )
+    assert direct == rolled  # register max is associative
