@@ -24,6 +24,7 @@ from aeon_mecha_spark.functions.hashing import key_hash
 from aeon_mecha_spark.functions.time import chunk_end as f_chunk_end
 from aeon_mecha_spark.operators import analytics, intervals, regression, sessionize, stats, windows
 from aeon_mecha_spark.query import Relation, U
+from aeon_mecha_spark.util import track_cached
 
 _MARKERS = textqc.LANG_MARKERS
 _NUM_MINHASH = 8
@@ -1506,7 +1507,10 @@ def q106_curation_pipeline(spark, sf_dir):
         # filtering the conjunction directly inlines the (interpreted)
         # shingle/ratio expressions into the predicate where they leave
         # whole-stage codegen AND recompute per downstream consumer —
-        # 2 int64s per doc of cache state buys both back
+        # 2 int64s per doc of cache state buys both back. Round-7
+        # bisect (SCALE.md "q106 persist bisect"): persist-on = 1.06
+        # sentinel units vs persist-off = 10.8 at sf0.1 — the cache is
+        # load-bearing (~10x), not the r6 regression's cause.
         .select("doc_id", "passes")
         .persist()
     )
@@ -1515,7 +1519,8 @@ def q106_curation_pipeline(spark, sf_dir):
     canon = dedup.exact_duplicates(kept).select(F.col("canonical_id").alias("doc_id"))
     uniq = kept.join(canon, "doc_id")
     sampled = curation.hash_sample(uniq, "doc_id", fraction=0.5, seed=1)
-    return curation.pack_sequences(sampled, budget=512, keys=["source"])
+    out = curation.pack_sequences(sampled, budget=512, keys=["source"])
+    return track_cached(out, verdicts)
 
 
 def q105_span_decontaminate(spark, sf_dir):
@@ -3077,71 +3082,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Insertion order matters: the driver's correctness gate grades the
-    # FIRST 50 entries. Round-6 rotation: q111-q115 (round-5 operators,
-    # never officially graded) and this round's new q116-q155 lead;
-    # then q34-q38 from the r04-graded families — the oldest remaining
-    # official records. Everything rotated out (relational core
-    # q05-q56, q75, q84-q110) is green in CORRECTNESS_r05/r04 and
-    # re-checkable via tools/check_correctness.py. NEXT ROTATION:
-    # q156-q193 (this round's second wave — judge-verified, no official
-    # row yet) should lead round 7's window.
+    # FIRST 50 entries. Round-7 rotation (the plan VERDICT r06 set):
+    # q155 leads (its oracle's window-sum is now CAST AS BIGINT — the
+    # sole r06 hash-red, a DuckDB HUGEINT->float64 representation bug,
+    # needs a green official row), then q156-q201 — the whole round-6
+    # second wave (eval metrics / time-series / TPC-H shapes / graph /
+    # HLL), judge-verified but never driver-graded — then q106 (its
+    # persist strategy changed this round, re-grade) and q39/q57 (the
+    # oldest remaining official records, r04). Everything rotated out
+    # (q111-q155 officially green in CORRECTNESS_r06; relational core
+    # q01-q110 in r04/r05) is re-checkable via
+    # tools/check_correctness.py, whose full-surface output is
+    # committed per round as CHECK_FULL_r{N}.json.
     return {
-        # -- round-5 operators: first official grading
-        "q111_winnowing": q111_winnowing,
-        "q112_unigram_logprob": q112_unigram_logprob,
-        "q113_ivf_multiprobe": q113_ivf_multiprobe,
-        "q114_grouped_quantiles": q114_grouped_quantiles,
-        "q115_range_shard": q115_range_shard,
-        # -- new this round
-        "q116_semantic_dedup": q116_semantic_dedup,
-        "q117_salted_join": q117_salted_join,
-        "q118_bucketed_join": q118_bucketed_join,
-        "q119_continuous_rollup": q119_continuous_rollup,
-        "q120_iqr_outliers": q120_iqr_outliers,
-        "q121_crosscorpus_dedup": q121_crosscorpus_dedup,
-        "q122_bloom_ledger": q122_bloom_ledger,
-        "q123_interpolate_linear": q123_interpolate_linear,
-        "q124_key_skew_stats": q124_key_skew_stats,
-        "q125_fuzzy_blocked_join": q125_fuzzy_blocked_join,
-        "q126_scd2_merge": q126_scd2_merge,
-        "q127_pagerank": q127_pagerank,
-        "q128_temporal_join": q128_temporal_join,
-        "q129_stateful_dropcount": q129_stateful_dropcount,
-        "q130_temperature_sample": q130_temperature_sample,
-        "q131_bm25": q131_bm25,
-        "q132_split_assign": q132_split_assign,
-        "q133_table_profile": q133_table_profile,
-        "q134_asof_nearest": q134_asof_nearest,
-        "q135_sliding_window": q135_sliding_window,
-        "q136_stream_stream_join": q136_stream_stream_join,
-        "q137_hist_quantile_sketch": q137_hist_quantile_sketch,
-        "q138_streaming_sessions": q138_streaming_sessions,
-        "q139_table_diff": q139_table_diff,
-        "q140_pmi_collocations": q140_pmi_collocations,
-        "q141_repetition_signals": q141_repetition_signals,
-        "q142_constraint_check": q142_constraint_check,
-        "q143_chi_square": q143_chi_square,
-        "q144_ngram_novelty": q144_ngram_novelty,
-        "q145_rrf_fusion": q145_rrf_fusion,
-        "q146_sequence_pattern": q146_sequence_pattern,
-        "q147_impute_median": q147_impute_median,
-        "q148_winsorize": q148_winsorize,
-        "q149_cube_agg": q149_cube_agg,
-        "q150_target_encode": q150_target_encode,
-        "q151_mad_outliers": q151_mad_outliers,
-        "q152_basket_rules": q152_basket_rules,
-        "q153_event_paths": q153_event_paths,
-        "q154_triangle_stats": q154_triangle_stats,
+        # -- the r06 red, oracle cast fixed: re-grade first
         "q155_weighted_quantiles": q155_weighted_quantiles,
-        # -- r04-graded families, officially re-graded this round
-        "q34_minhash": q34_minhash,
-        "q35_lsh_jaccard": q35_lsh_jaccard,
-        "q36_knn_cosine": q36_knn_cosine,
-        "q37_embedding_neardup": q37_embedding_neardup,
-        "q38_simhash": q38_simhash,
-        # ---- entries below are past the driver's 50-entry window ----
-        # (q156-q161 are new this round — judge-verifiable now, queued
-        # for the next rotation's official window)
+        # -- round-6 second wave: first official grading
         "q156_auc": q156_auc,
         "q157_ks": q157_ks,
         "q158_canonical_select": q158_canonical_select,
@@ -3188,8 +3144,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_rolling_distinct": q199_rolling_distinct,
         "q200_snapshot_fingerprint": q200_snapshot_fingerprint,
         "q201_hll_rollup": q201_hll_rollup,
+        # -- code changed this round (persist gating): re-grade
+        "q106_curation_pipeline": q106_curation_pipeline,
+        # -- oldest remaining official records (r04)
         "q39_lang_token_stats": q39_lang_token_stats,
         "q57_granularity_rollup": q57_granularity_rollup,
+        # ---- entries below are past the driver's 50-entry window ----
+        # (q111-q155: officially green in CORRECTNESS_r06; q34-q38
+        # re-graded r06; the relational core q01-q110 green in r04/r05;
+        # all re-checked every round via tools/check_correctness.py ->
+        # CHECK_FULL_r{N}.json)
+        "q111_winnowing": q111_winnowing,
+        "q112_unigram_logprob": q112_unigram_logprob,
+        "q113_ivf_multiprobe": q113_ivf_multiprobe,
+        "q114_grouped_quantiles": q114_grouped_quantiles,
+        "q115_range_shard": q115_range_shard,
+        "q116_semantic_dedup": q116_semantic_dedup,
+        "q117_salted_join": q117_salted_join,
+        "q118_bucketed_join": q118_bucketed_join,
+        "q119_continuous_rollup": q119_continuous_rollup,
+        "q120_iqr_outliers": q120_iqr_outliers,
+        "q121_crosscorpus_dedup": q121_crosscorpus_dedup,
+        "q122_bloom_ledger": q122_bloom_ledger,
+        "q123_interpolate_linear": q123_interpolate_linear,
+        "q124_key_skew_stats": q124_key_skew_stats,
+        "q125_fuzzy_blocked_join": q125_fuzzy_blocked_join,
+        "q126_scd2_merge": q126_scd2_merge,
+        "q127_pagerank": q127_pagerank,
+        "q128_temporal_join": q128_temporal_join,
+        "q129_stateful_dropcount": q129_stateful_dropcount,
+        "q130_temperature_sample": q130_temperature_sample,
+        "q131_bm25": q131_bm25,
+        "q132_split_assign": q132_split_assign,
+        "q133_table_profile": q133_table_profile,
+        "q134_asof_nearest": q134_asof_nearest,
+        "q135_sliding_window": q135_sliding_window,
+        "q136_stream_stream_join": q136_stream_stream_join,
+        "q137_hist_quantile_sketch": q137_hist_quantile_sketch,
+        "q138_streaming_sessions": q138_streaming_sessions,
+        "q139_table_diff": q139_table_diff,
+        "q140_pmi_collocations": q140_pmi_collocations,
+        "q141_repetition_signals": q141_repetition_signals,
+        "q142_constraint_check": q142_constraint_check,
+        "q143_chi_square": q143_chi_square,
+        "q144_ngram_novelty": q144_ngram_novelty,
+        "q145_rrf_fusion": q145_rrf_fusion,
+        "q146_sequence_pattern": q146_sequence_pattern,
+        "q147_impute_median": q147_impute_median,
+        "q148_winsorize": q148_winsorize,
+        "q149_cube_agg": q149_cube_agg,
+        "q150_target_encode": q150_target_encode,
+        "q151_mad_outliers": q151_mad_outliers,
+        "q152_basket_rules": q152_basket_rules,
+        "q153_event_paths": q153_event_paths,
+        "q154_triangle_stats": q154_triangle_stats,
+        "q34_minhash": q34_minhash,
+        "q35_lsh_jaccard": q35_lsh_jaccard,
+        "q36_knn_cosine": q36_knn_cosine,
+        "q37_embedding_neardup": q37_embedding_neardup,
+        "q38_simhash": q38_simhash,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
         "q60_gap_fill": q60_gap_fill,
@@ -3220,7 +3233,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_knn_recall": q103_knn_recall,
         "q104_bpe_tokens": q104_bpe_tokens,
         "q105_span_decontaminate": q105_span_decontaminate,
-        "q106_curation_pipeline": q106_curation_pipeline,
         "q107_zorder_key": q107_zorder_key,
         "q108_vocab_encode": q108_vocab_encode,
         "q109_pq_assign_fixed": q109_pq_assign_fixed,
@@ -3457,12 +3469,15 @@ def _sql_pq_assign_fixed() -> str:
 
 def _sql_bpe_apply_fixed() -> str:
     """Oracle for q162: the same fixed merge list unrolled into nested
-    literal replaces over the char-spaced word — replace() is
-    left-to-right non-overlapping in both engines, so the greedy merge
-    semantics match exactly."""
-    expr = "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')"
+    literal replaces over the double-space symbol encoding (every
+    symbol carries its own leading AND trailing space, so adjacent
+    pair matches never overlap and one left-to-right replace per rule
+    equals the greedy fixpoint — bpe.py:_char_spaced). replace() is
+    scan-order-deterministic in both engines, so semantics match
+    exactly."""
+    expr = "regexp_replace(word, '(.)', ' \\1 ', 'g')"
     for left, right in _BPE_MERGES:
-        expr = f"replace({expr}, ' {left} {right} ', ' {left}{right} ')"
+        expr = f"replace({expr}, ' {left}  {right} ', ' {left}{right} ')"
     return f"""
         WITH w AS (
           SELECT doc_id,
@@ -3535,7 +3550,8 @@ def _sql_kcore(k: int = 3, rounds: int = 3) -> str:
         und AS (
           SELECT src AS a, dst AS b FROM e0
           WHERE dst IS NOT NULL AND src <> dst),
-        sym AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und)"""
+        sym AS (SELECT DISTINCT a, b FROM (
+          SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und))"""
     prev = "sym"
     for i in range(1, rounds + 1):
         body += f""",
@@ -5674,10 +5690,12 @@ def oracle_sql() -> dict[str, str]:
                      unnest(range(len(touches))) AS i
               FROM c2),
             x AS (
+              -- sign·(abs //): trunc-toward-zero like Spark `div`
+              -- (DuckDB // floors, which disagrees on refunds)
               SELECT touches[i + 1] AS channel, n, i, cents,
-                     cents * 40 // 100 AS fc,
-                     cents * 40 // 100 AS lc,
-                     cents - 2 * (cents * 40 // 100) AS mt
+                     sign(cents) * (abs(cents) * 40 // 100) AS fc,
+                     sign(cents) * (abs(cents) * 40 // 100) AS lc,
+                     cents - 2 * (sign(cents) * (abs(cents) * 40 // 100)) AS mt
               FROM e)
             SELECT channel, count(*) AS n_touches,
                    CAST(sum(CASE
@@ -5686,8 +5704,9 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n = 2 AND i = 1 THEN lc
                         WHEN i = 0 THEN fc
                         WHEN i = n - 1 THEN
-                          lc + mt - (mt // (n - 2)) * (n - 2)
-                        ELSE mt // (n - 2) END) AS BIGINT) AS credit_cents
+                          lc + mt - (sign(mt) * (abs(mt) // (n - 2))) * (n - 2)
+                        ELSE sign(mt) * (abs(mt) // (n - 2)) END)
+                     AS BIGINT) AS credit_cents
             FROM x GROUP BY channel
         """,
         "q184_quantile_map": """
@@ -6310,7 +6329,8 @@ def oracle_sql() -> dict[str, str]:
                      sum(w) OVER (PARTITION BY l_returnflag ORDER BY v, w
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                        AND CURRENT ROW) AS cw,
-                     sum(w) OVER (PARTITION BY l_returnflag) AS wt
+                     CAST(sum(w) OVER (PARTITION BY l_returnflag)
+                          AS BIGINT) AS wt
               FROM b)
             SELECT l_returnflag, p, v AS q, wt AS w_total
             FROM r CROSS JOIN (VALUES (0.5::double, 1, 2),

@@ -36,21 +36,29 @@ from aeon_mecha_spark.util import spread, track_cached
 
 
 def _char_spaced(word: Column) -> Column:
-    """``'abc' -> ' a b c '`` — the space-delimited symbol string BPE
-    merges operate on (leading/trailing spaces make every symbol
-    boundary explicit, so a literal ``' l r '`` search matches exactly
-    adjacent symbols and nothing else)."""
-    return F.concat(F.lit(" "), F.regexp_replace(word, "(.)", "$1 "))
+    """``'abc' -> ' a  b  c '`` — the symbol string BPE merges operate
+    on. Every symbol carries its OWN leading and trailing space (so
+    adjacent symbols are separated by exactly two spaces). Because no
+    two pair occurrences share a boundary character, a single
+    left-to-right ``replace`` per merge rule finds ALL adjacent
+    occurrences — e.g. ``'aaaa'`` with merge ``(a,a)`` becomes
+    ``[aa, aa]``, matching greedy reference BPE, where a single-space
+    encoding would under-merge to ``[aa, a, a]`` (the trailing
+    boundary space of one match is the leading space of the next)."""
+    return F.regexp_replace(word, "(.)", " $1 ")
 
 
 def _apply_merges(sym_str: Column, merges: list[tuple[str, str]]) -> Column:
-    """Apply the merge list in order as literal left-to-right
-    non-overlapping replaces — the exact greedy semantics of the
-    reference BPE implementation, identical in any engine because
-    ``replace`` is scan-order-deterministic."""
+    """Apply the merge list in order as literal left-to-right replaces
+    over the double-space symbol encoding. With non-overlapping match
+    windows a single pass per rule IS the greedy fixpoint: a new
+    occurrence of rule (l, r) spanning a replacement boundary would
+    require r (or l) to be a prefix/suffix of ``l+r`` of the same
+    length, which is impossible for non-empty symbols. Identical in
+    any engine because ``replace`` is scan-order-deterministic."""
     s = sym_str
     for left, right in merges:
-        s = F.replace(s, F.lit(f" {left} {right} "), F.lit(f" {left}{right} "))
+        s = F.replace(s, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} "))
     return s
 
 
@@ -138,14 +146,17 @@ def bpe_learn(
         .filter(F.col("_w") != "")
         .groupBy("_w")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-        .select(F.trim(_char_spaced(F.col("_w"))).alias("_syms"), "_n")
+        .select(_char_spaced(F.col("_w")).alias("_syms"), "_n")
     )
     cur = word_freq.persist()
     track_cached(cur)
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, int(n_merges) + 1):
-            arr = F.split(F.col("_syms"), " ")
+            # _syms stays in the padded double-space encoding; the
+            # inter-symbol separator is exactly two spaces, so a
+            # literal "  " split recovers the symbol array.
+            arr = F.split(F.trim(F.col("_syms")), "  ")
             pair = F.transform(
                 F.slice(arr, 1, F.size(arr) - 1),
                 lambda x, i: F.struct(
@@ -166,12 +177,10 @@ def bpe_learn(
             left, right = best[0]["_p"]["l"], best[0]["_p"]["r"]
             merges.append((rank, left, right, int(best[0]["_c"])))
             nxt = cur.select(
-                F.trim(
-                    F.replace(
-                        F.concat(F.lit(" "), F.col("_syms"), F.lit(" ")),
-                        F.lit(f" {left} {right} "),
-                        F.lit(f" {left}{right} "),
-                    )
+                F.replace(
+                    F.col("_syms"),
+                    F.lit(f" {left}  {right} "),
+                    F.lit(f" {left}{right} "),
                 ).alias("_syms"),
                 "_n",
             ).persist()

@@ -901,7 +901,10 @@ def exact_split_quota(
             "_n",
             F.col("_s._i").alias("_i"),
             F.col("_s._split").alias("_split"),
-            ((F.col("_n") * F.col("_s._w")) / F.lit(den)).cast("long").alias("_base"),
+            # integer `div`, not float `/`: for _n*_w near 2^53 double
+            # rounding can flip the floor and break the quotas-sum-to-n
+            # contract (and the q164 oracle's exact (n*w)//den)
+            F.expr(f"(_n * _s._w) div {int(den)}").alias("_base"),
             ((F.col("_n") * F.col("_s._w")) % F.lit(den)).alias("_rem"),
         )
     )

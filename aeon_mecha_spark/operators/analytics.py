@@ -2417,8 +2417,17 @@ def position_attribution(
         .filter(F.col("_conv") & (F.size("_touches") > 0))
     )
     n = F.size("_touches")
-    first_c = F.expr(f"CAST(_cents * {int(first_pct)} div 100 AS BIGINT)")
-    last_c = F.expr(f"CAST(_cents * {int(last_pct)} div 100 AS BIGINT)")
+    # sign·(abs div) — the repo convention for possibly-negative
+    # numerators (refund conversions): Spark `div` truncates toward
+    # zero while DuckDB `//` floors, so both the plan and the q193
+    # oracle spell out trunc-toward-zero explicitly (cf. woe_encode /
+    # gini_by_group).
+    first_c = F.expr(
+        f"CAST(sign(_cents) * ((abs(_cents) * {int(first_pct)}) div 100) AS BIGINT)"
+    )
+    last_c = F.expr(
+        f"CAST(sign(_cents) * ((abs(_cents) * {int(last_pct)}) div 100) AS BIGINT)"
+    )
     mid_total = (F.col("_cents") - first_c - last_c).cast("long")
     per_touch = convs.select(
         "_touches",
@@ -2436,7 +2445,7 @@ def position_attribution(
         "_cents",
     )
     nmid = (F.col("_n") - 2).cast("long")
-    mid_share = F.expr("CAST(_mt div (_n - 2) AS BIGINT)")
+    mid_share = F.expr("CAST(sign(_mt) * (abs(_mt) div (_n - 2)) AS BIGINT)")
     credit = (
         F.when(F.col("_n") == 1, F.col("_cents"))
         .when((F.col("_n") == 2) & (F.col("_i") == 0), F.col("_fc") + F.col("_mt"))

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from aeon_mecha_spark.util import track_cached
+
 
 def transition_edges(
     events: DataFrame,
@@ -225,14 +227,21 @@ def kcore(
     makes the result a deterministic partial peel — the q191 gate runs
     3 fixed rounds so a SQL oracle can unroll them exactly.
 
-    Edges are treated undirected; self-loops are ignored. Output:
-    surviving ``(node, degree)`` — degree within the final core.
+    Edges are treated undirected; self-loops are ignored, and parallel
+    edges (multi-edges, e.g. a handoff repeated k times) are collapsed
+    to ONE — degree means DISTINCT neighbours, so a node whose only
+    neighbour transitioned to it k times cannot survive a k-core peel.
+    Output: surviving ``(node, degree)`` — distinct-neighbour degree
+    within the final core. The per-round persisted node set rides on
+    the result via ``track_cached``; call ``release_cached`` when done.
     """
     und = (
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
     )
-    sym = und.unionByName(und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b")))
+    sym = und.unionByName(
+        und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
+    ).distinct()
     nodes = None  # None = all nodes
     cur_edges = sym
     prev_n = None
@@ -252,4 +261,8 @@ def kcore(
             .join(nodes.select(F.col("_a").alias("_b")), "_b", "left_semi")
         )
     out = cur_edges.groupBy("_a").agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    return out.select(F.col("_a").alias("node"), "degree")
+    out = out.select(F.col("_a").alias("node"), "degree")
+    # the surviving round's node set stays persisted (the output plan
+    # still references it); hand the handle to the caller instead of
+    # leaking executor cache for the rest of the session
+    return track_cached(out, nodes) if nodes is not None else out

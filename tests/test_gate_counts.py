@@ -1,0 +1,53 @@
+"""One counting convention, everywhere (VERDICT r06 'What's wrong' #3).
+
+The registry in ``__spark_entry__.py`` is the single source of truth:
+``len(queries())`` gates, of which ``len(oracle_sql())`` are
+DuckDB-oracled and the rest are declared rows-only. Every document that
+states a count must state THESE counts — this test parses the claims
+out of README.md and docs/EXACTNESS.md so a registry change that
+forgets the docs fails loudly instead of drifting.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# the four gates documented as rows-only (no SQL form by nature)
+ROWS_ONLY = {"q87_zarr_decode", "q93_pca_project", "q99_pq_codes", "q163_bpe_learn"}
+
+
+def _registry():
+    import __spark_entry__ as m
+
+    return m.queries(), m.oracle_sql()
+
+
+def test_registry_is_consistent():
+    qs, os_ = _registry()
+    assert len(qs) == len(set(qs)), "duplicate query keys collapse silently"
+    missing = set(qs) - set(os_) - ROWS_ONLY
+    assert not missing, f"gates with no oracle and not declared rows-only: {missing}"
+    orphans = set(os_) - set(qs)
+    assert not orphans, f"oracles without a queries() entry: {orphans}"
+    assert len(os_) == len(qs) - len(ROWS_ONLY)
+
+
+def test_readme_counts_match_registry():
+    qs, os_ = _registry()
+    text = open(os.path.join(REPO, "README.md")).read()
+    m = re.search(r"(\d+) driver-contract queries \((\d+) with DuckDB oracles", text)
+    assert m, "README.md no longer states the gate counts"
+    assert (int(m.group(1)), int(m.group(2))) == (len(qs), len(os_))
+    m2 = re.search(r"# (\d+)-query oracle gate", text)
+    assert m2 and int(m2.group(1)) == len(os_)
+
+
+def test_exactness_doc_count_matches_registry():
+    qs, os_ = _registry()
+    text = open(os.path.join(REPO, "docs", "EXACTNESS.md")).read()
+    m = re.search(r"\((\d+) oracle-gated queries of the (\d+)-gate registry", text)
+    assert m, "docs/EXACTNESS.md no longer states the gate counts"
+    assert (int(m.group(1)), int(m.group(2))) == (len(os_), len(qs))

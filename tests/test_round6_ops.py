@@ -1743,6 +1743,39 @@ def test_bpe_apply_greedy_left_to_right_non_overlapping(spark):
     assert out.n_bpe_tokens == 2
 
 
+def test_bpe_apply_merges_adjacent_repeated_pairs(spark):
+    # Regression (round-7 ADVICE): a single-space symbol encoding
+    # under-merges runs because consecutive matches share the boundary
+    # space — 'aaaa' came out [aa, a, a]. Greedy reference BPE
+    # (Sennrich/HuggingFace) yields [aa, aa]; the double-space
+    # encoding must reproduce that, including across stacked rules.
+    from aeon_mecha_spark.datapipe.bpe import apply_bpe_merges, bpe_learn
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaaaa"), (3, "aaaaaa")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_bpe_tokens for r in apply_bpe_merges(df, [("a", "a")]).collect()}
+    assert out == {1: 2, 2: 3, 3: 3}  # [aa,aa], [aa,aa,a], [aa,aa,aa]
+    out2 = {
+        r.doc_id: r.n_bpe_tokens
+        for r in apply_bpe_merges(df, [("a", "a"), ("aa", "aa")]).collect()
+    }
+    assert out2 == {1: 1, 2: 2, 3: 2}  # [aaaa], [aaaa,a], [aaaa,aa]
+    # learning on a run-heavy corpus rewrites words the same way:
+    # 'aaaa' x3 -> (a,a) count 9 (3 adjacent pairs per word), then the
+    # rewritten word is 'aa aa' so round 2 sees (aa,aa) count 3.
+    learned = [
+        (r.left, r.right, r.pair_count)
+        for r in bpe_learn(
+            spark.createDataFrame(
+                [(i, "aaaa") for i in range(3)], "doc_id long, text string"
+            ),
+            2,
+        ).collect()
+    ]
+    assert learned == [("a", "a", 9), ("aa", "aa", 3)]
+
+
 def test_bpe_merges_never_cross_word_boundaries(spark):
     from aeon_mecha_spark.datapipe.bpe import apply_bpe_merges
 

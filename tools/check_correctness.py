@@ -43,6 +43,18 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _kind(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "ts"
+    return "obj"
+
+
 def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if sorted(sdf.columns) != sorted(odf.columns):
@@ -51,6 +63,18 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if len(sdf) != len(odf):
         problems.append(f"row count differs: spark={len(sdf)} oracle={len(odf)}")
         return problems
+    # the DRIVER hashes the pandas representation, so a column whose
+    # dtype KIND differs between the two frames (e.g. oracle HUGEINT ->
+    # float64 vs spark bigint -> int64, the q155 red) hash-mismatches
+    # even when every value is equal — flag it before canon() coerces
+    # the difference away
+    for c in sdf.columns:
+        sk, ok = _kind(sdf[c]), _kind(odf[c])
+        if sk != ok:
+            problems.append(
+                f"dtype kind differs on {c}: spark={sdf[c].dtype} oracle={odf[c].dtype}"
+                " (driver value-hash diverges on representation)"
+            )
     a, b = canon(sdf), canon(odf)
     for c in a.columns:
         av, bv = a[c], b[c]
@@ -87,24 +111,33 @@ def main() -> None:
     oracles = entry_mod.oracle_sql()
     names = ONLY or list(qs)
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "rows": None, "problems": [f"spark raised {e}"]}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"SKIP {name}: no oracle ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"status": "rows_only", "rows": len(sdf), "problems": []}
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            results[name] = {"status": "fail", "rows": len(sdf), "problems": [f"duckdb raised {e}"]}
             n_fail += 1
             continue
         problems = compare(name, sdf, odf)
+        results[name] = {
+            "status": "fail" if problems else "pass",
+            "rows": len(sdf),
+            "problems": problems,
+        }
         if problems:
             n_fail += 1
             print(f"FAIL {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
@@ -114,6 +147,27 @@ def main() -> None:
             n_pass += 1
             print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{n_pass} passed, {n_fail} failed, sf_dir={SF_DIR}")
+    # full-surface provenance artifact (VERDICT r06 task 5): with a
+    # 201-gate registry and a 50-row official window, the out-of-window
+    # gates need a machine-checkable record each round — set
+    # CHECK_JSON_OUT=CHECK_FULL_r07.json to write one
+    out_path = os.environ.get("CHECK_JSON_OUT")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_path}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
