@@ -3071,6 +3071,85 @@ def q201_hll_rollup(spark, sf_dir):
     return sketch.hll_estimate_registers(merged, ["event_type"]).orderBy("event_type")
 
 
+def _match_stream(spark, sf_dir):
+    """Pairwise match outcomes derived from the event log: within each
+    event_type stream (ts, event_id order) consecutive DISTINCT users
+    with non-null values play a "match"; the larger value wins, ties
+    to the smaller user_id — a deterministic synthetic preference log
+    (the q127/q191 transition-edge convention extended with outcomes)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    m = ev.select(
+        F.col("user_id").alias("_a"),
+        F.col("value").alias("_va"),
+        F.lead("user_id").over(w).alias("_b"),
+        F.lead("value").over(w).alias("_vb"),
+    ).filter(F.col("_b").isNotNull() & (F.col("_a") != F.col("_b")))
+    win_a = (F.col("_va") > F.col("_vb")) | (
+        (F.col("_va") == F.col("_vb")) & (F.col("_a") < F.col("_b"))
+    )
+    return m.select(
+        F.when(win_a, F.col("_a")).otherwise(F.col("_b")).alias("winner"),
+        F.when(win_a, F.col("_b")).otherwise(F.col("_a")).alias("loser"),
+    )
+
+
+def q202_bradley_terry(spark, sf_dir):
+    """Bradley-Terry preference strengths from pairwise outcomes: 3
+    fixed MM rounds in scaled integer arithmetic (the q127/q191
+    fixed-round pattern), so the iterative ranking hash-gates against
+    an unrolled SQL oracle."""
+    from aeon_mecha_spark.operators import graph as G
+
+    return G.bradley_terry_int(_match_stream(spark, sf_dir), iters=3).orderBy("node")
+
+
+def q203_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa over a synthetic 5-rater panel (each user's first
+    5 events, category = event_type): one exact rational emitted in
+    ppm — the multi-rater agreement gate next to q171's two-rater
+    Cohen's kappa."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.fleiss_kappa(
+        ev, ["user_id"], "event_type", n_raters=5, order_cols=["ts", "event_id"]
+    )
+
+
+def q204_psi(spark, sf_dir):
+    """Population Stability Index of l_extendedprice between early and
+    late shipments: reference-decile buckets from the two-level exact
+    quantile scale path, micro-nat log ratios, exact-rational weights
+    — the numeric drift gate beside q179's categorical KL."""
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.psi_numeric(
+        li,
+        "l_extendedprice",
+        F.col("l_shipdate") < F.lit("1995-06-01").cast("date"),
+        n_buckets=10,
+        range_buckets=32,
+    ).orderBy("bucket")
+
+
+def q205_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM score per document (λ=0.75 ML bigram +
+    0.25 smoothed unigram): token ORDER quality that q112's unigram
+    proxy cannot see, in the same integer micro-nat discipline."""
+    docs = _t(spark, sf_dir, "documents")
+    return textqc.bigram_logprob(docs).orderBy("doc_id")
+
+
+def q206_wilson_lb(spark, sf_dir):
+    """Wilson 95% lower bound on per-priority big-order rates, integer
+    exact: z^2*10^4 = 38416 literally, the radicand in decimal(38,0),
+    and an EXACT floor square root (double seed + 2 integer Newton
+    steps + clamp) - deterministic ranking with no engine sqrt in the
+    comparison path."""
+    od = _t(spark, sf_dir, "orders")
+    return analytics.wilson_lower_bound(
+        od, ["o_orderpriority"], F.col("o_totalprice") > 150000.0
+    ).orderBy("o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3307,6 +3386,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_tfidf": q88_tfidf,
         "q89_inverted_index": q89_inverted_index,
         "q90_token_budget": q90_token_budget,
+        # -- round-7 wave (below the window; next rotation grades them)
+        "q202_bradley_terry": q202_bradley_terry,
+        "q203_fleiss_kappa": q203_fleiss_kappa,
+        "q204_psi": q204_psi,
+        "q205_bigram_logprob": q205_bigram_logprob,
+        "q206_wilson_lb": q206_wilson_lb,
     }
 
 
@@ -4086,6 +4171,58 @@ def _sql_pagerank(iters: int = 5, scale: int = 1_000_000, damping_pct: int = 85)
     )""")
     return "WITH" + "".join(ctes) + f"""
     SELECT node AS user_id, r AS rank_micro FROM r{iters}"""
+
+
+
+def _sql_bradley_terry(iters: int = 3, scale: int = 1000) -> str:
+    """Oracle for q202: the fixed-round MM update unrolled. `//` on
+    non-negative BIGINTs floors exactly like Spark's `div` (all
+    quantities here are >= 0), so the integer updates match bit-exactly.
+    """
+    body = f"""
+        WITH m0 AS (
+          SELECT user_id AS a, value AS va,
+                 lead(user_id) OVER w AS b, lead(value) OVER w AS vb
+          FROM events WHERE value IS NOT NULL
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+        m AS (
+          SELECT CASE WHEN va > vb OR (va = vb AND a < b) THEN a ELSE b END AS w,
+                 CASE WHEN va > vb OR (va = vb AND a < b) THEN b ELSE a END AS l
+          FROM m0 WHERE b IS NOT NULL AND a <> b),
+        sym AS (
+          SELECT i, j, count(*)::bigint AS n FROM (
+            SELECT w AS i, l AS j FROM m
+            UNION ALL SELECT l AS i, w AS j FROM m)
+          GROUP BY i, j),
+        winc AS (SELECT w AS i, count(*)::bigint AS wn FROM m GROUP BY w),
+        players AS (SELECT DISTINCT i FROM sym),
+        stats AS (
+          SELECT p.i, coalesce(w.wn, 0)::bigint AS wn
+          FROM players p LEFT JOIN winc w USING (i)),
+        p0 AS (SELECT i, {scale}::bigint AS p FROM players)"""
+    prev = "p0"
+    for k in range(1, iters + 1):
+        body += f""",
+        d{k} AS (
+          SELECT s.i,
+                 CAST(sum(s.n * 1000000000 // greatest(pi.p + pj.p, 1))
+                      AS BIGINT) AS d
+          FROM sym s
+          JOIN {prev} pi ON s.i = pi.i
+          JOIN {prev} pj ON s.j = pj.i
+          GROUP BY s.i),
+        p{k} AS (
+          SELECT st.i,
+                 (st.wn * 1000000000 // greatest(coalesce(d.d, 0), 1))::bigint AS p
+          FROM stats st LEFT JOIN d{k} d USING (i))"""
+        prev = f"p{k}"
+    body += f""",
+        nm AS (SELECT i, CAST(sum(n) AS BIGINT) AS nm FROM sym GROUP BY i)
+        SELECT st.i AS node, st.wn AS n_wins, nm.nm AS n_matches,
+               {prev}.p AS strength_milli
+        FROM stats st JOIN nm USING (i) JOIN {prev} USING (i)
+    """
+    return body
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7227,6 +7364,166 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(n_tokens::double) - (s::double / 1000000.0)
                          / n_tokens::double, 6) AS entropy
             FROM agg
+        """,
+        "q202_bradley_terry": _sql_bradley_terry(3),
+        "q203_fleiss_kappa": """
+            -- n = 5 raters/subject: kappa = (5*N*S1 - 4*S2)
+            --                               / (4*(25*N^2 - S2)), exact
+            WITH t AS (
+              SELECT user_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events),
+            cell AS (
+              SELECT user_id, event_type, count(*)::bigint AS nij
+              FROM t WHERE rn <= 5 GROUP BY user_id, event_type),
+            subj AS (
+              SELECT user_id, CAST(sum(nij * nij) AS BIGINT) AS sq
+              FROM cell GROUP BY user_id HAVING sum(nij) = 5),
+            cc AS (SELECT c.* FROM cell c JOIN subj s USING (user_id)),
+            cat AS (
+              SELECT event_type, CAST(sum(nij) AS BIGINT) AS cj
+              FROM cc GROUP BY event_type),
+            t1 AS (
+              SELECT count(*)::bigint AS n_subjects,
+                     CAST(sum(sq - 5) AS BIGINT) AS s1 FROM subj),
+            t2 AS (
+              SELECT count(*)::bigint AS n_categories,
+                     CAST(sum(cj * cj) AS BIGINT) AS s2 FROM cat)
+            SELECT n_subjects, n_categories, s1, s2,
+                   CAST(s1::hugeint * 1000000
+                        // (20::hugeint * n_subjects) AS BIGINT) AS pbar_ppm,
+                   CAST(s2::hugeint * 1000000
+                        // (25::hugeint * n_subjects * n_subjects)
+                        AS BIGINT) AS pe_ppm,
+                   CAST(CASE WHEN 4 * (25::hugeint * n_subjects * n_subjects
+                                       - s2) <> 0 THEN
+                     sign(5::hugeint * n_subjects * s1 - 4::hugeint * s2)
+                     * (abs(5::hugeint * n_subjects * s1 - 4::hugeint * s2)
+                        * 1000000
+                        // (4 * (25::hugeint * n_subjects * n_subjects - s2)))
+                   END AS BIGINT) AS kappa_ppm
+            FROM t1 CROSS JOIN t2
+        """,
+        "q204_psi": """
+            -- reference-decile PSI: type-1 boundaries (rank >=
+            -- ceil(k*N/10)), alpha=1/2 smoothing doubled out, micro-nat
+            -- log ratio x exact-rational (p - q), sign-abs division
+            WITH b AS (
+              SELECT l_extendedprice AS v,
+                     CASE WHEN l_shipdate < DATE '1995-06-01'
+                          THEN 1 ELSE 0 END AS inref
+              FROM lineitem WHERE l_extendedprice IS NOT NULL),
+            r AS (
+              SELECT v, row_number() OVER (ORDER BY v) AS rn,
+                     count(*) OVER () AS nr
+              FROM b WHERE inref = 1),
+            qs AS (
+              SELECT k, min(v) AS q
+              FROM r CROSS JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) ks(k)
+              WHERE rn >= (k * nr + 9) // 10 GROUP BY k),
+            bl AS (SELECT list(q ORDER BY q) AS bs FROM qs),
+            bk AS (
+              SELECT CAST(len(list_filter(bl.bs, x -> x <= b.v)) AS BIGINT)
+                       AS bucket,
+                     b.inref, bl.bs
+              FROM b CROSS JOIN bl),
+            g AS (
+              SELECT bucket,
+                     CASE WHEN bucket > 0 THEN bs[CAST(bucket AS INT)] END AS lo,
+                     CAST(sum(inref) AS BIGINT) AS n_ref,
+                     CAST(sum(1 - inref) AS BIGINT) AS n_cur
+              FROM bk GROUP BY bucket, bs),
+            tot AS (
+              SELECT CAST(sum(n_ref) AS BIGINT) AS nr,
+                     CAST(sum(n_cur) AS BIGINT) AS nc FROM g),
+            sc AS (
+              SELECT g.*, tot.nr, tot.nc,
+                     floor(ln(((2 * n_ref::double + 1) / (2 * nr::double + 10.0))
+                              / ((2 * n_cur::double + 1) / (2 * nc::double + 10.0)))
+                           * 1000000.0 + 0.5)::bigint AS log_ratio_unat
+              FROM g CROSS JOIN tot)
+            SELECT bucket, lo, n_ref, n_cur, log_ratio_unat,
+                   CAST(sign(((2 * n_ref::hugeint + 1) * (2 * nc + 10)
+                              - (2 * n_cur::hugeint + 1) * (2 * nr + 10))
+                             * log_ratio_unat)
+                        * (abs(((2 * n_ref::hugeint + 1) * (2 * nc + 10)
+                                - (2 * n_cur::hugeint + 1) * (2 * nr + 10))
+                               * log_ratio_unat)
+                           // ((2 * nr::hugeint + 10) * (2 * nc::hugeint + 10)))
+                        AS BIGINT) AS term_unat
+            FROM sc
+        """,
+        "q205_bigram_logprob": """
+            -- interpolated bigram LM (lambda=3/4 ML + 1/4 smoothed
+            -- unigram over the w2 stream), q112's micro-nat discipline
+            WITH tk AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents WHERE trim(text) <> ''),
+            bg AS (
+              SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM tk WHERE len(t) >= 2)),
+            c12 AS (
+              SELECT w1, w2, count(*)::bigint AS c12
+              FROM bg GROUP BY w1, w2),
+            c1 AS (SELECT w1, count(*)::bigint AS c1 FROM bg GROUP BY w1),
+            ucnt AS (SELECT w2, count(*)::bigint AS cu FROM bg GROUP BY w2),
+            tot AS (SELECT CAST(sum(cu) AS BIGINT) AS n FROM ucnt),
+            vocab AS (SELECT w2, cu FROM ucnt ORDER BY cu DESC, w2 LIMIT 256),
+            model AS (
+              SELECT v.w2, (v.cu::double + 0.5) / (t.n::double + 128.5) AS pu
+              FROM vocab v CROSS JOIN tot t),
+            oov AS (SELECT 0.5 / (n::double + 128.5) AS pu FROM tot),
+            scored AS (
+              SELECT bg.doc_id,
+                     CASE WHEN c.c12 IS NULL THEN 1 ELSE 0 END AS unseen,
+                     floor(ln(0.75 * (coalesce(c.c12, 0)::double / k.c1::double)
+                              + 0.25 * coalesce(m.pu, (SELECT pu FROM oov)))
+                           * 1000000.0 + 0.5)::bigint AS lp
+              FROM bg
+              LEFT JOIN c12 c USING (w1, w2)
+              JOIN c1 k USING (w1)
+              LEFT JOIN model m USING (w2))
+            SELECT doc_id, count(*)::bigint AS n_bigrams,
+                   CAST(sum(unseen) AS BIGINT) AS n_unseen,
+                   floor((2.0 * sum(lp)::double + count(*)::double)
+                         / (2.0 * count(*)::double)) / 1000000.0
+                     AS logprob_per_bigram
+            FROM scored GROUP BY doc_id
+        """,
+        "q206_wilson_lb": """
+            -- z^2*10^4 = 38416 literal; exact floor sqrt via double
+            -- seed + 2 integer Newton steps + clamp (engine-identical
+            -- REGARDLESS of each engine's sqrt rounding)
+            WITH g AS (
+              SELECT o_orderpriority, count(*)::bigint AS n,
+                     CAST(sum(CASE WHEN o_totalprice > 150000.0
+                              THEN 1 ELSE 0 END) AS BIGINT) AS s
+              FROM orders GROUP BY o_orderpriority),
+            r AS (
+              SELECT o_orderpriority, n, s,
+                     38416::hugeint * (10000::hugeint * s * (n - s) * n
+                                       + 9604::hugeint * n * n) AS rad
+              FROM g),
+            n0 AS (SELECT *, greatest(floor(sqrt(rad::double)), 1.0)::hugeint
+                              AS sq0 FROM r),
+            n1 AS (SELECT *, (sq0 + rad // sq0) // 2 AS sq1 FROM n0),
+            n2 AS (SELECT *, (sq1 + rad // sq1) // 2 AS sq2 FROM n1),
+            i AS (
+              SELECT *, CASE WHEN (sq2 + 1) * (sq2 + 1) <= rad THEN sq2 + 1
+                             WHEN sq2 * sq2 > rad THEN sq2 - 1
+                             ELSE sq2 END AS isq
+              FROM n2)
+            SELECT o_orderpriority, n, s AS n_success,
+                   CAST(CASE WHEN 10000::hugeint * s * n + 19208::hugeint * n
+                                  - isq >= 0
+                        THEN ((10000::hugeint * s * n + 19208::hugeint * n
+                               - isq) * 1000)
+                             // (n::hugeint * (10000::hugeint * n + 38416))
+                        ELSE 0 END AS BIGINT) AS lb_milli
+            FROM i
         """,
     }
     return sqls

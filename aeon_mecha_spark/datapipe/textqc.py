@@ -683,3 +683,112 @@ def feature_hash(
         .agg(F.sum("_sgn").cast("long").alias("value"))
         .filter(F.col("value") != 0)
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    vocab_size: int = 256,
+    alpha: float = 0.5,
+    lam: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — the
+    next rung above :func:`unigram_logprob` on the CCNet-style quality
+    ladder: a document's tokens can individually be common while their
+    ORDER is garbage (shuffled scrapes, keyword stuffing), which only a
+    conditional model sees.
+
+    Per adjacent token pair ``(w1, w2)``:
+
+        ``p = λ·c(w1,w2)/c(w1,·) + (1−λ)·p_uni(w2)``
+
+    where the maximum-likelihood bigram term is 0 for unseen pairs
+    (interpolation absorbs them — no bigram smoothing needed) and
+    ``p_uni`` is the :func:`unigram_logprob` model over the
+    second-token stream (additive-α over the deterministic top-``V``
+    vocabulary, one shared OOV mass).
+
+    Engine parity: ``c12``, ``c1``, ``c_u``, ``N`` are integers exactly
+    representable as doubles; ``p`` is a fixed IEEE expression tree
+    (identical rounding in any engine), each position's ``ln(p)`` is
+    floored half-up into an INTEGER micro-nat, integer-summed
+    (associative → partition-independent), and the per-document mean
+    uses the ``floor((2S+n)/(2n))`` half-up convention — the exact
+    discipline of ``unigram_logprob``/``token_entropy``.
+
+    Plan: one explode builds the bigram stream; bigram and context
+    counts are map-side-combinable groupBys; the model probe joins the
+    stream on the BIGRAM KEY (key-bounded shuffle — the bigram table
+    grows with the observed vocabulary², not the corpus, but is not
+    broadcastable at 100 TB, so this is the one big-big equi-join);
+    the unigram model is a ≤V-row TakeOrdered broadcast like q112. The
+    final per-doc groupBy is the only other corpus-sized exchange.
+
+    Output: ``(id, n_bigrams, n_unseen, logprob_per_bigram)``; docs
+    with fewer than 2 tokens produce no row.
+    """
+    arr = tokens(F.col(text_col))
+    pairs = F.transform(
+        F.slice(arr, 1, F.size(arr) - 1),
+        lambda x, i: F.struct(
+            x.alias("_w1"), F.element_at(arr, i + F.lit(2)).alias("_w2")
+        ),
+    )
+    bg = (
+        spread(docs)
+        .filter(F.size(arr) >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(id_col, F.col("_p._w1").alias("_w1"), F.col("_p._w2").alias("_w2"))
+    )
+    c12 = bg.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).cast("long").alias("_c12"))
+    c1 = bg.groupBy("_w1").agg(F.count(F.lit(1)).cast("long").alias("_c1"))
+    ucnt = bg.groupBy("_w2").agg(F.count(F.lit(1)).cast("long").alias("_cu"))
+    totals = bg.agg(F.count(F.lit(1)).cast("long").alias("_N"))
+    vocab = (
+        ucnt.orderBy(F.col("_cu").desc(), F.col("_w2").asc())
+        .limit(int(vocab_size))
+        .crossJoin(F.broadcast(totals))
+    )
+    a, v1 = float(alpha), float(alpha) * float(vocab_size + 1)
+    denom = F.col("_N").cast("double") + F.lit(v1)
+    model = vocab.select(
+        "_w2", ((F.col("_cu").cast("double") + F.lit(a)) / denom).alias("_pu")
+    )
+    pu_oov = (F.lit(a) / (F.col("_N").cast("double") + F.lit(v1))).alias("_pu_oov")
+    lam_d = float(lam)
+    scored = (
+        bg.join(c12, ["_w1", "_w2"], "left")
+        .join(c1, "_w1")  # vocab-sized, keyed shuffle join (NOT broadcast at 100 TB)
+        .join(F.broadcast(model), "_w2", "left")
+        .crossJoin(F.broadcast(totals.select(pu_oov)))
+        .select(
+            F.col(id_col),
+            F.when(F.col("_c12").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("_unseen"),
+            F.floor(
+                F.log(
+                    F.lit(lam_d)
+                    * (
+                        F.coalesce(F.col("_c12"), F.lit(0)).cast("double")
+                        / F.col("_c1").cast("double")
+                    )
+                    + F.lit(1.0 - lam_d) * F.coalesce(F.col("_pu"), F.col("_pu_oov"))
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("_lp"),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("_unseen").cast("long").alias("n_unseen"),
+        F.sum("_lp").cast("long").alias("_s"),
+    )
+    s_d, n_d = F.col("_s").cast("double"), F.col("n_bigrams").cast("double")
+    mean_micro = F.floor((F.lit(2.0) * s_d + n_d) / (F.lit(2.0) * n_d))
+    return per.select(
+        id_col,
+        "n_bigrams",
+        "n_unseen",
+        (mean_micro.cast("double") / F.lit(1000000.0)).alias("logprob_per_bigram"),
+    )

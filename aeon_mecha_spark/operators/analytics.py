@@ -2462,3 +2462,297 @@ def position_attribution(
             F.sum("_credit").cast("long").alias("credit_cents"),
         )
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    subject_cols: list[str],
+    category_col: str,
+    n_raters: int,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED number
+    of raters per subject (the multi-rater generalization of the
+    two-rater Cohen's kappa already gated as q171): the labeling-QA
+    metric for crowd-sourced annotation batches.
+
+    Each subject's first ``n_raters`` ratings (in ``order_cols`` order
+    — deterministic take) form its rating row; subjects with fewer are
+    dropped. With ``n_ij`` = ratings of subject ``i`` in category
+    ``j``, ``n`` = raters/subject, ``N`` = subjects:
+
+        ``S1 = Σ_i (Σ_j n_ij² − n)``   (per-subject agreement numerators)
+        ``S2 = Σ_j C_j²`` with ``C_j = Σ_i n_ij``
+
+        ``P̄  = S1 / (N·n·(n−1))``, ``P̄ₑ = S2 / (n²·N²)``
+        ``κ  = (P̄ − P̄ₑ) / (1 − P̄ₑ)
+             = (n·N·S1 − (n−1)·S2) / ((n−1)·(n²·N² − S2))``
+
+    — one exact rational, emitted as ppm via the sign·(abs div)
+    convention in decimal(38,0) (``n²N²`` ≈ 10¹⁴ at a million
+    subjects; ×10⁶ clears bigint, decimal is exact). All-one-category
+    data has ``P̄ₑ = 1``; kappa is NULL there (0/0, the standard
+    degeneracy).
+
+    Plan: one per-subject window keeps rank ≤ n (shuffle 1), one
+    (subject, category) count + per-subject Σn² (shuffle stays on the
+    subject key), one category rollup for ``C_j`` (tiny), two 1-row
+    totals broadcast into a single-row result. Nothing global beyond
+    the |categories|-row table.
+
+    Output: one row ``(n_subjects, n_categories, s1, s2, pbar_ppm,
+    pe_ppm, kappa_ppm)``.
+    """
+    order_cols = order_cols or subject_cols
+    n = int(n_raters)
+    w = W.partitionBy(*subject_cols).orderBy(*[F.col(c) for c in order_cols])
+    taken = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .select(*subject_cols, F.col(category_col).alias("_cat"))
+    )
+    cell = taken.groupBy(*subject_cols, "_cat").agg(
+        F.count(F.lit(1)).cast("long").alias("_nij")
+    )
+    per_subj = cell.groupBy(*subject_cols).agg(
+        F.sum("_nij").cast("long").alias("_n"),
+        F.sum(F.col("_nij") * F.col("_nij")).cast("long").alias("_sq"),
+    ).filter(F.col("_n") == n)
+    # category totals only over COMPLETE subjects (semi-join back)
+    complete_cells = cell.join(
+        per_subj.select(*subject_cols), subject_cols, "left_semi"
+    )
+    cat_tot = complete_cells.groupBy("_cat").agg(
+        F.sum("_nij").cast("long").alias("_cj")
+    )
+    t1 = per_subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum(F.col("_sq") - n).cast("long").alias("s1"),
+    )
+    t2 = cat_tot.agg(
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(F.col("_cj") * F.col("_cj")).cast("long").alias("s2"),
+    )
+    joined = t1.crossJoin(F.broadcast(t2))  # 1 row × 1 row
+    nn = n * n
+    num = f"(CAST({n} AS DECIMAL(38,0)) * n_subjects * s1 - {n - 1} * CAST(s2 AS DECIMAL(38,0)))"
+    den = (
+        f"({n - 1} * (CAST({nn} AS DECIMAL(38,0)) * n_subjects * n_subjects"
+        f" - CAST(s2 AS DECIMAL(38,0))))"
+    )
+    return joined.select(
+        "n_subjects",
+        "n_categories",
+        "s1",
+        "s2",
+        F.expr(
+            f"CAST(CAST(s1 AS DECIMAL(38,0)) * 1000000 div "
+            f"(CAST({n * (n - 1)} AS DECIMAL(38,0)) * n_subjects) AS BIGINT)"
+        ).alias("pbar_ppm"),
+        F.expr(
+            f"CAST(CAST(s2 AS DECIMAL(38,0)) * 1000000 div "
+            f"(CAST({nn} AS DECIMAL(38,0)) * n_subjects * n_subjects) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            f"CAST(CASE WHEN {den} <> 0 THEN sign({num} * 1000000) * "
+            f"((abs({num}) * 1000000) div abs({den})) END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
+def psi_numeric(
+    df: DataFrame,
+    value_col: str,
+    ref_split: Column,
+    n_buckets: int = 10,
+    **quantile_kwargs,
+) -> DataFrame:
+    """Population Stability Index between a numeric column's REFERENCE
+    rows (``ref_split`` true) and CURRENT rows — the model-monitoring
+    drift metric that complements ``categorical_kl`` (categories) and
+    the KS gate (ranks): "has the feature's distribution moved, and in
+    which deciles".
+
+    Buckets are the reference distribution's type-1 quantile boundaries
+    (``grouped_quantiles``, so the scale path with ``range_buckets``
+    is inherited via kwargs); a value lands in bucket
+    ``#{boundaries ≤ v}`` ∈ 0..B−1. With α=½ additive smoothing
+    cleared by doubling (the ``categorical_kl`` trick), per bucket:
+
+        ``p = (2·cR+1)/(2·NR+B)``, ``q = (2·cC+1)/(2·NC+B)``
+        ``PSI_b = (p − q)·ln(p/q)``  — always ≥ 0
+
+    carried as ``ln(p/q)`` in half-up INTEGER micro-nats times the
+    exact rational ``p − q`` (cross-multiplied, decimal(38,0),
+    sign·abs-div). ``Σ term_unat / 10⁶`` is the PSI in nats.
+
+    Plan: boundaries come from the reference slice only (a ≤(B−1)-row
+    table collected into ONE array literal via sort_array/collect —
+    inside the plan, broadcast); bucket assignment is a map-side
+    ``size(filter(...))`` over that array; one (bucket)-keyed groupBy
+    with conditional partial counts; 1-row totals broadcast back.
+
+    Output: ``(bucket, lo, n_ref, n_cur, log_ratio_unat, term_unat)``
+    where ``lo`` is the bucket's lower boundary (NULL for bucket 0).
+    """
+    B = int(n_buckets)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v"),
+        F.when(ref_split, F.lit(1)).otherwise(F.lit(0)).alias("_in_ref"),
+    )
+    ref = base.filter(F.col("_in_ref") == 1).withColumn("_g", F.lit(1))
+    # EXACT rationals k/B, not floats: float(3/10) is an ulp above 0.3,
+    # and ceil(p·n) then misranks whenever p·n lands on an integer —
+    # grouped_quantiles accepts Fraction inputs verbatim
+    ps = tuple(Fraction(k, B) for k in range(1, B))
+    bounds = (
+        grouped_quantiles(ref, ["_g"], "_v", ps=ps, **quantile_kwargs)
+        .agg(F.sort_array(F.collect_list("q")).alias("_bs"))
+    )
+    bucketed = (
+        base.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(F.filter(F.col("_bs"), lambda b: b <= F.col("_v")))
+            .cast("long")
+            .alias("bucket"),
+            "_bs",
+            "_in_ref",
+        )
+        .select(
+            "bucket",
+            # index kept ALWAYS valid via greatest() and the result
+            # gated by when(): element_at with a runtime-NULL index
+            # mis-evaluates under codegen (returns the last element,
+            # Spark 4.1), and a 0 index raises under ANSI
+            F.when(
+                F.col("bucket") > 0,
+                F.element_at(
+                    F.col("_bs"),
+                    F.greatest(F.col("bucket"), F.lit(1)).cast("int"),
+                ),
+            ).alias("lo"),
+            "_in_ref",
+        )
+    )
+    g = bucketed.groupBy("bucket", "lo").agg(
+        F.sum("_in_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("_in_ref")).cast("long").alias("n_cur"),
+    )
+    tot = g.agg(
+        F.sum("n_ref").cast("long").alias("_NR"),
+        F.sum("n_cur").cast("long").alias("_NC"),
+    )
+    full = g.crossJoin(F.broadcast(tot))
+    p = (2 * F.col("n_ref").cast("double") + 1) / (
+        2 * F.col("_NR").cast("double") + F.lit(float(B))
+    )
+    q = (2 * F.col("n_cur").cast("double") + 1) / (
+        2 * F.col("_NC").cast("double") + F.lit(float(B))
+    )
+    l_unat = F.floor(F.log(p / q) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    scored = full.withColumn("log_ratio_unat", l_unat)
+    # p − q = [(2cR+1)(2NC+B) − (2cC+1)(2NR+B)] / [(2NR+B)(2NC+B)], exact
+    num = (
+        "(((2 * CAST(n_ref AS DECIMAL(38,0)) + 1) * (2 * _NC + " + str(B) + ") - "
+        "(2 * CAST(n_cur AS DECIMAL(38,0)) + 1) * (2 * _NR + " + str(B) + ")) "
+        "* log_ratio_unat)"
+    )
+    den = (
+        "((2 * CAST(_NR AS DECIMAL(38,0)) + " + str(B) + ") * "
+        "(2 * CAST(_NC AS DECIMAL(38,0)) + " + str(B) + "))"
+    )
+    return scored.select(
+        "bucket",
+        "lo",
+        "n_ref",
+        "n_cur",
+        "log_ratio_unat",
+        F.expr(
+            f"CAST(sign({num}) * (abs({num}) div {den}) AS BIGINT)"
+        ).alias("term_unat"),
+    )
+
+
+def wilson_lower_bound(
+    df: DataFrame,
+    keys: list[str],
+    success: Column,
+    z_centi: int = 196,
+) -> DataFrame:
+    """Wilson score interval lower bound for per-group success rates —
+    the "how to not sort by average rating" ranking primitive: a group
+    with 2/2 successes must NOT outrank one with 90/100, and the
+    Wilson lower bound is the standard fix (Agresti–Coull's robust
+    cousin). ``z_centi`` = z×100 (196 = 95% two-sided).
+
+    Integer-exact: with ``z² = z_centi²/10⁴`` (EXACT — 1.96² = 3.8416
+    is a 4-dp decimal), multiplying the Wilson formula through by
+    ``10⁴·n`` gives
+
+        ``lb = (10⁴·s·n + (z²10⁴/2)·n − isqrt(R)) / (n·(10⁴·n + z²10⁴))``
+        ``R  = z²10⁴ · (10⁴·s·(n−s)·n + (z²10⁴/4)·n²)``
+
+    where every quantity is integral (decimal(38,0); R ≈ 10²⁶ at
+    n = 10⁶) and ``isqrt`` is the EXACT floor square root: a double
+    ``sqrt`` seed (which may be off by ~10³ once R exceeds 2⁵³)
+    followed by two integer Newton steps ``s ← (s + R div s) div 2``
+    (quadratic convergence: seed error ε → ε²/2√R < 1) and a final
+    ±1 clamp — the result is the mathematically exact floor, so it is
+    identical in any engine REGARDLESS of the engine's sqrt rounding.
+    ``lb_milli`` is the floor of 1000×lb: deterministic ranking, no
+    floats anywhere in the comparison path.
+
+    Plan: one partial-aggregated groupBy; everything after is a fixed
+    per-row expression tree. Output: ``(keys…, n, n_success,
+    lb_milli)``; groups emit NULL lb for n = 0 (cannot happen — groups
+    come from rows) — n ≥ 1 always.
+    """
+    zz4 = int(z_centi) * int(z_centi)  # z²·10⁴, exact integer
+    if zz4 % 4 != 0:
+        # zz4/2 and zz4/4 must stay integral (else double the whole
+        # rational through) — every even z_centi qualifies
+        raise ValueError("z_centi must be even so z²·10⁴ divides by 4 (e.g. 196)")
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(success, 1).otherwise(0)).cast("long").alias("n_success"),
+    )
+    # R and the exact integer square root (seed + 2 Newton + clamp)
+    r_expr = (
+        f"CAST({zz4} AS DECIMAL(38,0)) * "
+        f"(10000 * CAST(n_success AS DECIMAL(38,0)) * (n - n_success) * n "
+        f"+ {zz4 // 4} * CAST(n AS DECIMAL(38,0)) * n)"
+    )
+    g = g.withColumn("_R", F.expr(r_expr))
+    g = g.withColumn(
+        "_s0",
+        F.expr("CAST(greatest(floor(sqrt(CAST(_R AS DOUBLE))), 1.0) AS DECIMAL(38,0))"),
+    )
+    # Newton quotients fit bigint (≤~10¹³) but must be re-widened to
+    # decimal before squaring in the clamp (10²⁶ overflows bigint)
+    g = g.withColumn(
+        "_s1", F.expr("CAST((_s0 + _R div _s0) div 2 AS DECIMAL(38,0))")
+    )
+    g = g.withColumn(
+        "_s2", F.expr("CAST((_s1 + _R div _s1) div 2 AS DECIMAL(38,0))")
+    )
+    g = g.withColumn(
+        "_isq",
+        F.expr(
+            "CASE WHEN (_s2 + 1) * (_s2 + 1) <= _R THEN _s2 + 1 "
+            "WHEN _s2 * _s2 > _R THEN _s2 - 1 ELSE _s2 END"
+        ),
+    )
+    num = (
+        f"(10000 * CAST(n_success AS DECIMAL(38,0)) * n "
+        f"+ {zz4 // 2} * CAST(n AS DECIMAL(38,0)) - _isq)"
+    )
+    den = f"(CAST(n AS DECIMAL(38,0)) * (10000 * n + {zz4}))"
+    return g.select(
+        *keys,
+        "n",
+        "n_success",
+        F.expr(
+            f"CAST(CASE WHEN {num} >= 0 THEN ({num} * 1000) div {den} "
+            f"ELSE 0 END AS BIGINT)"
+        ).alias("lb_milli"),
+    )

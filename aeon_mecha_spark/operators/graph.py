@@ -266,3 +266,91 @@ def kcore(
     # still references it); hand the handle to the caller instead of
     # leaking executor cache for the rest of the session
     return track_cached(out, nodes) if nodes is not None else out
+
+
+def bradley_terry_int(
+    matches: DataFrame,
+    iters: int = 3,
+    scale: int = 1_000,
+    winner: str = "winner",
+    loser: str = "loser",
+) -> DataFrame:
+    """Integer-exact Bradley–Terry strength estimation from pairwise
+    outcomes — the preference-data curation primitive (rank prompts /
+    annotators / models from win-loss records; Hunter 2004 MM
+    algorithm, fixed rounds).
+
+    Per player ``i`` with total wins ``W_i`` and per-opponent match
+    counts ``n_ij``: strengths start at ``scale`` (milli units) and
+    each round applies the minorization update
+
+        ``d_i = Σ_j  n_ij·10⁹ div max(p_i + p_j, 1)``
+        ``p_i' = W_i·10⁹ div max(d_i, 1)``
+
+    all in BIGINT — deterministic in any engine for a FIXED round
+    count (the q127/q191 pattern: fixed rounds make the iteration
+    SQL-unrollable, so the gate hash-verifies). Zero-win players go to
+    strength 0 (the MM fixed point for them); the ``max(…, 1)`` guards
+    make the division total. With ``W_i = n_i/2`` the update returns
+    ``scale`` — the scale is self-maintaining, no normalization pass.
+
+    Plan: one groupBy builds the symmetric pair-count table, one the
+    win counts; each round is two keyed joins (strengths onto both
+    endpoints) + one partial-aggregated sum — the PageRank shape. The
+    returned plan is fully lazy (no driver actions, no persists).
+
+    Output: ``(node, n_wins, n_matches, strength_milli)`` for every
+    player that appears in a match.
+    """
+    m = matches.select(F.col(winner).alias("_w"), F.col(loser).alias("_l")).filter(
+        F.col("_w") != F.col("_l")
+    )
+    # symmetric per-opponent match counts n_ij (direction-free)
+    sym = (
+        m.select(F.col("_w").alias("_i"), F.col("_l").alias("_j"))
+        .unionByName(m.select(F.col("_l").alias("_i"), F.col("_w").alias("_j")))
+        .groupBy("_i", "_j")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    )
+    wins = m.groupBy(F.col("_w").alias("_i")).agg(
+        F.count(F.lit(1)).cast("long").alias("_wins")
+    )
+    players = sym.select("_i").distinct()
+    stats = players.join(wins, "_i", "left").select(
+        "_i",
+        F.coalesce(F.col("_wins"), F.lit(0)).cast("long").alias("_wins"),
+    )
+    p = players.withColumn("_p", F.lit(int(scale)).cast("long"))
+    for _ in range(int(iters)):
+        contrib = (
+            sym.join(p.select(F.col("_i"), F.col("_p").alias("_pi")), "_i")
+            .join(
+                p.select(F.col("_i").alias("_j"), F.col("_p").alias("_pj")),
+                "_j",
+            )
+            .select(
+                "_i",
+                F.expr("_n * 1000000000L div greatest(_pi + _pj, 1L)").alias("_c"),
+            )
+        )
+        d = contrib.groupBy("_i").agg(F.sum("_c").cast("long").alias("_d"))
+        p = (
+            stats.join(d, "_i", "left")
+            .select(
+                "_i",
+                F.expr(
+                    "_wins * 1000000000L div greatest(coalesce(_d, 0L), 1L)"
+                ).alias("_p"),
+            )
+        )
+    n_matches = sym.groupBy("_i").agg(F.sum("_n").cast("long").alias("_nm"))
+    return (
+        stats.join(n_matches, "_i")
+        .join(p, "_i")
+        .select(
+            F.col("_i").alias("node"),
+            F.col("_wins").alias("n_wins"),
+            F.col("_nm").alias("n_matches"),
+            F.col("_p").alias("strength_milli"),
+        )
+    )

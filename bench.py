@@ -165,6 +165,11 @@ HEADLINE = [
     "q199_rolling_distinct",  # 20-row exact rolling distinct per key
     "q200_snapshot_fingerprint",  # 5-table commutative acceptance digest
     "q201_hll_rollup",       # register partials merged up, direct-equal
+    "q202_bradley_terry",    # 3 MM rounds, integer strengths, join-shaped
+    "q203_fleiss_kappa",     # multi-rater agreement, one exact rational
+    "q204_psi",              # reference-decile drift, micro-nat terms
+    "q205_bigram_logprob",   # interpolated bigram LM, micro-nat mean
+    "q206_wilson_lb",        # integer-exact Wilson bound (Newton isqrt)
 ]
 
 

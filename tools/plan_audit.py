@@ -48,6 +48,10 @@ TINY_GLOBAL_WINDOW_OK = {
     "q183_compaction",  # planner rank over the FILE LISTING (metadata rows)
     "q184_quantile_map",  # union-merge over the distinct-VALUE grain
     "q194_top_supplier",  # scalar max over the SUPPLIER grain (dim-sized)
+    "q204_psi",  # single-distribution quantile path: the constant group key is
+    # constant-folded out of the partition specs, so the bounded windows
+    # (boundary sample <= target_sample_rows; 32-row bucket offsets) read
+    # as unpartitioned; per-(bucket) ranking keeps 32-way parallelism
 }
 
 
