@@ -2862,15 +2862,21 @@ def q194_top_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     supp = _t(spark, sf_dir, "supplier")
-    rev = li.select(F.col("l_suppkey"), _revenue_centicents().alias("_r")).groupBy(
-        "l_suppkey"
-    ).agg(F.sum("_r").cast("decimal(38,0)").alias("_rev"))
-    # scalar max as a whole-partition window over the SUPPLIER grain
-    # (bounded — dims, not facts): one lineitem scan, vs the textbook
-    # scalar-subquery form that recomputes the revenue aggregate twice
-    mx = F.max("_rev").over(W.partitionBy())
-    return (
-        rev.withColumn("_mx", mx)
+    rev = (
+        li.select(F.col("l_suppkey"), _revenue_centicents().alias("_r"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("_r").cast("decimal(38,0)").alias("_rev"))
+        .persist()  # read twice: the scalar max and the tie-inclusive filter
+    )
+    # scalar max as a 1-row partial-aggregated reduce broadcast back —
+    # NOT a whole-partition window: the supplier grain is dim-sized at
+    # sf0.01 but ~1e9 rows at 100 TB, and a global window would
+    # single-task sort it, while agg(max) map-side combines; the
+    # persist keeps lineitem at ONE scan (column pruning differentiates
+    # the two branches' exchanges, so ReuseExchange cannot)
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    out = (
+        rev.crossJoin(F.broadcast(mx))
         .filter(F.col("_rev") == F.col("_mx"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
@@ -2878,6 +2884,7 @@ def q194_top_supplier(spark, sf_dir):
         )
         .orderBy("s_suppkey")
     )
+    return track_cached(out, rev)
 
 
 def q195_small_qty_revenue(spark, sf_dir):
@@ -3150,6 +3157,62 @@ def q206_wilson_lb(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def q207_spearman(spark, sf_dir):
+    """Spearman rank correlation of quantity vs extended price per
+    return flag — tie-correct via DOUBLED average ranks (integer), the
+    Pearson-on-ranks num/den in decimal(38,0), and the EXACT floor
+    square root (q206's double-seed + 2 Newton steps + clamp) so no
+    engine sqrt is in the comparison path."""
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.spearman_by_group(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    ).orderBy("l_returnflag")
+
+
+def q208_mannwhitney(spark, sf_dir):
+    """Mann–Whitney U (doubled, so tie-averaged ranks stay integral)
+    comparing value distributions of even- vs odd-user events per
+    event type — the nonparametric two-sample location test next to
+    q157's KS distance."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.mann_whitney_u(
+        ev, ["event_type"], "value", F.col("user_id") % 2 == 0
+    ).orderBy("event_type")
+
+
+def q209_roc_points(spark, sf_dir):
+    """Full ROC curve (tpr/fpr in exact ppm at every distinct score
+    threshold) for 'is this event a purchase' by value — the curve
+    q156's scalar AUC integrates, built on the two-level bucketed
+    prefix sum so the score grain is never a single-partition sort."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.roc_points(
+        ev, F.col("event_type") == "purchase", "value"
+    )
+
+
+def q210_jsd(spark, sf_dir):
+    """Jensen–Shannon divergence terms between even- and odd-doc-id
+    language distributions — the symmetric, bounded drift metric next
+    to q179's directional KL, same micro-nat + exact-rational-weight
+    discipline."""
+    docs = _t(spark, sf_dir, "documents")
+    return analytics.jensen_shannon(
+        docs, "lang", F.col("doc_id") % 2 == 0
+    ).orderBy("category")
+
+
+def q211_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman concentration of order ownership per
+    priority class (Σ customer-share² in exact ppm, ONE decimal div at
+    the end — no per-entity floor accumulation): the market/source
+    concentration diagnostic beside q170's Gini spread."""
+    od = _t(spark, sf_dir, "orders")
+    return analytics.hhi_concentration(
+        od, ["o_orderpriority"], "o_custkey"
+    ).orderBy("o_orderpriority")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3174,65 +3237,145 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_correctness.py, whose full-surface output is
     # committed per round as CHECK_FULL_r{N}.json.
     return {
-        # -- the r06 red, oracle cast fixed: re-grade first
-        "q155_weighted_quantiles": q155_weighted_quantiles,
-        # -- round-6 second wave: first official grading
-        "q156_auc": q156_auc,
-        "q157_ks": q157_ks,
-        "q158_canonical_select": q158_canonical_select,
-        "q159_sparse_cosine": q159_sparse_cosine,
-        "q160_attribution": q160_attribution,
-        "q161_skyline": q161_skyline,
-        "q162_bpe_apply": q162_bpe_apply,
-        "q163_bpe_learn": q163_bpe_learn,  # rows-only: iterative argmax not in SQL
-        "q164_exact_split": q164_exact_split,
-        "q165_corr_pairs": q165_corr_pairs,
-        "q166_woe": q166_woe,
-        "q167_cdf_transform": q167_cdf_transform,
-        "q168_seasonal_anomaly": q168_seasonal_anomaly,
+    # Insertion order matters: the driver's correctness gate grades the
+    # FIRST 50 entries. Round-8 rotation (the plan VERDICT r07 set):
+    # q207-q211 are this round's five NEW operators (Spearman,
+    # Mann-Whitney U, ROC points, Jensen-Shannon, HHI) — first official
+    # grading; q202-q206 are round 7's operators, judge-verified 5/5 but
+    # never driver-graded (VERDICT r07 "Next round" item 1); q169/q184
+    # (de-globalized two-level windows) and q191 (persisted loop-
+    # invariant edge table) changed code this round — re-grade; then the
+    # OLDEST remaining official records: the r03 window (q91/q92/q94 +
+    # relational core heads) and the r04 window's first 27. Everything
+    # rotated out (q155-q201 green in r07; q111-q154 in r06; the rest
+    # r04/r05) is re-checked every round via tools/check_correctness.py
+    # -> CHECK_FULL_r{N}.json.
+        "q207_spearman": q207_spearman,
+        "q208_mannwhitney": q208_mannwhitney,
+        "q209_roc_points": q209_roc_points,
+        "q210_jsd": q210_jsd,
+        "q211_hhi": q211_hhi,
+        "q202_bradley_terry": q202_bradley_terry,
+        "q203_fleiss_kappa": q203_fleiss_kappa,
+        "q204_psi": q204_psi,
+        "q205_bigram_logprob": q205_bigram_logprob,
+        "q206_wilson_lb": q206_wilson_lb,
         "q169_lift_table": q169_lift_table,
-        "q170_gini": q170_gini,
-        "q171_cohens_kappa": q171_cohens_kappa,
-        "q172_benford": q172_benford,
-        "q173_stuck_runs": q173_stuck_runs,
-        "q174_vocab_overlap": q174_vocab_overlap,
-        "q175_decompose": q175_decompose,
-        "q176_rolling_median": q176_rolling_median,
-        "q177_cusum": q177_cusum,
-        "q178_confusion": q178_confusion,
-        "q179_categorical_kl": q179_categorical_kl,
-        "q180_ndcg": q180_ndcg,
-        "q181_ewma": q181_ewma,
-        "q182_bootstrap_se": q182_bootstrap_se,
-        "q183_compaction": q183_compaction,
         "q184_quantile_map": q184_quantile_map,
-        "q185_temporal_2hop": q185_temporal_2hop,
-        "q186_pps_sample": q186_pps_sample,
-        "q187_market_share": q187_market_share,
-        "q188_custdist": q188_custdist,
-        "q189_funnel_latency": q189_funnel_latency,
-        "q190_hll_distinct": q190_hll_distinct,
         "q191_kcore": q191_kcore,
-        "q192_feature_hash": q192_feature_hash,
-        "q193_position_attribution": q193_position_attribution,
-        "q194_top_supplier": q194_top_supplier,
-        "q195_small_qty_revenue": q195_small_qty_revenue,
-        "q196_large_orders": q196_large_orders,
-        "q197_waiting_supplier": q197_waiting_supplier,
-        "q198_idle_customers": q198_idle_customers,
-        "q199_rolling_distinct": q199_rolling_distinct,
-        "q200_snapshot_fingerprint": q200_snapshot_fingerprint,
-        "q201_hll_rollup": q201_hll_rollup,
-        # -- code changed this round (persist gating): re-grade
-        "q106_curation_pipeline": q106_curation_pipeline,
-        # -- oldest remaining official records (r04)
-        "q39_lang_token_stats": q39_lang_token_stats,
-        "q57_granularity_rollup": q57_granularity_rollup,
+        "q91_shuffle_shards": q91_shuffle_shards,
+        "q92_embedding_covariance": q92_embedding_covariance,
+        "q94_int8_quant": q94_int8_quant,
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_restrict_expr": q02_restrict_expr,
+        "q03_semi_join": q03_semi_join,
+        "q04_anti_join": q04_anti_join,
+        "q06_revenue_by_nation": q06_revenue_by_nation,
+        "q07_left_join_counts": q07_left_join_counts,
+        "q10_grouped_bounds": q10_grouped_bounds,
+        "q58_event_pivot": q58_event_pivot,
+        "q59_time_weighted_avg": q59_time_weighted_avg,
+        "q60_gap_fill": q60_gap_fill,
+        "q61_funnel": q61_funnel,
+        "q62_rank_quantiles": q62_rank_quantiles,
+        "q63_kmv_distinct": q63_kmv_distinct,
+        "q64_quantile_summary": q64_quantile_summary,
+        "q65_kmv_rollup": q65_kmv_rollup,
+        "q66_group_centroids": q66_group_centroids,
+        "q67_top_terms": q67_top_terms,
+        "q68_ngram_counts": q68_ngram_counts,
+        "q69_rank_distribution": q69_rank_distribution,
+        "q70_cohort_retention": q70_cohort_retention,
+        "q71_rolling_avg": q71_rolling_avg,
+        "q72_near_dup_lsh": q72_near_dup_lsh,
+        "q73_decontaminate": q73_decontaminate,
+        "q74_hash_sample": q74_hash_sample,
+        "q75_stratified_sample": q75_stratified_sample,
+        "q95_bloom_decontaminate": q95_bloom_decontaminate,
+        "q96_weighted_sample": q96_weighted_sample,
+        "q97_substring_dedup": q97_substring_dedup,
+        "q98_correlated_subquery": q98_correlated_subquery,
+        "q100_kmv_jaccard": q100_kmv_jaccard,
+        "q101_token_entropy": q101_token_entropy,
+        "q102_table_fingerprint": q102_table_fingerprint,
+        "q103_knn_recall": q103_knn_recall,
+        "q104_bpe_tokens": q104_bpe_tokens,
         # ---- entries below are past the driver's 50-entry window ----
-        # (q111-q155: officially green in CORRECTNESS_r06; q34-q38
-        # re-graded r06; the relational core q01-q110 green in r04/r05;
-        # all re-checked every round via tools/check_correctness.py ->
-        # CHECK_FULL_r{N}.json)
+        # (all officially green in r04-r07; re-checked every round via
+        # tools/check_correctness.py -> CHECK_FULL_r{N}.json)
+        "q05_proj_compute": q05_proj_compute,
+        "q08_union": q08_union,
+        "q09_top": q09_top,
+        "q11_distinct": q11_distinct,
+        "q12_dedupe_first": q12_dedupe_first,
+        "q13_qc_deltas": q13_qc_deltas,
+        "q14_running_sum": q14_running_sum,
+        "q15_rolling_1h": q15_rolling_1h,
+        "q16_sessionize": q16_sessionize,
+        "q17_hourly_rollup": q17_hourly_rollup,
+        "q18_asof_join": q18_asof_join,
+        "q19_interval_count": q19_interval_count,
+        "q20_column_stats": q20_column_stats,
+        "q21_timestamp_stats": q21_timestamp_stats,
+        "q22_sync_regression": q22_sync_regression,
+        "q23_param_hash": q23_param_hash,
+        "q24_ownership": q24_ownership,
+        "q25_conditional_agg": q25_conditional_agg,
+        "q26_chunk_windows": q26_chunk_windows,
+        "q27_epoch_lead": q27_epoch_lead,
+        "q28_harp_time": q28_harp_time,
+        "q29_json_extract": q29_json_extract,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q31_fingerprint_dedup": q31_fingerprint_dedup,
+        "q32_text_quality": q32_text_quality,
+        "q33_langid": q33_langid,
+        "q34_minhash": q34_minhash,
+        "q35_lsh_jaccard": q35_lsh_jaccard,
+        "q36_knn_cosine": q36_knn_cosine,
+        "q37_embedding_neardup": q37_embedding_neardup,
+        "q38_simhash": q38_simhash,
+        "q39_lang_token_stats": q39_lang_token_stats,
+        "q40_unit_matching": q40_unit_matching,
+        "q41_frontier": q41_frontier,
+        "q42_streaming_hourly": q42_streaming_hourly,
+        "q43_qc_summary": q43_qc_summary,
+        "q44_topk_per_group": q44_topk_per_group,
+        "q45_set_ops": q45_set_ops,
+        "q46_bucketed_range_join": q46_bucketed_range_join,
+        "q47_lsh_knn": q47_lsh_knn,
+        "q48_ivf_knn": q48_ivf_knn,
+        "q49_shipping_priority": q49_shipping_priority,
+        "q50_order_priority_exists": q50_order_priority_exists,
+        "q51_shipmode_case_sum": q51_shipmode_case_sum,
+        "q52_forward_fill": q52_forward_fill,
+        "q53_sign_change": q53_sign_change,
+        "q54_chunked_ts_stats": q54_chunked_ts_stats,
+        "q55_index_aligned_merge": q55_index_aligned_merge,
+        "q56_value_histogram": q56_value_histogram,
+        "q57_granularity_rollup": q57_granularity_rollup,
+        "q76_pack_sequences": q76_pack_sequences,
+        "q77_merge_intervals": q77_merge_intervals,
+        "q78_redact_pii": q78_redact_pii,
+        "q79_dedup_clusters": q79_dedup_clusters,
+        "q80_mixture_sample": q80_mixture_sample,
+        "q81_repetition_ratio": q81_repetition_ratio,
+        "q82_quality_filter": q82_quality_filter,
+        "q83_cm_heavy_hitters": q83_cm_heavy_hitters,
+        "q84_chunk_documents": q84_chunk_documents,
+        "q85_multimodal_features": q85_multimodal_features,
+        "q86_frame_sample_plan": q86_frame_sample_plan,
+        "q87_zarr_decode": q87_zarr_decode,
+        "q88_tfidf": q88_tfidf,
+        "q89_inverted_index": q89_inverted_index,
+        "q90_token_budget": q90_token_budget,
+        "q93_pca_project": q93_pca_project,
+        "q99_pq_codes": q99_pq_codes,
+        "q105_span_decontaminate": q105_span_decontaminate,
+        "q106_curation_pipeline": q106_curation_pipeline,
+        "q107_zorder_key": q107_zorder_key,
+        "q108_vocab_encode": q108_vocab_encode,
+        "q109_pq_assign_fixed": q109_pq_assign_fixed,
+        "q110_pca_project_fixed": q110_pca_project_fixed,
         "q111_winnowing": q111_winnowing,
         "q112_unigram_logprob": q112_unigram_logprob,
         "q113_ivf_multiprobe": q113_ivf_multiprobe,
@@ -3277,121 +3420,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_basket_rules": q152_basket_rules,
         "q153_event_paths": q153_event_paths,
         "q154_triangle_stats": q154_triangle_stats,
-        "q34_minhash": q34_minhash,
-        "q35_lsh_jaccard": q35_lsh_jaccard,
-        "q36_knn_cosine": q36_knn_cosine,
-        "q37_embedding_neardup": q37_embedding_neardup,
-        "q38_simhash": q38_simhash,
-        "q58_event_pivot": q58_event_pivot,
-        "q59_time_weighted_avg": q59_time_weighted_avg,
-        "q60_gap_fill": q60_gap_fill,
-        "q61_funnel": q61_funnel,
-        "q62_rank_quantiles": q62_rank_quantiles,
-        "q63_kmv_distinct": q63_kmv_distinct,
-        "q64_quantile_summary": q64_quantile_summary,
-        "q65_kmv_rollup": q65_kmv_rollup,
-        # (green in CORRECTNESS_r05 or r04; re-checkable locally via
-        # tools/check_correctness.py)
-        "q66_group_centroids": q66_group_centroids,
-        "q67_top_terms": q67_top_terms,
-        "q68_ngram_counts": q68_ngram_counts,
-        "q69_rank_distribution": q69_rank_distribution,
-        "q70_cohort_retention": q70_cohort_retention,
-        "q71_rolling_avg": q71_rolling_avg,
-        "q72_near_dup_lsh": q72_near_dup_lsh,
-        "q73_decontaminate": q73_decontaminate,
-        "q74_hash_sample": q74_hash_sample,
-        "q75_stratified_sample": q75_stratified_sample,
-        "q95_bloom_decontaminate": q95_bloom_decontaminate,
-        "q96_weighted_sample": q96_weighted_sample,
-        "q97_substring_dedup": q97_substring_dedup,
-        "q98_correlated_subquery": q98_correlated_subquery,
-        "q100_kmv_jaccard": q100_kmv_jaccard,
-        "q101_token_entropy": q101_token_entropy,
-        "q102_table_fingerprint": q102_table_fingerprint,
-        "q103_knn_recall": q103_knn_recall,
-        "q104_bpe_tokens": q104_bpe_tokens,
-        "q105_span_decontaminate": q105_span_decontaminate,
-        "q107_zorder_key": q107_zorder_key,
-        "q108_vocab_encode": q108_vocab_encode,
-        "q109_pq_assign_fixed": q109_pq_assign_fixed,
-        "q76_pack_sequences": q76_pack_sequences,
-        "q77_merge_intervals": q77_merge_intervals,
-        "q78_redact_pii": q78_redact_pii,
-        "q79_dedup_clusters": q79_dedup_clusters,
-        "q80_mixture_sample": q80_mixture_sample,
-        "q81_repetition_ratio": q81_repetition_ratio,
-        "q82_quality_filter": q82_quality_filter,
-        "q83_cm_heavy_hitters": q83_cm_heavy_hitters,
-        "q87_zarr_decode": q87_zarr_decode,  # rows-only: no SQL engine reads zarr
-        "q91_shuffle_shards": q91_shuffle_shards,
-        "q92_embedding_covariance": q92_embedding_covariance,
-        "q93_pca_project": q93_pca_project,  # rows-only: eigh not in SQL
-        "q94_int8_quant": q94_int8_quant,
-        "q99_pq_codes": q99_pq_codes,  # rows-only: iterative k-means not in SQL
-        "q110_pca_project_fixed": q110_pca_project_fixed,
-        "q01_pricing_summary": q01_pricing_summary,
-        "q02_restrict_expr": q02_restrict_expr,
-        "q03_semi_join": q03_semi_join,
-        "q04_anti_join": q04_anti_join,
-        "q05_proj_compute": q05_proj_compute,
-        "q06_revenue_by_nation": q06_revenue_by_nation,
-        "q07_left_join_counts": q07_left_join_counts,
-        "q08_union": q08_union,
-        "q09_top": q09_top,
-        "q10_grouped_bounds": q10_grouped_bounds,
-        "q11_distinct": q11_distinct,
-        "q12_dedupe_first": q12_dedupe_first,
-        "q13_qc_deltas": q13_qc_deltas,
-        "q14_running_sum": q14_running_sum,
-        "q15_rolling_1h": q15_rolling_1h,
-        "q16_sessionize": q16_sessionize,
-        "q17_hourly_rollup": q17_hourly_rollup,
-        "q18_asof_join": q18_asof_join,
-        "q19_interval_count": q19_interval_count,
-        "q20_column_stats": q20_column_stats,
-        "q21_timestamp_stats": q21_timestamp_stats,
-        "q22_sync_regression": q22_sync_regression,
-        "q23_param_hash": q23_param_hash,
-        "q24_ownership": q24_ownership,
-        "q25_conditional_agg": q25_conditional_agg,
-        "q26_chunk_windows": q26_chunk_windows,
-        "q27_epoch_lead": q27_epoch_lead,
-        "q28_harp_time": q28_harp_time,
-        "q29_json_extract": q29_json_extract,
-        "q30_dedup_exact": q30_dedup_exact,
-        "q31_fingerprint_dedup": q31_fingerprint_dedup,
-        "q32_text_quality": q32_text_quality,
-        "q33_langid": q33_langid,
-        "q40_unit_matching": q40_unit_matching,
-        "q41_frontier": q41_frontier,
-        "q42_streaming_hourly": q42_streaming_hourly,
-        "q43_qc_summary": q43_qc_summary,
-        "q44_topk_per_group": q44_topk_per_group,
-        "q45_set_ops": q45_set_ops,
-        "q46_bucketed_range_join": q46_bucketed_range_join,
-        "q47_lsh_knn": q47_lsh_knn,
-        "q48_ivf_knn": q48_ivf_knn,
-        "q49_shipping_priority": q49_shipping_priority,
-        "q50_order_priority_exists": q50_order_priority_exists,
-        "q51_shipmode_case_sum": q51_shipmode_case_sum,
-        "q52_forward_fill": q52_forward_fill,
-        "q53_sign_change": q53_sign_change,
-        "q54_chunked_ts_stats": q54_chunked_ts_stats,
-        "q55_index_aligned_merge": q55_index_aligned_merge,
-        "q56_value_histogram": q56_value_histogram,
-        "q84_chunk_documents": q84_chunk_documents,
-        "q85_multimodal_features": q85_multimodal_features,
-        "q86_frame_sample_plan": q86_frame_sample_plan,
-        "q88_tfidf": q88_tfidf,
-        "q89_inverted_index": q89_inverted_index,
-        "q90_token_budget": q90_token_budget,
-        # -- round-7 wave (below the window; next rotation grades them)
-        "q202_bradley_terry": q202_bradley_terry,
-        "q203_fleiss_kappa": q203_fleiss_kappa,
-        "q204_psi": q204_psi,
-        "q205_bigram_logprob": q205_bigram_logprob,
-        "q206_wilson_lb": q206_wilson_lb,
+        "q155_weighted_quantiles": q155_weighted_quantiles,
+        "q156_auc": q156_auc,
+        "q157_ks": q157_ks,
+        "q158_canonical_select": q158_canonical_select,
+        "q159_sparse_cosine": q159_sparse_cosine,
+        "q160_attribution": q160_attribution,
+        "q161_skyline": q161_skyline,
+        "q162_bpe_apply": q162_bpe_apply,
+        "q163_bpe_learn": q163_bpe_learn,  # rows-only: iterative argmax not in SQL
+        "q164_exact_split": q164_exact_split,
+        "q165_corr_pairs": q165_corr_pairs,
+        "q166_woe": q166_woe,
+        "q167_cdf_transform": q167_cdf_transform,
+        "q168_seasonal_anomaly": q168_seasonal_anomaly,
+        "q170_gini": q170_gini,
+        "q171_cohens_kappa": q171_cohens_kappa,
+        "q172_benford": q172_benford,
+        "q173_stuck_runs": q173_stuck_runs,
+        "q174_vocab_overlap": q174_vocab_overlap,
+        "q175_decompose": q175_decompose,
+        "q176_rolling_median": q176_rolling_median,
+        "q177_cusum": q177_cusum,
+        "q178_confusion": q178_confusion,
+        "q179_categorical_kl": q179_categorical_kl,
+        "q180_ndcg": q180_ndcg,
+        "q181_ewma": q181_ewma,
+        "q182_bootstrap_se": q182_bootstrap_se,
+        "q183_compaction": q183_compaction,
+        "q185_temporal_2hop": q185_temporal_2hop,
+        "q186_pps_sample": q186_pps_sample,
+        "q187_market_share": q187_market_share,
+        "q188_custdist": q188_custdist,
+        "q189_funnel_latency": q189_funnel_latency,
+        "q190_hll_distinct": q190_hll_distinct,
+        "q192_feature_hash": q192_feature_hash,
+        "q193_position_attribution": q193_position_attribution,
+        "q194_top_supplier": q194_top_supplier,
+        "q195_small_qty_revenue": q195_small_qty_revenue,
+        "q196_large_orders": q196_large_orders,
+        "q197_waiting_supplier": q197_waiting_supplier,
+        "q198_idle_customers": q198_idle_customers,
+        "q199_rolling_distinct": q199_rolling_distinct,
+        "q200_snapshot_fingerprint": q200_snapshot_fingerprint,
+        "q201_hll_rollup": q201_hll_rollup,
     }
 
 
@@ -7524,6 +7596,169 @@ def oracle_sql() -> dict[str, str]:
                              // (n::hugeint * (10000::hugeint * n + 38416))
                         ELSE 0 END AS BIGINT) AS lb_milli
             FROM i
+        """,
+        "q207_spearman": """
+            -- Spearman via DOUBLED average ranks (2*rank + ties - 1,
+            -- integral under ties); exact floor sqrt = double seed +
+            -- 2 integer Newton steps + clamp (the q206 construction)
+            WITH b AS (
+              SELECT l_returnflag AS k, l_quantity AS x,
+                     l_extendedprice AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+            r AS (
+              SELECT k,
+                     2 * rank() OVER (PARTITION BY k ORDER BY x)
+                       + count(*) OVER (PARTITION BY k, x) - 1 AS drx,
+                     2 * rank() OVER (PARTITION BY k ORDER BY y)
+                       + count(*) OVER (PARTITION BY k, y) - 1 AS dry
+              FROM b),
+            g AS (
+              SELECT k, count(*)::hugeint AS n,
+                     sum(drx::hugeint) AS sx, sum(dry::hugeint) AS sy,
+                     sum(drx::hugeint * drx) AS sxx,
+                     sum(dry::hugeint * dry) AS syy,
+                     sum(drx::hugeint * dry) AS sxy
+              FROM r GROUP BY k),
+            d AS (
+              SELECT k, n, n * sxy - sx * sy AS num,
+                     n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+              FROM g),
+            x0 AS (SELECT *, greatest(floor(sqrt(dx::double)), 1.0)::hugeint AS a0,
+                             greatest(floor(sqrt(dy::double)), 1.0)::hugeint AS b0
+                   FROM d),
+            x1 AS (SELECT *, (a0 + dx // a0) // 2 AS a1,
+                             (b0 + dy // b0) // 2 AS b1 FROM x0),
+            x2 AS (SELECT *, (a1 + dx // a1) // 2 AS a2,
+                             (b1 + dy // b1) // 2 AS b2 FROM x1),
+            i AS (
+              SELECT *,
+                     CASE WHEN (a2 + 1) * (a2 + 1) <= dx THEN a2 + 1
+                          WHEN a2 * a2 > dx THEN a2 - 1 ELSE a2 END AS rx,
+                     CASE WHEN (b2 + 1) * (b2 + 1) <= dy THEN b2 + 1
+                          WHEN b2 * b2 > dy THEN b2 - 1 ELSE b2 END AS ry
+              FROM x2)
+            SELECT k AS l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN dx > 0 AND dy > 0 THEN
+                        (CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1
+                              ELSE 0 END)
+                        * least(1000000::hugeint,
+                                (abs(num) * 1000000) // (rx * ry))
+                        END AS BIGINT) AS rho_ppm
+            FROM i ORDER BY l_returnflag
+        """,
+        "q208_mannwhitney": """
+            -- doubled U (2*U_A = sum of doubled avg ranks of A minus
+            -- n_a*(n_a+1)); identity u2_a + u2_b = 2*n_a*n_b
+            WITH b AS (
+              SELECT event_type AS k, value AS v,
+                     CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+              FROM events WHERE value IS NOT NULL),
+            r AS (
+              SELECT k, a,
+                     2 * rank() OVER (PARTITION BY k ORDER BY v)
+                       + count(*) OVER (PARTITION BY k, v) - 1 AS dr
+              FROM b),
+            g AS (
+              SELECT k, CAST(sum(a) AS BIGINT) AS n_a,
+                     CAST(sum(1 - a) AS BIGINT) AS n_b,
+                     CAST(sum(CASE WHEN a = 1 THEN dr ELSE 0 END)
+                          AS BIGINT) AS ra,
+                     CAST(sum(CASE WHEN a = 0 THEN dr ELSE 0 END)
+                          AS BIGINT) AS rb
+              FROM r GROUP BY k)
+            SELECT k AS event_type, n_a, n_b,
+                   CAST(ra - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+                   CAST(rb - n_b * (n_b + 1) AS BIGINT) AS u2_b
+            FROM g ORDER BY event_type
+        """,
+        "q209_roc_points": """
+            -- inclusive desc cumulative P/N at each distinct score;
+            -- exact ppm via hugeint floor div
+            WITH b AS (
+              SELECT value AS s,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+              FROM events WHERE value IS NOT NULL),
+            g AS (
+              SELECT s, count(*)::bigint AS n, sum(y)::bigint AS p
+              FROM b GROUP BY s),
+            t AS (SELECT sum(n)::bigint AS nt, sum(p)::bigint AS pt FROM g),
+            c AS (
+              SELECT s,
+                     sum(n) OVER (ORDER BY s DESC) AS cumn,
+                     sum(p) OVER (ORDER BY s DESC) AS cump
+              FROM g)
+            SELECT s AS score, CAST(cumn AS BIGINT) AS n_ge,
+                   CAST(CASE WHEN pt > 0 THEN
+                        (cump::hugeint * 1000000) // pt END AS BIGINT)
+                     AS tpr_ppm,
+                   CAST(CASE WHEN nt - pt > 0 THEN
+                        ((cumn - cump)::hugeint * 1000000) // (nt - pt)
+                        END AS BIGINT) AS fpr_ppm
+            FROM c CROSS JOIN t
+        """,
+        "q210_jsd": """
+            -- JSD terms: micro-nat log ratios vs the mixture m=(p+q)/2
+            -- (DOUBLED smoothing form (2c+1)/(2N+K) on BOTH engines so
+            -- the float expression shapes match); exact rational
+            -- half-weights via sign/abs hugeint floor div
+            WITH b AS (
+              SELECT lang AS category,
+                     CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS inp
+              FROM documents),
+            g AS (
+              SELECT category, sum(inp) AS n_p, sum(1 - inp) AS n_q
+              FROM b GROUP BY category),
+            t AS (
+              SELECT sum(n_p) AS np, sum(n_q) AS nq, count(*) AS k
+              FROM g),
+            s AS (
+              SELECT category, n_p, n_q, np, nq, k,
+                     (2.0 * n_p + 1) / (2.0 * np + k) AS pp,
+                     (2.0 * n_q + 1) / (2.0 * nq + k) AS qq
+              FROM g CROSS JOIN t),
+            l AS (
+              SELECT *,
+                     CAST(floor(ln(pp / ((pp + qq) / 2)) * 1000000.0 + 0.5)
+                          AS BIGINT) AS log_pm_unat,
+                     CAST(floor(ln(qq / ((pp + qq) / 2)) * 1000000.0 + 0.5)
+                          AS BIGINT) AS log_qm_unat
+              FROM s)
+            SELECT category, CAST(n_p AS BIGINT) AS n_p,
+                   CAST(n_q AS BIGINT) AS n_q, log_pm_unat, log_qm_unat,
+                   CAST((CASE WHEN (2 * CAST(n_p AS HUGEINT) + 1)
+                                   * log_pm_unat < 0 THEN -1
+                              WHEN (2 * CAST(n_p AS HUGEINT) + 1)
+                                   * log_pm_unat > 0 THEN 1 ELSE 0 END)
+                        * (abs((2 * CAST(n_p AS HUGEINT) + 1)
+                               * log_pm_unat)
+                           // (4 * CAST(np AS HUGEINT) + 2 * k))
+                        + (CASE WHEN (2 * CAST(n_q AS HUGEINT) + 1)
+                                     * log_qm_unat < 0 THEN -1
+                                WHEN (2 * CAST(n_q AS HUGEINT) + 1)
+                                     * log_qm_unat > 0 THEN 1 ELSE 0 END)
+                          * (abs((2 * CAST(n_q AS HUGEINT) + 1)
+                                 * log_qm_unat)
+                             // (4 * CAST(nq AS HUGEINT) + 2 * k))
+                        AS BIGINT) AS term_unat
+            FROM l ORDER BY category
+        """,
+        "q211_hhi": """
+            -- HHI = (sum of squared entity counts)*10^6 // N^2: ONE
+            -- floor div at the end, no per-entity error accumulation
+            WITH e AS (
+              SELECT o_orderpriority, o_custkey, count(*)::hugeint AS c
+              FROM orders GROUP BY o_orderpriority, o_custkey),
+            g AS (
+              SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS n,
+                     count(*)::bigint AS n_entities,
+                     sum(c * c) AS cc
+              FROM e GROUP BY o_orderpriority)
+            SELECT o_orderpriority, n, n_entities,
+                   CAST((cc * 1000000) // (n::hugeint * n) AS BIGINT)
+                     AS hhi_ppm
+            FROM g ORDER BY o_orderpriority
         """,
     }
     return sqls

@@ -746,7 +746,9 @@ def range_shard(
     ``sample_fraction`` is given explicitly, the fraction is derived
     from a cheap planning ``count()`` as ``target_sample_rows / count``,
     so the sample window cannot grow with the data (the boundary table
-    that leaves the window is n_shards−1 rows). The boundaries collapse
+    that leaves the window is n_shards−1 rows); a runtime
+    ``assert_true`` on the window's own row_number machine-checks that
+    bound (2×target + slack) whenever the fraction was derived. The boundaries collapse
     into a 1-row sorted array broadcast onto the corpus: assignment is
     map-only, no shuffle of the big side. (The fraction derivation and
     boundary estimation are build-time planning actions.)
@@ -760,13 +762,17 @@ def range_shard(
 
     if n_shards < 2:
         raise ValueError("n_shards must be >= 2")
+    guard = None
     if sample_fraction is None:
         sample_fraction = derive_sample_fraction(df, target_sample_rows)
+        # machine-checked bound on the sample window (piggybacks on
+        # grouped_quantiles' existing row_number — no extra pass)
+        guard = 2 * int(target_sample_rows) + 1024
     smp = hash_sample(df, key_col=key_col, fraction=sample_fraction, seed=seed).filter(
         F.col(value_col).isNotNull()
     )
     ps = [Fraction(i, n_shards) for i in range(1, n_shards)]
-    bounds = grouped_quantiles(smp, [], value_col, ps=ps)
+    bounds = grouped_quantiles(smp, [], value_col, ps=ps, assert_max_rows=guard)
     barr = bounds.agg(
         F.coalesce(F.sort_array(F.collect_list("q")), F.array()).alias("_bounds")
     )
@@ -944,6 +950,7 @@ def compaction_plan(
     id_col: str,
     size_col: str,
     target_size: int,
+    max_files: int = 10_000_000,
 ) -> DataFrame:
     """Deterministic small-file compaction planner: assign files to
     merge bins so each bin lands near ``target_size`` — the lakehouse
@@ -958,7 +965,10 @@ def compaction_plan(
 
     The ranking window is global over the FILE LISTING — metadata, not
     data (a 100 TB table at 128 MB files is ~10⁶ rows), the same
-    bounded-window class as vocab ranking.
+    bounded-window class as vocab ranking; ``max_files`` machine-checks
+    that assumption with a runtime ``assert_true`` riding the window's
+    own row_number (a listing past 10⁷ rows means the caller is feeding
+    DATA, not metadata — fail loudly instead of single-task sorting it).
 
     Output: one row per file ``(id, size, bin_id, bin_files,
     bin_total)``.
@@ -970,8 +980,22 @@ def compaction_plan(
         F.expr(f"CAST((sum(size) + {int(target_size)} - 1) div {int(target_size)} AS INT)").alias("_nb")
     ).select(F.greatest(F.col("_nb"), F.lit(1)).alias("_nb"))
     w = W.orderBy(F.col("size").desc(), F.col(id_col).asc())
-    ranked = sized.crossJoin(F.broadcast(tot)).withColumn(
-        "bin_id", ((F.row_number().over(w) - 1) % F.col("_nb")).cast("int")
+    rn = F.row_number().over(w)
+    ranked = (
+        sized.crossJoin(F.broadcast(tot))
+        .withColumn("bin_id", ((rn - 1) % F.col("_nb")).cast("int"))
+        .withColumn(
+            "_rn_ok",
+            F.assert_true(
+                rn <= F.lit(int(max_files)),
+                F.lit(
+                    f"compaction_plan: file listing exceeded max_files="
+                    f"{int(max_files)} — this input is data, not metadata"
+                ),
+            ),
+        )
+        .filter(F.col("_rn_ok").isNull())
+        .drop("_rn_ok")
     )
     wb = W.partitionBy("bin_id")
     return ranked.select(

@@ -711,11 +711,18 @@ def bigram_logprob(
 
     Engine parity: ``c12``, ``c1``, ``c_u``, ``N`` are integers exactly
     representable as doubles; ``p`` is a fixed IEEE expression tree
-    (identical rounding in any engine), each position's ``ln(p)`` is
-    floored half-up into an INTEGER micro-nat, integer-summed
-    (associative → partition-independent), and the per-document mean
-    uses the ``floor((2S+n)/(2n))`` half-up convention — the exact
-    discipline of ``unigram_logprob``/``token_entropy``.
+    (+ − × ÷ are correctly rounded everywhere, so ``p`` is bit-identical
+    in any engine), each position's ``ln(p)`` is floored half-up into an
+    INTEGER micro-nat, integer-summed (associative →
+    partition-independent), and the per-document mean uses the
+    ``floor((2S+n)/(2n))`` half-up convention — the exact discipline of
+    ``unigram_logprob``/``token_entropy``. Caveat (shared by every
+    micro-nat gate since q112): ``ln`` itself is NOT required by IEEE
+    754 to be correctly rounded — JVM ``Math.log`` and a libm may
+    differ in the last ulp, flipping the half-up floor by 1 whenever
+    ``ln(p)·10⁶`` lands within an ulp of ``k − ½``. Unobserved across
+    all gates so far; a future ±1-µnat oracle red here should be
+    triaged as libm ulp drift, not an engine bug.
 
     Plan: one explode builds the bigram stream; bigram and context
     counts are map-side-combinable groupBys; the model probe joins the

@@ -437,6 +437,7 @@ def grouped_quantiles(
     sample_fraction: float | None = None,
     target_sample_rows: int = 1_000_000,
     seed: int = 0,
+    assert_max_rows: int | None = None,
 ) -> DataFrame:
     """Exact per-key quantiles, type-1 (discrete): for each probability
     ``p`` the value at rank ``ceil(p·n)`` in value order — always an
@@ -474,6 +475,16 @@ def grouped_quantiles(
     with the data. Note the ``range_buckets`` path therefore runs TWO
     planning actions at build time (the count and the boundary
     collect); the default path stays fully lazy.
+
+    The bound is MACHINE-CHECKED, not just documented: whenever the
+    fraction is derived, a runtime ``assert_true`` piggybacks on the
+    boundary window's existing ``row_number`` (zero extra passes) and
+    fails the job if the sample exceeds ``2·target_sample_rows + 1024``
+    (hash-sampling variance at 10⁶ rows is ±0.3%, so 2× never fires on
+    a healthy derivation). ``assert_max_rows`` sets the same guard
+    explicitly — on the DEFAULT path it bounds the per-key window
+    itself (callers like ``range_shard`` that pre-sample and then rank
+    globally pass their own sample bound here).
     """
     fracs = []
     for p in ps:
@@ -506,6 +517,19 @@ def grouped_quantiles(
         base = base0.withColumn("_rn", F.row_number().over(w)).withColumn(
             "_n", F.count(F.lit(1)).over(wc)
         )
+        if assert_max_rows is not None:
+            # machine-checked bound on the per-key (or, with keys=[],
+            # global) window: rides the existing row_number, no extra
+            # pass; the filter form keeps Catalyst from pruning it
+            base = base.filter(
+                F.assert_true(
+                    F.col("_rn") <= F.lit(int(assert_max_rows)),
+                    F.lit(
+                        f"grouped_quantiles: window input exceeded the "
+                        f"documented bound of {int(assert_max_rows)} rows"
+                    ),
+                ).isNull()
+            )
         return pick(base)
 
     # Two-level ranked selection: bucket every row by sampled GLOBAL
@@ -531,6 +555,8 @@ def grouped_quantiles(
         # count can run as a parquet-footer metadata read (no filter
         # blocks aggregate pushdown)
         sample_fraction = derive_sample_fraction(df, target_sample_rows)
+        if assert_max_rows is None:
+            assert_max_rows = 2 * int(target_sample_rows) + 1024
     denom = 1_000_000
     smp = base0.filter(
         md5_long(F.col(value_col).cast("string"), seed=seed) % denom
@@ -542,6 +568,17 @@ def grouped_quantiles(
     ranked = smp.withColumn("_srn", F.row_number().over(ws)).withColumn(
         "_sm", F.count(F.lit(1)).over(W.partitionBy())
     )
+    if assert_max_rows is not None:
+        # machine-checked sample bound (fires at boundary-collect time)
+        ranked = ranked.filter(
+            F.assert_true(
+                F.col("_srn") <= F.lit(int(assert_max_rows)),
+                F.lit(
+                    f"grouped_quantiles: boundary sample exceeded the "
+                    f"documented bound of {int(assert_max_rows)} rows"
+                ),
+            ).isNull()
+        )
     bexprs = " OR ".join(
         f"_srn = (({i} * _sm + {range_buckets - 1}) div {range_buckets})"
         for i in range(1, range_buckets)
@@ -1498,6 +1535,7 @@ def lift_table(
     label: Column,
     score_col: str,
     n_buckets: int = 10,
+    score_buckets: int = 1024,
 ) -> DataFrame:
     """Exact decile/gain table for a classifier score at the DISTINCT-
     SCORE grain: scores sort descending, each distinct score lands
@@ -1512,13 +1550,26 @@ def lift_table(
     capture (share of ALL positives found so far — the gain curve), and
     lift vs the base rate, all integer ppm via decimal div.
 
-    Plan: one shuffle to the distinct-score grain, one global window
-    over distinct scores (bounded by score cardinality, not row count —
-    same bounded-window contract as ``auc_by_group``'s per-key variant;
-    bucketize very-high-cardinality scores first), one final groupBy.
+    Plan — TWO-LEVEL distributed prefix sum (the ``token_budget_select``
+    pattern), so the distinct-score grain is never a single sort even
+    for continuous scores: distinct scores land in ``score_buckets``
+    coarse range buckets (a min/max linear map — ANY monotone map gives
+    the identical answer, because (bucket desc, score desc) refines the
+    global score-desc order); the ≤ ``score_buckets``-row bucket table
+    yields each bucket's starting offset and the global totals via a
+    provably tiny window; a per-bucket window (parallel across buckets)
+    adds the within-bucket running mass to the broadcast offset. One
+    shuffle to the distinct-score grain, zero unpartitioned windows
+    over data-sized inputs.
+
+    The distinct-score table is persisted internally (three consumers:
+    min/max, bucket totals, the scored join) and rides on the result
+    via ``track_cached`` — call ``release_cached`` once consumed.
 
     Output: ``(bucket, n, n_pos, rate_ppm, cum_capture_ppm, lift_ppm)``.
     """
+    from aeon_mecha_spark.util import track_cached
+
     base = df.filter(F.col(score_col).isNotNull()).select(
         F.col(score_col).alias("_s"),
         F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
@@ -1526,13 +1577,56 @@ def lift_table(
     g = base.groupBy("_s").agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_y").cast("long").alias("_p"),
+    ).persist()
+    mm = g.agg(
+        F.min(F.col("_s").cast("double")).alias("_mn"),
+        F.max(F.col("_s").cast("double")).alias("_mx"),
     )
-    before = W.orderBy(F.col("_s").desc()).rowsBetween(W.unboundedPreceding, -1)
-    whole = W.partitionBy()
+    nb = int(score_buckets)
+    # monotone non-decreasing in _s (IEEE sub/div/mul by positive keep
+    # order), clamped; degenerate mn==mx → every score in bucket 0
+    bucket_of = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("_s").cast("double") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * nb
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    b = g.crossJoin(F.broadcast(mm)).withColumn("_cb", bucket_of).drop("_mn", "_mx")
+    per_bucket = b.groupBy("_cb").agg(
+        F.sum("_n").cast("long").alias("_bn"),
+        F.sum("_p").cast("long").alias("_bp"),
+    )
+    # tiny table (≤ score_buckets rows): single-partition windows fine
+    wb = W.orderBy(F.col("_cb").desc()).rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        per_bucket.withColumn(
+            "_boff", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).cast("long")
+        )
+        .withColumn("_nt", F.sum("_bn").over(W.partitionBy()).cast("long"))
+        .withColumn("_pt", F.sum("_bp").over(W.partitionBy()).cast("long"))
+        .select("_cb", "_boff", "_nt", "_pt")
+    )
+    within = (
+        W.partitionBy("_cb")
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     scored = (
-        g.withColumn("_cumb", F.coalesce(F.sum("_n").over(before), F.lit(0)).cast("long"))
-        .withColumn("_nt", F.sum("_n").over(whole).cast("long"))
-        .withColumn("_pt", F.sum("_p").over(whole).cast("long"))
+        b.join(F.broadcast(offs), "_cb")
+        .withColumn(
+            "_cumb",
+            (F.col("_boff") + F.coalesce(F.sum("_n").over(within), F.lit(0))).cast(
+                "long"
+            ),
+        )
         .withColumn(
             "bucket",
             F.expr(
@@ -1547,7 +1641,7 @@ def lift_table(
         F.max("_pt").alias("_pt"),
     )
     wcum = W.orderBy(F.col("bucket").asc()).rowsBetween(W.unboundedPreceding, 0)
-    return (
+    out = (
         agg.withColumn("_cump", F.sum("n_pos").over(wcum).cast("long"))
         .select(
             "bucket",
@@ -1566,6 +1660,7 @@ def lift_table(
         )
         .orderBy("bucket")
     )
+    return track_cached(out, g)
 
 
 def gini_by_group(
@@ -2299,6 +2394,8 @@ def quantile_map(
     group_col: str,
     value_col: str,
     ref_group: str,
+    value_buckets: int = 1024,
+    ppm_buckets: int = 1024,
 ) -> DataFrame:
     """Quantile normalization BETWEEN groups (distribution matching):
     map every value onto the reference group's scale — a German doc at
@@ -2306,55 +2403,148 @@ def quantile_map(
     is ``v → min{u ∈ ref : cdf_ref(u) ≥ cdf_g(v)}`` — exact type-1
     inverse-CDF lookup, no interpolation, no floats.
 
-    The lookup is an AS-OF on the CDF axis, solved with the union-merge
-    trick (no range join): reference boundary rows and query rows
-    union, sort once by (cdf, tag) — queries before references at equal
-    CDF so the ≥ is inclusive — and each query takes the FIRST
-    reference value at-or-after it. One global window over the
-    DISTINCT-VALUE grain of all groups (bounded by value cardinality,
-    the ``lift_table`` contract — bucketize very-high-cardinality
-    values first), then a broadcast join back to rows.
+    Scale design — every sort is bucketed, nothing runs over a
+    data-sized single partition even for continuous values:
+
+    1. Per-group CDFs use the two-level prefix sum (the
+       ``token_budget_select`` / ``lift_table`` pattern): each group's
+       distinct values land in ``value_buckets`` coarse range buckets
+       via a per-group min/max linear map (any monotone map yields the
+       identical CDF — the bucket order refines the value order); the
+       per-(group, bucket) offset table is windowed per GROUP over
+       ≤ ``value_buckets`` rows, then a per-(group, bucket) window adds
+       the within-bucket running count.
+    2. The inverse-CDF lookup is an AS-OF on the CDF axis, solved with
+       the union-merge trick (no range join) — but PARTITIONED by ppm
+       bucket (``cdf_ppm div step``, ≤ ``ppm_buckets`` buckets by
+       construction since cdf_ppm ∈ [0, 10⁶]): reference boundary rows
+       and query rows union, each query takes the FIRST reference
+       at-or-after it (queries sort before references at equal CDF, so
+       the ≥ is inclusive) WITHIN its bucket, falling back to the first
+       reference of any LATER bucket, precomputed on the tiny
+       ``ppm_buckets``-row bucket spine.
+
+    The distinct-(group, value) table and the CDF table are persisted
+    internally (both are read twice) and ride on the result via
+    ``track_cached`` — call ``release_cached`` once consumed.
 
     Output: input rows + ``(cdf_ppm, mapped_value)``; reference-group
     rows map onto themselves. Queries above the reference maximum CDF
     cannot happen (both CDFs end at 10⁶).
     """
+    from aeon_mecha_spark.util import track_cached
+
     base = df.filter(F.col(value_col).isNotNull())
     g = base.groupBy(
         F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
-    ).agg(F.count(F.lit(1)).cast("long").alias("_n"))
-    upto = (
-        W.partitionBy("_g").orderBy(F.col("_v").asc()).rowsBetween(W.unboundedPreceding, 0)
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n")).persist()
+    v_type = dict(g.dtypes)["_v"]
+    g_type = dict(g.dtypes)["_g"]
+
+    # -- two-level per-group CDF over the distinct-value grain --
+    nb = int(value_buckets)
+    mm = g.groupBy("_g").agg(
+        F.min(F.col("_v").cast("double")).alias("_mn"),
+        F.max(F.col("_v").cast("double")).alias("_mx"),
     )
-    whole = W.partitionBy("_g")
+    bucket_of = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("_v").cast("double") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * nb
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    b = g.join(mm, "_g").withColumn("_cb", bucket_of).drop("_mn", "_mx")
+    pb = b.groupBy("_g", "_cb").agg(F.sum("_n").cast("long").alias("_bn"))
+    # ≤ value_buckets rows per group by construction (clamped bucket id)
+    wgb = (
+        W.partitionBy("_g").orderBy(F.col("_cb").asc()).rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = (
+        pb.withColumn("_goff", F.coalesce(F.sum("_bn").over(wgb), F.lit(0)).cast("long"))
+        .withColumn("_tot", F.sum("_bn").over(W.partitionBy("_g")).cast("long"))
+        .select("_g", "_cb", "_goff", "_tot")
+    )
+    wv = (
+        W.partitionBy("_g", "_cb")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     cdf = (
-        g.withColumn("_cum", F.sum("_n").over(upto).cast("long"))
-        .withColumn("_tot", F.sum("_n").over(whole).cast("long"))
+        b.join(offs, ["_g", "_cb"])
+        .withColumn("_cum", (F.col("_goff") + F.sum("_n").over(wv)).cast("long"))
         .withColumn(
             "cdf_ppm",
             F.expr("CAST((CAST(_cum AS DECIMAL(38,0)) * 1000000) div _tot AS BIGINT)"),
         )
         .select("_g", "_v", "cdf_ppm")
+        .persist()
     )
+
+    # -- ppm-bucketed union-merge as-of (cdf_ppm ∈ [0, 10⁶]) --
+    step = 1_000_000 // int(ppm_buckets) + 1
+    n_pb = 1_000_000 // step + 1
     refs = cdf.filter(F.col("_g") == ref_group).select(
-        F.col("cdf_ppm").alias("_p"), F.lit(1).alias("_tag"), F.col("_v").alias("_ref_v")
+        F.col("cdf_ppm").alias("_p"),
+        F.lit(1).alias("_tag"),
+        F.col("_v").alias("_ref_v"),
+    )
+    # tiny spine (≤ ppm_buckets+1 rows): first reference of each LATER
+    # bucket, the fallback for queries with no in-bucket ref at-or-after
+    rb = refs.groupBy(F.expr(f"_p div {step}").alias("_pb")).agg(
+        F.min(F.struct("_p", "_ref_v")).alias("_mr")
+    )
+    spine = (
+        base.sparkSession.range(n_pb).select(F.col("id").cast("long").alias("_pb"))
+    )
+    wnext = W.orderBy(F.col("_pb").asc()).rowsBetween(1, W.unboundedFollowing)
+    fall = (
+        spine.join(rb, "_pb", "left")
+        .withColumn("_nxt", F.min("_mr").over(wnext))
+        .select("_pb", F.col("_nxt._ref_v").alias("_fall_v"))
     )
     queries = cdf.select(
-        F.col("cdf_ppm").alias("_p"), F.lit(0).alias("_tag"),
-        F.lit(None).cast(dict(g.dtypes)["_v"]).alias("_ref_v"),
-        "_g", "_v",
+        F.col("cdf_ppm").alias("_p"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast(v_type).alias("_ref_v"),
+        "_g",
+        "_v",
     )
-    merged = refs.select("_p", "_tag", "_ref_v", F.lit(None).cast(dict(g.dtypes)["_g"]).alias("_g"), F.lit(None).cast(dict(g.dtypes)["_v"]).alias("_v")).unionByName(queries)
+    merged = (
+        refs.select(
+            "_p",
+            "_tag",
+            "_ref_v",
+            F.lit(None).cast(g_type).alias("_g"),
+            F.lit(None).cast(v_type).alias("_v"),
+        )
+        .unionByName(queries)
+        .withColumn("_pb", F.expr(f"_p div {step}"))
+    )
     after = (
-        W.orderBy(F.col("_p").asc(), F.col("_tag").asc())
+        W.partitionBy("_pb")
+        .orderBy(F.col("_p").asc(), F.col("_tag").asc())
         .rowsBetween(0, W.unboundedFollowing)
     )
     mapped = (
-        merged.withColumn("_mapped", F.first("_ref_v", ignorenulls=True).over(after))
+        merged.withColumn("_inb", F.first("_ref_v", ignorenulls=True).over(after))
         .filter(F.col("_tag") == 0)
-        .select("_g", "_v", "_p", "_mapped")
+        .join(F.broadcast(fall), "_pb", "left")
+        .select(
+            "_g",
+            "_v",
+            "_p",
+            F.coalesce(F.col("_inb"), F.col("_fall_v")).alias("_mapped"),
+        )
     )
-    return base.join(
+    out = base.join(
         F.broadcast(mapped),
         (F.col(group_col) == F.col("_g")) & (F.col(value_col) == F.col("_v")),
     ).select(
@@ -2362,6 +2552,7 @@ def quantile_map(
         F.col("_p").alias("cdf_ppm"),
         F.col("_mapped").alias("mapped_value"),
     )
+    return track_cached(out, g, cdf)
 
 
 def position_attribution(
@@ -2755,4 +2946,382 @@ def wilson_lower_bound(
             f"CAST(CASE WHEN {num} >= 0 THEN ({num} * 1000) div {den} "
             f"ELSE 0 END AS BIGINT)"
         ).alias("lb_milli"),
+    )
+
+
+def _with_exact_isqrt(df: DataFrame, src: str, out: str) -> DataFrame:
+    """Append ``out`` = exact floor square root of decimal(38,0) column
+    ``src`` (NULL/negative → NULL): double ``sqrt`` seed + two integer
+    Newton steps + ±1 clamp — the ``wilson_lower_bound`` construction,
+    exact regardless of the engine's float sqrt rounding (seed error ε
+    → ε²/2√R < 1 after two quadratic steps for R < 10³⁸)."""
+    t0, t1, t2 = f"{out}_s0", f"{out}_s1", f"{out}_s2"
+    return (
+        df.withColumn(
+            t0,
+            F.expr(
+                f"CASE WHEN {src} >= 0 THEN "
+                f"CAST(greatest(floor(sqrt(CAST({src} AS DOUBLE))), 1.0) AS DECIMAL(38,0)) END"
+            ),
+        )
+        .withColumn(
+            t1,
+            F.expr(
+                f"CAST(({t0} + {src} div greatest({t0}, 1)) div 2 AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            t2,
+            F.expr(
+                f"CAST(({t1} + {src} div greatest({t1}, 1)) div 2 AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            out,
+            F.expr(
+                f"CASE WHEN ({t2} + 1) * ({t2} + 1) <= {src} THEN {t2} + 1 "
+                f"WHEN {t2} * {t2} > {src} THEN {t2} - 1 ELSE {t2} END"
+            ),
+        )
+        .drop(t0, t1, t2)
+    )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation per key, tie-correct and integer-exact:
+    Pearson on AVERAGE ranks, carried as DOUBLED ranks so ties stay
+    integral (``dr = 2·rank + tie_count − 1``; the average rank of a
+    tie block rank..rank+t−1 is rank+(t−1)/2, doubled to an integer).
+
+    ``rho_ppm = sign(num) · min(10⁶, |num|·10⁶ div (isqrt(dx)·isqrt(dy)))``
+    with ``num = n·Σxy − Σx·Σy``, ``dx = n·Σx² − (Σx)²``, ``dy`` likewise
+    — all decimal(38,0), and ``isqrt`` the exact floor square root. The
+    floored isqrt UNDERestimates each denominator factor by < 1 part in
+    isqrt(d) (relative error ~2/√d — ppm-level once per-key n is in the
+    thousands, visible only for tiny keys), always UPWARD, so the
+    min-clamp pins perfect correlations at exactly ±10⁶ and the
+    convention is IDENTICAL in any engine (no float sqrt in the
+    comparison path). Degenerate keys (constant x or y → dx·dy = 0)
+    report NULL. Per-key n must stay below ~10⁹ so n·Σx² < 10³⁸
+    (doubled ranks ≤ 2n).
+
+    Plan: two per-key rank windows (one sort each), one groupBy, then a
+    fixed per-key expression tree — parallel across keys, the
+    ``gini_by_group`` contract. Output: ``(keys…, n, rho_ppm)``.
+    """
+    kx = keys + [x_col]
+    ky = keys + [y_col]
+    base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
+        *keys, F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+    )
+    wx = W.partitionBy(*keys).orderBy(F.col("_x").asc())
+    wy = W.partitionBy(*keys).orderBy(F.col("_y").asc())
+    ranked = (
+        base.withColumn(
+            "_drx",
+            (
+                2 * F.rank().over(wx)
+                + F.count(F.lit(1)).over(W.partitionBy(*keys, "_x"))
+                - 1
+            ).cast("long"),
+        ).withColumn(
+            "_dry",
+            (
+                2 * F.rank().over(wy)
+                + F.count(F.lit(1)).over(W.partitionBy(*keys, "_y"))
+                - 1
+            ).cast("long"),
+        )
+    )
+    g = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        F.sum("_drx").cast("decimal(38,0)").alias("_sx"),
+        F.sum("_dry").cast("decimal(38,0)").alias("_sy"),
+        F.sum(F.col("_drx").cast("decimal(38,0)") * F.col("_drx")).alias("_sxx"),
+        F.sum(F.col("_dry").cast("decimal(38,0)") * F.col("_dry")).alias("_syy"),
+        F.sum(F.col("_drx").cast("decimal(38,0)") * F.col("_dry")).alias("_sxy"),
+    )
+    g = (
+        g.withColumn("_num", F.expr("_n * _sxy - _sx * _sy"))
+        .withColumn("_dx", F.expr("_n * _sxx - _sx * _sx"))
+        .withColumn("_dy", F.expr("_n * _syy - _sy * _sy"))
+    )
+    g = _with_exact_isqrt(g, "_dx", "_rx")
+    g = _with_exact_isqrt(g, "_dy", "_ry")
+    return g.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.expr(
+            "CAST(CASE WHEN _dx > 0 AND _dy > 0 THEN "
+            "sign(_num) * least(CAST(1000000 AS DECIMAL(38,0)), "
+            "(abs(_num) * 1000000) div (_rx * _ry)) END AS BIGINT)"
+        ).alias("rho_ppm"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    split: Column,
+) -> DataFrame:
+    """Mann–Whitney U (rank-sum) statistic per key between two row
+    populations (``split`` = true → sample A, false → B), tie-correct
+    via average ranks and carried DOUBLED so everything is integral:
+
+        ``u2_a = Σ_A dr − n_a·(n_a + 1)``    (= 2·U_A exactly)
+
+    with ``dr = 2·rank + tie_count − 1`` over the COMBINED per-key
+    ranking of ``value_col``. ``u2_a + u2_b = 2·n_a·n_b`` always (a
+    built-in sanity identity), and under H₀ u2 centers on n_a·n_b.
+    Integer-exact in any engine; the caller applies whatever normal
+    approximation it wants downstream.
+
+    Plan: one per-key rank window (a single sort; the tie count rides
+    the same shuffle), one groupBy. Output:
+    ``(keys…, n_a, n_b, u2_a, u2_b)``.
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        F.when(split, F.lit(1)).otherwise(F.lit(0)).alias("_a"),
+    )
+    wv = W.partitionBy(*keys).orderBy(F.col("_v").asc())
+    ranked = base.withColumn(
+        "_dr",
+        (
+            2 * F.rank().over(wv)
+            + F.count(F.lit(1)).over(W.partitionBy(*keys, "_v"))
+            - 1
+        ).cast("long"),
+    )
+    g = ranked.groupBy(*keys).agg(
+        F.sum("_a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("_a")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("_a") == 1, F.col("_dr")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_ra"),
+        F.sum(F.when(F.col("_a") == 0, F.col("_dr")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("_rb"),
+    )
+    return g.select(
+        *keys,
+        "n_a",
+        "n_b",
+        F.expr("_ra - n_a * (n_a + 1)").cast("long").alias("u2_a"),
+        F.expr("_rb - n_b * (n_b + 1)").cast("long").alias("u2_b"),
+    )
+
+
+def roc_points(
+    df: DataFrame,
+    label: Column,
+    score_col: str,
+    score_buckets: int = 1024,
+) -> DataFrame:
+    """Full ROC curve at every distinct score threshold: predicted
+    positive iff ``score ≥ threshold``, thresholds sweep the distinct
+    scores descending — ``(tpr_ppm, fpr_ppm)`` per threshold in exact
+    ppm (the curve q156's scalar AUC integrates).
+
+    Scale design — the ``lift_table`` two-level prefix sum: distinct
+    scores land in ``score_buckets`` coarse min/max range buckets
+    (bounded BY CONSTRUCTION via clamping; any monotone map yields the
+    identical curve), bucket offsets and the P/N totals come from the
+    tiny bucket table, and the per-bucket INCLUSIVE running sums are
+    windowed per bucket — no unpartitioned window ever touches the
+    score grain. The distinct-score table is persisted (three readers)
+    and rides on the result via ``track_cached``.
+
+    Output: ``(score, n_ge, tpr_ppm, fpr_ppm)`` ordered by score desc —
+    one row per distinct score; ``n_ge`` = rows at-or-above it.
+    """
+    from aeon_mecha_spark.util import track_cached
+
+    base = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("_s"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = base.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_p"),
+    ).persist()
+    mm = g.agg(
+        F.min(F.col("_s").cast("double")).alias("_mn"),
+        F.max(F.col("_s").cast("double")).alias("_mx"),
+    )
+    nb = int(score_buckets)
+    bucket_of = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("_s").cast("double") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * nb
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    b = g.crossJoin(F.broadcast(mm)).withColumn("_cb", bucket_of).drop("_mn", "_mx")
+    per_bucket = b.groupBy("_cb").agg(
+        F.sum("_n").cast("long").alias("_bn"),
+        F.sum("_p").cast("long").alias("_bp"),
+    )
+    wb = W.orderBy(F.col("_cb").desc()).rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        per_bucket.withColumn(
+            "_noff", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "_poff", F.coalesce(F.sum("_bp").over(wb), F.lit(0)).cast("long")
+        )
+        .withColumn("_nt", F.sum("_bn").over(W.partitionBy()).cast("long"))
+        .withColumn("_pt", F.sum("_bp").over(W.partitionBy()).cast("long"))
+        .select("_cb", "_noff", "_poff", "_nt", "_pt")
+    )
+    within = (
+        W.partitionBy("_cb")
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = (
+        b.join(F.broadcast(offs), "_cb")
+        .withColumn("_cumn", (F.col("_noff") + F.sum("_n").over(within)).cast("long"))
+        .withColumn("_cump", (F.col("_poff") + F.sum("_p").over(within)).cast("long"))
+        .select(
+            F.col("_s").alias("score"),
+            F.col("_cumn").alias("n_ge"),
+            F.expr(
+                "CAST(CASE WHEN _pt > 0 THEN "
+                "(CAST(_cump AS DECIMAL(38,0)) * 1000000) div _pt END AS BIGINT)"
+            ).alias("tpr_ppm"),
+            F.expr(
+                "CAST(CASE WHEN _nt - _pt > 0 THEN "
+                "(CAST(_cumn - _cump AS DECIMAL(38,0)) * 1000000) div (_nt - _pt) "
+                "END AS BIGINT)"
+            ).alias("fpr_ppm"),
+        )
+        .orderBy(F.col("score").desc())
+    )
+    return track_cached(out, g)
+
+
+def jensen_shannon(
+    df: DataFrame,
+    cat_col: str,
+    split: Column,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Smoothed Jensen–Shannon divergence terms between the category
+    distributions of two row populations (``split`` = true → P, false →
+    Q) — the SYMMETRIC, bounded (≤ ln 2) cousin of ``categorical_kl``,
+    the standard corpus-mix drift metric when neither side is the
+    "reference".
+
+    Same integral conventions as ``categorical_kl`` (α = ½ smoothing
+    doubled out: ``p = (2·cP+1)/(2·NP+K)``; log ratios in micro-nats,
+    half-up floor): with ``m = (p+q)/2``,
+
+        ``term = ½·p·ln(p/m) + ½·q·ln(q/m)``
+
+    carried as ``sign·(abs(wP·l_pm) div (4·NP'·…))``-style exact
+    rational weights — each half-term is an integer div; Σ term_unat /
+    10⁶ is the divergence in nats. The ln itself is float (the q112
+    micro-nat convention; a ±1-µnat oracle red here is libm ulp drift,
+    not an engine bug).
+
+    Plan: one category groupBy with conditional partial counts, 1-row
+    totals broadcast back, fixed expression tree. Output:
+    ``(category, n_p, n_q, log_pm_unat, log_qm_unat, term_unat)``.
+    """
+    if alpha != 0.5:
+        raise ValueError("integral smoothing is derived for alpha=0.5 only")
+    base = df.select(
+        F.col(cat_col).alias("category"),
+        F.when(split, F.lit(1)).otherwise(F.lit(0)).alias("_in_p"),
+    )
+    g = base.groupBy("category").agg(
+        F.sum("_in_p").cast("long").alias("n_p"),
+        F.sum(1 - F.col("_in_p")).cast("long").alias("n_q"),
+    )
+    tot = g.agg(
+        F.sum("n_p").cast("long").alias("_NP"),
+        F.sum("n_q").cast("long").alias("_NQ"),
+        F.count(F.lit(1)).cast("long").alias("_K"),
+    )
+    full = g.crossJoin(F.broadcast(tot))
+    p = (2 * F.col("n_p").cast("double") + 1) / (
+        2 * F.col("_NP").cast("double") + F.col("_K").cast("double")
+    )
+    q = (2 * F.col("n_q").cast("double") + 1) / (
+        2 * F.col("_NQ").cast("double") + F.col("_K").cast("double")
+    )
+    m = (p + q) / 2
+    scored = full.withColumn(
+        "log_pm_unat", F.floor(F.log(p / m) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    ).withColumn(
+        "log_qm_unat", F.floor(F.log(q / m) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    )
+    # ½·p·l = (2·cP+1)·l div (4·NP+2·K), exactly (α=½ doubled out twice)
+    nump = "((2 * CAST(n_p AS DECIMAL(38,0)) + 1) * log_pm_unat)"
+    denp = "(4 * CAST(_NP AS DECIMAL(38,0)) + 2 * _K)"
+    numq = "((2 * CAST(n_q AS DECIMAL(38,0)) + 1) * log_qm_unat)"
+    denq = "(4 * CAST(_NQ AS DECIMAL(38,0)) + 2 * _K)"
+    return scored.select(
+        "category",
+        "n_p",
+        "n_q",
+        "log_pm_unat",
+        "log_qm_unat",
+        F.expr(
+            f"CAST(sign({nump}) * (abs({nump}) div {denp}) "
+            f"+ sign({numq}) * (abs({numq}) div {denq}) AS BIGINT)"
+        ).alias("term_unat"),
+    )
+
+
+def hhi_concentration(
+    df: DataFrame,
+    keys: list[str],
+    entity_col: str,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per key: Σ over
+    entities of (entity share)² — "is this market/source/shard owned by
+    a few entities", the concentration diagnostic behind corpus-mixture
+    and dedup decisions (complement of ``gini_by_group``: HHI weights
+    the HEAD, Gini the spread).
+
+    Exact ppm without per-entity division: ``hhi_ppm = (Σ c_i²)·10⁶
+    div N²`` — one decimal div at the end, so no floor-error
+    accumulation across entities and the result is engine-exact.
+    Bounds: ppm of 1/K (even split) … 10⁶ (monopoly). Per-key N must
+    stay below ~10¹⁵ so c²·10⁶ < 10³⁸.
+
+    Plan: two partial-aggregated groupBys (entity grain → key grain),
+    no windows, no joins. Output: ``(keys…, n, n_entities, hhi_ppm)``.
+    """
+    ent = df.groupBy(*keys, F.col(entity_col).alias("_e")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    g = ent.groupBy(*keys).agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_entities"),
+        F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_c")).alias("_cc"),
+    )
+    return g.select(
+        *keys,
+        "n",
+        "n_entities",
+        F.expr(
+            "CAST((_cc * 1000000) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("hhi_ppm"),
     )

@@ -239,9 +239,14 @@ def kcore(
         edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b"))
         .filter(F.col("_a") != F.col("_b"))
     )
+    # the deduped symmetric edge table is loop-INVARIANT: every round's
+    # induced subgraph semi-joins against it and the final degree count
+    # reads it again, so persist it ONCE instead of re-running the
+    # union+distinct shuffle per peel round (it rides on the result via
+    # track_cached for explicit release)
     sym = und.unionByName(
         und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
-    ).distinct()
+    ).distinct().persist()
     nodes = None  # None = all nodes
     cur_edges = sym
     prev_n = None
@@ -262,10 +267,10 @@ def kcore(
         )
     out = cur_edges.groupBy("_a").agg(F.count(F.lit(1)).cast("long").alias("degree"))
     out = out.select(F.col("_a").alias("node"), "degree")
-    # the surviving round's node set stays persisted (the output plan
-    # still references it); hand the handle to the caller instead of
-    # leaking executor cache for the rest of the session
-    return track_cached(out, nodes) if nodes is not None else out
+    # the surviving round's node set and the deduped edge table stay
+    # persisted (the output plan still references them); hand the
+    # handles to the caller instead of leaking executor cache
+    return track_cached(out, sym, *( [nodes] if nodes is not None else [] ))
 
 
 def bradley_terry_int(
@@ -297,7 +302,11 @@ def bradley_terry_int(
     Plan: one groupBy builds the symmetric pair-count table, one the
     win counts; each round is two keyed joins (strengths onto both
     endpoints) + one partial-aggregated sum — the PageRank shape. The
-    returned plan is fully lazy (no driver actions, no persists).
+    loop-invariant tables (``sym``, win stats) and each round's
+    strength table are persisted (the k-core pattern), so the physical
+    plan is LINEAR in ``iters`` instead of exponential lineage growth —
+    no driver actions; the persisted handles ride on the result via
+    ``track_cached`` for explicit release.
 
     Output: ``(node, n_wins, n_matches, strength_milli)`` for every
     player that appears in a match.
@@ -311,6 +320,7 @@ def bradley_terry_int(
         .unionByName(m.select(F.col("_l").alias("_i"), F.col("_w").alias("_j")))
         .groupBy("_i", "_j")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .persist()  # loop-invariant: joined twice per MM round
     )
     wins = m.groupBy(F.col("_w").alias("_i")).agg(
         F.count(F.lit(1)).cast("long").alias("_wins")
@@ -319,7 +329,8 @@ def bradley_terry_int(
     stats = players.join(wins, "_i", "left").select(
         "_i",
         F.coalesce(F.col("_wins"), F.lit(0)).cast("long").alias("_wins"),
-    )
+    ).persist()  # loop-invariant: read every round + in the final join
+    cached: list[DataFrame] = [sym, stats]
     p = players.withColumn("_p", F.lit(int(scale)).cast("long"))
     for _ in range(int(iters)):
         contrib = (
@@ -342,9 +353,11 @@ def bradley_terry_int(
                     "_wins * 1000000000L div greatest(coalesce(_d, 0L), 1L)"
                 ).alias("_p"),
             )
+            .persist()  # truncate lineage: plan stays linear in iters
         )
+        cached.append(p)
     n_matches = sym.groupBy("_i").agg(F.sum("_n").cast("long").alias("_nm"))
-    return (
+    out = (
         stats.join(n_matches, "_i")
         .join(p, "_i")
         .select(
@@ -354,3 +367,4 @@ def bradley_terry_int(
             F.col("_p").alias("strength_milli"),
         )
     )
+    return track_cached(out, *cached)

@@ -25,7 +25,9 @@ import re
 import duckdb
 import pytest
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("SPARK_GRAFT_DTYPE_SF_DIR", "/root/testdata/sf0.001")
+if not os.path.isdir(SF_DIR):  # portability: checkouts without the test dataset
+    pytest.skip(f"test dataset not found at {SF_DIR}", allow_module_level=True)
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 # pandas-kind buckets. HUGEINT and DECIMAL deliberately do NOT count as

@@ -479,11 +479,14 @@ def test_q168_seasonal_medians_broadcast(spark, entry, sf_dir):
     assert "SortMergeJoin" not in p
 
 
-def test_q169_lift_window_over_distinct_scores(spark, entry, sf_dir):
-    """The only global window runs on the distinct-score grain (after
-    the groupBy), never on raw rows."""
+def test_q169_lift_two_level_bucketed(spark, entry, sf_dir):
+    """The distinct-score cumulative mass uses the two-level prefix sum:
+    the within-bucket window is PARTITIONED by the coarse bucket (no
+    unpartitioned window over the score grain), offsets broadcast back,
+    and no sort-merge join appears anywhere."""
     p = plan_str(entry.queries()["q169_lift_table"](spark, sf_dir))
-    assert "Join" not in p
+    assert "SortMergeJoin" not in p
+    assert "hashpartitioning(_cb" in p  # within-bucket window is keyed
     assert p.count("HashAggregate") >= 2  # score grain + bucket agg
 
 
@@ -595,11 +598,15 @@ def test_q183_compaction_metadata_window(spark, entry, sf_dir):
 
 def test_q184_quantile_map_no_range_join(spark, entry, sf_dir):
     """The inverse-CDF lookup must be the union-merge window + a
-    broadcast equi-join back — never a range/theta join."""
+    broadcast equi-join back — never a range/theta join — and the merge
+    window must be PARTITIONED by the ppm bucket (no unpartitioned
+    window over the distinct-value grain)."""
     p = plan_str(entry.queries()["q184_quantile_map"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+    assert "hashpartitioning(_pb" in p  # bucketed union-merge
+    assert "hashpartitioning(_g" in p  # per-group CDF stays keyed
 
 
 def test_q185_temporal_2hop_mid_keyed_hash_join(spark, entry, sf_dir):
@@ -668,10 +675,18 @@ def test_q193_position_attribution_one_window(spark, entry, sf_dir):
 
 def test_q194_scalar_max_broadcast(spark, entry, sf_dir):
     """The 1-row max joins back broadcast; the revenue aggregate is
-    computed once (exchange reuse), never a sort-merge."""
-    p = plan_str(entry.queries()["q194_top_supplier"](spark, sf_dir))
+    computed once (persisted — column pruning defeats ReuseExchange),
+    NO global window over the supplier grain (1e9 rows at 100 TB),
+    never a sort-merge."""
+    from aeon_mecha_spark.util import release_cached
+
+    q = entry.queries()["q194_top_supplier"](spark, sf_dir)
+    p = plan_str(q)
+    release_cached(q)
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "Window" not in p
+    assert "InMemoryTableScan" in p  # one lineitem scan via persist
 
 
 def test_q197_waiting_no_exists_joins(spark, entry, sf_dir):

@@ -73,6 +73,37 @@ def test_bradley_terry_dominant_player_ranks_first(spark):
     assert got["a"] > got["b"] > got["c"]
 
 
+def test_bradley_terry_plan_linear_in_iters(spark):
+    """Each MM round persists its strength table, so the FINAL physical
+    plan reads cached rounds (InMemoryTableScan) instead of unrolling
+    the whole lineage — raising ``iters`` must not explode the plan."""
+    from aeon_mecha_spark.operators.graph import bradley_terry_int
+    from aeon_mecha_spark.util import release_cached
+
+    matches = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(matches, "winner string, loser string")
+    import contextlib
+    import io
+    import re
+
+    out = bradley_terry_int(df, iters=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "InMemoryTableScan" in plan
+    # DISTINCT numbered plan nodes (the display re-prints each cached
+    # round's inner plan per reference, so raw string counts are
+    # exponential; the node-id space is the true plan size): linear in
+    # iters — ~40/round — NOT the pre-fix exponential lineage unroll
+    n_nodes = len(set(re.findall(r"\((\d+)\)", plan)))
+    assert n_nodes <= 60 * 8
+    # still numerically identical to the unpersisted mirror
+    got = {r.node: r.strength_milli for r in out.collect()}
+    assert got == {x: v[2] for x, v in _bt_reference(matches, iters=8).items()}
+    release_cached(out)
+
+
 # -- Fleiss' kappa ------------------------------------------------------------
 
 

@@ -44,10 +44,16 @@ TINY_GLOBAL_WINDOW_OK = {
     "q115_range_shard",  # boundary quantiles over the bounded hash sample
     "q124_key_skew_stats",  # rank window over the already-limited <= top_n rows
     "q145_rrf_fusion",  # rank windows over TakeOrdered-cut top-200 lists
-    "q169_lift_table",  # cumulative window over the DISTINCT-SCORE grain
+    "q169_lift_table",  # <=score_buckets-row bucket-offset table, bounded BY
+    # CONSTRUCTION (bucket id is least/greatest-clamped to [0, 1024)) —
+    # the two-level prefix-sum path; the distinct-score grain itself is
+    # windowed per bucket
+    "q209_roc_points",  # same two-level path as q169: the only global
+    # windows read the <=score_buckets-row clamped bucket-offset table
     "q183_compaction",  # planner rank over the FILE LISTING (metadata rows)
-    "q184_quantile_map",  # union-merge over the distinct-VALUE grain
-    "q194_top_supplier",  # scalar max over the SUPPLIER grain (dim-sized)
+    "q184_quantile_map",  # <=ppm_buckets+1-row spine (spark.range literal) —
+    # per-group CDF and the union-merge as-of are both bucket-partitioned;
+    # remaining global windows read only the bounded spine/bucket tables
     "q204_psi",  # single-distribution quantile path: the constant group key is
     # constant-folded out of the partition specs, so the bounded windows
     # (boundary sample <= target_sample_rows; 32-row bucket offsets) read
