@@ -3213,6 +3213,147 @@ def q211_hhi(spark, sf_dir):
     ).orderBy("o_orderpriority")
 
 
+def q212_acf(spark, sf_dir):
+    """Sample autocorrelation of event value (in exact cents) at lags
+    1..3 per event type, ordered by (ts, event_id) — Pearson over the
+    overlapping lag pairs, decimal moments, exact isqrt, clamped ppm
+    (the q207 discipline applied down the time axis)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_cents", F.expr("CAST(round(value * 100) AS BIGINT)")
+    )
+    return analytics.acf_by_group(
+        ev, ["event_type"], ["ts", "event_id"], "_cents", max_lag=3
+    ).orderBy("event_type", "lag")
+
+
+def q213_kruskal_wallis(spark, sf_dir):
+    """Kruskal–Wallis H across three user cohorts (user_id mod 3) of
+    event value per event type — doubled tie-averaged ranks, per-group
+    floor terms in exact milli, tie correction reported separately."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_cohort", F.expr("CAST(user_id % 3 AS INT)")
+    )
+    return analytics.kruskal_wallis(
+        ev, ["event_type"], "value", "_cohort"
+    ).orderBy("event_type")
+
+
+def q214_calibration(spark, sf_dir):
+    """Reliability table + ECE terms for a deterministic synthetic
+    scorer (user-hash ppm) against 'is this a purchase' — mean
+    predicted vs empirical rate per decile bucket, all integer ppm,
+    one map-side groupBy."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_score_ppm", F.expr("CAST((user_id * 9973) % 1000001 AS BIGINT)")
+    )
+    return analytics.calibration_table(
+        ev, F.col("event_type") == "purchase", "_score_ppm", n_buckets=10
+    )
+
+
+def q215_bh_fdr(spark, sf_dir):
+    """Benjamini–Hochberg FDR selection at alpha=5% over synthetic
+    per-event p-values (hash ppm): all-integer BH test, bucketed
+    two-level p-ranking (never a global sort), tie-safe rejected set."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("CAST((event_id * 2654435761) % 1000001 AS BIGINT)").alias("p_ppm"),
+    )
+    return analytics.bh_select(ev, "p_ppm", alpha_num=5, alpha_den=100).select(
+        "event_id", "p_ppm", "bh_rejected", "threshold_ppm"
+    ).orderBy("event_id")
+
+
+def q216_info_gain(spark, sf_dir):
+    """Information gain of document language about the source label —
+    micro-nat entropies with integer c·ln c sums and exact rational
+    (n_x/N) weights; h_label minus the term-sum is the IG."""
+    docs = _t(spark, sf_dir, "documents")
+    return analytics.info_gain(docs, "lang", "source")
+
+
+def q217_line_dedup(spark, sf_dir):
+    """C4/Dolma-style line-level boilerplate removal: drop every line
+    present in >2 DISTINCT documents, reassemble by original position.
+    The synthetic corpus is single-line, so lines are derived by
+    splitting on ' the ' — same replace() on both engines."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("replace(text, ' the ', '\n')").alias("text")
+    )
+    return dedup.line_dedup(docs, max_doc_freq=2).orderBy("doc_id")
+
+
+def q218_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival per event type: duration = value rounded
+    to an integer (bounded distinct grain), censored = every 4th user;
+    log-survival accumulated in integer micro-nats."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_dur", F.expr("CAST(round(value) AS BIGINT)")
+    )
+    return analytics.kaplan_meier(
+        ev, ["event_type"], "_dur", F.col("user_id") % 4 != 0
+    ).orderBy("event_type", "t")
+
+
+def q219_cohort_retention(spark, sf_dir):
+    """Daily cohort retention triangle over the events stream (the
+    synthetic corpus spans one month, so the day grain gives a real
+    triangle): first-event-day cohorts, integer datediff ages,
+    distinct-user activity, exact ppm."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.cohort_retention(ev, "user_id", "ts", granularity="day").orderBy(
+        "cohort_period", "age_periods"
+    )
+
+
+def q220_hits(spark, sf_dir):
+    """HITS hubs/authorities over the user transition graph (the q127
+    edge convention): 3 fixed max-renormalized integer rounds —
+    mutual-recursion twin of PageRank, oracle unrolled per round."""
+    from aeon_mecha_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    edges = graph.transition_edges(ev)
+    out = graph.hits_int(edges, iters=3)
+    return out.select(
+        F.col("node").alias("user_id"), "hub_score", "auth_score"
+    ).orderBy("user_id")
+
+
+def q221_split_leakage(spark, sf_dir):
+    """Train/val/test contamination audit — the composition gate that
+    chains three public-pipeline primitives: near-dup pairs (MinHash →
+    LSH bands → exact Jaccard ≥ 0.5, the q34/q35 machinery) joined to
+    the deterministic split assignment (q132) on BOTH endpoints, pair
+    counts per unordered split pair. Off-diagonal rows ARE the leakage
+    (a test doc nearly identical to a train doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, num_hashes=_NUM_MINHASH).cache()
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_MINHASH, bands=_MINHASH_BANDS
+    )
+    sets = dedup.shingle_sets(docs, k=3).cache()
+    j = dedup.ngram_jaccard(docs, pairs, k=3, sets=sets).filter(
+        F.col("jaccard") >= 0.5
+    )
+    spl = curation.split_assign(docs, weights=(0.8, 0.1, 0.1), seed=0).select(
+        "doc_id", "split"
+    )
+    sa = spl.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_spa"))
+    sb = spl.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_spb"))
+    return (
+        j.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            F.least("_spa", "_spb").alias("split_a"),
+            F.greatest("_spa", "_spb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("split_a", "split_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3250,6 +3391,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rotated out (q155-q201 green in r07; q111-q154 in r06; the rest
     # r04/r05) is re-checked every round via tools/check_correctness.py
     # -> CHECK_FULL_r{N}.json.
+        "q212_acf": q212_acf,
+        "q213_kruskal_wallis": q213_kruskal_wallis,
+        "q214_calibration": q214_calibration,
+        "q215_bh_fdr": q215_bh_fdr,
+        "q216_info_gain": q216_info_gain,
+        "q217_line_dedup": q217_line_dedup,
+        "q218_kaplan_meier": q218_kaplan_meier,
+        "q219_cohort_retention": q219_cohort_retention,
+        "q220_hits": q220_hits,
+        "q221_split_leakage": q221_split_leakage,
         "q207_spearman": q207_spearman,
         "q208_mannwhitney": q208_mannwhitney,
         "q209_roc_points": q209_roc_points,
@@ -4244,6 +4395,51 @@ def _sql_pagerank(iters: int = 5, scale: int = 1_000_000, damping_pct: int = 85)
     return "WITH" + "".join(ctes) + f"""
     SELECT node AS user_id, r AS rank_micro FROM r{iters}"""
 
+
+def _sql_hits(iters: int = 3, scale: int = 1_000_000) -> str:
+    """Oracle for q220: HITS mutual recursion unrolled — per round one
+    authority CTE (in-edge sum of hub scores, max-renormalized) and one
+    hub CTE (out-edge sum of authority scores, likewise). All
+    quantities >= 0, so `//` floors exactly like Spark's `div`."""
+    ctes = [f"""
+    e AS MATERIALIZED (
+      SELECT src, dst FROM (
+        SELECT user_id AS src,
+               lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS dst
+        FROM events)
+      WHERE dst IS NOT NULL AND src <> dst
+    ), nodes AS (
+      SELECT DISTINCT node FROM
+        (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+    ), h0 AS (
+      SELECT node, {scale}::hugeint AS h FROM nodes
+    )"""]
+    for k in range(1, iters + 1):
+        ctes.append(f""",
+    ar{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(h{k - 1}.h)::hugeint AS raw
+      FROM e JOIN h{k - 1} ON e.src = h{k - 1}.node GROUP BY e.dst
+    ), am{k} AS (
+      SELECT greatest(max(raw), 1) AS mx FROM ar{k}
+    ), a{k} AS MATERIALIZED (
+      SELECT n.node,
+             coalesce((coalesce(r.raw, 0) * {scale}) // am.mx, 0)::hugeint AS a
+      FROM nodes n LEFT JOIN ar{k} r ON r.node = n.node CROSS JOIN am{k} am
+    ), hr{k} AS MATERIALIZED (
+      SELECT e.src AS node, sum(a{k}.a)::hugeint AS raw
+      FROM e JOIN a{k} ON e.dst = a{k}.node GROUP BY e.src
+    ), hm{k} AS (
+      SELECT greatest(max(raw), 1) AS mx FROM hr{k}
+    ), h{k} AS MATERIALIZED (
+      SELECT n.node,
+             coalesce((coalesce(r.raw, 0) * {scale}) // hm.mx, 0)::hugeint AS h
+      FROM nodes n LEFT JOIN hr{k} r ON r.node = n.node CROSS JOIN hm{k} hm
+    )""")
+    return "WITH" + "".join(ctes) + f"""
+    SELECT h{iters}.node AS user_id, CAST(h{iters}.h AS BIGINT) AS hub_score,
+           CAST(a{iters}.a AS BIGINT) AS auth_score
+    FROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node
+    ORDER BY user_id"""
 
 
 def _sql_bradley_terry(iters: int = 3, scale: int = 1000) -> str:
@@ -7759,6 +7955,313 @@ def oracle_sql() -> dict[str, str]:
                    CAST((cc * 1000000) // (n::hugeint * n) AS BIGINT)
                      AS hhi_ppm
             FROM g ORDER BY o_orderpriority
+        """,
+        "q212_acf": """
+            -- lag-L Pearson over overlapping pairs, cents-integer
+            -- moments in hugeint, exact isqrt (q207 chain), clamp 1e6
+            WITH b AS (
+              SELECT event_type AS k, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS x
+              FROM events WHERE value IS NOT NULL),
+            l AS (
+              SELECT k, x,
+                     lead(x, 1) OVER w AS y1,
+                     lead(x, 2) OVER w AS y2,
+                     lead(x, 3) OVER w AS y3
+              FROM b WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+            p AS (
+              SELECT k, 1 AS lag, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+              UNION ALL
+              SELECT k, 2, x, y2 FROM l WHERE y2 IS NOT NULL
+              UNION ALL
+              SELECT k, 3, x, y3 FROM l WHERE y3 IS NOT NULL),
+            g AS (
+              SELECT k, lag, count(*)::hugeint AS n,
+                     sum(x::hugeint) AS sx, sum(y::hugeint) AS sy,
+                     sum(x::hugeint * x) AS sxx,
+                     sum(y::hugeint * y) AS syy,
+                     sum(x::hugeint * y) AS sxy
+              FROM p GROUP BY k, lag),
+            d AS (
+              SELECT k, lag, n, n * sxy - sx * sy AS num,
+                     n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy
+              FROM g),
+            x0 AS (SELECT *,
+                     greatest(floor(sqrt(dx::double)), 1.0)::hugeint AS a0,
+                     greatest(floor(sqrt(dy::double)), 1.0)::hugeint AS b0
+                   FROM d),
+            x1 AS (SELECT *, (a0 + dx // greatest(a0, 1)) // 2 AS a1,
+                             (b0 + dy // greatest(b0, 1)) // 2 AS b1 FROM x0),
+            x2 AS (SELECT *, (a1 + dx // greatest(a1, 1)) // 2 AS a2,
+                             (b1 + dy // greatest(b1, 1)) // 2 AS b2 FROM x1),
+            i AS (
+              SELECT *,
+                     CASE WHEN (a2 + 1) * (a2 + 1) <= dx THEN a2 + 1
+                          WHEN a2 * a2 > dx THEN a2 - 1 ELSE a2 END AS rx,
+                     CASE WHEN (b2 + 1) * (b2 + 1) <= dy THEN b2 + 1
+                          WHEN b2 * b2 > dy THEN b2 - 1 ELSE b2 END AS ry
+              FROM x2)
+            SELECT k AS event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+                   CAST(CASE WHEN dx > 0 AND dy > 0 THEN
+                        (CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1
+                              ELSE 0 END)
+                        * least(1000000::hugeint,
+                                (abs(num) * 1000000) // (rx * ry))
+                        END AS BIGINT) AS r_ppm
+            FROM i ORDER BY event_type, lag
+        """,
+        "q213_kruskal_wallis": """
+            -- doubled tie-averaged ranks; per-group floor terms
+            -- 3000*R2^2 // (ng*N*(N+1)) (chi-square floor-sum
+            -- convention); tie correction reported separately
+            WITH b AS (
+              SELECT event_type AS k, value AS v,
+                     CAST(user_id % 3 AS INT) AS g
+              FROM events WHERE value IS NOT NULL),
+            r AS (
+              SELECT k, g,
+                     2 * rank() OVER (PARTITION BY k ORDER BY v)
+                       + count(*) OVER (PARTITION BY k, v) - 1 AS dr
+              FROM b),
+            pg AS (
+              SELECT k, g, count(*)::bigint AS ng,
+                     sum(dr)::hugeint AS r2
+              FROM r GROUP BY k, g),
+            nk AS (SELECT k, sum(ng)::bigint AS nn FROM pg GROUP BY k),
+            t AS (
+              SELECT pg.k, ng,
+                     (3000 * r2 * r2)
+                       // (ng::hugeint * nn * (nn + 1)) AS trm
+              FROM pg JOIN nk ON pg.k = nk.k),
+            hk AS (
+              SELECT k, sum(ng)::bigint AS n,
+                     count(*)::bigint AS n_groups, sum(trm) AS hs
+              FROM t GROUP BY k),
+            tie AS (
+              SELECT k, sum(c * c * c - c) AS tt
+              FROM (SELECT k, v, count(*)::hugeint AS c
+                    FROM b GROUP BY k, v) GROUP BY k)
+            SELECT hk.k AS event_type, n, n_groups,
+                   CAST(hs - 3000 * (n + 1) AS BIGINT) AS h_milli,
+                   CAST(CASE WHEN n > 1 THEN
+                        ((n::hugeint * n * n - n - tt) * 1000000)
+                          // (n::hugeint * n * n - n) END AS BIGINT)
+                     AS tie_ppm
+            FROM hk JOIN tie ON hk.k = tie.k ORDER BY event_type
+        """,
+        "q214_calibration": """
+            -- reliability buckets: mean predicted ppm vs empirical
+            -- rate ppm, ece_term = n*|gap|; bucket = s*B // (1e6+1)
+            WITH b AS (
+              SELECT CAST(((user_id * 9973) % 1000001) * 10 // 1000001
+                          AS INT) AS bucket,
+                     CAST((user_id * 9973) % 1000001 AS BIGINT) AS s,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+              FROM events),
+            g AS (
+              SELECT bucket, count(*)::bigint AS n,
+                     sum(y)::bigint AS n_pos, sum(s::hugeint) AS ss
+              FROM b GROUP BY bucket)
+            SELECT bucket, n, n_pos,
+                   CAST(ss // n AS BIGINT) AS conf_ppm,
+                   CAST((n_pos::hugeint * 1000000) // n AS BIGINT)
+                     AS acc_ppm,
+                   CAST(n * abs(CAST(ss // n AS BIGINT)
+                        - CAST((n_pos::hugeint * 1000000) // n AS BIGINT))
+                        AS BIGINT) AS ece_term
+            FROM g ORDER BY bucket
+        """,
+        "q215_bh_fdr": """
+            -- all-integer BH test p*m*aden <= k*1e6*anum; threshold =
+            -- p at the max satisfying rank (tie-invariant)
+            WITH b AS (
+              SELECT event_id,
+                     CAST((event_id * 2654435761) % 1000001 AS BIGINT)
+                       AS p
+              FROM events),
+            r AS (
+              SELECT *, row_number() OVER (ORDER BY p) AS rk,
+                     count(*) OVER () AS m
+              FROM b),
+            c AS (
+              SELECT max(rk) AS krk FROM r
+              WHERE p::hugeint * m * 100 <= rk::hugeint * 1000000 * 5),
+            thr AS (SELECT r.p AS t FROM r, c WHERE r.rk = c.krk)
+            SELECT event_id, p AS p_ppm,
+                   coalesce(p <= (SELECT t FROM thr), false)
+                     AS bh_rejected,
+                   (SELECT t FROM thr) AS threshold_ppm
+            FROM b ORDER BY event_id
+        """,
+        "q216_info_gain": """
+            -- micro-nat entropies: integer floor(c*ln c*1e6+0.5) sums,
+            -- one integer div per /n, (n_x/N) weight as one more div
+            WITH cells AS (
+              SELECT lang AS value, source AS y, count(*)::bigint AS c
+              FROM documents GROUP BY lang, source),
+            px AS (
+              SELECT value, sum(c)::bigint AS n,
+                     sum(CAST(floor(c::double * ln(c::double) * 1000000.0
+                              + 0.5) AS BIGINT)) AS s
+              FROM cells GROUP BY value),
+            pxh AS (
+              SELECT value, n,
+                     CAST(CAST(floor(ln(n::double) * 1000000.0 + 0.5)
+                               AS HUGEINT) - s // n AS BIGINT)
+                       AS h_cond_unat
+              FROM px),
+            lab AS (SELECT y, sum(c)::bigint AS cy FROM cells GROUP BY y),
+            hl AS (
+              SELECT sum(cy)::bigint AS nn,
+                     sum(CAST(floor(cy::double * ln(cy::double) * 1000000.0
+                              + 0.5) AS BIGINT)) AS sl
+              FROM lab),
+            hl2 AS (
+              SELECT nn,
+                     CAST(CAST(floor(ln(nn::double) * 1000000.0 + 0.5)
+                               AS HUGEINT) - sl // nn AS BIGINT)
+                       AS h_label_unat
+              FROM hl)
+            SELECT value, n, h_cond_unat,
+                   CAST((CASE WHEN h_cond_unat < 0 THEN -1
+                              WHEN h_cond_unat > 0 THEN 1 ELSE 0 END)
+                        * ((n::hugeint * abs(h_cond_unat)) // nn)
+                        AS BIGINT) AS term_unat,
+                   h_label_unat
+            FROM pxh CROSS JOIN hl2 ORDER BY value
+        """,
+        "q217_line_dedup": """
+            -- C4/Dolma line-level boilerplate pass: drop trimmed lines
+            -- in >2 DISTINCT docs; reassemble by ORIGINAL position
+            -- (generate_subscripts pairs with unnest elementwise)
+            WITH ls AS (
+              SELECT doc_id,
+                     string_split(replace(text, ' the ', chr(10)), chr(10))
+                       AS l
+              FROM documents),
+            b AS (
+              SELECT doc_id, unnest(l) AS line,
+                     generate_subscripts(l, 1) AS pos
+              FROM ls),
+            freq AS (
+              SELECT t FROM (
+                SELECT DISTINCT doc_id, trim(line) AS t FROM b
+                WHERE length(trim(line)) >= 1)
+              GROUP BY t HAVING count(*) > 2),
+            flagged AS (
+              SELECT doc_id, pos, line,
+                     (length(trim(line)) >= 1 AND
+                      trim(line) IN (SELECT t FROM freq)) AS dropped
+              FROM b),
+            kept AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM flagged WHERE NOT dropped GROUP BY doc_id),
+            stats AS (
+              SELECT doc_id, count(*)::bigint AS n_lines,
+                     sum(CASE WHEN dropped THEN 1 ELSE 0 END)::bigint
+                       AS n_dropped
+              FROM flagged GROUP BY doc_id)
+            SELECT s.doc_id, coalesce(k.text, '') AS text, n_lines,
+                   n_dropped
+            FROM stats s LEFT JOIN kept k ON s.doc_id = k.doc_id
+            ORDER BY s.doc_id
+        """,
+        "q218_kaplan_meier": """
+            -- KM at event times: reverse-cum at-risk over the per-key
+            -- distinct-duration grain, ln((n-d)/n) floored half-up to
+            -- integer micro-nats, cumulative integer sum; S=0 poisons
+            -- later times to NULL
+            WITH b AS (
+              SELECT event_type AS k, CAST(round(value) AS BIGINT) AS t,
+                     CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END AS e
+              FROM events WHERE value IS NOT NULL),
+            g AS (
+              SELECT k, t, count(*)::bigint AS n, sum(e)::bigint AS d
+              FROM b GROUP BY k, t),
+            ar AS (
+              SELECT *, CAST(sum(n) OVER
+                (PARTITION BY k ORDER BY t DESC) AS BIGINT) AS n_risk
+              FROM g),
+            f AS (
+              SELECT *, CASE
+                WHEN d > 0 AND d < n_risk THEN
+                  CAST(floor(ln((n_risk - d)::double / n_risk::double)
+                             * 1000000.0 + 0.5) AS BIGINT)
+                WHEN d >= n_risk THEN NULL ELSE 0 END AS lnf
+              FROM ar),
+            s AS (
+              SELECT *,
+                sum(CASE WHEN lnf IS NULL THEN 1 ELSE 0 END) OVER
+                  (PARTITION BY k ORDER BY t ASC) AS nulls,
+                sum(lnf) OVER (PARTITION BY k ORDER BY t ASC) AS csum
+              FROM f)
+            SELECT k AS event_type, t, n_risk, d,
+                   CAST(CASE WHEN nulls = 0 THEN csum END AS BIGINT)
+                     AS ln_s_unat
+            FROM s WHERE d > 0 ORDER BY event_type, t
+        """,
+        "q219_cohort_retention": """
+            -- first-event-DAY cohorts; age = integer datediff (no
+            -- months_between floats); ppm rate
+            WITH ev AS (
+              SELECT user_id AS u, date_trunc('day', ts) AS m
+              FROM events),
+            coh AS (SELECT u, min(m) AS cm FROM ev GROUP BY u),
+            sizes AS (
+              SELECT cm, count(*)::bigint AS n_cohort
+              FROM coh GROUP BY cm),
+            act AS (
+              SELECT DISTINCT coh.cm,
+                     CAST(date_diff('day', cm, m) AS INT) AS age,
+                     ev.u
+              FROM ev JOIN coh ON ev.u = coh.u),
+            a2 AS (
+              SELECT cm, age, count(*)::bigint AS n_active
+              FROM act GROUP BY cm, age)
+            SELECT a2.cm AS cohort_period, age AS age_periods, n_active,
+                   n_cohort,
+                   CAST((n_active::hugeint * 1000000) // n_cohort
+                        AS BIGINT) AS retention_ppm
+            FROM a2 JOIN sizes ON a2.cm = sizes.cm
+            ORDER BY cohort_period, age_periods
+        """,
+        "q220_hits": _sql_hits(iters=3),
+        "q221_split_leakage": _sql_minhash_cte() + f"""
+        , buckets AS (
+            SELECT doc_id, band, bh FROM (
+              SELECT doc_id,
+                     unnest(range({_MINHASH_BANDS})) AS band,
+                     unnest([{', '.join(f"md5(mh_{2*b}::varchar || ',' || mh_{2*b+1}::varchar)" for b in range(_MINHASH_BANDS))}]) AS bh
+              FROM sigs)
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ), sets AS (SELECT doc_id, list_distinct(sh) AS s FROM shl),
+        jac AS (
+            SELECT id_a, id_b
+            FROM pairs JOIN sets sa ON sa.doc_id = id_a
+                       JOIN sets sb ON sb.doc_id = id_b
+            WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0
+              AND len(list_intersect(sa.s, sb.s))::double
+                  / len(list_distinct(list_concat(sa.s, sb.s))) >= 0.5
+        ), spl AS (
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5('0:' || doc_id::varchar), 1, 15))::bigint
+                             % 1000000 < 800000 THEN 'train'
+                        WHEN ('0x' || substr(md5('0:' || doc_id::varchar), 1, 15))::bigint
+                             % 1000000 < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT least(sa.split, sb.split) AS split_a,
+               greatest(sa.split, sb.split) AS split_b,
+               count(*)::bigint AS n_pairs
+        FROM jac JOIN spl sa ON sa.doc_id = id_a
+                 JOIN spl sb ON sb.doc_id = id_b
+        GROUP BY 1, 2 ORDER BY 1, 2
         """,
     }
     return sqls

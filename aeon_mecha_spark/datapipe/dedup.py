@@ -647,3 +647,76 @@ def canonical_select(
         F.first(id_col).over(full).alias("canonical_id"),
         F.row_number().over(w).alias("rank"),
     ).withColumn("is_canonical", F.col("rank") == 1)
+
+
+def line_dedup(
+    docs: DataFrame,
+    max_doc_freq: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Line-level boilerplate removal (the C4/Dolma pass that precedes
+    document-level dedup): drop every line whose TRIMMED form appears
+    in more than ``max_doc_freq`` DISTINCT documents — navigation
+    chrome, cookie banners, license footers — and reassemble the
+    remaining lines in their original order. Lines shorter than
+    ``min_line_chars`` after trimming are kept unconditionally (blank
+    separators are structure, not boilerplate).
+
+    Cf. the reference's per-stream QC passes (aeon/qc semantics): a
+    global frequency table drives a per-record filter; here the
+    "stream" is the line grain of a text corpus.
+
+    Exactness: the line grain is ``trim(line)``; ordering is restored
+    by the line's ORIGINAL index (``posexplode``), so the output text
+    is a pure function of the input — no row-order dependence anywhere.
+
+    Plan: one posexplode (map-side), one distinct-(line, doc) + line
+    groupBy for document frequencies, ONE key-bounded equi-join of the
+    line stream against the frequent-lines table (broadcast when it
+    fits — boilerplate tables are tiny relative to the corpus; Spark's
+    AQE picks the strategy), one per-doc groupBy whose
+    ``array_sort(collect_list(struct(pos, line)))`` rebuilds the text.
+    No windows. Output: ``(id, text, n_lines, n_dropped)``.
+    """
+    base = spread(docs).select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line")
+    ).withColumn("_t", F.trim(F.col("_line")))
+    freq = (
+        base.filter(F.length("_t") >= int(min_line_chars))
+        .select("_t", id_col)
+        .distinct()
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .filter(F.col("_df") > int(max_doc_freq))
+        .select(F.col("_t").alias("_bp"), F.lit(True).alias("_drop"))
+    )
+    flagged = base.join(
+        freq,
+        (F.col("_t") == F.col("_bp")) & (F.length("_t") >= int(min_line_chars)),
+        "left",
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_drop").isNull(),
+                        F.struct(F.col("_pos").alias("pos"), F.col("_line").alias("line")),
+                    )
+                )
+            ).alias("_kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                "\n", F.transform(F.col("_kept"), lambda s: s["line"])
+            ).alias(text_col),
+            "n_lines",
+            "n_dropped",
+        )
+    )

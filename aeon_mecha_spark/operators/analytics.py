@@ -3325,3 +3325,511 @@ def hhi_concentration(
             "CAST((_cc * 1000000) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
         ).alias("hhi_ppm"),
     )
+
+
+def acf_by_group(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str | list[str],
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Sample autocorrelation per key at lags 1..``max_lag`` — the
+    seasonality/stickiness diagnostic behind ``decompose_seasonal`` and
+    ``ewma``: how much does a series remember its recent past.
+
+    Convention: Pearson correlation between the overlapping pairs
+    ``(x_t, x_{t+L})`` (the variant that renormalizes per lag —
+    well-defined without stationarity assumptions), under the
+    ``corr_pairs`` integer contract: ``value_col`` must be
+    INTEGER-VALUED (pre-scale monetary doubles to cents), all five
+    moments accumulate in decimal(38,0), and
+
+        ``r_ppm = sign(num) · min(10⁶, |num|·10⁶ div (isqrt(dx)·isqrt(dy)))``
+
+    with the exact floor ``isqrt`` (double seed + 2 Newton steps +
+    clamp — the q206/q207 construction), so no float sqrt or
+    accumulation order is in the comparison path. Lags with fewer than
+    2 pairs or a constant side report NULL.
+
+    ``order_col`` may be a list — pass a tie-breaking suffix (e.g.
+    ``["ts", "event_id"]``) whenever the primary order can collide, or
+    the lag pairing is nondeterministic.
+
+    Plan: ONE per-key window pass computes all ``max_lag`` leads (they
+    share the sort), a literal |lags|-row explode, one groupBy per
+    (key, lag) — parallel across keys, map-side-combinable moments.
+    Output: ``(keys…, lag, n_pairs, r_ppm)``.
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, *order_cols, F.col(value_col).cast("long").alias("_x")
+    )
+    led = base.select(
+        *keys,
+        "_x",
+        *[
+            F.lead("_x", lag).over(w).alias(f"_y{lag}")
+            for lag in range(1, int(max_lag) + 1)
+        ],
+    )
+    pairs = led.select(
+        *keys,
+        "_x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lag).alias("_lag"), F.col(f"_y{lag}").alias("_y")
+                    )
+                    for lag in range(1, int(max_lag) + 1)
+                ]
+            )
+        ).alias("_e"),
+    ).select(*keys, "_x", F.col("_e._lag").alias("lag"), F.col("_e._y").alias("_y"))
+    dsum = lambda e: F.sum(e.cast("decimal(38,0)")).cast("decimal(38,0)")  # noqa: E731
+    g = (
+        pairs.filter(F.col("_y").isNotNull())
+        .groupBy(*keys, "lag")
+        .agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+            dsum(F.col("_x")).alias("_sx"),
+            dsum(F.col("_y")).alias("_sy"),
+            dsum(F.col("_x") * F.col("_x")).alias("_sxx"),
+            dsum(F.col("_y") * F.col("_y")).alias("_syy"),
+            dsum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        )
+    )
+    g = (
+        g.withColumn("_num", F.expr("_n * _sxy - _sx * _sy"))
+        .withColumn("_dx", F.expr("_n * _sxx - _sx * _sx"))
+        .withColumn("_dy", F.expr("_n * _syy - _sy * _sy"))
+    )
+    g = _with_exact_isqrt(g, "_dx", "_rx")
+    g = _with_exact_isqrt(g, "_dy", "_ry")
+    return g.select(
+        *keys,
+        "lag",
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(CASE WHEN _dx > 0 AND _dy > 0 THEN "
+            "sign(_num) * least(CAST(1000000 AS DECIMAL(38,0)), "
+            "(abs(_num) * 1000000) div (_rx * _ry)) END AS BIGINT)"
+        ).alias("r_ppm"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Kruskal–Wallis H (rank one-way ANOVA) per key: do k sample
+    groups share a location — the k-group generalization of
+    ``mann_whitney_u``, on the same DOUBLED tie-averaged ranks
+    (``dr = 2·rank + ties − 1``, integral under ties).
+
+    With doubled rank sums ``R2_g = Σ_g dr`` (so ``12·R_g² = 3·R2_g²``):
+
+        ``H = Σ_g 3·R2_g²/(n_g·N·(N+1)) − 3·(N+1)``
+
+    reported in exact milli as a SUM OF PER-GROUP FLOORS (the
+    ``chi_square_cells`` convention — each term one decimal div,
+    deterministic in any engine; the total undershoots true H by
+    < #groups/1000). The tie-correction divisor is reported separately
+    as ``tie_ppm = (N³−N − Σ(t³−t))·10⁶ div (N³−N)`` (corrected
+    H = h_milli/tie_ppm·10³ downstream — kept apart so both factors
+    stay integral). Per-key N below ~10⁹ keeps R2² inside decimal(38).
+
+    Plan: one per-key rank window (ties ride the same shuffle), a
+    (key, group) groupBy, a (key, value) tie groupBy off the same
+    base, one broadcast join of two tiny per-key tables.
+    Output: ``(keys…, n, n_groups, h_milli, tie_ppm)``.
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
+    )
+    wv = W.partitionBy(*keys).orderBy(F.col("_v").asc())
+    ranked = base.withColumn(
+        "_dr",
+        (
+            2 * F.rank().over(wv)
+            + F.count(F.lit(1)).over(W.partitionBy(*keys, "_v"))
+            - 1
+        ).cast("long"),
+    )
+    per_g = ranked.groupBy(*keys, "_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_ng"),
+        F.sum("_dr").cast("decimal(38,0)").alias("_r2"),
+    )
+    # H needs N inside the per-group div, so join the per-key N back
+    # onto the group grain (broadcast — per-key grain is tiny relative
+    # to facts) and floor-div per group
+    nk = per_g.groupBy(*keys).agg(F.sum("_ng").cast("long").alias("_N"))
+    terms = per_g.join(F.broadcast(nk), keys).select(
+        *keys,
+        "_ng",
+        F.expr(
+            "CAST((3000 * _r2 * _r2) div "
+            "(CAST(_ng AS DECIMAL(38,0)) * _N * (_N + 1)) AS DECIMAL(38,0))"
+        ).alias("_t"),
+    )
+    hk = terms.groupBy(*keys).agg(
+        F.sum("_ng").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("_t").alias("_hs"),
+    )
+    ties = (
+        base.groupBy(*keys, "_v")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_t"))
+        .groupBy(*keys)
+        .agg(F.sum(F.expr("_t * _t * _t - _t")).alias("_tt"))
+    )
+    return (
+        hk.join(F.broadcast(ties), keys)
+        .select(
+            *keys,
+            "n",
+            "n_groups",
+            F.expr("CAST(_hs - 3000 * (n + 1) AS BIGINT)").alias("h_milli"),
+            F.expr(
+                "CAST(CASE WHEN n > 1 THEN "
+                "((CAST(n AS DECIMAL(38,0)) * n * n - n - _tt) * 1000000) div "
+                "(CAST(n AS DECIMAL(38,0)) * n * n - n) END AS BIGINT)"
+            ).alias("tie_ppm"),
+        )
+    )
+
+
+def calibration_table(
+    df: DataFrame,
+    label: Column,
+    score_ppm_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Reliability diagram + ECE terms for a probabilistic classifier:
+    bucket predictions by confidence, compare mean predicted
+    probability against the empirical positive rate per bucket — the
+    calibration companion to ``roc_points`` (discrimination) and
+    ``lift_table`` (targeting).
+
+    ``score_ppm_col`` is the predicted probability ALREADY in integer
+    ppm ∈ [0, 10⁶] (quantize upstream with the q112 half-up-floor
+    convention — keeping the quantization out of this operator keeps
+    every value here integral and engine-exact). Bucket =
+    ``(score_ppm · B) div (10⁶ + 1)`` ∈ 0..B−1 (the +1 puts the
+    right-closed top edge in the last bucket). Per bucket:
+
+        ``conf_ppm = Σ score_ppm div n``      (mean predicted)
+        ``acc_ppm  = n_pos·10⁶ div n``        (empirical rate)
+        ``ece_term = n · |conf_ppm − acc_ppm|``
+
+    ``Σ ece_term / (N·10⁶)`` is the expected calibration error — the
+    weighted sum left unreduced so partial results stay mergeable.
+
+    Plan: ONE map-side-combinable groupBy on the bucket id (≤ B groups)
+    — no windows, no joins, nothing global. Output:
+    ``(bucket, n, n_pos, conf_ppm, acc_ppm, ece_term)``.
+    """
+    B = int(n_buckets)
+    base = df.filter(F.col(score_ppm_col).isNotNull()).select(
+        F.expr(f"CAST(({score_ppm_col} * {B}) div 1000001 AS INT)").alias("bucket"),
+        F.col(score_ppm_col).cast("long").alias("_s"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum(F.col("_s").cast("decimal(38,0)")).alias("_ss"),
+    )
+    return g.select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.expr("CAST(_ss div n AS BIGINT)").alias("conf_ppm"),
+        F.expr(
+            "CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)"
+        ).alias("acc_ppm"),
+        F.expr(
+            "CAST(n * abs(CAST(_ss div n AS BIGINT) - "
+            "CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)) "
+            "AS BIGINT)"
+        ).alias("ece_term"),
+    ).orderBy("bucket")
+
+
+def bh_select(
+    df: DataFrame,
+    p_ppm_col: str,
+    alpha_num: int = 5,
+    alpha_den: int = 100,
+    ppm_buckets: int = 1024,
+) -> DataFrame:
+    """Benjamini–Hochberg FDR selection: given per-row p-values (integer
+    ppm ∈ [0, 10⁶]), reject the ``k*`` smallest where ``k* = max{k :
+    p_(k) ≤ (k/m)·α}`` — the multiple-testing gate behind any
+    "which of these 10⁶ segments/features moved significantly" sweep.
+    All-integer test: ``p_(k)·m·alpha_den ≤ k·10⁶·alpha_num`` in
+    decimal(38,0).
+
+    Scale design: the global ascending p-rank is NEVER a single sort —
+    ranks come from the ppm-bucket two-level pattern (``quantile_map``):
+    ``p div step`` lands each row in one of ≤ ``ppm_buckets`` buckets
+    BY CONSTRUCTION (the domain is [0, 10⁶]); bucket counts give
+    broadcast offsets via a window over the tiny bucket table; ranking
+    is per-bucket. The BH cutoff is tie-safe: the rejected set
+    ``{p ≤ p_(k*)}`` is invariant to how equal p's order, so internal
+    tie-breaks never show in the output.
+
+    Plan: one bucket-keyed shuffle, a ≤ ``ppm_buckets``-row offset
+    window, a 1-row (k*, threshold) aggregate broadcast back, map-side
+    flagging. Output: input rows + ``(bh_rejected boolean,
+    threshold_ppm)`` (threshold NULL and all-false when nothing
+    passes).
+    """
+    step = 1_000_000 // int(ppm_buckets) + 1
+    base = df.filter(F.col(p_ppm_col).isNotNull())
+    b = base.withColumn("_pb", F.expr(f"CAST({p_ppm_col} div {step} AS INT)"))
+    per_b = b.groupBy("_pb").agg(F.count(F.lit(1)).cast("long").alias("_bn"))
+    wb = W.orderBy(F.col("_pb").asc()).rowsBetween(W.unboundedPreceding, -1)
+    offs = per_b.withColumn(
+        "_off", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).cast("long")
+    ).withColumn("_m", F.sum("_bn").over(W.partitionBy()).cast("long"))
+    win = W.partitionBy("_pb").orderBy(F.col(p_ppm_col).asc())
+    ranked = (
+        b.join(F.broadcast(offs.select("_pb", "_off", "_m")), "_pb")
+        .withColumn("_rk", (F.col("_off") + F.row_number().over(win)).cast("long"))
+    )
+    sat = ranked.filter(
+        F.expr(
+            f"CAST({p_ppm_col} AS DECIMAL(38,0)) * _m * {int(alpha_den)} "
+            f"<= CAST(_rk AS DECIMAL(38,0)) * 1000000 * {int(alpha_num)}"
+        )
+    )
+    cut = sat.agg(
+        F.max(
+            F.struct(
+                F.col("_rk").alias("rk"), F.col(p_ppm_col).cast("long").alias("p")
+            )
+        ).alias("_c")
+    ).select(F.col("_c.p").alias("_thr"))
+    return (
+        base.crossJoin(F.broadcast(cut))
+        .withColumn(
+            "bh_rejected",
+            F.coalesce(F.col(p_ppm_col) <= F.col("_thr"), F.lit(False)),
+        )
+        .withColumnRenamed("_thr", "threshold_ppm")
+    )
+
+
+def info_gain(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Information gain of a categorical feature about a categorical
+    label — ``IG = H(label) − Σ_x (n_x/N)·H(label | x)`` — the
+    feature-selection / leakage-screening companion to
+    ``chi_square_cells`` (association strength in entropy units).
+
+    Integral discipline (the ``token_entropy`` convention):
+    ``H = ln n − (Σ c·ln c)/n`` with every ``c·ln c`` floored half-up
+    into INTEGER micro-nats and integer-summed (associative →
+    partition-independent), each ``/n`` one integer div, and the
+    (n_x/N) weight applied as ``(n_x·h_x) div N`` — one more floor.
+    ``ig_unat = h_label_unat − Σ term_unat`` (sum the output column and
+    subtract; both reported so the decomposition is auditable). The
+    ``ln`` ulp caveat of q112 applies.
+
+    Plan: one (feature, label) groupBy (map-side combinable), two tiny
+    re-aggregations of it, one broadcast of the 1-row label entropy.
+    Output: ``(value, n, h_cond_unat, term_unat, h_label_unat)`` — one
+    row per feature value.
+    """
+    cells = df.groupBy(
+        F.col(feature_col).alias("value"), F.col(label_col).alias("_y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    clnc = F.floor(
+        F.col("_c").cast("double") * F.log(F.col("_c").cast("double")) * 1e6 + 0.5
+    ).cast("long")
+    per_x = cells.withColumn("_u", clnc).groupBy("value").agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.sum("_u").cast("long").alias("_s"),
+    )
+    per_x = per_x.withColumn(
+        "h_cond_unat",
+        (
+            F.floor(F.log(F.col("n").cast("double")) * 1e6 + 0.5).cast("long")
+            - F.expr("_s div n")
+        ).cast("long"),
+    )
+    lab = cells.groupBy("_y").agg(F.sum("_c").cast("long").alias("_cy"))
+    hl = lab.agg(
+        F.sum("_cy").cast("long").alias("_N"),
+        F.sum(
+            F.floor(
+                F.col("_cy").cast("double") * F.log(F.col("_cy").cast("double")) * 1e6
+                + 0.5
+            ).cast("long")
+        ).alias("_sl"),
+    ).select(
+        "_N",
+        (
+            F.floor(F.log(F.col("_N").cast("double")) * 1e6 + 0.5).cast("long")
+            - F.expr("_sl div _N")
+        ).alias("h_label_unat"),
+    )
+    return (
+        per_x.crossJoin(F.broadcast(hl))
+        .select(
+            "value",
+            "n",
+            "h_cond_unat",
+            F.expr(
+                "CAST(sign(h_cond_unat) * ((CAST(n AS DECIMAL(38,0)) * "
+                "abs(h_cond_unat)) div _N) AS BIGINT)"
+            ).alias("term_unat"),
+            "h_label_unat",
+        )
+        .orderBy("value")
+    )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    keys: list[str],
+    duration_col: str,
+    event_col: Column,
+) -> DataFrame:
+    """Kaplan–Meier survival curve per key: at each distinct duration
+    with at least one EVENT (``event_col`` true; false = censored),
+    the at-risk count, event count, and the running log-survival
+
+        ``ln S(t) = Σ_{t' ≤ t} ln(1 − d_{t'}/n_{t'})``
+
+    — the churn/failure/time-to-conversion primitive. Carried in
+    INTEGER micro-nats (each factor's ``ln((n−d)/n)`` floored half-up,
+    integer-summed — the q112 convention, associative and
+    partition-independent; survival itself is ``exp(ln_s/1e6)``
+    downstream). Factors with ``d = n`` (everyone fails) emit NULL
+    ln_s from that time on (S hits exactly 0 — −∞ log).
+
+    Plan: one (key, duration) groupBy; the at-risk count is a reverse
+    running sum over the per-key DISTINCT-DURATION grain (a keyed
+    window — bounded by duration cardinality per key; quantize very
+    continuous durations first, the documented ``lift_table``-class
+    contract), then the cumulative log sum rides the same sort.
+    Output: ``(keys…, t, n_risk, d, ln_s_unat)`` — event times only.
+    """
+    base = df.filter(F.col(duration_col).isNotNull()).select(
+        *keys,
+        F.col(duration_col).alias("t"),
+        F.when(event_col, F.lit(1)).otherwise(F.lit(0)).alias("_e"),
+    )
+    g = base.groupBy(*keys, "t").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_e").cast("long").alias("d"),
+    )
+    wrev = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    at_risk = g.withColumn("n_risk", F.sum("_n").over(wrev).cast("long"))
+    lnf = F.when(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_risk")),
+        F.floor(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1e6
+            + 0.5
+        ).cast("long"),
+    ).when(F.col("d") >= F.col("n_risk"), F.lit(None).cast("long")).otherwise(
+        F.lit(0)
+    )
+    wfwd = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    scored = at_risk.withColumn("_lnf", lnf).withColumn(
+        # a NULL factor (S = 0) must poison every LATER time too: count
+        # nulls so far — any null upstream -> NULL cumulative
+        "_nulls", F.sum(F.when(F.col("_lnf").isNull(), 1).otherwise(0)).over(wfwd)
+    ).withColumn(
+        "ln_s_unat",
+        F.when(F.col("_nulls") == 0, F.sum("_lnf").over(wfwd).cast("long")),
+    )
+    return scored.filter(F.col("d") > 0).select(
+        *keys, "t", "n_risk", "d", "ln_s_unat"
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    granularity: str = "month",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the period of their
+    FIRST event; for each (cohort, age-in-periods) the distinct users
+    still active and the retention rate vs the cohort's size — the
+    standard product-analytics triangle, at month, week, or day grain.
+
+    Exactness: periods via ``date_trunc`` (calendar function, identical
+    across engines on identical timestamps); age is pure integer
+    date-part arithmetic — ``12·Δyear + Δmonth`` for months,
+    ``datediff [div 7]`` for days/weeks — never a months_between
+    float; retention in exact ppm.
+
+    Plan: the first-event period is a per-user groupBy MIN (map-side
+    combinable — not a window, so the user grain never single-sorts);
+    one broadcast-eligible join of per-user cohorts back onto events
+    keyed by user; one (cohort, age) distinct-count aggregate; cohort
+    sizes re-aggregated from the cohort table and broadcast back.
+    Output: ``(cohort_period, age_periods, n_active, n_cohort,
+    retention_ppm)``.
+    """
+    if granularity not in ("month", "week", "day"):
+        raise ValueError("granularity must be month, week, or day")
+    ev = df.select(
+        F.col(user_col).alias("_u"),
+        F.date_trunc(granularity, F.col(ts_col)).alias("_m"),
+    )
+    cohorts = ev.groupBy("_u").agg(F.min("_m").alias("_c"))
+    sizes = cohorts.groupBy("_c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cohort")
+    )
+    if granularity == "month":
+        age = (F.year("_m") - F.year("_c")) * 12 + (F.month("_m") - F.month("_c"))
+    elif granularity == "week":
+        age = F.expr("datediff(_m, _c) div 7")
+    else:
+        age = F.datediff(F.col("_m"), F.col("_c"))
+    active = (
+        ev.join(cohorts, "_u")
+        .select("_c", age.cast("int").alias("age_periods"), "_u")
+        .distinct()
+        .groupBy("_c", "age_periods")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return (
+        active.join(F.broadcast(sizes), "_c")
+        .select(
+            F.col("_c").alias("cohort_period"),
+            "age_periods",
+            "n_active",
+            "n_cohort",
+            F.expr(
+                "CAST((CAST(n_active AS DECIMAL(38,0)) * 1000000) div n_cohort "
+                "AS BIGINT)"
+            ).alias("retention_ppm"),
+        )
+    )

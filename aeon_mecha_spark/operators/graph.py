@@ -368,3 +368,90 @@ def bradley_terry_int(
         )
     )
     return track_cached(out, *cached)
+
+
+def hits_int(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs & authorities on integer scores — the bipartite-ish
+    importance pair next to :func:`pagerank_int` (a good hub POINTS at
+    good authorities; a good authority IS pointed at by good hubs).
+
+    Fixed-round mutual recursion (the §11 EXACTNESS convention —
+    unrolls into a per-round SQL CTE), everything integral:
+
+        ``a_i ← Σ_{j→i} h_j``, renormalized ``a ← a·scale div max(a)``
+        ``h_i ← Σ_{i→j} a_j``, renormalized likewise
+
+    Max-renormalization (not L2) keeps every score an exact integer in
+    [0, scale] — the same result ORDERING as the textbook L2 variant,
+    since per-round normalization only rescales. Duplicate edges count
+    with multiplicity; self-loops participate (textbook adjacency).
+    Nodes with no in-edges (resp. out-edges) simply never appear in the
+    authority (hub) sum tables — zeros drop out of sums, so the score
+    tables carry only nonzero nodes until the final outer join.
+
+    Plan: per round two keyed join+aggregates (the PageRank shape);
+    each phase's sum table is PERSISTED and its 1-row max COLLECTED to
+    the driver as a literal divisor — the trained-model planning-action
+    pattern (k-means centroids, BPE merges, k-core round counts): a
+    bounded scalar leaves the cluster, each phase references its
+    predecessor exactly once, and the physical plan stays LINEAR in
+    ``iters`` (a broadcast-max variant references every phase twice
+    and the plan tree doubles per phase). Handles ride on the result
+    via ``track_cached``.
+
+    Output: ``(node, hub_score, auth_score)`` for every node incident
+    to an edge, scores in [0, scale].
+    """
+    from aeon_mecha_spark.util import track_cached
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    cached: list[DataFrame] = [e, nodes]
+
+    def _norm(raw: DataFrame, out_col: str) -> DataFrame:
+        raw = raw.persist()
+        cached.append(raw)
+        mx = raw.agg(F.max("_raw")).collect()[0][0] or 1
+        return raw.select(
+            "node",
+            F.expr(f"CAST((_raw * {int(scale)}) div {int(mx)} AS BIGINT)").alias(
+                out_col
+            ),
+        )
+
+    h = nodes.withColumn("_h", F.lit(int(scale)).cast("long"))
+    a = None
+    for _ in range(int(iters)):
+        a = _norm(
+            e.join(h.select(F.col("node").alias("_s"), "_h"), "_s")
+            .groupBy(F.col("_d").alias("node"))
+            .agg(F.sum(F.col("_h").cast("decimal(38,0)")).alias("_raw")),
+            "_a",
+        )
+        h = _norm(
+            e.join(a.select(F.col("node").alias("_d"), "_a"), "_d")
+            .groupBy(F.col("_s").alias("node"))
+            .agg(F.sum(F.col("_a").cast("decimal(38,0)")).alias("_raw")),
+            "_h",
+        )
+    out = (
+        nodes.join(h, "node", "left")
+        .join(a, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("hub_score"),
+            F.coalesce(F.col("_a"), F.lit(0)).cast("long").alias("auth_score"),
+        )
+    )
+    return track_cached(out, *cached)

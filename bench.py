@@ -170,6 +170,21 @@ HEADLINE = [
     "q204_psi",              # reference-decile drift, micro-nat terms
     "q205_bigram_logprob",   # interpolated bigram LM, micro-nat mean
     "q206_wilson_lb",        # integer-exact Wilson bound (Newton isqrt)
+    "q207_spearman",         # doubled-rank Spearman, exact isqrt, clamped
+    "q208_mannwhitney",      # doubled-U rank-sum two-sample test
+    "q209_roc_points",       # full ROC curve, two-level bucketed prefix sum
+    "q210_jsd",              # symmetric drift, micro-nat mixture ratios
+    "q211_hhi",              # concentration, one decimal div
+    "q212_acf",              # lag-1..3 autocorrelation, one window pass
+    "q213_kruskal_wallis",   # k-group rank ANOVA, floor terms + tie ppm
+    "q214_calibration",      # reliability deciles + ECE terms, map-side
+    "q215_bh_fdr",           # bucket-ranked BH selection, all-integer test
+    "q216_info_gain",        # micro-nat IG decomposition
+    "q217_line_dedup",       # line-grain boilerplate removal + reassembly
+    "q218_kaplan_meier",     # micro-nat log-survival, reverse-cum at-risk
+    "q219_cohort_retention",  # daily cohort triangle, integer ages
+    "q220_hits",             # fixed-round integer hubs/authorities
+    "q221_split_leakage",    # near-dup pairs x split assignment audit
 ]
 
 

@@ -352,3 +352,381 @@ def test_compaction_plan_guard_quiet_within_bound(spark):
     )
     got = compaction_plan(files, "id", "size", target_size=500, max_files=1000)
     assert got.count() == 20
+
+
+# -- ACF -------------------------------------------------------------------
+
+
+def _pearson_ppm(pairs):
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    num = n * sxy - sx * sy
+    dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+    if dx <= 0 or dy <= 0:
+        return None
+    sign = (num > 0) - (num < 0)
+    return sign * min(
+        1_000_000, abs(num) * 1_000_000 // (math.isqrt(dx) * math.isqrt(dy))
+    )
+
+
+def test_acf_linear_series_is_one_at_every_lag(spark):
+    from aeon_mecha_spark.operators.analytics import acf_by_group
+
+    rows = [("g", i, 3 * i + 7) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    got = {r.lag: r.r_ppm for r in acf_by_group(df, ["k"], "t", "v", 3).collect()}
+    assert got == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+
+
+def test_acf_alternating_series_matches_mirror(spark):
+    from aeon_mecha_spark.operators.analytics import acf_by_group
+
+    vals = [(-1) ** i * 5 + (i % 3) for i in range(25)]
+    rows = [("g", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    got = {r.lag: (r.n_pairs, r.r_ppm)
+           for r in acf_by_group(df, ["k"], "t", "v", 2).collect()}
+    for lag in (1, 2):
+        pairs = list(zip(vals, vals[lag:]))
+        assert got[lag] == (len(pairs), _pearson_ppm(pairs))
+    assert got[1][1] < 0 < got[2][1]  # alternation: anti at 1, pro at 2
+
+
+def test_acf_multi_column_ordering(spark):
+    from aeon_mecha_spark.operators.analytics import acf_by_group
+
+    # primary order collides; the (t, i) tie-break must fix the pairing
+    rows = [("g", 0, 0, 1), ("g", 0, 1, 2), ("g", 1, 0, 3), ("g", 1, 1, 4)]
+    df = spark.createDataFrame(rows, "k string, t int, i int, v long")
+    got = acf_by_group(df, ["k"], ["t", "i"], "v", 1).collect()[0]
+    assert (got.n_pairs, got.r_ppm) == (3, 1_000_000)
+
+
+# -- Kruskal-Wallis ----------------------------------------------------------
+
+
+def test_kruskal_wallis_textbook_three_groups(spark):
+    from aeon_mecha_spark.operators.analytics import kruskal_wallis
+
+    # groups {1,2,3},{4,5,6},{7,8,9}: H = 12/(9*10)*(36+225+576)/3 - 30
+    #   = 0.13333*279 - 30 = 7.2 exactly; no ties
+    rows = [("k", float(v), g)
+            for g, vs in [("a", [1, 2, 3]), ("b", [4, 5, 6]), ("c", [7, 8, 9])]
+            for v in vs]
+    df = spark.createDataFrame(rows, "k string, v double, g string")
+    got = kruskal_wallis(df, ["k"], "v", "g").collect()[0]
+    assert (got.n, got.n_groups, got.h_milli, got.tie_ppm) == (9, 3, 7200, 1_000_000)
+
+
+def test_kruskal_wallis_identical_groups_near_zero(spark):
+    from aeon_mecha_spark.operators.analytics import kruskal_wallis
+
+    rows = [("k", float(v), g) for g in ("a", "b") for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "k string, v double, g string")
+    got = kruskal_wallis(df, ["k"], "v", "g").collect()[0]
+    # symmetric groups: true H = 0; floor terms may undershoot by <= 2/1000
+    assert -2 <= got.h_milli <= 0
+    # ties: every value duplicated once -> tie_ppm < 1e6
+    assert got.tie_ppm < 1_000_000
+
+
+def test_kruskal_wallis_tie_correction_exact(spark):
+    from aeon_mecha_spark.operators.analytics import kruskal_wallis
+
+    # N=4, values (1,1,2,3): one tie block t=2 -> C = 1 - (8-2)/(64-4)
+    #   = 1 - 6/60 = 0.9 -> 900000 ppm
+    rows = [("k", 1.0, "a"), ("k", 1.0, "b"), ("k", 2.0, "a"), ("k", 3.0, "b")]
+    df = spark.createDataFrame(rows, "k string, v double, g string")
+    got = kruskal_wallis(df, ["k"], "v", "g").collect()[0]
+    assert got.tie_ppm == 900_000
+
+
+# -- Calibration / ECE --------------------------------------------------------
+
+
+def test_calibration_hand_computed(spark):
+    from aeon_mecha_spark.operators.analytics import calibration_table
+
+    rows = [(950000, 1), (900000, 1), (100000, 0), (50000, 0),
+            (500000, 1), (450000, 0)]
+    df = spark.createDataFrame(rows, "s long, y int")
+    got = {r.bucket: (r.n, r.n_pos, r.conf_ppm, r.acc_ppm, r.ece_term)
+           for r in calibration_table(df, F.col("y") == 1, "s", 4).collect()}
+    assert got == {
+        0: (2, 0, 75_000, 0, 150_000),
+        1: (2, 1, 475_000, 500_000, 50_000),
+        3: (2, 2, 925_000, 1_000_000, 150_000),
+    }
+
+
+def test_calibration_top_edge_lands_in_last_bucket(spark):
+    from aeon_mecha_spark.operators.analytics import calibration_table
+
+    df = spark.createDataFrame([(1_000_000, 1), (0, 0)], "s long, y int")
+    got = {r.bucket for r in
+           calibration_table(df, F.col("y") == 1, "s", 10).collect()}
+    assert got == {0, 9}
+
+
+# -- Benjamini-Hochberg -------------------------------------------------------
+
+
+def _bh_ref(ps, alpha_num, alpha_den):
+    m = len(ps)
+    s = sorted(ps)
+    kstar, thr = 0, None
+    for k, p in enumerate(s, 1):
+        if p * m * alpha_den <= k * 1_000_000 * alpha_num:
+            kstar, thr = k, p
+    return thr
+
+
+def test_bh_partial_rejection_matches_mirror(spark):
+    from aeon_mecha_spark.operators.analytics import bh_select
+
+    ps = [1000, 8000, 12_000, 40_000, 200_000, 320_000, 420_000,
+          600_000, 750_000, 900_000]
+    rows = [(i, p) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "id long, p long")
+    out = bh_select(df, "p", alpha_num=5, alpha_den=100).collect()
+    thr = _bh_ref(ps, 5, 100)
+    for r in out:
+        assert r.threshold_ppm == thr
+        assert r.bh_rejected == (thr is not None and r.p <= thr)
+    assert 0 < sum(r.bh_rejected for r in out) < len(ps)
+
+
+def test_bh_nothing_passes(spark):
+    from aeon_mecha_spark.operators.analytics import bh_select
+
+    rows = [(i, 900_000 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, p long")
+    out = bh_select(df, "p", alpha_num=1, alpha_den=1000).collect()
+    assert all(not r.bh_rejected and r.threshold_ppm is None for r in out)
+
+
+def test_bh_everything_passes(spark):
+    from aeon_mecha_spark.operators.analytics import bh_select
+
+    rows = [(i, i) for i in range(10)]  # all p ~ 0
+    df = spark.createDataFrame(rows, "id long, p long")
+    out = bh_select(df, "p", alpha_num=5, alpha_den=100).collect()
+    assert all(r.bh_rejected for r in out)
+
+
+# -- Information gain ---------------------------------------------------------
+
+
+def _unat(x):
+    return math.floor(x * 1_000_000 + 0.5)
+
+
+def test_info_gain_hand_computed(spark):
+    from aeon_mecha_spark.operators.analytics import info_gain
+
+    rows = ([("x1", "pos")] * 8 + [("x1", "neg")] * 2
+            + [("x2", "pos")] * 3 + [("x2", "neg")] * 7)
+    df = spark.createDataFrame(rows, "f string, y string")
+    got = {r.value: r for r in info_gain(df, "f", "y").collect()}
+    h1 = _unat(math.log(10)) - (_unat(8 * math.log(8)) + _unat(2 * math.log(2))) // 10
+    h2 = _unat(math.log(10)) - (_unat(3 * math.log(3)) + _unat(7 * math.log(7))) // 10
+    hl = _unat(math.log(20)) - (_unat(11 * math.log(11)) + _unat(9 * math.log(9))) // 20
+    assert got["x1"].h_cond_unat == h1 and got["x2"].h_cond_unat == h2
+    assert got["x1"].term_unat == 10 * h1 // 20
+    assert got["x1"].h_label_unat == hl
+    ig = hl - sum(r.term_unat for r in got.values())
+    assert 0 < ig < hl  # informative but not fully determining
+
+
+def test_info_gain_perfect_feature_recovers_label_entropy(spark):
+    from aeon_mecha_spark.operators.analytics import info_gain
+
+    rows = [("a", "pos")] * 5 + [("b", "neg")] * 5
+    df = spark.createDataFrame(rows, "f string, y string")
+    got = info_gain(df, "f", "y").collect()
+    assert all(r.h_cond_unat == 0 and r.term_unat == 0 for r in got)
+    assert got[0].h_label_unat == _unat(math.log(2) * 1) or got[0].h_label_unat == _unat(math.log(10)) - (2 * _unat(5 * math.log(5))) // 10
+
+
+# -- line dedup ----------------------------------------------------------------
+
+
+def test_line_dedup_drops_boilerplate_keeps_order(spark):
+    from aeon_mecha_spark.datapipe.dedup import line_dedup
+
+    docs = spark.createDataFrame([
+        (1, "hello\nCOOKIE BANNER\nworld"),
+        (2, "foo\nCOOKIE BANNER\nbar"),
+        (3, "COOKIE BANNER\nunique line"),
+        (4, "all mine\n\nhere"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.text, r.n_lines, r.n_dropped)
+           for r in line_dedup(docs, max_doc_freq=2).collect()}
+    assert got == {
+        1: ("hello\nworld", 3, 1),
+        2: ("foo\nbar", 3, 1),
+        3: ("unique line", 2, 1),
+        4: ("all mine\n\nhere", 3, 0),  # blank lines kept (structure)
+    }
+
+
+def test_line_dedup_trim_grain_and_threshold(spark):
+    from aeon_mecha_spark.datapipe.dedup import line_dedup
+
+    # '  spam  ' and 'spam' are the SAME line grain (trimmed); df=2
+    # does NOT exceed max_doc_freq=2, so nothing drops
+    docs = spark.createDataFrame(
+        [(1, "  spam  \nx"), (2, "spam\ny")], "doc_id long, text string"
+    )
+    got = line_dedup(docs, max_doc_freq=2).collect()
+    assert all(r.n_dropped == 0 for r in got)
+    # at max_doc_freq=1 the shared line drops from BOTH docs
+    got2 = {r.doc_id: r.text
+            for r in line_dedup(docs, max_doc_freq=1).collect()}
+    assert got2 == {1: "x", 2: "y"}
+
+
+def test_line_dedup_all_lines_dropped_yields_empty_text(spark):
+    from aeon_mecha_spark.datapipe.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "same") for i in range(4)], "doc_id long, text string"
+    )
+    got = line_dedup(docs, max_doc_freq=2).collect()
+    assert all(r.text == "" and r.n_dropped == 1 for r in got)
+
+
+# -- Kaplan-Meier --------------------------------------------------------------
+
+
+def test_kaplan_meier_hand_computed(spark):
+    from aeon_mecha_spark.operators.analytics import kaplan_meier
+
+    rows = [("g", 5, 1), ("g", 5, 0), ("g", 8, 1), ("g", 8, 1),
+            ("g", 10, 0), ("g", 12, 1)]
+    df = spark.createDataFrame(rows, "k string, dur int, e int")
+    got = {r.t: (r.n_risk, r.d, r.ln_s_unat)
+           for r in kaplan_meier(df, ["k"], "dur", F.col("e") == 1)
+           .collect()}
+    u = lambda x: math.floor(x * 1e6 + 0.5)  # noqa: E731
+    assert got[5] == (6, 1, u(math.log(5 / 6)))
+    assert got[8] == (4, 2, u(math.log(5 / 6)) + u(math.log(2 / 4)))
+    assert got[12] == (1, 1, None)  # d = n_risk -> S hits 0 -> NULL log
+
+
+def test_kaplan_meier_censoring_only_shifts_at_risk(spark):
+    from aeon_mecha_spark.operators.analytics import kaplan_meier
+
+    # censored rows consume at-risk mass but never create output rows
+    rows = [("g", 1, 0), ("g", 2, 0), ("g", 3, 1)]
+    df = spark.createDataFrame(rows, "k string, dur int, e int")
+    got = kaplan_meier(df, ["k"], "dur", F.col("e") == 1).collect()
+    assert len(got) == 1 and got[0].t == 3 and got[0].n_risk == 1
+    assert got[0].ln_s_unat is None  # the only at-risk subject fails
+
+
+# -- cohort retention ----------------------------------------------------------
+
+
+def test_cohort_retention_daily_triangle(spark):
+    import datetime as dt
+
+    from aeon_mecha_spark.operators.analytics import cohort_retention
+
+    ev = spark.createDataFrame([
+        (1, dt.datetime(2024, 1, 1, 5)), (1, dt.datetime(2024, 1, 3, 6)),
+        (2, dt.datetime(2024, 1, 1, 9)), (3, dt.datetime(2024, 1, 2, 1)),
+        (3, dt.datetime(2024, 1, 3, 2)),
+    ], "u long, ts timestamp")
+    got = {(str(r.cohort_period)[:10], r.age_periods):
+           (r.n_active, r.n_cohort, r.retention_ppm)
+           for r in cohort_retention(ev, "u", "ts", "day").collect()}
+    assert got == {
+        ("2024-01-01", 0): (2, 2, 1_000_000),
+        ("2024-01-01", 2): (1, 2, 500_000),
+        ("2024-01-02", 0): (1, 1, 1_000_000),
+        ("2024-01-02", 1): (1, 1, 1_000_000),
+    }
+
+
+def test_cohort_retention_rejects_bad_granularity(spark):
+    from aeon_mecha_spark.operators.analytics import cohort_retention
+
+    df = spark.createDataFrame([(1,)], "u long")
+    with pytest.raises(ValueError):
+        cohort_retention(df, "u", "ts", "hour")
+
+
+# -- HITS ----------------------------------------------------------------------
+
+
+def _hits_ref(edges, iters=3, scale=1_000_000):
+    nodes = sorted({x for e in edges for x in e})
+    h = {n: scale for n in nodes}
+    a = {}
+    for _ in range(iters):
+        raw = {}
+        for s, d in edges:
+            raw[d] = raw.get(d, 0) + h.get(s, 0)
+        mx = max(raw.values(), default=0) or 1
+        a = {n: raw.get(n, 0) * scale // mx for n in nodes}
+        raw = {}
+        for s, d in edges:
+            raw[s] = raw.get(s, 0) + a.get(d, 0)
+        mx = max(raw.values(), default=0) or 1
+        h = {n: raw.get(n, 0) * scale // mx for n in nodes}
+    return {n: (h[n], a[n]) for n in nodes}
+
+
+def test_hits_matches_exact_mirror(spark):
+    from aeon_mecha_spark.operators.graph import hits_int
+    from aeon_mecha_spark.util import release_cached
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+             ("a", "c")]  # duplicate edge counts with multiplicity
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = hits_int(df, iters=3)
+    got = {r.node: (r.hub_score, r.auth_score) for r in out.collect()}
+    assert got == _hits_ref(edges, iters=3)
+    release_cached(out)
+
+
+def test_hits_star_graph_extremes(spark):
+    from aeon_mecha_spark.operators.graph import hits_int
+    from aeon_mecha_spark.util import release_cached
+
+    # star: everyone points at z -> z is THE authority with no hub
+    # score; all spokes are maximal hubs
+    edges = [(s, "z") for s in ("a", "b", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = hits_int(df, iters=2)
+    got = {r.node: (r.hub_score, r.auth_score) for r in out.collect()}
+    assert got["z"] == (0, 1_000_000)
+    assert all(got[s] == (1_000_000, 0) for s in ("a", "b", "c"))
+    release_cached(out)
+
+
+def test_hits_plan_stays_linear_in_iters(spark):
+    import contextlib
+    import io
+    import re
+
+    from aeon_mecha_spark.operators.graph import hits_int
+    from aeon_mecha_spark.util import release_cached
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = hits_int(df, iters=6)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    n_nodes = len(set(re.findall(r"\((\d+)\)", plan)))
+    # ~63 plan nodes per round, linear — the 2^iters lineage unroll
+    # this guards against would be in the thousands by 6 rounds
+    assert n_nodes <= 80 * 6
+    assert "InMemoryTableScan" in plan
+    release_cached(out)

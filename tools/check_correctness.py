@@ -114,6 +114,10 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
+        # operators that persist internally (k-core, Bradley-Terry,
+        # lift/ROC/quantile-map, q194) ride their handles on the result;
+        # clear wholesale so 200+ queries don't accumulate executor cache
+        spark.catalog.clearCache()
         try:
             sdf = qs[name](spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001

@@ -50,6 +50,9 @@ TINY_GLOBAL_WINDOW_OK = {
     # windowed per bucket
     "q209_roc_points",  # same two-level path as q169: the only global
     # windows read the <=score_buckets-row clamped bucket-offset table
+    "q215_bh_fdr",  # the global windows read the <=ppm_buckets-row p-bucket
+    # count table (bucket id = p div step with p in [0, 1e6] — bounded BY
+    # CONSTRUCTION); row ranking is per-bucket
     "q183_compaction",  # planner rank over the FILE LISTING (metadata rows)
     "q184_quantile_map",  # <=ppm_buckets+1-row spine (spark.range literal) —
     # per-group CDF and the union-merge as-of are both bucket-partitioned;
