@@ -3354,6 +3354,78 @@ def q221_split_leakage(spark, sf_dir):
     )
 
 
+def q222_odds_ratio(spark, sf_dir):
+    """Haldane-corrected odds ratio per market segment: exposure =
+    even customer key, outcome = positive balance — exact doubled
+    rational in ppm + micro-nat log (the A/B effect-size primitive)."""
+    cust = _t(spark, sf_dir, "customer")
+    return analytics.odds_ratio_by_group(
+        cust, ["c_mktsegment"], F.col("c_custkey") % 2 == 0, F.col("c_acctbal") > 0
+    ).orderBy("c_mktsegment")
+
+
+def q223_g_test(spark, sf_dir):
+    """G-test (log-likelihood ratio) cells for order priority ×
+    status — the entropy sibling of q143's chi-square: exact integer
+    2·O weights on micro-nat log ratios of exact rationals."""
+    od = _t(spark, sf_dir, "orders")
+    return analytics.g_test_cells(od, "o_orderpriority", "o_orderstatus").orderBy(
+        "a", "b"
+    )
+
+
+def q224_theil(spark, sf_dir):
+    """Theil T inequality of order value (exact cents) per priority
+    class — the decomposable entropy concentration next to q170's Gini
+    and q211's HHI; one totals broadcast, one decimal div."""
+    od = _t(spark, sf_dir, "orders").withColumn(
+        "_cents", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    )
+    return analytics.theil_index(od, ["o_orderpriority"], "_cents").orderBy(
+        "o_orderpriority"
+    )
+
+
+def q225_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    a quarter — top 20 by exact centi-cent revenue (custkey
+    tie-break), customer × nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    rev = (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("o_custkey", _revenue_centicents().alias("_r"))
+        .groupBy("o_custkey")
+        .agg(F.sum("_r").cast("decimal(38,0)").alias("_rev"))
+    )
+    return (
+        rev.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("_rev").cast("long").alias("revenue_centicents"),
+        )
+        .orderBy(F.col("revenue_centicents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q226_burstiness(spark, sf_dir):
+    """Inter-event burstiness (Fano factor of µs gaps) per event type
+    — exact integer moments, one cross-multiplied floor div; 1e6 ppm =
+    Poisson, higher = bursty."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.burstiness_by_group(
+        ev, ["event_type"], "ts", order_cols=["ts", "event_id"]
+    ).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3396,6 +3468,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_calibration": q214_calibration,
         "q215_bh_fdr": q215_bh_fdr,
         "q216_info_gain": q216_info_gain,
+        "q222_odds_ratio": q222_odds_ratio,
+        "q223_g_test": q223_g_test,
+        "q224_theil": q224_theil,
+        "q225_returned_items": q225_returned_items,
+        "q226_burstiness": q226_burstiness,
         "q217_line_dedup": q217_line_dedup,
         "q218_kaplan_meier": q218_kaplan_meier,
         "q219_cohort_retention": q219_cohort_retention,
@@ -8262,6 +8339,119 @@ def oracle_sql() -> dict[str, str]:
         FROM jac JOIN spl sa ON sa.doc_id = id_a
                  JOIN spl sb ON sb.doc_id = id_b
         GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q222_odds_ratio": """
+            -- Haldane 2x2: ((2a+1)(2d+1)*1e6) // ((2b+1)(2c+1)); ln of
+            -- the same exact rational in micro-nats
+            WITH b AS (
+              SELECT c_mktsegment AS k,
+                     CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END AS e,
+                     CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS y
+              FROM customer),
+            g AS (
+              SELECT k,
+                     CAST(sum(e * y) AS BIGINT) AS a,
+                     CAST(sum(e * (1 - y)) AS BIGINT) AS b,
+                     CAST(sum((1 - e) * y) AS BIGINT) AS c,
+                     CAST(sum((1 - e) * (1 - y)) AS BIGINT) AS d
+              FROM b GROUP BY k)
+            SELECT k AS c_mktsegment, a, b, c, d,
+                   CAST(((2 * a::hugeint + 1) * (2 * d + 1) * 1000000)
+                        // ((2 * b::hugeint + 1) * (2 * c + 1))
+                        AS BIGINT) AS or_ppm,
+                   CAST(floor(ln(((2.0 * a + 1) * (2.0 * d + 1))
+                              / ((2.0 * b + 1) * (2.0 * c + 1)))
+                              * 1000000.0 + 0.5) AS BIGINT) AS ln_or_unat
+            FROM g ORDER BY c_mktsegment
+        """,
+        "q223_g_test": """
+            -- G terms: 2*O * micro-nat(ln(O*N/(R*C))) per OBSERVED cell
+            WITH counts AS (
+              SELECT o_orderpriority AS a, o_orderstatus AS b,
+                     count(*)::bigint AS observed
+              FROM orders GROUP BY 1, 2),
+            r AS (SELECT a, sum(observed)::bigint AS row_total
+                  FROM counts GROUP BY a),
+            c AS (SELECT b, sum(observed)::bigint AS col_total
+                  FROM counts GROUP BY b),
+            n AS (SELECT sum(observed)::bigint AS nn FROM counts)
+            SELECT counts.a, counts.b, observed, row_total, col_total,
+                   CAST(2 * observed *
+                        floor(ln((observed::double * nn)
+                              / (row_total::double * col_total))
+                              * 1000000.0 + 0.5) AS BIGINT) AS g_term_unat
+            FROM counts JOIN r ON counts.a = r.a
+                        JOIN c ON counts.b = c.b CROSS JOIN n
+            ORDER BY counts.a, counts.b
+        """,
+        "q224_theil": """
+            -- Theil T: sum(x * unat(ln(x*n/S))) with ONE floor div by S
+            WITH b AS (
+              SELECT o_orderpriority AS k,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS x
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+            tot AS (
+              SELECT k, count(*)::bigint AS n, sum(x::hugeint) AS s
+              FROM b GROUP BY k),
+            scored AS (
+              SELECT b.k, x, n, s,
+                     CAST(floor(ln((x::double * n) / s::double)
+                          * 1000000.0 + 0.5) AS BIGINT) AS l
+              FROM b JOIN tot ON b.k = tot.k),
+            g AS (
+              SELECT k, max(n) AS n, max(s) AS s2,
+                     sum(x::hugeint * l) AS wl
+              FROM scored GROUP BY k)
+            SELECT k AS o_orderpriority, CAST(n AS BIGINT) AS n,
+                   CAST(s2 AS BIGINT) AS sum_value,
+                   CAST((CASE WHEN wl < 0 THEN -1 WHEN wl > 0 THEN 1
+                              ELSE 0 END) * (abs(wl) // s2) AS BIGINT)
+                     AS theil_unat
+            FROM g ORDER BY o_orderpriority
+        """,
+        "q225_returned_items": """
+            -- TPC-H Q10 shape: centi-cent revenue of returned items,
+            -- deterministic top-20 (revenue desc, custkey asc)
+            WITH rev AS (
+              SELECT o_custkey,
+                     sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                       AS r
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1997-01-01'
+                AND o_orderdate < TIMESTAMP '1997-04-01'
+              GROUP BY o_custkey)
+            SELECT c_custkey, c_name, n_name,
+                   CAST(r AS BIGINT) AS revenue_centicents
+            FROM rev JOIN customer ON o_custkey = c_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue_centicents DESC, c_custkey ASC LIMIT 20
+        """,
+        "q226_burstiness": """
+            -- Fano factor of integer-us inter-event gaps:
+            -- ((m*SS - S^2)*1e6) // ((m-1)*S), exact moments
+            WITH o AS (
+              SELECT event_type AS k, epoch_us(ts) AS us
+              FROM events),
+            g AS (
+              SELECT k, us - lag(us) OVER
+                (PARTITION BY k ORDER BY us, k) AS gap
+              FROM (SELECT k, us FROM o) t),
+            f AS (SELECT k, gap FROM g WHERE gap IS NOT NULL),
+            m AS (
+              SELECT k, count(*)::bigint AS n_gaps,
+                     sum(gap::hugeint) AS s,
+                     sum(gap::hugeint * gap) AS ss
+              FROM f GROUP BY k)
+            SELECT k AS event_type, n_gaps,
+                   CAST(s // n_gaps AS BIGINT) AS mean_gap_us,
+                   CAST(CASE WHEN n_gaps > 1 AND s > 0 THEN
+                        ((n_gaps * ss - s * s) * 1000000)
+                          // ((n_gaps - 1) * s) END AS BIGINT) AS fano_ppm
+            FROM m ORDER BY event_type
         """,
     }
     return sqls

@@ -3833,3 +3833,200 @@ def cohort_retention(
             ).alias("retention_ppm"),
         )
     )
+
+
+def odds_ratio_by_group(
+    df: DataFrame,
+    keys: list[str],
+    exposure: Column,
+    outcome: Column,
+) -> DataFrame:
+    """Per-key 2×2 odds ratio with Haldane–Anscombe ½-correction — the
+    A/B-test / epidemiology effect-size next to ``chi_square_cells``
+    (association) and ``wilson_lower_bound`` (single-rate CI).
+
+    With cell counts a (exposed+outcome), b (exposed−), c (unexposed+),
+    d (unexposed−), the ½-smoothing doubles out to integers:
+
+        ``or_ppm = ((2a+1)·(2d+1)·10⁶) div ((2b+1)·(2c+1))``
+
+    — exact rational, never 0/0. ``ln_or_unat`` is the micro-nat log of
+    the same exact rational (float ln of a correctly-rounded double
+    quotient — the q112 convention; ±1-µnat oracle drift = libm ulp).
+
+    Plan: one conditional-count groupBy per key (map-side combinable),
+    fixed expression tree. Output: ``(keys…, a, b, c, d, or_ppm,
+    ln_or_unat)``.
+    """
+    base = df.select(
+        *keys,
+        F.when(exposure, F.lit(1)).otherwise(F.lit(0)).alias("_e"),
+        F.when(outcome, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = base.groupBy(*keys).agg(
+        F.sum(F.expr("_e * _y")).cast("long").alias("a"),
+        F.sum(F.expr("_e * (1 - _y)")).cast("long").alias("b"),
+        F.sum(F.expr("(1 - _e) * _y")).cast("long").alias("c"),
+        F.sum(F.expr("(1 - _e) * (1 - _y)")).cast("long").alias("d"),
+    )
+    num = "(2 * CAST(a AS DECIMAL(38,0)) + 1) * (2 * d + 1)"
+    den = "(2 * CAST(b AS DECIMAL(38,0)) + 1) * (2 * c + 1)"
+    return g.select(
+        *keys,
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(f"CAST(({num} * 1000000) div ({den}) AS BIGINT)").alias("or_ppm"),
+        F.expr(
+            f"CAST(floor(ln(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)) "
+            f"* 1000000.0 + 0.5) AS BIGINT)"
+        ).alias("ln_or_unat"),
+    )
+
+
+def g_test_cells(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """G-test (log-likelihood ratio) per contingency cell — the
+    entropy-side sibling of ``chi_square_cells``: ``G = 2·Σ O·ln(O·N /
+    (R·C))`` over OBSERVED cells (empty cells contribute 0 by the
+    0·ln 0 convention, so no grid completion is needed).
+
+    Per cell the log ratio is the micro-nat of an exact rational
+    (``O·N`` and ``R·C`` are exact integers; their double quotient is
+    correctly rounded — the q112 convention) and the weight ``2·O`` is
+    integral, so ``g_term_unat = 2·O·unat`` is an exact integer;
+    ``Σ g_term_unat / 10⁶`` is the G statistic in nats.
+
+    Plan: ONE shuffle builds the (a, b) cell table; row/column/N totals
+    are tiny re-aggregations broadcast back. Output: ``(a, b, observed,
+    row_total, col_total, g_term_unat)``.
+    """
+    counts = df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    rows_t = counts.groupBy("a").agg(F.sum("observed").cast("long").alias("row_total"))
+    cols_t = counts.groupBy("b").agg(F.sum("observed").cast("long").alias("col_total"))
+    n_t = counts.agg(F.sum("observed").cast("long").alias("_N"))
+    full = (
+        counts.join(F.broadcast(rows_t), "a")
+        .join(F.broadcast(cols_t), "b")
+        .crossJoin(F.broadcast(n_t))
+    )
+    return full.select(
+        "a",
+        "b",
+        "observed",
+        "row_total",
+        "col_total",
+        F.expr(
+            "CAST(2 * observed * floor(ln((CAST(observed AS DOUBLE) * _N) / "
+            "(CAST(row_total AS DOUBLE) * col_total)) * 1000000.0 + 0.5) "
+            "AS BIGINT)"
+        ).alias("g_term_unat"),
+    )
+
+
+def theil_index(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Theil T inequality index per key — the entropy-based
+    concentration measure that DECOMPOSES additively across subgroups
+    (unlike ``gini_by_group``): ``T = Σ (x/S)·ln(x·n/S)`` with
+    ``S = Σx``, 0 for perfect equality, ``ln n`` for total
+    concentration.
+
+    ``value_col`` must be INTEGER-VALUED and positive (pre-scale to
+    cents; zero/negative rows are excluded — their Theil term is 0 by
+    the 0·ln 0 convention). Per row the log is the micro-nat of an
+    exact rational ``x·n/S`` (q112 convention); the weight is applied
+    as ONE decimal div at the end: ``theil_unat = sign·(abs(Σ x·l_x)
+    div S)`` — no per-row division, no floor accumulation.
+
+    Plan: one per-key totals aggregate broadcast back onto the rows
+    (map-side term computation), one final per-key sum. The fact table
+    never reshuffles twice. Output: ``(keys…, n, sum_value,
+    theil_unat)``.
+    """
+    base = df.filter(F.col(value_col).isNotNull() & (F.col(value_col) > 0)).select(
+        *keys, F.col(value_col).cast("long").alias("_x")
+    )
+    tot = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("_S"),
+    )
+    scored = base.join(F.broadcast(tot), keys).withColumn(
+        "_l",
+        F.expr(
+            "CAST(floor(ln((CAST(_x AS DOUBLE) * _n) / CAST(_S AS DOUBLE)) "
+            "* 1000000.0 + 0.5) AS BIGINT)"
+        ),
+    )
+    g = scored.groupBy(*keys).agg(
+        F.max("_n").alias("n"),
+        F.max("_S").alias("_S2"),
+        F.sum(F.expr("CAST(_x AS DECIMAL(38,0)) * _l")).alias("_wl"),
+    )
+    return g.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("_S2").cast("long").alias("sum_value"),
+        F.expr(
+            "CAST(sign(_wl) * (abs(_wl) div _S2) AS BIGINT)"
+        ).alias("theil_unat"),
+    )
+
+
+def burstiness_by_group(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inter-event burstiness per key: the Fano factor (variance/mean)
+    of inter-arrival gaps in MICROSECONDS — 1 for a Poisson process,
+    ≫1 for bursty traffic, <1 for pacing; the point-process health
+    diagnostic next to ``timestamp_stats`` (rate) and ``cusum`` (level
+    shifts).
+
+    Gaps are exact integer µs (``unix_micros`` differences), so the
+    moments are exact decimals and the Fano factor cross-multiplies to
+    ONE floor div:
+
+        ``fano_ppm = ((m·Σg² − (Σg)²) · 10⁶) div ((m−1) · Σg)``
+
+    (sample variance over mean, m = gap count). Keys with < 2 gaps or
+    zero total gap report NULL. Σg ≤ 10¹⁵ µs (≈ 30 years) keeps the
+    numerator inside decimal(38).
+
+    Plan: one per-key lag window (one sort), one groupBy — the
+    ``lag_delta`` shape with exact-moment aggregation on top.
+    Output: ``(keys…, n_gaps, mean_gap_us, fano_ppm)``.
+    """
+    order_cols = order_cols or [ts_col]
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    gaps = (
+        df.select(*keys, *order_cols, F.unix_micros(F.col(ts_col)).alias("_us"))
+        .withColumn("_g", F.col("_us") - F.lag("_us").over(w))
+        .filter(F.col("_g").isNotNull())
+    )
+    g = gaps.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("_g").cast("decimal(38,0)")).alias("_S"),
+        F.sum(F.expr("CAST(_g AS DECIMAL(38,0)) * _g")).alias("_SS"),
+    )
+    return g.select(
+        *keys,
+        "n_gaps",
+        F.expr("CAST(_S div n_gaps AS BIGINT)").alias("mean_gap_us"),
+        F.expr(
+            "CAST(CASE WHEN n_gaps > 1 AND _S > 0 THEN "
+            "((n_gaps * _SS - _S * _S) * 1000000) div ((n_gaps - 1) * _S) "
+            "END AS BIGINT)"
+        ).alias("fano_ppm"),
+    )

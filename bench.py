@@ -185,6 +185,11 @@ HEADLINE = [
     "q219_cohort_retention",  # daily cohort triangle, integer ages
     "q220_hits",             # fixed-round integer hubs/authorities
     "q221_split_leakage",    # near-dup pairs x split assignment audit
+    "q222_odds_ratio",       # Haldane 2x2, exact rational ppm
+    "q223_g_test",           # entropy-side contingency terms
+    "q224_theil",            # decomposable inequality, one div
+    "q225_returned_items",   # TPC-H Q10 shape, centi-cent top-20
+    "q226_burstiness",       # Fano factor of integer-us gaps
 ]
 
 

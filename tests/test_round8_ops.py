@@ -730,3 +730,133 @@ def test_hits_plan_stays_linear_in_iters(spark):
     assert n_nodes <= 80 * 6
     assert "InMemoryTableScan" in plan
     release_cached(out)
+
+
+# -- odds ratio ----------------------------------------------------------------
+
+
+def test_odds_ratio_hand_computed(spark):
+    from aeon_mecha_spark.operators.analytics import odds_ratio_by_group
+
+    rows = ([("k", 1, 1)] * 30 + [("k", 1, 0)] * 10
+            + [("k", 0, 1)] * 15 + [("k", 0, 0)] * 45)
+    df = spark.createDataFrame(rows, "k string, e int, y int")
+    r = odds_ratio_by_group(df, ["k"], F.col("e") == 1, F.col("y") == 1).collect()[0]
+    num, den = (2 * 30 + 1) * (2 * 45 + 1), (2 * 10 + 1) * (2 * 15 + 1)
+    assert (r.a, r.b, r.c, r.d) == (30, 10, 15, 45)
+    assert r.or_ppm == num * 1_000_000 // den
+    assert r.ln_or_unat == math.floor(math.log(num / den) * 1e6 + 0.5)
+
+
+def test_odds_ratio_empty_cells_never_divide_by_zero(spark):
+    from aeon_mecha_spark.operators.analytics import odds_ratio_by_group
+
+    rows = [("k", 1, 1)] * 5  # only the a cell is populated
+    df = spark.createDataFrame(rows, "k string, e int, y int")
+    r = odds_ratio_by_group(df, ["k"], F.col("e") == 1, F.col("y") == 1).collect()[0]
+    assert (r.b, r.c, r.d) == (0, 0, 0)
+    assert r.or_ppm == 11 * 1 * 1_000_000 // 1  # (2*5+1)(1)/(1)(1)
+
+
+# -- G-test --------------------------------------------------------------------
+
+
+def test_g_test_matches_float_reference_within_cell_floors(spark):
+    from aeon_mecha_spark.operators.analytics import g_test_cells
+
+    cells = [("x", "p", 8), ("x", "q", 2), ("y", "p", 3), ("y", "q", 7)]
+    rows = [(a, b) for a, b, n in cells for _ in range(n)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = sum(r.g_term_unat for r in g_test_cells(df, "a", "b").collect())
+    true_g = 2 * sum(
+        o * math.log(o * 20 / (rt * ct))
+        for o, rt, ct in [(8, 10, 11), (2, 10, 9), (3, 10, 11), (7, 10, 9)]
+    )
+    assert abs(got / 1e6 - true_g) < 4 * 2 * 8 / 1e6 + 1e-9  # per-cell floor bound
+
+
+def test_g_test_independence_is_near_zero(spark):
+    from aeon_mecha_spark.operators.analytics import g_test_cells
+
+    rows = [(a, b) for a in ("x", "y") for b in ("p", "q") for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = sum(r.g_term_unat for r in g_test_cells(df, "a", "b").collect())
+    assert got == 0  # perfectly independent: every ratio is exactly 1
+
+
+# -- Theil ---------------------------------------------------------------------
+
+
+def test_theil_equal_distribution_is_zero(spark):
+    from aeon_mecha_spark.operators.analytics import theil_index
+
+    df = spark.createDataFrame([("k", 10)] * 5, "k string, v long")
+    assert theil_index(df, ["k"], "v").collect()[0].theil_unat == 0
+
+
+def test_theil_matches_float_reference(spark):
+    from aeon_mecha_spark.operators.analytics import theil_index
+
+    vals = [100, 1, 1, 1]
+    df = spark.createDataFrame([("k", v) for v in vals], "k string, v long")
+    r = theil_index(df, ["k"], "v").collect()[0]
+    S = sum(vals)
+    mirror = sum(
+        x * math.floor(math.log(x * len(vals) / S) * 1e6 + 0.5) for x in vals
+    )
+    sign = (mirror > 0) - (mirror < 0)
+    assert r.theil_unat == sign * (abs(mirror) // S)
+    assert r.sum_value == S
+
+
+def test_theil_excludes_nonpositive_rows(spark):
+    from aeon_mecha_spark.operators.analytics import theil_index
+
+    df = spark.createDataFrame(
+        [("k", 10), ("k", 10), ("k", 0), ("k", -5)], "k string, v long"
+    )
+    r = theil_index(df, ["k"], "v").collect()[0]
+    assert (r.n, r.theil_unat) == (2, 0)
+
+
+# -- burstiness ----------------------------------------------------------------
+
+
+def test_burstiness_paced_stream_is_zero(spark):
+    import datetime as dt
+
+    from aeon_mecha_spark.operators.analytics import burstiness_by_group
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("k", base + dt.timedelta(seconds=10 * i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    r = burstiness_by_group(df, ["k"], "ts").collect()[0]
+    assert (r.n_gaps, r.mean_gap_us, r.fano_ppm) == (4, 10_000_000, 0)
+
+
+def test_burstiness_exact_mirror(spark):
+    import datetime as dt
+
+    from aeon_mecha_spark.operators.analytics import burstiness_by_group
+
+    secs = [0, 1, 2, 3, 100]
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("k", base + dt.timedelta(seconds=s)) for s in secs],
+        "k string, ts timestamp",
+    )
+    r = burstiness_by_group(df, ["k"], "ts").collect()[0]
+    g = [(b - a) * 1_000_000 for a, b in zip(secs, secs[1:])]
+    m, S, SS = len(g), sum(g), sum(x * x for x in g)
+    assert r.fano_ppm == ((m * SS - S * S) * 1_000_000) // ((m - 1) * S)
+
+
+def test_burstiness_single_event_key_is_absent(spark):
+    import datetime as dt
+
+    from aeon_mecha_spark.operators.analytics import burstiness_by_group
+
+    df = spark.createDataFrame(
+        [("solo", dt.datetime(2024, 1, 1))], "k string, ts timestamp"
+    )
+    assert burstiness_by_group(df, ["k"], "ts").count() == 0
