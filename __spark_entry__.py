@@ -3301,7 +3301,7 @@ def q219_cohort_retention(spark, sf_dir):
     triangle): first-event-day cohorts, integer datediff ages,
     distinct-user activity, exact ppm."""
     ev = _t(spark, sf_dir, "events")
-    return analytics.cohort_retention(ev, "user_id", "ts", granularity="day").orderBy(
+    return analytics.cohort_retention_table(ev, "user_id", "ts", granularity="day").orderBy(
         "cohort_period", "age_periods"
     )
 
@@ -3491,6 +3491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_lift_table": q169_lift_table,
         "q184_quantile_map": q184_quantile_map,
         "q191_kcore": q191_kcore,
+        "q194_top_supplier": q194_top_supplier,  # re-grade: scalar max de-windowed r8
         "q91_shuffle_shards": q91_shuffle_shards,
         "q92_embedding_covariance": q92_embedding_covariance,
         "q94_int8_quant": q94_int8_quant,
@@ -3684,7 +3685,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_hll_distinct": q190_hll_distinct,
         "q192_feature_hash": q192_feature_hash,
         "q193_position_attribution": q193_position_attribution,
-        "q194_top_supplier": q194_top_supplier,
         "q195_small_qty_revenue": q195_small_qty_revenue,
         "q196_large_orders": q196_large_orders,
         "q197_waiting_supplier": q197_waiting_supplier,

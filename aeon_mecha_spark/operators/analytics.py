@@ -3772,7 +3772,7 @@ def kaplan_meier(
     )
 
 
-def cohort_retention(
+def cohort_retention_table(
     df: DataFrame,
     user_col: str,
     ts_col: str,
@@ -3782,6 +3782,10 @@ def cohort_retention(
     FIRST event; for each (cohort, age-in-periods) the distinct users
     still active and the retention rate vs the cohort's size — the
     standard product-analytics triangle, at month, week, or day grain.
+    (The q70 ``cohort_retention`` is the raw count matrix; this TABLE
+    variant adds cohort sizes and exact-ppm rates, and derives the
+    cohort via a groupBy MIN instead of a per-user window — the
+    map-side-combinable form.)
 
     Exactness: periods via ``date_trunc`` (calendar function, identical
     across engines on identical timestamps); age is pure integer

@@ -28,45 +28,35 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family, weighted toward scale-sensitive
 # plans (shuffles, windows, interval joins, explode-heavy text ops).
+# Capped so the one-line JSON stays inside the driver's ~2000-char
+# capture (test_driver_contract pins this): when a new gate joins the
+# set, a family-redundant older entry leaves (its plan shape must stay
+# represented by a named sibling; BENCH_DETAIL.json still names all).
 HEADLINE = [
     "q01_pricing_summary",   # scan + groupBy agg
     "q06_revenue_by_nation", # multi-join + agg
-    "q04_anti_join",         # anti-join pending-work pattern
-    "q12_dedupe_first",      # row_number dedupe
     "q13_qc_deltas",         # lag window
     "q15_rolling_1h",        # range-frame rolling window
-    "q16_sessionize",        # sessionization
     "q17_hourly_rollup",     # tumbling window agg
     "q18_asof_join",         # as-of union-merge join
     "q19_interval_count",    # point-in-interval join
-    "q21_timestamp_stats",   # median-diff stats
     "q22_sync_regression",   # closed-form OLS moments
-    "q31_fingerprint_dedup", # normalize + hash groupBy
     "q34_minhash",           # shingle explode + min-hash
     "q35_lsh_jaccard",       # LSH band self-join + verify
     "q36_knn_cosine",        # brute-force cosine top-k
     "q38_simhash",           # token explode + 32 bit-votes
-    "q44_topk_per_group",    # WindowGroupLimit pushdown
     "q46_bucketed_range_join",  # big-big range join (no broadcast)
     "q47_lsh_knn",           # hyperplane-LSH ANN
     "q48_ivf_knn",           # IVF-bucketed ANN
-    "q49_shipping_priority", # TPC-H Q3 shape
-    "q57_granularity_rollup",  # GROUPING SETS multi-granularity rollup
-    "q59_time_weighted_avg",   # lead-window + decimal weighted agg
     "q60_gap_fill",          # sequence/explode gap fill + LOCF window
-    "q61_funnel",            # 4-stage ordered funnel
-    "q70_cohort_retention",  # per-user window + distinct rollup
     "q72_near_dup_lsh",      # LSH-bucketed near-dup (scale-safe default)
     "q73_decontaminate",     # broadcast benchmark-shingle overlap
-    "q84_chunk_documents",   # tokenize-once chunk explode
     "q88_tfidf",             # tf/df groupBys + broadcast vocab join
     "q90_token_budget",      # distributed two-level prefix sum
-    "q91_shuffle_shards",    # seeded-hash shard + per-shard windows
     "q92_embedding_covariance",  # mapInPandas outer-product reduce
     "q95_bloom_decontaminate",   # bloom build + broadcast probe
     "q97_substring_dedup",   # gram explode + span merge (persist reuse)
     "q106_curation_pipeline",  # 4-stage composed curation chain
-    "q108_vocab_encode",     # top-V vocab + broadcast encode
     "q111_winnowing",        # MOSS frame-min fingerprints
     "q112_unigram_logprob",  # corpus-trained unigram LM scoring
     "q113_ivf_multiprobe",   # nprobe=2 IVF (recall knob)
@@ -83,7 +73,6 @@ HEADLINE = [
     # shape the correctness gate covers; timing it here would measure
     # disk, not plans)
     "q123_interpolate_linear",  # 4 window exprs, 2 frames, one sort
-    "q124_key_skew_stats",   # groupBy + TakeOrdered hot-key diagnostic
     "q125_fuzzy_blocked_join",  # multiplicity-collapsed blocked linkage
     "q126_scd2_merge",       # SCD2 open-slice merge (4-branch union)
     "q127_pagerank",         # 5-iteration integer PageRank (join+agg per iter)
@@ -93,8 +82,6 @@ HEADLINE = [
     # is dominated by stream setup/checkpointing, not the plan)
     "q130_temperature_sample",  # sqrt-rate domain rebalancing (broadcast rates)
     "q131_bm25",             # query-restricted BM25 (broadcast df/stats)
-    "q132_split_assign",     # map-side hash-interval split
-    "q133_table_profile",    # one-pass multi-column profile (Expand)
     "q134_asof_nearest",     # nearest as-of: one sort, two frames
     "q135_sliding_window",   # hopping windows: map-side explode + partial agg
     # (q136_stream_stream_join is NOT in the headline set for the same
@@ -105,7 +92,6 @@ HEADLINE = [
     "q139_table_diff",       # CDC diff: digest-width full-outer join
     "q140_pmi_collocations",  # exact linearized-PMI collocation mining
     "q141_repetition_signals",  # Gopher repetition: map-side + doc-keyed mode
-    "q142_constraint_check",  # Deequ suite: one agg pass + one anti-join
     "q143_chi_square",       # exact integral contingency cells
     "q144_ngram_novelty",    # keep-first gram ownership, gram/doc-keyed
     "q145_rrf_fusion",       # RRF blend over TakeOrdered top-200 lists
@@ -123,7 +109,6 @@ HEADLINE = [
     "q157_ks",               # exact KS: cross-multiplied CDF gaps
     "q158_canonical_select",  # keep-best election per fingerprint cluster
     "q159_sparse_cosine",    # inverted-index df-capped cosine pairs
-    "q160_attribution",      # first/last-touch credit, one window pass
     "q161_skyline",          # Pareto frontier via sorted cummax window
     "q162_bpe_apply",        # map-only fixed-merge BPE token accounting
     "q163_bpe_learn",        # 8-round weighted pair-argmax over word table
@@ -135,7 +120,6 @@ HEADLINE = [
     "q169_lift_table",       # distinct-score-grain decile gains
     "q170_gini",             # ranked-sum concentration per key
     "q171_cohens_kappa",     # langid-vs-label chance-corrected agreement
-    "q172_benford",          # string-digit audit vs fixed ppm grid
     "q173_stuck_runs",       # gaps-and-islands frozen-value QC
     "q174_vocab_overlap",    # term-keyed pairwise vocab Jaccard
     "q175_decompose",        # STL-lite trend/seasonal/residual, milli ints

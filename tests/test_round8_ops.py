@@ -634,7 +634,7 @@ def test_kaplan_meier_censoring_only_shifts_at_risk(spark):
 def test_cohort_retention_daily_triangle(spark):
     import datetime as dt
 
-    from aeon_mecha_spark.operators.analytics import cohort_retention
+    from aeon_mecha_spark.operators.analytics import cohort_retention_table
 
     ev = spark.createDataFrame([
         (1, dt.datetime(2024, 1, 1, 5)), (1, dt.datetime(2024, 1, 3, 6)),
@@ -643,7 +643,7 @@ def test_cohort_retention_daily_triangle(spark):
     ], "u long, ts timestamp")
     got = {(str(r.cohort_period)[:10], r.age_periods):
            (r.n_active, r.n_cohort, r.retention_ppm)
-           for r in cohort_retention(ev, "u", "ts", "day").collect()}
+           for r in cohort_retention_table(ev, "u", "ts", "day").collect()}
     assert got == {
         ("2024-01-01", 0): (2, 2, 1_000_000),
         ("2024-01-01", 2): (1, 2, 500_000),
@@ -653,11 +653,11 @@ def test_cohort_retention_daily_triangle(spark):
 
 
 def test_cohort_retention_rejects_bad_granularity(spark):
-    from aeon_mecha_spark.operators.analytics import cohort_retention
+    from aeon_mecha_spark.operators.analytics import cohort_retention_table
 
     df = spark.createDataFrame([(1,)], "u long")
     with pytest.raises(ValueError):
-        cohort_retention(df, "u", "ts", "hour")
+        cohort_retention_table(df, "u", "ts", "hour")
 
 
 # -- HITS ----------------------------------------------------------------------
@@ -860,3 +860,25 @@ def test_burstiness_single_event_key_is_absent(spark):
         [("solo", dt.datetime(2024, 1, 1))], "k string, ts timestamp"
     )
     assert burstiness_by_group(df, ["k"], "ts").count() == 0
+
+
+# -- exact integer sqrt edge cases ----------------------------------------------
+
+
+def test_exact_isqrt_boundary_values(spark):
+    """The double-seed + 2-Newton-step + clamp construction must be
+    EXACT at the values where a float sqrt seed is least trustworthy:
+    perfect squares ±1, just past 2^53 (doubles lose integer
+    resolution), and the 10^26 Wilson-bound magnitude."""
+    from aeon_mecha_spark.operators.analytics import _with_exact_isqrt
+
+    vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 17,
+            2**53 - 1, 2**53, 2**53 + 1,
+            (10**13 - 1) ** 2, (10**13) ** 2 - 1, (10**13) ** 2,
+            10**26, 10**26 + 10**13]
+    from decimal import Decimal
+
+    df = spark.createDataFrame([(Decimal(v),) for v in vals], "r decimal(38,0)")
+    out = _with_exact_isqrt(df, "r", "s").select("r", "s").collect()
+    for row in out:
+        assert int(row.s) == math.isqrt(int(row.r)), f"isqrt({row.r})"
