@@ -3416,6 +3416,90 @@ def q225_returned_items(spark, sf_dir):
     )
 
 
+def q227_containment(spark, sf_dir):
+    """Asymmetric k-gram containment on the q35 LSH candidates — the
+    quote/subset-dup verifier Jaccard misses (a short doc inside a
+    long one): exact ppm both directions + the symmetric max."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, num_hashes=_NUM_MINHASH).cache()
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, num_hashes=_NUM_MINHASH, bands=_MINHASH_BANDS
+    )
+    sets = dedup.shingle_sets(docs, k=3).cache()
+    return dedup.ngram_containment(docs, pairs, k=3, sets=sets).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q228_rbo(spark, sf_dir):
+    """Rank-biased overlap between the first- and second-half-of-month
+    user leaderboards per event type (top-50 by exact value cents,
+    row_number ties by user) — literal tail-weight table, integer sum."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_cents", F.expr("CAST(round(value * 100) AS BIGINT)")
+    )
+
+    def leaderboard(pred):
+        g = ev.filter(pred).groupBy("event_type", "user_id").agg(
+            F.sum("_cents").cast("long").alias("_tot")
+        )
+        w = W.partitionBy("event_type").orderBy(
+            F.col("_tot").desc(), F.col("user_id").asc()
+        )
+        return g.select(
+            "event_type", "user_id", F.row_number().over(w).alias("rank")
+        )
+
+    a = leaderboard(F.dayofmonth("ts") <= 15)
+    b = leaderboard(F.dayofmonth("ts") > 15)
+    return analytics.rbo_by_group(
+        a, b, ["event_type"], "user_id", "rank", k=50, p=0.9
+    ).orderBy("event_type")
+
+
+def q229_ols2(spark, sf_dir):
+    """Two-regressor OLS per return flag: whole-dollar price against
+    (quantity, discount%) — Cramer's rule on decimal(38,0) normal
+    equations, milli coefficients, no float solver."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("_q"),
+        F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("_d"),
+        F.expr("CAST(round(l_extendedprice) AS BIGINT)").alias("_price"),
+    )
+    return analytics.ols2_by_group(li, ["l_returnflag"], "_q", "_d", "_price").orderBy(
+        "l_returnflag"
+    )
+
+
+def q230_mase(spark, sf_dir):
+    """MASE of the naive one-step forecast vs the season-7 baseline for
+    event value cents per event type — two lags share one sort, the
+    two MAEs cross-multiply into one floor div."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_cents", F.expr("CAST(round(value * 100) AS BIGINT)")
+    )
+    return analytics.mase_by_group(
+        ev, ["event_type"], ["ts", "event_id"], "_cents", season=7
+    ).orderBy("event_type")
+
+
+def q231_did(spark, sf_dir):
+    """Difference-in-differences of event value cents per event type:
+    treated = even users, post = second half of the month — four
+    conditional cells, one micro-floor per cell mean."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_cents", F.expr("CAST(round(value * 100) AS BIGINT)")
+    )
+    return analytics.diff_in_diff(
+        ev,
+        ["event_type"],
+        F.col("user_id") % 2 == 0,
+        F.dayofmonth("ts") > 15,
+        "_cents",
+    ).orderBy("event_type")
+
+
 def q226_burstiness(spark, sf_dir):
     """Inter-event burstiness (Fano factor of µs gaps) per event type
     — exact integer moments, one cross-multiplied floor div; 1e6 ppm =
@@ -3468,6 +3552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q214_calibration": q214_calibration,
         "q215_bh_fdr": q215_bh_fdr,
         "q216_info_gain": q216_info_gain,
+        "q227_containment": q227_containment,
+        "q228_rbo": q228_rbo,
+        "q229_ols2": q229_ols2,
+        "q230_mase": q230_mase,
+        "q231_did": q231_did,
         "q222_odds_ratio": q222_odds_ratio,
         "q223_g_test": q223_g_test,
         "q224_theil": q224_theil,
@@ -4517,6 +4606,42 @@ def _sql_hits(iters: int = 3, scale: int = 1_000_000) -> str:
            CAST(a{iters}.a AS BIGINT) AS auth_score
     FROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node
     ORDER BY user_id"""
+
+
+def _sql_rbo(k: int = 50, p: float = 0.9) -> str:
+    """Oracle for q228: the SAME literal tail-weight table as the
+    engine (rbo_weights_micro), leaderboard ranks rebuilt in SQL."""
+    w = analytics.rbo_weights_micro(k, p)
+    wlist = ", ".join(str(x) for x in w)
+    return f"""
+    WITH ev AS (
+      SELECT event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) AS c, ts
+      FROM events),
+    ga AS (
+      SELECT event_type, user_id, sum(c) AS tot FROM ev
+      WHERE day(ts) <= 15 GROUP BY 1, 2),
+    ra AS (
+      SELECT event_type, user_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY tot DESC, user_id ASC) AS rnk
+      FROM ga),
+    gb AS (
+      SELECT event_type, user_id, sum(c) AS tot FROM ev
+      WHERE day(ts) > 15 GROUP BY 1, 2),
+    rb AS (
+      SELECT event_type, user_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY tot DESC, user_id ASC) AS rnk
+      FROM gb),
+    j AS (
+      SELECT ra.event_type, greatest(ra.rnk, rb.rnk) AS m
+      FROM ra JOIN rb ON ra.event_type = rb.event_type
+                     AND ra.user_id = rb.user_id
+      WHERE ra.rnk <= {k} AND rb.rnk <= {k})
+    SELECT event_type, count(*)::bigint AS n_common,
+           CAST(sum(([{wlist}])[m]) AS BIGINT) AS rbo_micro
+    FROM j GROUP BY event_type ORDER BY event_type"""
 
 
 def _sql_bradley_terry(iters: int = 3, scale: int = 1000) -> str:
@@ -8452,6 +8577,154 @@ def oracle_sql() -> dict[str, str]:
                         ((n_gaps * ss - s * s) * 1000000)
                           // ((n_gaps - 1) * s) END AS BIGINT) AS fano_ppm
             FROM m ORDER BY event_type
+        """,
+        "q227_containment": _sql_minhash_cte() + f"""
+        , buckets AS (
+            SELECT doc_id, band, bh FROM (
+              SELECT doc_id,
+                     unnest(range({_MINHASH_BANDS})) AS band,
+                     unnest([{', '.join(f"md5(mh_{2*b}::varchar || ',' || mh_{2*b+1}::varchar)" for b in range(_MINHASH_BANDS))}]) AS bh
+              FROM sigs)
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM buckets a JOIN buckets b
+              ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ), sets AS (SELECT doc_id, list_distinct(sh) AS s FROM shl),
+        j AS (
+            SELECT id_a, id_b,
+                   len(list_intersect(sa.s, sb.s))::bigint AS n_common,
+                   len(sa.s)::bigint AS n_a, len(sb.s)::bigint AS n_b
+            FROM pairs JOIN sets sa ON sa.doc_id = id_a
+                       JOIN sets sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, n_common, n_a, n_b,
+               CAST(CASE WHEN n_a > 0 THEN
+                    (n_common::hugeint * 1000000) // n_a ELSE 0 END
+                    AS BIGINT) AS containment_a_ppm,
+               CAST(CASE WHEN n_b > 0 THEN
+                    (n_common::hugeint * 1000000) // n_b ELSE 0 END
+                    AS BIGINT) AS containment_b_ppm,
+               greatest(
+                 CAST(CASE WHEN n_a > 0 THEN
+                      (n_common::hugeint * 1000000) // n_a ELSE 0 END
+                      AS BIGINT),
+                 CAST(CASE WHEN n_b > 0 THEN
+                      (n_common::hugeint * 1000000) // n_b ELSE 0 END
+                      AS BIGINT)) AS containment_max_ppm
+        FROM j ORDER BY id_a, id_b
+        """,
+        "q228_rbo": _sql_rbo(k=50, p=0.9),
+        "q229_ols2": """
+            -- Cramer's rule on the 3x3 normal equations, hugeint
+            -- moments, milli coefficients via sign-safe floor div
+            WITH b AS (
+              SELECT l_returnflag AS k,
+                     CAST(round(l_quantity) AS BIGINT) AS x1,
+                     CAST(round(l_discount * 100) AS BIGINT) AS x2,
+                     CAST(round(l_extendedprice) AS BIGINT) AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+                AND l_extendedprice IS NOT NULL),
+            g AS (
+              SELECT k, count(*)::hugeint AS n,
+                     sum(x1::hugeint) AS s1, sum(x2::hugeint) AS s2,
+                     sum(x1::hugeint * x1) AS s11,
+                     sum(x1::hugeint * x2) AS s12,
+                     sum(x2::hugeint * x2) AS s22,
+                     sum(y::hugeint) AS sy,
+                     sum(x1::hugeint * y) AS s1y,
+                     sum(x2::hugeint * y) AS s2y
+              FROM b GROUP BY k),
+            d AS (
+              SELECT k, n,
+                     (n * (s11 * s22 - s12 * s12)
+                      - s1 * (s1 * s22 - s12 * s2)
+                      + s2 * (s1 * s12 - s11 * s2)) AS det,
+                     (sy * (s11 * s22 - s12 * s12)
+                      - s1 * (s1y * s22 - s12 * s2y)
+                      + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+                     (n * (s1y * s22 - s12 * s2y)
+                      - sy * (s1 * s22 - s12 * s2)
+                      + s2 * (s1 * s2y - s1y * s2)) AS det1,
+                     (n * (s11 * s2y - s1y * s12)
+                      - s1 * (s1 * s2y - s1y * s2)
+                      + sy * (s1 * s12 - s11 * s2)) AS det2
+              FROM g)
+            SELECT k AS l_returnflag, CAST(n AS BIGINT) AS n,
+                   CAST(CASE WHEN det <> 0 THEN
+                        (CASE WHEN det0 < 0 THEN -1 WHEN det0 > 0 THEN 1 ELSE 0 END)
+                        * (CASE WHEN det < 0 THEN -1 ELSE 1 END)
+                        * ((abs(det0) * 1000) // abs(det)) END AS BIGINT)
+                     AS b0_milli,
+                   CAST(CASE WHEN det <> 0 THEN
+                        (CASE WHEN det1 < 0 THEN -1 WHEN det1 > 0 THEN 1 ELSE 0 END)
+                        * (CASE WHEN det < 0 THEN -1 ELSE 1 END)
+                        * ((abs(det1) * 1000) // abs(det)) END AS BIGINT)
+                     AS b1_milli,
+                   CAST(CASE WHEN det <> 0 THEN
+                        (CASE WHEN det2 < 0 THEN -1 WHEN det2 > 0 THEN 1 ELSE 0 END)
+                        * (CASE WHEN det < 0 THEN -1 ELSE 1 END)
+                        * ((abs(det2) * 1000) // abs(det)) END AS BIGINT)
+                     AS b2_milli
+            FROM d ORDER BY l_returnflag
+        """,
+        "q230_mase": """
+            -- MASE: naive-1 MAE over season-7 MAE, cross-multiplied to
+            -- one floor div; both lags share the (ts, event_id) sort
+            WITH b AS (
+              SELECT event_type AS k, ts, event_id,
+                     CAST(round(value * 100) AS BIGINT) AS x
+              FROM events WHERE value IS NOT NULL),
+            l AS (
+              SELECT k, x,
+                     x - lag(x, 1) OVER w AS e1,
+                     x - lag(x, 7) OVER w AS es
+              FROM b WINDOW w AS (PARTITION BY k ORDER BY ts, event_id)),
+            g AS (
+              SELECT k, count(e1)::bigint AS n_naive,
+                     count(es)::bigint AS n_seasonal,
+                     sum(abs(e1)::hugeint) AS a1,
+                     sum(abs(es)::hugeint) AS a_s
+              FROM l GROUP BY k)
+            SELECT k AS event_type, n_naive, n_seasonal,
+                   CAST(CASE WHEN n_seasonal > 0 AND a_s > 0 THEN
+                        (a1 * n_seasonal * 1000000)
+                          // (n_naive::hugeint * a_s) END AS BIGINT)
+                     AS mase_ppm
+            FROM g ORDER BY event_type
+        """,
+        "q231_did": """
+            -- DiD on cents: four conditional cells, ONE micro floor
+            -- per cell mean (sign-safe), NULL when any cell is empty
+            WITH b AS (
+              SELECT event_type AS k,
+                     CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+                     CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END AS p,
+                     CAST(round(value * 100) AS BIGINT) AS v
+              FROM events WHERE value IS NOT NULL),
+            g AS (
+              SELECT k,
+                     sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END)::bigint AS n_t0,
+                     sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END)::bigint AS n_t1,
+                     sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END)::bigint AS n_c0,
+                     sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END)::bigint AS n_c1,
+                     sum(CASE WHEN t = 1 AND p = 0 THEN v ELSE 0 END)::hugeint AS st0,
+                     sum(CASE WHEN t = 1 AND p = 1 THEN v ELSE 0 END)::hugeint AS st1,
+                     sum(CASE WHEN t = 0 AND p = 0 THEN v ELSE 0 END)::hugeint AS sc0,
+                     sum(CASE WHEN t = 0 AND p = 1 THEN v ELSE 0 END)::hugeint AS sc1
+              FROM b GROUP BY k)
+            SELECT k AS event_type, n_t0, n_t1, n_c0, n_c1,
+                   CAST(CASE WHEN n_t0 > 0 AND n_t1 > 0 AND n_c0 > 0
+                              AND n_c1 > 0 THEN
+                     ((CASE WHEN st1 < 0 THEN -1 WHEN st1 > 0 THEN 1 ELSE 0 END)
+                        * ((abs(st1) * 1000000) // n_t1)
+                      - (CASE WHEN st0 < 0 THEN -1 WHEN st0 > 0 THEN 1 ELSE 0 END)
+                        * ((abs(st0) * 1000000) // n_t0))
+                     - ((CASE WHEN sc1 < 0 THEN -1 WHEN sc1 > 0 THEN 1 ELSE 0 END)
+                        * ((abs(sc1) * 1000000) // n_c1)
+                      - (CASE WHEN sc0 < 0 THEN -1 WHEN sc0 > 0 THEN 1 ELSE 0 END)
+                        * ((abs(sc0) * 1000000) // n_c0))
+                   END AS BIGINT) AS did_micro
+            FROM g ORDER BY event_type
         """,
     }
     return sqls

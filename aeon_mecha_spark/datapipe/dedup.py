@@ -720,3 +720,77 @@ def line_dedup(
             "n_dropped",
         )
     )
+
+
+def ngram_containment(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """Exact k-gram CONTAINMENT for candidate pairs — the asymmetric
+    near-dup measure Jaccard misses: a short document quoted whole
+    inside a long one has low Jaccard (the union is large) but
+    containment ≈ 1 on the short side. The standard quote/subset-dup
+    verifier to run beside :func:`ngram_jaccard` on the same LSH
+    candidates.
+
+    Reports both directions and the symmetric max, in EXACT ppm
+    (integer sizes, one decimal div each — no float ratio):
+    ``containment_a_ppm = |∩|·10⁶ div |A|`` etc. Pairs with an empty
+    side report 0.
+
+    Plan: identical to ``ngram_jaccard`` — two key-bounded joins of the
+    (cached) shingle-set table onto the pair list; array intersection
+    is per-row map-side work. Output: ``(id_a, id_b, n_common, n_a,
+    n_b, containment_a_ppm, containment_b_ppm, containment_max_ppm)``.
+    """
+    if sets is None:
+        sets = shingle_sets(docs, id_col, text_col, k)
+    out = (
+        pairs.join(
+            sets.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"),
+            "id_a",
+        ).join(
+            sets.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    na = F.size("sh_a").cast("long")
+    nb = F.size("sh_b").cast("long")
+    out = (
+        out.withColumn("n_common", inter)
+        .withColumn("n_a", na)
+        .withColumn("n_b", nb)
+        .withColumn(
+            "containment_a_ppm",
+            F.expr(
+                "CAST(CASE WHEN n_a > 0 THEN "
+                "(CAST(n_common AS DECIMAL(38,0)) * 1000000) div n_a "
+                "ELSE 0 END AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "containment_b_ppm",
+            F.expr(
+                "CAST(CASE WHEN n_b > 0 THEN "
+                "(CAST(n_common AS DECIMAL(38,0)) * 1000000) div n_b "
+                "ELSE 0 END AS BIGINT)"
+            ),
+        )
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        "containment_a_ppm",
+        "containment_b_ppm",
+        F.greatest("containment_a_ppm", "containment_b_ppm").alias(
+            "containment_max_ppm"
+        ),
+    )

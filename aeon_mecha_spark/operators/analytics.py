@@ -19,6 +19,7 @@ single-pass Spark plans:
 
 from __future__ import annotations
 
+import math
 from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame, Window as W
@@ -4033,4 +4034,263 @@ def burstiness_by_group(
             "((n_gaps * _SS - _S * _S) * 1000000) div ((n_gaps - 1) * _S) "
             "END AS BIGINT)"
         ).alias("fano_ppm"),
+    )
+
+
+def rbo_weights_micro(k: int, p: float = 0.9) -> list[int]:
+    """Literal RBO tail-weight table: ``W[m] = Σ_{d=m..k} (1−p)·p^{d−1}/d``
+    floored to integer micro-units, for m = 1..k. Computed ONCE in
+    Python and embedded in both the Spark plan and the SQL oracle (the
+    NDCG-discount pattern, §6 of EXACTNESS.md) so no runtime pow/log."""
+    if not 0 < p < 1:
+        raise ValueError("p must be in (0, 1)")
+    per_d = [(1 - p) * p ** (d - 1) / d for d in range(1, k + 1)]
+    out = []
+    for m in range(1, k + 1):
+        out.append(int(math.floor(sum(per_d[m - 1 :]) * 1_000_000 + 0.5)))
+    return out
+
+
+def rbo_by_group(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    keys: list[str],
+    item_col: str,
+    rank_col: str,
+    k: int = 50,
+    p: float = 0.9,
+) -> DataFrame:
+    """Rank-Biased Overlap (truncated at depth ``k``) between two
+    rankings per key — the top-weighted ranking-agreement metric beside
+    ``ndcg_at_k`` (graded relevance) and ``rrf_fuse`` (fusion): how
+    similar are two retrieval/ranker outputs, weighting the head.
+
+    Identity used: RBO@k = Σ_{d≤k} w_d·|A_d ∩ B_d|/d with
+    ``w_d = (1−p)p^{d−1}`` equals a PER-ITEM sum — an item at ranks
+    (ra, rb) joins every prefix-overlap from depth ``m = max(ra, rb)``
+    on, contributing exactly ``W[m] = Σ_{d=m..k} w_d/d``. ``W`` is a
+    ≤k-entry literal micro-unit table (:func:`rbo_weights_micro`), so
+    the metric is an integer sum of literals — engine-exact, no runtime
+    transcendentals (§6). Truncated form: no residual extrapolation;
+    RBO@k of identical rankings = Σ_{d≤k} w_d < 1.
+
+    Plan: one inner equi-join on (keys, item) of two rank tables
+    (pre-cut to rank ≤ k — map-side filters), a literal
+    ``element_at`` lookup, one groupBy sum. Output: ``(keys…,
+    n_common, rbo_micro)``.
+    """
+    w = rbo_weights_micro(k, p)
+    wlit = F.array(*[F.lit(int(x)) for x in w])
+    a = ranks_a.filter(F.col(rank_col) <= k).select(
+        *keys, F.col(item_col).alias("_it"), F.col(rank_col).alias("_ra")
+    )
+    b = ranks_b.filter(F.col(rank_col) <= k).select(
+        *keys, F.col(item_col).alias("_it"), F.col(rank_col).alias("_rb")
+    )
+    j = a.join(b, [*keys, "_it"]).withColumn(
+        "_w",
+        F.element_at(wlit, F.greatest("_ra", "_rb").cast("int")),
+    )
+    return j.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("_w").cast("long").alias("rbo_micro"),
+    )
+
+
+def ols2_by_group(
+    df: DataFrame,
+    keys: list[str],
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Two-regressor OLS per key — ``y = b0 + b1·x1 + b2·x2`` solved
+    EXACTLY by Cramer's rule on the normal equations, the multivariate
+    extension of the closed-form single-x regression (S5/q22): all nine
+    moments accumulate in decimal(38,0), the four 3×3 determinants are
+    fixed integer expression trees, and each coefficient is ONE
+    sign-safe milli div ``b_i = sign·(|det_i|·1000 div |det|)·sign(det)``
+    — no matrix library, no float solver, identical in any engine.
+
+    INTEGER-VALUED inputs (pre-scale to cents etc.); magnitude
+    contract: |x|, |y| ≲ 10⁴ and per-key n ≲ 10⁶ keep the determinant
+    terms (~n·Sxx·Syy) inside decimal(38). Collinear keys (det = 0)
+    report NULL coefficients.
+
+    Plan: ONE map-side-combinable aggregate per key, then a per-row
+    expression tree. Output: ``(keys…, n, b0_milli, b1_milli,
+    b2_milli)``.
+    """
+    dsum = lambda e: F.sum(e.cast("decimal(38,0)")).cast("decimal(38,0)")  # noqa: E731
+    base = df.filter(
+        F.col(x1_col).isNotNull() & F.col(x2_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(x1_col).cast("long").alias("_x1"),
+        F.col(x2_col).cast("long").alias("_x2"),
+        F.col(y_col).cast("long").alias("_y"),
+    )
+    g = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
+        dsum(F.col("_x1")).alias("_s1"),
+        dsum(F.col("_x2")).alias("_s2"),
+        dsum(F.col("_x1") * F.col("_x1")).alias("_s11"),
+        dsum(F.col("_x1") * F.col("_x2")).alias("_s12"),
+        dsum(F.col("_x2") * F.col("_x2")).alias("_s22"),
+        dsum(F.col("_y")).alias("_sy"),
+        dsum(F.col("_x1") * F.col("_y")).alias("_s1y"),
+        dsum(F.col("_x2") * F.col("_y")).alias("_s2y"),
+    )
+    # M = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]; rhs = [sy, s1y, s2y]
+    det = (
+        "(_n * (_s11 * _s22 - _s12 * _s12) "
+        "- _s1 * (_s1 * _s22 - _s12 * _s2) "
+        "+ _s2 * (_s1 * _s12 - _s11 * _s2))"
+    )
+    det0 = (
+        "(_sy * (_s11 * _s22 - _s12 * _s12) "
+        "- _s1 * (_s1y * _s22 - _s12 * _s2y) "
+        "+ _s2 * (_s1y * _s12 - _s11 * _s2y))"
+    )
+    det1 = (
+        "(_n * (_s1y * _s22 - _s12 * _s2y) "
+        "- _sy * (_s1 * _s22 - _s12 * _s2) "
+        "+ _s2 * (_s1 * _s2y - _s1y * _s2))"
+    )
+    det2 = (
+        "(_n * (_s11 * _s2y - _s1y * _s12) "
+        "- _s1 * (_s1 * _s2y - _s1y * _s2) "
+        "+ _sy * (_s1 * _s12 - _s11 * _s2))"
+    )
+
+    def beta(d_i: str, name: str):
+        return F.expr(
+            f"CAST(CASE WHEN {det} <> 0 THEN "
+            f"sign({d_i}) * sign({det}) * ((abs({d_i}) * 1000) div abs({det})) "
+            f"END AS BIGINT)"
+        ).alias(name)
+
+    return g.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        beta(det0, "b0_milli"),
+        beta(det1, "b1_milli"),
+        beta(det2, "b2_milli"),
+    )
+
+
+def mase_by_group(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Mean Absolute Scaled Error of the NAIVE one-step forecast per
+    key, scaled by the seasonal-naive baseline — the scale-free
+    forecastability diagnostic (MASE < 10⁶ ppm: the series is easier
+    than its seasonal repeat; ≫ 10⁶: noisier than seasonality):
+
+        ``mase_ppm = (Σ|x_t − x_{t−1}| · m_s · 10⁶)
+                      div (n_1 · Σ|x_t − x_{t−s}|)``
+
+    — the two MAEs cross-multiplied into ONE floor div (§4).
+    ``value_col`` must be INTEGER-VALUED (pre-scale); keys with no
+    seasonal pairs or a zero seasonal MAE report NULL.
+
+    Plan: one per-key window pass (both lags share the sort), one
+    groupBy. Output: ``(keys…, n_naive, n_seasonal, mase_ppm)``.
+    """
+    if season < 2:
+        raise ValueError("season must be >= 2 (1 would equal the naive MAE)")
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    lagged = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.col(value_col).cast("long").alias("_x"),
+        *[F.col(c) for c in order_cols],
+    ).select(
+        *keys,
+        "_x",
+        (F.col("_x") - F.lag("_x", 1).over(w)).alias("_e1"),
+        (F.col("_x") - F.lag("_x", int(season)).over(w)).alias("_es"),
+    )
+    g = lagged.groupBy(*keys).agg(
+        F.count(F.col("_e1")).cast("long").alias("n_naive"),
+        F.count(F.col("_es")).cast("long").alias("n_seasonal"),
+        F.sum(F.abs(F.col("_e1")).cast("decimal(38,0)")).alias("_a1"),
+        F.sum(F.abs(F.col("_es")).cast("decimal(38,0)")).alias("_as"),
+    )
+    return g.select(
+        *keys,
+        "n_naive",
+        "n_seasonal",
+        F.expr(
+            "CAST(CASE WHEN n_seasonal > 0 AND _as > 0 THEN "
+            "(_a1 * n_seasonal * 1000000) div "
+            "(CAST(n_naive AS DECIMAL(38,0)) * _as) END AS BIGINT)"
+        ).alias("mase_ppm"),
+    )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    keys: list[str],
+    treated: Column,
+    post: Column,
+    value_col: str,
+) -> DataFrame:
+    """Difference-in-differences point estimate per key on INTEGER
+    values (pre-scale to cents): the 2×2 (treated × post) cell means,
+    each floored ONCE to micro-units (the chi-square floor-sum
+    convention — 4 floors total, ≤ 4 micro absolute error,
+    deterministic), combined as
+
+        ``did = (mean_t1 − mean_t0) − (mean_c1 − mean_c0)``
+
+    — the workhorse quasi-experimental effect estimate beside
+    ``odds_ratio_by_group`` (binary outcomes). Keys missing any of the
+    four cells report NULL.
+
+    Plan: one conditional-aggregate groupBy (map-side), fixed
+    expression tree. Output: ``(keys…, n_t0, n_t1, n_c0, n_c1,
+    did_micro)``.
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.when(treated, F.lit(1)).otherwise(F.lit(0)).alias("_t"),
+        F.when(post, F.lit(1)).otherwise(F.lit(0)).alias("_p"),
+        F.col(value_col).cast("long").alias("_v"),
+    )
+
+    def cell(t: int, pp: int, what: str):
+        cond = (F.col("_t") == t) & (F.col("_p") == pp)
+        if what == "n":
+            return F.sum(cond.cast("long")).cast("long")
+        return F.sum(F.when(cond, F.col("_v")).otherwise(F.lit(0)).cast("decimal(38,0)"))
+
+    g = base.groupBy(*keys).agg(
+        cell(1, 0, "n").alias("n_t0"),
+        cell(1, 1, "n").alias("n_t1"),
+        cell(0, 0, "n").alias("n_c0"),
+        cell(0, 1, "n").alias("n_c1"),
+        cell(1, 0, "s").alias("_st0"),
+        cell(1, 1, "s").alias("_st1"),
+        cell(0, 0, "s").alias("_sc0"),
+        cell(0, 1, "s").alias("_sc1"),
+    )
+    mean = (
+        lambda s, n: f"(sign({s}) * ((abs({s}) * 1000000) div {n}))"
+    )  # noqa: E731
+    return g.select(
+        *keys,
+        "n_t0",
+        "n_t1",
+        "n_c0",
+        "n_c1",
+        F.expr(
+            f"CAST(CASE WHEN n_t0 > 0 AND n_t1 > 0 AND n_c0 > 0 AND n_c1 > 0 THEN "
+            f"({mean('_st1', 'n_t1')} - {mean('_st0', 'n_t0')}) "
+            f"- ({mean('_sc1', 'n_c1')} - {mean('_sc0', 'n_c0')}) "
+            f"END AS BIGINT)"
+        ).alias("did_micro"),
     )

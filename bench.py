@@ -43,18 +43,15 @@ HEADLINE = [
     "q22_sync_regression",   # closed-form OLS moments
     "q34_minhash",           # shingle explode + min-hash
     "q35_lsh_jaccard",       # LSH band self-join + verify
-    "q36_knn_cosine",        # brute-force cosine top-k
     "q38_simhash",           # token explode + 32 bit-votes
     "q46_bucketed_range_join",  # big-big range join (no broadcast)
     "q47_lsh_knn",           # hyperplane-LSH ANN
     "q48_ivf_knn",           # IVF-bucketed ANN
-    "q60_gap_fill",          # sequence/explode gap fill + LOCF window
     "q72_near_dup_lsh",      # LSH-bucketed near-dup (scale-safe default)
     "q73_decontaminate",     # broadcast benchmark-shingle overlap
     "q88_tfidf",             # tf/df groupBys + broadcast vocab join
     "q90_token_budget",      # distributed two-level prefix sum
     "q92_embedding_covariance",  # mapInPandas outer-product reduce
-    "q95_bloom_decontaminate",   # bloom build + broadcast probe
     "q97_substring_dedup",   # gram explode + span merge (persist reuse)
     "q106_curation_pipeline",  # 4-stage composed curation chain
     "q111_winnowing",        # MOSS frame-min fingerprints
@@ -80,13 +77,11 @@ HEADLINE = [
     # (q129_stateful_dropcount is NOT in the headline set for the same
     # reason as q122: it drains a Structured Streaming query whose cost
     # is dominated by stream setup/checkpointing, not the plan)
-    "q130_temperature_sample",  # sqrt-rate domain rebalancing (broadcast rates)
     "q131_bm25",             # query-restricted BM25 (broadcast df/stats)
     "q134_asof_nearest",     # nearest as-of: one sort, two frames
     "q135_sliding_window",   # hopping windows: map-side explode + partial agg
     # (q136_stream_stream_join is NOT in the headline set for the same
     # reason as q122/q129: stream setup + memory-sink drain dominate)
-    "q137_hist_quantile_sketch",  # mergeable histogram quantiles (O(bins) state)
     # (q138_streaming_sessions is NOT in the headline set for the same
     # reason as q122/q129/q136: the AvailableNow drain dominates)
     "q139_table_diff",       # CDC diff: digest-width full-outer join
@@ -174,6 +169,11 @@ HEADLINE = [
     "q224_theil",            # decomposable inequality, one div
     "q225_returned_items",   # TPC-H Q10 shape, centi-cent top-20
     "q226_burstiness",       # Fano factor of integer-us gaps
+    "q227_containment",      # asymmetric shingle containment on LSH pairs
+    "q228_rbo",              # literal-weight rank-biased overlap
+    "q229_ols2",             # Cramer 3x3 normal equations per key
+    "q230_mase",             # naive vs seasonal-naive MAE ratio
+    "q231_did",              # 2x2 conditional-cell effect estimate
 ]
 
 

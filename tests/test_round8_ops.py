@@ -882,3 +882,147 @@ def test_exact_isqrt_boundary_values(spark):
     out = _with_exact_isqrt(df, "r", "s").select("r", "s").collect()
     for row in out:
         assert int(row.s) == math.isqrt(int(row.r)), f"isqrt({row.r})"
+
+
+# -- containment ----------------------------------------------------------------
+
+
+def test_containment_short_doc_inside_long(spark):
+    from aeon_mecha_spark.datapipe.dedup import ngram_containment
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f g h i j k l")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = ngram_containment(docs, pairs, k=3).collect()[0]
+    # doc1 has 2 distinct 3-shingles, both inside doc2's 10
+    assert (r.n_common, r.n_a, r.n_b) == (2, 2, 10)
+    assert r.containment_a_ppm == 1_000_000  # fully contained
+    assert r.containment_b_ppm == 200_000
+    assert r.containment_max_ppm == 1_000_000
+
+
+def test_containment_disjoint_is_zero(spark):
+    from aeon_mecha_spark.datapipe.dedup import ngram_containment
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    r = ngram_containment(docs, pairs, k=3).collect()[0]
+    assert (r.n_common, r.containment_max_ppm) == (0, 0)
+
+
+# -- RBO -------------------------------------------------------------------------
+
+
+def test_rbo_identical_rankings_hit_weight_total(spark):
+    from aeon_mecha_spark.operators.analytics import (
+        rbo_by_group,
+        rbo_weights_micro,
+    )
+
+    ra = spark.createDataFrame(
+        [("q", f"i{r}", r) for r in range(1, 11)], "k string, item string, rank int"
+    )
+    out = rbo_by_group(ra, ra, ["k"], "item", "rank", k=10, p=0.9).collect()[0]
+    w = rbo_weights_micro(10, 0.9)
+    assert out.rbo_micro == sum(w[r - 1] for r in range(1, 11))
+    assert out.n_common == 10
+
+
+def test_rbo_disjoint_rankings_are_zero(spark):
+    from aeon_mecha_spark.operators.analytics import rbo_by_group
+
+    ra = spark.createDataFrame(
+        [("q", f"a{r}", r) for r in range(1, 6)], "k string, item string, rank int"
+    )
+    rb = spark.createDataFrame(
+        [("q", f"b{r}", r) for r in range(1, 6)], "k string, item string, rank int"
+    )
+    assert rbo_by_group(ra, rb, ["k"], "item", "rank", k=5).count() == 0
+
+
+def test_rbo_head_agreement_outweighs_tail(spark):
+    from aeon_mecha_spark.operators.analytics import rbo_by_group
+
+    base = [(f"i{r}", r) for r in range(1, 11)]
+    ra = spark.createDataFrame([("q", i, r) for i, r in base],
+                               "k string, item string, rank int")
+    # swap ranks 1<->2 vs swap 9<->10: head swap must cost more
+    def swapped(x, y):
+        m = dict(base)
+        m[f"i{x}"], m[f"i{y}"] = y, x
+        return spark.createDataFrame([("q", i, r) for i, r in m.items()],
+                                     "k string, item string, rank int")
+    head = rbo_by_group(ra, swapped(1, 2), ["k"], "item", "rank", k=10).collect()[0]
+    tail = rbo_by_group(ra, swapped(9, 10), ["k"], "item", "rank", k=10).collect()[0]
+    assert head.rbo_micro < tail.rbo_micro
+
+
+# -- OLS2 ------------------------------------------------------------------------
+
+
+def test_ols2_recovers_exact_plane(spark):
+    from aeon_mecha_spark.operators.analytics import ols2_by_group
+
+    rows = [("k", x1, x2, 5 + 2 * x1 - 3 * x2)
+            for x1 in range(6) for x2 in range(6)]
+    df = spark.createDataFrame(rows, "k string, x1 long, x2 long, y long")
+    r = ols2_by_group(df, ["k"], "x1", "x2", "y").collect()[0]
+    assert (r.b0_milli, r.b1_milli, r.b2_milli) == (5000, 2000, -3000)
+
+
+def test_ols2_collinear_is_null(spark):
+    from aeon_mecha_spark.operators.analytics import ols2_by_group
+
+    rows = [("k", x, 2 * x, x + 1) for x in range(8)]  # x2 = 2*x1
+    df = spark.createDataFrame(rows, "k string, x1 long, x2 long, y long")
+    r = ols2_by_group(df, ["k"], "x1", "x2", "y").collect()[0]
+    assert r.b0_milli is None and r.b1_milli is None and r.b2_milli is None
+
+
+# -- MASE ------------------------------------------------------------------------
+
+
+def test_mase_linear_series_hand_computed(spark):
+    from aeon_mecha_spark.operators.analytics import mase_by_group
+
+    rows = [("k", i, i) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    r = mase_by_group(df, ["k"], ["t"], "v", season=3).collect()[0]
+    # |e1| = 1 x9; |e3| = 3 x7 -> (9*7*1e6) // (9*21) = 333333
+    assert (r.n_naive, r.n_seasonal, r.mase_ppm) == (9, 7, 333_333)
+
+
+def test_mase_short_series_is_null(spark):
+    from aeon_mecha_spark.operators.analytics import mase_by_group
+
+    rows = [("k", i, i * i) for i in range(3)]
+    df = spark.createDataFrame(rows, "k string, t int, v long")
+    r = mase_by_group(df, ["k"], ["t"], "v", season=7).collect()[0]
+    assert r.n_seasonal == 0 and r.mase_ppm is None
+
+
+# -- diff-in-diff ----------------------------------------------------------------
+
+
+def test_did_hand_computed(spark):
+    from aeon_mecha_spark.operators.analytics import diff_in_diff
+
+    rows = ([("k", 1, 0, 100)] * 4 + [("k", 1, 1, 110)] * 4
+            + [("k", 0, 0, 50)] * 4 + [("k", 0, 1, 50)] * 4)
+    df = spark.createDataFrame(rows, "k string, t int, p int, v long")
+    r = diff_in_diff(df, ["k"], F.col("t") == 1, F.col("p") == 1, "v").collect()[0]
+    assert r.did_micro == 10_000_000
+    assert (r.n_t0, r.n_t1, r.n_c0, r.n_c1) == (4, 4, 4, 4)
+
+
+def test_did_missing_cell_is_null(spark):
+    from aeon_mecha_spark.operators.analytics import diff_in_diff
+
+    rows = [("k", 1, 1, 10)] * 3 + [("k", 0, 0, 5)] * 3  # no t0/c1 cells
+    df = spark.createDataFrame(rows, "k string, t int, p int, v long")
+    r = diff_in_diff(df, ["k"], F.col("t") == 1, F.col("p") == 1, "v").collect()[0]
+    assert r.did_micro is None
