@@ -3520,33 +3520,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Insertion order matters: the driver's correctness gate grades the
-    # FIRST 50 entries. Round-7 rotation (the plan VERDICT r06 set):
-    # q155 leads (its oracle's window-sum is now CAST AS BIGINT — the
-    # sole r06 hash-red, a DuckDB HUGEINT->float64 representation bug,
-    # needs a green official row), then q156-q201 — the whole round-6
-    # second wave (eval metrics / time-series / TPC-H shapes / graph /
-    # HLL), judge-verified but never driver-graded — then q106 (its
-    # persist strategy changed this round, re-grade) and q39/q57 (the
-    # oldest remaining official records, r04). Everything rotated out
-    # (q111-q155 officially green in CORRECTNESS_r06; relational core
-    # q01-q110 in r04/r05) is re-checkable via
-    # tools/check_correctness.py, whose full-surface output is
-    # committed per round as CHECK_FULL_r{N}.json.
     return {
     # Insertion order matters: the driver's correctness gate grades the
-    # FIRST 50 entries. Round-8 rotation (the plan VERDICT r07 set):
-    # q207-q211 are this round's five NEW operators (Spearman,
-    # Mann-Whitney U, ROC points, Jensen-Shannon, HHI) — first official
-    # grading; q202-q206 are round 7's operators, judge-verified 5/5 but
-    # never driver-graded (VERDICT r07 "Next round" item 1); q169/q184
-    # (de-globalized two-level windows) and q191 (persisted loop-
-    # invariant edge table) changed code this round — re-grade; then the
-    # OLDEST remaining official records: the r03 window (q91/q92/q94 +
-    # relational core heads) and the r04 window's first 27. Everything
-    # rotated out (q155-q201 green in r07; q111-q154 in r06; the rest
-    # r04/r05) is re-checked every round via tools/check_correctness.py
-    # -> CHECK_FULL_r{N}.json.
+    # FIRST 50 entries. Round-8 rotation (the VERDICT r07 plan, grown by
+    # this round's five waves): q212-q231 are round 8's 25 NEW operators
+    # (rank statistics, calibration/FDR/IG, line dedup, survival/cohort,
+    # HITS, leakage audit, odds ratio/G-test/Theil/Q10/burstiness,
+    # containment/RBO/OLS2/MASE/DiD) — first official grading; q202-q206
+    # are round 7's operators, judge-verified 5/5 but never driver-graded
+    # (VERDICT r07 item 1); q169/q184 (de-globalized two-level windows),
+    # q191 (persisted loop-invariant edge table) and q194 (de-windowed
+    # scalar max) changed code this round — re-grade; the remaining 16
+    # slots hold the OLDEST official records (r03/r04 window heads).
+    # Everything rotated out (q155-q201 green in r07; q111-q154 in r06;
+    # the rest r04/r05) is re-checked every round via
+    # tools/check_correctness.py -> CHECK_FULL_r{N}.json, committed at
+    # final HEAD.
         "q212_acf": q212_acf,
         "q213_kruskal_wallis": q213_kruskal_wallis,
         "q214_calibration": q214_calibration,
