@@ -3510,6 +3510,155 @@ def q226_burstiness(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q232_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: orders in a quarter with AT LEAST ONE lineitem
+    shipped more than 60 days after the order date, counted per
+    priority — the EXISTS pattern as a semi-join (never a correlated
+    subquery plan)."""
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = od.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q233_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: no partsupp, cost = quantity x whole-
+    dollar retail price): widget profit per supplier nation x order
+    year, exact centi-cents; part/supplier/nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        _revenue_centicents()
+        - F.round(F.col("l_quantity")).cast("long")
+        * F.expr("CAST(round(p_retailprice) AS BIGINT)") * 100 * 100
+    ).cast("decimal(38,0)")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(profit).cast("long").alias("profit_centicents"))
+        .orderBy("n_name", F.col("o_year").desc())
+    )
+
+
+def q234_shipping_lag_classes(spark, sf_dir):
+    """TPC-H Q12 shape (lag classes instead of the absent shipmode):
+    per fulfillment-lag class (<=30 / <=90 / >90 days), conditional
+    counts of high- vs low-priority orders — the CASE-sum pivot."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(od, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "lag_class",
+        F.expr(
+            "CASE WHEN datediff(l_shipdate, o_orderdate) <= 30 THEN 'fast' "
+            "WHEN datediff(l_shipdate, o_orderdate) <= 90 THEN 'normal' "
+            "ELSE 'slow' END"
+        ),
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("lag_class")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("lag_class")
+    )
+
+
+def q235_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: PROMO parts' share of monthly revenue in exact
+    ppm — conditional centi-cent sums, one decimal div per month."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    rev = _revenue_centicents()
+    return (
+        j.groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("_p"),
+            F.sum(rev).alias("_t"),
+        )
+        .select(
+            "ship_month",
+            F.col("_p").cast("long").alias("promo_centicents"),
+            F.col("_t").cast("long").alias("total_centicents"),
+            F.expr("CAST(CASE WHEN _t > 0 THEN (_p * 1000000) div _t END AS BIGINT)").alias("promo_share_ppm"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+def q236_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs bracket predicate
+    (brand x quantity band x size cap) — the disjunctive-pushdown
+    pattern; one scan, exact centi-cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.round(F.col("l_quantity")).cast("long")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & qty.between(1, 11) & (F.col("p_size") <= 5))
+        | ((F.col("p_brand") == "Brand#2") & qty.between(10, 20) & (F.col("p_size") <= 10))
+        | ((F.col("p_brand") == "Brand#3") & qty.between(20, 30) & (F.col("p_size") <= 15))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(_revenue_centicents()).cast("long").alias("revenue_centicents"),
+    )
+
+
+def q237_heavy_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: no partsupp): suppliers whose shipped
+    quantity of red parts in 1997 exceeds 2x the per-supplier average
+    — aggregate threshold as a 1-row broadcast, cross-multiplied
+    comparison, then the supplier dim joins back."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    supp = _t(spark, sf_dir, "supplier")
+    per = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias("red_qty"))
+    )
+    tot = per.agg(
+        F.sum("red_qty").cast("long").alias("_tq"),
+        F.count(F.lit(1)).cast("long").alias("_ns"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.expr("red_qty * _ns > 2 * _tq"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "red_qty")
+        .orderBy("s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3536,6 +3685,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the rest r04/r05) is re-checked every round via
     # tools/check_correctness.py -> CHECK_FULL_r{N}.json, committed at
     # final HEAD.
+        "q232_late_orders": q232_late_orders,
+        "q233_product_profit": q233_product_profit,
+        "q234_shipping_lag_classes": q234_shipping_lag_classes,
+        "q235_promo_share": q235_promo_share,
+        "q236_bracket_revenue": q236_bracket_revenue,
+        "q237_heavy_suppliers": q237_heavy_suppliers,
         "q212_acf": q212_acf,
         "q213_kruskal_wallis": q213_kruskal_wallis,
         "q214_calibration": q214_calibration,
@@ -8714,6 +8869,112 @@ def oracle_sql() -> dict[str, str]:
                         * ((abs(sc0) * 1000000) // n_c0))
                    END AS BIGINT) AS did_micro
             FROM g ORDER BY event_type
+        """,
+        "q232_late_orders": """
+            -- Q4 shape: EXISTS as IN/semi; >60-day fulfillment lag
+            SELECT o_orderpriority, count(*)::bigint AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-04-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q233_product_profit": """
+            -- Q9 shape adapted: profit = revenue_centicents -
+            -- qty * whole-dollar retail * 10000
+            SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+                   CAST(sum(
+                     CAST(round(l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                     - CAST(round(l_quantity) AS HUGEINT)
+                       * CAST(round(p_retailprice) AS BIGINT) * 10000
+                   ) AS BIGINT) AS profit_centicents
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, year(o_orderdate)
+            ORDER BY n_name, o_year DESC
+        """,
+        "q234_shipping_lag_classes": """
+            -- Q12 shape: lag classes x priority conditional sums
+            WITH j AS (
+              SELECT CASE
+                       WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                         THEN 'fast'
+                       WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+                         THEN 'normal'
+                       ELSE 'slow' END AS lag_class,
+                     o_orderpriority
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+            SELECT lag_class,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::bigint AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::bigint AS low_line_count
+            FROM j GROUP BY lag_class ORDER BY lag_class
+        """,
+        "q235_promo_share": """
+            -- Q14 shape: PROMO revenue share per ship month, exact ppm
+            WITH j AS (
+              SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+                     CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo,
+                     CAST(round(l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS r
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'),
+            g AS (
+              SELECT ship_month,
+                     sum(CASE WHEN promo = 1 THEN r ELSE 0 END) AS p,
+                     sum(r) AS t
+              FROM j GROUP BY ship_month)
+            SELECT ship_month, CAST(p AS BIGINT) AS promo_centicents,
+                   CAST(t AS BIGINT) AS total_centicents,
+                   CAST(CASE WHEN t > 0 THEN (p * 1000000) // t END
+                        AS BIGINT) AS promo_share_ppm
+            FROM g ORDER BY ship_month
+        """,
+        "q236_bracket_revenue": """
+            -- Q19 shape: OR-of-ANDs bracket predicate, one scan
+            WITH j AS (
+              SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+                     p_brand, p_size,
+                     CAST(round(l_extendedprice * 100) AS HUGEINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS r
+              FROM lineitem JOIN part ON l_partkey = p_partkey)
+            SELECT count(*)::bigint AS n_lines,
+                   CAST(sum(r) AS BIGINT) AS revenue_centicents
+            FROM j
+            WHERE (p_brand = 'Brand#1' AND qty BETWEEN 1 AND 11 AND p_size <= 5)
+               OR (p_brand = 'Brand#2' AND qty BETWEEN 10 AND 20 AND p_size <= 10)
+               OR (p_brand = 'Brand#3' AND qty BETWEEN 20 AND 30 AND p_size <= 15)
+        """,
+        "q237_heavy_suppliers": """
+            -- Q20 shape adapted: per-supplier red-part quantity vs 2x
+            -- the average, cross-multiplied (qty*ns > 2*total)
+            WITH per AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS red_qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l_suppkey),
+            tot AS (
+              SELECT sum(red_qty)::bigint AS tq, count(*)::bigint AS ns
+              FROM per)
+            SELECT s_suppkey, s_name, red_qty
+            FROM per CROSS JOIN tot
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE red_qty::hugeint * ns > 2 * tq::hugeint
+            ORDER BY s_suppkey
         """,
     }
     return sqls

@@ -43,7 +43,6 @@ HEADLINE = [
     "q22_sync_regression",   # closed-form OLS moments
     "q34_minhash",           # shingle explode + min-hash
     "q35_lsh_jaccard",       # LSH band self-join + verify
-    "q38_simhash",           # token explode + 32 bit-votes
     "q46_bucketed_range_join",  # big-big range join (no broadcast)
     "q47_lsh_knn",           # hyperplane-LSH ANN
     "q48_ivf_knn",           # IVF-bucketed ANN
@@ -56,7 +55,6 @@ HEADLINE = [
     "q106_curation_pipeline",  # 4-stage composed curation chain
     "q111_winnowing",        # MOSS frame-min fingerprints
     "q112_unigram_logprob",  # corpus-trained unigram LM scoring
-    "q113_ivf_multiprobe",   # nprobe=2 IVF (recall knob)
     "q114_grouped_quantiles",  # exact type-1 quantiles, one window
     "q115_range_shard",      # sampled-boundary deterministic range shard
     "q116_semantic_dedup",   # LSH pairs -> components -> canonical
@@ -73,7 +71,6 @@ HEADLINE = [
     "q125_fuzzy_blocked_join",  # multiplicity-collapsed blocked linkage
     "q126_scd2_merge",       # SCD2 open-slice merge (4-branch union)
     "q127_pagerank",         # 5-iteration integer PageRank (join+agg per iter)
-    "q128_temporal_join",    # effective-dated dim lookup (broadcast + range)
     # (q129_stateful_dropcount is NOT in the headline set for the same
     # reason as q122: it drains a Structured Streaming query whose cost
     # is dominated by stream setup/checkpointing, not the plan)
@@ -99,7 +96,6 @@ HEADLINE = [
     "q152_basket_rules",     # basket-keyed pair join, exact ppm stats
     "q153_event_paths",      # rank-cut journeys + TakeOrdered top-20
     "q154_triangle_stats",   # ordered-wedge triangles, exact ppm CC
-    "q155_weighted_quantiles",  # mass thresholds over one shared sort
     "q156_auc",              # exact Mann-Whitney AUC over score grain
     "q157_ks",               # exact KS: cross-multiplied CDF gaps
     "q158_canonical_select",  # keep-best election per fingerprint cluster
@@ -114,7 +110,6 @@ HEADLINE = [
     "q168_seasonal_anomaly",  # phase medians + residual Tukey fences
     "q169_lift_table",       # distinct-score-grain decile gains
     "q170_gini",             # ranked-sum concentration per key
-    "q171_cohens_kappa",     # langid-vs-label chance-corrected agreement
     "q173_stuck_runs",       # gaps-and-islands frozen-value QC
     "q174_vocab_overlap",    # term-keyed pairwise vocab Jaccard
     "q175_decompose",        # STL-lite trend/seasonal/residual, milli ints
@@ -130,7 +125,6 @@ HEADLINE = [
     "q185_temporal_2hop",    # mid-keyed causal 2-hop reachability
     "q186_pps_sample",       # systematic PPS boundary selection
     "q187_market_share",     # Q8 snowflake: six tables, exact ppm share
-    "q188_custdist",         # Q13: left join + two-level aggregate
     "q189_funnel_latency",   # first-touch deltas, type-1 median/p90
     "q190_hll_distinct",     # float-free HLL registers + literal tables
     "q191_kcore",            # 3-round semi-join peel (fixed, unrollable)
@@ -174,6 +168,12 @@ HEADLINE = [
     "q229_ols2",             # Cramer 3x3 normal equations per key
     "q230_mase",             # naive vs seasonal-naive MAE ratio
     "q231_did",              # 2x2 conditional-cell effect estimate
+    "q232_late_orders",      # Q4: EXISTS as semi-join
+    "q233_product_profit",   # Q9: multi-dim profit rollup
+    "q234_shipping_lag_classes",  # Q12: conditional pivot
+    "q235_promo_share",      # Q14: conditional share, exact ppm
+    "q236_bracket_revenue",  # Q19: OR-of-ANDs predicate pushdown
+    "q237_heavy_suppliers",  # Q20: agg threshold semi-join-back
 ]
 
 
