@@ -77,6 +77,38 @@ def main(sf_dir: str) -> None:
         docs, ["lang"], "doc_id", "n_chars", replicates=32
     ).orderBy("lang").show()
 
+    # 7. Round-8 additions: the full curve, reliability, and the
+    # multiple-testing gate on the same score
+    from aeon_mecha_spark.util import release_cached
+
+    print("== ROC curve head (two-level bucketed prefix sum) ==")
+    roc = analytics.roc_points(test, label, "n_chars")
+    roc.show(5)
+    release_cached(roc)
+
+    print("== calibration / ECE terms (score quantized to ppm) ==")
+    scored = test.withColumn(
+        "_score_ppm",
+        F.expr(
+            "CAST(least(1000000, (CAST(n_chars AS DECIMAL(38,0)) * 1000000)"
+            " div 4000) AS BIGINT)"
+        ),
+    )
+    analytics.calibration_table(scored, label, "_score_ppm", 10).show()
+
+    print("== BH-FDR selection over synthetic per-doc p-values ==")
+    pvals = docs.select(
+        "doc_id",
+        F.expr("CAST((doc_id * 2654435761) % 1000001 AS BIGINT)").alias("p_ppm"),
+    )
+    sel = analytics.bh_select(pvals, "p_ppm", alpha_num=5, alpha_den=100)
+    sel.groupBy("bh_rejected").count().show()
+
+    print("== rank agreement: length-rank vs alphabetical-rank (Spearman) ==")
+    analytics.spearman_by_group(
+        docs.withColumn("_alpha", F.length("text")), ["lang"], "n_chars", "_alpha"
+    ).orderBy("lang").show()
+
     spark.stop()
 
 
