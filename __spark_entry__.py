@@ -3659,6 +3659,57 @@ def q237_heavy_suppliers(spark, sf_dir):
     )
 
 
+def q238_pr_points(spark, sf_dir):
+    """Precision-recall curve for 'is this event a purchase' by value
+    (the imbalanced-class companion to q209's ROC) — exact ppm at every
+    distinct threshold, two-level bucketed prefix sum."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.pr_points(ev, F.col("event_type") == "purchase", "value")
+
+
+def q239_lorenz(spark, sf_dir):
+    """Lorenz curve of order value (exact cents): cumulative population
+    vs value share in ppm at every distinct amount — the curve q170's
+    Gini integrates; ascending two-level prefix sum."""
+    od = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("_cents")
+    )
+    return analytics.lorenz_points(od, "_cents")
+
+
+def q240_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative hazard per event type (q218's additive
+    twin): one ppm floor per event time, integer-cumulated along the
+    same reverse-at-risk scaffolding."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_dur", F.expr("CAST(round(value) AS BIGINT)")
+    )
+    return analytics.nelson_aalen(
+        ev, ["event_type"], "_dur", F.col("user_id") % 4 != 0
+    ).orderBy("event_type", "t")
+
+
+def q241_logrank(spark, sf_dir):
+    """Log-rank two-sample survival comparison per event type: even- vs
+    odd-user failure timing — observed/expected/variance sums in exact
+    per-time micro floors."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_dur", F.expr("CAST(round(value) AS BIGINT)")
+    )
+    return analytics.logrank_test(
+        ev, ["event_type"], "_dur", F.col("user_id") % 4 != 0,
+        F.col("user_id") % 2 == 0,
+    ).orderBy("event_type")
+
+
+def q242_cramers_v(spark, sf_dir):
+    """Cramer's V for order priority x status: chi-square floor-sum
+    normalized by N*min(r-1, c-1), exact integer sqrt - the [0,1]
+    effect size on top of q143's cells."""
+    od = _t(spark, sf_dir, "orders")
+    return analytics.cramers_v(od, "o_orderpriority", "o_orderstatus")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3685,6 +3736,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the rest r04/r05) is re-checked every round via
     # tools/check_correctness.py -> CHECK_FULL_r{N}.json, committed at
     # final HEAD.
+        "q238_pr_points": q238_pr_points,
+        "q239_lorenz": q239_lorenz,
+        "q240_nelson_aalen": q240_nelson_aalen,
+        "q241_logrank": q241_logrank,
+        "q242_cramers_v": q242_cramers_v,
         "q232_late_orders": q232_late_orders,
         "q233_product_profit": q233_product_profit,
         "q234_shipping_lag_classes": q234_shipping_lag_classes,
@@ -8975,6 +9031,154 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             WHERE red_qty::hugeint * ns > 2 * tq::hugeint
             ORDER BY s_suppkey
+        """,
+        "q238_pr_points": """
+            -- PR curve: inclusive desc cumulatives; precision over
+            -- cum_n, recall over total positives, exact ppm
+            WITH b AS (
+              SELECT value AS s,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+              FROM events WHERE value IS NOT NULL),
+            g AS (
+              SELECT s, count(*)::bigint AS n, sum(y)::bigint AS p
+              FROM b GROUP BY s),
+            t AS (SELECT sum(p)::bigint AS pt FROM g),
+            c AS (
+              SELECT s,
+                     sum(n) OVER (ORDER BY s DESC) AS cumn,
+                     sum(p) OVER (ORDER BY s DESC) AS cump
+              FROM g)
+            SELECT s AS score, CAST(cumn AS BIGINT) AS n_ge,
+                   CAST((cump::hugeint * 1000000) // cumn AS BIGINT)
+                     AS precision_ppm,
+                   CAST(CASE WHEN pt > 0 THEN
+                        (cump::hugeint * 1000000) // pt END AS BIGINT)
+                     AS recall_ppm
+            FROM c CROSS JOIN t
+        """,
+        "q239_lorenz": """
+            -- Lorenz: ascending cumulative population/value shares
+            WITH b AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND CAST(round(o_totalprice * 100) AS BIGINT) >= 0),
+            g AS (SELECT v, count(*)::bigint AS n FROM b GROUP BY v),
+            t AS (
+              SELECT sum(n)::bigint AS nt,
+                     sum(v::hugeint * n) AS st FROM g),
+            c AS (
+              SELECT v,
+                     sum(n) OVER (ORDER BY v ASC) AS cumn,
+                     sum(v::hugeint * n) OVER (ORDER BY v ASC) AS cums
+              FROM g)
+            SELECT v AS value, CAST(cumn AS BIGINT) AS n_le,
+                   CAST((cumn::hugeint * 1000000) // nt AS BIGINT)
+                     AS cum_pop_ppm,
+                   CAST(CASE WHEN st > 0 THEN (cums * 1000000) // st
+                        ELSE 0 END AS BIGINT) AS cum_value_ppm
+            FROM c CROSS JOIN t
+        """,
+        "q240_nelson_aalen": """
+            -- NA hazard: one ppm floor per event time, cumulated
+            WITH b AS (
+              SELECT event_type AS k, CAST(round(value) AS BIGINT) AS t,
+                     CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END AS e
+              FROM events WHERE value IS NOT NULL),
+            g AS (
+              SELECT k, t, count(*)::bigint AS n, sum(e)::bigint AS d
+              FROM b GROUP BY k, t),
+            ar AS (
+              SELECT *, CAST(sum(n) OVER
+                (PARTITION BY k ORDER BY t DESC) AS BIGINT) AS n_risk
+              FROM g),
+            s AS (
+              SELECT *, CAST((d::hugeint * 1000000) // n_risk AS BIGINT)
+                       AS h
+              FROM ar)
+            SELECT k AS event_type, t, n_risk, d,
+                   CAST(sum(h) OVER (PARTITION BY k ORDER BY t ASC)
+                        AS BIGINT) AS cumhaz_ppm
+            FROM s WHERE d > 0 ORDER BY event_type, t
+        """,
+        "q241_logrank": """
+            -- log-rank: per-time micro floors of E and V, summed
+            WITH b AS (
+              SELECT event_type AS k, CAST(round(value) AS BIGINT) AS t,
+                     CASE WHEN user_id % 4 <> 0 THEN 1 ELSE 0 END AS e,
+                     CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a
+              FROM events WHERE value IS NOT NULL),
+            g AS (
+              SELECT k, t, count(*)::bigint AS n,
+                     sum(a)::bigint AS na, sum(e)::bigint AS d,
+                     sum(e * a)::bigint AS da
+              FROM b GROUP BY k, t),
+            ar AS (
+              SELECT *,
+                CAST(sum(n) OVER (PARTITION BY k ORDER BY t DESC)
+                     AS BIGINT) AS rn,
+                CAST(sum(na) OVER (PARTITION BY k ORDER BY t DESC)
+                     AS BIGINT) AS rna
+              FROM g),
+            ev AS (SELECT * FROM ar WHERE d > 0),
+            terms AS (
+              SELECT k, d, da,
+                     CAST((d::hugeint * rna * 1000000) // rn AS BIGINT)
+                       AS et,
+                     CAST(CASE WHEN rn > 1 THEN
+                          (d::hugeint * rna * (rn - rna) * (rn - d)
+                           * 1000000)
+                          // (rn::hugeint * rn * (rn - 1))
+                          ELSE 0 END AS BIGINT) AS vt
+              FROM ev)
+            SELECT k AS event_type, count(*)::bigint AS n_times,
+                   CAST(sum(da) AS BIGINT) AS o_a,
+                   CAST(sum(et) AS BIGINT) AS e_a_micro,
+                   CAST(sum(vt) AS BIGINT) AS v_micro
+            FROM terms GROUP BY k ORDER BY event_type
+        """,
+        "q242_cramers_v": """
+            -- V = isqrt(chi2_ppm * 1e6 // (N * min(r-1, c-1))), the
+            -- q143 floor-sum chi2 + the q206 exact isqrt chain
+            WITH counts AS (
+              SELECT o_orderpriority AS a, o_orderstatus AS b,
+                     count(*)::hugeint AS o
+              FROM orders GROUP BY 1, 2),
+            rt AS (SELECT a, sum(o) AS r FROM counts GROUP BY a),
+            ct AS (SELECT b, sum(o) AS c FROM counts GROUP BY b),
+            nt AS (SELECT sum(o) AS n FROM counts),
+            grid AS (
+              SELECT rt.a, ct.b, coalesce(counts.o, 0) AS o, r, c, n
+              FROM rt CROSS JOIN ct CROSS JOIN nt
+              LEFT JOIN counts ON counts.a = rt.a AND counts.b = ct.b),
+            cells AS (
+              SELECT ((o * n - r * c) * (o * n - r * c) * 1000000)
+                       // (n * r * c) AS term_ppm
+              FROM grid),
+            agg AS (
+              SELECT (SELECT n FROM nt) AS n,
+                     (SELECT count(*) FROM rt)::hugeint AS r,
+                     (SELECT count(*) FROM ct)::hugeint AS c,
+                     sum(term_ppm) AS chi
+              FROM cells),
+            rad AS (
+              SELECT *, CASE WHEN n > 0 AND least(r - 1, c - 1) > 0 THEN
+                        (chi * 1000000) // (n * least(r - 1, c - 1))
+                        ELSE 0 END AS radv
+              FROM agg),
+            x0 AS (SELECT *, greatest(floor(sqrt(radv::double)), 1.0)::hugeint AS s0 FROM rad),
+            x1 AS (SELECT *, (s0 + radv // greatest(s0, 1)) // 2 AS s1 FROM x0),
+            x2 AS (SELECT *, (s1 + radv // greatest(s1, 1)) // 2 AS s2 FROM x1),
+            i AS (
+              SELECT *, CASE WHEN (s2 + 1) * (s2 + 1) <= radv THEN s2 + 1
+                             WHEN s2 * s2 > radv THEN s2 - 1
+                             ELSE s2 END AS v
+              FROM x2)
+            SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+                   CAST(c AS BIGINT) AS c, CAST(chi AS BIGINT) AS chi2_ppm,
+                   CAST(v AS BIGINT) AS v_ppm
+            FROM i
         """,
     }
     return sqls

@@ -4294,3 +4294,341 @@ def diff_in_diff(
             f"END AS BIGINT)"
         ).alias("did_micro"),
     )
+
+
+def pr_points(
+    df: DataFrame,
+    label: Column,
+    score_col: str,
+    score_buckets: int = 1024,
+) -> DataFrame:
+    """Precision–recall curve at every distinct score threshold
+    (predicted positive iff ``score ≥ threshold``) — the imbalanced-
+    class companion to :func:`roc_points`, exact ppm:
+
+        ``precision = cum_pos/cum_n``,  ``recall = cum_pos/P``
+
+    Same two-level bucketed prefix sum as ``roc_points`` (§13): the
+    distinct-score grain is never a single-partition sort; bucket ids
+    clamp BY CONSTRUCTION. The distinct-score table is persisted (three
+    readers) and rides on the result via ``track_cached``.
+
+    Output: ``(score, n_ge, precision_ppm, recall_ppm)`` score-desc.
+    """
+    from aeon_mecha_spark.util import track_cached
+
+    base = df.filter(F.col(score_col).isNotNull()).select(
+        F.col(score_col).alias("_s"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = base.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_p"),
+    ).persist()
+    mm = g.agg(
+        F.min(F.col("_s").cast("double")).alias("_mn"),
+        F.max(F.col("_s").cast("double")).alias("_mx"),
+    )
+    nb = int(score_buckets)
+    bucket_of = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("_s").cast("double") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * nb
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    b = g.crossJoin(F.broadcast(mm)).withColumn("_cb", bucket_of).drop("_mn", "_mx")
+    per_bucket = b.groupBy("_cb").agg(
+        F.sum("_n").cast("long").alias("_bn"),
+        F.sum("_p").cast("long").alias("_bp"),
+    )
+    wb = W.orderBy(F.col("_cb").desc()).rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        per_bucket.withColumn(
+            "_noff", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "_poff", F.coalesce(F.sum("_bp").over(wb), F.lit(0)).cast("long")
+        )
+        .withColumn("_pt", F.sum("_bp").over(W.partitionBy()).cast("long"))
+        .select("_cb", "_noff", "_poff", "_pt")
+    )
+    within = (
+        W.partitionBy("_cb")
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = (
+        b.join(F.broadcast(offs), "_cb")
+        .withColumn("_cumn", (F.col("_noff") + F.sum("_n").over(within)).cast("long"))
+        .withColumn("_cump", (F.col("_poff") + F.sum("_p").over(within)).cast("long"))
+        .select(
+            F.col("_s").alias("score"),
+            F.col("_cumn").alias("n_ge"),
+            F.expr(
+                "CAST((CAST(_cump AS DECIMAL(38,0)) * 1000000) div _cumn AS BIGINT)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(CASE WHEN _pt > 0 THEN "
+                "(CAST(_cump AS DECIMAL(38,0)) * 1000000) div _pt END AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+        .orderBy(F.col("score").desc())
+    )
+    return track_cached(out, g)
+
+
+def lorenz_points(
+    df: DataFrame,
+    value_col: str,
+    value_buckets: int = 1024,
+) -> DataFrame:
+    """Lorenz curve at every distinct value (ascending): cumulative
+    population share vs cumulative value share in exact ppm — the curve
+    whose area complement ``gini_by_group`` integrates; the standard
+    inequality/concentration visual for income-like columns.
+
+    Values must be non-negative integers (pre-scale to cents; negative
+    rows rejected upstream make the curve meaningless). Two-level
+    bucketed prefix sum (§13) — ascending this time; bucket ids clamp
+    BY CONSTRUCTION; the distinct-value table is persisted and rides on
+    the result via ``track_cached``.
+
+    Output: ``(value, n_le, cum_pop_ppm, cum_value_ppm)`` value-asc;
+    perfect equality tracks the diagonal, concentration sags below.
+    """
+    from aeon_mecha_spark.util import track_cached
+
+    base = df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0)).select(
+        F.col(value_col).cast("long").alias("_v")
+    )
+    g = base.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_n")).persist()
+    mm = g.agg(
+        F.min(F.col("_v").cast("double")).alias("_mn"),
+        F.max(F.col("_v").cast("double")).alias("_mx"),
+    )
+    nb = int(value_buckets)
+    bucket_of = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("_v").cast("double") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * nb
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    b = g.crossJoin(F.broadcast(mm)).withColumn("_cb", bucket_of).drop("_mn", "_mx")
+    per_bucket = b.groupBy("_cb").agg(
+        F.sum("_n").cast("long").alias("_bn"),
+        F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _n")).alias("_bs"),
+    )
+    wb = W.orderBy(F.col("_cb").asc()).rowsBetween(W.unboundedPreceding, -1)
+    offs = (
+        per_bucket.withColumn(
+            "_noff", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "_soff",
+            F.coalesce(
+                F.sum("_bs").over(wb), F.lit(0).cast("decimal(38,0)")
+            ).cast("decimal(38,0)"),
+        )
+        .withColumn("_nt", F.sum("_bn").over(W.partitionBy()).cast("long"))
+        .withColumn("_st", F.sum("_bs").over(W.partitionBy()).cast("decimal(38,0)"))
+        .select("_cb", "_noff", "_soff", "_nt", "_st")
+    )
+    within = (
+        W.partitionBy("_cb")
+        .orderBy(F.col("_v").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = (
+        b.join(F.broadcast(offs), "_cb")
+        .withColumn("_cumn", (F.col("_noff") + F.sum("_n").over(within)).cast("long"))
+        .withColumn(
+            "_cums",
+            (
+                F.col("_soff")
+                + F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _n")).over(within)
+            ).cast("decimal(38,0)"),
+        )
+        .select(
+            F.col("_v").alias("value"),
+            F.col("_cumn").alias("n_le"),
+            F.expr(
+                "CAST((CAST(_cumn AS DECIMAL(38,0)) * 1000000) div _nt AS BIGINT)"
+            ).alias("cum_pop_ppm"),
+            F.expr(
+                "CAST(CASE WHEN _st > 0 THEN (_cums * 1000000) div _st "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("cum_value_ppm"),
+        )
+        .orderBy("value")
+    )
+    return track_cached(out, g)
+
+
+def nelson_aalen(
+    df: DataFrame,
+    keys: list[str],
+    duration_col: str,
+    event_col: Column,
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard per key: ``H(t) = Σ_{t'≤t}
+    d_{t'}/n_{t'}`` — the additive twin of :func:`kaplan_meier`
+    (useful when the hazard itself, not survival, is the estimand; no
+    log, so no µnat machinery needed).
+
+    Each factor is ONE ppm floor ``(d·10⁶) div n_risk`` (the
+    chi-square floor-sum convention — the total undershoots by
+    < #event-times/10⁶, deterministic), integer-cumulated along the
+    same reverse-at-risk scaffolding as KM. Output rows only at event
+    times. Output: ``(keys…, t, n_risk, d, cumhaz_ppm)``.
+    """
+    base = df.filter(F.col(duration_col).isNotNull()).select(
+        *keys,
+        F.col(duration_col).alias("t"),
+        F.when(event_col, F.lit(1)).otherwise(F.lit(0)).alias("_e"),
+    )
+    g = base.groupBy(*keys, "t").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_e").cast("long").alias("d"),
+    )
+    wrev = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    at_risk = g.withColumn("n_risk", F.sum("_n").over(wrev).cast("long"))
+    term = F.expr(
+        "CAST((CAST(d AS DECIMAL(38,0)) * 1000000) div n_risk AS BIGINT)"
+    )
+    wfwd = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("t").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        at_risk.withColumn("_h", term)
+        .withColumn("cumhaz_ppm", F.sum("_h").over(wfwd).cast("long"))
+        .filter(F.col("d") > 0)
+        .select(*keys, "t", "n_risk", "d", "cumhaz_ppm")
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    keys: list[str],
+    duration_col: str,
+    event_col: Column,
+    group_a: Column,
+) -> DataFrame:
+    """Log-rank (Mantel–Cox) two-sample survival comparison per key:
+    does population A (``group_a`` true) fail at a different rate than
+    B — the hypothesis test on top of :func:`kaplan_meier`.
+
+    Per event time: observed A-events ``d_a``, expected
+    ``E = d·n_a/n``, variance ``V = d·(n_a/n)(1−n_a/n)(n−d)/(n−1)``;
+    the statistic is ``(Σd_a − ΣE)²/ΣV`` downstream. ΣE and ΣV are
+    reported as SUMS OF PER-TIME MICRO FLOORS (deterministic, §4/§13
+    discipline): ``e_term = (d·n_a·10⁶) div n`` and ``v_term =
+    (d·n_a·(n−n_a)·(n−d)·10⁶) div (n²·(n−1))`` — all decimal(38,0);
+    per-key n ≲ 10⁶ keeps the v numerator inside 10³⁸ for µs-grain
+    event-time tables.
+
+    Plan: one (keys, t) grain groupBy with conditional partials; the
+    at-risk counts for BOTH arms ride the same reverse-cumsum window;
+    one final per-key sum. Output: ``(keys…, n_times, o_a, e_a_micro,
+    v_micro)``.
+    """
+    base = df.filter(F.col(duration_col).isNotNull()).select(
+        *keys,
+        F.col(duration_col).alias("t"),
+        F.when(event_col, F.lit(1)).otherwise(F.lit(0)).alias("_e"),
+        F.when(group_a, F.lit(1)).otherwise(F.lit(0)).alias("_a"),
+    )
+    g = base.groupBy(*keys, "t").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_a").cast("long").alias("_na"),
+        F.sum("_e").cast("long").alias("_d"),
+        F.sum(F.expr("_e * _a")).cast("long").alias("_da"),
+    )
+    wrev = (
+        W.partitionBy(*keys)
+        .orderBy(F.col("t").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    ar = g.withColumn("_rn", F.sum("_n").over(wrev).cast("long")).withColumn(
+        "_rna", F.sum("_na").over(wrev).cast("long")
+    )
+    ev = ar.filter(F.col("_d") > 0)
+    e_term = F.expr(
+        "CAST((CAST(_d AS DECIMAL(38,0)) * _rna * 1000000) div _rn AS BIGINT)"
+    )
+    v_term = F.expr(
+        "CAST(CASE WHEN _rn > 1 THEN "
+        "(CAST(_d AS DECIMAL(38,0)) * _rna * (_rn - _rna) * (_rn - _d) * 1000000) "
+        "div (CAST(_rn AS DECIMAL(38,0)) * _rn * (_rn - 1)) ELSE 0 END AS BIGINT)"
+    )
+    return (
+        ev.withColumn("_et", e_term)
+        .withColumn("_vt", v_term)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_times"),
+            F.sum("_da").cast("long").alias("o_a"),
+            F.sum("_et").cast("long").alias("e_a_micro"),
+            F.sum("_vt").cast("long").alias("v_micro"),
+        )
+    )
+
+
+def cramers_v(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Cramér's V association strength between two categoricals — the
+    normalized [0, 1] effect size on top of ``chi_square_cells``:
+    ``V = √(χ²/(N·min(r−1, c−1)))``, reported in exact ppm via the §10
+    integer square root (``χ²`` arrives as the ppm floor-sum, so
+    ``v_ppm = isqrt(Σterm_ppm·10⁶ div (N·k))``) — no float sqrt.
+
+    Plan: ``chi_square_cells``'s single shuffle + three 1-row
+    re-aggregations. Output: one row ``(n, r, c, chi2_ppm, v_ppm)``.
+    """
+    cells = chi_square_cells(df, a_col, b_col)
+    agg = cells.agg(
+        F.sum("observed").cast("long").alias("n"),
+        F.countDistinct("a").cast("long").alias("r"),
+        F.countDistinct("b").cast("long").alias("c"),
+        F.sum("term_ppm").cast("decimal(38,0)").alias("_chi"),
+    )
+    g = agg.withColumn(
+        "_rad",
+        F.expr(
+            "CAST(CASE WHEN n > 0 AND least(r - 1, c - 1) > 0 THEN "
+            "(_chi * 1000000) div (CAST(n AS DECIMAL(38,0)) * least(r - 1, c - 1)) "
+            "ELSE 0 END AS DECIMAL(38,0))"
+        ),
+    )
+    g = _with_exact_isqrt(g, "_rad", "_v")
+    return g.select(
+        "n",
+        "r",
+        "c",
+        F.col("_chi").cast("long").alias("chi2_ppm"),
+        F.col("_v").cast("long").alias("v_ppm"),
+    )

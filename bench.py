@@ -58,7 +58,6 @@ HEADLINE = [
     "q114_grouped_quantiles",  # exact type-1 quantiles, one window
     "q115_range_shard",      # sampled-boundary deterministic range shard
     "q116_semantic_dedup",   # LSH pairs -> components -> canonical
-    "q117_salted_join",      # hot-key salted equi-join
     "q118_bucketed_join",    # bucketed write + shuffle-free merge join
     "q119_continuous_rollup",  # two-step incremental rollup refresh
     "q120_iqr_outliers",     # quartile fences broadcast back
@@ -68,14 +67,12 @@ HEADLINE = [
     # shape the correctness gate covers; timing it here would measure
     # disk, not plans)
     "q123_interpolate_linear",  # 4 window exprs, 2 frames, one sort
-    "q125_fuzzy_blocked_join",  # multiplicity-collapsed blocked linkage
     "q126_scd2_merge",       # SCD2 open-slice merge (4-branch union)
     "q127_pagerank",         # 5-iteration integer PageRank (join+agg per iter)
     # (q129_stateful_dropcount is NOT in the headline set for the same
     # reason as q122: it drains a Structured Streaming query whose cost
     # is dominated by stream setup/checkpointing, not the plan)
     "q131_bm25",             # query-restricted BM25 (broadcast df/stats)
-    "q134_asof_nearest",     # nearest as-of: one sort, two frames
     "q135_sliding_window",   # hopping windows: map-side explode + partial agg
     # (q136_stream_stream_join is NOT in the headline set for the same
     # reason as q122/q129: stream setup + memory-sink drain dominate)
@@ -100,7 +97,6 @@ HEADLINE = [
     "q157_ks",               # exact KS: cross-multiplied CDF gaps
     "q158_canonical_select",  # keep-best election per fingerprint cluster
     "q159_sparse_cosine",    # inverted-index df-capped cosine pairs
-    "q161_skyline",          # Pareto frontier via sorted cummax window
     "q162_bpe_apply",        # map-only fixed-merge BPE token accounting
     "q163_bpe_learn",        # 8-round weighted pair-argmax over word table
     "q164_exact_split",      # largest-remainder quotas + hash ranks
@@ -113,7 +109,6 @@ HEADLINE = [
     "q173_stuck_runs",       # gaps-and-islands frozen-value QC
     "q174_vocab_overlap",    # term-keyed pairwise vocab Jaccard
     "q175_decompose",        # STL-lite trend/seasonal/residual, milli ints
-    "q176_rolling_median",   # 5-row exact rolling median per key
     "q177_cusum",            # argmax mean-shift statistic, one sort
     "q178_confusion",        # per-class P/R/F1, class-sized joins
     "q179_categorical_kl",   # micro-nat KL drift, totals broadcast
@@ -174,6 +169,11 @@ HEADLINE = [
     "q235_promo_share",      # Q14: conditional share, exact ppm
     "q236_bracket_revenue",  # Q19: OR-of-ANDs predicate pushdown
     "q237_heavy_suppliers",  # Q20: agg threshold semi-join-back
+    "q238_pr_points",        # PR curve, two-level prefix sum
+    "q239_lorenz",           # Lorenz curve, ascending two-level
+    "q240_nelson_aalen",     # cumulative hazard, ppm floors
+    "q241_logrank",          # two-sample survival O/E/V sums
+    "q242_cramers_v",        # chi2 effect size, exact isqrt
 ]
 
 

@@ -1026,3 +1026,152 @@ def test_did_missing_cell_is_null(spark):
     df = spark.createDataFrame(rows, "k string, t int, p int, v long")
     r = diff_in_diff(df, ["k"], F.col("t") == 1, F.col("p") == 1, "v").collect()[0]
     assert r.did_micro is None
+
+
+# -- PR curve ------------------------------------------------------------------
+
+
+def test_pr_points_hand_computed(spark):
+    from aeon_mecha_spark.operators.analytics import pr_points
+    from aeon_mecha_spark.util import release_cached
+
+    rows = [(4.0, 1), (3.0, 0), (2.0, 1), (1.0, 0)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = pr_points(df, F.col("y") == 1, "s")
+    got = {r.score: (r.n_ge, r.precision_ppm, r.recall_ppm) for r in out.collect()}
+    assert got == {
+        4.0: (1, 1_000_000, 500_000),
+        3.0: (2, 500_000, 500_000),
+        2.0: (3, 666_666, 1_000_000),
+        1.0: (4, 500_000, 1_000_000),
+    }
+    release_cached(out)
+
+
+def test_pr_matches_single_window_formulation(spark):
+    from pyspark.sql import Window as W
+
+    from aeon_mecha_spark.operators.analytics import pr_points
+    from aeon_mecha_spark.util import release_cached
+
+    rows = [(float(i % 29) + (i % 2) * 0.5, 1 if i % 4 == 0 else 0)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    out = pr_points(df, F.col("y") == 1, "s", score_buckets=8)
+    got = sorted((r.score, r.n_ge, r.precision_ppm, r.recall_ppm)
+                 for r in out.collect())
+    g = df.groupBy("s").agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("p"))
+    w = W.orderBy(F.col("s").desc()).rowsBetween(W.unboundedPreceding, 0)
+    pt = g.agg(F.sum("p")).collect()[0][0]
+    naive = sorted(
+        (r[0], r[1], r[2], r[3])
+        for r in g.withColumn("cumn", F.sum("n").over(w))
+        .withColumn("cump", F.sum("p").over(w))
+        .select(
+            "s",
+            "cumn",
+            F.expr("CAST((CAST(cump AS DECIMAL(38,0)) * 1000000) div cumn AS BIGINT)"),
+            F.expr(f"CAST((CAST(cump AS DECIMAL(38,0)) * 1000000) div {pt} AS BIGINT)"),
+        )
+        .collect()
+    )
+    assert got == naive
+    release_cached(out)
+
+
+# -- Lorenz --------------------------------------------------------------------
+
+
+def test_lorenz_hand_computed(spark):
+    from aeon_mecha_spark.operators.analytics import lorenz_points
+    from aeon_mecha_spark.util import release_cached
+
+    df = spark.createDataFrame([(1,), (1,), (2,), (6,)], "v long")
+    out = lorenz_points(df, "v")
+    got = [(r.value, r.n_le, r.cum_pop_ppm, r.cum_value_ppm)
+           for r in out.collect()]
+    assert got == [(1, 2, 500_000, 200_000), (2, 3, 750_000, 400_000),
+                   (6, 4, 1_000_000, 1_000_000)]
+    release_cached(out)
+
+
+def test_lorenz_equality_tracks_diagonal(spark):
+    from aeon_mecha_spark.operators.analytics import lorenz_points
+    from aeon_mecha_spark.util import release_cached
+
+    df = spark.createDataFrame([(7,)] * 10, "v long")
+    out = lorenz_points(df, "v")
+    r = out.collect()[0]
+    assert (r.cum_pop_ppm, r.cum_value_ppm) == (1_000_000, 1_000_000)
+    release_cached(out)
+
+
+# -- Nelson-Aalen ----------------------------------------------------------------
+
+
+def test_nelson_aalen_hand_computed(spark):
+    from aeon_mecha_spark.operators.analytics import nelson_aalen
+
+    rows = [("g", 5, 1), ("g", 5, 0), ("g", 8, 1), ("g", 8, 1),
+            ("g", 10, 0), ("g", 12, 1)]
+    df = spark.createDataFrame(rows, "k string, dur int, e int")
+    got = {r.t: (r.n_risk, r.d, r.cumhaz_ppm)
+           for r in nelson_aalen(df, ["k"], "dur", F.col("e") == 1).collect()}
+    assert got == {
+        5: (6, 1, 166_666),                 # 1/6
+        8: (4, 2, 166_666 + 500_000),       # + 2/4
+        12: (1, 1, 666_666 + 1_000_000),    # + 1/1
+    }
+
+
+# -- log-rank --------------------------------------------------------------------
+
+
+def test_logrank_hand_computed(spark):
+    from aeon_mecha_spark.operators.analytics import logrank_test
+
+    # A events at t=1,2 (A also censored at 5); B events at 3,4,
+    # B censored at 6
+    rows = [("k", 1, 1, 1), ("k", 2, 1, 1), ("k", 3, 1, 0),
+            ("k", 4, 1, 0), ("k", 5, 0, 1), ("k", 6, 0, 0)]
+    df = spark.createDataFrame(rows, "k string, dur int, e int, a int")
+    r = logrank_test(df, ["k"], "dur", F.col("e") == 1, F.col("a") == 1).collect()[0]
+    assert (r.n_times, r.o_a) == (4, 2)
+    # E = 3/6 + 2/5 + 1/4 + 1/3 floored per time in micro
+    assert r.e_a_micro == 500_000 + 400_000 + 250_000 + 333_333
+    # V terms: d=1 each -> na*(n-na)*(n-1) / (n^2*(n-1)) = na*(n-na)/n^2
+    v = ((3 * 3 * 5 * 1_000_000) // (6 * 6 * 5)
+         + (2 * 3 * 4 * 1_000_000) // (5 * 5 * 4)
+         + (1 * 3 * 3 * 1_000_000) // (4 * 4 * 3)
+         + (1 * 2 * 2 * 1_000_000) // (3 * 3 * 2))
+    assert r.v_micro == v
+
+
+def test_logrank_identical_arms_zero_excess(spark):
+    from aeon_mecha_spark.operators.analytics import logrank_test
+
+    # perfectly mirrored arms: O_A should equal ~E_A
+    rows = [("k", t, 1, a) for t in (1, 2, 3, 4) for a in (0, 1)]
+    df = spark.createDataFrame(rows, "k string, dur int, e int, a int")
+    r = logrank_test(df, ["k"], "dur", F.col("e") == 1, F.col("a") == 1).collect()[0]
+    assert r.o_a == 4
+    assert abs(r.o_a * 1_000_000 - r.e_a_micro) <= 4  # floor slack only
+
+
+# -- Cramer's V ------------------------------------------------------------------
+
+
+def test_cramers_v_extremes(spark):
+    from aeon_mecha_spark.operators.analytics import cramers_v
+
+    perfect = spark.createDataFrame(
+        [("x", "p")] * 10 + [("y", "q")] * 10, "a string, b string"
+    )
+    r = cramers_v(perfect, "a", "b").collect()[0]
+    assert r.v_ppm == 1_000_000
+    indep = spark.createDataFrame(
+        [(a, b) for a in "xy" for b in "pq" for _ in range(5)],
+        "a string, b string",
+    )
+    r2 = cramers_v(indep, "a", "b").collect()[0]
+    assert (r2.chi2_ppm, r2.v_ppm) == (0, 0)

@@ -53,6 +53,10 @@ TINY_GLOBAL_WINDOW_OK = {
     "q215_bh_fdr",  # the global windows read the <=ppm_buckets-row p-bucket
     # count table (bucket id = p div step with p in [0, 1e6] — bounded BY
     # CONSTRUCTION); row ranking is per-bucket
+    "q238_pr_points",  # q209's two-level path: global windows only over the
+    # <=score_buckets-row clamped bucket-offset table
+    "q239_lorenz",  # same two-level path ascending: global windows only over
+    # the <=value_buckets-row clamped bucket-offset table
     "q183_compaction",  # planner rank over the FILE LISTING (metadata rows)
     "q184_quantile_map",  # <=ppm_buckets+1-row spine (spark.range literal) —
     # per-group CDF and the union-merge as-of are both bucket-partitioned;
