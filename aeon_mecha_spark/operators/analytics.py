@@ -27,6 +27,135 @@ from pyspark.sql import functions as F
 
 from aeon_mecha_spark.functions.hashing import md5_long
 
+_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+)
+
+
+def _grain_prefix(
+    g: DataFrame,
+    value_col: str,
+    measures: list[str],
+    ascending: bool,
+    buckets: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Shared two-level distributed prefix sum over a PERSISTED
+    distinct-value grain ``g`` — the engine under ``lift_table`` /
+    ``roc_points`` / ``pr_points`` / ``lorenz_points`` /
+    ``quantile_map`` and the doubled-rank statistics.
+
+    For every row of ``g`` adds, per measure column ``m`` (long or
+    decimal(38,0), already aggregated to the grain):
+
+    - ``_cum<m>``: inclusive running sum of ``m`` in ``value_col``
+      order (ascending/descending) within ``group_cols``;
+    - ``_tot<m>``: the group total.
+
+    Scale path: distinct values land in ``buckets`` coarse range
+    buckets via a per-group min/max linear map (clamped BY
+    CONSTRUCTION; any monotone map refines the value order, so the
+    result is exact); the per-(group, bucket) offset table is windowed
+    over ≤ ``buckets`` rows per group; a per-(group, bucket) window
+    adds the within-bucket running sum. No window ever spans more than
+    one bucket of the grain.
+
+    Cardinality-adaptive fast path: when the WHOLE grain is provably
+    tiny (``g.count() <= buckets`` — one cheap action against the
+    already-persisted grain) the bucket level is pure overhead (2–3
+    extra stages); a single window over the ≤ ``buckets``-row grain is
+    the identical computation. Same output, same hash, by
+    construction.
+
+    Non-numeric guard: the linear bucket map needs ``cast(value as
+    double)`` to be MONOTONE w.r.t. the column's native sort order —
+    true for numerics only ('10' < '9' as strings). Non-numeric value
+    columns (and date/timestamp, whose double cast is NULL) always take
+    the single-window path, which is order-generic.
+    """
+    group_cols = list(group_cols or [])
+    order = F.col(value_col).asc() if ascending else F.col(value_col).desc()
+    dtypes = dict(g.dtypes)
+    numeric = dtypes[value_col].startswith(_NUMERIC_PREFIXES)
+    if not numeric or g.count() <= int(buckets):
+        w_in = (
+            W.partitionBy(*group_cols)
+            .orderBy(order)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        w_tot = W.partitionBy(*group_cols)
+        out = g
+        for m in measures:
+            out = out.withColumn(
+                f"_cum{m}", F.sum(m).over(w_in).cast(dtypes[m])
+            ).withColumn(f"_tot{m}", F.sum(m).over(w_tot).cast(dtypes[m]))
+        return out
+
+    nb = int(buckets)
+    mm = g.groupBy(*group_cols).agg(
+        F.min(F.col(value_col).cast("double")).alias("_mn"),
+        F.max(F.col(value_col).cast("double")).alias("_mx"),
+    )
+    bucket_of = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * nb
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    if group_cols:
+        b = g.join(mm, group_cols)
+    else:
+        b = g.crossJoin(F.broadcast(mm))
+    b = b.withColumn("_cb", bucket_of).drop("_mn", "_mx")
+    per_bucket = b.groupBy(*group_cols, "_cb").agg(
+        *[F.sum(m).cast(dtypes[m]).alias(f"_b{m}") for m in measures]
+    )
+    # per-group ≤ buckets rows by construction (clamped bucket id)
+    cb_order = F.col("_cb").asc() if ascending else F.col("_cb").desc()
+    wb = (
+        W.partitionBy(*group_cols)
+        .orderBy(cb_order)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_tot = W.partitionBy(*group_cols)
+    offs = per_bucket
+    for m in measures:
+        offs = offs.withColumn(
+            f"_off{m}",
+            F.coalesce(
+                F.sum(f"_b{m}").over(wb), F.lit(0).cast(dtypes[m])
+            ).cast(dtypes[m]),
+        ).withColumn(f"_tot{m}", F.sum(f"_b{m}").over(w_tot).cast(dtypes[m]))
+    offs = offs.select(
+        *group_cols,
+        "_cb",
+        *[c for m in measures for c in (f"_off{m}", f"_tot{m}")],
+    )
+    if group_cols:
+        joined = b.join(offs, [*group_cols, "_cb"])
+    else:
+        joined = b.join(F.broadcast(offs), "_cb")
+    w_in = (
+        W.partitionBy(*group_cols, "_cb")
+        .orderBy(order)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    out = joined
+    for m in measures:
+        out = out.withColumn(
+            f"_cum{m}",
+            (F.col(f"_off{m}") + F.sum(m).over(w_in)).cast(dtypes[m]),
+        )
+    return out.drop("_cb", *[f"_off{m}" for m in measures])
+
 
 def granularity_rollup(
     df: DataFrame,
@@ -1551,17 +1680,12 @@ def lift_table(
     capture (share of ALL positives found so far — the gain curve), and
     lift vs the base rate, all integer ppm via decimal div.
 
-    Plan — TWO-LEVEL distributed prefix sum (the ``token_budget_select``
-    pattern), so the distinct-score grain is never a single sort even
-    for continuous scores: distinct scores land in ``score_buckets``
-    coarse range buckets (a min/max linear map — ANY monotone map gives
-    the identical answer, because (bucket desc, score desc) refines the
-    global score-desc order); the ≤ ``score_buckets``-row bucket table
-    yields each bucket's starting offset and the global totals via a
-    provably tiny window; a per-bucket window (parallel across buckets)
-    adds the within-bucket running mass to the broadcast offset. One
-    shuffle to the distinct-score grain, zero unpartitioned windows
-    over data-sized inputs.
+    Plan — the shared :func:`_grain_prefix` two-level distributed
+    prefix sum (the ``token_budget_select`` pattern), so the
+    distinct-score grain is never a single sort even for continuous
+    scores; when the grain is provably ≤ ``score_buckets`` rows the
+    helper's cardinality-adaptive fast path skips the bucket level
+    (identical output, 2–3 fewer stages).
 
     The distinct-score table is persisted internally (three consumers:
     min/max, bucket totals, the scored join) and rides on the result
@@ -1579,62 +1703,17 @@ def lift_table(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_y").cast("long").alias("_p"),
     ).persist()
-    mm = g.agg(
-        F.min(F.col("_s").cast("double")).alias("_mn"),
-        F.max(F.col("_s").cast("double")).alias("_mx"),
+    cum = _grain_prefix(
+        g, "_s", ["_n", "_p"], ascending=False, buckets=int(score_buckets)
     )
-    nb = int(score_buckets)
-    # monotone non-decreasing in _s (IEEE sub/div/mul by positive keep
-    # order), clamped; degenerate mn==mx → every score in bucket 0
-    bucket_of = F.when(
-        F.col("_mx") > F.col("_mn"),
-        F.least(
-            F.lit(nb - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("_s").cast("double") - F.col("_mn"))
-                    / (F.col("_mx") - F.col("_mn"))
-                    * nb
-                ).cast("int"),
-            ),
+    scored = cum.withColumn(
+        "_cumb", (F.col("_cum_n") - F.col("_n")).cast("long")
+    ).withColumn(
+        "bucket",
+        F.expr(
+            f"CAST((CAST(_cumb AS DECIMAL(38,0)) * {int(n_buckets)}) div _tot_n AS INT)"
         ),
-    ).otherwise(F.lit(0))
-    b = g.crossJoin(F.broadcast(mm)).withColumn("_cb", bucket_of).drop("_mn", "_mx")
-    per_bucket = b.groupBy("_cb").agg(
-        F.sum("_n").cast("long").alias("_bn"),
-        F.sum("_p").cast("long").alias("_bp"),
-    )
-    # tiny table (≤ score_buckets rows): single-partition windows fine
-    wb = W.orderBy(F.col("_cb").desc()).rowsBetween(W.unboundedPreceding, -1)
-    offs = (
-        per_bucket.withColumn(
-            "_boff", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).cast("long")
-        )
-        .withColumn("_nt", F.sum("_bn").over(W.partitionBy()).cast("long"))
-        .withColumn("_pt", F.sum("_bp").over(W.partitionBy()).cast("long"))
-        .select("_cb", "_boff", "_nt", "_pt")
-    )
-    within = (
-        W.partitionBy("_cb")
-        .orderBy(F.col("_s").desc())
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    scored = (
-        b.join(F.broadcast(offs), "_cb")
-        .withColumn(
-            "_cumb",
-            (F.col("_boff") + F.coalesce(F.sum("_n").over(within), F.lit(0))).cast(
-                "long"
-            ),
-        )
-        .withColumn(
-            "bucket",
-            F.expr(
-                f"CAST((CAST(_cumb AS DECIMAL(38,0)) * {int(n_buckets)}) div _nt AS INT)"
-            ),
-        )
-    )
+    ).withColumnRenamed("_tot_n", "_nt").withColumnRenamed("_tot_p", "_pt")
     agg = scored.groupBy("bucket").agg(
         F.sum("_n").cast("long").alias("n"),
         F.sum("_p").cast("long").alias("n_pos"),
@@ -2407,23 +2486,21 @@ def quantile_map(
     Scale design — every sort is bucketed, nothing runs over a
     data-sized single partition even for continuous values:
 
-    1. Per-group CDFs use the two-level prefix sum (the
-       ``token_budget_select`` / ``lift_table`` pattern): each group's
-       distinct values land in ``value_buckets`` coarse range buckets
-       via a per-group min/max linear map (any monotone map yields the
-       identical CDF — the bucket order refines the value order); the
-       per-(group, bucket) offset table is windowed per GROUP over
-       ≤ ``value_buckets`` rows, then a per-(group, bucket) window adds
-       the within-bucket running count.
+    1. Per-group CDFs use the shared :func:`_grain_prefix` two-level
+       prefix sum, grouped by ``group_col`` (with the cardinality-
+       adaptive fast path and the non-numeric single-window fallback).
     2. The inverse-CDF lookup is an AS-OF on the CDF axis, solved with
        the union-merge trick (no range join) — but PARTITIONED by ppm
        bucket (``cdf_ppm div step``, ≤ ``ppm_buckets`` buckets by
        construction since cdf_ppm ∈ [0, 10⁶]): reference boundary rows
-       and query rows union, each query takes the FIRST reference
-       at-or-after it (queries sort before references at equal CDF, so
-       the ≥ is inclusive) WITHIN its bucket, falling back to the first
-       reference of any LATER bucket, precomputed on the tiny
-       ``ppm_buckets``-row bucket spine.
+       (PRE-REDUCED to the MINIMUM reference value per cdf_ppm, so two
+       distinct reference values floor-colliding onto one ppm resolve
+       deterministically to the type-1 'min u' — never row-order-
+       dependent) and query rows union, each query takes the FIRST
+       reference at-or-after it (queries sort before references at
+       equal CDF, so the ≥ is inclusive) WITHIN its bucket, falling
+       back to the first reference of any LATER bucket, precomputed on
+       the tiny ``ppm_buckets``-row bucket spine.
 
     The distinct-(group, value) table and the CDF table are persisted
     internally (both are read twice) and ride on the result via
@@ -2442,48 +2519,17 @@ def quantile_map(
     v_type = dict(g.dtypes)["_v"]
     g_type = dict(g.dtypes)["_g"]
 
-    # -- two-level per-group CDF over the distinct-value grain --
-    nb = int(value_buckets)
-    mm = g.groupBy("_g").agg(
-        F.min(F.col("_v").cast("double")).alias("_mn"),
-        F.max(F.col("_v").cast("double")).alias("_mx"),
-    )
-    bucket_of = F.when(
-        F.col("_mx") > F.col("_mn"),
-        F.least(
-            F.lit(nb - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("_v").cast("double") - F.col("_mn"))
-                    / (F.col("_mx") - F.col("_mn"))
-                    * nb
-                ).cast("int"),
-            ),
-        ),
-    ).otherwise(F.lit(0))
-    b = g.join(mm, "_g").withColumn("_cb", bucket_of).drop("_mn", "_mx")
-    pb = b.groupBy("_g", "_cb").agg(F.sum("_n").cast("long").alias("_bn"))
-    # ≤ value_buckets rows per group by construction (clamped bucket id)
-    wgb = (
-        W.partitionBy("_g").orderBy(F.col("_cb").asc()).rowsBetween(W.unboundedPreceding, -1)
-    )
-    offs = (
-        pb.withColumn("_goff", F.coalesce(F.sum("_bn").over(wgb), F.lit(0)).cast("long"))
-        .withColumn("_tot", F.sum("_bn").over(W.partitionBy("_g")).cast("long"))
-        .select("_g", "_cb", "_goff", "_tot")
-    )
-    wv = (
-        W.partitionBy("_g", "_cb")
-        .orderBy(F.col("_v").asc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
+    # -- per-group CDF over the distinct-value grain (two-level) --
     cdf = (
-        b.join(offs, ["_g", "_cb"])
-        .withColumn("_cum", (F.col("_goff") + F.sum("_n").over(wv)).cast("long"))
+        _grain_prefix(
+            g, "_v", ["_n"], ascending=True,
+            buckets=int(value_buckets), group_cols=["_g"],
+        )
         .withColumn(
             "cdf_ppm",
-            F.expr("CAST((CAST(_cum AS DECIMAL(38,0)) * 1000000) div _tot AS BIGINT)"),
+            F.expr(
+                "CAST((CAST(_cum_n AS DECIMAL(38,0)) * 1000000) div _tot_n AS BIGINT)"
+            ),
         )
         .select("_g", "_v", "cdf_ppm")
         .persist()
@@ -2492,10 +2538,15 @@ def quantile_map(
     # -- ppm-bucketed union-merge as-of (cdf_ppm ∈ [0, 10⁶]) --
     step = 1_000_000 // int(ppm_buckets) + 1
     n_pb = 1_000_000 // step + 1
-    refs = cdf.filter(F.col("_g") == ref_group).select(
-        F.col("cdf_ppm").alias("_p"),
-        F.lit(1).alias("_tag"),
-        F.col("_v").alias("_ref_v"),
+    # pre-reduce to min(value) per cdf_ppm: equal-cdf floor collisions
+    # resolve to the minimum reference value (type-1 'min u'), matching
+    # the spine's min(struct) convention — deterministic at any scale
+    refs = (
+        cdf.filter(F.col("_g") == ref_group)
+        .groupBy(F.col("cdf_ppm").alias("_p"))
+        .agg(F.min("_v").alias("_ref_v"))
+        .withColumn("_tag", F.lit(1))
+        .select("_p", "_tag", "_ref_v")
     )
     # tiny spine (≤ ppm_buckets+1 rows): first reference of each LATER
     # bucket, the fallback for queries with no in-bucket ref at-or-after
@@ -2993,6 +3044,7 @@ def spearman_by_group(
     keys: list[str],
     x_col: str,
     y_col: str,
+    rank_buckets: int = 1024,
 ) -> DataFrame:
     """Spearman rank correlation per key, tie-correct and integer-exact:
     Pearson on AVERAGE ranks, carried as DOUBLED ranks so ties stay
@@ -3011,41 +3063,49 @@ def spearman_by_group(
     report NULL. Per-key n must stay below ~10⁹ so n·Σx² < 10³⁸
     (doubled ranks ≤ 2n).
 
-    Plan: two per-key rank windows (one sort each), one groupBy, then a
-    fixed per-key expression tree — parallel across keys, the
-    ``gini_by_group`` contract. Output: ``(keys…, n, rho_ppm)``.
+    Plan — DE-SERIALIZED (round 9): the doubled rank of a row depends
+    only on its (key, value), so ranks are computed on the distinct-
+    value grain via the shared :func:`_grain_prefix` two-level bucketed
+    prefix sum (``dr = 2·cum_incl − n_v + 1``, since rank = cum_excl+1
+    and ties = n_v) — parallelism scales with the VALUE grain, not the
+    key count (the old per-key rank windows serialized a 3-key corpus
+    onto 3 tasks). The cross-moment Σ drx·dry needs the (x, y) pairing,
+    so sums run over the distinct (key, x, y) grain weighted by its
+    count — never over data-sized rows. The pair grain is persisted
+    (three readers) and rides on the result via ``track_cached``.
+
+    Output: ``(keys…, n, rho_ppm)``.
     """
-    kx = keys + [x_col]
-    ky = keys + [y_col]
+    from aeon_mecha_spark.util import track_cached
+
     base = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull()).select(
         *keys, F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
     )
-    wx = W.partitionBy(*keys).orderBy(F.col("_x").asc())
-    wy = W.partitionBy(*keys).orderBy(F.col("_y").asc())
-    ranked = (
-        base.withColumn(
-            "_drx",
-            (
-                2 * F.rank().over(wx)
-                + F.count(F.lit(1)).over(W.partitionBy(*keys, "_x"))
-                - 1
-            ).cast("long"),
-        ).withColumn(
-            "_dry",
-            (
-                2 * F.rank().over(wy)
-                + F.count(F.lit(1)).over(W.partitionBy(*keys, "_y"))
-                - 1
-            ).cast("long"),
-        )
+    gxy = (
+        base.groupBy(*keys, "_x", "_y")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        .persist()
     )
-    g = ranked.groupBy(*keys).agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("_n"),
-        F.sum("_drx").cast("decimal(38,0)").alias("_sx"),
-        F.sum("_dry").cast("decimal(38,0)").alias("_sy"),
-        F.sum(F.col("_drx").cast("decimal(38,0)") * F.col("_drx")).alias("_sxx"),
-        F.sum(F.col("_dry").cast("decimal(38,0)") * F.col("_dry")).alias("_syy"),
-        F.sum(F.col("_drx").cast("decimal(38,0)") * F.col("_dry")).alias("_sxy"),
+    gx = gxy.groupBy(*keys, "_x").agg(F.sum("_c").cast("long").alias("_n"))
+    gy = gxy.groupBy(*keys, "_y").agg(F.sum("_c").cast("long").alias("_n"))
+    dr = (2 * F.col("_cum_n") - F.col("_n") + 1).cast("long")
+    cx = _grain_prefix(
+        gx, "_x", ["_n"], ascending=True, buckets=int(rank_buckets),
+        group_cols=keys,
+    ).select(*keys, "_x", dr.alias("_drx"))
+    cy = _grain_prefix(
+        gy, "_y", ["_n"], ascending=True, buckets=int(rank_buckets),
+        group_cols=keys,
+    ).select(*keys, "_y", dr.alias("_dry"))
+    paired = gxy.join(cx, [*keys, "_x"]).join(cy, [*keys, "_y"])
+    c = F.col("_c").cast("decimal(38,0)")
+    g = paired.groupBy(*keys).agg(
+        F.sum("_c").cast("decimal(38,0)").alias("_n"),
+        F.sum(c * F.col("_drx")).cast("decimal(38,0)").alias("_sx"),
+        F.sum(c * F.col("_dry")).cast("decimal(38,0)").alias("_sy"),
+        F.sum(c * F.col("_drx") * F.col("_drx")).alias("_sxx"),
+        F.sum(c * F.col("_dry") * F.col("_dry")).alias("_syy"),
+        F.sum(c * F.col("_drx") * F.col("_dry")).alias("_sxy"),
     )
     g = (
         g.withColumn("_num", F.expr("_n * _sxy - _sx * _sy"))
@@ -3054,7 +3114,7 @@ def spearman_by_group(
     )
     g = _with_exact_isqrt(g, "_dx", "_rx")
     g = _with_exact_isqrt(g, "_dy", "_ry")
-    return g.select(
+    out = g.select(
         *keys,
         F.col("_n").cast("long").alias("n"),
         F.expr(
@@ -3063,6 +3123,7 @@ def spearman_by_group(
             "(abs(_num) * 1000000) div (_rx * _ry)) END AS BIGINT)"
         ).alias("rho_ppm"),
     )
+    return track_cached(out, gxy)
 
 
 def mann_whitney_u(
@@ -3083,41 +3144,49 @@ def mann_whitney_u(
     Integer-exact in any engine; the caller applies whatever normal
     approximation it wants downstream.
 
-    Plan: one per-key rank window (a single sort; the tie count rides
-    the same shuffle), one groupBy. Output:
+    Plan — DE-SERIALIZED (round 9): ``dr`` depends only on (key,
+    value), so everything runs on the distinct-value grain — one grain
+    groupBy (carrying the per-value A-count), the shared
+    :func:`_grain_prefix` two-level prefix sum for the cumulative
+    counts (``dr = 2·cum_incl − n_v + 1``), and one weighted per-key
+    aggregate. NO data-sized window, NO join back to the fact rows;
+    parallelism scales with the value grain, not the key count. The
+    grain is persisted inside ``_grain_prefix``'s consumers and rides
+    on the result via ``track_cached``. Output:
     ``(keys…, n_a, n_b, u2_a, u2_b)``.
     """
+    from aeon_mecha_spark.util import track_cached
+
     base = df.filter(F.col(value_col).isNotNull()).select(
         *keys,
         F.col(value_col).alias("_v"),
         F.when(split, F.lit(1)).otherwise(F.lit(0)).alias("_a"),
     )
-    wv = W.partitionBy(*keys).orderBy(F.col("_v").asc())
-    ranked = base.withColumn(
-        "_dr",
-        (
-            2 * F.rank().over(wv)
-            + F.count(F.lit(1)).over(W.partitionBy(*keys, "_v"))
-            - 1
-        ).cast("long"),
+    grain = (
+        base.groupBy(*keys, "_v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_a").cast("long").alias("_na"),
+        )
+        .persist()
     )
-    g = ranked.groupBy(*keys).agg(
-        F.sum("_a").cast("long").alias("n_a"),
-        F.sum(1 - F.col("_a")).cast("long").alias("n_b"),
-        F.sum(F.when(F.col("_a") == 1, F.col("_dr")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("_ra"),
-        F.sum(F.when(F.col("_a") == 0, F.col("_dr")).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("_rb"),
+    cum = _grain_prefix(
+        grain, "_v", ["_n"], ascending=True, buckets=1024, group_cols=keys
+    ).withColumn("_dr", (2 * F.col("_cum_n") - F.col("_n") + 1).cast("long"))
+    g = cum.groupBy(*keys).agg(
+        F.sum("_na").cast("long").alias("n_a"),
+        F.sum(F.col("_n") - F.col("_na")).cast("long").alias("n_b"),
+        F.sum(F.col("_na") * F.col("_dr")).cast("long").alias("_ra"),
+        F.sum((F.col("_n") - F.col("_na")) * F.col("_dr")).cast("long").alias("_rb"),
     )
-    return g.select(
+    out = g.select(
         *keys,
         "n_a",
         "n_b",
         F.expr("_ra - n_a * (n_a + 1)").cast("long").alias("u2_a"),
         F.expr("_rb - n_b * (n_b + 1)").cast("long").alias("u2_b"),
     )
+    return track_cached(out, grain)
 
 
 def roc_points(
@@ -3131,14 +3200,11 @@ def roc_points(
     scores descending — ``(tpr_ppm, fpr_ppm)`` per threshold in exact
     ppm (the curve q156's scalar AUC integrates).
 
-    Scale design — the ``lift_table`` two-level prefix sum: distinct
-    scores land in ``score_buckets`` coarse min/max range buckets
-    (bounded BY CONSTRUCTION via clamping; any monotone map yields the
-    identical curve), bucket offsets and the P/N totals come from the
-    tiny bucket table, and the per-bucket INCLUSIVE running sums are
-    windowed per bucket — no unpartitioned window ever touches the
-    score grain. The distinct-score table is persisted (three readers)
-    and rides on the result via ``track_cached``.
+    Scale design — the shared :func:`_grain_prefix` two-level prefix
+    sum (with its cardinality-adaptive fast path and non-numeric
+    fallback): no unpartitioned window ever touches the score grain.
+    The distinct-score table is persisted (three readers) and rides on
+    the result via ``track_cached``.
 
     Output: ``(score, n_ge, tpr_ppm, fpr_ppm)`` ordered by score desc —
     one row per distinct score; ``n_ge`` = rows at-or-above it.
@@ -3153,66 +3219,22 @@ def roc_points(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_y").cast("long").alias("_p"),
     ).persist()
-    mm = g.agg(
-        F.min(F.col("_s").cast("double")).alias("_mn"),
-        F.max(F.col("_s").cast("double")).alias("_mx"),
+    cum = _grain_prefix(
+        g, "_s", ["_n", "_p"], ascending=False, buckets=int(score_buckets)
     )
-    nb = int(score_buckets)
-    bucket_of = F.when(
-        F.col("_mx") > F.col("_mn"),
-        F.least(
-            F.lit(nb - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("_s").cast("double") - F.col("_mn"))
-                    / (F.col("_mx") - F.col("_mn"))
-                    * nb
-                ).cast("int"),
-            ),
-        ),
-    ).otherwise(F.lit(0))
-    b = g.crossJoin(F.broadcast(mm)).withColumn("_cb", bucket_of).drop("_mn", "_mx")
-    per_bucket = b.groupBy("_cb").agg(
-        F.sum("_n").cast("long").alias("_bn"),
-        F.sum("_p").cast("long").alias("_bp"),
-    )
-    wb = W.orderBy(F.col("_cb").desc()).rowsBetween(W.unboundedPreceding, -1)
-    offs = (
-        per_bucket.withColumn(
-            "_noff", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).cast("long")
-        )
-        .withColumn(
-            "_poff", F.coalesce(F.sum("_bp").over(wb), F.lit(0)).cast("long")
-        )
-        .withColumn("_nt", F.sum("_bn").over(W.partitionBy()).cast("long"))
-        .withColumn("_pt", F.sum("_bp").over(W.partitionBy()).cast("long"))
-        .select("_cb", "_noff", "_poff", "_nt", "_pt")
-    )
-    within = (
-        W.partitionBy("_cb")
-        .orderBy(F.col("_s").desc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    out = (
-        b.join(F.broadcast(offs), "_cb")
-        .withColumn("_cumn", (F.col("_noff") + F.sum("_n").over(within)).cast("long"))
-        .withColumn("_cump", (F.col("_poff") + F.sum("_p").over(within)).cast("long"))
-        .select(
-            F.col("_s").alias("score"),
-            F.col("_cumn").alias("n_ge"),
-            F.expr(
-                "CAST(CASE WHEN _pt > 0 THEN "
-                "(CAST(_cump AS DECIMAL(38,0)) * 1000000) div _pt END AS BIGINT)"
-            ).alias("tpr_ppm"),
-            F.expr(
-                "CAST(CASE WHEN _nt - _pt > 0 THEN "
-                "(CAST(_cumn - _cump AS DECIMAL(38,0)) * 1000000) div (_nt - _pt) "
-                "END AS BIGINT)"
-            ).alias("fpr_ppm"),
-        )
-        .orderBy(F.col("score").desc())
-    )
+    out = cum.select(
+        F.col("_s").alias("score"),
+        F.col("_cum_n").alias("n_ge"),
+        F.expr(
+            "CAST(CASE WHEN _tot_p > 0 THEN "
+            "(CAST(_cum_p AS DECIMAL(38,0)) * 1000000) div _tot_p END AS BIGINT)"
+        ).alias("tpr_ppm"),
+        F.expr(
+            "CAST(CASE WHEN _tot_n - _tot_p > 0 THEN "
+            "(CAST(_cum_n - _cum_p AS DECIMAL(38,0)) * 1000000) div "
+            "(_tot_n - _tot_p) END AS BIGINT)"
+        ).alias("fpr_ppm"),
+    ).orderBy(F.col("score").desc())
     return track_cached(out, g)
 
 
@@ -3446,26 +3468,43 @@ def kruskal_wallis(
     H = h_milli/tie_ppm·10³ downstream — kept apart so both factors
     stay integral). Per-key N below ~10⁹ keeps R2² inside decimal(38).
 
-    Plan: one per-key rank window (ties ride the same shuffle), a
-    (key, group) groupBy, a (key, value) tie groupBy off the same
-    base, one broadcast join of two tiny per-key tables.
+    Plan — DE-SERIALIZED (round 9): ``dr`` depends only on (key,
+    value), so ranks come from the shared :func:`_grain_prefix`
+    two-level prefix sum over the distinct (key, value) grain
+    (``dr = 2·cum_incl − n_v + 1``); per-(key, sample-group) counts
+    ride the finer (key, value, group) grain, joined to the rank table
+    AT THE GRAIN (never data-sized rows). Ties fall out of the same
+    grain table. Parallelism scales with the value grain, not the key
+    count. The value grain is persisted (``_grain_prefix`` + ties) and
+    rides on the result via ``track_cached``.
     Output: ``(keys…, n, n_groups, h_milli, tie_ppm)``.
     """
+    from aeon_mecha_spark.util import track_cached
+
     base = df.filter(F.col(value_col).isNotNull()).select(
         *keys, F.col(value_col).alias("_v"), F.col(group_col).alias("_g")
     )
-    wv = W.partitionBy(*keys).orderBy(F.col("_v").asc())
-    ranked = base.withColumn(
-        "_dr",
-        (
-            2 * F.rank().over(wv)
-            + F.count(F.lit(1)).over(W.partitionBy(*keys, "_v"))
-            - 1
-        ).cast("long"),
+    grain_g = base.groupBy(*keys, "_v", "_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_ngv")
     )
-    per_g = ranked.groupBy(*keys, "_g").agg(
-        F.count(F.lit(1)).cast("long").alias("_ng"),
-        F.sum("_dr").cast("decimal(38,0)").alias("_r2"),
+    grain = (
+        grain_g.groupBy(*keys, "_v")
+        .agg(F.sum("_ngv").cast("long").alias("_n"))
+        .persist()
+    )
+    dr_tbl = _grain_prefix(
+        grain, "_v", ["_n"], ascending=True, buckets=1024, group_cols=keys
+    ).select(
+        *keys, "_v",
+        (2 * F.col("_cum_n") - F.col("_n") + 1).cast("long").alias("_dr"),
+    )
+    per_g = (
+        grain_g.join(dr_tbl, [*keys, "_v"])
+        .groupBy(*keys, "_g")
+        .agg(
+            F.sum("_ngv").cast("long").alias("_ng"),
+            F.sum(F.col("_ngv").cast("decimal(38,0)") * F.col("_dr")).alias("_r2"),
+        )
     )
     # H needs N inside the per-group div, so join the per-key N back
     # onto the group grain (broadcast — per-key grain is tiny relative
@@ -3484,13 +3523,14 @@ def kruskal_wallis(
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum("_t").alias("_hs"),
     )
-    ties = (
-        base.groupBy(*keys, "_v")
-        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("_t"))
-        .groupBy(*keys)
-        .agg(F.sum(F.expr("_t * _t * _t - _t")).alias("_tt"))
+    ties = grain.groupBy(*keys).agg(
+        F.sum(
+            F.expr(
+                "CAST(_n AS DECIMAL(38,0)) * _n * _n - _n"
+            )
+        ).alias("_tt")
     )
-    return (
+    out = (
         hk.join(F.broadcast(ties), keys)
         .select(
             *keys,
@@ -3504,6 +3544,7 @@ def kruskal_wallis(
             ).alias("tie_ppm"),
         )
     )
+    return track_cached(out, grain)
 
 
 def calibration_table(
@@ -3588,9 +3629,11 @@ def bh_select(
 
     Plan: one bucket-keyed shuffle, a ≤ ``ppm_buckets``-row offset
     window, a 1-row (k*, threshold) aggregate broadcast back, map-side
-    flagging. Output: input rows + ``(bh_rejected boolean,
+    flagging. Output: ALL input rows + ``(bh_rejected boolean,
     threshold_ppm)`` (threshold NULL and all-false when nothing
-    passes).
+    passes). Rows with a NULL p-value are excluded from the rank/m
+    computation (they are not tests) but kept in the output with
+    ``bh_rejected = false``.
     """
     step = 1_000_000 // int(ppm_buckets) + 1
     base = df.filter(F.col(p_ppm_col).isNotNull())
@@ -3619,7 +3662,7 @@ def bh_select(
         ).alias("_c")
     ).select(F.col("_c.p").alias("_thr"))
     return (
-        base.crossJoin(F.broadcast(cut))
+        df.crossJoin(F.broadcast(cut))
         .withColumn(
             "bh_rejected",
             F.coalesce(F.col(p_ppm_col) <= F.col("_thr"), F.lit(False)),
@@ -4308,10 +4351,10 @@ def pr_points(
 
         ``precision = cum_pos/cum_n``,  ``recall = cum_pos/P``
 
-    Same two-level bucketed prefix sum as ``roc_points`` (§13): the
-    distinct-score grain is never a single-partition sort; bucket ids
-    clamp BY CONSTRUCTION. The distinct-score table is persisted (three
-    readers) and rides on the result via ``track_cached``.
+    Same shared :func:`_grain_prefix` two-level prefix sum as
+    ``roc_points`` (§13), including its cardinality-adaptive fast path
+    and non-numeric fallback. The distinct-score table is persisted
+    (three readers) and rides on the result via ``track_cached``.
 
     Output: ``(score, n_ge, precision_ppm, recall_ppm)`` score-desc.
     """
@@ -4325,63 +4368,20 @@ def pr_points(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_y").cast("long").alias("_p"),
     ).persist()
-    mm = g.agg(
-        F.min(F.col("_s").cast("double")).alias("_mn"),
-        F.max(F.col("_s").cast("double")).alias("_mx"),
+    cum = _grain_prefix(
+        g, "_s", ["_n", "_p"], ascending=False, buckets=int(score_buckets)
     )
-    nb = int(score_buckets)
-    bucket_of = F.when(
-        F.col("_mx") > F.col("_mn"),
-        F.least(
-            F.lit(nb - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("_s").cast("double") - F.col("_mn"))
-                    / (F.col("_mx") - F.col("_mn"))
-                    * nb
-                ).cast("int"),
-            ),
-        ),
-    ).otherwise(F.lit(0))
-    b = g.crossJoin(F.broadcast(mm)).withColumn("_cb", bucket_of).drop("_mn", "_mx")
-    per_bucket = b.groupBy("_cb").agg(
-        F.sum("_n").cast("long").alias("_bn"),
-        F.sum("_p").cast("long").alias("_bp"),
-    )
-    wb = W.orderBy(F.col("_cb").desc()).rowsBetween(W.unboundedPreceding, -1)
-    offs = (
-        per_bucket.withColumn(
-            "_noff", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).cast("long")
-        )
-        .withColumn(
-            "_poff", F.coalesce(F.sum("_bp").over(wb), F.lit(0)).cast("long")
-        )
-        .withColumn("_pt", F.sum("_bp").over(W.partitionBy()).cast("long"))
-        .select("_cb", "_noff", "_poff", "_pt")
-    )
-    within = (
-        W.partitionBy("_cb")
-        .orderBy(F.col("_s").desc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    out = (
-        b.join(F.broadcast(offs), "_cb")
-        .withColumn("_cumn", (F.col("_noff") + F.sum("_n").over(within)).cast("long"))
-        .withColumn("_cump", (F.col("_poff") + F.sum("_p").over(within)).cast("long"))
-        .select(
-            F.col("_s").alias("score"),
-            F.col("_cumn").alias("n_ge"),
-            F.expr(
-                "CAST((CAST(_cump AS DECIMAL(38,0)) * 1000000) div _cumn AS BIGINT)"
-            ).alias("precision_ppm"),
-            F.expr(
-                "CAST(CASE WHEN _pt > 0 THEN "
-                "(CAST(_cump AS DECIMAL(38,0)) * 1000000) div _pt END AS BIGINT)"
-            ).alias("recall_ppm"),
-        )
-        .orderBy(F.col("score").desc())
-    )
+    out = cum.select(
+        F.col("_s").alias("score"),
+        F.col("_cum_n").alias("n_ge"),
+        F.expr(
+            "CAST((CAST(_cum_p AS DECIMAL(38,0)) * 1000000) div _cum_n AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CASE WHEN _tot_p > 0 THEN "
+            "(CAST(_cum_p AS DECIMAL(38,0)) * 1000000) div _tot_p END AS BIGINT)"
+        ).alias("recall_ppm"),
+    ).orderBy(F.col("score").desc())
     return track_cached(out, g)
 
 
@@ -4396,10 +4396,10 @@ def lorenz_points(
     inequality/concentration visual for income-like columns.
 
     Values must be non-negative integers (pre-scale to cents; negative
-    rows rejected upstream make the curve meaningless). Two-level
-    bucketed prefix sum (§13) — ascending this time; bucket ids clamp
-    BY CONSTRUCTION; the distinct-value table is persisted and rides on
-    the result via ``track_cached``.
+    rows rejected upstream make the curve meaningless). Shared
+    :func:`_grain_prefix` two-level prefix sum (§13) — ascending this
+    time, with the cardinality-adaptive fast path; the distinct-value
+    table is persisted and rides on the result via ``track_cached``.
 
     Output: ``(value, n_le, cum_pop_ppm, cum_value_ppm)`` value-asc;
     perfect equality tracks the diagonal, concentration sags below.
@@ -4409,74 +4409,26 @@ def lorenz_points(
     base = df.filter(F.col(value_col).isNotNull() & (F.col(value_col) >= 0)).select(
         F.col(value_col).cast("long").alias("_v")
     )
-    g = base.groupBy("_v").agg(F.count(F.lit(1)).cast("long").alias("_n")).persist()
-    mm = g.agg(
-        F.min(F.col("_v").cast("double")).alias("_mn"),
-        F.max(F.col("_v").cast("double")).alias("_mx"),
+    g = (
+        base.groupBy("_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .withColumn("_s", F.expr("CAST(_v AS DECIMAL(38,0)) * _n"))
+        .persist()
     )
-    nb = int(value_buckets)
-    bucket_of = F.when(
-        F.col("_mx") > F.col("_mn"),
-        F.least(
-            F.lit(nb - 1),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("_v").cast("double") - F.col("_mn"))
-                    / (F.col("_mx") - F.col("_mn"))
-                    * nb
-                ).cast("int"),
-            ),
-        ),
-    ).otherwise(F.lit(0))
-    b = g.crossJoin(F.broadcast(mm)).withColumn("_cb", bucket_of).drop("_mn", "_mx")
-    per_bucket = b.groupBy("_cb").agg(
-        F.sum("_n").cast("long").alias("_bn"),
-        F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _n")).alias("_bs"),
+    cum = _grain_prefix(
+        g, "_v", ["_n", "_s"], ascending=True, buckets=int(value_buckets)
     )
-    wb = W.orderBy(F.col("_cb").asc()).rowsBetween(W.unboundedPreceding, -1)
-    offs = (
-        per_bucket.withColumn(
-            "_noff", F.coalesce(F.sum("_bn").over(wb), F.lit(0)).cast("long")
-        )
-        .withColumn(
-            "_soff",
-            F.coalesce(
-                F.sum("_bs").over(wb), F.lit(0).cast("decimal(38,0)")
-            ).cast("decimal(38,0)"),
-        )
-        .withColumn("_nt", F.sum("_bn").over(W.partitionBy()).cast("long"))
-        .withColumn("_st", F.sum("_bs").over(W.partitionBy()).cast("decimal(38,0)"))
-        .select("_cb", "_noff", "_soff", "_nt", "_st")
-    )
-    within = (
-        W.partitionBy("_cb")
-        .orderBy(F.col("_v").asc())
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    out = (
-        b.join(F.broadcast(offs), "_cb")
-        .withColumn("_cumn", (F.col("_noff") + F.sum("_n").over(within)).cast("long"))
-        .withColumn(
-            "_cums",
-            (
-                F.col("_soff")
-                + F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _n")).over(within)
-            ).cast("decimal(38,0)"),
-        )
-        .select(
-            F.col("_v").alias("value"),
-            F.col("_cumn").alias("n_le"),
-            F.expr(
-                "CAST((CAST(_cumn AS DECIMAL(38,0)) * 1000000) div _nt AS BIGINT)"
-            ).alias("cum_pop_ppm"),
-            F.expr(
-                "CAST(CASE WHEN _st > 0 THEN (_cums * 1000000) div _st "
-                "ELSE 0 END AS BIGINT)"
-            ).alias("cum_value_ppm"),
-        )
-        .orderBy("value")
-    )
+    out = cum.select(
+        F.col("_v").alias("value"),
+        F.col("_cum_n").alias("n_le"),
+        F.expr(
+            "CAST((CAST(_cum_n AS DECIMAL(38,0)) * 1000000) div _tot_n AS BIGINT)"
+        ).alias("cum_pop_ppm"),
+        F.expr(
+            "CAST(CASE WHEN _tot_s > 0 THEN (_cum_s * 1000000) div _tot_s "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("cum_value_ppm"),
+    ).orderBy("value")
     return track_cached(out, g)
 
 

@@ -410,6 +410,10 @@ def hits_int(
     """
     from aeon_mecha_spark.util import track_cached
 
+    if int(iters) < 1:
+        # a = None after zero rounds would crash the final join; the
+        # zero-round result is ill-defined anyway (no authority pass ran)
+        raise ValueError("iters must be >= 1")
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist()
     nodes = (
         e.select(F.col("_s").alias("node"))

@@ -480,14 +480,28 @@ def test_q168_seasonal_medians_broadcast(spark, entry, sf_dir):
 
 
 def test_q169_lift_two_level_bucketed(spark, entry, sf_dir):
-    """The distinct-score cumulative mass uses the two-level prefix sum:
-    the within-bucket window is PARTITIONED by the coarse bucket (no
-    unpartitioned window over the score grain), offsets broadcast back,
-    and no sort-merge join appears anywhere."""
+    """Cardinality-adaptive prefix sum (round 9): at gate scale the
+    distinct-score grain is provably <= score_buckets, so the bucket
+    level is SKIPPED (no _cb partitioning — 2-3 fewer stages); forcing
+    a tiny bucket count must re-engage the two-level path with the
+    within-bucket window PARTITIONED by the coarse bucket. No
+    sort-merge join on either path."""
+    from aeon_mecha_spark.operators.analytics import lift_table
+    from pyspark.sql import functions as F
+
     p = plan_str(entry.queries()["q169_lift_table"](spark, sf_dir))
     assert "SortMergeJoin" not in p
-    assert "hashpartitioning(_cb" in p  # within-bucket window is keyed
-    assert p.count("HashAggregate") >= 2  # score grain + bucket agg
+    assert "hashpartitioning(_cb" not in p  # fast path: no bucket level
+    assert p.count("HashAggregate") >= 2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    forced = lift_table(
+        docs, F.col("source") == "src0", "n_chars",
+        n_buckets=10, score_buckets=8,
+    )
+    pf = plan_str(forced)
+    assert "SortMergeJoin" not in pf
+    assert "hashpartitioning(_cb" in pf  # scale path: bucket-keyed window
 
 
 def test_q170_gini_single_window_pass(spark, entry, sf_dir):
