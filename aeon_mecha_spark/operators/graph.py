@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from pyspark import StorageLevel
+
 from aeon_mecha_spark.util import track_cached
 
 
@@ -246,13 +248,13 @@ def kcore(
     # track_cached for explicit release)
     sym = und.unionByName(
         und.select(F.col("_b").alias("_a"), F.col("_a").alias("_b"))
-    ).distinct().persist()
+    ).distinct().persist(StorageLevel.MEMORY_ONLY)
     nodes = None  # None = all nodes
     cur_edges = sym
     prev_n = None
     for _ in range(int(max_rounds)):
         deg = cur_edges.groupBy("_a").agg(F.count(F.lit(1)).cast("long").alias("_d"))
-        keep = deg.filter(F.col("_d") >= int(k)).select("_a").persist()
+        keep = deg.filter(F.col("_d") >= int(k)).select("_a").persist(StorageLevel.MEMORY_ONLY)
         n = keep.count()
         if prev_n is not None and n == prev_n:
             keep.unpersist()
@@ -320,7 +322,7 @@ def bradley_terry_int(
         .unionByName(m.select(F.col("_l").alias("_i"), F.col("_w").alias("_j")))
         .groupBy("_i", "_j")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-        .persist()  # loop-invariant: joined twice per MM round
+        .persist(StorageLevel.MEMORY_ONLY)  # loop-invariant: joined twice per MM round
     )
     wins = m.groupBy(F.col("_w").alias("_i")).agg(
         F.count(F.lit(1)).cast("long").alias("_wins")
@@ -329,7 +331,7 @@ def bradley_terry_int(
     stats = players.join(wins, "_i", "left").select(
         "_i",
         F.coalesce(F.col("_wins"), F.lit(0)).cast("long").alias("_wins"),
-    ).persist()  # loop-invariant: read every round + in the final join
+    ).persist(StorageLevel.MEMORY_ONLY)  # loop-invariant: read every round + in the final join
     cached: list[DataFrame] = [sym, stats]
     p = players.withColumn("_p", F.lit(int(scale)).cast("long"))
     for _ in range(int(iters)):
@@ -353,7 +355,7 @@ def bradley_terry_int(
                     "_wins * 1000000000L div greatest(coalesce(_d, 0L), 1L)"
                 ).alias("_p"),
             )
-            .persist()  # truncate lineage: plan stays linear in iters
+            .persist(StorageLevel.MEMORY_ONLY)  # truncate lineage: plan stays linear in iters
         )
         cached.append(p)
     n_matches = sym.groupBy("_i").agg(F.sum("_n").cast("long").alias("_nm"))
@@ -414,7 +416,7 @@ def hits_int(
         # a = None after zero rounds would crash the final join; the
         # zero-round result is ill-defined anyway (no authority pass ran)
         raise ValueError("iters must be >= 1")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist()
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).persist(StorageLevel.MEMORY_ONLY)
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
@@ -424,7 +426,7 @@ def hits_int(
     cached: list[DataFrame] = [e, nodes]
 
     def _norm(raw: DataFrame, out_col: str) -> DataFrame:
-        raw = raw.persist()
+        raw = raw.persist(StorageLevel.MEMORY_ONLY)
         cached.append(raw)
         mx = raw.agg(F.max("_raw")).collect()[0][0] or 1
         return raw.select(

@@ -32,10 +32,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # capture (test_driver_contract pins this): when a new gate joins the
 # set, a family-redundant older entry leaves (its plan shape must stay
 # represented by a named sibling; BENCH_DETAIL.json still names all).
+# Round-9 rotation (stdout gained sentinel/norm_total keys): q13 lag
+# window -> q181 ewma; q47 hyperplane-LSH -> q48 IVF + q72 LSH dedup;
+# q120 IQR fences -> q151 MAD two-pass; q162 BPE apply -> q163 learn;
+# q174 pairwise vocab -> q159 sparse cosine; q179 KL -> q204 PSI +
+# q210 JSD.
 HEADLINE = [
     "q01_pricing_summary",   # scan + groupBy agg
     "q06_revenue_by_nation", # multi-join + agg
-    "q13_qc_deltas",         # lag window
     "q15_rolling_1h",        # range-frame rolling window
     "q17_hourly_rollup",     # tumbling window agg
     "q18_asof_join",         # as-of union-merge join
@@ -44,7 +48,6 @@ HEADLINE = [
     "q34_minhash",           # shingle explode + min-hash
     "q35_lsh_jaccard",       # LSH band self-join + verify
     "q46_bucketed_range_join",  # big-big range join (no broadcast)
-    "q47_lsh_knn",           # hyperplane-LSH ANN
     "q48_ivf_knn",           # IVF-bucketed ANN
     "q72_near_dup_lsh",      # LSH-bucketed near-dup (scale-safe default)
     "q73_decontaminate",     # broadcast benchmark-shingle overlap
@@ -60,7 +63,6 @@ HEADLINE = [
     "q116_semantic_dedup",   # LSH pairs -> components -> canonical
     "q118_bucketed_join",    # bucketed write + shuffle-free merge join
     "q119_continuous_rollup",  # two-step incremental rollup refresh
-    "q120_iqr_outliers",     # quartile fences broadcast back
     "q121_crosscorpus_dedup",  # two-corpus band-bucket join + verify
     # (q122_bloom_ledger is deliberately NOT in the headline set: its
     # cost is three micro-batch parquet sink+state writes, an ingest
@@ -97,7 +99,6 @@ HEADLINE = [
     "q157_ks",               # exact KS: cross-multiplied CDF gaps
     "q158_canonical_select",  # keep-best election per fingerprint cluster
     "q159_sparse_cosine",    # inverted-index df-capped cosine pairs
-    "q162_bpe_apply",        # map-only fixed-merge BPE token accounting
     "q163_bpe_learn",        # 8-round weighted pair-argmax over word table
     "q164_exact_split",      # largest-remainder quotas + hash ranks
     "q165_corr_pairs",       # 15 exact moments in one aggregate pass
@@ -107,11 +108,9 @@ HEADLINE = [
     "q169_lift_table",       # distinct-score-grain decile gains
     "q170_gini",             # ranked-sum concentration per key
     "q173_stuck_runs",       # gaps-and-islands frozen-value QC
-    "q174_vocab_overlap",    # term-keyed pairwise vocab Jaccard
     "q175_decompose",        # STL-lite trend/seasonal/residual, milli ints
     "q177_cusum",            # argmax mean-shift statistic, one sort
     "q178_confusion",        # per-class P/R/F1, class-sized joins
-    "q179_categorical_kl",   # micro-nat KL drift, totals broadcast
     "q180_ndcg",             # literal-discount NDCG@10, rank cut at k
     "q181_ewma",             # 16 literal-weight lags, one window
     "q182_bootstrap_se",     # x32 Poisson replicates, map-side collapse
@@ -177,14 +176,20 @@ HEADLINE = [
 ]
 
 
-def sentinel_seconds(spark, reps: int) -> float:
+def sentinel_runs(spark, reps: int) -> list[float]:
     """Host-throughput sentinel: a fixed synthetic aggregation (range →
     modulo groupBy) that exercises codegen + shuffle but touches NO repo
     code and NO input files. Its runtime moves with hypervisor weather
     exactly like the real queries (same JVM, same cores), so
     ``queries[q] / sentinel_sec`` is comparable ACROSS rounds even when
-    the host's absolute throughput drifts ±30 % (SCALE.md). Min of
-    ``reps`` runs, like the queries."""
+    the host's absolute throughput drifts ±30 % (SCALE.md).
+
+    Round-9 methodology fix: a single block of runs taken once (after
+    the sweep) proved too noisy to be the cross-round drift corrector —
+    in round 8 the sentinel sped up 17 % while the queries slowed 4 %,
+    making the normalized view unreadable. The caller now INTERLEAVES
+    blocks before and after the sweep and uses the MEDIAN of ≥ 6 runs,
+    so one lucky/unlucky JVM moment can't move the normalizer."""
     from pyspark.sql import functions as F
 
     runs = []
@@ -196,8 +201,8 @@ def sentinel_seconds(spark, reps: int) -> float:
             .agg(F.sum("id").alias("s"), F.count(F.lit(1)).alias("n"))
             .write.mode("overwrite").format("noop").save()
         )
-        runs.append(time.perf_counter() - t0)
-    return round(min(runs), 3)
+        runs.append(round(time.perf_counter() - t0, 3))
+    return runs
 
 
 def main() -> None:
@@ -213,6 +218,9 @@ def main() -> None:
     for wname in ("q17_hourly_rollup", "q13_qc_deltas", "q06_revenue_by_nation"):
         qs[wname](spark, SF_DIR).write.mode("overwrite").format("noop").save()
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # sentinel block 1 of 2: interleaved BEFORE the sweep (post-warmup,
+    # same JVM state the first queries see)
+    sent_pre = sentinel_runs(spark, max(3, reps))
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -232,7 +240,13 @@ def main() -> None:
         all_runs[name] = runs
         timings[name] = min(runs)
     total = round(sum(timings.values()), 3)
-    sentinel = sentinel_seconds(spark, reps)
+    # sentinel block 2 of 2: AFTER the sweep (post-session JVM/GC
+    # state); the normalizer is the MEDIAN of both blocks (>= 6 runs)
+    sent_post = sentinel_runs(spark, max(3, reps))
+    import statistics
+
+    all_sent = sent_pre + sent_post
+    sentinel = round(statistics.median(all_sent), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Per-run detail goes to a side file, NOT stdout: the driver parses
     # the single printed JSON line and chokes past ~2 KB (BENCH_r03 was
@@ -249,6 +263,8 @@ def main() -> None:
                 "reps": reps,
                 "sf": sf,
                 "sentinel_sec": sentinel,
+                "sentinel_runs_pre": sent_pre,
+                "sentinel_runs_post": sent_post,
                 "normalized": normalized,
                 "normalized_total": round(total / sentinel, 3),
             },
@@ -266,6 +282,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": short,
                 "sentinel_sec": sentinel,
+                "norm_total": round(total / sentinel, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             },
             separators=(",", ":"),

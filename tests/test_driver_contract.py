@@ -88,6 +88,8 @@ def test_bench_line_fits_driver_capture():
             "value": 9999.999,
             "unit": "sec",
             "queries": fake,
+            "sentinel_sec": 99.999,
+            "norm_total": 9999.999,
             "sf": 0.1,
         },
         separators=(",", ":"),
