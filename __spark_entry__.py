@@ -3710,6 +3710,110 @@ def q242_cramers_v(spark, sf_dir):
     return analytics.cramers_v(od, "o_orderpriority", "o_orderstatus")
 
 
+def q243_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 unshipped-order revenue for one market
+    segment as of a date — customer dim broadcast, order/lineitem join
+    keyed on orderkey, exact centi-cent revenue, deterministic
+    tie-break (revenue desc, orderdate asc, orderkey asc)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    od = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-07-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-07-01")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue_centicents()).cast("long").alias("revenue_centicents"))
+        .orderBy(
+            F.col("revenue_centicents").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+def q244_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: shipped revenue between two nations, both
+    directions, by ship year — two tiny nation dims broadcast onto the
+    supplier/customer sides, exact centi-cents, ship-date range
+    pushed to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = (F.col("supp_nation") == "NATION_3") & (
+        F.col("cust_nation") == "NATION_7"
+    ) | (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("_sn"),
+                                   F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("_sn"),
+        )
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("_cn"),
+                                   F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("_cn"),
+        )
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_revenue_centicents()).cast("long").alias("revenue_centicents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q245_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by how many
+    qualifying orders they placed (left join keeps zero-order
+    customers), excluding low-priority orders — the histogram-of-counts
+    double aggregate."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    od = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_c = (
+        cust.join(od, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_c.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q246_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: would-be revenue from small-quantity discounted
+    lines in one ship year — a pure scan-filter-aggregate whose
+    predicates all push to the parquet scan; exact integral
+    cents x discount-percent units (1e-4 dollars)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_quantity") < 24)
+    )
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long") * disc
+    ).cast("decimal(38,0)")
+    return li.filter((disc >= 5) & (disc <= 7)).agg(
+        F.sum(rev).cast("long").alias("revenue_dmill"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3736,6 +3840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the rest r04/r05) is re-checked every round via
     # tools/check_correctness.py -> CHECK_FULL_r{N}.json, committed at
     # final HEAD.
+        "q243_shipping_priority": q243_shipping_priority,
+        "q244_volume_shipping": q244_volume_shipping,
+        "q245_customer_distribution": q245_customer_distribution,
+        "q246_forecast_revenue": q246_forecast_revenue,
         "q238_pr_points": q238_pr_points,
         "q239_lorenz": q239_lorenz,
         "q240_nelson_aalen": q240_nelson_aalen,
@@ -3886,8 +3994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_tfidf": q88_tfidf,
         "q89_inverted_index": q89_inverted_index,
         "q90_token_budget": q90_token_budget,
-        "q93_pca_project": q93_pca_project,
-        "q99_pq_codes": q99_pq_codes,
         "q105_span_decontaminate": q105_span_decontaminate,
         "q106_curation_pipeline": q106_curation_pipeline,
         "q107_zorder_key": q107_zorder_key,
@@ -9179,6 +9285,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c AS BIGINT) AS c, CAST(chi AS BIGINT) AS chi2_ppm,
                    CAST(v AS BIGINT) AS v_ppm
             FROM i
+        """,
+        "q243_shipping_priority": """
+            -- TPC-H Q3: top-10 unshipped revenue in one segment,
+            -- deterministic tie-break (rev desc, date asc, key asc)
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_centicents
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-07-01'
+              AND l_shipdate > TIMESTAMP '1998-07-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_centicents DESC, o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q244_volume_shipping": """
+            -- TPC-H Q7: bidirectional nation-pair shipped revenue by year
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_centicents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q245_customer_distribution": """
+            -- TPC-H Q13: histogram of per-customer qualifying-order counts
+            WITH per_c AS (
+              SELECT c_custkey, count(o_orderkey)::bigint AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+              GROUP BY c_custkey)
+            SELECT c_count, count(*)::bigint AS custdist
+            FROM per_c GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q246_forecast_revenue": """
+            -- TPC-H Q6: scan-filter-aggregate, exact 1e-4-dollar units
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                        * CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_dmill,
+                   count(*)::bigint AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_quantity < 24
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
         """,
     }
     return sqls

@@ -15,8 +15,14 @@ import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# the four gates documented as rows-only (no SQL form by nature)
-ROWS_ONLY = {"q87_zarr_decode", "q93_pca_project", "q99_pq_codes", "q163_bpe_learn"}
+# the two gates documented as rows-only (no SQL form by nature):
+# q87 decodes an env-blocked zarr codec; q163's learned BPE merge table
+# is iterative driver-side training. Round 9 retired the other two
+# (q93 trained-PCA, q99 trained-PQ): their execution paths are
+# hash-verified end-to-end by the literal-model twins q110/q109, and
+# the training itself is pinned against numpy/python mirrors in
+# tests/test_round3_ops.py and tests/test_round4_ops.py.
+ROWS_ONLY = {"q87_zarr_decode", "q163_bpe_learn"}
 
 
 def _registry():
