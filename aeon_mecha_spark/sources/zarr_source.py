@@ -20,6 +20,7 @@ from __future__ import annotations
 import itertools
 import json
 import os
+import struct
 import zlib
 
 import numpy as np
@@ -33,15 +34,126 @@ try:  # pragma: no cover - environment-dependent
 except Exception:  # pragma: no cover
     HAS_ZARR = False
 
+# Blosc1 chunk constants (c-blosc README_HEADER.rst — public format):
+# byte 0 format version, byte 1 codec version, byte 2 flags, byte 3
+# typesize, then three LE uint32: nbytes, blocksize, cbytes. Flags:
+# bit 0 byte-shuffle, bit 1 pure memcpy, bit 2 bit-shuffle, bits 5-7
+# inner codec (0 blosclz, 1 lz4, 2 snappy, 3 zlib, 4 zstd).
+_BLOSC_SHUFFLE = 0x1
+_BLOSC_MEMCPY = 0x2
+_BLOSC_BITSHUFFLE = 0x4
+_BLOSC_ZLIB = 3
+
+
+def _unshuffle(b: np.ndarray, typesize: int) -> np.ndarray:
+    """Invert blosc byte-shuffle: shuffled[i·n + j] = orig[j·ts + i]."""
+    n = b.size // typesize
+    return b.reshape(typesize, n).T.ravel()
+
+
+def _shuffle(b: np.ndarray, typesize: int) -> np.ndarray:
+    n = b.size // typesize
+    return b.reshape(n, typesize).T.ravel()
+
+
+def decode_blosc1(buf: bytes) -> bytes:
+    """Minimal pure-python Blosc v1 chunk decoder for the byte-shuffle +
+    zlib (and memcpy) cases — the stdlib-decodable subset of the codec
+    the reference compresses its zarr intermediates with
+    (SPEC_ZARR_INTERMEDIATES.md:40-57). Layout per the public c-blosc
+    header spec: 16-byte header, then (unless memcpy) one LE int32
+    block-start offset per block; each block stream opens with an LE
+    int32 compressed size — equal to the block's uncompressed size
+    means stored-raw, otherwise a zlib stream (zlib never splits blocks
+    in blosc1, so exactly one stream per block). Shuffle is applied PER
+    BLOCK before compression, so it is inverted per block here.
+
+    lz4/zstd/snappy/blosclz inner codecs and bit-shuffle raise
+    ``NotImplementedError`` naming the missing library.
+    """
+    if len(buf) < 16:
+        raise ValueError("blosc chunk shorter than its 16-byte header")
+    flags, typesize = buf[2], buf[3]
+    nbytes, blocksize, cbytes = struct.unpack_from("<III", buf, 4)
+    if cbytes != len(buf):
+        raise ValueError(f"blosc header cbytes {cbytes} != chunk size {len(buf)}")
+    if flags & _BLOSC_BITSHUFFLE:
+        raise NotImplementedError("blosc bit-shuffle needs the blosc library")
+    if flags & _BLOSC_MEMCPY:
+        return bytes(buf[16 : 16 + nbytes])
+    codec = (flags >> 5) & 0x7
+    if codec != _BLOSC_ZLIB:
+        raise NotImplementedError(
+            f"blosc inner codec {codec} needs the blosc library "
+            "(only zlib/memcpy decodable with the stdlib fallback)"
+        )
+    shuffled = bool(flags & _BLOSC_SHUFFLE) and typesize > 1
+    nblocks = max(1, -(-nbytes // blocksize)) if blocksize else 1
+    bstarts = struct.unpack_from(f"<{nblocks}i", buf, 16)
+    out = np.empty(nbytes, dtype=np.uint8)
+    for j, bs in enumerate(bstarts):
+        neblock = min(blocksize, nbytes - j * blocksize)
+        (sbytes,) = struct.unpack_from("<i", buf, bs)
+        raw = buf[bs + 4 : bs + 4 + sbytes]
+        block = raw if sbytes == neblock else zlib.decompress(raw)
+        if len(block) != neblock:
+            raise ValueError(f"blosc block {j}: got {len(block)} of {neblock} bytes")
+        b = np.frombuffer(block, dtype=np.uint8)
+        out[j * blocksize : j * blocksize + neblock] = (
+            _unshuffle(b, typesize) if shuffled else b
+        )
+    return out.tobytes()
+
+
+def encode_blosc1_zlib(
+    data: bytes, typesize: int, blocksize: int | None = None, shuffle: bool = True
+) -> bytes:
+    """Blosc v1 chunk WRITER for the same byte-shuffle + zlib subset —
+    the fixture generator for :func:`decode_blosc1` (the container has
+    no blosc library to produce real chunks, so tests round-trip
+    through this encoder, which follows the identical public header
+    layout a real c-blosc zlib chunk uses)."""
+    nbytes = len(data)
+    if typesize < 1 or nbytes % typesize:
+        raise ValueError("nbytes must be a multiple of typesize")
+    if blocksize is None:
+        blocksize = min(nbytes, max(typesize, 1 << 16))
+    blocksize = max(typesize, blocksize - blocksize % typesize)
+    nblocks = max(1, -(-nbytes // blocksize))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    streams: list[bytes] = []
+    for j in range(nblocks):
+        neblock = min(blocksize, nbytes - j * blocksize)
+        b = arr[j * blocksize : j * blocksize + neblock]
+        if shuffle and typesize > 1:
+            b = _shuffle(b, typesize)
+        comp = zlib.compress(b.tobytes(), 5)
+        if len(comp) >= neblock:  # incompressible: store raw
+            streams.append(struct.pack("<i", neblock) + b.tobytes())
+        else:
+            streams.append(struct.pack("<i", len(comp)) + comp)
+    header_len = 16 + 4 * nblocks
+    bstarts, pos = [], header_len
+    for s in streams:
+        bstarts.append(pos)
+        pos += len(s)
+    flags = (_BLOSC_ZLIB << 5) | (_BLOSC_SHUFFLE if shuffle and typesize > 1 else 0)
+    head = struct.pack(
+        "<BBBBIII", 2, 1, flags, min(typesize, 255), nbytes, blocksize, pos
+    )
+    return head + struct.pack(f"<{nblocks}i", *bstarts) + b"".join(streams)
+
 
 def decode_zarr_v2(store_path: str) -> np.ndarray:
     """Pure numpy+json+zlib reader for a zarr v2 array directory.
 
-    Supports the on-disk format the reference's intermediates use minus
-    the Blosc codec: C/F order, any numpy dtype string, ``compressor``
-    null or ``{"id": "zlib"}``, missing chunks filled with
-    ``fill_value``. Runs identically on the driver or inside an
-    executor task (no Spark/zarr imports).
+    Supports the on-disk format the reference's intermediates use: C/F
+    order, any numpy dtype string, ``compressor`` null, ``zlib``, or
+    ``blosc`` with a zlib/memcpy inner codec (byte-shuffle inverted by
+    the vendored :func:`decode_blosc1`; blosc-lz4/zstd still need the
+    real library), missing chunks filled with ``fill_value``. Runs
+    identically on the driver or inside an executor task (no Spark/zarr
+    imports).
     """
     with open(os.path.join(store_path, ".zarray"), "rb") as f:
         meta = json.load(f)
@@ -50,10 +162,10 @@ def decode_zarr_v2(store_path: str) -> np.ndarray:
     if meta.get("filters"):
         raise NotImplementedError(f"{store_path}: zarr filters unsupported without the zarr library")
     comp = meta.get("compressor")
-    if comp is not None and comp.get("id") != "zlib":
+    if comp is not None and comp.get("id") not in ("zlib", "blosc"):
         raise NotImplementedError(
             f"{store_path}: compressor {comp.get('id')!r} needs the zarr/numcodecs "
-            "libraries (only null/zlib decodable with the stdlib fallback)"
+            "libraries (only null/zlib/blosc-zlib decodable with the stdlib fallback)"
         )
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunks"])
@@ -71,7 +183,11 @@ def decode_zarr_v2(store_path: str) -> np.ndarray:
         with open(path, "rb") as f:
             raw = f.read()
         if comp is not None:
-            raw = zlib.decompress(raw)
+            raw = (
+                decode_blosc1(raw)
+                if comp.get("id") == "blosc"
+                else zlib.decompress(raw)
+            )
         chunk = np.frombuffer(raw, dtype=dtype).reshape(chunks, order=order)
         sel = tuple(
             slice(i * c, min((i + 1) * c, s)) for i, c, s in zip(idx, chunks, shape)
