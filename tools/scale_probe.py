@@ -7,7 +7,22 @@ overhead dominates at 1×) will keep scaling on a cluster; a superlinear
 ratio flags a plan that degenerates (cross product, spill, skew).
 
 Writes only under /tmp. Usage:
-    python tools/scale_probe.py [N] [query ...]
+    python tools/scale_probe.py [N] [--organic] [query ...]
+
+Two replication modes:
+
+- default (PK-offset): replicas are byte-identical universes with
+  shifted keys. Right for keyed/grouped/windowed plans (value columns
+  keep 1x cardinality). WRONG for near-dup/LSH plans: every document
+  is copied N-fold, so TRUE near-dup pairs grow ~N^2 by construction
+  of the corpus and any correct dedup plan must report them --
+  superlinear output is the data's fault, not the plan's.
+- --organic: additionally Caesar-translates each replica's document
+  text by the replica id (a bijective per-replica character map), so
+  near-dup structure WITHIN a replica is preserved exactly while
+  replicas are mutually novel -- the near-dup rate stays constant as
+  the corpus grows, the realistic web-scale regime. LSH candidate
+  pairs (reported as rows_out) should then grow ~linearly.
 """
 
 from __future__ import annotations
@@ -52,7 +67,10 @@ OFFSETS = {
 COPY = ["region", "nation", "customer", "supplier", "part"]
 
 
-def build_scaled(spark, n: int) -> str:
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def build_scaled(spark, n: int, organic: bool = False) -> str:
     from pyspark.sql import functions as F
 
     # events stores TIMESTAMP(NANOS): read/write it as a ns bigint so the
@@ -78,6 +96,24 @@ def build_scaled(spark, n: int) -> str:
             d = df
             for k in keys:
                 d = d.withColumn(k, F.col(k) + F.lit(i * span[k]))
+            if organic and t == "documents" and i > 0:
+                # bijective per-replica char map (seeded substitution
+                # cipher — NOT a Caesar rotation, which cycles at 25
+                # and made replicas i and i+25 exact near-dups at 32x):
+                # shingle sets within the replica keep their exact
+                # overlap structure; across replicas every shingle is
+                # novel
+                import random as _random
+
+                perm = list(_ALPHA)
+                _random.Random(9176 + i).shuffle(perm)
+                to = "".join(perm)
+                d = d.withColumn(
+                    "text",
+                    F.translate(
+                        F.col("text"), _ALPHA + _ALPHA.upper(), to + to.upper()
+                    ),
+                )
             parts.append(d)
         union = parts[0]
         for d in parts[1:]:
@@ -89,19 +125,24 @@ def build_scaled(spark, n: int) -> str:
     return out_dir
 
 
-def time_queries(spark, qs, names, sf_dir) -> dict[str, float]:
-    out = {}
+def time_queries(spark, qs, names, sf_dir, count_out=False):
+    out, nrows = {}, {}
     for name in names:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 3)
-    return out
+        if count_out:
+            nrows[name] = df.count()
+    return out, nrows
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    args = sys.argv[1:]
+    organic = "--organic" in args
+    args = [a for a in args if a != "--organic"]
+    n = int(args[0]) if args else 8
+    names = args[1:] or DEFAULT_QUERIES
 
     from aeon_mecha_spark.session import get_spark
 
@@ -109,14 +150,16 @@ def main() -> None:
 
     spark = get_spark("scale_probe")
     qs = entry_mod.queries()
-    scaled_dir = build_scaled(spark, n)
+    scaled_dir = build_scaled(spark, n, organic=organic)
 
     # warmup both datasets (JVM/codegen init out of the measurement)
     for d in (BASE, scaled_dir):
         qs["q17_hourly_rollup"](spark, d).write.format("noop").mode("overwrite").save()
 
-    base_t = time_queries(spark, qs, names, BASE)
-    scaled_t = time_queries(spark, qs, names, scaled_dir)
+    base_t, base_rows = time_queries(spark, qs, names, BASE, count_out=organic)
+    scaled_t, scaled_rows = time_queries(
+        spark, qs, names, scaled_dir, count_out=organic
+    )
     rows = {
         t: {
             "base": spark.read.parquet(os.path.join(BASE, f"{t}.parquet")).count(),
@@ -126,12 +169,24 @@ def main() -> None:
     }
     report = {
         "n": n,
+        "mode": "organic" if organic else "pk-offset",
         "rows": rows,
         "queries": {
             q: {
                 "base_s": base_t[q],
                 "scaled_s": scaled_t[q],
                 "ratio": round(scaled_t[q] / base_t[q], 2) if base_t[q] else None,
+                **(
+                    {
+                        "rows_out_base": base_rows[q],
+                        "rows_out_scaled": scaled_rows[q],
+                        "rows_out_ratio": round(scaled_rows[q] / base_rows[q], 2)
+                        if base_rows[q]
+                        else None,
+                    }
+                    if organic
+                    else {}
+                ),
             }
             for q in names
         },
