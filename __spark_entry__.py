@@ -3826,26 +3826,68 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Insertion order matters: the driver's correctness gate grades the
-    # FIRST 50 entries. Round-8 rotation (the VERDICT r07 plan, grown by
-    # this round's five waves): q212-q231 are round 8's 25 NEW operators
-    # (rank statistics, calibration/FDR/IG, line dedup, survival/cohort,
-    # HITS, leakage audit, odds ratio/G-test/Theil/Q10/burstiness,
-    # containment/RBO/OLS2/MASE/DiD) — first official grading; q202-q206
-    # are round 7's operators, judge-verified 5/5 but never driver-graded
-    # (VERDICT r07 item 1); q169/q184 (de-globalized two-level windows),
-    # q191 (persisted loop-invariant edge table) and q194 (de-windowed
-    # scalar max) changed code this round — re-grade; the remaining 16
-    # slots hold the OLDEST official records (r03/r04 window heads).
-    # Everything rotated out (q155-q201 green in r07; q111-q154 in r06;
-    # the rest r04/r05) is re-checked every round via
-    # tools/check_correctness.py -> CHECK_FULL_r{N}.json, committed at
-    # final HEAD.
+    # FIRST 50 entries. Round-9 rotation: the head holds this round's 16
+    # re-grade targets — the 4 new TPC-H gates (q243-q246) and the 12
+    # gates whose code changed (the _grain_prefix curve/CDF family
+    # q169/q184/q209/q238/q239, the de-serialized rank stats
+    # q207/q208/q213, bh_select's NULL-row fix q215, and the
+    # MEMORY_ONLY graph loops q191/q202/q220) — followed by the 34
+    # STALEST official records (q03-q36, last driver-graded r01-r03;
+    # q01/q02 were re-graded r08). Everything rotated out is re-checked
+    # every round via tools/check_correctness.py -> CHECK_FULL_r{N}.json
+    # committed at final HEAD.
         "q243_shipping_priority": q243_shipping_priority,
         "q244_volume_shipping": q244_volume_shipping,
         "q245_customer_distribution": q245_customer_distribution,
         "q246_forecast_revenue": q246_forecast_revenue,
+        "q169_lift_table": q169_lift_table,
+        "q184_quantile_map": q184_quantile_map,
+        "q191_kcore": q191_kcore,
+        "q202_bradley_terry": q202_bradley_terry,
+        "q207_spearman": q207_spearman,
+        "q208_mannwhitney": q208_mannwhitney,
+        "q209_roc_points": q209_roc_points,
+        "q213_kruskal_wallis": q213_kruskal_wallis,
+        "q215_bh_fdr": q215_bh_fdr,
+        "q220_hits": q220_hits,
         "q238_pr_points": q238_pr_points,
         "q239_lorenz": q239_lorenz,
+        "q03_semi_join": q03_semi_join,
+        "q04_anti_join": q04_anti_join,
+        "q05_proj_compute": q05_proj_compute,
+        "q06_revenue_by_nation": q06_revenue_by_nation,
+        "q07_left_join_counts": q07_left_join_counts,
+        "q08_union": q08_union,
+        "q09_top": q09_top,
+        "q10_grouped_bounds": q10_grouped_bounds,
+        "q11_distinct": q11_distinct,
+        "q12_dedupe_first": q12_dedupe_first,
+        "q13_qc_deltas": q13_qc_deltas,
+        "q14_running_sum": q14_running_sum,
+        "q15_rolling_1h": q15_rolling_1h,
+        "q16_sessionize": q16_sessionize,
+        "q17_hourly_rollup": q17_hourly_rollup,
+        "q18_asof_join": q18_asof_join,
+        "q19_interval_count": q19_interval_count,
+        "q20_column_stats": q20_column_stats,
+        "q21_timestamp_stats": q21_timestamp_stats,
+        "q22_sync_regression": q22_sync_regression,
+        "q23_param_hash": q23_param_hash,
+        "q24_ownership": q24_ownership,
+        "q25_conditional_agg": q25_conditional_agg,
+        "q26_chunk_windows": q26_chunk_windows,
+        "q27_epoch_lead": q27_epoch_lead,
+        "q28_harp_time": q28_harp_time,
+        "q29_json_extract": q29_json_extract,
+        "q30_dedup_exact": q30_dedup_exact,
+        "q31_fingerprint_dedup": q31_fingerprint_dedup,
+        "q32_text_quality": q32_text_quality,
+        "q33_langid": q33_langid,
+        "q34_minhash": q34_minhash,
+        "q35_lsh_jaccard": q35_lsh_jaccard,
+        "q36_knn_cosine": q36_knn_cosine,
+    # ---- everything below is past the driver's 50-entry window; the
+    # ---- committed CHECK_FULL_r{N}.json re-verifies it every round
         "q240_nelson_aalen": q240_nelson_aalen,
         "q241_logrank": q241_logrank,
         "q242_cramers_v": q242_cramers_v,
@@ -3856,9 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q236_bracket_revenue": q236_bracket_revenue,
         "q237_heavy_suppliers": q237_heavy_suppliers,
         "q212_acf": q212_acf,
-        "q213_kruskal_wallis": q213_kruskal_wallis,
         "q214_calibration": q214_calibration,
-        "q215_bh_fdr": q215_bh_fdr,
         "q216_info_gain": q216_info_gain,
         "q227_containment": q227_containment,
         "q228_rbo": q228_rbo,
@@ -3873,32 +3913,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_line_dedup": q217_line_dedup,
         "q218_kaplan_meier": q218_kaplan_meier,
         "q219_cohort_retention": q219_cohort_retention,
-        "q220_hits": q220_hits,
         "q221_split_leakage": q221_split_leakage,
-        "q207_spearman": q207_spearman,
-        "q208_mannwhitney": q208_mannwhitney,
-        "q209_roc_points": q209_roc_points,
         "q210_jsd": q210_jsd,
         "q211_hhi": q211_hhi,
-        "q202_bradley_terry": q202_bradley_terry,
         "q203_fleiss_kappa": q203_fleiss_kappa,
         "q204_psi": q204_psi,
         "q205_bigram_logprob": q205_bigram_logprob,
         "q206_wilson_lb": q206_wilson_lb,
-        "q169_lift_table": q169_lift_table,
-        "q184_quantile_map": q184_quantile_map,
-        "q191_kcore": q191_kcore,
-        "q194_top_supplier": q194_top_supplier,  # re-grade: scalar max de-windowed r8
+        "q194_top_supplier": q194_top_supplier,
         "q91_shuffle_shards": q91_shuffle_shards,
         "q92_embedding_covariance": q92_embedding_covariance,
         "q94_int8_quant": q94_int8_quant,
         "q01_pricing_summary": q01_pricing_summary,
         "q02_restrict_expr": q02_restrict_expr,
-        "q03_semi_join": q03_semi_join,
-        "q04_anti_join": q04_anti_join,
-        "q06_revenue_by_nation": q06_revenue_by_nation,
-        "q07_left_join_counts": q07_left_join_counts,
-        "q10_grouped_bounds": q10_grouped_bounds,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
         "q60_gap_fill": q60_gap_fill,
@@ -3926,38 +3953,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_table_fingerprint": q102_table_fingerprint,
         "q103_knn_recall": q103_knn_recall,
         "q104_bpe_tokens": q104_bpe_tokens,
-        # ---- entries below are past the driver's 50-entry window ----
-        # (all officially green in r04-r07; re-checked every round via
-        # tools/check_correctness.py -> CHECK_FULL_r{N}.json)
-        "q05_proj_compute": q05_proj_compute,
-        "q08_union": q08_union,
-        "q09_top": q09_top,
-        "q11_distinct": q11_distinct,
-        "q12_dedupe_first": q12_dedupe_first,
-        "q13_qc_deltas": q13_qc_deltas,
-        "q14_running_sum": q14_running_sum,
-        "q15_rolling_1h": q15_rolling_1h,
-        "q16_sessionize": q16_sessionize,
-        "q17_hourly_rollup": q17_hourly_rollup,
-        "q18_asof_join": q18_asof_join,
-        "q19_interval_count": q19_interval_count,
-        "q20_column_stats": q20_column_stats,
-        "q21_timestamp_stats": q21_timestamp_stats,
-        "q22_sync_regression": q22_sync_regression,
-        "q23_param_hash": q23_param_hash,
-        "q24_ownership": q24_ownership,
-        "q25_conditional_agg": q25_conditional_agg,
-        "q26_chunk_windows": q26_chunk_windows,
-        "q27_epoch_lead": q27_epoch_lead,
-        "q28_harp_time": q28_harp_time,
-        "q29_json_extract": q29_json_extract,
-        "q30_dedup_exact": q30_dedup_exact,
-        "q31_fingerprint_dedup": q31_fingerprint_dedup,
-        "q32_text_quality": q32_text_quality,
-        "q33_langid": q33_langid,
-        "q34_minhash": q34_minhash,
-        "q35_lsh_jaccard": q35_lsh_jaccard,
-        "q36_knn_cosine": q36_knn_cosine,
         "q37_embedding_neardup": q37_embedding_neardup,
         "q38_simhash": q38_simhash,
         "q39_lang_token_stats": q39_lang_token_stats,
@@ -4052,7 +4047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_attribution": q160_attribution,
         "q161_skyline": q161_skyline,
         "q162_bpe_apply": q162_bpe_apply,
-        "q163_bpe_learn": q163_bpe_learn,  # rows-only: iterative argmax not in SQL
+        "q163_bpe_learn": q163_bpe_learn,
         "q164_exact_split": q164_exact_split,
         "q165_corr_pairs": q165_corr_pairs,
         "q166_woe": q166_woe,

@@ -39,6 +39,7 @@ def _grain_prefix(
     ascending: bool,
     buckets: int,
     group_cols: list[str] | None = None,
+    grain_count: int | None = None,
 ) -> DataFrame:
     """Shared two-level distributed prefix sum over a PERSISTED
     distinct-value grain ``g`` — the engine under ``lift_table`` /
@@ -72,12 +73,21 @@ def _grain_prefix(
     true for numerics only ('10' < '9' as strings). Non-numeric value
     columns (and date/timestamp, whose double cast is NULL) always take
     the single-window path, which is order-generic.
+
+    ``grain_count``: callers that already know the grain size (or a
+    cheap UPPER BOUND on it — e.g. the persisted parent grain's count
+    when ``g`` is a derived sub-grain) pass it here to skip this
+    function's own ``count()`` action; an over-estimate only forgoes
+    the fast path, never correctness.
     """
     group_cols = list(group_cols or [])
     order = F.col(value_col).asc() if ascending else F.col(value_col).desc()
     dtypes = dict(g.dtypes)
     numeric = dtypes[value_col].startswith(_NUMERIC_PREFIXES)
-    if not numeric or g.count() <= int(buckets):
+    n_grain = grain_count if grain_count is not None else (
+        g.count() if numeric else 0
+    )
+    if not numeric or n_grain <= int(buckets):
         w_in = (
             W.partitionBy(*group_cols)
             .orderBy(order)
@@ -3086,8 +3096,21 @@ def spearman_by_group(
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
         .persist()
     )
-    gx = gxy.groupBy(*keys, "_x").agg(F.sum("_c").cast("long").alias("_n"))
-    gy = gxy.groupBy(*keys, "_y").agg(F.sum("_c").cast("long").alias("_n"))
+    from pyspark import StorageLevel
+
+    # each value grain is read twice inside _grain_prefix (min/max pass
+    # + bucket pass) plus once by its own fast-path count — persist
+    # both (MEMORY_ONLY: re-read within seconds, never spilled)
+    gx = (
+        gxy.groupBy(*keys, "_x")
+        .agg(F.sum("_c").cast("long").alias("_n"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    gy = (
+        gxy.groupBy(*keys, "_y")
+        .agg(F.sum("_c").cast("long").alias("_n"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
     dr = (2 * F.col("_cum_n") - F.col("_n") + 1).cast("long")
     cx = _grain_prefix(
         gx, "_x", ["_n"], ascending=True, buckets=int(rank_buckets),
@@ -3123,7 +3146,7 @@ def spearman_by_group(
             "(abs(_num) * 1000000) div (_rx * _ry)) END AS BIGINT)"
         ).alias("rho_ppm"),
     )
-    return track_cached(out, gxy)
+    return track_cached(out, gxy, gx, gy)
 
 
 def mann_whitney_u(
