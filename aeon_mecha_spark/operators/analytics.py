@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 from fractions import Fraction
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -1712,7 +1713,7 @@ def lift_table(
     g = base.groupBy("_s").agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_y").cast("long").alias("_p"),
-    ).persist()
+    ).persist(StorageLevel.MEMORY_ONLY)
     cum = _grain_prefix(
         g, "_s", ["_n", "_p"], ascending=False, buckets=int(score_buckets)
     )
@@ -2525,7 +2526,7 @@ def quantile_map(
     base = df.filter(F.col(value_col).isNotNull())
     g = base.groupBy(
         F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
-    ).agg(F.count(F.lit(1)).cast("long").alias("_n")).persist()
+    ).agg(F.count(F.lit(1)).cast("long").alias("_n")).persist(StorageLevel.MEMORY_ONLY)
     v_type = dict(g.dtypes)["_v"]
     g_type = dict(g.dtypes)["_g"]
 
@@ -2542,7 +2543,7 @@ def quantile_map(
             ),
         )
         .select("_g", "_v", "cdf_ppm")
-        .persist()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
 
     # -- ppm-bucketed union-merge as-of (cdf_ppm ∈ [0, 10⁶]) --
@@ -3094,10 +3095,8 @@ def spearman_by_group(
     gxy = (
         base.groupBy(*keys, "_x", "_y")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-        .persist()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
-    from pyspark import StorageLevel
-
     # each value grain is read twice inside _grain_prefix (min/max pass
     # + bucket pass) plus once by its own fast-path count — persist
     # both (MEMORY_ONLY: re-read within seconds, never spilled)
@@ -3191,7 +3190,7 @@ def mann_whitney_u(
             F.count(F.lit(1)).cast("long").alias("_n"),
             F.sum("_a").cast("long").alias("_na"),
         )
-        .persist()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     cum = _grain_prefix(
         grain, "_v", ["_n"], ascending=True, buckets=1024, group_cols=keys
@@ -3241,7 +3240,7 @@ def roc_points(
     g = base.groupBy("_s").agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_y").cast("long").alias("_p"),
-    ).persist()
+    ).persist(StorageLevel.MEMORY_ONLY)
     cum = _grain_prefix(
         g, "_s", ["_n", "_p"], ascending=False, buckets=int(score_buckets)
     )
@@ -3509,11 +3508,11 @@ def kruskal_wallis(
     )
     grain_g = base.groupBy(*keys, "_v", "_g").agg(
         F.count(F.lit(1)).cast("long").alias("_ngv")
-    )
+    ).persist(StorageLevel.MEMORY_ONLY)  # 2 consumers: grain + dr join
     grain = (
         grain_g.groupBy(*keys, "_v")
         .agg(F.sum("_ngv").cast("long").alias("_n"))
-        .persist()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     dr_tbl = _grain_prefix(
         grain, "_v", ["_n"], ascending=True, buckets=1024, group_cols=keys
@@ -3567,7 +3566,7 @@ def kruskal_wallis(
             ).alias("tie_ppm"),
         )
     )
-    return track_cached(out, grain)
+    return track_cached(out, grain, grain_g)
 
 
 def calibration_table(
@@ -4390,7 +4389,7 @@ def pr_points(
     g = base.groupBy("_s").agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_y").cast("long").alias("_p"),
-    ).persist()
+    ).persist(StorageLevel.MEMORY_ONLY)
     cum = _grain_prefix(
         g, "_s", ["_n", "_p"], ascending=False, buckets=int(score_buckets)
     )
@@ -4436,7 +4435,7 @@ def lorenz_points(
         base.groupBy("_v")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
         .withColumn("_s", F.expr("CAST(_v AS DECIMAL(38,0)) * _n"))
-        .persist()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     cum = _grain_prefix(
         g, "_v", ["_n", "_s"], ascending=True, buckets=int(value_buckets)

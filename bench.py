@@ -263,6 +263,10 @@ def main() -> None:
                 "reps": reps,
                 "sf": sf,
                 "sentinel_sec": sentinel,
+                # min over all runs: the estimator rounds r1-r8 used —
+                # kept for cross-round comparisons that span the
+                # round-9 median switch
+                "sentinel_min_sec": round(min(all_sent), 3),
                 "sentinel_runs_pre": sent_pre,
                 "sentinel_runs_post": sent_post,
                 "normalized": normalized,
