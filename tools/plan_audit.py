@@ -44,19 +44,17 @@ TINY_GLOBAL_WINDOW_OK = {
     "q115_range_shard",  # boundary quantiles over the bounded hash sample
     "q124_key_skew_stats",  # rank window over the already-limited <= top_n rows
     "q145_rrf_fusion",  # rank windows over TakeOrdered-cut top-200 lists
-    "q169_lift_table",  # <=score_buckets-row bucket-offset table, bounded BY
-    # CONSTRUCTION (bucket id is least/greatest-clamped to [0, 1024)) —
-    # the two-level prefix-sum path; the distinct-score grain itself is
-    # windowed per bucket
-    "q209_roc_points",  # same two-level path as q169: the only global
-    # windows read the <=score_buckets-row clamped bucket-offset table
+    "q169_lift_table",  # two regimes, both bounded: the adaptive fast
+    # path (a counted <=score_buckets-row distinct grain in one window —
+    # the count() check IS the machine guard) or the two-level path whose
+    # only global window reads the clamped <=score_buckets-row bucket
+    # table
+    "q209_roc_points",  # same adaptive/two-level regimes as q169
     "q215_bh_fdr",  # the global windows read the <=ppm_buckets-row p-bucket
     # count table (bucket id = p div step with p in [0, 1e6] — bounded BY
     # CONSTRUCTION); row ranking is per-bucket
-    "q238_pr_points",  # q209's two-level path: global windows only over the
-    # <=score_buckets-row clamped bucket-offset table
-    "q239_lorenz",  # same two-level path ascending: global windows only over
-    # the <=value_buckets-row clamped bucket-offset table
+    "q238_pr_points",  # same adaptive/two-level regimes as q169
+    "q239_lorenz",  # q169's regimes, ascending
     "q183_compaction",  # planner rank over the FILE LISTING (metadata rows)
     "q184_quantile_map",  # <=ppm_buckets+1-row spine (spark.range literal) —
     # per-group CDF and the union-merge as-of are both bucket-partitioned;
