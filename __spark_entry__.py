@@ -1177,10 +1177,12 @@ def q86_frame_sample_plan(spark, sf_dir):
 
 
 def q87_zarr_decode(spark, sf_dir):
-    """Zarr v2 twin-resolution + distributed decode (S11): writes a
-    deterministic zlib-compressed zarr store, resolves bin/zarr twins,
-    and decodes via mapInPandas with the numpy fallback. Rows-only gate
-    (no SQL engine reads zarr); values are pinned by test_zarr_decode.
+    """Zarr v2 twin-resolution + distributed decode (S11): writes one
+    deterministic zlib-compressed store AND one blosc(zlib,
+    byte-shuffle) store (round 9: the vendored blosc v1 frame decoder),
+    resolves bin/zarr twins, and decodes both via mapInPandas with the
+    numpy fallback. Rows-only gate (no SQL engine reads zarr); values
+    are pinned by test_zarr_decode.
     """
     import json
     import tempfile
@@ -1209,8 +1211,28 @@ def q87_zarr_decode(spark, sf_dir):
         chunk[: rows.shape[0]] = rows
         with open(os.path.join(store, f"{i}.0"), "wb") as f:
             f.write(zlib.compress(chunk.tobytes()))
+    store2 = os.path.join(root, "rec2.zarr")
+    os.makedirs(store2, exist_ok=True)
+    arr2 = (np.arange(20, dtype="<i8") * 3 - 7).reshape(10, 2)
+    with open(os.path.join(store2, ".zarray"), "w") as f:
+        json.dump(
+            {
+                "zarr_format": 2, "shape": [10, 2], "chunks": [4, 2],
+                "dtype": "<i8",
+                "compressor": {"id": "blosc", "cname": "zlib", "shuffle": 1},
+                "fill_value": 0, "order": "C", "filters": None,
+            },
+            f,
+        )
+    for i in range(3):
+        chunk = np.zeros((4, 2), dtype="<i8")
+        rows = arr2[i * 4 : (i + 1) * 4]
+        chunk[: rows.shape[0]] = rows
+        with open(os.path.join(store2, f"{i}.0"), "wb") as f:
+            f.write(Z.encode_blosc1_zlib(chunk.tobytes(), typesize=8, blocksize=32))
     listing = spark.createDataFrame(
-        [(os.path.join(root, "rec1.bin"),), (store,)], "file_path string"
+        [(os.path.join(root, "rec1.bin"),), (store,), (store2,)],
+        "file_path string",
     )
     resolved = Z.resolve_twins(listing)
     out = Z.read_zarr_array(spark, resolved)
@@ -1218,11 +1240,12 @@ def q87_zarr_decode(spark, sf_dir):
     # column and crashes on list-typed values (CORRECTNESS_r03 q87), so
     # the array is emitted as a csv string plus checksum aggregates.
     return out.select(
+        F.element_at(F.split("store_path", "/"), -1).alias("store"),
         "idx",
         F.size("values").alias("n_vals"),
         F.round(F.aggregate("values", F.lit(0.0), lambda a, x: a + x), 6).alias("val_sum"),
         F.concat_ws(",", F.transform("values", lambda x: F.format_string("%.3f", x))).alias("vals_csv"),
-    ).orderBy("idx")
+    ).orderBy("store", "idx")
 
 
 def q88_tfidf(spark, sf_dir):
