@@ -3817,6 +3817,19 @@ def q245_customer_distribution(spark, sf_dir):
     )
 
 
+def q247_trimmed_mean(spark, sf_dir):
+    """5%-per-tail trimmed mean of line price cents per return flag:
+    mass-exact boundary handling on the distinct-value grain (shared
+    _grain_prefix two-level path), sign*abs milli div."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("_cents"),
+    )
+    return analytics.trimmed_mean(
+        li, ["l_returnflag"], "_cents", trim_ppm=50_000
+    ).orderBy("l_returnflag")
+
+
 def q246_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: would-be revenue from small-quantity discounted
     lines in one ship year — a pure scan-filter-aggregate whose
@@ -3863,6 +3876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_volume_shipping": q244_volume_shipping,
         "q245_customer_distribution": q245_customer_distribution,
         "q246_forecast_revenue": q246_forecast_revenue,
+        "q247_trimmed_mean": q247_trimmed_mean,
         "q169_lift_table": q169_lift_table,
         "q184_quantile_map": q184_quantile_map,
         "q191_kcore": q191_kcore,
@@ -3908,9 +3922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_langid": q33_langid,
         "q34_minhash": q34_minhash,
         "q35_lsh_jaccard": q35_lsh_jaccard,
-        "q36_knn_cosine": q36_knn_cosine,
     # ---- everything below is past the driver's 50-entry window; the
     # ---- committed CHECK_FULL_r{N}.json re-verifies it every round
+        "q36_knn_cosine": q36_knn_cosine,
         "q240_nelson_aalen": q240_nelson_aalen,
         "q241_logrank": q241_logrank,
         "q242_cramers_v": q242_cramers_v,
@@ -9350,6 +9364,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_count, count(*)::bigint AS custdist
             FROM per_c GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
+        """,
+        "q247_trimmed_mean": """
+            -- 5%-per-tail trimmed mean, mass-exact tie handling at the
+            -- trim boundaries (w = clamp window over inclusive cums)
+            WITH b AS (
+              SELECT l_returnflag AS k,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+              FROM lineitem),
+            g AS (SELECT k, v, count(*)::bigint AS n FROM b GROUP BY k, v),
+            c AS (
+              SELECT *, sum(n) OVER (PARTITION BY k ORDER BY v ASC) AS cum,
+                     sum(n) OVER (PARTITION BY k) AS tot
+              FROM g),
+            w AS (
+              SELECT k, v, n, cum, tot, (tot * 50000) // 1000000 AS kk
+              FROM c),
+            kept AS (
+              SELECT k, v, tot,
+                     greatest(0, least(cum, tot - kk)
+                              - greatest(cum - n, kk)) AS w
+              FROM w)
+            SELECT k AS l_returnflag,
+                   CAST(max(tot) AS BIGINT) AS n,
+                   CAST(sum(w) AS BIGINT) AS n_kept,
+                   CAST(CASE WHEN sum(w) > 0 THEN
+                     CAST(sign(sum(v::hugeint * w)) AS HUGEINT)
+                     * ((abs(sum(v::hugeint * w)) * 1000) // sum(w))
+                   END AS BIGINT) AS trimmed_mean_milli
+            FROM kept GROUP BY k ORDER BY 1
         """,
         "q246_forecast_revenue": """
             -- TPC-H Q6: scan-filter-aggregate, exact 1e-4-dollar units

@@ -4454,6 +4454,76 @@ def lorenz_points(
     return track_cached(out, g)
 
 
+def trimmed_mean(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    trim_ppm: int = 50_000,
+    value_buckets: int = 1024,
+) -> DataFrame:
+    """Exact per-key trimmed mean of an integral measure: drop the
+    lowest and highest ``k = (n·trim_ppm) div 10⁶`` observations per
+    key and average the rest — the robust location estimate for
+    metric pipelines where a winsorize (clip) would bias and a median
+    throws away too much.
+
+    Values must be integral (pre-scale to cents, the ``gini_by_group``
+    convention) so the kept-mass sum stays exact. Tie handling is
+    mass-exact: a distinct value with count ``n_v`` and inclusive
+    cumulative count ``c_v`` keeps
+    ``w_v = max(0, min(c_v, n−k) − max(c_v−n_v, k))`` observations —
+    partial inclusion at the trim boundaries, Σw = n−2k always, no
+    row-order dependence. Mean in exact milli via the sign·abs-div
+    convention.
+
+    Plan: one shuffle to the distinct-(key, value) grain, the shared
+    :func:`_grain_prefix` two-level prefix sum (adaptive fast path for
+    small grains), map-side clamp arithmetic, one per-key aggregate.
+    The grain persists (MEMORY_ONLY) and rides on the result via
+    ``track_cached``. Output: ``(keys…, n, n_kept,
+    trimmed_mean_milli)``.
+    """
+    from aeon_mecha_spark.util import track_cached
+
+    if not 0 <= int(trim_ppm) < 500_000:
+        raise ValueError("trim_ppm must be in [0, 500000)")
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, F.col(value_col).cast("long").alias("_v")
+    )
+    g = (
+        base.groupBy(*keys, "_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    cum = _grain_prefix(
+        g, "_v", ["_n"], ascending=True, buckets=int(value_buckets),
+        group_cols=keys,
+    )
+    kept = cum.withColumn(
+        "_k", F.expr(f"(_tot_n * {int(trim_ppm)}) div 1000000")
+    ).withColumn(
+        "_w",
+        F.expr(
+            "greatest(0L, least(_cum_n, _tot_n - _k) "
+            "- greatest(_cum_n - _n, _k))"
+        ),
+    )
+    out = kept.groupBy(*keys).agg(
+        F.max("_tot_n").cast("long").alias("n"),
+        F.sum("_w").cast("long").alias("n_kept"),
+        F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _w")).alias("_ts"),
+    ).select(
+        *keys,
+        "n",
+        "n_kept",
+        F.expr(
+            "CAST(CASE WHEN n_kept > 0 THEN "
+            "sign(_ts) * ((abs(_ts) * 1000) div n_kept) END AS BIGINT)"
+        ).alias("trimmed_mean_milli"),
+    )
+    return track_cached(out, g)
+
+
 def nelson_aalen(
     df: DataFrame,
     keys: list[str],

@@ -36,7 +36,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # window -> q181 ewma; q47 hyperplane-LSH -> q48 IVF + q72 LSH dedup;
 # q120 IQR fences -> q151 MAD two-pass; q162 BPE apply -> q163 learn;
 # q174 pairwise vocab -> q159 sparse cosine; q179 KL -> q204 PSI +
-# q210 JSD.
+# q210 JSD. Second wave (q243-q247 joined): q34 minhash -> q35
+# (includes the minhash stage); q143 chi2 -> q242 (cells + isqrt);
+# q148 winsorize -> q151 (quantile fences broadcast back); q167
+# per-key CDF window -> q170 (same one-sort-per-key shape); q195
+# avg-threshold filter -> q237 (same cross-multiplied shape).
 HEADLINE = [
     "q01_pricing_summary",   # scan + groupBy agg
     "q06_revenue_by_nation", # multi-join + agg
@@ -45,7 +49,6 @@ HEADLINE = [
     "q18_asof_join",         # as-of union-merge join
     "q19_interval_count",    # point-in-interval join
     "q22_sync_regression",   # closed-form OLS moments
-    "q34_minhash",           # shingle explode + min-hash
     "q35_lsh_jaccard",       # LSH band self-join + verify
     "q46_bucketed_range_join",  # big-big range join (no broadcast)
     "q48_ivf_knn",           # IVF-bucketed ANN
@@ -83,12 +86,10 @@ HEADLINE = [
     "q139_table_diff",       # CDC diff: digest-width full-outer join
     "q140_pmi_collocations",  # exact linearized-PMI collocation mining
     "q141_repetition_signals",  # Gopher repetition: map-side + doc-keyed mode
-    "q143_chi_square",       # exact integral contingency cells
     "q144_ngram_novelty",    # keep-first gram ownership, gram/doc-keyed
     "q145_rrf_fusion",       # RRF blend over TakeOrdered top-200 lists
     "q146_sequence_pattern",  # A-then-B via value-based RANGE frame
     "q147_impute_median",    # group-median fill, two-level quantile path
-    "q148_winsorize",        # clip to broadcast [p05,p95] group bounds
     "q149_cube_agg",         # 2-dim CUBE in one Expand+aggregate
     "q150_target_encode",    # integral micro-unit smoothed encoding
     "q151_mad_outliers",     # two quantile passes + broadcast fences
@@ -103,7 +104,6 @@ HEADLINE = [
     "q164_exact_split",      # largest-remainder quotas + hash ranks
     "q165_corr_pairs",       # 15 exact moments in one aggregate pass
     "q166_woe",              # micro-nat WOE / IV, totals broadcast
-    "q167_cdf_transform",    # RANGE-frame CDF, one per-key sort
     "q168_seasonal_anomaly",  # phase medians + residual Tukey fences
     "q169_lift_table",       # distinct-score-grain decile gains
     "q170_gini",             # ranked-sum concentration per key
@@ -125,7 +125,6 @@ HEADLINE = [
     "q192_feature_hash",     # hashing-trick vectorizer, map-side
     "q193_position_attribution",  # U-shaped credit, one window + explode
     "q194_top_supplier",     # Q15: scalar max broadcast, tie-inclusive
-    "q195_small_qty_revenue",  # Q17: cross-multiplied avg filter
     "q196_large_orders",     # Q18: HAVING + join-back, det. top-100
     "q197_waiting_supplier",  # Q21: EXISTS-free double aggregate
     "q198_idle_customers",   # Q22: scalar avg + anti-join
@@ -173,6 +172,11 @@ HEADLINE = [
     "q240_nelson_aalen",     # cumulative hazard, ppm floors
     "q241_logrank",          # two-sample survival O/E/V sums
     "q242_cramers_v",        # chi2 effect size, exact isqrt
+    "q243_shipping_priority", # Q3: 3-table join, det. top-10
+    "q244_volume_shipping",  # Q7: nation-pair revenue, 2 bcast dims
+    "q245_customer_distribution",  # Q13: left-join count histogram
+    "q246_forecast_revenue", # Q6: pure pushed scan-filter-agg
+    "q247_trimmed_mean",     # mass-exact trim on the grain-prefix path
 ]
 
 

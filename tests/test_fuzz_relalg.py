@@ -284,6 +284,76 @@ def _apply_op(rng: random.Random, ch: Chain, tables, op: str) -> Chain:
         new_cols[name] = "i"
         return Chain(out, sql, new_cols, ch.pk, ch.joined)
 
+    if op in ("semi", "antij"):
+        # restrict/anti-restrict by a RELATION operand: the dim PK is
+        # renamed to the fact FK so the shared-column set is exactly
+        # {fk}; Relation semi/anti-joins on it (dropDuplicates first)
+        edges = [
+            (fk, dim, dimpk)
+            for fk, dim, dimpk in ch.edges_avail
+            if fk in ch.cols
+        ]
+        if not edges:
+            return ch
+        fk, dim, dimpk = rng.choice(edges)
+        dim_rel, _ = tables[dim]
+        m = rng.randint(2, 5)
+        sub = dim_rel.proj(**{fk: dimpk}) & f"{fk} % {m} = 0"
+        inner = (
+            f"SELECT DISTINCT {dimpk} AS {fk} FROM {dim} "
+            f"WHERE {dimpk} % {m} = 0"
+        )
+        if op == "semi":
+            out = ch.rel & sub
+            kw = "SEMI"
+        else:
+            out = ch.rel - sub
+            kw = "ANTI"
+        sql = f"SELECT * FROM ({ch.sql}) {kw} JOIN ({inner}) USING ({fk})"
+        return Chain(out, sql, ch.cols, ch.pk, ch.joined)
+
+    if op == "aggr_left":
+        # aggr(..., keep_all_rows=True) over a RESTRICTED dim: unmatched
+        # fact rows keep NULL aggregates — the left-join branch
+        edges = [
+            (fk, dim, dimpk)
+            for fk, dim, dimpk in ch.edges_avail
+            if fk in ch.cols
+        ]
+        if not edges:
+            return ch
+        fk, dim, dimpk = rng.choice(edges)
+        dim_rel, _ = tables[dim]
+        name = f"fz_ln{len(ch.cols)}"
+        if name in ch.cols:
+            return ch
+        m = rng.randint(2, 4)
+        sub = dim_rel.proj(**{fk: dimpk}) & f"{fk} % {m} = 1"
+        out = ch.rel.aggr(
+            sub, keep_all_rows=True, **{name: "CAST(COUNT(*) AS BIGINT)"}
+        )
+        inner = f"SELECT {dimpk} AS {fk} FROM {dim} WHERE {dimpk} % {m} = 1"
+        sql = (
+            f"SELECT * FROM ({ch.sql}) LEFT JOIN "
+            f"(SELECT {fk}, CAST(COUNT(*) AS BIGINT) AS {name} "
+            f"FROM ({inner}) GROUP BY {fk}) USING ({fk})"
+        )
+        cols = dict(ch.cols)
+        cols[name] = "i"
+        return Chain(out, sql, cols, ch.pk, ch.joined)
+
+    if op == "udistinct":
+        from aeon_mecha_spark.query.relation import U as _U
+
+        cands = [c for c, k in ch.cols.items() if k in "is"]
+        if not cands:
+            return ch
+        attrs = rng.sample(cands, k=min(len(cands), rng.randint(1, 3)))
+        out = _U(*attrs) & ch.rel
+        sql = f"SELECT DISTINCT {', '.join(attrs)} FROM ({ch.sql})"
+        cols = {a: ch.cols[a] for a in attrs}
+        return Chain(out, sql, cols, attrs, ch.joined)
+
     if op == "proj_subset":
         non_pk = [c for c in ch.cols if c not in ch.pk]
         if len(non_pk) < 2:
@@ -367,19 +437,26 @@ def _build(rng: random.Random, tables) -> Chain:
     rel, meta = tables[t]
     ch = Chain(rel, f"SELECT * FROM {t}", meta["cols"], meta["pk"], {t})
     ch.edges_avail = EDGES.get(t, [])
-    ops = ["restrict", "anti", "join", "aggr", "proj_subset", "proj_compute", "union"]
+    ops = [
+        "restrict", "anti", "join", "aggr", "proj_subset", "proj_compute",
+        "union", "semi", "antij", "aggr_left",
+    ]
     for _ in range(rng.randint(2, 5)):
         nxt = _apply_op(rng, ch, tables, rng.choice(ops))
         nxt.edges_avail = ch.edges_avail
         ch = nxt
     # optional terminal op
     term = rng.random()
-    if term < 0.35:
+    if term < 0.30:
         nxt = _apply_op(rng, ch, tables, "uagg")
         nxt.edges_avail = ch.edges_avail
         ch = nxt
-    elif term < 0.55:
+    elif term < 0.45:
         nxt = _apply_op(rng, ch, tables, "top")
+        nxt.edges_avail = ch.edges_avail
+        ch = nxt
+    elif term < 0.60:
+        nxt = _apply_op(rng, ch, tables, "udistinct")
         nxt.edges_avail = ch.edges_avail
         ch = nxt
     return ch

@@ -245,3 +245,48 @@ def test_rank_ops_partition_invariant(spark):
             base = (s, u, kw)
         else:
             assert (s, u, kw) == base
+
+
+def test_trimmed_mean_hand_case(spark):
+    from aeon_mecha_spark.operators.analytics import trimmed_mean
+    from aeon_mecha_spark.util import release_cached
+
+    # n=10, 10% per tail -> k=1: drop one 0 and one 100 -> mean of
+    # [1..8] = 4.5 -> 4500 milli
+    rows = [("k", v) for v in [0, 1, 2, 3, 4, 5, 6, 7, 8, 100]]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = trimmed_mean(df, ["k"], "v", trim_ppm=100_000)
+    r = out.collect()[0]
+    release_cached(out)
+    assert (r["n"], r["n_kept"], r["trimmed_mean_milli"]) == (10, 8, 4500)
+
+
+def test_trimmed_mean_matches_python_mirror(spark):
+    import random
+
+    from aeon_mecha_spark.operators.analytics import trimmed_mean
+    from aeon_mecha_spark.util import release_cached
+
+    rng = random.Random(42)
+    rows = [("k%d" % (i % 2), rng.randint(-500, 500)) for i in range(337)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    out = trimmed_mean(df, ["k"], "v", trim_ppm=50_000, value_buckets=8)
+    got = {r["k"]: r for r in out.collect()}
+    release_cached(out)
+    for key in ("k0", "k1"):
+        vals = sorted(v for k, v in rows if k == key)
+        n = len(vals)
+        kk = n * 50_000 // 1_000_000
+        kept = vals[kk : n - kk]
+        ts = sum(kept)
+        exp = (1 if ts >= 0 else -1) * (abs(ts) * 1000 // len(kept))
+        assert got[key]["n"] == n and got[key]["n_kept"] == n - 2 * kk
+        assert got[key]["trimmed_mean_milli"] == exp, key
+
+
+def test_trimmed_mean_rejects_half_trim(spark):
+    from aeon_mecha_spark.operators.analytics import trimmed_mean
+
+    df = spark.createDataFrame([("k", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="trim_ppm"):
+        trimmed_mean(df, ["k"], "v", trim_ppm=500_000)
