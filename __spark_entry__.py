@@ -1178,11 +1178,12 @@ def q86_frame_sample_plan(spark, sf_dir):
 
 def q87_zarr_decode(spark, sf_dir):
     """Zarr v2 twin-resolution + distributed decode (S11): writes one
-    deterministic zlib-compressed store AND one blosc(zlib,
-    byte-shuffle) store (round 9: the vendored blosc v1 frame decoder),
-    resolves bin/zarr twins, and decodes both via mapInPandas with the
-    numpy fallback. Rows-only gate (no SQL engine reads zarr); values
-    are pinned by test_zarr_decode.
+    deterministic zlib-compressed store AND one blosc(zstd,
+    byte-shuffle) store — zstd is the codec the reference compresses
+    its intermediates with (round 9: vendored blosc v1 frame decoder +
+    pyarrow raw codecs) — resolves bin/zarr twins, and decodes both via
+    mapInPandas with the numpy fallback. Rows-only gate (no SQL engine
+    reads zarr); values are pinned by test_zarr_decode.
     """
     import json
     import tempfile
@@ -1219,7 +1220,7 @@ def q87_zarr_decode(spark, sf_dir):
             {
                 "zarr_format": 2, "shape": [10, 2], "chunks": [4, 2],
                 "dtype": "<i8",
-                "compressor": {"id": "blosc", "cname": "zlib", "shuffle": 1},
+                "compressor": {"id": "blosc", "cname": "zstd", "shuffle": 1},
                 "fill_value": 0, "order": "C", "filters": None,
             },
             f,
@@ -1229,7 +1230,7 @@ def q87_zarr_decode(spark, sf_dir):
         rows = arr2[i * 4 : (i + 1) * 4]
         chunk[: rows.shape[0]] = rows
         with open(os.path.join(store2, f"{i}.0"), "wb") as f:
-            f.write(Z.encode_blosc1_zlib(chunk.tobytes(), typesize=8, blocksize=32))
+            f.write(Z.encode_blosc1_zlib(chunk.tobytes(), typesize=8, blocksize=32, cname="zstd"))
     listing = spark.createDataFrame(
         [(os.path.join(root, "rec1.bin"),), (store,), (store2,)],
         "file_path string",

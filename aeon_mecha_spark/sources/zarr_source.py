@@ -9,10 +9,12 @@ twin; readers resolve the pair at read time preferring compressed
 Spark shape: twin resolution is a *catalog* operation over the file
 listing (pure DataFrame — implemented here, tested); the decode stage is
 ``mapInPandas`` over resolved store paths. Decoding uses the zarr
-library when present, else a pure numpy+json+zlib fallback that reads
-zarr **v2** stores with ``compressor: null`` or ``zlib`` (the subset a
-container without zarr/blosc can still serve); Blosc-compressed stores
-raise a clear error naming the missing codec.
+library when present, else a pure numpy fallback that reads zarr **v2**
+stores with ``compressor: null``, ``zlib``, or ``blosc`` whose inner
+codec is zlib/zstd/lz4/snappy (vendored frame decoder; zstd — the
+reference's actual intermediate codec — via pyarrow's raw codecs);
+only blosc-blosclz and bit-shuffle still raise a clear error naming
+the missing library.
 """
 
 from __future__ import annotations
@@ -42,7 +44,33 @@ except Exception:  # pragma: no cover
 _BLOSC_SHUFFLE = 0x1
 _BLOSC_MEMCPY = 0x2
 _BLOSC_BITSHUFFLE = 0x4
+_BLOSC_LZ4 = 1
+_BLOSC_SNAPPY = 2
 _BLOSC_ZLIB = 3
+_BLOSC_ZSTD = 4
+# pyarrow (a hard Spark dependency) ships raw-block codecs for the
+# non-zlib blosc inner codecs: zstd frames, raw LZ4 blocks
+# (LZ4_compress_default — pyarrow 'lz4_raw'), raw snappy
+_PA_CODEC_NAME = {_BLOSC_LZ4: "lz4_raw", _BLOSC_SNAPPY: "snappy", _BLOSC_ZSTD: "zstd"}
+
+
+def _inner_decompress(codec: int, raw: bytes, out_size: int) -> bytes:
+    if codec == _BLOSC_ZLIB:
+        return zlib.decompress(raw)
+    name = _PA_CODEC_NAME.get(codec)
+    if name is None:
+        raise NotImplementedError(
+            f"blosc inner codec {codec} (blosclz) needs the blosc library"
+        )
+    try:
+        import pyarrow as pa
+    except Exception as exc:  # pragma: no cover - pyarrow is baked in
+        raise NotImplementedError(
+            f"blosc inner codec {name} needs pyarrow or the blosc library"
+        ) from exc
+    if not pa.Codec.is_available(name):  # pragma: no cover
+        raise NotImplementedError(f"pyarrow build lacks the {name} codec")
+    return pa.Codec(name).decompress(raw, out_size, asbytes=True)
 
 
 def _unshuffle(b: np.ndarray, typesize: int) -> np.ndarray:
@@ -57,19 +85,23 @@ def _shuffle(b: np.ndarray, typesize: int) -> np.ndarray:
 
 
 def decode_blosc1(buf: bytes) -> bytes:
-    """Minimal pure-python Blosc v1 chunk decoder for the byte-shuffle +
-    zlib (and memcpy) cases — the stdlib-decodable subset of the codec
-    the reference compresses its zarr intermediates with
-    (SPEC_ZARR_INTERMEDIATES.md:40-57). Layout per the public c-blosc
-    header spec: 16-byte header, then (unless memcpy) one LE int32
-    block-start offset per block; each block stream opens with an LE
-    int32 compressed size — equal to the block's uncompressed size
-    means stored-raw, otherwise a zlib stream (zlib never splits blocks
-    in blosc1, so exactly one stream per block). Shuffle is applied PER
-    BLOCK before compression, so it is inverted per block here.
+    """Pure-python Blosc v1 chunk decoder for the byte-shuffle + zlib /
+    zstd / lz4 / snappy (and memcpy) cases — zstd being the codec the
+    reference compresses its zarr intermediates with
+    (SPEC_ZARR_INTERMEDIATES.md:40-57). zlib decodes with the stdlib;
+    the others through pyarrow's raw-block codecs (a hard Spark
+    dependency). Layout per the public c-blosc header spec: 16-byte
+    header, then (unless memcpy) one LE int32 block-start offset per
+    block; each block stream opens with an LE int32 compressed size —
+    equal to the block's uncompressed size means stored-raw. zlib /
+    zstd / snappy never split blocks in blosc1 (one stream per block);
+    LZ4 chunks MAY be split into ``typesize`` sub-streams when shuffle
+    is on — decoding first tries the unsplit layout and falls back to
+    the typesize-split one. Shuffle is applied PER BLOCK before
+    compression, so it is inverted per block here.
 
-    lz4/zstd/snappy/blosclz inner codecs and bit-shuffle raise
-    ``NotImplementedError`` naming the missing library.
+    blosclz and bit-shuffle raise ``NotImplementedError`` naming the
+    missing library.
     """
     if len(buf) < 16:
         raise ValueError("blosc chunk shorter than its 16-byte header")
@@ -82,22 +114,32 @@ def decode_blosc1(buf: bytes) -> bytes:
     if flags & _BLOSC_MEMCPY:
         return bytes(buf[16 : 16 + nbytes])
     codec = (flags >> 5) & 0x7
-    if codec != _BLOSC_ZLIB:
-        raise NotImplementedError(
-            f"blosc inner codec {codec} needs the blosc library "
-            "(only zlib/memcpy decodable with the stdlib fallback)"
-        )
+
+    def _read_streams(start: int, sizes: list[int]) -> bytes:
+        parts, pos = [], start
+        for out_size in sizes:
+            (sbytes,) = struct.unpack_from("<i", buf, pos)
+            raw = buf[pos + 4 : pos + 4 + sbytes]
+            part = raw if sbytes == out_size else _inner_decompress(codec, raw, out_size)
+            if len(part) != out_size:
+                raise ValueError(f"blosc stream: got {len(part)} of {out_size} bytes")
+            parts.append(part)
+            pos += 4 + sbytes
+        return b"".join(parts)
+
     shuffled = bool(flags & _BLOSC_SHUFFLE) and typesize > 1
     nblocks = max(1, -(-nbytes // blocksize)) if blocksize else 1
     bstarts = struct.unpack_from(f"<{nblocks}i", buf, 16)
     out = np.empty(nbytes, dtype=np.uint8)
     for j, bs in enumerate(bstarts):
         neblock = min(blocksize, nbytes - j * blocksize)
-        (sbytes,) = struct.unpack_from("<i", buf, bs)
-        raw = buf[bs + 4 : bs + 4 + sbytes]
-        block = raw if sbytes == neblock else zlib.decompress(raw)
-        if len(block) != neblock:
-            raise ValueError(f"blosc block {j}: got {len(block)} of {neblock} bytes")
+        try:
+            block = _read_streams(bs, [neblock])
+        except (ValueError, OSError):
+            if codec != _BLOSC_LZ4 or typesize <= 1 or neblock % typesize:
+                raise
+            # c-blosc splits shuffled LZ4 blocks into typesize streams
+            block = _read_streams(bs, [neblock // typesize] * typesize)
         b = np.frombuffer(block, dtype=np.uint8)
         out[j * blocksize : j * blocksize + neblock] = (
             _unshuffle(b, typesize) if shuffled else b
@@ -105,17 +147,39 @@ def decode_blosc1(buf: bytes) -> bytes:
     return out.tobytes()
 
 
+_CNAME_TO_CODE = {
+    "zlib": _BLOSC_ZLIB,
+    "zstd": _BLOSC_ZSTD,
+    "lz4": _BLOSC_LZ4,
+    "snappy": _BLOSC_SNAPPY,
+}
+
+
+def _inner_compress(codec: int, raw: bytes) -> bytes:
+    if codec == _BLOSC_ZLIB:
+        return zlib.compress(raw, 5)
+    import pyarrow as pa
+
+    return pa.Codec(_PA_CODEC_NAME[codec]).compress(raw, asbytes=True)
+
+
 def encode_blosc1_zlib(
-    data: bytes, typesize: int, blocksize: int | None = None, shuffle: bool = True
+    data: bytes,
+    typesize: int,
+    blocksize: int | None = None,
+    shuffle: bool = True,
+    cname: str = "zlib",
 ) -> bytes:
-    """Blosc v1 chunk WRITER for the same byte-shuffle + zlib subset —
-    the fixture generator for :func:`decode_blosc1` (the container has
-    no blosc library to produce real chunks, so tests round-trip
-    through this encoder, which follows the identical public header
-    layout a real c-blosc zlib chunk uses)."""
+    """Blosc v1 chunk WRITER (byte-shuffle + zlib/zstd/lz4/snappy,
+    unsplit stream layout) — the fixture generator for
+    :func:`decode_blosc1` (the container has no blosc library to
+    produce real chunks, so tests round-trip through this encoder,
+    which follows the identical public header layout a real c-blosc
+    chunk uses). Name kept from the zlib-only round-9 original."""
     nbytes = len(data)
     if typesize < 1 or nbytes % typesize:
         raise ValueError("nbytes must be a multiple of typesize")
+    codec = _CNAME_TO_CODE[cname]
     if blocksize is None:
         blocksize = min(nbytes, max(typesize, 1 << 16))
     blocksize = max(typesize, blocksize - blocksize % typesize)
@@ -127,7 +191,7 @@ def encode_blosc1_zlib(
         b = arr[j * blocksize : j * blocksize + neblock]
         if shuffle and typesize > 1:
             b = _shuffle(b, typesize)
-        comp = zlib.compress(b.tobytes(), 5)
+        comp = _inner_compress(codec, b.tobytes())
         if len(comp) >= neblock:  # incompressible: store raw
             streams.append(struct.pack("<i", neblock) + b.tobytes())
         else:
@@ -137,7 +201,7 @@ def encode_blosc1_zlib(
     for s in streams:
         bstarts.append(pos)
         pos += len(s)
-    flags = (_BLOSC_ZLIB << 5) | (_BLOSC_SHUFFLE if shuffle and typesize > 1 else 0)
+    flags = (codec << 5) | (_BLOSC_SHUFFLE if shuffle and typesize > 1 else 0)
     head = struct.pack(
         "<BBBBIII", 2, 1, flags, min(typesize, 255), nbytes, blocksize, pos
     )
@@ -149,9 +213,11 @@ def decode_zarr_v2(store_path: str) -> np.ndarray:
 
     Supports the on-disk format the reference's intermediates use: C/F
     order, any numpy dtype string, ``compressor`` null, ``zlib``, or
-    ``blosc`` with a zlib/memcpy inner codec (byte-shuffle inverted by
-    the vendored :func:`decode_blosc1`; blosc-lz4/zstd still need the
-    real library), missing chunks filled with ``fill_value``. Runs
+    ``blosc`` with a zlib/zstd/lz4/snappy/memcpy inner codec
+    (byte-shuffle inverted by the vendored :func:`decode_blosc1`; zstd
+    is the reference's actual intermediate codec — decoded through
+    pyarrow's raw codecs; only blosclz still needs the real blosc
+    library), missing chunks filled with ``fill_value``. Runs
     identically on the driver or inside an executor task (no Spark/zarr
     imports).
     """
@@ -165,7 +231,7 @@ def decode_zarr_v2(store_path: str) -> np.ndarray:
     if comp is not None and comp.get("id") not in ("zlib", "blosc"):
         raise NotImplementedError(
             f"{store_path}: compressor {comp.get('id')!r} needs the zarr/numcodecs "
-            "libraries (only null/zlib/blosc-zlib decodable with the stdlib fallback)"
+            "libraries (null/zlib/blosc[zlib|zstd|lz4|snappy] decodable here)"
         )
     shape = tuple(meta["shape"])
     chunks = tuple(meta["chunks"])

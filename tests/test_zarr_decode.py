@@ -71,23 +71,39 @@ def test_decode_missing_chunk_uses_fill_value(tmp_path):
     assert (out[3:] == -9.0).all()
 
 
-def test_decode_rejects_blosc_zstd_with_clear_error(tmp_path):
-    """A structurally valid blosc chunk whose inner codec is zstd must
-    raise naming the missing library (codec bits 5-7 = 4)."""
+def test_decode_rejects_blosclz_with_clear_error(tmp_path):
+    """A structurally valid blosc chunk whose inner codec is blosclz
+    (codec bits 5-7 = 0 — the one codec with no stdlib/pyarrow
+    implementation) must raise naming the missing library."""
     from aeon_mecha_spark.sources.zarr_source import encode_blosc1_zlib
 
-    arr = np.zeros((2, 2), dtype="<f8")
+    arr = np.arange(4, dtype="<f8").reshape(2, 2)
     store = str(tmp_path / "d.zarr")
     _write_store(store, arr, chunks=(2, 2), compressor=None)
     meta = json.load(open(os.path.join(store, ".zarray")))
-    meta["compressor"] = {"id": "blosc", "cname": "zstd", "shuffle": 1}
+    meta["compressor"] = {"id": "blosc", "cname": "blosclz", "shuffle": 1}
     json.dump(meta, open(os.path.join(store, ".zarray"), "w"))
     chunk = bytearray(encode_blosc1_zlib(arr.tobytes(), typesize=8))
-    chunk[2] = (chunk[2] & 0x1F) | (4 << 5)  # rewrite codec bits to zstd
+    chunk[2] = chunk[2] & 0x1F  # rewrite codec bits to 0 = blosclz
     with open(os.path.join(store, "0.0"), "wb") as f:
         f.write(bytes(chunk))
-    with pytest.raises(NotImplementedError, match="codec"):
+    with pytest.raises(NotImplementedError, match="blosclz"):
         decode_zarr_v2(store)
+
+
+def test_blosc1_zstd_lz4_snappy_roundtrip():
+    """The reference's actual intermediate codec is blosc-zstd
+    (SPEC_ZARR_INTERMEDIATES.md) — decodable via pyarrow's raw codecs,
+    as are lz4 and snappy."""
+    from aeon_mecha_spark.sources.zarr_source import decode_blosc1, encode_blosc1_zlib
+
+    a = (np.arange(5000, dtype="<i8") // 17).tobytes()
+    for cname in ("zstd", "lz4", "snappy"):
+        for ts, bs in ((8, 4096), (4, 1000)):
+            enc = encode_blosc1_zlib(a, typesize=ts, blocksize=bs, cname=cname)
+            assert decode_blosc1(enc) == a, (cname, ts, bs)
+        enc = encode_blosc1_zlib(a, typesize=8, shuffle=False, cname=cname)
+        assert decode_blosc1(enc) == a, cname
 
 
 def test_blosc1_zlib_roundtrip_multiblock_shuffle():
