@@ -9,7 +9,10 @@ disk behind a file catalog, SURVEY §1.2). The Spark-side contract:
   column then holds the key and ``with_payloads_loaded`` is the fetch);
 - decode / feature-extraction as ``mapInPandas`` stages — Arrow-batched,
   one task per file split, schema declared up front;
-- the actual codec calls (PIL/ffmpeg/torchaudio) are STUBBED here — the
+- PNG decoding is REAL (round 9): a vendored pure numpy+zlib decoder
+  (:func:`decode_png` — 8-bit gray/RGB/palette/alpha, all five scanline
+  filters, no Adam7) drives :func:`decode_images`;
+- the remaining codec calls (JPEG/ffmpeg/torchaudio) are STUBBED — the
   container has no media libraries. The stub raises NotImplementedError
   unless ``fake=True``, which produces deterministic fake features so the
   distributed plumbing (schemas, batching, partitioning) is testable.
@@ -18,6 +21,8 @@ disk behind a file catalog, SURVEY §1.2). The Spark-side contract:
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -25,6 +30,151 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure numpy+stdlib PNG decoder → (H, W, C) uint8 array.
+
+    Supports the mainstream storage subset: bit depth 8, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced, concatenated IDATs, all five scanline filters
+    (None/Sub/Up/Average/Paeth per the PNG spec §9). Adam7 interlace
+    and 1/2/4/16-bit depths raise ``NotImplementedError``. Unfiltering
+    is row-sequential by nature (each row depends on the previous);
+    Sub rides a per-lane cumulative sum, Up is one vector add, and the
+    rare Average/Paeth rows fall back to a per-byte loop — fine for
+    payload-sized images inside an Arrow batch.
+    """
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat, plte, ihdr = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunks")
+    w, h, depth, ctype_code, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} unsupported (8 only)")
+    if interlace:
+        raise NotImplementedError("Adam7 interlaced PNG unsupported")
+    if comp != 0 or filt != 0:
+        raise ValueError("non-standard PNG compression/filter method")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_code)
+    if channels is None:
+        raise NotImplementedError(f"PNG color type {ctype_code} unsupported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.intp)
+    bpp = channels
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.intp)
+        if f == 0:  # None
+            rec = line
+        elif f == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = line.copy()
+            for lane in range(bpp):
+                rec[lane::bpp] = np.cumsum(rec[lane::bpp])
+            rec %= 256
+        elif f == 2:  # Up
+            rec = (line + prev) % 256
+        elif f == 3:  # Average
+            rec = np.empty(stride, dtype=np.intp)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (line[x] + (left + prev[x]) // 2) % 256
+        elif f == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.intp)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[y] = rec
+        prev = rec.astype(np.intp)
+    img = out.reshape(h, w, channels)
+    if ctype_code == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG writer for fixtures (and a spec-independent inverse
+    of :func:`decode_png`'s unfiltering): 8-bit gray/RGB/gray+alpha/
+    RGBA, one IDAT, per-row filter types chosen by ``filters`` (default
+    all 0) with the FORWARD filter transforms applied per the spec."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, channels = img.shape
+    ctype_code = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    flat = img.reshape(h, w * channels).astype(np.intp)
+    bpp = channels
+    filters = filters or [0] * h
+    lines = []
+    for y in range(h):
+        row = flat[y]
+        prev = flat[y - 1] if y else np.zeros_like(row)
+        f = filters[y]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.intp), row[:-bpp]])
+            enc = (row - left) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.intp), row[:-bpp]])
+            enc = (row - (left + prev) // 2) % 256
+        elif f == 4:
+            enc = np.empty_like(row)
+            for x in range(len(row)):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (row[x] - pred) % 256
+        else:
+            raise ValueError(f"filter {f} invalid")
+        lines.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype_code, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 MEDIA_SCHEMA = (
     "media_id bigint, modality string, width int, height int, "
@@ -72,6 +222,53 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> Dat
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+DECODE_SCHEMA = (
+    "media_id bigint, width int, height int, channels int, "
+    "pixel_sum bigint, pixel_crc bigint"
+)
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """REAL distributed image decode for PNG payloads (mapInPandas,
+    Arrow-batched): each executor task decodes its batch's payloads via
+    :func:`decode_png` and emits exact integral pixel statistics —
+    dimensions, channel count, total pixel sum, and a crc32 of the
+    decoded pixel buffer (deterministic end-to-end decode proof).
+    Non-PNG payloads (JPEG etc.) raise the documented env-blocked
+    error — the one remaining stub in the media path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p if isinstance(p, bytes) else bytes(p)
+                if p[:8] != _PNG_SIG:
+                    raise NotImplementedError(
+                        "non-PNG image decoding requires codec libraries not "
+                        "present in this environment (PNG decodes natively)"
+                    )
+                img = decode_png(p)
+                rows.append(
+                    (
+                        mid,
+                        img.shape[1],
+                        img.shape[0],
+                        img.shape[2],
+                        int(img.astype(np.int64).sum()),
+                        zlib.crc32(img.tobytes()) & 0xFFFFFFFF,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "channels",
+                    "pixel_sum", "pixel_crc",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

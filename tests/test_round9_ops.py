@@ -290,3 +290,59 @@ def test_trimmed_mean_rejects_half_trim(spark):
     df = spark.createDataFrame([("k", 1)], "k string, v long")
     with pytest.raises(ValueError, match="trim_ppm"):
         trimmed_mean(df, ["k"], "v", trim_ppm=500_000)
+
+
+# --------------------------------------------------- PNG decode (S17)
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    import numpy as np
+
+    from aeon_mecha_spark.datapipe.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    for channels in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(9, 7, channels), dtype=np.uint8)
+        for filters in (None, [1] * 9, [2] * 9, [3] * 9, [4] * 9,
+                        [0, 1, 2, 3, 4, 3, 2, 1, 0]):
+            enc = encode_png(img, filters=filters)
+            out = decode_png(enc)
+            np.testing.assert_array_equal(out, img), (channels, filters)
+
+
+def test_png_decoder_guards():
+    import numpy as np
+    import pytest as _pytest
+
+    from aeon_mecha_spark.datapipe.multimodal import decode_png, encode_png
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"JFIF not a png")
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    enc = bytearray(encode_png(img))
+    # IHDR data starts at offset 16; bit depth is byte 8 of IHDR data
+    enc[16 + 8] = 16
+    with _pytest.raises(NotImplementedError, match="depth"):
+        decode_png(bytes(enc))
+
+
+def test_decode_images_distributed(spark):
+    import numpy as np
+
+    from aeon_mecha_spark.datapipe.multimodal import decode_images, encode_png
+
+    rng = np.random.default_rng(11)
+    rows = []
+    expected = {}
+    for mid in range(6):
+        img = rng.integers(0, 256, size=(8 + mid, 5, 3), dtype=np.uint8)
+        rows.append((mid, "image", 5, 8 + mid, 0, bytearray(encode_png(img))))
+        expected[mid] = (5, 8 + mid, 3, int(img.astype(np.int64).sum()))
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, modality string, width int, height int, "
+        "duration_ms int, payload binary",
+    )
+    got = {r["media_id"]: r for r in decode_images(media).collect()}
+    for mid, (w, h, c, s) in expected.items():
+        r = got[mid]
+        assert (r["width"], r["height"], r["channels"], r["pixel_sum"]) == (w, h, c, s)
