@@ -2485,7 +2485,7 @@ def quantile_map(
     group_col: str,
     value_col: str,
     ref_group: str,
-    value_buckets: int = 1024,
+    value_buckets: int = 4096,
     ppm_buckets: int = 1024,
 ) -> DataFrame:
     """Quantile normalization BETWEEN groups (distribution matching):
@@ -2500,6 +2500,10 @@ def quantile_map(
     1. Per-group CDFs use the shared :func:`_grain_prefix` two-level
        prefix sum, grouped by ``group_col`` (with the cardinality-
        adaptive fast path and the non-numeric single-window fallback).
+       ``value_buckets`` defaults to 4096 here (vs 1024 elsewhere):
+       the bound doubles as the fast-path threshold, and a ≤4096-row
+       window is still trivially cheap, so moderately-sized grains
+       skip the bucket level entirely.
     2. The inverse-CDF lookup is an AS-OF on the CDF axis, solved with
        the union-merge trick (no range join) — but PARTITIONED by ppm
        bucket (``cdf_ppm div step``, ≤ ``ppm_buckets`` buckets by
