@@ -17,12 +17,16 @@ Two replication modes:
   is copied N-fold, so TRUE near-dup pairs grow ~N^2 by construction
   of the corpus and any correct dedup plan must report them --
   superlinear output is the data's fault, not the plan's.
-- --organic: additionally Caesar-translates each replica's document
-  text by the replica id (a bijective per-replica character map), so
+- --organic: additionally perturbs each replica deterministically so
   near-dup structure WITHIN a replica is preserved exactly while
   replicas are mutually novel -- the near-dup rate stays constant as
-  the corpus grows, the realistic web-scale regime. LSH candidate
-  pairs (reported as rows_out) should then grow ~linearly.
+  the corpus grows, the realistic web-scale regime. Documents pass
+  through a seeded per-replica substitution cipher (bijective char
+  map); embeddings through a seeded per-replica dimension sign-flip
+  (an orthogonal map: within-replica cosines/norms are EXACTLY
+  preserved, cross-replica cosines scramble to ~N(0, 1/sqrt(d)) --
+  far below any near-dup threshold). LSH candidate pairs (reported
+  as rows_out) should then grow ~linearly.
 """
 
 from __future__ import annotations
@@ -96,6 +100,23 @@ def build_scaled(spark, n: int, organic: bool = False) -> str:
             d = df
             for k in keys:
                 d = d.withColumn(k, F.col(k) + F.lit(i * span[k]))
+            if organic and t == "embeddings" and i > 0:
+                # per-replica dimension sign-flip (seeded, orthogonal):
+                # within-replica cosines and norms are EXACTLY
+                # preserved; cross-replica cosines scramble to
+                # ~N(0, 1/sqrt(d)) — below any near-dup threshold
+                import random as _random
+
+                dim = df.select(F.size("embedding").alias("d")).limit(1).collect()[0]["d"]
+                rnd = _random.Random(40_127 + i)
+                signs = [1.0 if rnd.random() < 0.5 else -1.0 for _ in range(dim)]
+                sign_arr = F.array(*[F.lit(x) for x in signs])
+                d = d.withColumn(
+                    "embedding",
+                    F.zip_with(
+                        "embedding", sign_arr, lambda e, s: (e * s).cast("float")
+                    ),
+                )
             if organic and t == "documents" and i > 0:
                 # bijective per-replica char map (seeded substitution
                 # cipher — NOT a Caesar rotation, which cycles at 25
