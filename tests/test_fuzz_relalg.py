@@ -84,6 +84,18 @@ SCHEMAS = {
             "o_orderpriority": "s",
         },
     },
+    # text-heavy table: exercises string predicates/computes on a
+    # column with real unicode content (no curated literal pool)
+    "documents": {
+        "pk": ["doc_id"],
+        "cols": {
+            "doc_id": "i",
+            "text": "s",
+            "lang": "s",
+            "source": "s",
+            "n_chars": "i",
+        },
+    },
 }
 
 # literal pools per string column (sampled for =, <>, LIKE prefixes)
@@ -98,6 +110,8 @@ STR_LITS = {
     "p_type": ["ECONOMY", "PROMO", "STANDARD"],
     "o_orderstatus": ["O", "F", "P"],
     "o_orderpriority": ["1-URGENT", "5-LOW", "3-MEDIUM"],
+    "lang": ["en", "de", "zh", "es"],
+    "source": ["src0", "src1", "src2"],
 }
 LIKE_PREFIX = {
     "r_name": "REGION_",
@@ -110,6 +124,9 @@ LIKE_PREFIX = {
     "c_mktsegment": "M",
     "o_orderstatus": "F",
     "o_orderpriority": "3",
+    "lang": "e",
+    "source": "src",
+    "text": "the",
 }
 INT_RANGES = {
     "r_regionkey": (0, 4),
@@ -123,6 +140,8 @@ INT_RANGES = {
     "p_size": (1, 50),
     "o_orderkey": (0, 1499),
     "o_custkey": (0, 149),
+    "doc_id": (0, 4999),
+    "n_chars": (1, 900),
 }
 FLOAT_RANGES = {
     "c_acctbal": (0.0, 10000.0),
