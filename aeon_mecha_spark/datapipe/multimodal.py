@@ -53,11 +53,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack_from(">I", payload, pos), payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + length]
+        if ctype in (b"IHDR", b"PLTE", b"IDAT"):
+            (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"PNG {ctype.decode()} chunk CRC mismatch")
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"PLTE":
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            # transparency for palette/gray/RGB images — dropping it would
+            # silently decode a transparent PNG as opaque
+            raise NotImplementedError("PNG tRNS transparency chunk unsupported")
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":

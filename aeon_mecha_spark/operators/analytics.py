@@ -168,6 +168,41 @@ def _grain_prefix(
     return out.drop("_cb", *[f"_off{m}" for m in measures])
 
 
+def _grain_type1_quantile(
+    grain: DataFrame,
+    keys: list[str],
+    value_col: str,
+    count_col: str,
+    num: int,
+    den: int,
+    buckets: int,
+    grain_count: int | None = None,
+) -> DataFrame:
+    """Type-1 quantile at p = num/den from a WEIGHTED distinct-value
+    grain (one row per (keys…, value) with its occurrence count): the
+    value whose inclusive cumulative count first reaches rank
+    ``ceil(p·n) = (num·n + den − 1) div den`` — exactly the data value
+    a row-level rank selection would return, because every row of a tie
+    run carries the same value. Cumulative counts ride the shared
+    :func:`_grain_prefix` two-level prefix sum, so parallelism scales
+    with the value grain, never the key count. Output ``(keys…, q)``.
+
+    NOTE: when ``grain_count`` is None this triggers ``_grain_prefix``'s
+    one planning ``count()`` action at build time — callers with several
+    quantile passes should count the (persisted) grain once and pass the
+    result (or any upper bound) down.
+    """
+    cum = _grain_prefix(
+        grain, value_col, [count_col], ascending=True,
+        buckets=buckets, group_cols=keys, grain_count=grain_count,
+    )
+    rank = F.expr(f"({num} * _tot{count_col} + {den - 1}) div {den}")
+    return cum.filter(
+        (F.col(f"_cum{count_col}") >= rank)
+        & ((F.col(f"_cum{count_col}") - F.col(count_col)) < rank)
+    ).select(*keys, F.col(value_col).alias("q"))
+
+
 def granularity_rollup(
     df: DataFrame,
     ts_col: str,
@@ -1027,7 +1062,8 @@ def mad_outliers(
     keys: list[str],
     value_col: str,
     k: float = 3.0,
-    **quantile_kwargs,
+    range_buckets: int | None = None,
+    **legacy_kwargs,
 ) -> DataFrame:
     """Robust per-group outlier flagging by Median Absolute Deviation:
     a row is an outlier when ``|x − median| > k · MAD`` where
@@ -1035,50 +1071,71 @@ def mad_outliers(
     to ``iqr_outliers`` (a single wild value cannot move the fence,
     unlike mean/stddev z-scores).
 
-    Exactness: both medians are type-1 ``grouped_quantiles`` (actual
-    data values); ``|x − median|`` is one exactly-rounded IEEE subtract
-    and the comparison against ``k·MAD`` is a fixed expression tree —
-    identical in any engine, no accumulation anywhere. Note all-equal
-    groups have MAD 0, flagging every deviating row — the standard MAD
-    degeneracy; pre-filter or fall back to IQR for heavily tied data.
+    Exactness: both medians are type-1 (actual data values) at rank
+    ``ceil(n/2)``; ``|x − median|`` is one exactly-rounded IEEE
+    subtract and the comparison against ``k·MAD`` is a fixed expression
+    tree — identical in any engine, no accumulation anywhere. Note
+    all-equal groups have MAD 0, flagging every deviating row — the
+    standard MAD degeneracy; pre-filter or fall back to IQR for heavily
+    tied data.
 
-    Plan: TWO quantile passes (value median, then deviation median),
-    each inheriting the ``range_buckets`` scale path via kwargs, with
-    the keys-sized stat tables broadcast back — the fact table itself
-    never reshuffles. Adds ``_median``/``_mad``/``is_outlier``.
+    Plan — ONE data-sized pass (round 10; previously two full quantile
+    passes over the fact table): the distinct-(keys, value) grain with
+    occurrence counts is built and PERSISTED once; the value median is
+    a weighted type-1 rank selection on that grain
+    (:func:`_grain_type1_quantile`, two-level prefix sum), and the
+    DEVIATION grain is derived grain-side (map ``v → |v − median|``
+    carrying the counts, re-aggregate ≤ grain-sized rows) — the fact
+    table is never re-shuffled for the second median. Both keys-sized
+    stat tables broadcast back onto ``df``. One planning ``count()`` on
+    the persisted grain sizes both prefix passes (the grain count upper-
+    bounds the deviation grain's by construction). ``range_buckets``
+    maps to the prefix-sum bucket count (default 1024);
+    ``target_sample_rows`` / ``sample_fraction`` from the retired
+    sampling path are accepted and ignored. Adds ``_median`` / ``_mad``
+    / ``is_outlier``.
     """
-    if quantile_kwargs.get("range_buckets") and "sample_fraction" not in quantile_kwargs:
-        # derive the boundary-sample fraction ONCE from the base table
-        # (a metadata-cheap count); the deviation pass would otherwise
-        # derive it by counting a join — a full extra scan. Row counts
-        # are identical (the median join is left, 1 row per key).
-        quantile_kwargs = dict(
-            quantile_kwargs,
-            sample_fraction=derive_sample_fraction(
-                df, quantile_kwargs.pop("target_sample_rows", 1_000_000)
-            ),
+    from aeon_mecha_spark.util import track_cached
+
+    legacy_kwargs.pop("target_sample_rows", None)
+    legacy_kwargs.pop("sample_fraction", None)
+    if legacy_kwargs:
+        raise TypeError(f"mad_outliers: unknown kwargs {sorted(legacy_kwargs)}")
+    buckets = int(range_buckets) if range_buckets and range_buckets > 1 else 1024
+    grain = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    n_grain = grain.count()  # one planning action; sizes BOTH passes
+    med = _grain_type1_quantile(
+        grain, keys, value_col, "_n", 1, 2, buckets, grain_count=n_grain
+    ).select(*keys, F.col("q").alias("_median"))
+    dgrain = (
+        grain.join(F.broadcast(med), keys)
+        .select(
+            *keys,
+            F.abs(F.col(value_col) - F.col("_median")).alias("_dev"),
+            "_n",
         )
-    med = (
-        grouped_quantiles(df, keys, value_col, ps=(0.5,), **quantile_kwargs)
-        .select(*keys, F.col("q").alias("_median"))
+        .groupBy(*keys, "_dev")
+        .agg(F.sum("_n").cast("long").alias("_n"))
+        .persist(StorageLevel.MEMORY_ONLY)  # read twice by _grain_prefix
     )
-    with_med = df.join(F.broadcast(med), keys, "left")
-    dev = with_med.withColumn("_dev", F.abs(F.col(value_col) - F.col("_median")))
-    mad = (
-        grouped_quantiles(dev, keys, "_dev", ps=(0.5,), **quantile_kwargs)
-        .select(*keys, F.col("q").alias("_mad"))
+    mad = _grain_type1_quantile(
+        dgrain, keys, "_dev", "_n", 1, 2, buckets, grain_count=n_grain
+    ).select(*keys, F.col("q").alias("_mad"))
+    stats = med.join(mad, keys)
+    out = df.join(F.broadcast(stats), keys, "left").withColumn(
+        "is_outlier",
+        F.when(
+            F.col(value_col).isNotNull(),
+            F.abs(F.col(value_col) - F.col("_median"))
+            > F.lit(float(k)) * F.col("_mad"),
+        ),
     )
-    return (
-        dev.join(F.broadcast(mad), keys, "left")
-        .withColumn(
-            "is_outlier",
-            F.when(
-                F.col(value_col).isNotNull(),
-                F.col("_dev") > F.lit(float(k)) * F.col("_mad"),
-            ),
-        )
-        .drop("_dev")
-    )
+    return track_cached(out, grain, dgrain)
 
 
 def basket_rules(
@@ -1703,6 +1760,11 @@ def lift_table(
     via ``track_cached`` — call ``release_cached`` once consumed.
 
     Output: ``(bucket, n, n_pos, rate_ppm, cum_capture_ppm, lift_ppm)``.
+
+    NOTE: building this DataFrame is not fully lazy — it runs one
+    planning Spark action (``_grain_prefix``'s cardinality count on
+    the persisted value grain, which sizes the adaptive fast path)
+    before returning.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -2524,6 +2586,11 @@ def quantile_map(
     Output: input rows + ``(cdf_ppm, mapped_value)``; reference-group
     rows map onto themselves. Queries above the reference maximum CDF
     cannot happen (both CDFs end at 10⁶).
+
+    NOTE: building this DataFrame is not fully lazy — it runs one
+    planning Spark action (``_grain_prefix``'s cardinality count on
+    the persisted value grain, which sizes the adaptive fast path)
+    before returning.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -3078,16 +3145,23 @@ def spearman_by_group(
     report NULL. Per-key n must stay below ~10⁹ so n·Σx² < 10³⁸
     (doubled ranks ≤ 2n).
 
-    Plan — DE-SERIALIZED (round 9): the doubled rank of a row depends
-    only on its (key, value), so ranks are computed on the distinct-
-    value grain via the shared :func:`_grain_prefix` two-level bucketed
-    prefix sum (``dr = 2·cum_incl − n_v + 1``, since rank = cum_excl+1
-    and ties = n_v) — parallelism scales with the VALUE grain, not the
-    key count (the old per-key rank windows serialized a 3-key corpus
-    onto 3 tasks). The cross-moment Σ drx·dry needs the (x, y) pairing,
-    so sums run over the distinct (key, x, y) grain weighted by its
-    count — never over data-sized rows. The pair grain is persisted
-    (three readers) and rides on the result via ``track_cached``.
+    Plan — DE-SERIALIZED (round 9), single-prefix (round 10): the
+    doubled rank of a row depends only on its (key, value), so ranks
+    are computed on the distinct-value grain via the shared
+    :func:`_grain_prefix` two-level bucketed prefix sum
+    (``dr = 2·cum_incl − n_v + 1``, since rank = cum_excl+1 and ties =
+    n_v) — parallelism scales with the VALUE grain, not the key count
+    (the old per-key rank windows serialized a 3-key corpus onto 3
+    tasks). The cross-moment Σ drx·dry needs the (x, y) pairing, so
+    sums run over the distinct (key, x, y) grain weighted by its count
+    — never over data-sized rows. Fixed-cost shape (round 10): ONE
+    planning ``count()`` on the persisted pair grain upper-bounds both
+    value grains (so neither sub-prefix re-counts), and when x and y
+    share a dtype both value grains stack into a SINGLE axis-tagged
+    ``_grain_prefix`` pass (group = keys + axis) — one min/max pass,
+    one bucket aggregate, one offset window instead of two of each.
+    The pair grain and the rank table are persisted and ride on the
+    result via ``track_cached``.
 
     Output: ``(keys…, n, rho_ppm)``.
     """
@@ -3101,28 +3175,57 @@ def spearman_by_group(
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
         .persist(StorageLevel.MEMORY_ONLY)
     )
-    # each value grain is read twice inside _grain_prefix (min/max pass
-    # + bucket pass) plus once by its own fast-path count — persist
-    # both (MEMORY_ONLY: re-read within seconds, never spilled)
-    gx = (
-        gxy.groupBy(*keys, "_x")
-        .agg(F.sum("_c").cast("long").alias("_n"))
-        .persist(StorageLevel.MEMORY_ONLY)
-    )
-    gy = (
-        gxy.groupBy(*keys, "_y")
-        .agg(F.sum("_c").cast("long").alias("_n"))
-        .persist(StorageLevel.MEMORY_ONLY)
-    )
+    # one planning action: materializes the cache AND upper-bounds both
+    # value grains (|gx|, |gy| ≤ |gxy|), so the sub-prefix calls skip
+    # their own count() (an over-estimate only forgoes the fast path)
+    n_pairs = gxy.count()
     dr = (2 * F.col("_cum_n") - F.col("_n") + 1).cast("long")
-    cx = _grain_prefix(
-        gx, "_x", ["_n"], ascending=True, buckets=int(rank_buckets),
-        group_cols=keys,
-    ).select(*keys, "_x", dr.alias("_drx"))
-    cy = _grain_prefix(
-        gy, "_y", ["_n"], ascending=True, buckets=int(rank_buckets),
-        group_cols=keys,
-    ).select(*keys, "_y", dr.alias("_dry"))
+    dtypes = dict(gxy.dtypes)
+    cached = [gxy]
+    if dtypes["_x"] == dtypes["_y"]:
+        # same dtype → stack both value grains on an axis tag and rank
+        # them in ONE prefix pass; the tag joins the group columns, so
+        # ranks stay per (key, axis) exactly as two separate passes
+        gv = (
+            gxy.select(*keys, F.lit(0).alias("_ax"), F.col("_x").alias("_v"), "_c")
+            .unionByName(
+                gxy.select(*keys, F.lit(1).alias("_ax"), F.col("_y").alias("_v"), "_c")
+            )
+            .groupBy(*keys, "_ax", "_v")
+            .agg(F.sum("_c").cast("long").alias("_n"))
+            .persist(StorageLevel.MEMORY_ONLY)  # read twice by _grain_prefix
+        )
+        cv = _grain_prefix(
+            gv, "_v", ["_n"], ascending=True, buckets=int(rank_buckets),
+            group_cols=[*keys, "_ax"], grain_count=2 * n_pairs,
+        ).persist(StorageLevel.MEMORY_ONLY)  # read twice: axis 0 and 1
+        cx = cv.filter(F.col("_ax") == 0).select(
+            *keys, F.col("_v").alias("_x"), dr.alias("_drx")
+        )
+        cy = cv.filter(F.col("_ax") == 1).select(
+            *keys, F.col("_v").alias("_y"), dr.alias("_dry")
+        )
+        cached += [gv, cv]
+    else:
+        gx = (
+            gxy.groupBy(*keys, "_x")
+            .agg(F.sum("_c").cast("long").alias("_n"))
+            .persist(StorageLevel.MEMORY_ONLY)
+        )
+        gy = (
+            gxy.groupBy(*keys, "_y")
+            .agg(F.sum("_c").cast("long").alias("_n"))
+            .persist(StorageLevel.MEMORY_ONLY)
+        )
+        cx = _grain_prefix(
+            gx, "_x", ["_n"], ascending=True, buckets=int(rank_buckets),
+            group_cols=keys, grain_count=n_pairs,
+        ).select(*keys, "_x", dr.alias("_drx"))
+        cy = _grain_prefix(
+            gy, "_y", ["_n"], ascending=True, buckets=int(rank_buckets),
+            group_cols=keys, grain_count=n_pairs,
+        ).select(*keys, "_y", dr.alias("_dry"))
+        cached += [gx, gy]
     paired = gxy.join(cx, [*keys, "_x"]).join(cy, [*keys, "_y"])
     c = F.col("_c").cast("decimal(38,0)")
     g = paired.groupBy(*keys).agg(
@@ -3149,7 +3252,7 @@ def spearman_by_group(
             "(abs(_num) * 1000000) div (_rx * _ry)) END AS BIGINT)"
         ).alias("rho_ppm"),
     )
-    return track_cached(out, gxy, gx, gy)
+    return track_cached(out, *cached)
 
 
 def mann_whitney_u(
@@ -3180,6 +3283,11 @@ def mann_whitney_u(
     grain is persisted inside ``_grain_prefix``'s consumers and rides
     on the result via ``track_cached``. Output:
     ``(keys…, n_a, n_b, u2_a, u2_b)``.
+
+    NOTE: building this DataFrame is not fully lazy — it runs one
+    planning Spark action (``_grain_prefix``'s cardinality count on
+    the persisted value grain, which sizes the adaptive fast path)
+    before returning.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -3234,6 +3342,11 @@ def roc_points(
 
     Output: ``(score, n_ge, tpr_ppm, fpr_ppm)`` ordered by score desc —
     one row per distinct score; ``n_ge`` = rows at-or-above it.
+
+    NOTE: building this DataFrame is not fully lazy — it runs one
+    planning Spark action (``_grain_prefix``'s cardinality count on
+    the persisted value grain, which sizes the adaptive fast path)
+    before returning.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -3532,13 +3645,20 @@ def kruskal_wallis(
             F.sum(F.col("_ngv").cast("decimal(38,0)") * F.col("_dr")).alias("_r2"),
         )
     )
-    # H needs N inside the per-group div, so join the per-key N back
-    # onto the group grain (broadcast — per-key grain is tiny relative
-    # to facts) and floor-div per group
-    nk = per_g.groupBy(*keys).agg(F.sum("_ng").cast("long").alias("_N"))
-    terms = per_g.join(F.broadcast(nk), keys).select(
+    # H needs N inside the per-group div; the per-key N and the tie
+    # mass Σ(t³−t) come from ONE groupBy over the cached value grain
+    # (round 10 — previously two separate aggregates + two broadcast
+    # joins), broadcast onto the group grain and carried through
+    stats = grain.groupBy(*keys).agg(
+        F.sum("_n").cast("long").alias("_N"),
+        F.sum(
+            F.expr("CAST(_n AS DECIMAL(38,0)) * _n * _n - _n")
+        ).alias("_tt"),
+    )
+    terms = per_g.join(F.broadcast(stats), keys).select(
         *keys,
         "_ng",
+        "_tt",
         F.expr(
             "CAST((3000 * _r2 * _r2) div "
             "(CAST(_ng AS DECIMAL(38,0)) * _N * (_N + 1)) AS DECIMAL(38,0))"
@@ -3548,27 +3668,18 @@ def kruskal_wallis(
         F.sum("_ng").cast("long").alias("n"),
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.sum("_t").alias("_hs"),
+        F.max("_tt").alias("_tt"),  # constant per key
     )
-    ties = grain.groupBy(*keys).agg(
-        F.sum(
-            F.expr(
-                "CAST(_n AS DECIMAL(38,0)) * _n * _n - _n"
-            )
-        ).alias("_tt")
-    )
-    out = (
-        hk.join(F.broadcast(ties), keys)
-        .select(
-            *keys,
-            "n",
-            "n_groups",
-            F.expr("CAST(_hs - 3000 * (n + 1) AS BIGINT)").alias("h_milli"),
-            F.expr(
-                "CAST(CASE WHEN n > 1 THEN "
-                "((CAST(n AS DECIMAL(38,0)) * n * n - n - _tt) * 1000000) div "
-                "(CAST(n AS DECIMAL(38,0)) * n * n - n) END AS BIGINT)"
-            ).alias("tie_ppm"),
-        )
+    out = hk.select(
+        *keys,
+        "n",
+        "n_groups",
+        F.expr("CAST(_hs - 3000 * (n + 1) AS BIGINT)").alias("h_milli"),
+        F.expr(
+            "CAST(CASE WHEN n > 1 THEN "
+            "((CAST(n AS DECIMAL(38,0)) * n * n - n - _tt) * 1000000) div "
+            "(CAST(n AS DECIMAL(38,0)) * n * n - n) END AS BIGINT)"
+        ).alias("tie_ppm"),
     )
     return track_cached(out, grain, grain_g)
 
@@ -4383,6 +4494,11 @@ def pr_points(
     (three readers) and rides on the result via ``track_cached``.
 
     Output: ``(score, n_ge, precision_ppm, recall_ppm)`` score-desc.
+
+    NOTE: building this DataFrame is not fully lazy — it runs one
+    planning Spark action (``_grain_prefix``'s cardinality count on
+    the persisted value grain, which sizes the adaptive fast path)
+    before returning.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -4429,6 +4545,11 @@ def lorenz_points(
 
     Output: ``(value, n_le, cum_pop_ppm, cum_value_ppm)`` value-asc;
     perfect equality tracks the diagonal, concentration sags below.
+
+    NOTE: building this DataFrame is not fully lazy — it runs one
+    planning Spark action (``_grain_prefix``'s cardinality count on
+    the persisted value grain, which sizes the adaptive fast path)
+    before returning.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -4486,6 +4607,11 @@ def trimmed_mean(
     The grain persists (MEMORY_ONLY) and rides on the result via
     ``track_cached``. Output: ``(keys…, n, n_kept,
     trimmed_mean_milli)``.
+
+    NOTE: building this DataFrame is not fully lazy — it runs one
+    planning Spark action (``_grain_prefix``'s cardinality count on
+    the persisted value grain, which sizes the adaptive fast path)
+    before returning.
     """
     from aeon_mecha_spark.util import track_cached
 

@@ -44,6 +44,7 @@ except Exception:  # pragma: no cover
 _BLOSC_SHUFFLE = 0x1
 _BLOSC_MEMCPY = 0x2
 _BLOSC_BITSHUFFLE = 0x4
+_BLOSC_DELTA = 0x8
 _BLOSC_LZ4 = 1
 _BLOSC_SNAPPY = 2
 _BLOSC_ZLIB = 3
@@ -100,8 +101,9 @@ def decode_blosc1(buf: bytes) -> bytes:
     the typesize-split one. Shuffle is applied PER BLOCK before
     compression, so it is inverted per block here.
 
-    blosclz and bit-shuffle raise ``NotImplementedError`` naming the
-    missing library.
+    blosclz, bit-shuffle, the delta filter, and the legacy (c-blosc
+    < 1.11) all-codec split-block layout raise ``NotImplementedError``
+    naming the missing library / layout.
     """
     if len(buf) < 16:
         raise ValueError("blosc chunk shorter than its 16-byte header")
@@ -109,10 +111,14 @@ def decode_blosc1(buf: bytes) -> bytes:
     nbytes, blocksize, cbytes = struct.unpack_from("<III", buf, 4)
     if cbytes != len(buf):
         raise ValueError(f"blosc header cbytes {cbytes} != chunk size {len(buf)}")
+    if flags & _BLOSC_MEMCPY:
+        # c-blosc's decoder honors memcpy before any filter flag — a
+        # stored-raw chunk that still carries shuffle bits decodes as-is.
+        return bytes(buf[16 : 16 + nbytes])
     if flags & _BLOSC_BITSHUFFLE:
         raise NotImplementedError("blosc bit-shuffle needs the blosc library")
-    if flags & _BLOSC_MEMCPY:
-        return bytes(buf[16 : 16 + nbytes])
+    if flags & _BLOSC_DELTA:
+        raise NotImplementedError("blosc delta filter needs the blosc library")
     codec = (flags >> 5) & 0x7
 
     def _read_streams(start: int, sizes: list[int]) -> bytes:
@@ -135,8 +141,16 @@ def decode_blosc1(buf: bytes) -> bytes:
         neblock = min(blocksize, nbytes - j * blocksize)
         try:
             block = _read_streams(bs, [neblock])
-        except (ValueError, OSError):
+        except (ValueError, OSError, zlib.error) as exc:
             if codec != _BLOSC_LZ4 or typesize <= 1 or neblock % typesize:
+                if shuffled:
+                    # c-blosc < 1.11 split shuffled blocks into typesize
+                    # sub-streams for EVERY codec; modern c-blosc only does
+                    # so for LZ4. Name the layout instead of a raw mismatch.
+                    raise NotImplementedError(
+                        "blosc legacy typesize-split block layout (c-blosc "
+                        "< 1.11) needs the blosc library"
+                    ) from exc
                 raise
             # c-blosc splits shuffled LZ4 blocks into typesize streams
             block = _read_streams(bs, [neblock // typesize] * typesize)

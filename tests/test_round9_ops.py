@@ -50,12 +50,6 @@ def _lift_rows(spark, scores_labels, **kw):
     return rows
 
 
-def test_lift_table_fast_path_matches_bucketed():
-    # same data through the tiny-grain fast path (score_buckets large)
-    # and the forced two-level path (score_buckets=2): identical rows
-    pass  # exercised by test below with a live session
-
-
 def test_lift_table_paths_identical(spark):
     data = [(float(i % 17) / 4.0, 1 if (i * 7) % 3 == 0 else 0) for i in range(300)]
     fast = _lift_rows(spark, data, score_buckets=1024)   # 17 distinct <= 1024
@@ -319,10 +313,35 @@ def test_png_decoder_guards():
         decode_png(b"JFIF not a png")
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     enc = bytearray(encode_png(img))
-    # IHDR data starts at offset 16; bit depth is byte 8 of IHDR data
+    # IHDR data starts at offset 16; bit depth is byte 8 of IHDR data.
+    # A raw mutation now trips the CRC check first (round 10) …
+    corrupt = bytearray(enc)
+    corrupt[16 + 8] = 16
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+    # … so re-sign the chunk to reach the depth guard itself
+    import struct as _struct
+    import zlib as _zlib
+
     enc[16 + 8] = 16
+    crc = _zlib.crc32(b"IHDR" + bytes(enc[16 : 16 + 13])) & 0xFFFFFFFF
+    enc[16 + 13 : 16 + 17] = _struct.pack(">I", crc)
     with _pytest.raises(NotImplementedError, match="depth"):
         decode_png(bytes(enc))
+    # tRNS transparency is an explicit unsupported subset, not a silent
+    # opaque decode: splice a signed tRNS chunk before IDAT
+    base = encode_png(np.zeros((2, 2, 3), dtype=np.uint8))
+    ihdr_end = 16 + 13 + 4
+    trns_data = b"\x00\x00\x00\x00\x00\x00"
+    trns = (
+        _struct.pack(">I", len(trns_data))
+        + b"tRNS"
+        + trns_data
+        + _struct.pack(">I", _zlib.crc32(b"tRNS" + trns_data) & 0xFFFFFFFF)
+    )
+    spliced = base[:ihdr_end] + trns + base[ihdr_end:]
+    with _pytest.raises(NotImplementedError, match="tRNS"):
+        decode_png(spliced)
 
 
 def test_decode_images_distributed(spark):

@@ -140,6 +140,44 @@ def test_blosc1_memcpy_and_header_guards():
     bad = struct.pack("<BBBBIII", 2, 1, 0x4, 4, 16, 16, 16)
     with pytest.raises(NotImplementedError, match="bit-shuffle"):
         decode_blosc1(bad)
+    # delta filter (flag bit 3) must raise, not silently mis-decode
+    delta = struct.pack("<BBBBIII", 2, 1, 0x8 | (3 << 5), 4, 16, 16, 16)
+    with pytest.raises(NotImplementedError, match="delta"):
+        decode_blosc1(delta)
+    # memcpy wins over any filter flag (c-blosc decoder order): a
+    # stored-raw chunk that still carries bit-shuffle decodes as-is
+    head = struct.pack(
+        "<BBBBIII", 2, 1, 0x2 | 0x4, 4, len(payload), len(payload), 16 + len(payload)
+    )
+    assert decode_blosc1(head + payload) == payload
+
+
+def test_blosc1_legacy_split_layout_named_error():
+    """A shuffled non-LZ4 chunk whose block stream doesn't parse as the
+    modern unsplit layout raises a NotImplementedError naming the
+    legacy (c-blosc < 1.11) split layout, not an opaque size mismatch."""
+    import struct
+
+    from aeon_mecha_spark.sources.zarr_source import decode_blosc1
+
+    # hand-build a zlib chunk in the LEGACY typesize-split layout:
+    # 4 sub-streams of 4 bytes each for one 16-byte shuffled block
+    import zlib as _zlib
+
+    raw = bytes(range(16))
+    streams = b""
+    for i in range(4):
+        part = raw[i * 4 : (i + 1) * 4]
+        comp = _zlib.compress(part, 5)
+        if len(comp) >= 4:  # stored raw
+            streams += struct.pack("<i", 4) + part
+        else:
+            streams += struct.pack("<i", len(comp)) + comp
+    flags = (3 << 5) | 0x1  # zlib + byte-shuffle
+    head = struct.pack("<BBBBIII", 2, 1, flags, 4, 16, 16, 16 + 4 + len(streams))
+    chunk = head + struct.pack("<i", 20) + streams
+    with pytest.raises(NotImplementedError, match="split"):
+        decode_blosc1(chunk)
 
 
 def test_decode_zarr_store_with_blosc_zlib_chunks(tmp_path):
