@@ -9,13 +9,19 @@ disk behind a file catalog, SURVEY §1.2). The Spark-side contract:
   column then holds the key and ``with_payloads_loaded`` is the fetch);
 - decode / feature-extraction as ``mapInPandas`` stages — Arrow-batched,
   one task per file split, schema declared up front;
-- PNG decoding is REAL (round 9): a vendored pure numpy+zlib decoder
-  (:func:`decode_png` — 8-bit gray/RGB/palette/alpha, all five scanline
-  filters, no Adam7) drives :func:`decode_images`;
-- the remaining codec calls (JPEG/ffmpeg/torchaudio) are STUBBED — the
-  container has no media libraries. The stub raises NotImplementedError
-  unless ``fake=True``, which produces deterministic fake features so the
-  distributed plumbing (schemas, batching, partitioning) is testable.
+- image decoding is REAL: a vendored pure numpy+zlib PNG decoder
+  (round 9, :func:`decode_png` — 8-bit gray/RGB/palette/alpha, all five
+  scanline filters, CRC-checked, no Adam7) and a vendored pure numpy
+  baseline JPEG codec (round 10,
+  :mod:`aeon_mecha_spark.datapipe.jpegcodec` — SOF0 Huffman + exact
+  float64 IDCT, 4:4:4/4:2:2/4:2:0, restart markers; JPEG is the format
+  the reference's frame server actually pages, video.py:47-55) both
+  drive :func:`decode_images`;
+- the remaining codec calls (video containers / ffmpeg / torchaudio)
+  are STUBBED — the container has no media libraries. The stub raises
+  NotImplementedError unless ``fake=True``, which produces
+  deterministic fake features so the distributed plumbing (schemas,
+  batching, partitioning) is testable.
 """
 
 from __future__ import annotations
@@ -239,25 +245,34 @@ DECODE_SCHEMA = (
 
 
 def decode_images(media: DataFrame) -> DataFrame:
-    """REAL distributed image decode for PNG payloads (mapInPandas,
-    Arrow-batched): each executor task decodes its batch's payloads via
-    :func:`decode_png` and emits exact integral pixel statistics —
-    dimensions, channel count, total pixel sum, and a crc32 of the
-    decoded pixel buffer (deterministic end-to-end decode proof).
-    Non-PNG payloads (JPEG etc.) raise the documented env-blocked
-    error — the one remaining stub in the media path."""
+    """REAL distributed image decode for PNG *and baseline JPEG*
+    payloads (mapInPandas, Arrow-batched): each executor task decodes
+    its batch's payloads via :func:`decode_png` or
+    :func:`aeon_mecha_spark.datapipe.jpegcodec.decode_jpeg` — JPEG
+    being the format the reference's frame server actually pages
+    (video.py:47-55 base64-JPEGs via cv2) — and emits exact integral
+    pixel statistics: dimensions, channel count, total pixel sum, and a
+    crc32 of the decoded pixel buffer (deterministic end-to-end decode
+    proof). Payloads that are neither (GIF/WebP/video containers)
+    raise a clear NotImplementedError."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg
+
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 p = p if isinstance(p, bytes) else bytes(p)
-                if p[:8] != _PNG_SIG:
+                if p[:8] == _PNG_SIG:
+                    img = decode_png(p)
+                elif p[:2] == b"\xff\xd8":
+                    img = decode_jpeg(p)
+                else:
                     raise NotImplementedError(
-                        "non-PNG image decoding requires codec libraries not "
-                        "present in this environment (PNG decodes natively)"
+                        "image decoding implemented for PNG and baseline "
+                        "JPEG; other formats need codec libraries not "
+                        "present in this environment"
                     )
-                img = decode_png(p)
                 rows.append(
                     (
                         mid,
@@ -295,7 +310,8 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 def encode_frames_base64(media: DataFrame) -> DataFrame:
     """Frame-server payload encoding (F22, video.py:48-50): base64 the
     binary payload for JSON transport — pure Catalyst ``base64``; the
-    JPEG re-encode itself is part of the stubbed decode stage."""
+    JPEG encode/decode itself is the vendored
+    :mod:`~aeon_mecha_spark.datapipe.jpegcodec` (round 10)."""
     return media.select(
         "media_id", "modality", F.base64(F.col("payload")).alias("payload_b64")
     )

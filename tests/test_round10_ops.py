@@ -1,0 +1,223 @@
+"""Round-10 operator tests: vendored baseline JPEG codec (S17/F22),
+distributed JPEG decode, and the grain-side mad_outliers rewrite."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec — spec-level decode checks independent of the encoder
+
+def _handmade_dc_only_jpeg(pq16: bool = False) -> bytes:
+    """Hand-assembled baseline JPEG: 8x8 grayscale, quant table all 16s,
+    single DC-only block with quantized DC = +5 (diff from predictor 0).
+
+    Entropy bits, derived by hand from the Annex K canonical tables:
+    DC size symbol 3 → code ``100``; magnitude bits of +5 → ``101``;
+    EOB (AC symbol 0x00) → ``1010``; 1-padded to two bytes:
+    ``10010110 10111111`` = 0x96 0xBF.
+
+    Expected pixels: dequantized DC = 80; orthonormal IDCT of a DC-only
+    block is flat 80/8 = 10; +128 level shift = 138 everywhere — a
+    closed-form identity, so a decoder bug cannot cancel against the
+    encoder.
+    """
+    from aeon_mecha_spark.datapipe.jpegcodec import DC_LUMA, AC_LUMA
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    if pq16:
+        dqt = bytes([0x10]) + b"".join(struct.pack(">H", 16) for _ in range(64))
+    else:
+        dqt = bytes([0x00]) + bytes([16] * 64)
+    sof = struct.pack(">BHHB", 8, 8, 8, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    dht = bytes([0x00]) + bytes(DC_LUMA[0]) + bytes(DC_LUMA[1])
+    dht += bytes([0x10]) + bytes(AC_LUMA[0]) + bytes(AC_LUMA[1])
+    sos = bytes([1]) + struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00"
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof)
+        + seg(0xC4, dht)
+        + seg(0xDA, sos)
+        + bytes([0x96, 0xBF])
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_decode_handmade_dc_only_exact():
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg
+
+    img = decode_jpeg(_handmade_dc_only_jpeg())
+    assert img.shape == (8, 8, 1)
+    assert img.min() == img.max() == 138
+
+
+def test_jpeg_decode_16bit_quant_table():
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg
+
+    img = decode_jpeg(_handmade_dc_only_jpeg(pq16=True))
+    assert img.min() == img.max() == 138
+
+
+def test_jpeg_flat_roundtrip_exact():
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg, encode_jpeg
+
+    for v in (0, 73, 128, 200, 255):
+        img = np.full((16, 16), v, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=50))
+        # flat blocks quantize to DC-only; IDCT returns the flat value
+        # to within the DC quantization step (≤ half of q/8 = 1)
+        assert abs(int(dec[:, :, 0].max()) - v) <= 1
+        assert dec[:, :, 0].min() == dec[:, :, 0].max()
+
+
+def test_jpeg_gray_roundtrip_close():
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(0)
+    x = np.linspace(0, 255, 32)
+    img = np.clip(
+        np.add.outer(x, x) / 2 + rng.normal(0, 2, (32, 32)), 0, 255
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))[:, :, 0]
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() < 2.0
+
+
+def test_jpeg_rgb_444_and_420_roundtrip_odd_dims():
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:33, 0:29]
+    img = np.clip(np.stack([yy * 2 + 10, xx * 3 + 5, yy + xx], axis=-1), 0, 255).astype(
+        np.uint8
+    )
+    for sub in ("4:4:4", "4:2:0"):
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert dec.shape == img.shape
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert err.max() <= 12, (sub, err.max())
+        assert err.mean() < 3.0, (sub, err.mean())
+
+
+def test_jpeg_restart_interval_identical_decode():
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:40, 0:24]
+    img = np.clip(np.stack([yy * 4, xx * 7, (yy + xx) * 2], axis=-1), 0, 255).astype(
+        np.uint8
+    )
+    plain = decode_jpeg(encode_jpeg(img, quality=85, subsampling="4:2:0"))
+    with_rst = decode_jpeg(
+        encode_jpeg(img, quality=85, subsampling="4:2:0", restart_interval=2)
+    )
+    np.testing.assert_array_equal(plain, with_rst)
+
+
+def test_jpeg_guards():
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # flip the handmade stream's SOF0 marker to SOF2 (progressive)
+    payload = bytearray(_handmade_dc_only_jpeg())
+    idx = payload.index(b"\xff\xc0")
+    payload[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(payload))
+    # 12-bit precision
+    payload = bytearray(_handmade_dc_only_jpeg())
+    idx = payload.index(b"\xff\xc0")
+    payload[idx + 4] = 12  # precision byte of the SOF payload
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg(np.zeros((8, 8), dtype=np.uint8), quality=0)
+
+
+def test_decode_images_distributed_mixed_png_jpeg(spark):
+    """The S17 decode stage handles PNG and JPEG payloads side by side
+    inside one mapInPandas pass — dims exact for both, pixel stats
+    exact for PNG and matching a local decode for JPEG."""
+    import zlib
+
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg, encode_jpeg
+    from aeon_mecha_spark.datapipe.multimodal import decode_images, encode_png
+
+    rng = np.random.default_rng(7)
+    rows, expected = [], {}
+    for mid in range(6):
+        h, w = 9 + mid, 12 + (mid % 3)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        if mid % 2 == 0:
+            payload = encode_png(img)
+            pix = img
+        else:
+            payload = encode_jpeg(img, quality=90)
+            pix = decode_jpeg(payload)  # JPEG is lossy: compare vs local decode
+        rows.append((mid, "image", w, h, 0, bytearray(payload)))
+        expected[mid] = (
+            w, h, 3,
+            int(pix.astype(np.int64).sum()),
+            zlib.crc32(pix.tobytes()) & 0xFFFFFFFF,
+        )
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, modality string, width int, height int, "
+        "duration_ms int, payload binary",
+    ).repartition(3)
+    got = {
+        r["media_id"]: (
+            r["width"], r["height"], r["channels"], r["pixel_sum"], r["pixel_crc"]
+        )
+        for r in decode_images(media).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# grain-side mad_outliers (round-10 rewrite) — exact mirror
+
+def test_mad_outliers_matches_row_level_mirror(spark):
+    from aeon_mecha_spark.operators.analytics import mad_outliers
+    from aeon_mecha_spark.util import release_cached
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for k in ("a", "b"):
+        vals = list(rng.integers(0, 40, 101))
+        vals += [500, 500]  # wild values
+        rows += [(k, float(v)) for v in vals]
+    rows.append(("a", None))
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = mad_outliers(df, ["k"], "v", k=3.0)
+    got = out.collect()
+    release_cached(out)
+
+    # python mirror: type-1 medians at rank ceil(n/2)
+
+    by_k = {}
+    for k, v in rows:
+        if v is not None:
+            by_k.setdefault(k, []).append(v)
+    fences = {}
+    for k, vs in by_k.items():
+        vs = sorted(vs)
+        med = vs[(len(vs) + 1) // 2 - 1]
+        devs = sorted(abs(x - med) for x in vs)
+        mad = devs[(len(devs) + 1) // 2 - 1]
+        fences[k] = (med, mad)
+    for r in got:
+        med, mad = fences[r["k"]]
+        assert r["_median"] == med and r["_mad"] == mad
+        if r["v"] is None:
+            assert r["is_outlier"] is None
+        else:
+            assert r["is_outlier"] == (abs(r["v"] - med) > 3.0 * mad)
+    # the wild rows must be flagged
+    assert all(r["is_outlier"] for r in got if r["v"] == 500.0)
