@@ -2444,8 +2444,8 @@ def q160_attribution(spark, sf_dir):
 
 # First 8 merges learned by bpe_learn on the sf0.01 documents slice
 # (doc_id % 20 == 0) — FIXED constants so the application pass is
-# hash-verifiable against a SQL oracle, the q109/q110 trained-model
-# pattern: training is rows-only (q163), application is exact (q162).
+# hash-verifiable against a SQL oracle (q162); since round 10 the
+# training pass q163 is ALSO hash-gated (unrolled-CTE learn oracle).
 _BPE_MERGES = [
     ("e", "r"), ("s", "t"), ("o", "r"), ("o", "w"),
     ("i", "n"), ("l", "u"), ("m", "er"), ("a", "t"),
@@ -2462,9 +2462,11 @@ def q162_bpe_apply(spark, sf_dir):
 
 def q163_bpe_learn(spark, sf_dir):
     """Sennrich BPE training on the 5% doc slice: 8 rounds of weighted
-    pair-count argmax over the distinct-word table (rows-only: an
-    iterative argmax chain has no SQL form; the merge sequence is
-    value-pinned in tests and its application is hash-gated as q162)."""
+    pair-count argmax over the distinct-word table. HASH-GATED as of
+    round 10: the oracle unrolls the 8 training rounds as MATERIALIZED
+    CTEs (pair count → deterministic argmax → literal rewrite), so the
+    learned merge sequence itself is DuckDB-verified — no SQL-less
+    rows-only fallback left on this path."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
     return bpe.bpe_learn(docs, n_merges=8)
 
@@ -4306,6 +4308,62 @@ def _sql_bpe_apply_fixed() -> str:
                CAST((sum(nt) * 1000000) // sum(nc) AS BIGINT) AS ratio_ppm
         FROM t GROUP BY doc_id
     """
+
+
+def _sql_bpe_learn() -> str:
+    """Oracle for q163 — the LEARN itself, not a literal twin: 8
+    Sennrich rounds unrolled as MATERIALIZED CTEs (the q220 lesson —
+    DuckDB inlines plain CTEs, so an unrolled iterative chain must
+    materialize each round or re-evaluation goes exponential). Each
+    round r: adjacent-pair counts over the round-(r−1) word table
+    (list_zip of the symbol array against its shift), a deterministic
+    argmax ``ORDER BY c DESC, l, r`` LIMIT 1 — exactly bpe_learn's
+    TakeOrdered convention — and a rewrite via the same double-space
+    literal replace the Spark side uses. Early stop matches by
+    construction: ``WHERE m.c >= 2`` empties round r's word table when
+    the best pair drops below min_count, and a merge with count < 2
+    can only spawn pairs of count < 2, so later rounds stay empty —
+    the same suffix bpe_learn's ``break`` removes."""
+    rounds = []
+    for r in range(1, 9):
+        prev = f"w{r-1}"
+        rounds.append(f"""
+        p{r} AS MATERIALIZED (
+          SELECT l, r2, sum(n) AS c FROM (
+            SELECT u[1] AS l, u[2] AS r2, n FROM (
+              SELECT unnest(list_zip(arr[1:len(arr)-1], arr[2:len(arr)])) AS u, n
+              FROM (SELECT string_split(trim(syms), '  ') AS arr, n FROM {prev})
+              WHERE len(arr) >= 2
+            )
+          ) GROUP BY l, r2
+        ),
+        m{r} AS MATERIALIZED (
+          SELECT l, r2, c FROM p{r} ORDER BY c DESC, l ASC, r2 ASC LIMIT 1
+        ),
+        w{r} AS MATERIALIZED (
+          SELECT replace(syms, ' ' || m.l || '  ' || m.r2 || ' ',
+                               ' ' || m.l || m.r2 || ' ') AS syms, n
+          FROM {prev}, m{r} m WHERE m.c >= 2
+        )""")
+    finals = " UNION ALL ".join(
+        f'SELECT {r} AS rank, l AS "left", r2 AS "right", '
+        f"CAST(c AS BIGINT) AS pair_count FROM m{r} WHERE c >= 2"
+        for r in range(1, 9)
+    )
+    return (
+        """
+        WITH w0 AS MATERIALIZED (
+          SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS syms,
+                 count(*) AS n
+          FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+                FROM documents WHERE doc_id % 20 = 0 AND trim(text) <> '')
+          WHERE word <> ''
+          GROUP BY 1
+        ),"""
+        + ",".join(rounds)
+        + "\n        "
+        + finals
+    )
 
 
 def _sql_hll() -> str:
@@ -6394,6 +6452,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_orderkey % 101 = 0
         """,
         "q162_bpe_apply": _sql_bpe_apply_fixed(),
+        "q163_bpe_learn": _sql_bpe_learn(),
         "q164_exact_split": """
             -- largest-remainder quotas per stratum, seeded-hash ranks
             WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -15,14 +15,13 @@ import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# the two gates documented as rows-only (no SQL form by nature):
-# q87 decodes an env-blocked zarr codec; q163's learned BPE merge table
-# is iterative driver-side training. Round 9 retired the other two
-# (q93 trained-PCA, q99 trained-PQ): their execution paths are
-# hash-verified end-to-end by the literal-model twins q110/q109, and
-# the training itself is pinned against numpy/python mirrors in
-# tests/test_round3_ops.py and tests/test_round4_ops.py.
-ROWS_ONLY = {"q87_zarr_decode", "q163_bpe_learn"}
+# the one gate documented as rows-only (no SQL form by nature): q87
+# decodes a zarr store, which the DuckDB oracle cannot read. Round 9
+# retired q93 trained-PCA / q99 trained-PQ (hash-verified end-to-end by
+# the literal-model twins q110/q109 + numpy training mirrors); round 10
+# retired q163 BPE-learn by giving it a real oracle — the 8 training
+# rounds unrolled as MATERIALIZED CTEs in DuckDB.
+ROWS_ONLY = {"q87_zarr_decode"}
 
 
 def _registry():
