@@ -1,15 +1,22 @@
 """Randomized relational-algebra fuzz harness (round 9, VERDICT r08
-item 9): compose seeded random chains of the Relation API's operators
-(restrict / anti-restrict / natural join / proj rename+compute / aggr /
-union / U-grouped aggregate / top) over the sf0.001 TPC-H tables while
-building the EXACT equivalent SQL string, then hash-match the Spark
-result against DuckDB running that SQL on the same parquet files.
+item 9; grammar widened round 10 per VERDICT r09 item 6): compose
+seeded random chains of the Relation API's operators (restrict /
+anti-restrict / natural join / natural LEFT join / proj rename+compute
+/ aggr / union / U-grouped aggregate / top — the last two mid-chain as
+well as terminal, so aggregate-after-union, restrict-after-top and
+second-level aggregates are reachable) over the sf0.001 TPC-H tables
+PLUS the events (timestamps, JSON strings) and embeddings (array
+column via engine-agnostic scalars) tables, while building the EXACT
+equivalent SQL string, then hash-match the Spark result against DuckDB
+running that SQL on the same parquet files.
 
 The curated 240+ oracle gates cover each operator; this tier covers the
 COMPOSITION space — the interactions (rename-then-join PK inheritance,
-aggregate-after-restrict, union PK dedupe after a fan-out join) that no
-fixed gate enumerates. N seeds default to 200 (SPARK_FUZZ_SEEDS
-overrides); every failure prints its seed and both plans for replay.
+aggregate-after-restrict, union PK dedupe after a fan-out join,
+NULL-bearing group keys downstream of a left join) that no fixed gate
+enumerates. N seeds default to 200 (CI tier); set SPARK_FUZZ_SEEDS=1000
+for the nightly tier. Every failure prints its seed and both plans for
+replay.
 
 Determinism rules baked into the generator (so ANY mismatch is a real
 engine-parity bug, not a tie-break ambiguity):
@@ -96,6 +103,36 @@ SCHEMAS = {
             "n_chars": "i",
         },
     },
+    # event stream (round 10): timestamp predicates on 2024 data + a
+    # JSON-string column through the generic string ops
+    "events": {
+        "pk": ["event_id"],
+        "cols": {
+            "event_id": "i",
+            "ts": "t",
+            "user_id": "i",
+            "event_type": "s",
+            "value": "f",
+            "props": "s",
+        },
+    },
+    # embedding table (round 10): the array column enters through
+    # engine-agnostic scalars (len → emb_dim, first element → e0) so
+    # list-literal formatting differences can't fake a mismatch
+    "embeddings": {
+        "pk": ["vec_id"],
+        "cols": {"vec_id": "i", "label": "i", "emb_dim": "i", "e0": "f"},
+    },
+}
+
+# tables whose base relation needs a projection (Spark side built with
+# DataFrame functions, SQL side its DuckDB equivalent — later generated
+# ops stay engine-agnostic strings)
+BASE_SQL = {
+    "embeddings": (
+        "SELECT vec_id, label, len(embedding) AS emb_dim, "
+        "embedding[1] AS e0 FROM embeddings"
+    ),
 }
 
 # literal pools per string column (sampled for =, <>, LIKE prefixes)
@@ -112,6 +149,7 @@ STR_LITS = {
     "o_orderpriority": ["1-URGENT", "5-LOW", "3-MEDIUM"],
     "lang": ["en", "de", "zh", "es"],
     "source": ["src0", "src1", "src2"],
+    "event_type": ["purchase", "signup", "click", "error", "view"],
 }
 LIKE_PREFIX = {
     "r_name": "REGION_",
@@ -127,6 +165,8 @@ LIKE_PREFIX = {
     "lang": "e",
     "source": "src",
     "text": "the",
+    "event_type": "s",
+    "props": '{"k": 1',
 }
 INT_RANGES = {
     "r_regionkey": (0, 4),
@@ -142,13 +182,23 @@ INT_RANGES = {
     "o_custkey": (0, 149),
     "doc_id": (0, 4999),
     "n_chars": (1, 900),
+    "event_id": (0, 999),
+    "user_id": (0, 14),
+    "vec_id": (0, 499),
+    "label": (0, 9),
+    "emb_dim": (60, 68),
 }
 FLOAT_RANGES = {
     "c_acctbal": (0.0, 10000.0),
     "s_acctbal": (0.0, 10000.0),
     "p_retailprice": (100.0, 2000.0),
     "o_totalprice": (1000.0, 400000.0),
+    "value": (0.0, 330.0),
+    "e0": (-0.4, 0.4),
 }
+
+# per-column year pools for timestamp predicates (events data is 2024)
+TS_YEARS = {"ts": (2024, 2024)}
 
 # many-to-one join edges: fact FK column -> (dim table, dim PK to rename)
 EDGES = {
@@ -156,6 +206,7 @@ EDGES = {
     "customer": [("c_nationkey", "nation", "n_nationkey")],
     "supplier": [("s_nationkey", "nation", "n_nationkey")],
     "orders": [("o_custkey", "customer", "c_custkey")],
+    "events": [("user_id", "customer", "c_custkey")],
 }
 
 
@@ -172,11 +223,19 @@ class Chain:
 
 @pytest.fixture(scope="module")
 def tables(spark):
+    from pyspark.sql import functions as F
     from aeon_mecha_spark.query.relation import Relation
 
     out = {}
     for t, meta in SCHEMAS.items():
         df = spark.read.parquet(f"{SF}/{t}.parquet")
+        if t == "embeddings":  # Spark twin of BASE_SQL['embeddings']
+            df = df.select(
+                "vec_id",
+                "label",
+                F.size("embedding").alias("emb_dim"),
+                F.element_at("embedding", 1).alias("e0"),
+            )
         out[t] = (Relation(df, meta["pk"]), meta)
     return out
 
@@ -215,8 +274,9 @@ def _pred(rng: random.Random, cols: dict) -> str | None:
             return rng.choice([f"{c} = '{v}'", f"{c} <> '{v}'"])
         return f"{c} LIKE '{LIKE_PREFIX.get(c, 'X')}%'"
     if k == "t":
-        y = rng.randint(1995, 2001)
-        return rng.choice([f"{c} >= ", f"{c} < "]) + f"TIMESTAMP '{y}-07-01'"
+        y = rng.randint(*TS_YEARS.get(c, (1995, 2001)))
+        m = rng.randint(1, 12)
+        return rng.choice([f"{c} >= ", f"{c} < "]) + f"TIMESTAMP '{y}-{m:02d}-01'"
     return None
 
 
@@ -302,6 +362,37 @@ def _apply_op(rng: random.Random, ch: Chain, tables, op: str) -> Chain:
         new_cols = dict(ch.cols)
         new_cols[name] = "i"
         return Chain(out, sql, new_cols, ch.pk, ch.joined)
+
+    if op == "join_left":
+        # natural LEFT join (Relation.join(left=True)) onto a RESTRICTED
+        # renamed dim — the restriction guarantees unmatched fact rows,
+        # so NULL dim columns flow through later predicates/aggregates
+        edges = [
+            (fk, dim, dimpk)
+            for fk, dim, dimpk in ch.edges_avail
+            if fk in ch.cols and dim not in ch.joined
+        ]
+        if not edges:
+            return ch
+        fk, dim, dimpk = rng.choice(edges)
+        dim_rel, dim_meta = tables[dim]
+        keep = [c for c in dim_meta["cols"] if c != dimpk and c not in ch.cols]
+        if not keep:
+            return ch
+        m = rng.randint(2, 4)
+        renamed = dim_rel.proj(*keep, **{fk: dimpk}) & f"{fk} % {m} = 0"
+        out = ch.rel.join(renamed, left=True)
+        sql_dim = ", ".join([f"{dimpk} AS {fk}"] + keep)
+        sql = (
+            f"SELECT * FROM ({ch.sql}) LEFT JOIN "
+            f"(SELECT {sql_dim} FROM {dim} WHERE {dimpk} % {m} = 0) "
+            f"USING ({fk})"
+        )
+        new_cols = dict(ch.cols)
+        for c in keep:
+            new_cols[c] = dim_meta["cols"][c]
+        pk = list(dict.fromkeys([*ch.pk, fk]))
+        return Chain(out, sql, new_cols, pk, ch.joined | {dim})
 
     if op in ("semi", "antij"):
         # restrict/anti-restrict by a RELATION operand: the dim PK is
@@ -421,7 +512,13 @@ def _apply_op(rng: random.Random, ch: Chain, tables, op: str) -> Chain:
         if not group_cands:
             return ch
         keys = rng.sample(group_cands, k=min(len(group_cands), rng.randint(1, 2)))
-        specs = _agg_specs(rng, ch.cols, rng.randint(1, 3))
+        # suffix output names with the (strictly growing) SQL length so
+        # a SECOND uagg in the chain (mid-chain op since round 10) can't
+        # re-mint a name that survives as one of its own group keys
+        specs = {
+            f"{name}_{len(ch.sql)}": spec
+            for name, spec in _agg_specs(rng, ch.cols, rng.randint(1, 3)).items()
+        }
         out = U(*keys).aggr(ch.rel, **specs)
         sel = ", ".join(
             keys + [f"{spec} AS {name}" for name, spec in specs.items()]
@@ -442,8 +539,12 @@ def _apply_op(rng: random.Random, ch: Chain, tables, op: str) -> Chain:
         if not order:
             return ch
         out = ch.rel.top(n, order_by=order, offset=off)
+        # Spark's asc() sorts NULLS FIRST, DuckDB's default is NULLS
+        # LAST — pin the Spark convention in the oracle SQL (group keys
+        # can be NULL once uagg follows a left join, round 10)
+        ob = ", ".join(f"{c} NULLS FIRST" for c in order)
         sql = (
-            f"SELECT * FROM ({ch.sql}) ORDER BY {', '.join(order)} "
+            f"SELECT * FROM ({ch.sql}) ORDER BY {ob} "
             f"LIMIT {n}" + (f" OFFSET {off}" if off else "")
         )
         return Chain(out, sql, ch.cols, ch.pk, ch.joined)
@@ -454,11 +555,15 @@ def _apply_op(rng: random.Random, ch: Chain, tables, op: str) -> Chain:
 def _build(rng: random.Random, tables) -> Chain:
     t = rng.choice(list(SCHEMAS))
     rel, meta = tables[t]
-    ch = Chain(rel, f"SELECT * FROM {t}", meta["cols"], meta["pk"], {t})
+    ch = Chain(rel, BASE_SQL.get(t, f"SELECT * FROM {t}"), meta["cols"], meta["pk"], {t})
     ch.edges_avail = EDGES.get(t, [])
+    # round 10: uagg and top are MID-CHAIN ops too — aggregate-after-
+    # union, restrict-after-top, join-after-aggregate etc. all reachable
+    # (uagg/top stay rarer than the rest so chains keep some depth)
     ops = [
-        "restrict", "anti", "join", "aggr", "proj_subset", "proj_compute",
-        "union", "semi", "antij", "aggr_left",
+        "restrict", "anti", "join", "join_left", "aggr", "proj_subset",
+        "proj_compute", "union", "semi", "antij", "aggr_left",
+        "restrict", "join", "uagg", "top",
     ]
     for _ in range(rng.randint(2, 5)):
         nxt = _apply_op(rng, ch, tables, rng.choice(ops))

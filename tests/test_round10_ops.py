@@ -221,3 +221,45 @@ def test_mad_outliers_matches_row_level_mirror(spark):
             assert r["is_outlier"] == (abs(r["v"] - med) > 3.0 * mad)
     # the wild rows must be flagged
     assert all(r["is_outlier"] for r in got if r["v"] == 500.0)
+
+
+# ---------------------------------------------------------------------------
+# organic-growth linearity, pinned (round 10 — VERDICT r09 item 9):
+# the LSH dedup scale property can't silently regress
+
+def test_organic_scale_lsh_pairs_grow_linearly(spark, tmp_path):
+    """Build a 3x organic replica of the sf0.001 corpus (seeded
+    substitution cipher per document replica, sign-flip per embedding
+    replica — within-replica near-dup structure exactly preserved,
+    replicas mutually novel) and pin that the LSH candidate-pair gates
+    grow LINEARLY: q35 (MinHash-band Jaccard pairs) and q116 (semantic
+    embedding dedup) must output ~3x the 1x rows — never ~9x, which is
+    the all-pairs signature the bucketed plans exist to avoid."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe", os.path.join(os.path.dirname(__file__), "..", "tools", "scale_probe.py")
+    )
+    sp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sp)
+    import __spark_entry__ as entry
+
+    n = 3
+    scaled = sp.build_scaled(
+        spark, n, organic=True,
+        base_dir="/root/testdata/sf0.001", out_root=str(tmp_path),
+    )
+    qs = entry.queries()
+    for gate in ("q35_lsh_jaccard", "q116_semantic_dedup"):
+        base_rows = qs[gate](spark, "/root/testdata/sf0.001").count()
+        scaled_rows = qs[gate](spark, scaled).count()
+        # ~linear, not exact: the cipher/sign-flip re-hashes shingles
+        # and bucket signs, so each replica's LSH banding RECALL is an
+        # independent draw — per-replica pair counts fluctuate around
+        # the 1x count. The pin only needs to exclude the quadratic
+        # regime: at n=3, all-pairs behavior would land near n²·base
+        # (9x = 3·(n·base)), far outside the [0.55, 1.8]·n·base band.
+        lo = int(0.55 * n * base_rows)
+        hi = int(1.8 * n * base_rows) + 4
+        assert lo <= scaled_rows <= hi, (gate, base_rows, scaled_rows)

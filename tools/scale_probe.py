@@ -74,8 +74,21 @@ COPY = ["region", "nation", "customer", "supplier", "part"]
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
-def build_scaled(spark, n: int, organic: bool = False) -> str:
+def build_scaled(
+    spark,
+    n: int,
+    organic: bool = False,
+    base_dir: str | None = None,
+    out_root: str | None = None,
+) -> str:
+    """Replicate ``base_dir`` (default $SPARK_GRAFT_SF_DIR) N× into
+    ``out_root`` (default the /tmp scratch). Parameterized (round 10)
+    so the pinned organic-linearity regression test can build a tiny
+    sf0.001 corpus in pytest's tmp dir instead of the shared scratch."""
     from pyspark.sql import functions as F
+
+    base = base_dir or BASE
+    scratch = out_root or SCRATCH
 
     # events stores TIMESTAMP(NANOS): read/write it as a ns bigint so the
     # replica keeps the exact on-disk semantics the queries expect.
@@ -85,14 +98,14 @@ def build_scaled(spark, n: int, organic: bool = False) -> str:
     # column and unix_micros-based queries break on the scaled copy
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    out_dir = os.path.join(SCRATCH, f"x{n}")
+    out_dir = os.path.join(scratch, f"x{n}")
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
     for t in COPY:
-        shutil.copy(os.path.join(BASE, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet"))
+        shutil.copy(os.path.join(base, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet"))
     for t, keys in OFFSETS.items():
-        src = os.path.join(BASE, f"{t}.parquet")
+        src = os.path.join(base, f"{t}.parquet")
         df = spark.read.parquet(src)
         span = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
         parts = []
