@@ -207,25 +207,55 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype("float32")
 
 
-def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> DataFrame:
-    """Decode + embed each payload via mapInPandas (one Arrow batch at a
-    time — bounded executor memory regardless of table size).
+def _image_feature(img: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic REAL image descriptor from decoded pixels: the
+    first ``dim−2`` entries are a normalized gray-level histogram
+    (classic pre-neural global descriptor), the last two are gray
+    mean/std scaled to [0, 1] — fully reproducible, library-free, and
+    payload-content-sensitive (unlike the hash-seeded fake)."""
+    gray = img[:, :, :3].mean(axis=2) if img.shape[2] >= 3 else img[:, :, 0]
+    nbins = max(1, dim - 2)
+    hist, _ = np.histogram(gray, bins=nbins, range=(0.0, 256.0))
+    feat = np.empty(dim, dtype="float32")
+    feat[:nbins] = hist / max(1, gray.size)
+    if dim >= 2:
+        feat[-2] = gray.mean() / 255.0
+        feat[-1] = gray.std() / 255.0
+    return feat
 
-    Real implementation decodes payload → pixels/samples → model features;
-    STUB: raises unless ``fake=True`` (no PIL/ffmpeg in this container).
+
+def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> DataFrame:
+    """Decode + featurize each payload via mapInPandas (one Arrow batch
+    at a time — bounded executor memory regardless of table size).
+
+    REAL for images (round 10): PNG/JPEG payloads decode through the
+    vendored codecs and yield a gray-histogram + moments descriptor
+    (:func:`_image_feature`). Audio/video payloads still need
+    libraries this container lacks — they raise unless ``fake=True``,
+    which substitutes hash-seeded pseudo-features so the distributed
+    plumbing stays testable for those modalities.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg
+
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decoding requires image/audio libraries not present "
-                    "in this environment; pass fake=True for the test path"
-                )
-            feats = [
-                _fake_feature(p if isinstance(p, bytes) else bytes(p), dim)
-                for p in pdf["payload"]
-            ]
+            feats = []
+            for modality, p in zip(pdf["modality"], pdf["payload"]):
+                p = p if isinstance(p, bytes) else bytes(p)
+                if not fake and modality == "image" and p[:8] == _PNG_SIG:
+                    feats.append(_image_feature(decode_png(p), dim))
+                elif not fake and modality == "image" and p[:2] == b"\xff\xd8":
+                    feats.append(_image_feature(decode_jpeg(p), dim))
+                elif fake:
+                    feats.append(_fake_feature(p, dim))
+                else:
+                    raise NotImplementedError(
+                        f"{modality} feature extraction requires media "
+                        "libraries not present in this environment (image "
+                        "PNG/JPEG decode natively); pass fake=True for the "
+                        "test path"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -315,6 +345,75 @@ def encode_frames_base64(media: DataFrame) -> DataFrame:
     return media.select(
         "media_id", "modality", F.base64(F.col("payload")).alias("payload_b64")
     )
+
+
+SERVE_SCHEMA = (
+    "media_id bigint, width int, height int, out_width int, out_height int, "
+    "payload_b64 string"
+)
+
+
+def serve_frames_base64(
+    media: DataFrame, max_side: int | None = None, quality: int = 85
+) -> DataFrame:
+    """The reference frame server's EXACT payload contract, distributed:
+    decode each image payload (PNG or baseline JPEG), optionally
+    downscale so the longer side is ≤ ``max_side`` (nearest-neighbor —
+    deterministic integer index sampling), re-encode as baseline JPEG
+    (the format video.py:47-55 emits via cv2.imencode('.jpg', …)), and
+    base64 it for JSON transport. Runs as one Arrow-batched
+    ``mapInPandas`` stage — every step is the vendored pure-numpy
+    codec, no external media library. Complements
+    :func:`encode_frames_base64` (which base64s payloads as-is) by
+    doing the decode→re-encode hop the reference server performs."""
+    import base64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p if isinstance(p, bytes) else bytes(p)
+                if p[:8] == _PNG_SIG:
+                    img = decode_png(p)
+                elif p[:2] == b"\xff\xd8":
+                    img = decode_jpeg(p)
+                else:
+                    raise NotImplementedError(
+                        "frame serving implemented for PNG and baseline JPEG "
+                        "payloads"
+                    )
+                h, w = img.shape[:2]
+                oh, ow = h, w
+                if max_side and max(h, w) > max_side:
+                    scale = max_side / max(h, w)
+                    oh = max(1, int(round(h * scale)))
+                    ow = max(1, int(round(w * scale)))
+                    yi = (np.arange(oh) * h) // oh
+                    xi = (np.arange(ow) * w) // ow
+                    img = img[yi][:, xi]
+                if img.shape[2] == 1:
+                    out = img[:, :, 0]
+                elif img.shape[2] == 3:
+                    out = img
+                else:  # alpha: composite over black like a video frame
+                    out = img[:, :, :3]
+                enc = encode_jpeg(
+                    np.ascontiguousarray(out), quality=quality, subsampling="4:4:4"
+                )
+                rows.append(
+                    (mid, w, h, ow, oh, base64.b64encode(enc).decode("ascii"))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "out_width", "out_height",
+                    "payload_b64",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=SERVE_SCHEMA)
 
 
 def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:

@@ -183,23 +183,86 @@ def _grain_type1_quantile(
     value whose inclusive cumulative count first reaches rank
     ``ceil(p·n) = (num·n + den − 1) div den`` — exactly the data value
     a row-level rank selection would return, because every row of a tie
-    run carries the same value. Cumulative counts ride the shared
-    :func:`_grain_prefix` two-level prefix sum, so parallelism scales
-    with the value grain, never the key count. Output ``(keys…, q)``.
+    run carries the same value. Output ``(keys…, q)``.
 
-    NOTE: when ``grain_count`` is None this triggers ``_grain_prefix``'s
-    one planning ``count()`` action at build time — callers with several
-    quantile passes should count the (persisted) grain once and pass the
-    result (or any upper bound) down.
+    Plan — distributed SELECTION, not a full prefix sum: a quantile
+    needs ONE rank per key, so after the per-(key, bucket) counts are
+    aggregated (same min/max linear bucket map as ``_grain_prefix`` —
+    any monotone map refines value order, so bucket order is exact),
+    the single bucket whose cumulative range CONTAINS the rank is
+    picked per key and only ITS ~grain/buckets rows are sorted (one
+    keys-partitioned window over the filtered candidates). Equal
+    values straddling a bucket boundary cannot change the answer —
+    whichever copy is selected carries the same value. This skips the
+    grain-wide in-bucket cumulative window a full prefix sum pays —
+    the right trade when the output is a rank lookup, not a curve.
+    Non-numeric value columns fall back to ``_grain_prefix``'s
+    order-generic single-window path (``grain_count`` forwarded; see
+    its laziness note).
     """
-    cum = _grain_prefix(
-        grain, value_col, [count_col], ascending=True,
-        buckets=buckets, group_cols=keys, grain_count=grain_count,
+    dtypes = dict(grain.dtypes)
+    if not dtypes[value_col].startswith(_NUMERIC_PREFIXES):
+        cum = _grain_prefix(
+            grain, value_col, [count_col], ascending=True,
+            buckets=buckets, group_cols=keys, grain_count=grain_count,
+        )
+        rank = F.expr(f"({num} * _tot{count_col} + {den - 1}) div {den}")
+        return cum.filter(
+            (F.col(f"_cum{count_col}") >= rank)
+            & ((F.col(f"_cum{count_col}") - F.col(count_col)) < rank)
+        ).select(*keys, F.col(value_col).alias("q"))
+
+    nb = int(buckets)
+    mm = grain.groupBy(*keys).agg(
+        F.min(F.col(value_col).cast("double")).alias("_mn"),
+        F.max(F.col(value_col).cast("double")).alias("_mx"),
     )
-    rank = F.expr(f"({num} * _tot{count_col} + {den - 1}) div {den}")
-    return cum.filter(
-        (F.col(f"_cum{count_col}") >= rank)
-        & ((F.col(f"_cum{count_col}") - F.col(count_col)) < rank)
+    bucket_of = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * nb
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    if keys:
+        b = grain.join(mm, keys)  # AQE: keys-sized build side → broadcast
+    else:
+        b = grain.crossJoin(F.broadcast(mm))
+    b = b.withColumn("_cb", bucket_of).drop("_mn", "_mx")
+    per_bucket = b.groupBy(*keys, "_cb").agg(
+        F.sum(count_col).cast("long").alias("_bc")
+    )
+    w_off = (
+        W.partitionBy(*keys).orderBy(F.col("_cb").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = per_bucket.withColumn(
+        "_off", F.coalesce(F.sum("_bc").over(w_off), F.lit(0).cast("long"))
+    ).withColumn("_tot", F.sum("_bc").over(W.partitionBy(*keys)))
+    rank = F.expr(f"({num} * _tot + {den - 1}) div {den}")
+    sel = offs.filter((F.col("_off") < rank) & (rank <= F.col("_off") + F.col("_bc"))).select(
+        *keys, "_cb", "_off", rank.alias("_rk")
+    )
+    if keys:
+        cand = b.join(sel, [*keys, "_cb"])  # ≤ grain/buckets rows per key
+    else:
+        cand = b.join(F.broadcast(sel), "_cb")
+    w_in = W.partitionBy(*keys).orderBy(F.col(value_col).asc())
+    ranked = cand.withColumn(
+        "_cum", F.col("_off") + F.sum(count_col).over(
+            w_in.rowsBetween(W.unboundedPreceding, 0)
+        )
+    )
+    return ranked.filter(
+        (F.col("_cum") >= F.col("_rk"))
+        & ((F.col("_cum") - F.col(count_col)) < F.col("_rk"))
     ).select(*keys, F.col(value_col).alias("q"))
 
 
@@ -1087,13 +1150,17 @@ def mad_outliers(
     DEVIATION grain is derived grain-side (map ``v → |v − median|``
     carrying the counts, re-aggregate ≤ grain-sized rows) — the fact
     table is never re-shuffled for the second median. Both keys-sized
-    stat tables broadcast back onto ``df``. One planning ``count()`` on
-    the persisted grain sizes both prefix passes (the grain count upper-
-    bounds the deviation grain's by construction). ``range_buckets``
-    maps to the prefix-sum bucket count (default 1024);
-    ``target_sample_rows`` / ``sample_fraction`` from the retired
-    sampling path are accepted and ignored. Adds ``_median`` / ``_mad``
-    / ``is_outlier``.
+    stat tables broadcast back onto ``df``. Fully lazy — unlike the
+    rest of the grain-prefix family, no planning ``count()`` runs: a
+    median's grain is value-dominated (continuous measures make it
+    ≈ corpus-sized), so the adaptive fast path would almost never
+    engage and the count is a whole extra fact-scale action; both
+    passes take the bucketed path unconditionally (identical output by
+    construction, 2-3 spare tiny stages when the grain happens to be
+    small). ``range_buckets`` maps to the prefix-sum bucket count
+    (default 1024); ``target_sample_rows`` / ``sample_fraction`` from
+    the retired sampling path are accepted and ignored. Adds
+    ``_median`` / ``_mad`` / ``is_outlier``.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -1108,9 +1175,11 @@ def mad_outliers(
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
         .persist(StorageLevel.MEMORY_ONLY)
     )
-    n_grain = grain.count()  # one planning action; sizes BOTH passes
+    # grain_count sentinel = skip the count action, force the (always
+    # exact) bucketed path — see the docstring's laziness note
+    no_count = 1 << 62
     med = _grain_type1_quantile(
-        grain, keys, value_col, "_n", 1, 2, buckets, grain_count=n_grain
+        grain, keys, value_col, "_n", 1, 2, buckets, grain_count=no_count
     ).select(*keys, F.col("q").alias("_median"))
     dgrain = (
         grain.join(F.broadcast(med), keys)
@@ -1124,7 +1193,7 @@ def mad_outliers(
         .persist(StorageLevel.MEMORY_ONLY)  # read twice by _grain_prefix
     )
     mad = _grain_type1_quantile(
-        dgrain, keys, "_dev", "_n", 1, 2, buckets, grain_count=n_grain
+        dgrain, keys, "_dev", "_n", 1, 2, buckets, grain_count=no_count
     ).select(*keys, F.col("q").alias("_mad"))
     stats = med.join(mad, keys)
     out = df.join(F.broadcast(stats), keys, "left").withColumn(

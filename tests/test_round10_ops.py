@@ -263,3 +263,37 @@ def test_organic_scale_lsh_pairs_grow_linearly(spark, tmp_path):
         lo = int(0.55 * n * base_rows)
         hi = int(1.8 * n * base_rows) + 4
         assert lo <= scaled_rows <= hi, (gate, base_rows, scaled_rows)
+
+
+def test_serve_frames_base64_full_pipeline(spark):
+    """The frame-server contract end-to-end, distributed: PNG and JPEG
+    inputs decode, downscale to max_side, re-encode as baseline JPEG,
+    base64 — and the served payload decodes back to the expected
+    dimensions with pixels close to a local nearest-neighbor resize."""
+    import base64
+
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg, encode_jpeg
+    from aeon_mecha_spark.datapipe.multimodal import encode_png, serve_frames_base64
+
+    yy, xx = np.mgrid[0:40, 0:64]
+    img = np.clip(np.stack([yy * 4, xx * 2, yy + xx], axis=-1), 0, 255).astype(np.uint8)
+    rows = [
+        (0, "image", 64, 40, 0, bytearray(encode_png(img))),
+        (1, "image", 64, 40, 0, bytearray(encode_jpeg(img, quality=95))),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, modality string, width int, height int, "
+        "duration_ms int, payload binary",
+    )
+    got = {r["media_id"]: r for r in serve_frames_base64(media, max_side=32).collect()}
+    assert got[0]["out_width"] == 32 and got[0]["out_height"] == 20
+    # local mirror of the nearest-neighbor resize
+    yi = (np.arange(20) * 40) // 20
+    xi = (np.arange(32) * 64) // 32
+    expect = img[yi][:, xi]
+    for mid in (0, 1):
+        served = decode_jpeg(base64.b64decode(got[mid]["payload_b64"]))
+        assert served.shape == (20, 32, 3)
+        err = np.abs(served.astype(int) - expect.astype(int))
+        assert err.mean() < 6.0, (mid, err.mean())

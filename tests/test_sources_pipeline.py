@@ -165,7 +165,10 @@ def test_multimodal_fake_features_and_plans(spark):
     assert (rz.target_width, rz.target_height) == (320, 240)
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_non_image_decode_is_stubbed(spark):
+    """Image features are REAL as of round 10 (vendored PNG/JPEG
+    codecs); undecodable payloads and audio/video modalities still
+    raise the documented env-blocked error on the fake=False path."""
     from aeon_mecha_spark.datapipe import multimodal as MM
 
     media = spark.createDataFrame(
@@ -174,3 +177,34 @@ def test_multimodal_real_decode_is_stubbed(spark):
     )
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         MM.extract_features(media, fake=False).collect()
+    audio = spark.createDataFrame(
+        [Row(media_id=2, modality="audio", width=0, height=0, duration_ms=10, payload=b"RIFF")],
+        schema=MM.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception):
+        MM.extract_features(audio, fake=False).collect()
+
+
+def test_multimodal_image_features_are_real(spark):
+    """fake=False now produces REAL gray-histogram descriptors for
+    PNG and JPEG payloads — matching a local numpy mirror exactly for
+    the lossless PNG."""
+    import numpy as np
+
+    from aeon_mecha_spark.datapipe import multimodal as MM
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            Row(
+                media_id=1, modality="image", width=9, height=12,
+                duration_ms=0, payload=bytearray(MM.encode_png(img)),
+            )
+        ],
+        schema=MM.MEDIA_SCHEMA,
+    )
+    row = MM.extract_features(media, dim=16, fake=False).collect()[0]
+    expect = MM._image_feature(img, 16)
+    assert row["modality"] == "image"
+    np.testing.assert_allclose(np.array(row["feature"]), expect, rtol=1e-6)
