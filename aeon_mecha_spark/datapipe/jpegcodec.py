@@ -477,8 +477,8 @@ def encode_jpeg(
     h_img, w_img, nch = img.shape
     if nch not in (1, 3):
         raise ValueError("encode_jpeg expects 1 or 3 channels")
-    if subsampling not in ("4:4:4", "4:2:0"):
-        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4', '4:2:2' or '4:2:0'")
     ql = _quality_scale(QUANT_LUMA, quality)
     qc = _quality_scale(QUANT_CHROMA, quality)
 
@@ -497,6 +497,12 @@ def encode_jpeg(
             cb = 0.25 * (cbp[0::2, 0::2] + cbp[1::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 1::2])
             cr = 0.25 * (crp[0::2, 0::2] + crp[1::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 1::2])
             hs, vs = 2, 2
+        elif subsampling == "4:2:2":  # horizontal-only chroma halving
+            cbp = _pad_edge(cb, 1, 2)
+            crp = _pad_edge(cr, 1, 2)
+            cb = 0.5 * (cbp[:, 0::2] + cbp[:, 1::2])
+            cr = 0.5 * (crp[:, 0::2] + crp[:, 1::2])
+            hs, vs = 2, 1
         else:
             hs, vs = 1, 1
         comps = [

@@ -34,7 +34,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # represented by a named sibling; BENCH_DETAIL.json still names all).
 # Round-9 rotation (stdout gained sentinel/norm_total keys): q13 lag
 # window -> q181 ewma; q47 hyperplane-LSH -> q48 IVF + q72 LSH dedup;
-# q120 IQR fences -> q151 MAD two-pass; q162 BPE apply -> q163 learn;
+# q120 IQR fences -> q151 MAD grain medians; q162 BPE apply -> q163 learn;
 # q174 pairwise vocab -> q159 sparse cosine; q179 KL -> q204 PSI +
 # q210 JSD. Second wave (q243-q247 joined): q34 minhash -> q35
 # (includes the minhash stage); q143 chi2 -> q242 (cells + isqrt);
@@ -92,7 +92,7 @@ HEADLINE = [
     "q147_impute_median",    # group-median fill, two-level quantile path
     "q149_cube_agg",         # 2-dim CUBE in one Expand+aggregate
     "q150_target_encode",    # integral micro-unit smoothed encoding
-    "q151_mad_outliers",     # two quantile passes + broadcast fences
+    "q151_mad_outliers",     # grain-side selection medians + broadcast fences
     "q152_basket_rules",     # basket-keyed pair join, exact ppm stats
     "q153_event_paths",      # rank-cut journeys + TakeOrdered top-20
     "q154_triangle_stats",   # ordered-wedge triangles, exact ppm CC

@@ -90,14 +90,17 @@ def test_jpeg_gray_roundtrip_close():
     assert err.max() <= 8 and err.mean() < 2.0
 
 
-def test_jpeg_rgb_444_and_420_roundtrip_odd_dims():
+def test_jpeg_rgb_subsampling_roundtrip_odd_dims():
+    """4:4:4, 4:2:2 (asymmetric h=2,v=1 — exercises the decoder's
+    general sampling-factor path), and 4:2:0 on non-multiple-of-MCU
+    dimensions."""
     from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg, encode_jpeg
 
     yy, xx = np.mgrid[0:33, 0:29]
     img = np.clip(np.stack([yy * 2 + 10, xx * 3 + 5, yy + xx], axis=-1), 0, 255).astype(
         np.uint8
     )
-    for sub in ("4:4:4", "4:2:0"):
+    for sub in ("4:4:4", "4:2:2", "4:2:0"):
         dec = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
         assert dec.shape == img.shape
         err = np.abs(dec.astype(int) - img.astype(int))

@@ -53,6 +53,12 @@ def probes(spark, sf_dir):
     from aeon_mecha_spark.operators import analytics
 
     docs = _docs(spark, sf_dir)
+    # a second continuous axis so spearman's PAIR grain grows ∝ rows too
+    docs2 = docs.withColumn(
+        "score2",
+        ((F.col("doc_id") * 37) % 1000000007).cast("double") / 1e6
+        + F.col("score") * 0.125,
+    )
     return {
         "lift_table_hicard": analytics.lift_table(
             docs, F.col("source") == "src0", "score", n_buckets=10
@@ -62,6 +68,21 @@ def probes(spark, sf_dir):
         ),
         "roc_points_hicard": analytics.roc_points(
             docs, F.col("source") == "src0", "score"
+        ),
+        # round 10: the rank stats + the selection-based medians on the
+        # SAME growing grain — flat-to-linear here proves their slope in
+        # the pk-offset probe is data volume, not grain serialization
+        "mad_outliers_hicard": analytics.mad_outliers(
+            docs, ["lang"], "score", k=3.0, range_buckets=1024
+        ),
+        "mannwhitney_hicard": analytics.mann_whitney_u(
+            docs, ["lang"], "score", F.col("source") == "src0"
+        ),
+        "kruskal_hicard": analytics.kruskal_wallis(
+            docs, ["lang"], "score", "source"
+        ),
+        "spearman_hicard": analytics.spearman_by_group(
+            docs2, ["lang"], "score", "score2"
         ),
     }
 
