@@ -69,6 +69,12 @@ DEFAULT_QUERIES = [
     "q113_ivf_multiprobe",
     "q114_grouped_quantiles",
     "q115_range_shard",
+    # round-10 additions: the selection-based grain medians and the
+    # re-plumbed rank statistics
+    "q151_mad_outliers",
+    "q207_spearman",
+    "q213_kruskal_wallis",
+    "q247_trimmed_mean",
 ]
 
 

@@ -104,27 +104,61 @@ def count_global_window_specs(plan_text: str) -> int:
     return n
 
 
+def _drop_initial_plan_echoes(tree: str) -> str:
+    """Remove AQE ``== Initial Plan ==`` blocks: a materialized adaptive
+    stage prints BOTH its final and its initial plan, so every exchange
+    in it would count twice. Block scope = lines more indented than the
+    marker."""
+    out, skip_indent = [], None
+    for ln in tree.splitlines():
+        stripped = ln.replace(":", " ").replace("+-", "  ")
+        indent = len(stripped) - len(stripped.lstrip())
+        if skip_indent is not None:
+            if stripped.strip() and indent <= skip_indent:
+                skip_indent = None
+            else:
+                continue
+        if "== Initial Plan ==" in ln:
+            skip_indent = indent
+            continue
+        out.append(ln)
+    return "\n".join(out)
+
+
+def _unique_nodes(tree: str, name: str) -> int:
+    """Count RUNTIME-distinct plan nodes: formatted explain re-prints a
+    persisted subtree at every InMemoryTableScan reference but reuses
+    the same operator ids, so counting distinct ``Name (n)`` ids
+    de-duplicates shared cached subtrees (which execute once at cache
+    build). Text-occurrence counting overstated nested-persist plans
+    combinatorially (q207 round-9 reading: 40 text vs 10 runtime)."""
+    return len(set(re.findall(rf"(?<![A-Za-z]){name} \((\d+)\)", tree)))
+
+
 def audit_plan(df) -> dict:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     p = buf.getvalue()
     tree = p.split("(1) ")[0] if "(1) " in p else p
+    tree = _drop_initial_plan_echoes(tree)
+    bex = set(re.findall(r"BroadcastExchange \((\d+)\)", tree))
+    ex = set(re.findall(r"Exchange \((\d+)\)", tree))
     return {
         # shuffle exchanges only: broadcast exchanges move a dim table,
         # not the data, and are counted via the join columns instead
-        "exch": tree.count("Exchange") - tree.count("BroadcastExchange"),
-        "bhj": tree.count("BroadcastHashJoin"),
-        "smj": tree.count("SortMergeJoin"),
-        "bnl": tree.count("BroadcastNestedLoopJoin"),
-        "cartesian": tree.count("CartesianProduct"),
+        "exch": len(ex - bex),
+        "bhj": _unique_nodes(tree, "BroadcastHashJoin [A-Za-z ]*"),
+        "smj": _unique_nodes(tree, "SortMergeJoin [A-Za-z ]*"),
+        "bnl": _unique_nodes(tree, "BroadcastNestedLoopJoin [A-Za-z ]*"),
+        "cartesian": _unique_nodes(tree, "CartesianProduct[A-Za-z ]*"),
         # count in the numbered-operator tree only so each Window node's
         # spec is seen once (the summary tree elides argument detail)
         "gwindow": count_global_window_specs(p),
         # distinct codegen ids = whole-stage codegen spans
         "wsc": len(set(re.findall(r"codegen id : (\d+)", p))),
         "pyudf": sum(
-            tree.count(n)
+            _unique_nodes(tree, n)
             for n in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
         ),
     }
@@ -163,6 +197,14 @@ def main() -> None:
     out.write("`gwindow` counts unpartitioned window specs; allowlisted ones are\n")
     out.write("documented bounded-size inputs (vocab limits, bucket tables,\n")
     out.write("boundary rows). See tools/plan_audit.py for column meanings.\n\n")
+    out.write("Counting fix (round 10): nodes are counted by DISTINCT operator\n")
+    out.write("id, and AQE `== Initial Plan ==` echoes are dropped — formatted\n")
+    out.write("explain re-prints a persisted subtree at every InMemoryTableScan\n")
+    out.write("reference, so the old text-occurrence counts overstated\n")
+    out.write("nested-persist plans combinatorially (q207 round 9: 40 text\n")
+    out.write("occurrences, 10 runtime-distinct exchanges). `smj` includes\n")
+    out.write("static-plan sort-merge joins that AQE converts to broadcast at\n")
+    out.write("runtime once the keys-sized build side materializes.\n\n")
     out.write("| query | exch | bhj | smj | bnl | cartesian | gwindow | wsc | pyudf |\n")
     out.write("|---|---|---|---|---|---|---|---|---|\n")
     for name, a in rows:
