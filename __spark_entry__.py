@@ -3832,6 +3832,51 @@ def q247_trimmed_mean(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+def q248_cliffs_delta(spark, sf_dir):
+    """Cliff's delta effect size of extended price between returned
+    ('R') and kept lines per line status: exact cross-pair dominance
+    counts from the distinct-value grain (no pair join), signed ppm
+    floor — the ordinal effect size beside q208's U statistic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.cliffs_delta(
+        li, ["l_linestatus"], "l_extendedprice", F.col("l_returnflag") == "R"
+    ).orderBy("l_linestatus")
+
+
+def q249_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences in (ts, event_id) order: pair counts, from-state totals,
+    Laplace-smoothed probabilities in exact ppm (α=1, S = distinct
+    event types)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("tsu"), "event_id", "event_type"
+    )
+    return analytics.markov_transitions(
+        ev, "user_id", "event_type", ["tsu", "event_id"], alpha=1
+    ).orderBy("from_type", "to_type")
+
+
+def q250_brier_decomposition(spark, sf_dir):
+    """Murphy decomposition of the Brier score for q214's deterministic
+    synthetic scorer: per-decile reliability and resolution terms plus
+    the global uncertainty — every term integral (floored conf/acc/base
+    ppm, exact integer squares)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_score_ppm", F.expr("CAST((user_id * 9973) % 1000001 AS BIGINT)")
+    )
+    out = analytics.brier_decomposition(
+        ev, F.col("event_type") == "purchase", "_score_ppm", n_buckets=10
+    )
+    # decimal(38,0) terms are exact at any scale; the gate casts to
+    # BIGINT for hash comparison (sf-bounded: n·ppm² < 2⁶³ here)
+    return out.select(
+        "bucket", "n", "n_pos", "conf_ppm", "acc_ppm",
+        F.col("rel_term").cast("long").alias("rel_term"),
+        F.col("res_term").cast("long").alias("res_term"),
+        "unc_ppm2",
+    )
+
+
 def q246_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: would-be revenue from small-quantity discounted
     lines in one ship year — a pure scan-filter-aggregate whose
@@ -3864,12 +3909,14 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Insertion order matters: the driver's correctness gate grades the
-    # FIRST 50 entries. Round-10 rotation: the head holds this round's 6
+    # FIRST 50 entries. Round-10 rotation: the head holds this round's 9
     # re-grade targets — the grain-side mad_outliers rewrite (q151), the
     # newly hash-gated BPE pair (q162 apply / q163 learn — the learn
     # oracle landed this round), and the fixed-cost-trimmed rank stats
     # (q207 spearman single-prefix, q208, q213 kruskal merged grain
-    # aggregate) — followed by the 44 STALEST official records (none
+    # aggregate), the three NEW round-10 operators (q248 Cliff's delta,
+    # q249 Markov transitions, q250 Brier decomposition) — followed by
+    # the 41 STALEST official records (none
     # graded since r06; q87 zarr stays below the window as the one
     # rows-only gate). Everything rotated out is re-checked every round
     # via tools/check_correctness.py -> CHECK_FULL_r{N}.json committed
@@ -3880,6 +3927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q207_spearman": q207_spearman,
         "q208_mannwhitney": q208_mannwhitney,
         "q213_kruskal_wallis": q213_kruskal_wallis,
+        "q248_cliffs_delta": q248_cliffs_delta,
+        "q249_markov_transitions": q249_markov_transitions,
+        "q250_brier_decomposition": q250_brier_decomposition,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -3921,11 +3971,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_ivf_knn": q48_ivf_knn,
         "q49_shipping_priority": q49_shipping_priority,
         "q50_order_priority_exists": q50_order_priority_exists,
+    # ---- everything below is past the driver's 50-entry window; the
+    # ---- committed CHECK_FULL_r{N}.json re-verifies it every round
         "q51_shipmode_case_sum": q51_shipmode_case_sum,
         "q52_forward_fill": q52_forward_fill,
         "q53_sign_change": q53_sign_change,
-    # ---- everything below is past the driver's 50-entry window; the
-    # ---- committed CHECK_FULL_r{N}.json re-verifies it every round
         "q243_shipping_priority": q243_shipping_priority,
         "q244_volume_shipping": q244_volume_shipping,
         "q245_customer_distribution": q245_customer_distribution,
@@ -8670,6 +8720,100 @@ def oracle_sql() -> dict[str, str]:
                         - CAST((n_pos::hugeint * 1000000) // n AS BIGINT))
                         AS BIGINT) AS ece_term
             FROM g ORDER BY bucket
+        """,
+        "q248_cliffs_delta": """
+            -- Cliff's delta from the distinct-value grain: gt/lt pair
+            -- counts via cumulative B-counts in value order; signed
+            -- ppm with the sign*abs floor convention (// floors,
+            -- Spark div truncates — sign*abs makes them agree)
+            WITH g AS (
+              SELECT l_linestatus, l_extendedprice AS v,
+                     count(*) AS n,
+                     sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                       AS na
+              FROM lineitem WHERE l_extendedprice IS NOT NULL
+              GROUP BY 1, 2),
+            c AS (
+              SELECT l_linestatus, na, n - na AS nb,
+                     sum(n - na) OVER (PARTITION BY l_linestatus
+                                       ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING) AS cumb,
+                     sum(n - na) OVER (PARTITION BY l_linestatus) AS totb
+              FROM g),
+            a AS (
+              SELECT l_linestatus,
+                     CAST(sum(na) AS BIGINT) AS n_a,
+                     CAST(sum(nb) AS BIGINT) AS n_b,
+                     CAST(sum(na::hugeint * (cumb - nb)) AS BIGINT) AS gt,
+                     CAST(sum(na::hugeint * (totb - cumb)) AS BIGINT) AS lt
+              FROM c GROUP BY 1)
+            SELECT l_linestatus, n_a, n_b, gt, lt,
+                   CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                     sign(gt - lt) * ((abs(gt::hugeint - lt) * 1000000)
+                       // (n_a::hugeint * n_b)) END AS BIGINT)
+                     AS delta_ppm
+            FROM a ORDER BY l_linestatus
+        """,
+        "q249_markov_transitions": """
+            -- first-order Markov transitions per user in (tsu,
+            -- event_id) order; Laplace alpha=1 over S distinct states
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type
+              FROM events WHERE event_type IS NOT NULL),
+            p AS (
+              SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY tsu, event_id)
+                       AS to_type
+              FROM ev),
+            c AS (
+              SELECT from_type, to_type, count(*)::bigint AS n FROM p
+              WHERE to_type IS NOT NULL GROUP BY 1, 2),
+            f AS (
+              SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+              FROM c GROUP BY 1),
+            s AS (
+              SELECT count(DISTINCT event_type)::bigint AS st FROM ev)
+            SELECT c.from_type, c.to_type, c.n, f.n_from,
+                   CAST(((c.n + 1) * 1000000::hugeint)
+                        // (f.n_from + 1 * s.st) AS BIGINT) AS p_ppm
+            FROM c JOIN f USING (from_type), s
+            ORDER BY from_type, to_type
+        """,
+        "q250_brier_decomposition": """
+            -- Murphy decomposition on q214's buckets: rel/res terms as
+            -- exact integer squares of floored ppm gaps, global base
+            -- rate floored once
+            WITH b AS (
+              SELECT CAST(((user_id * 9973) % 1000001) * 10 // 1000001
+                          AS INT) AS bucket,
+                     CAST((user_id * 9973) % 1000001 AS BIGINT) AS s,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+              FROM events),
+            g AS (
+              SELECT bucket, count(*)::bigint AS n,
+                     sum(y)::bigint AS n_pos, sum(s::hugeint) AS ss
+              FROM b GROUP BY bucket),
+            t AS (
+              SELECT CAST((sum(n_pos)::hugeint * 1000000) // sum(n)
+                          AS BIGINT) AS base
+              FROM g),
+            v AS (
+              SELECT bucket, n, n_pos,
+                     CAST(ss // n AS BIGINT) AS conf_ppm,
+                     CAST((n_pos::hugeint * 1000000) // n AS BIGINT)
+                       AS acc_ppm,
+                     t.base
+              FROM g, t)
+            SELECT bucket, n, n_pos, conf_ppm, acc_ppm,
+                   CAST(n::hugeint * (conf_ppm - acc_ppm)
+                        * (conf_ppm - acc_ppm) AS BIGINT) AS rel_term,
+                   CAST(n::hugeint * (acc_ppm - base)
+                        * (acc_ppm - base) AS BIGINT) AS res_term,
+                   CAST(base::hugeint * (1000000 - base) AS BIGINT)
+                     AS unc_ppm2
+            FROM v ORDER BY bucket
         """,
         "q215_bh_fdr": """
             -- all-integer BH test p*m*aden <= k*1e6*anum; threshold =

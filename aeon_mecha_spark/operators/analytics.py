@@ -1316,6 +1316,69 @@ def event_paths(
     return out.orderBy(F.col("n_keys").desc(), "path").limit(int(top_n))
 
 
+def markov_transitions(
+    df: DataFrame,
+    seq_key: str,
+    type_col: str,
+    order_cols: list[str],
+    alpha: int = 1,
+) -> DataFrame:
+    """First-order Markov transition model over event sequences — the
+    statistical companion to ``event_paths`` (paths show WHAT journeys
+    happen; this gives the per-step transition probabilities a
+    generator/simulator/anomaly-scorer consumes).
+
+    For each observed (from → to) adjacent pair within a sequence key
+    (ordered by ``order_cols``, which must be unique per key for a
+    deterministic successor): the pair count, the from-state total, and
+    the additive-smoothed probability in exact ppm —
+
+        ``p_ppm = (c + α)·10⁶ div (n_from + α·S)``
+
+    with ``S`` = the number of distinct event types in the input (so
+    unseen transitions implicitly get ``α·10⁶ div (n_from + α·S)``
+    without materializing the S² grid). Integral throughout — one
+    floor division per row, engine-exact.
+
+    Plan: one per-key window pass (``lead`` over the sequence sort —
+    state per task = one row), a partial-aggregated pair count, a
+    from-keyed total join (states-sized, broadcast) and a 1-row state
+    count broadcast. Nothing data-sized shuffles twice.
+    Output: ``(from_type, to_type, n, n_from, p_ppm)``.
+    """
+    w = W.partitionBy(seq_key).orderBy(*[F.col(c).asc() for c in order_cols])
+    pairs = (
+        df.filter(F.col(type_col).isNotNull())
+        .select(
+            F.col(type_col).alias("from_type"),
+            F.lead(type_col).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    froms = pairs.groupBy("from_type").agg(F.sum("n").cast("long").alias("n_from"))
+    states = (
+        df.filter(F.col(type_col).isNotNull())
+        .agg(F.count_distinct(F.col(type_col)).cast("long").alias("_S"))
+    )
+    a = int(alpha)
+    return (
+        pairs.join(F.broadcast(froms), "from_type")
+        .crossJoin(F.broadcast(states))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.expr(
+                f"CAST(((n + {a}) * CAST(1000000 AS DECIMAL(38,0))) div "
+                f"(n_from + {a} * _S) AS BIGINT)"
+            ).alias("p_ppm"),
+        )
+    )
+
+
 def grouped_weighted_quantiles(
     df: DataFrame,
     keys: list[str],
@@ -3392,6 +3455,79 @@ def mann_whitney_u(
     return track_cached(out, grain)
 
 
+def cliffs_delta(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    split: Column,
+) -> DataFrame:
+    """Cliff's delta (the ordinal, nonparametric effect size that
+    belongs next to ``mann_whitney_u``'s significance statistic):
+
+        ``delta = (#(a > b) − #(a < b)) / (n_a · n_b)``  ∈ [−1, 1]
+
+    over all cross pairs (a ∈ A, b ∈ B) per key — reported in exact
+    ppm with the engine-portable signed floor convention
+    ``sign(gt−lt) · (|gt−lt|·10⁶ div (n_a·n_b))`` (Spark ``div``
+    truncates where DuckDB ``//`` floors; sign·abs makes them agree).
+    The raw pair counts ``gt``/``lt`` ride along so callers can apply
+    any downstream normalization exactly.
+
+    Plan — never the O(n_a·n_b) pair join: on the distinct-value grain,
+    ``#(a > b) = Σ_v n_a(v) · cumB_below(v)`` — one grain groupBy, the
+    shared :func:`_grain_prefix` cumulative B-count, one weighted
+    aggregate, exactly ``mann_whitney_u``'s shape (no data-sized
+    window, no join back to fact rows). n_a·n_b products run in
+    decimal(38,0) — safe to per-key n ~10⁹.
+
+    Output: ``(keys…, n_a, n_b, gt, lt, delta_ppm)``.
+
+    NOTE: building this DataFrame is not fully lazy — it runs one
+    planning Spark action (``_grain_prefix``'s cardinality count on
+    the persisted value grain, which sizes the adaptive fast path)
+    before returning.
+    """
+    from aeon_mecha_spark.util import track_cached
+
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys,
+        F.col(value_col).alias("_v"),
+        F.when(split, F.lit(1)).otherwise(F.lit(0)).alias("_a"),
+    )
+    grain = (
+        base.groupBy(*keys, "_v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_a").cast("long").alias("_na"),
+        )
+        .withColumn("_nb", (F.col("_n") - F.col("_na")).cast("long"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    cum = _grain_prefix(
+        grain, "_v", ["_nb"], ascending=True, buckets=1024, group_cols=keys
+    )
+    na_dec = F.col("_na").cast("decimal(38,0)")
+    g = cum.groupBy(*keys).agg(
+        F.sum("_na").cast("long").alias("n_a"),
+        F.sum("_nb").cast("long").alias("n_b"),
+        F.sum(na_dec * (F.col("_cum_nb") - F.col("_nb"))).alias("_gt"),
+        F.sum(na_dec * (F.col("_tot_nb") - F.col("_cum_nb"))).alias("_lt"),
+    )
+    out = g.select(
+        *keys,
+        "n_a",
+        "n_b",
+        F.col("_gt").cast("long").alias("gt"),
+        F.col("_lt").cast("long").alias("lt"),
+        F.expr(
+            "CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN "
+            "sign(_gt - _lt) * ((abs(_gt - _lt) * 1000000) div "
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b)) END AS BIGINT)"
+        ).alias("delta_ppm"),
+    )
+    return track_cached(out, grain)
+
+
 def roc_points(
     df: DataFrame,
     label: Column,
@@ -3807,6 +3943,77 @@ def calibration_table(
             "CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)) "
             "AS BIGINT)"
         ).alias("ece_term"),
+    ).orderBy("bucket")
+
+
+def brier_decomposition(
+    df: DataFrame,
+    label: Column,
+    score_ppm_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Murphy decomposition of the Brier score — the THREE-way view of
+    a probabilistic classifier (``calibration_table`` shows the curve;
+    this splits the score): per confidence bucket k,
+
+        ``rel_term = n_k · (conf_k − acc_k)²``   (reliability — penalty)
+        ``res_term = n_k · (acc_k − base)²``     (resolution — reward)
+        ``unc_ppm2 = base · (10⁶ − base)``       (uncertainty, per-N)
+
+    with Brier·10¹² = Σrel/N − Σres/N + unc (up to the per-bucket floor
+    quantization of conf/acc/base — each term is one floor division of
+    integral sums, the chi_square_cells convention, so every value is
+    ENGINE-EXACT; no float subtraction anywhere).
+
+    Same bucket map as ``calibration_table``:
+    ``bucket = (score_ppm·B) div (10⁶+1)``; ``score_ppm_col`` is the
+    prediction already quantized to integer ppm ∈ [0, 10⁶]. Plan: one
+    partial-aggregated groupBy over the buckets plus a 1-row global
+    (base rate) broadcast — no windows, nothing data-sized after the
+    map side. Output: ``(bucket, n, n_pos, conf_ppm, acc_ppm,
+    rel_term, res_term, unc_ppm2)`` ordered by bucket.
+    """
+    B = int(n_buckets)
+    base = df.filter(F.col(score_ppm_col).isNotNull()).select(
+        F.expr(f"CAST(({score_ppm_col} * {B}) div 1000001 AS INT)").alias("bucket"),
+        F.col(score_ppm_col).cast("long").alias("_s"),
+        F.when(label, F.lit(1)).otherwise(F.lit(0)).alias("_y"),
+    )
+    g = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum(F.col("_s").cast("decimal(38,0)")).alias("_ss"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("decimal(38,0)").alias("_N"),
+        F.sum("n_pos").cast("decimal(38,0)").alias("_NP"),
+    ).select(F.expr("CAST((_NP * 1000000) div _N AS BIGINT)").alias("_base"))
+    out = g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n",
+        "n_pos",
+        F.expr("CAST(_ss div n AS BIGINT)").alias("conf_ppm"),
+        F.expr(
+            "CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)"
+        ).alias("acc_ppm"),
+        F.col("_base").alias("base_ppm"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    return out.select(
+        "bucket",
+        "n",
+        "n_pos",
+        "conf_ppm",
+        "acc_ppm",
+        (d("n") * (d("conf_ppm") - d("acc_ppm")) * (d("conf_ppm") - d("acc_ppm")))
+        .cast("decimal(38,0)")
+        .alias("rel_term"),
+        (d("n") * (d("acc_ppm") - d("base_ppm")) * (d("acc_ppm") - d("base_ppm")))
+        .cast("decimal(38,0)")
+        .alias("res_term"),
+        F.expr(
+            "CAST(base_ppm * (1000000 - base_ppm) AS BIGINT)"
+        ).alias("unc_ppm2"),
     ).orderBy("bucket")
 
 

@@ -41,6 +41,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # q148 winsorize -> q151 (quantile fences broadcast back); q167
 # per-key CDF window -> q170 (same one-sort-per-key shape); q195
 # avg-threshold filter -> q237 (same cross-multiplied shape).
+# Round-10 rotation (q248-q250 joined): q238 PR curve -> q209 (identical
+# prefix-sum machinery); q239 lorenz -> q209 (same ascending family);
+# q214 calibration -> q250 (same bucket pipeline, superset terms).
 HEADLINE = [
     "q01_pricing_summary",   # scan + groupBy agg
     "q06_revenue_by_nation", # multi-join + agg
@@ -143,7 +146,6 @@ HEADLINE = [
     "q211_hhi",              # concentration, one decimal div
     "q212_acf",              # lag-1..3 autocorrelation, one window pass
     "q213_kruskal_wallis",   # k-group rank ANOVA, floor terms + tie ppm
-    "q214_calibration",      # reliability deciles + ECE terms, map-side
     "q215_bh_fdr",           # bucket-ranked BH selection, all-integer test
     "q216_info_gain",        # micro-nat IG decomposition
     "q217_line_dedup",       # line-grain boilerplate removal + reassembly
@@ -167,8 +169,6 @@ HEADLINE = [
     "q235_promo_share",      # Q14: conditional share, exact ppm
     "q236_bracket_revenue",  # Q19: OR-of-ANDs predicate pushdown
     "q237_heavy_suppliers",  # Q20: agg threshold semi-join-back
-    "q238_pr_points",        # PR curve, two-level prefix sum
-    "q239_lorenz",           # Lorenz curve, ascending two-level
     "q240_nelson_aalen",     # cumulative hazard, ppm floors
     "q241_logrank",          # two-sample survival O/E/V sums
     "q242_cramers_v",        # chi2 effect size, exact isqrt
@@ -177,6 +177,9 @@ HEADLINE = [
     "q245_customer_distribution",  # Q13: left-join count histogram
     "q246_forecast_revenue", # Q6: pure pushed scan-filter-agg
     "q247_trimmed_mean",     # mass-exact trim on the grain-prefix path
+    "q248_cliffs_delta",     # grain-side cross-pair dominance counts
+    "q249_markov_transitions",  # lead-window pairs + smoothed ppm
+    "q250_brier_decomposition",  # rel/res/unc integer Murphy terms
 ]
 
 

@@ -300,3 +300,107 @@ def test_serve_frames_base64_full_pipeline(spark):
         assert served.shape == (20, 32, 3)
         err = np.abs(served.astype(int) - expect.astype(int))
         assert err.mean() < 6.0, (mid, err.mean())
+
+
+# ---------------------------------------------------------------------------
+# round-10 analytics additions — exact Python mirrors
+
+def test_cliffs_delta_matches_bruteforce_mirror(spark):
+    from aeon_mecha_spark.operators.analytics import cliffs_delta
+    from aeon_mecha_spark.util import release_cached
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in ("g1", "g2"):
+        for _ in range(40):
+            rows.append((k, float(rng.integers(0, 12)), bool(rng.random() < 0.5)))
+    rows.append(("g1", None, True))
+    df = spark.createDataFrame(rows, "k string, v double, isa boolean")
+    out = cliffs_delta(df, ["k"], "v", F.col("isa"))
+    got = {r["k"]: r for r in out.collect()}
+    release_cached(out)
+    for k in ("g1", "g2"):
+        a = [v for kk, v, isa in rows if kk == k and v is not None and isa]
+        b = [v for kk, v, isa in rows if kk == k and v is not None and not isa]
+        gt = sum(1 for x in a for y in b if x > y)
+        lt = sum(1 for x in a for y in b if x < y)
+        r = got[k]
+        assert (r["n_a"], r["n_b"], r["gt"], r["lt"]) == (len(a), len(b), gt, lt)
+        num = gt - lt
+        expect = (1 if num > 0 else -1 if num < 0 else 0) * (
+            abs(num) * 1_000_000 // (len(a) * len(b))
+        )
+        assert r["delta_ppm"] == expect
+    # consistency with Mann-Whitney: gt + lt + ties == n_a * n_b
+    r = got["g1"]
+    assert r["gt"] + r["lt"] <= r["n_a"] * r["n_b"]
+
+
+def test_cliffs_delta_extremes(spark):
+    from aeon_mecha_spark.operators.analytics import cliffs_delta
+    from aeon_mecha_spark.util import release_cached
+    from pyspark.sql import functions as F
+
+    rows = [("k", float(v), v >= 10) for v in range(20)]  # A strictly above B
+    df = spark.createDataFrame(rows, "k string, v double, isa boolean")
+    out = cliffs_delta(df, ["k"], "v", F.col("isa"))
+    r = out.collect()[0]
+    release_cached(out)
+    assert r["delta_ppm"] == 1_000_000 and r["gt"] == 100 and r["lt"] == 0
+
+
+def test_markov_transitions_hand_case(spark):
+    from aeon_mecha_spark.operators.analytics import markov_transitions
+
+    # user 1: a b a b ; user 2: a a c — pairs: ab, ba, ab, aa, ac
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+        (2, 1, "a"), (2, 2, "a"), (2, 3, "c"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, ev string")
+    got = {
+        (r["from_type"], r["to_type"]): r
+        for r in markov_transitions(df, "u", "ev", ["t"], alpha=1).collect()
+    }
+    # S = 3 states; n_from(a) = 4, n_from(b) = 1
+    assert got[("a", "b")]["n"] == 2
+    assert got[("a", "b")]["n_from"] == 4
+    assert got[("a", "b")]["p_ppm"] == (2 + 1) * 1_000_000 // (4 + 3)
+    assert got[("b", "a")]["p_ppm"] == (1 + 1) * 1_000_000 // (1 + 3)
+    assert got[("a", "a")]["n"] == 1 and got[("a", "c")]["n"] == 1
+    assert set(got) == {("a", "b"), ("b", "a"), ("a", "a"), ("a", "c")}
+
+
+def test_brier_decomposition_identity(spark):
+    """rel/res/unc terms match a float mirror to within the documented
+    floor quantization, and every emitted value is the exact integer
+    the mirror's floored arithmetic produces."""
+    from aeon_mecha_spark.operators.analytics import brier_decomposition
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(2)
+    rows = [
+        (int(s), bool(rng.random() * 1_000_000 < s))
+        for s in rng.integers(0, 1_000_001, 600)
+    ]
+    df = spark.createDataFrame(rows, "s long, y boolean")
+    got = {r["bucket"]: r for r in
+           brier_decomposition(df, F.col("y"), "s", n_buckets=5).collect()}
+    # python mirror with identical floors
+    buckets = {}
+    for s, y in rows:
+        b = s * 5 // 1000001
+        n, npos, ss = buckets.get(b, (0, 0, 0))
+        buckets[b] = (n + 1, npos + int(y), ss + s)
+    N = sum(v[0] for v in buckets.values())
+    NP = sum(v[1] for v in buckets.values())
+    base = NP * 1_000_000 // N
+    for b, (n, npos, ss) in buckets.items():
+        conf = ss // n
+        acc = npos * 1_000_000 // n
+        r = got[b]
+        assert (r["n"], r["n_pos"], r["conf_ppm"], r["acc_ppm"]) == (n, npos, conf, acc)
+        assert r["rel_term"] == n * (conf - acc) ** 2
+        assert r["res_term"] == n * (acc - base) ** 2
+        assert r["unc_ppm2"] == base * (1_000_000 - base)
