@@ -3286,9 +3286,9 @@ def spearman_by_group(
     (the old per-key rank windows serialized a 3-key corpus onto 3
     tasks). The cross-moment Σ drx·dry needs the (x, y) pairing, so
     sums run over the distinct (key, x, y) grain weighted by its count
-    — never over data-sized rows. Fixed-cost shape (round 10): ONE
-    planning ``count()`` on the persisted pair grain upper-bounds both
-    value grains (so neither sub-prefix re-counts), and when x and y
+    — never over data-sized rows. Fixed-cost shape (round 10): fully
+    lazy — no planning count (the always-exact bucketed prefix path is
+    taken unconditionally, the mad_outliers trade), and when x and y
     share a dtype both value grains stack into a SINGLE axis-tagged
     ``_grain_prefix`` pass (group = keys + axis) — one min/max pass,
     one bucket aggregate, one offset window instead of two of each.
@@ -3307,10 +3307,12 @@ def spearman_by_group(
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
         .persist(StorageLevel.MEMORY_ONLY)
     )
-    # one planning action: materializes the cache AND upper-bounds both
-    # value grains (|gx|, |gy| ≤ |gxy|), so the sub-prefix calls skip
-    # their own count() (an over-estimate only forgoes the fast path)
-    n_pairs = gxy.count()
+    # fully lazy (round 10): like mad_outliers, skip the planning count
+    # and always take the (exact either way) bucketed path — a rank
+    # statistic's value grain is continuous-value-dominated, so the
+    # adaptive fast path would almost never engage and the count is a
+    # whole extra job wave over the pair grain
+    n_pairs = 1 << 62
     dr = (2 * F.col("_cum_n") - F.col("_n") + 1).cast("long")
     dtypes = dict(gxy.dtypes)
     cached = [gxy]
@@ -3416,10 +3418,10 @@ def mann_whitney_u(
     on the result via ``track_cached``. Output:
     ``(keys…, n_a, n_b, u2_a, u2_b)``.
 
-    NOTE: building this DataFrame is not fully lazy — it runs one
-    planning Spark action (``_grain_prefix``'s cardinality count on
-    the persisted value grain, which sizes the adaptive fast path)
-    before returning.
+    Fully lazy (round 10): the always-exact bucketed prefix path is
+    taken unconditionally — a rank statistic's grain is continuous-
+    value-dominated, so the adaptive fast path's planning count was a
+    spare job wave.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -3437,7 +3439,8 @@ def mann_whitney_u(
         .persist(StorageLevel.MEMORY_ONLY)
     )
     cum = _grain_prefix(
-        grain, "_v", ["_n"], ascending=True, buckets=1024, group_cols=keys
+        grain, "_v", ["_n"], ascending=True, buckets=1024, group_cols=keys,
+        grain_count=1 << 62,  # lazy: always-bucketed (continuous grain)
     ).withColumn("_dr", (2 * F.col("_cum_n") - F.col("_n") + 1).cast("long"))
     g = cum.groupBy(*keys).agg(
         F.sum("_na").cast("long").alias("n_a"),
@@ -3482,10 +3485,10 @@ def cliffs_delta(
 
     Output: ``(keys…, n_a, n_b, gt, lt, delta_ppm)``.
 
-    NOTE: building this DataFrame is not fully lazy — it runs one
-    planning Spark action (``_grain_prefix``'s cardinality count on
-    the persisted value grain, which sizes the adaptive fast path)
-    before returning.
+    Fully lazy (round 10): the always-exact bucketed prefix path is
+    taken unconditionally — a rank statistic's grain is continuous-
+    value-dominated, so the adaptive fast path's planning count was a
+    spare job wave.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -3504,7 +3507,8 @@ def cliffs_delta(
         .persist(StorageLevel.MEMORY_ONLY)
     )
     cum = _grain_prefix(
-        grain, "_v", ["_nb"], ascending=True, buckets=1024, group_cols=keys
+        grain, "_v", ["_nb"], ascending=True, buckets=1024, group_cols=keys,
+        grain_count=1 << 62,  # lazy: always-bucketed (continuous grain)
     )
     na_dec = F.col("_na").cast("decimal(38,0)")
     g = cum.groupBy(*keys).agg(
@@ -3837,7 +3841,8 @@ def kruskal_wallis(
         .persist(StorageLevel.MEMORY_ONLY)
     )
     dr_tbl = _grain_prefix(
-        grain, "_v", ["_n"], ascending=True, buckets=1024, group_cols=keys
+        grain, "_v", ["_n"], ascending=True, buckets=1024, group_cols=keys,
+        grain_count=1 << 62,  # lazy: always-bucketed (continuous grain)
     ).select(
         *keys, "_v",
         (2 * F.col("_cum_n") - F.col("_n") + 1).cast("long").alias("_dr"),
