@@ -4882,22 +4882,27 @@ def trimmed_mean(
     row-order dependence. Mean in exact milli via the sign·abs-div
     convention.
 
-    Plan: one shuffle to the distinct-(key, value) grain, the shared
-    :func:`_grain_prefix` two-level prefix sum (adaptive fast path for
-    small grains), map-side clamp arithmetic, one per-key aggregate.
-    The grain persists (MEMORY_ONLY) and rides on the result via
-    ``track_cached``. Output: ``(keys…, n, n_kept,
+    Plan — boundary-bucket SELECTION (round 10; previously a grain-wide
+    prefix sum): the kept mass is ``lowest(n−k) − lowest(k)`` where
+    ``lowest(m)`` = the sum of the m smallest observations, and
+    ``lowest(m)`` needs per-row cumulative counts only inside the ONE
+    bucket that straddles rank m — every bucket fully below
+    contributes its (bucket-level) sum wholesale. So: one grain
+    groupBy, one per-(key, bucket) aggregate, a ≤ buckets-rows-per-key
+    offset window, and a value-ordered window over ONLY the (≤ 2 per
+    key) straddle buckets' grain rows — never a grain-wide window, no
+    planning action, fully lazy. Tie handling stays mass-exact (the
+    straddle row keeps a partial count), Σkept = n−2k always, no
+    row-order dependence. The grain persists (MEMORY_ONLY — read by
+    the bucket aggregate and the straddle probe) and rides on the
+    result via ``track_cached``. Output: ``(keys…, n, n_kept,
     trimmed_mean_milli)``.
-
-    NOTE: building this DataFrame is not fully lazy — it runs one
-    planning Spark action (``_grain_prefix``'s cardinality count on
-    the persisted value grain, which sizes the adaptive fast path)
-    before returning.
     """
     from aeon_mecha_spark.util import track_cached
 
     if not 0 <= int(trim_ppm) < 500_000:
         raise ValueError("trim_ppm must be in [0, 500000)")
+    nb = int(value_buckets)
     base = df.filter(F.col(value_col).isNotNull()).select(
         *keys, F.col(value_col).cast("long").alias("_v")
     )
@@ -4906,30 +4911,105 @@ def trimmed_mean(
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
         .persist(StorageLevel.MEMORY_ONLY)
     )
-    cum = _grain_prefix(
-        g, "_v", ["_n"], ascending=True, buckets=int(value_buckets),
-        group_cols=keys,
+    mm = g.groupBy(*keys).agg(
+        F.min(F.col("_v").cast("double")).alias("_mn"),
+        F.max(F.col("_v").cast("double")).alias("_mx"),
     )
-    kept = cum.withColumn(
-        "_k", F.expr(f"(_tot_n * {int(trim_ppm)}) div 1000000")
-    ).withColumn(
-        "_w",
-        F.expr(
-            "greatest(0L, least(_cum_n, _tot_n - _k) "
-            "- greatest(_cum_n - _n, _k))"
+    bucket_of = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("_v").cast("double") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * nb
+                ).cast("int"),
+            ),
         ),
+    ).otherwise(F.lit(0))
+    if keys:
+        b = g.join(mm, keys)  # AQE: keys-sized build side -> broadcast
+    else:
+        b = g.crossJoin(F.broadcast(mm))
+    b = b.withColumn("_cb", bucket_of).drop("_mn", "_mx")
+    pb = b.groupBy(*keys, "_cb").agg(
+        F.sum("_n").cast("long").alias("_bn"),
+        F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _n")).alias("_bs"),
     )
-    out = kept.groupBy(*keys).agg(
+    w_off = (
+        W.partitionBy(*keys).orderBy(F.col("_cb").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_tot = W.partitionBy(*keys)
+    zero_d = F.lit(0).cast("decimal(38,0)")
+    offs = (
+        pb.withColumn("_off_n", F.coalesce(F.sum("_bn").over(w_off), F.lit(0).cast("long")))
+        .withColumn("_off_s", F.coalesce(F.sum("_bs").over(w_off), zero_d).cast("decimal(38,0)"))
+        .withColumn("_tot_n", F.sum("_bn").over(w_tot))
+        .withColumn("_tot_s", F.sum("_bs").over(w_tot).cast("decimal(38,0)"))
+    )
+    k = F.expr(f"(_tot_n * {int(trim_ppm)}) div 1000000")
+    offs = offs.withColumn("_k", k).withColumn("_hi", F.expr("_tot_n - _k"))
+    # the ≤ 2 straddle targets per key: lowest(k) (tag 0) and
+    # lowest(n−k) (tag 1); m = 0 selects no bucket (lowest(0) = 0)
+    tags = F.array(
+        F.struct(F.lit(0).alias("_tag"), F.col("_k").alias("_m")),
+        F.struct(F.lit(1).alias("_tag"), F.col("_hi").alias("_m")),
+    )
+    sel = (
+        offs.select(*keys, "_cb", "_bn", "_off_n", "_off_s", F.explode(tags).alias("_t"))
+        .select(*keys, "_cb", "_bn", "_off_n", "_off_s", "_t._tag", "_t._m")
+        .filter(
+            (F.col("_off_n") < F.col("_m"))
+            & (F.col("_m") <= F.col("_off_n") + F.col("_bn"))
+        )
+        .drop("_bn")
+    )
+    # probe ONLY the straddle buckets' grain rows (≤ grain/buckets per
+    # key per boundary); a bucket straddling BOTH boundaries yields two
+    # tagged candidate sets
+    if keys:
+        cand = b.join(sel, [*keys, "_cb"])
+    else:
+        cand = b.join(F.broadcast(sel), "_cb")
+    w_in = (
+        W.partitionBy(*keys, "_tag").orderBy(F.col("_v").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cand = cand.withColumn("_cum", F.col("_off_n") + F.sum("_n").over(w_in))
+    # within-bucket portion of lowest(m): the row's observations below
+    # rank m beyond the full-bucket prefix — partial at the boundary
+    part = cand.withColumn(
+        "_w",
+        F.expr("greatest(0L, least(_cum, _m) - greatest(_cum - _n, _off_n))"),
+    ).groupBy(*keys, "_tag").agg(
+        (F.max("_off_s") + F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _w")))
+        .cast("decimal(38,0)")
+        .alias("_low"),
+    )
+    lows = part.groupBy(*keys).pivot("_tag", [0, 1]).agg(F.max("_low"))
+    tot = offs.groupBy(*keys).agg(
         F.max("_tot_n").cast("long").alias("n"),
-        F.sum("_w").cast("long").alias("n_kept"),
-        F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _w")).alias("_ts"),
-    ).select(
+        F.max("_tot_s").alias("_tot_s"),
+        F.max("_k").cast("long").alias("_kk"),
+    )
+    if keys:
+        j = tot.join(lows, keys, "left")
+    else:
+        j = tot.crossJoin(F.broadcast(lows))
+    # lowest(0) = 0 (no straddle bucket selected); lowest(n−k) with
+    # k = 0 selects the last bucket, so `1` is only NULL on empty keys
+    out = j.select(
         *keys,
         "n",
-        "n_kept",
+        F.expr("n - 2 * _kk").cast("long").alias("n_kept"),
         F.expr(
-            "CAST(CASE WHEN n_kept > 0 THEN "
-            "sign(_ts) * ((abs(_ts) * 1000) div n_kept) END AS BIGINT)"
+            "CAST(CASE WHEN n - 2 * _kk > 0 THEN "
+            "sign(coalesce(`1`, _tot_s) - coalesce(`0`, CAST(0 AS DECIMAL(38,0)))) * "
+            "((abs(coalesce(`1`, _tot_s) - coalesce(`0`, CAST(0 AS DECIMAL(38,0)))) * 1000) "
+            "div (n - 2 * _kk)) END AS BIGINT)"
         ).alias("trimmed_mean_milli"),
     )
     return track_cached(out, g)
