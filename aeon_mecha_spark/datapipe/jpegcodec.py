@@ -291,6 +291,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             precision, h_img, w_img, ncomp = struct.unpack_from(">BHHB", data, 0)
             if precision != 8:
                 raise NotImplementedError(f"JPEG {precision}-bit precision unsupported")
+            if h_img == 0 or w_img == 0 or h_img * w_img > (1 << 26):
+                # corrupt-header allocation guard: a flipped SOF byte must
+                # not make an executor allocate gigabyte planes
+                raise ValueError(f"implausible JPEG dimensions {w_img}x{h_img}")
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = struct.unpack_from(">BBB", data, 6 + 3 * c)

@@ -404,3 +404,35 @@ def test_brier_decomposition_identity(spark):
         assert r["rel_term"] == n * (conf - acc) ** 2
         assert r["res_term"] == n * (acc - base) ** 2
         assert r["unc_ppm2"] == base * (1_000_000 - base)
+
+
+def test_jpeg_decoder_corrupt_streams_fail_cleanly():
+    """Truncations and byte flips of a valid stream must raise a clean
+    ValueError/NotImplementedError (or still decode, for flips that
+    only perturb pixel data) — never hang, loop, or crash the
+    interpreter. 60 seeded mutations."""
+    import random
+
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:16]
+    img = np.clip(np.stack([yy * 8, xx * 9, yy + xx], axis=-1), 0, 255).astype(np.uint8)
+    good = encode_jpeg(img, quality=80, subsampling="4:2:0")
+    rng = random.Random(99)
+    for trial in range(60):
+        buf = bytearray(good)
+        if trial % 2 == 0:  # truncate
+            cut = rng.randrange(2, len(buf))
+            buf = buf[:cut]
+        else:  # flip a byte
+            pos = rng.randrange(2, len(buf) - 2)
+            buf[pos] ^= 1 << rng.randrange(8)
+        try:
+            out = decode_jpeg(bytes(buf))
+            # decoded despite the mutation: must still be a sane image
+            assert out.dtype == np.uint8 and out.shape[2] in (1, 3)
+        except (
+            ValueError, NotImplementedError, IndexError, KeyError,
+            OverflowError, struct.error,
+        ):
+            pass  # clean, typed failure
