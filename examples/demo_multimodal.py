@@ -1,0 +1,91 @@
+"""Multimodal pipeline demo — the full image path, all vendored codecs:
+
+    synthesize frames → encode (PNG + baseline JPEG, pure numpy) →
+    media table → distributed decode stats → REAL feature extraction →
+    embedding near-dup buckets → frame-server payloads (decode → resize
+    → JPEG re-encode → base64), exactly the hop the reference's video
+    frame server performs (video.py:47-55, cv2-free here).
+
+Run:  python examples/demo_multimodal.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from aeon_mecha_spark.datapipe.jpegcodec import encode_jpeg
+from aeon_mecha_spark.datapipe.multimodal import (
+    decode_images,
+    encode_png,
+    extract_features,
+    serve_frames_base64,
+)
+from aeon_mecha_spark.datapipe.similarity import near_duplicates_lsh
+from aeon_mecha_spark.session import get_spark
+
+
+def main() -> None:
+    spark = get_spark("demo_multimodal")
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = np.random.default_rng(7)
+
+    # 1. synthesize 12 frames: 6 scenes x 2 near-duplicate variants
+    #    (tiny noise), half stored as PNG and half as baseline JPEG
+    rows = []
+    for scene in range(6):
+        # distinct brightness band per scene -> disjoint histograms,
+        # so only same-scene variants are near-duplicates
+        lo = scene * 40
+        base = rng.integers(lo, lo + 36, size=(48, 64, 3), dtype=np.uint8)
+        for variant in range(2):
+            img = np.clip(
+                base.astype(int) + rng.integers(-2, 3, base.shape), 0, 255
+            ).astype(np.uint8)
+            mid = scene * 2 + variant
+            payload = (
+                encode_png(img) if mid % 2 == 0 else encode_jpeg(img, quality=92)
+            )
+            rows.append((mid, "image", 64, 48, 0, bytearray(payload)))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, modality string, width int, height int, "
+        "duration_ms int, payload binary",
+    ).repartition(4)
+
+    # 2. distributed decode: exact pixel stats per payload
+    print("== decode_images (PNG + JPEG, vendored codecs) ==")
+    decode_images(media).orderBy("media_id").show(12)
+
+    # 3. REAL feature extraction (gray histogram + moments)
+    feats = extract_features(media, dim=16).cache()
+    print("== extract_features (real, fake=False) ==")
+    feats.select("media_id", "n_bytes", F.slice("feature", 1, 4).alias("head")).show(4)
+
+    # 4. near-duplicate scene detection on the real features
+    emb = feats.select("media_id", F.col("feature").alias("embedding"))
+    prng = np.random.default_rng(13)
+    planes = prng.standard_normal((8, 16)).tolist()
+    pairs = near_duplicates_lsh(
+        emb, planes, id_col="media_id", vec_col="embedding", threshold=0.9
+    )
+    print("== near-dup pairs (same-scene variants should pair) ==")
+    pairs.orderBy("id_a", "id_b").show(12)
+
+    # 5. frame-server payloads: decode -> resize to 32 -> JPEG -> base64
+    served = serve_frames_base64(media, max_side=32, quality=85)
+    print("== frame server payloads ==")
+    served.select(
+        "media_id", "out_width", "out_height",
+        F.length("payload_b64").alias("b64_len"),
+    ).orderBy("media_id").show(4)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
