@@ -10,9 +10,10 @@ k-means (kmeans_train / ivf_assign):
 - ``bpe_learn`` is the iterative trainer — a bounded driver loop (one
   tiny ``collect`` per merge round, exactly like k-means centroid hops),
   operating on the DISTINCT-WORD frequency table so each round's cost
-  scales with vocabulary size, not corpus size. No SQL oracle exists
-  for an iterative argmax chain; the gate is rows-only and the exact
-  merge sequence is value-pinned by unit tests.
+  scales with vocabulary size, not corpus size. Hash-gated since round
+  10: the q163 oracle replays all training rounds in DuckDB as
+  MATERIALIZED CTEs, so the learned merge sequence itself is
+  value-verified (plus the unit-test pins).
 - ``apply_bpe_merges`` applies a FIXED merge list map-only — pure
   Catalyst (higher-order ``transform`` over the word array with nested
   literal ``replace`` calls), no shuffle, no Python, and 1:1
@@ -128,8 +129,11 @@ def bpe_learn(
     right) symbol order — fully deterministic), and rewrites the word
     table. Stops early when the best pair's count drops below
     ``min_count``. The evolving word table is persisted per round
-    (``track_cached``; each round releases the previous) so round k
-    doesn't recompute rounds 1..k-1.
+    (``track_cached``) so round k doesn't recompute rounds 1..k-1;
+    generations stay cached until the loop ends (round 10 — the
+    per-round materialization ``count()`` was a spare job wave; the
+    word table is vocabulary-sized, so ≤ n_merges cached generations
+    cost KBs/MBs) and all unpersist together in the ``finally``.
 
     Scale: the word table is |vocabulary| rows whatever the corpus
     size — the corpus is touched exactly once (one explode +
@@ -150,6 +154,7 @@ def bpe_learn(
     )
     cur = word_freq.persist()
     track_cached(cur)
+    held: list[DataFrame] = []
     merges: list[tuple[int, str, str, int]] = []
     try:
         for rank in range(1, int(n_merges) + 1):
@@ -185,11 +190,17 @@ def bpe_learn(
                 "_n",
             ).persist()
             track_cached(nxt)
-            nxt.count()  # materialize before dropping the parent
-            cur.unpersist()
+            # round 10: no per-round materialization count — the next
+            # round's pair-count collect materializes nxt through the
+            # still-cached parent; parents unpersist together at the end
+            # (the word table is vocabulary-sized, so holding ≤ n_merges
+            # generations cached is KBs/MBs, not a memory risk)
+            held.append(cur)
             cur = nxt
     finally:
         cur.unpersist()
+        for h in held:
+            h.unpersist()
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count long"
     )
