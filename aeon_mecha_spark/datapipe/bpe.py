@@ -29,6 +29,7 @@ rows regardless of corpus size, so rounds are cheap and constant-cost.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -152,7 +153,7 @@ def bpe_learn(
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
         .select(_char_spaced(F.col("_w")).alias("_syms"), "_n")
     )
-    cur = word_freq.persist()
+    cur = word_freq.persist(StorageLevel.MEMORY_ONLY)
     track_cached(cur)
     held: list[DataFrame] = []
     merges: list[tuple[int, str, str, int]] = []
@@ -188,7 +189,7 @@ def bpe_learn(
                     F.lit(f" {left}{right} "),
                 ).alias("_syms"),
                 "_n",
-            ).persist()
+            ).persist(StorageLevel.MEMORY_ONLY)
             track_cached(nxt)
             # round 10: no per-round materialization count — the next
             # round's pair-count collect materializes nxt through the
