@@ -506,3 +506,37 @@ def test_unigram_logprob_bounds_and_oov_consistency(spark, texts, v):
         # has no OOV at all
         if v >= 6:
             assert r["n_oov"] == 0
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(1, 5)),
+        min_size=1, max_size=40,
+    ),
+    buckets=st.sampled_from([1, 2, 7, 1024]),
+    p=st.sampled_from([(1, 2), (1, 4), (19, 20)]),
+)
+def test_grain_selection_quantile_matches_sorted_mirror(spark, vals, buckets, p):
+    """The round-10 boundary-bucket selection quantile must equal the
+    sorted-multiset type-1 quantile for ANY weighted grain, bucket
+    count (including degenerate 1), and probability."""
+    from aeon_mecha_spark.operators.analytics import _grain_type1_quantile
+    from aeon_mecha_spark.util import release_cached
+
+    # collapse duplicate values (a grain has one row per value)
+    agg = {}
+    for v, n in vals:
+        agg[v] = agg.get(v, 0) + n
+    grain = spark.createDataFrame(
+        [("k", float(v), n) for v, n in agg.items()], "k string, v double, n long"
+    ).persist()
+    num, den = p
+    out = _grain_type1_quantile(grain, ["k"], "v", "n", num, den, buckets)
+    got = out.collect()
+    release_cached(out)
+    grain.unpersist()
+    expanded = sorted(v for v, n in agg.items() for _ in range(n))
+    rank = (num * len(expanded) + den - 1) // den
+    assert len(got) == 1
+    assert got[0]["q"] == float(expanded[rank - 1])
