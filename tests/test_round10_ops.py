@@ -436,3 +436,120 @@ def test_jpeg_decoder_corrupt_streams_fail_cleanly():
             OverflowError, struct.error,
         ):
             pass  # clean, typed failure
+
+
+# ---------------------------------------------------------------------------
+# WAV audio + MJPEG video: the round-10 real decode paths
+
+def test_wav_roundtrip_16bit_and_float():
+    from aeon_mecha_spark.datapipe.multimodal import decode_wav, encode_wav
+
+    t = np.arange(0, 800) / 8000.0
+    stereo = np.stack([np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 880 * t)], axis=1)
+    for bits, tol in ((16, 1.0 / 32768), (32, 1e-7)):
+        dec, rate = decode_wav(encode_wav(stereo, 8000, bits=bits))
+        assert rate == 8000 and dec.shape == (800, 2)
+        assert np.abs(dec - stereo).max() <= tol + 1e-12
+
+
+def test_wav_guards():
+    import struct as _struct
+
+    from aeon_mecha_spark.datapipe.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x89PNG not audio")
+    # compressed tag (2 = ADPCM) must raise a named error
+    good = bytearray(encode_wav(np.zeros(16), 8000))
+    i = good.index(b"fmt ") + 8
+    good[i : i + 2] = _struct.pack("<H", 2)
+    with pytest.raises(NotImplementedError, match="tag 2"):
+        decode_wav(bytes(good))
+
+
+def test_audio_features_real(spark):
+    """fake=False yields real spectral features for WAV payloads: a
+    440 Hz tone and white noise must separate in band energies, and
+    RMS/duration match analytic values."""
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.datapipe import multimodal as MM
+
+    t = np.arange(0, 4000) / 8000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rng = np.random.default_rng(0)
+    noise = 0.5 * rng.standard_normal(4000)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, modality="audio", width=0, height=0,
+                duration_ms=500, payload=bytearray(MM.encode_wav(tone, 8000, bits=32))),
+            Row(media_id=2, modality="audio", width=0, height=0,
+                duration_ms=500, payload=bytearray(MM.encode_wav(noise, 8000, bits=32))),
+        ],
+        schema=MM.MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: np.array(r["feature"])
+           for r in MM.extract_features(media, dim=16, fake=False).collect()}
+    # duration = n/rate; RMS of 0.5*sin = 0.5/sqrt(2)
+    assert abs(got[1][-1] - 0.5) < 1e-6
+    assert abs(got[1][-3] - 0.5 / np.sqrt(2)) < 1e-3
+    # the tone's band spectrum is concentrated (one band ~1, most ~0);
+    # noise spreads across bands
+    tone_bands, noise_bands = got[1][:13], got[2][:13]
+    assert (tone_bands > 0.5).sum() <= 2
+    assert (noise_bands > 0.2).sum() >= 6
+
+
+def test_mjpeg_split_and_distributed_frame_decode(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg, encode_jpeg
+    from aeon_mecha_spark.datapipe.multimodal import (
+        decode_video_frames,
+        split_mjpeg_frames,
+    )
+
+    frames = []
+    for k in range(5):
+        yy, xx = np.mgrid[0:16, 0:24]
+        img = np.clip(np.stack([yy * 4 + k * 30, xx * 5, yy + xx], -1), 0, 255).astype(
+            np.uint8
+        )
+        frames.append(encode_jpeg(img, quality=88))
+    stream = b"".join(frames)
+    parts = split_mjpeg_frames(stream)
+    assert parts == frames  # lossless split on frame boundaries
+    media = spark.createDataFrame(
+        [Row(media_id=9, modality="video", width=24, height=16,
+             duration_ms=200, payload=bytearray(stream))],
+        "media_id long, modality string, width int, height int, "
+        "duration_ms int, payload binary",
+    )
+    rows = {r["frame_idx"]: r for r in decode_video_frames(media, every_n=2).collect()}
+    assert set(rows) == {0, 2, 4}
+    import zlib as _zlib
+
+    for idx in (0, 2, 4):
+        img = decode_jpeg(frames[idx])
+        assert rows[idx]["pixel_sum"] == int(img.astype(np.int64).sum())
+        assert rows[idx]["pixel_crc"] == _zlib.crc32(img.tobytes()) & 0xFFFFFFFF
+
+
+def test_mjpeg_video_features_real(spark):
+    from pyspark.sql import Row
+
+    from aeon_mecha_spark.datapipe import multimodal as MM
+    from aeon_mecha_spark.datapipe.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(4)
+    frames = [
+        encode_jpeg(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8), quality=90)
+        for _ in range(4)
+    ]
+    media = spark.createDataFrame(
+        [Row(media_id=3, modality="video", width=16, height=16,
+             duration_ms=160, payload=bytearray(b"".join(frames)))],
+        schema=MM.MEDIA_SCHEMA,
+    )
+    rows = MM.extract_features(media, dim=16, fake=False).collect()
+    assert len(rows) == 1 and len(rows[0]["feature"]) == 16
