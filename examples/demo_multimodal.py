@@ -1,10 +1,12 @@
-"""Multimodal pipeline demo — the full image path, all vendored codecs:
+"""Multimodal pipeline demo — all three modalities, all vendored codecs:
 
-    synthesize frames → encode (PNG + baseline JPEG, pure numpy) →
+    images: synthesize → encode (PNG + baseline JPEG, pure numpy) →
     media table → distributed decode stats → REAL feature extraction →
     embedding near-dup buckets → frame-server payloads (decode → resize
     → JPEG re-encode → base64), exactly the hop the reference's video
-    frame server performs (video.py:47-55, cv2-free here).
+    frame server performs (video.py:47-55, cv2-free here);
+    audio: WAV/PCM decode → spectral-band + RMS/ZCR features;
+    video: raw MJPEG streams → distributed per-frame decode stats.
 
 Run:  python examples/demo_multimodal.py
 """
@@ -84,6 +86,41 @@ def main() -> None:
         "media_id", "out_width", "out_height",
         F.length("payload_b64").alias("b64_len"),
     ).orderBy("media_id").show(4)
+
+    # 6. audio: WAV tones -> real spectral features
+    from aeon_mecha_spark.datapipe.multimodal import decode_video_frames, encode_wav
+
+    t = np.arange(0, 4000) / 8000.0
+    audio = spark.createDataFrame(
+        [
+            (100 + i, "audio", 0, 0, 500,
+             bytearray(encode_wav(0.5 * np.sin(2 * np.pi * f * t), 8000, bits=32)))
+            for i, f in enumerate((220, 440, 880))
+        ],
+        "media_id long, modality string, width int, height int, "
+        "duration_ms int, payload binary",
+    )
+    print("== audio features (WAV, real: band energies + RMS/ZCR/dur) ==")
+    extract_features(audio, dim=12).select(
+        "media_id", F.slice("feature", 10, 3).alias("rms_zcr_dur")
+    ).orderBy("media_id").show(3, truncate=False)
+
+    # 7. video: MJPEG stream -> distributed per-frame decode
+    from aeon_mecha_spark.datapipe.jpegcodec import encode_jpeg as _ej
+
+    yy, xx = np.mgrid[0:16, 0:24]
+    stream = b"".join(
+        _ej(np.clip(np.stack([yy * 8 + k * 25, xx * 6, yy + xx], -1), 0, 255)
+            .astype(np.uint8), quality=88)
+        for k in range(6)
+    )
+    video = spark.createDataFrame(
+        [(200, "video", 24, 16, 240, bytearray(stream))],
+        "media_id long, modality string, width int, height int, "
+        "duration_ms int, payload binary",
+    )
+    print("== video: MJPEG per-frame decode stats (every 2nd frame) ==")
+    decode_video_frames(video, every_n=2).orderBy("frame_idx").show()
     spark.stop()
 
 
