@@ -3897,6 +3897,155 @@ def q246_forecast_revenue(spark, sf_dir):
     )
 
 
+def q251_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue from lines where the customer and the
+    supplier share a nation inside one region, for one order year —
+    the classic 6-table snowflake join. Dims (region→nation, supplier)
+    broadcast; the big fact joins shuffle on their own keys; exact
+    centi-cent revenue."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    od = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            cust,
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_centicents()).cast("long").alias("revenue_centicents"))
+        .orderBy(F.col("revenue_centicents").desc(), F.col("n_name").asc())
+    )
+
+
+def q252_welch_t2(spark, sf_dir):
+    """Welch's t² (unequal-variance location test) of line quantity
+    between returned and kept lines per line status: exact integer
+    moments, fixed IEEE expression tree — the parametric companion to
+    q208's Mann-Whitney U."""
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.welch_t2(
+        li, ["l_linestatus"], "l_quantity", F.col("l_returnflag") == "R"
+    ).orderBy("l_linestatus")
+
+
+def q253_anova_f(spark, sf_dir):
+    """One-way ANOVA F of quantity across return-flag levels per line
+    status — the raw-scale k-sample test beside q213's rank version;
+    SSB/SSW in the exact integer micro floor-sum discipline."""
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.anova_f(
+        li, ["l_linestatus"], "l_quantity", "l_returnflag"
+    ).orderBy("l_linestatus")
+
+
+def q254_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe variance-homogeneity test (ANOVA on |x − group
+    median|) of quantity across return flags per line status: grain
+    selection medians, integer micro deviations — the robust pre-check
+    for q253."""
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.brown_forsythe(
+        li, ["l_linestatus"], "l_quantity", "l_returnflag"
+    ).orderBy("l_linestatus")
+
+
+def q255_kendall_tau(spark, sf_dir):
+    """Kendall τ-b between quantity and discount percent per return
+    flag: exact concordant/discordant pair counts from the joint
+    distinct-value grain (grain-quadratic, never data-quadratic),
+    integer isqrt denominator."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+    )
+    return analytics.kendall_tau(li, ["l_returnflag"], "qty", "disc").orderBy(
+        "l_returnflag"
+    )
+
+
+def q256_zipf_slope(spark, sf_dir):
+    """Zipf slope of the per-language term frequency spectrum (OLS of
+    ln count vs ln rank over the top-500 terms, integer micro-nat
+    pairs) — one-number corpus-shape QC beside q101's entropy."""
+    docs = _t(spark, sf_dir, "documents")
+    return textqc.zipf_slope(docs, top_n=500, keys=["lang"]).orderBy("lang")
+
+
+def q257_mcnemar(spark, sf_dir):
+    """McNemar's paired test: per user, did-click vs did-purchase as
+    the paired binary outcomes; discordant-cell statistic in exact
+    ppm — marginal homogeneity where an unpaired chi-square is wrong."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("_a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("_b"),
+    )
+    return analytics.mcnemar(per_user, [], F.col("_a") == 1, F.col("_b") == 1)
+
+
+def q258_permutation_entropy(spark, sf_dir):
+    """Permutation entropy (order-3 Bandt-Pompe, tie-aware sign
+    signatures) of each user's event-value series — regularity QC in
+    the integer micro-nat discipline; parallelism across users."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.permutation_entropy(
+        ev, ["user_id"], ["ts", "event_id"], "value"
+    ).orderBy("user_id")
+
+
+def q259_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (decorrelated): for each SMALL-type part, the
+    European supplier(s) offering its minimum observed price — the
+    min-per-group subquery decorrelated into an aggregate + tie-
+    inclusive join-back, dims broadcast, ordered by account balance."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nat = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nat.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("s_acctbal") * 100).cast("long").alias("acctbal_cents"),
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("_cents"),
+        )
+    )
+    mn = offers.groupBy("p_partkey").agg(F.min("_cents").alias("min_cents"))
+    best = (
+        offers.join(mn, "p_partkey")
+        .filter(F.col("_cents") == F.col("min_cents"))
+        .select("p_partkey", "s_name", "n_name", "acctbal_cents", "min_cents")
+        .distinct()
+    )
+    return best.orderBy(
+        F.col("acctbal_cents").desc(), F.col("p_partkey").asc(), F.col("s_name").asc()
+    ).limit(100)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3930,6 +4079,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q248_cliffs_delta": q248_cliffs_delta,
         "q249_markov_transitions": q249_markov_transitions,
         "q250_brier_decomposition": q250_brier_decomposition,
+        "q251_local_supplier_volume": q251_local_supplier_volume,
+        "q252_welch_t2": q252_welch_t2,
+        "q253_anova_f": q253_anova_f,
+        "q254_brown_forsythe": q254_brown_forsythe,
+        "q255_kendall_tau": q255_kendall_tau,
+        "q256_zipf_slope": q256_zipf_slope,
+        "q257_mcnemar": q257_mcnemar,
+        "q258_permutation_entropy": q258_permutation_entropy,
+        "q259_min_cost_supplier": q259_min_cost_supplier,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -9608,6 +9766,314 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_quantity < 24
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        """,
+        "q251_local_supplier_volume": """
+            -- TPC-H Q5: local-supplier revenue per nation in one
+            -- region and order year, exact centi-cents
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_centicents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY revenue_centicents DESC, n_name ASC
+        """,
+        "q252_welch_t2": """
+            -- Welch t^2: exact integer moments per population, then the
+            -- SAME fixed IEEE double tree as the Spark side (every step
+            -- one exactly-rounded op -> bit-identical), floored to micro
+            WITH g AS (
+              SELECT l_linestatus,
+                     sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::bigint AS n_a,
+                     sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)::bigint AS n_b,
+                     sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_quantity AS BIGINT) ELSE 0 END)::bigint AS sa,
+                     sum(CASE WHEN l_returnflag = 'R'
+                         THEN 0 ELSE CAST(l_quantity AS BIGINT) END)::bigint AS sb,
+                     sum(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                         ELSE 0 END)::bigint AS qa,
+                     sum(CASE WHEN l_returnflag = 'R'
+                         THEN 0 ELSE CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                         END)::bigint AS qb
+              FROM lineitem WHERE l_quantity IS NOT NULL
+              GROUP BY 1)
+            SELECT l_linestatus, n_a, n_b,
+                   CAST(CASE WHEN n_a > 0 AND n_b > 0 THEN
+                     floor(((CAST(sa AS DOUBLE) / n_a) - (CAST(sb AS DOUBLE) / n_b))
+                           * 1000000.0 + 0.5) END AS BIGINT) AS mean_diff_micro,
+                   CAST(CASE WHEN n_a > 1 AND n_b > 1 AND
+                     (((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / n_a)) / (n_a - 1)) / n_a
+                      + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / n_b)) / (n_b - 1)) / n_b) > 0 THEN
+                     floor(((CAST(sa AS DOUBLE) / n_a) - (CAST(sb AS DOUBLE) / n_b))
+                           * ((CAST(sa AS DOUBLE) / n_a) - (CAST(sb AS DOUBLE) / n_b))
+                           / (((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * (CAST(sa AS DOUBLE) / n_a)) / (n_a - 1)) / n_a
+                              + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * (CAST(sb AS DOUBLE) / n_b)) / (n_b - 1)) / n_b)
+                           * 1000000.0 + 0.5) END AS BIGINT) AS t2_micro
+            FROM g ORDER BY l_linestatus
+        """,
+        "q253_anova_f": """
+            -- one-way ANOVA F in the integer micro floor-sum
+            -- discipline: one floor per group, associative sums,
+            -- sign*abs final division
+            WITH per AS (
+              SELECT l_linestatus, l_returnflag,
+                     count(*)::bigint AS n,
+                     sum(CAST(l_quantity AS BIGINT))::hugeint AS s,
+                     sum(CAST(l_quantity AS BIGINT)
+                         * CAST(l_quantity AS BIGINT))::hugeint AS q
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+              GROUP BY 1, 2),
+            b AS (SELECT *, (s * s * 1000000) // n AS bg FROM per),
+            g AS (
+              SELECT l_linestatus, count(*)::bigint AS k_groups,
+                     sum(n)::bigint AS n, sum(s) AS ts, sum(q) AS tq,
+                     sum(bg) AS tbg
+              FROM b GROUP BY 1)
+            SELECT l_linestatus, k_groups, n,
+                   CAST(sign(tbg - (ts * ts * 1000000) // n)
+                        * (abs(tbg - (ts * ts * 1000000) // n) // 1000)
+                        AS BIGINT) AS ssb_milli,
+                   CAST(sign(tq * 1000000 - tbg)
+                        * (abs(tq * 1000000 - tbg) // 1000)
+                        AS BIGINT) AS ssw_milli,
+                   CAST(CASE WHEN k_groups > 1 AND n > k_groups
+                             AND tq * 1000000 - tbg > 0 THEN
+                     sign(tbg - (ts * ts * 1000000) // n)
+                     * ((abs(tbg - (ts * ts * 1000000) // n)
+                         * (n - k_groups) * 1000000)
+                        // ((tq * 1000000 - tbg) * (k_groups - 1)))
+                     END AS BIGINT) AS f_ppm
+            FROM g ORDER BY l_linestatus
+        """,
+        "q254_brown_forsythe": """
+            -- Brown-Forsythe: type-1 group medians from the value
+            -- grain, |x - med| floored to micro, then the q253 ANOVA
+            -- core on the integer deviations
+            WITH base AS (
+              SELECT l_linestatus AS ls, l_returnflag AS rf,
+                     l_quantity AS v
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+            grain AS (
+              SELECT ls, rf, v, count(*)::bigint AS n
+              FROM base GROUP BY 1, 2, 3),
+            c AS (
+              SELECT *, sum(n) OVER (PARTITION BY ls, rf ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                        sum(n) OVER (PARTITION BY ls, rf) AS tot
+              FROM grain),
+            med AS (
+              SELECT ls, rf, v AS med FROM c
+              WHERE cum >= (tot + 1) // 2 AND cum - n < (tot + 1) // 2),
+            dev AS (
+              SELECT b.ls, b.rf,
+                     CAST(floor(abs(b.v - m.med) * 1000.0 + 0.5)
+                          AS BIGINT) AS d
+              FROM base b JOIN med m ON b.ls = m.ls AND b.rf = m.rf),
+            per AS (
+              SELECT ls, rf, count(*)::bigint AS n,
+                     sum(d)::hugeint AS s,
+                     sum(d::hugeint * d)::hugeint AS q
+              FROM dev GROUP BY 1, 2),
+            bb AS (SELECT *, (s * s * 1000000) // n AS bg FROM per),
+            g AS (
+              SELECT ls, count(*)::bigint AS k_groups, sum(n)::bigint AS n,
+                     sum(s) AS ts, sum(q) AS tq, sum(bg) AS tbg
+              FROM bb GROUP BY 1)
+            SELECT ls AS l_linestatus, k_groups, n,
+                   CAST(sign(tbg - (ts * ts * 1000000) // n)
+                        * (abs(tbg - (ts * ts * 1000000) // n) // 1000000000)
+                        AS BIGINT) AS ssb_milli,
+                   CAST(sign(tq * 1000000 - tbg)
+                        * (abs(tq * 1000000 - tbg) // 1000000000)
+                        AS BIGINT) AS ssw_milli,
+                   CAST(CASE WHEN k_groups > 1 AND n > k_groups
+                             AND tq * 1000000 - tbg > 0 THEN
+                     sign(tbg - (ts * ts * 1000000) // n)
+                     * ((abs(tbg - (ts * ts * 1000000) // n)
+                         * (n - k_groups) * 1000000)
+                        // ((tq * 1000000 - tbg) * (k_groups - 1)))
+                     END AS BIGINT) AS f_ppm
+            FROM g ORDER BY l_linestatus
+        """,
+        "q255_kendall_tau": """
+            -- Kendall tau-b from the joint distinct-(x, y) grain:
+            -- grain self-join on x1 < x2 for C/D, marginal tie counts,
+            -- exact integer sqrt (q206/q207 construction) + min-clamp
+            WITH base AS (
+              SELECT l_returnflag AS k, CAST(l_quantity AS BIGINT) AS x,
+                     CAST(round(l_discount * 100) AS BIGINT) AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+            g AS (
+              SELECT k, x, y, count(*)::bigint AS n
+              FROM base GROUP BY 1, 2, 3),
+            cd AS (
+              SELECT a.k,
+                     sum(CASE WHEN b.y > a.y THEN a.n::hugeint * b.n
+                         ELSE 0 END) AS c,
+                     sum(CASE WHEN b.y < a.y THEN a.n::hugeint * b.n
+                         ELSE 0 END) AS d
+              FROM g a JOIN g b ON a.k = b.k AND a.x < b.x
+              GROUP BY 1),
+            xm AS (
+              SELECT k, sum(nx)::bigint AS n,
+                     sum((nx::hugeint * (nx - 1)) // 2) AS tx
+              FROM (SELECT k, x, sum(n)::bigint AS nx FROM g GROUP BY 1, 2)
+              GROUP BY 1),
+            ym AS (
+              SELECT k, sum((ny::hugeint * (ny - 1)) // 2) AS ty
+              FROM (SELECT k, y, sum(n)::bigint AS ny FROM g GROUP BY 1, 2)
+              GROUP BY 1),
+            j AS (
+              SELECT xm.k, xm.n,
+                     coalesce(cd.c, 0)::hugeint AS c,
+                     coalesce(cd.d, 0)::hugeint AS d,
+                     ((xm.n::hugeint * (xm.n - 1)) // 2 - tx)
+                     * ((xm.n::hugeint * (xm.n - 1)) // 2 - ty) AS rad
+              FROM xm JOIN ym ON xm.k = ym.k
+              LEFT JOIN cd ON xm.k = cd.k),
+            x0 AS (SELECT *, greatest(floor(sqrt(rad::double)), 1.0)::hugeint AS a0 FROM j),
+            x1 AS (SELECT *, (a0 + rad // a0) // 2 AS a1 FROM x0),
+            x2 AS (SELECT *, (a1 + rad // a1) // 2 AS a2 FROM x1),
+            i AS (
+              SELECT *, CASE WHEN (a2 + 1) * (a2 + 1) <= rad THEN a2 + 1
+                             WHEN a2 * a2 > rad THEN a2 - 1 ELSE a2 END AS den
+              FROM x2)
+            SELECT k AS l_returnflag, n,
+                   CAST(c AS BIGINT) AS conc, CAST(d AS BIGINT) AS disc,
+                   CAST(CASE WHEN den > 0 THEN
+                     (CASE WHEN c < d THEN -1 WHEN c > d THEN 1 ELSE 0 END)
+                     * least(1000000::hugeint, (abs(c - d) * 1000000) // den)
+                     END AS BIGINT) AS tau_b_ppm
+            FROM i ORDER BY l_returnflag
+        """,
+        "q256_zipf_slope": """
+            -- Zipf slope per language: ln once per term floored to
+            -- micro-nats, OLS moment form in exact integers, signed
+            -- floor division to ppm
+            WITH toks AS (
+              SELECT lang,
+                     unnest(CASE WHEN trim(text) = '' THEN []::varchar[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+')
+                            END) AS term
+              FROM documents),
+            counts AS (
+              SELECT lang, term, count(*)::bigint AS n
+              FROM toks GROUP BY 1, 2),
+            ranked AS (
+              SELECT lang, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, term) AS r
+              FROM counts),
+            pts AS (
+              SELECT lang,
+                     CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5)
+                          AS HUGEINT) AS x,
+                     CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5)
+                          AS HUGEINT) AS y
+              FROM ranked WHERE r <= 500),
+            g AS (
+              SELECT lang, count(*)::bigint AS n_terms,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sxx
+              FROM pts GROUP BY 1)
+            SELECT lang, n_terms,
+                   CAST(CASE WHEN n_terms * sxx - sx * sx > 0 THEN
+                     sign(n_terms * sxy - sx * sy)
+                     * ((abs(n_terms * sxy - sx * sy) * 1000000)
+                        // (n_terms * sxx - sx * sx)) END AS BIGINT)
+                     AS slope_ppm
+            FROM g ORDER BY lang
+        """,
+        "q257_mcnemar": """
+            -- McNemar on per-user paired binaries (clicked vs
+            -- purchased): discordant cells b/c, (b-c)^2*1e6 // (b+c)
+            WITH per AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b
+              FROM events GROUP BY 1),
+            g AS (
+              SELECT count(*)::bigint AS n,
+                     sum(a * b)::bigint AS n11,
+                     sum(a * (1 - b))::bigint AS n10,
+                     sum((1 - a) * b)::bigint AS n01,
+                     sum((1 - a) * (1 - b))::bigint AS n00
+              FROM per)
+            SELECT n, n11, n10, n01, n00,
+                   CAST(CASE WHEN n10 + n01 > 0 THEN
+                     ((n10 - n01)::hugeint * (n10 - n01) * 1000000)
+                     // (n10 + n01) END AS BIGINT) AS stat_ppm
+            FROM g
+        """,
+        "q258_permutation_entropy": """
+            -- order-3 permutation entropy per user: tie-aware sign
+            -- signatures over (ts, event_id)-ordered value triples,
+            -- integer micro-nat entropy (the q101 discipline)
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS tsu, event_id, value
+              FROM events WHERE value IS NOT NULL),
+            l AS (
+              SELECT user_id, value AS v0,
+                     lead(value, 1) OVER w AS v1,
+                     lead(value, 2) OVER w AS v2
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            p AS (
+              SELECT user_id,
+                     concat_ws(',',
+                       CAST(CAST(sign(v1 - v0) AS INT) AS VARCHAR),
+                       CAST(CAST(sign(v2 - v0) AS INT) AS VARCHAR),
+                       CAST(CAST(sign(v2 - v1) AS INT) AS VARCHAR)) AS pat
+              FROM l WHERE v1 IS NOT NULL AND v2 IS NOT NULL),
+            c AS (
+              SELECT user_id, pat, count(*)::bigint AS c
+              FROM p GROUP BY 1, 2),
+            per AS (
+              SELECT user_id, sum(c)::bigint AS n_windows,
+                     count(*)::bigint AS n_patterns,
+                     sum(CAST(floor(c * ln(CAST(c AS DOUBLE)) * 1000000.0
+                                    + 0.5) AS BIGINT))::bigint AS s
+              FROM c GROUP BY 1)
+            SELECT user_id, n_windows, n_patterns,
+                   round(ln(CAST(n_windows AS DOUBLE))
+                         - (CAST(s AS DOUBLE) / 1000000.0) / n_windows,
+                         6) AS entropy
+            FROM per ORDER BY user_id
+        """,
+        "q259_min_cost_supplier": """
+            -- TPC-H Q2 shape, decorrelated: per-part min offered price
+            -- among European suppliers, tie-inclusive join-back
+            WITH offers AS (
+              SELECT l_partkey AS p_partkey, s_name, n_name,
+                     CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE p_type = 'SMALL' AND r_name = 'EUROPE'),
+            mn AS (
+              SELECT p_partkey, min(cents) AS min_cents
+              FROM offers GROUP BY 1)
+            SELECT DISTINCT o.p_partkey, o.s_name, o.n_name,
+                   o.acctbal_cents, m.min_cents
+            FROM offers o JOIN mn m
+              ON o.p_partkey = m.p_partkey AND o.cents = m.min_cents
+            ORDER BY o.acctbal_cents DESC, o.p_partkey ASC, o.s_name ASC
+            LIMIT 100
         """,
     }
     return sqls

@@ -799,3 +799,78 @@ def bigram_logprob(
         "n_unseen",
         (mean_micro.cast("double") / F.lit(1000000.0)).alias("logprob_per_bigram"),
     )
+
+
+def zipf_slope(
+    docs: DataFrame,
+    top_n: int = 1000,
+    keys: list[str] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Zipf-law slope of the corpus frequency spectrum per key group:
+    OLS slope of ``ln(count)`` against ``ln(rank)`` over the top-``n``
+    terms (rank by count desc, term asc — deterministic). Natural text
+    sits near −1; templated/boilerplate corpora flatten toward 0 and
+    tokenizer pathologies steepen past −1.5 — a one-number corpus-shape
+    QC beside ``token_entropy``'s per-document view.
+
+    Exactness: each log is computed ONCE per term on exact integers and
+    floored to micro-nats (``floor(ln(·)·10⁶ + 0.5)`` — the
+    ``token_entropy`` discipline), then the OLS runs entirely on
+    integer micro-nat pairs via the moment form ``slope = (nΣxy − ΣxΣy)
+    / (nΣx² − (Σx)²)`` in decimal(38,0) with one signed floor division
+    to ppm. Associative sums, identical in any engine.
+
+    Plan: ``term_counts``'s one explode + hash groupBy (corpus-sized,
+    map-side combined) → a ≤n-row ranked head per key (window over the
+    vocabulary-sized count table; WindowGroupLimit pushes the cutoff
+    below the sort) → one tiny aggregate. The corpus shuffles once; the
+    regression sees at most ``n`` rows per key.
+    Output: ``(keys…, n_terms, slope_ppm)``.
+    """
+    keys = list(keys or [])
+    counts = term_counts(docs, keys, text_col)
+    if keys:
+        # WindowGroupLimit pushes the k cutoff below the per-key sort
+        w = W.partitionBy(*keys).orderBy(F.col("n").desc(), F.col("term").asc())
+        head = counts.withColumn("_r", F.row_number().over(w)).filter(
+            F.col("_r") <= int(top_n)
+        )
+    else:
+        # global head: TakeOrderedAndProject (distributed top-k, no
+        # vocabulary-wide single-partition sort); the rank window then
+        # runs over <= top_n rows by construction
+        head = (
+            counts.orderBy(F.col("n").desc(), F.col("term").asc())
+            .limit(int(top_n))
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    W.orderBy(F.col("n").desc(), F.col("term").asc())
+                ),
+            )
+        )
+    lx = F.floor(F.log(F.col("_r").cast("double")) * F.lit(1000000.0) + F.lit(0.5))
+    ly = F.floor(F.log(F.col("n").cast("double")) * F.lit(1000000.0) + F.lit(0.5))
+    pts = head.select(
+        *keys,
+        lx.cast("decimal(38,0)").alias("_x"),
+        ly.cast("decimal(38,0)").alias("_y"),
+    )
+    g = pts.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    return g.select(
+        *keys,
+        "n_terms",
+        F.expr(
+            "CAST(CASE WHEN n_terms * _sxx - _sx * _sx > 0 THEN "
+            "sign(n_terms * _sxy - _sx * _sy) * "
+            "((abs(n_terms * _sxy - _sx * _sy) * 1000000) div "
+            "(n_terms * _sxx - _sx * _sx)) END AS BIGINT)"
+        ).alias("slope_ppm"),
+    )

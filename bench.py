@@ -44,6 +44,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Round-10 rotation (q248-q250 joined): q238 PR curve -> q209 (identical
 # prefix-sum machinery); q239 lorenz -> q209 (same ascending family);
 # q214 calibration -> q250 (same bucket pipeline, superset terms).
+# Round-10 wave-2 (q251-q259 joined): q244 Q7 snowflake -> q251 Q5
+# (same 6-table dim-broadcast shape + the compound join condition);
+# q208 MWU -> q255 kendall (q248 cliffs keeps the grain-prefix rank
+# family; kendall adds the grain self-join shape); q88 tfidf -> q256
+# zipf (q131 BM25 keeps the tf-df-broadcast family; zipf adds the
+# topN-head + integer-OLS tail); q147 impute-median -> q254
+# brown-forsythe (q151 keeps the fill/fence family; BF adds the
+# selection-median -> integer-ANOVA chain).
 HEADLINE = [
     "q01_pricing_summary",   # scan + groupBy agg
     "q06_revenue_by_nation", # multi-join + agg
@@ -57,7 +65,6 @@ HEADLINE = [
     "q48_ivf_knn",           # IVF-bucketed ANN
     "q72_near_dup_lsh",      # LSH-bucketed near-dup (scale-safe default)
     "q73_decontaminate",     # broadcast benchmark-shingle overlap
-    "q88_tfidf",             # tf/df groupBys + broadcast vocab join
     "q90_token_budget",      # distributed two-level prefix sum
     "q92_embedding_covariance",  # mapInPandas outer-product reduce
     "q97_substring_dedup",   # gram explode + span merge (persist reuse)
@@ -92,7 +99,6 @@ HEADLINE = [
     "q144_ngram_novelty",    # keep-first gram ownership, gram/doc-keyed
     "q145_rrf_fusion",       # RRF blend over TakeOrdered top-200 lists
     "q146_sequence_pattern",  # A-then-B via value-based RANGE frame
-    "q147_impute_median",    # group-median fill, two-level quantile path
     "q149_cube_agg",         # 2-dim CUBE in one Expand+aggregate
     "q150_target_encode",    # integral micro-unit smoothed encoding
     "q151_mad_outliers",     # grain-side selection medians + broadcast fences
@@ -140,7 +146,6 @@ HEADLINE = [
     "q205_bigram_logprob",   # interpolated bigram LM, micro-nat mean
     "q206_wilson_lb",        # integer-exact Wilson bound (Newton isqrt)
     "q207_spearman",         # doubled-rank Spearman, exact isqrt, clamped
-    "q208_mannwhitney",      # doubled-U rank-sum two-sample test
     "q209_roc_points",       # full ROC curve, two-level bucketed prefix sum
     "q210_jsd",              # symmetric drift, micro-nat mixture ratios
     "q211_hhi",              # concentration, one decimal div
@@ -173,13 +178,16 @@ HEADLINE = [
     "q241_logrank",          # two-sample survival O/E/V sums
     "q242_cramers_v",        # chi2 effect size, exact isqrt
     "q243_shipping_priority", # Q3: 3-table join, det. top-10
-    "q244_volume_shipping",  # Q7: nation-pair revenue, 2 bcast dims
     "q245_customer_distribution",  # Q13: left-join count histogram
     "q246_forecast_revenue", # Q6: pure pushed scan-filter-agg
     "q247_trimmed_mean",     # mass-exact trim on the grain-prefix path
     "q248_cliffs_delta",     # grain-side cross-pair dominance counts
     "q249_markov_transitions",  # lead-window pairs + smoothed ppm
     "q250_brier_decomposition",  # rel/res/unc integer Murphy terms
+    "q251_local_supplier_volume",  # Q5: 6-table snowflake, compound join
+    "q254_brown_forsythe",   # selection medians -> integer ANOVA core
+    "q255_kendall_tau",      # joint-grain self-join concordance
+    "q256_zipf_slope",       # term head + integer micro-nat OLS
 ]
 
 

@@ -1,0 +1,261 @@
+"""Round-10 wave-2 operator tests: the classical-stats additions
+(welch_t2 / anova_f / brown_forsythe / kendall_tau / mcnemar /
+permutation_entropy) and textqc.zipf_slope — each checked against an
+independent small-data reference implementation, not against itself."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+
+def _two_groups(spark, a, b):
+    rows = [Row(g="A", v=float(x)) for x in a] + [Row(g="B", v=float(x)) for x in b]
+    return spark.createDataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# welch_t2
+
+
+def test_welch_t2_matches_direct_formula(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 50, 200)
+    b = rng.integers(5, 60, 150)
+    df = _two_groups(spark, a, b)
+    out = analytics.welch_t2(df, [], "v", F.col("g") == "A").collect()[0]
+    ma, mb = a.mean(), b.mean()
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    t2 = (ma - mb) ** 2 / (va / len(a) + vb / len(b))
+    assert out["n_a"] == 200 and out["n_b"] == 150
+    assert abs(out["mean_diff_micro"] / 1e6 - (ma - mb)) < 1e-5
+    assert abs(out["t2_micro"] / 1e6 - t2) < 1e-4
+
+
+def test_welch_t2_degenerate_groups_null(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    df = _two_groups(spark, [3], [1, 2, 4])
+    out = analytics.welch_t2(df, [], "v", F.col("g") == "A").collect()[0]
+    assert out["t2_micro"] is None  # n_a < 2
+    # equal constants -> zero pooled variance -> NULL, not div-by-zero
+    df2 = _two_groups(spark, [5, 5, 5], [5, 5])
+    out2 = analytics.welch_t2(df2, [], "v", F.col("g") == "A").collect()[0]
+    assert out2["t2_micro"] is None
+
+
+# ---------------------------------------------------------------------------
+# anova_f / brown_forsythe
+
+
+def _anova_f_ref(groups):
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    gm = sum(sum(g) for g in groups) / n
+    ssb = sum(len(g) * (np.mean(g) - gm) ** 2 for g in groups)
+    ssw = sum(sum((x - np.mean(g)) ** 2 for x in g) for g in groups)
+    return (ssb / (k - 1)) / (ssw / (n - k))
+
+
+def test_anova_f_matches_reference(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    rng = np.random.default_rng(11)
+    groups = {c: rng.integers(0, 40, 120 + 13 * i) + i for i, c in enumerate("ABC")}
+    rows = [Row(g=c, v=float(x)) for c, xs in groups.items() for x in xs]
+    out = analytics.anova_f(
+        spark.createDataFrame(rows), [], "v", "g"
+    ).collect()[0]
+    ref = _anova_f_ref([list(map(float, xs)) for xs in groups.values()])
+    assert out["k_groups"] == 3
+    assert out["n"] == sum(len(x) for x in groups.values())
+    assert abs(out["f_ppm"] / 1e6 - ref) < 1e-3
+    # milli-rescaled SS terms track the float reference
+    ssb = sum(
+        len(xs) * (np.mean(xs) - np.concatenate(list(groups.values())).mean()) ** 2
+        for xs in groups.values()
+    )
+    assert abs(out["ssb_milli"] / 1e3 - ssb) < 0.01 * max(ssb, 1)
+
+
+def test_brown_forsythe_matches_deviation_anova(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    rng = np.random.default_rng(3)
+    ga = rng.integers(0, 10, 101)  # tight
+    gb = rng.integers(0, 60, 90)  # wide -> F should be large
+    rows = [Row(g="A", v=float(x)) for x in ga] + [
+        Row(g="B", v=float(x)) for x in gb
+    ]
+    out = analytics.brown_forsythe(
+        spark.createDataFrame(rows), [], "v", "g"
+    ).collect()[0]
+    # reference: ANOVA on |x - group median| (type-1 low median = the
+    # value at rank ceil(n/2), matching the operator's selection)
+    def t1med(xs):
+        s = sorted(xs)
+        return s[(len(s) + 1) // 2 - 1]
+
+    da = [abs(x - t1med(ga)) for x in map(float, ga)]
+    db = [abs(x - t1med(gb)) for x in map(float, gb)]
+    ref = _anova_f_ref([da, db])
+    assert abs(out["f_ppm"] / 1e6 - ref) < 1e-2
+    assert out["f_ppm"] > 10_000_000  # variance ratio is blatant
+
+
+# ---------------------------------------------------------------------------
+# kendall_tau
+
+
+def _tau_b_ref(xy):
+    c = d = 0
+    n = len(xy)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = xy[j][0] - xy[i][0]
+            dy = xy[j][1] - xy[i][1]
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    t0 = n * (n - 1) // 2
+    from collections import Counter
+
+    tx = sum(v * (v - 1) // 2 for v in Counter(x for x, _ in xy).values())
+    ty = sum(v * (v - 1) // 2 for v in Counter(y for _, y in xy).values())
+    return (c - d) / math.sqrt((t0 - tx) * (t0 - ty)), c, d
+
+
+def test_kendall_tau_matches_bruteforce_with_ties(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    rng = np.random.default_rng(5)
+    xy = [(int(rng.integers(0, 8)), int(rng.integers(0, 5))) for _ in range(300)]
+    df = spark.createDataFrame([Row(x=x, y=y) for x, y in xy])
+    out = analytics.kendall_tau(df, [], "x", "y").collect()[0]
+    ref, c, d = _tau_b_ref(xy)
+    assert out["conc"] == c and out["disc"] == d and out["n"] == 300
+    assert abs(out["tau_b_ppm"] / 1e6 - ref) < 1e-4
+
+
+def test_kendall_tau_pins_perfect_and_null_degenerate(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    perf = spark.createDataFrame([Row(x=i, y=2 * i) for i in range(20)])
+    assert analytics.kendall_tau(perf, [], "x", "y").collect()[0][
+        "tau_b_ppm"
+    ] == 1_000_000
+    anti = spark.createDataFrame([Row(x=i, y=-i) for i in range(20)])
+    assert analytics.kendall_tau(anti, [], "x", "y").collect()[0][
+        "tau_b_ppm"
+    ] == -1_000_000
+    const = spark.createDataFrame([Row(x=1, y=i) for i in range(5)])
+    assert analytics.kendall_tau(const, [], "x", "y").collect()[0][
+        "tau_b_ppm"
+    ] is None
+
+
+def test_kendall_tau_grain_guard_trips(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    df = spark.createDataFrame([Row(x=i, y=i % 7) for i in range(50)])
+    with pytest.raises(Exception, match="max_grain"):
+        analytics.kendall_tau(df, [], "x", "y", max_grain=10).collect()
+
+
+# ---------------------------------------------------------------------------
+# mcnemar
+
+
+def test_mcnemar_exact_cells(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    rows = (
+        [Row(a=1, b=1)] * 30
+        + [Row(a=1, b=0)] * 12
+        + [Row(a=0, b=1)] * 5
+        + [Row(a=0, b=0)] * 40
+    )
+    out = analytics.mcnemar(
+        spark.createDataFrame(rows), [], F.col("a") == 1, F.col("b") == 1
+    ).collect()[0]
+    assert (out["n11"], out["n10"], out["n01"], out["n00"]) == (30, 12, 5, 40)
+    assert out["stat_ppm"] == (12 - 5) ** 2 * 1_000_000 // (12 + 5)
+    # no discordant pairs -> NULL statistic
+    out2 = analytics.mcnemar(
+        spark.createDataFrame([Row(a=1, b=1)] * 4), [], F.col("a") == 1, F.col("b") == 1
+    ).collect()[0]
+    assert out2["stat_ppm"] is None
+
+
+# ---------------------------------------------------------------------------
+# permutation_entropy
+
+
+def test_permutation_entropy_reference_counts(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    # series: 1 2 3 2 2 -> triples (1,2,3),(2,3,2),(3,2,2)
+    # signatures: (1,1,1), (1,0,-1), (-1,-1,0) -> 3 distinct patterns
+    rows = [Row(k="a", t=i, v=float(x)) for i, x in enumerate([1, 2, 3, 2, 2])]
+    out = analytics.permutation_entropy(
+        spark.createDataFrame(rows), ["k"], ["t"], "v"
+    ).collect()[0]
+    assert out["n_windows"] == 3 and out["n_patterns"] == 3
+    assert abs(out["entropy"] - math.log(3)) < 1e-5
+    # constant series -> a single all-ties pattern, entropy exactly 0
+    rows2 = [Row(k="a", t=i, v=1.0) for i in range(6)]
+    out2 = analytics.permutation_entropy(
+        spark.createDataFrame(rows2), ["k"], ["t"], "v"
+    ).collect()[0]
+    assert out2["n_patterns"] == 1 and out2["entropy"] == 0.0
+
+
+def test_permutation_entropy_short_series_absent(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    rows = [Row(k="short", t=0, v=1.0), Row(k="short", t=1, v=2.0)]
+    assert (
+        analytics.permutation_entropy(
+            spark.createDataFrame(rows), ["k"], ["t"], "v"
+        ).count()
+        == 0
+    )
+
+
+# ---------------------------------------------------------------------------
+# zipf_slope
+
+
+def test_zipf_slope_recovers_planted_exponent(spark):
+    from aeon_mecha_spark.datapipe import textqc
+
+    # plant counts ~ round(1e6 * r^-0.8): OLS on the log pairs must
+    # recover ~-0.8 (quantization moves it by << 0.01)
+    words = [f"w{i:03d}" for i in range(120)]
+    text = " ".join(
+        " ".join([w] * int(round(1e6 * (r + 1) ** -0.8 / 1000)))
+        for r, w in enumerate(words)
+    )
+    df = spark.createDataFrame([Row(doc_id=1, text=text, lang="xx")])
+    out = textqc.zipf_slope(df, top_n=100, keys=["lang"]).collect()[0]
+    assert out["n_terms"] == 100
+    # independent float reference on the same floored micro-nat points
+    ranks = np.arange(1, 101)
+    counts = np.array(
+        sorted(
+            [int(round(1e6 * (r + 1) ** -0.8 / 1000)) for r in range(120)],
+            reverse=True,
+        )[:100]
+    )
+    lx = np.floor(np.log(ranks) * 1e6 + 0.5)
+    ly = np.floor(np.log(counts) * 1e6 + 0.5)
+    ref = np.polyfit(lx, ly, 1)[0]
+    assert abs(out["slope_ppm"] / 1e6 - ref) < 1e-4
+    assert -0.85 < out["slope_ppm"] / 1e6 < -0.75
