@@ -4046,6 +4046,38 @@ def q259_min_cost_supplier(spark, sf_dir):
     ).limit(100)
 
 
+def q260_durbin_watson(spark, sf_dir):
+    """Durbin-Watson serial correlation of each user's event-value
+    series in (ts, event_id) order: first differences cancel the mean,
+    so DW is exact integer micro moments + one floor division."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.durbin_watson(
+        ev, ["user_id"], ["ts", "event_id"], "value"
+    ).orderBy("user_id")
+
+
+def q261_cochran_armitage(spark, sf_dir):
+    """Cochran-Armitage trend: does the return rate trend with the
+    discount percent (ordered integer dose 0..10) per line status?
+    Exact cross-multiplied z-squared in ppm, cell-grain plan."""
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "disc_pct", F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return analytics.cochran_armitage(
+        li, ["l_linestatus"], "disc_pct", F.col("l_returnflag") == "R"
+    ).orderBy("l_linestatus")
+
+
+def q262_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test per user: above/below-median sign runs
+    of the event-value series in time order — grain selection median,
+    one lag window, exact rational z-squared with direction."""
+    ev = _t(spark, sf_dir, "events")
+    return analytics.runs_test(
+        ev, ["user_id"], ["ts", "event_id"], "value"
+    ).orderBy("user_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4088,6 +4120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q257_mcnemar": q257_mcnemar,
         "q258_permutation_entropy": q258_permutation_entropy,
         "q259_min_cost_supplier": q259_min_cost_supplier,
+        "q260_durbin_watson": q260_durbin_watson,
+        "q261_cochran_armitage": q261_cochran_armitage,
+        "q262_runs_test": q262_runs_test,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -9955,7 +9990,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN den > 0 THEN
                      (CASE WHEN c < d THEN -1 WHEN c > d THEN 1 ELSE 0 END)
                      * least(1000000::hugeint, (abs(c - d) * 1000000) // den)
-                     END AS BIGINT) AS tau_b_ppm
+                     END AS BIGINT) AS tau_b_ppm,
+                   CAST(CASE WHEN c + d > 0 THEN
+                     (CASE WHEN c < d THEN -1 WHEN c > d THEN 1 ELSE 0 END)
+                     * ((abs(c - d) * 1000000) // (c + d))
+                     END AS BIGINT) AS gamma_ppm
             FROM i ORDER BY l_returnflag
         """,
         "q256_zipf_slope": """
@@ -10074,6 +10113,105 @@ def oracle_sql() -> dict[str, str]:
               ON o.p_partkey = m.p_partkey AND o.cents = m.min_cents
             ORDER BY o.acctbal_cents DESC, o.p_partkey ASC, o.s_name ASC
             LIMIT 100
+        """,
+        "q260_durbin_watson": """
+            -- DW on micro-integer values: first differences cancel the
+            -- mean, n*SumDsq / (n*Sum v^2 - (Sum v)^2), one floor div
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS tsu, event_id,
+                     CAST(floor(value * 1000000.0 + 0.5) AS HUGEINT) AS v
+              FROM events WHERE value IS NOT NULL),
+            l AS (
+              SELECT user_id, v,
+                     v - lag(v, 1) OVER (PARTITION BY user_id
+                                         ORDER BY tsu, event_id) AS d
+              FROM ev),
+            g AS (
+              SELECT user_id, count(*)::bigint AS n,
+                     sum(v) AS s, sum(v * v) AS q,
+                     sum(d * d) AS dd
+              FROM l GROUP BY 1)
+            SELECT user_id, n,
+                   CAST(CASE WHEN n > 1 AND n * q - s * s > 0 THEN
+                     (n * dd * 1000) // (n * q - s * s) END AS BIGINT)
+                     AS dw_milli
+            FROM g ORDER BY user_id
+        """,
+        "q261_cochran_armitage": """
+            -- Cochran-Armitage: exact cross-multiplied z^2 over the
+            -- (status, dose) cell grain
+            WITH cells AS (
+              SELECT l_linestatus,
+                     CAST(round(l_discount * 100) AS HUGEINT) AS s,
+                     count(*)::bigint AS n,
+                     sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::bigint AS x
+              FROM lineitem WHERE l_discount IS NOT NULL
+              GROUP BY 1, 2),
+            g AS (
+              SELECT l_linestatus,
+                     sum(n)::hugeint AS nn, sum(x)::hugeint AS p,
+                     sum(s * x) AS sx, sum(s * n) AS sn,
+                     sum(s * s * n) AS ssn
+              FROM cells GROUP BY 1)
+            SELECT l_linestatus,
+                   CAST(nn AS BIGINT) AS n, CAST(p AS BIGINT) AS n_pos,
+                   CAST(CASE WHEN p > 0 AND p < nn
+                             AND nn * ssn - sn * sn > 0 THEN
+                     ((nn * sx - p * sn) * (nn * sx - p * sn) * nn * 1000000)
+                     // (p * (nn - p) * (nn * ssn - sn * sn))
+                     END AS BIGINT) AS z2_ppm
+            FROM g ORDER BY l_linestatus
+        """,
+        "q262_runs_test": """
+            -- Wald-Wolfowitz: type-1 median from the value grain, drop
+            -- at-median rows, count sign runs in time order, exact
+            -- rational z^2 (clumping direction preserved)
+            WITH base AS (
+              SELECT user_id, epoch_us(ts) AS tsu, event_id, value AS v
+              FROM events WHERE value IS NOT NULL),
+            grain AS (
+              SELECT user_id, v, count(*)::bigint AS n
+              FROM base GROUP BY 1, 2),
+            c AS (
+              SELECT *, sum(n) OVER (PARTITION BY user_id ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                        sum(n) OVER (PARTITION BY user_id) AS tot
+              FROM grain),
+            med AS (
+              SELECT user_id, v AS med FROM c
+              WHERE cum >= (tot + 1) // 2 AND cum - n < (tot + 1) // 2),
+            s AS (
+              SELECT b.user_id, b.tsu, b.event_id,
+                     CASE WHEN b.v > m.med THEN 1 ELSE 0 END AS sgn
+              FROM base b JOIN med m ON b.user_id = m.user_id
+              WHERE b.v <> m.med),
+            f AS (
+              SELECT user_id, sgn,
+                     CASE WHEN lag(sgn, 1) OVER w IS NOT NULL
+                               AND sgn <> lag(sgn, 1) OVER w
+                          THEN 1 ELSE 0 END AS chg
+              FROM s
+              WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+            g AS (
+              SELECT user_id,
+                     sum(sgn)::hugeint AS n1,
+                     sum(1 - sgn)::hugeint AS n2,
+                     (sum(chg) + 1)::hugeint AS r
+              FROM f GROUP BY 1)
+            SELECT user_id,
+                   CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+                   CAST(r AS BIGINT) AS runs,
+                   CAST(CASE WHEN r * (n1 + n2) - 2 * n1 * n2 - (n1 + n2) > 0 THEN 1
+                             WHEN r * (n1 + n2) - 2 * n1 * n2 - (n1 + n2) < 0 THEN -1
+                             ELSE 0 END AS INT) AS direction,
+                   CAST(CASE WHEN n1 > 0 AND n2 > 0
+                             AND 2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) > 0 THEN
+                     ((r * (n1 + n2) - 2 * n1 * n2 - (n1 + n2))
+                      * (r * (n1 + n2) - 2 * n1 * n2 - (n1 + n2))
+                      * ((n1 + n2) - 1) * 1000000)
+                     // (2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)))
+                     END AS BIGINT) AS z2_ppm
+            FROM g ORDER BY user_id
         """,
     }
     return sqls

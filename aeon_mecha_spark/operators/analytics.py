@@ -5415,7 +5415,9 @@ def kendall_tau(
     ``assert_true`` guard fails the job loudly if G exceeds
     ``max_grain`` instead of silently exploding the pair space.
     n per key must stay ≲ 10⁹ so (T0−Tx)(T0−Ty) fits decimal(38,0).
-    Output: ``(keys…, n, conc, disc, tau_b_ppm)``.
+    Output: ``(keys…, n, conc, disc, tau_b_ppm, gamma_ppm)`` — the
+    Goodman–Kruskal gamma ((C−D)/(C+D), ties ignored) rides for free
+    from the same pair counts.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -5496,6 +5498,13 @@ def kendall_tau(
             "sign(_c - _d) * least(CAST(1000000 AS DECIMAL(38,0)), "
             "(abs(_c - _d) * 1000000) div _den) END AS BIGINT)"
         ).alias("tau_b_ppm"),
+        # Goodman–Kruskal gamma rides for free: same C/D, ties ignored
+        # entirely — the companion effect size when tie mass is large
+        F.expr(
+            "CAST(CASE WHEN _c + _d > 0 THEN "
+            "sign(_c - _d) * ((abs(_c - _d) * 1000000) div (_c + _d)) "
+            "END AS BIGINT)"
+        ).alias("gamma_ppm"),
     )
     return track_cached(out, grain)
 
@@ -5597,3 +5606,194 @@ def permutation_entropy(
         F.log(n) - (F.col("_s").cast("double") / F.lit(1000000.0)) / n, 6
     )
     return per.select(*keys, "n_windows", "n_patterns", ent.alias("entropy"))
+
+
+def durbin_watson(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Durbin–Watson serial-correlation statistic of a demeaned series
+    per key (DW ≈ 2 → no lag-1 autocorrelation, → 0 positive, → 4
+    negative): the residual-independence check behind ``ols2_by_group``
+    and every per-key trend model. Because first differences cancel the
+    mean, the DEMEANED residual form needs no explicit mean:
+
+        ``DW = Σ(v_t − v_{t−1})² / Σ(v_t − v̄)²
+             = n·ΣΔ² / (n·Σv² − (Σv)²)``
+
+    Exactness: values enter as ``floor(v·10⁶ + 0.5)`` micro integers
+    (one deterministic floor per row), so ΣΔ², Σv, Σv² are exact
+    decimal sums and DW is ONE floor division, reported in milli.
+    Keys with a degenerate denominator (constant series, n < 2) → NULL.
+
+    Plan: one ``lag`` window per key (the per-key order is intrinsic;
+    parallelism across keys) + one hash aggregate. Bounds: Σv² in
+    micro² must fit decimal(38,0) → |v|·10⁶ ≲ 10¹⁵ per row and n ≲
+    10⁸ per key at |v| ~ 10³.
+    Output: ``(keys…, n, dw_milli)``.
+    """
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_cols])
+    vi = F.floor(F.col(value_col).cast("double") * F.lit(1000000.0) + F.lit(0.5))
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, *order_cols, vi.cast("decimal(38,0)").alias("_v")
+    ).withColumn("_d", F.col("_v") - F.lag("_v", 1).over(w))
+    g = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_v").alias("_s"),
+        F.sum(F.col("_v") * F.col("_v")).alias("_q"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_dd"),
+    )
+    return g.select(
+        *keys,
+        "n",
+        F.expr(
+            "CAST(CASE WHEN n > 1 AND n * _q - _s * _s > 0 THEN "
+            "(n * _dd * 1000) div (n * _q - _s * _s) END AS BIGINT)"
+        ).alias("dw_milli"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    keys: list[str],
+    score_col: str,
+    outcome: Column,
+) -> DataFrame:
+    """Cochran–Armitage trend test per key: is the binary outcome rate
+    MONOTONICALLY related to an ordered integer score (dose, bucket,
+    grade)? The 2×k tabular chi-square ignores order; this is the
+    1-degree-of-freedom test that uses it.
+
+    With per-score cells (n_i trials, x_i successes), N = Σn, P = Σx:
+
+        ``T = Σ s·x − (P/N)·Σ s·n``      (trend numerator)
+        ``Var = P(N−P)/N² · [Σ s²n − (Σ s·n)²/N] / N`` → cross-multiplied
+
+        ``z² = (N·T)²·N div (P·(N−P)·(N·Σs²n − (Σs·n)²))``
+
+    — one floor division on exact decimal(38,0) integers (scores must
+    be integers; bucket/rank continuous doses upstream), reported in
+    ppm. Degenerate keys (all-success, all-failure, constant score) →
+    NULL. Output: ``(keys…, n, n_pos, z2_ppm)``.
+
+    Plan: one hash groupBy to the (key, score) cell grain, one key
+    aggregate — both map-side combinable, no window, no join. Bounds:
+    (N·Σsx)² must fit decimal(38,0) → N·|s|·n ≲ 10¹⁹.
+    """
+    s = F.col(score_col).cast("decimal(38,0)")
+    y = F.when(outcome, F.lit(1)).otherwise(F.lit(0))
+    cells = df.filter(F.col(score_col).isNotNull()).select(
+        *keys, s.alias("_s"), y.alias("_y")
+    ).groupBy(*keys, "_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_y").cast("long").alias("_x"),
+    )
+    g = cells.groupBy(*keys).agg(
+        F.sum("_n").cast("decimal(38,0)").alias("_N"),
+        F.sum("_x").cast("decimal(38,0)").alias("_P"),
+        F.sum(F.col("_s") * F.col("_x")).alias("_sx"),
+        F.sum(F.col("_s") * F.col("_n")).alias("_sn"),
+        F.sum(F.col("_s") * F.col("_s") * F.col("_n")).alias("_ssn"),
+    )
+    return g.select(
+        *keys,
+        F.col("_N").cast("long").alias("n"),
+        F.col("_P").cast("long").alias("n_pos"),
+        F.expr(
+            "CAST(CASE WHEN _P > 0 AND _P < _N "
+            "AND _N * _ssn - _sn * _sn > 0 THEN "
+            "((_N * _sx - _P * _sn) * (_N * _sx - _P * _sn) * _N * 1000000) div "
+            "(_P * (_N - _P) * (_N * _ssn - _sn * _sn)) END AS BIGINT)"
+        ).alias("z2_ppm"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test per key: is the sequence of
+    above/below-median signs random, or does it clump (trend / regime
+    switching) or alternate (negative feedback)? The nonparametric
+    randomness check beside ``permutation_entropy``'s complexity view.
+
+    Construction: the key's type-1 median comes from the distinct-value
+    grain (:func:`_grain_type1_quantile`, broadcast back); rows AT the
+    median are dropped (the standard two-category reduction), signs are
+    compared to the previous sign in ``order_cols`` order, and the run
+    count R is ``1 + Σ sign-changes``. Under H₀,
+    ``μ_R = 2·n₁·n₂/N + 1`` and
+    ``σ²_R = 2n₁n₂(2n₁n₂ − N) / (N²(N−1))``, so the squared z-score is
+    ONE exact rational floor division, cross-multiplied in
+    decimal(38,0) and reported in ppm with the sign·abs convention
+    (sign of R − μ preserved in ``direction``: −1 clumping, +1
+    alternating). Keys with n₁=0, n₂=0, or σ²=0 → NULL.
+
+    Plan: grain selection median + broadcast, one lag window per key,
+    two aggregates — no data-sized sort beyond the per-key window.
+    Output: ``(keys…, n1, n2, runs, direction, z2_ppm)``.
+    """
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, F.col(value_col).alias("_v")
+    )
+    grain = base.groupBy(*keys, "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    med = _grain_type1_quantile(
+        grain, keys, "_v", "_n", 1, 2, int(buckets), grain_count=1 << 62
+    ).select(*keys, F.col("q").alias("_med"))
+    w = W.partitionBy(*keys).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    # order columns ride along for the per-key lag window
+    signed = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, *order_cols, F.col(value_col).alias("_v")
+    )
+    signed = (
+        signed.join(F.broadcast(med), keys)
+        if keys
+        else signed.crossJoin(F.broadcast(med))
+    )
+    signed = signed.filter(F.col("_v") != F.col("_med")).withColumn(
+        "_sgn", F.when(F.col("_v") > F.col("_med"), F.lit(1)).otherwise(F.lit(0))
+    )
+    flips = signed.withColumn(
+        "_chg",
+        F.when(
+            F.lag("_sgn", 1).over(w).isNotNull()
+            & (F.col("_sgn") != F.lag("_sgn", 1).over(w)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    g = flips.groupBy(*keys).agg(
+        F.sum("_sgn").cast("decimal(38,0)").alias("_n1"),
+        F.sum(1 - F.col("_sgn")).cast("decimal(38,0)").alias("_n2"),
+        (F.sum("_chg") + 1).cast("decimal(38,0)").alias("_r"),
+    )
+    # z² = (R − μ)² / σ² cross-multiplied:
+    #   num = (R·N − 2n1n2 − N)²·N·(N−1),  den = N²·... reduced:
+    #   (R − μ)² = (R·N − (2n1n2 + N))² / N²
+    #   σ² = 2n1n2(2n1n2 − N) / (N²(N−1))
+    #   z² = (R·N − 2n1n2 − N)²·(N−1) div (2n1n2·(2n1n2 − N))
+    return g.select(
+        *keys,
+        F.col("_n1").cast("long").alias("n1"),
+        F.col("_n2").cast("long").alias("n2"),
+        F.col("_r").cast("long").alias("runs"),
+        F.expr(
+            "CAST(sign(_r * (_n1 + _n2) - 2 * _n1 * _n2 - (_n1 + _n2)) AS INT)"
+        ).alias("direction"),
+        F.expr(
+            "CAST(CASE WHEN _n1 > 0 AND _n2 > 0 "
+            "AND 2 * _n1 * _n2 * (2 * _n1 * _n2 - (_n1 + _n2)) > 0 THEN "
+            "((_r * (_n1 + _n2) - 2 * _n1 * _n2 - (_n1 + _n2)) "
+            " * (_r * (_n1 + _n2) - 2 * _n1 * _n2 - (_n1 + _n2)) "
+            " * ((_n1 + _n2) - 1) * 1000000) div "
+            "(2 * _n1 * _n2 * (2 * _n1 * _n2 - (_n1 + _n2))) END AS BIGINT)"
+        ).alias("z2_ppm"),
+    )

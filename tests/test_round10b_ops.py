@@ -259,3 +259,109 @@ def test_zipf_slope_recovers_planted_exponent(spark):
     ref = np.polyfit(lx, ly, 1)[0]
     assert abs(out["slope_ppm"] / 1e6 - ref) < 1e-4
     assert -0.85 < out["slope_ppm"] / 1e6 < -0.75
+
+
+# ---------------------------------------------------------------------------
+# durbin_watson / cochran_armitage / runs_test / gamma
+
+
+def test_kendall_gamma_matches_bruteforce(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    rng = np.random.default_rng(9)
+    xy = [(int(rng.integers(0, 6)), int(rng.integers(0, 6))) for _ in range(200)]
+    df = spark.createDataFrame([Row(x=x, y=y) for x, y in xy])
+    out = analytics.kendall_tau(df, [], "x", "y").collect()[0]
+    _, c, d = _tau_b_ref(xy)
+    ref = (c - d) / (c + d)
+    assert abs(out["gamma_ppm"] / 1e6 - ref) < 1e-5
+
+
+def test_durbin_watson_matches_float_reference(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    rng = np.random.default_rng(13)
+    v = rng.integers(0, 100, 300).astype(float)
+    rows = [Row(k="a", t=i, v=float(x)) for i, x in enumerate(v)]
+    out = analytics.durbin_watson(
+        spark.createDataFrame(rows), ["k"], ["t"], "v"
+    ).collect()[0]
+    ref = np.sum(np.diff(v) ** 2) / np.sum((v - v.mean()) ** 2)
+    assert out["n"] == 300
+    assert abs(out["dw_milli"] / 1e3 - ref) < 1e-2
+    # iid uniform -> DW near 2
+    assert 1.5 < out["dw_milli"] / 1e3 < 2.5
+    # a strong positive-autocorrelation series -> DW near 0
+    trend = np.cumsum(np.ones(100))
+    rows2 = [Row(k="a", t=i, v=float(x)) for i, x in enumerate(trend)]
+    out2 = analytics.durbin_watson(
+        spark.createDataFrame(rows2), ["k"], ["t"], "v"
+    ).collect()[0]
+    assert out2["dw_milli"] / 1e3 < 0.1
+
+
+def test_cochran_armitage_matches_float_reference(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    # planted dose-response: success rate rises with the score
+    rng = np.random.default_rng(17)
+    rows = []
+    cells = {}
+    for s in range(5):
+        n_s = 200
+        p = 0.1 + 0.15 * s
+        x_s = int(rng.binomial(n_s, p))
+        cells[s] = (n_s, x_s)
+        rows += [Row(s=s, y=1)] * x_s + [Row(s=s, y=0)] * (n_s - x_s)
+    out = analytics.cochran_armitage(
+        spark.createDataFrame(rows), [], "s", F.col("y") == 1
+    ).collect()[0]
+    N = sum(n for n, _ in cells.values())
+    P = sum(x for _, x in cells.values())
+    pbar = P / N
+    t = sum(s * x for s, (_, x) in cells.items()) - pbar * sum(
+        s * n for s, (n, _) in cells.items()
+    )
+    var = (
+        pbar
+        * (1 - pbar)
+        * (
+            sum(s * s * n for s, (n, _) in cells.items())
+            - sum(s * n for s, (n, _) in cells.items()) ** 2 / N
+        )
+    )
+    ref = t * t / var
+    assert out["n"] == N and out["n_pos"] == P
+    assert abs(out["z2_ppm"] / 1e6 - ref) < 1e-2
+    assert out["z2_ppm"] > 10_000_000  # the trend is blatant
+
+
+def test_runs_test_hand_case_and_direction(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    # values 1..10 with median 5 (type-1 low): drop the at-median row,
+    # signs of [1,2,3,4,6,7,8,9,10] -> 0,0,0,0,1,1,1,1,1 = 2 runs
+    rows = [Row(k="a", t=i, v=float(i + 1)) for i in range(10)]
+    out = analytics.runs_test(
+        spark.createDataFrame(rows), ["k"], ["t"], "v"
+    ).collect()[0]
+    assert (out["n1"], out["n2"], out["runs"]) == (5, 4, 2)
+    assert out["direction"] == -1  # far fewer runs than expected: clumping
+    n1, n2, r = 5, 4, 2
+    nn = n1 + n2
+    mu = 2 * n1 * n2 / nn + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn**2 * (nn - 1))
+    ref = (r - mu) ** 2 / var
+    assert abs(out["z2_ppm"] / 1e6 - ref) < 1e-2
+    # perfect alternation around an odd middle value -> maximal runs,
+    # direction +1 (the median row itself is dropped per the two-
+    # category reduction, so the series needs a third value at the
+    # median — a pure two-value series degenerates by construction)
+    vals = [1.0, 9.0] * 6
+    vals.insert(6, 5.0)  # type-1 median of {1x6, 5, 9x6} is 5
+    alt = [Row(k="a", t=i, v=v) for i, v in enumerate(vals)]
+    out2 = analytics.runs_test(
+        spark.createDataFrame(alt), ["k"], ["t"], "v"
+    ).collect()[0]
+    assert (out2["n1"], out2["n2"]) == (6, 6)
+    assert out2["direction"] == 1 and out2["runs"] == out2["n1"] + out2["n2"]
