@@ -4078,6 +4078,44 @@ def q262_runs_test(spark, sf_dir):
     ).orderBy("user_id")
 
 
+def q263_heaps_curve(spark, sf_dir):
+    """Heaps'-law vocabulary growth: distinct-term count at 16 exact
+    corpus-position checkpoints (global token positions from doc-grain
+    offsets + posexplode; every quantity an integer count)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textqc.heaps_curve(docs, checkpoints=16)
+
+
+def q264_vocab_coverage(spark, sf_dir):
+    """Tokenizer-sizing table: token-mass coverage of the top-k
+    vocabulary for k in {256, 1024, 4096, 16384} — TakeOrdered head,
+    never a vocabulary-wide single-partition sort; exact ppm."""
+    docs = _t(spark, sf_dir, "documents")
+    return textqc.vocab_coverage(docs)
+
+
+def q265_centroid_silhouette(spark, sf_dir):
+    """Centroid silhouette per label over the first 4 embedding dims:
+    O(n*k) against-centroid form, fixed IEEE distance trees, micro
+    quantization before the one integer ratio per point."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label").cast("long").alias("label"), "embedding"
+    )
+    return similarity.centroid_silhouette(
+        emb, "vec_id", "label", "embedding", dims=4, scale=6
+    ).orderBy("label")
+
+
+def q266_mood_median(spark, sf_dir):
+    """Mood's median test: 2xk above/below-pooled-median chi-square of
+    quantity across return flags per line status — grain selection
+    median, floor-per-cell chi-square discipline."""
+    li = _t(spark, sf_dir, "lineitem")
+    return analytics.mood_median(
+        li, ["l_linestatus"], "l_quantity", "l_returnflag"
+    ).orderBy("l_linestatus")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4123,6 +4161,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q260_durbin_watson": q260_durbin_watson,
         "q261_cochran_armitage": q261_cochran_armitage,
         "q262_runs_test": q262_runs_test,
+        "q263_heaps_curve": q263_heaps_curve,
+        "q264_vocab_coverage": q264_vocab_coverage,
+        "q265_centroid_silhouette": q265_centroid_silhouette,
+        "q266_mood_median": q266_mood_median,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -10212,6 +10254,173 @@ def oracle_sql() -> dict[str, str]:
                      // (2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)))
                      END AS BIGINT) AS z2_ppm
             FROM g ORDER BY user_id
+        """,
+        "q263_heaps_curve": """
+            -- Heaps curve: global token positions from doc-grain
+            -- offsets + zipped unnest ordinality; first occurrence =
+            -- min position; V(c) at 16 exact integer checkpoints
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::varchar[]
+                          ELSE string_split_regex(trim(lower(text)), '\\s+')
+                     END AS toks
+              FROM documents),
+            lens AS (
+              SELECT doc_id, len(toks) AS l,
+                     coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS off
+              FROM d),
+            toks AS (
+              SELECT l.off + u.ord + 1 AS gp, u.term
+              FROM d JOIN lens l USING (doc_id),
+                   LATERAL (SELECT unnest(d.toks) AS term,
+                                   unnest(range(len(d.toks))) AS ord) u),
+            firsts AS (
+              SELECT term, min(gp)::bigint AS fp FROM toks GROUP BY 1),
+            tot AS (SELECT sum(l)::bigint AS n FROM lens)
+            SELECT r.j::bigint AS j,
+                   CAST((tot.n * r.j) // 16 AS BIGINT) AS checkpoint_pos,
+                   (SELECT count(*) FROM firsts
+                    WHERE fp <= (tot.n * r.j) // 16)::bigint AS vocab
+            FROM range(1, 17) r(j), tot
+            ORDER BY j
+        """,
+        "q264_vocab_coverage": """
+            -- coverage@k: deterministic (count desc, term asc) head,
+            -- cumulative mass per ladder rung, exact ppm
+            WITH toks AS (
+              SELECT unnest(CASE WHEN trim(text) = '' THEN []::varchar[]
+                            ELSE string_split_regex(trim(lower(text)), '\\s+')
+                            END) AS term
+              FROM documents),
+            counts AS (
+              SELECT term, count(*)::bigint AS n FROM toks GROUP BY 1),
+            ranked AS (
+              SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r
+              FROM counts),
+            tot AS (SELECT sum(n)::bigint AS total FROM counts)
+            SELECT k.k::bigint AS k,
+                   (SELECT coalesce(sum(n), 0) FROM ranked
+                    WHERE r <= k.k)::bigint AS covered,
+                   tot.total,
+                   CAST(CASE WHEN tot.total > 0 THEN
+                     ((SELECT coalesce(sum(n), 0) FROM ranked
+                       WHERE r <= k.k)::hugeint * 1000000) // tot.total
+                     END AS BIGINT) AS coverage_ppm
+            FROM (VALUES (256), (1024), (4096), (16384)) k(k), tot
+            ORDER BY k
+        """,
+        "q265_centroid_silhouette": """
+            -- centroid silhouette: q66's int-exact centroids, fixed
+            -- IEEE distance trees, micro floors BEFORE the one
+            -- sign*abs integer ratio per point
+            WITH cents AS (
+              SELECT label::bigint AS ck,
+                     (sum((embedding::DOUBLE[])[1]::decimal(38,6)) * 1000000)::bigint::double
+                       / 1000000.0 / count((embedding::DOUBLE[])[1])::double AS c0,
+                     (sum((embedding::DOUBLE[])[2]::decimal(38,6)) * 1000000)::bigint::double
+                       / 1000000.0 / count((embedding::DOUBLE[])[2])::double AS c1,
+                     (sum((embedding::DOUBLE[])[3]::decimal(38,6)) * 1000000)::bigint::double
+                       / 1000000.0 / count((embedding::DOUBLE[])[3])::double AS c2,
+                     (sum((embedding::DOUBLE[])[4]::decimal(38,6)) * 1000000)::bigint::double
+                       / 1000000.0 / count((embedding::DOUBLE[])[4])::double AS c3
+              FROM embeddings GROUP BY 1),
+            pts AS (
+              SELECT vec_id AS id, label::bigint AS k,
+                     (embedding::DOUBLE[])[1] AS x0,
+                     (embedding::DOUBLE[])[2] AS x1,
+                     (embedding::DOUBLE[])[3] AS x2,
+                     (embedding::DOUBLE[])[4] AS x3
+              FROM embeddings),
+            dist AS (
+              SELECT p.id, p.k, c.ck,
+                     CAST(floor(((p.x0 - c.c0) * (p.x0 - c.c0)
+                       + (p.x1 - c.c1) * (p.x1 - c.c1)
+                       + (p.x2 - c.c2) * (p.x2 - c.c2)
+                       + (p.x3 - c.c3) * (p.x3 - c.c3)) * 1000000.0 + 0.5)
+                       AS BIGINT) AS d2m
+              FROM pts p, cents c),
+            per AS (
+              SELECT id, k,
+                     min(CASE WHEN ck = k THEN d2m END) AS a,
+                     min(CASE WHEN ck <> k THEN d2m END) AS b
+              FROM dist GROUP BY 1, 2),
+            s AS (
+              SELECT k,
+                     CAST(CASE WHEN a IS NOT NULL AND b IS NOT NULL
+                               AND greatest(a, b) > 0 THEN
+                       (CASE WHEN b < a THEN -1 WHEN b > a THEN 1 ELSE 0 END)
+                       * ((abs(b::hugeint - a) * 1000000) // greatest(a, b))
+                       END AS BIGINT) AS s
+              FROM per),
+            f AS (SELECT k, s FROM s WHERE s IS NOT NULL),
+            g AS (
+              SELECT k AS label, count(*)::bigint AS n_points,
+                     sum(s)::hugeint AS ss,
+                     sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)::bigint
+                       AS n_negative
+              FROM f GROUP BY 1)
+            SELECT label, n_points,
+                   CAST((CASE WHEN ss < 0 THEN -1 WHEN ss > 0 THEN 1
+                         ELSE 0 END) * (abs(ss) // n_points) AS BIGINT)
+                     AS mean_s_ppm,
+                   n_negative,
+                   CAST((n_negative::hugeint * 1000000) // n_points
+                        AS BIGINT) AS neg_ppm
+            FROM g ORDER BY label
+        """,
+        "q266_mood_median": """
+            -- Mood's median: pooled type-1 median per status, 2xk
+            -- above/below cells, floor-per-cell chi-square terms
+            WITH base AS (
+              SELECT l_linestatus AS ls, l_returnflag AS rf,
+                     l_quantity AS v
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+            grain AS (
+              SELECT ls, v, count(*)::bigint AS n FROM base GROUP BY 1, 2),
+            c AS (
+              SELECT *, sum(n) OVER (PARTITION BY ls ORDER BY v
+                                     ROWS UNBOUNDED PRECEDING) AS cum,
+                        sum(n) OVER (PARTITION BY ls) AS tot
+              FROM grain),
+            med AS (
+              SELECT ls, v AS med FROM c
+              WHERE cum >= (tot + 1) // 2 AND cum - n < (tot + 1) // 2),
+            cells AS (
+              SELECT b.ls, b.rf,
+                     sum(CASE WHEN b.v > m.med THEN 1 ELSE 0 END)::hugeint AS oa,
+                     sum(CASE WHEN b.v < m.med THEN 1 ELSE 0 END)::hugeint AS ob
+              FROM base b JOIN med m ON b.ls = m.ls
+              WHERE b.v <> m.med
+              GROUP BY 1, 2),
+            tot AS (
+              SELECT ls, sum(oa) AS ta, sum(ob) AS tb,
+                     count(*)::bigint AS k_groups
+              FROM cells GROUP BY 1),
+            terms AS (
+              SELECT c.ls, t.k_groups, t.ta + t.tb AS nn,
+                     CASE WHEN (t.ta + t.tb) > 0 AND (c.oa + c.ob) > 0
+                               AND t.ta > 0 THEN
+                       ((c.oa * (t.ta + t.tb) - (c.oa + c.ob) * t.ta)
+                        * (c.oa * (t.ta + t.tb) - (c.oa + c.ob) * t.ta)
+                        * 1000000)
+                       // ((t.ta + t.tb) * (c.oa + c.ob) * t.ta)
+                       ELSE 0 END
+                     + CASE WHEN (t.ta + t.tb) > 0 AND (c.oa + c.ob) > 0
+                                 AND t.tb > 0 THEN
+                       ((c.ob * (t.ta + t.tb) - (c.oa + c.ob) * t.tb)
+                        * (c.ob * (t.ta + t.tb) - (c.oa + c.ob) * t.tb)
+                        * 1000000)
+                       // ((t.ta + t.tb) * (c.oa + c.ob) * t.tb)
+                       ELSE 0 END AS tt
+              FROM cells c JOIN tot t ON c.ls = t.ls)
+            SELECT ls AS l_linestatus,
+                   CAST(max(k_groups) AS BIGINT) AS k_groups,
+                   CAST(max(nn) AS BIGINT) AS n,
+                   CAST(sum(tt) AS BIGINT) AS chi2_ppm
+            FROM terms GROUP BY 1 ORDER BY 1
         """,
     }
     return sqls

@@ -898,3 +898,86 @@ def sparse_cosine_join(
         )
     )
     return scored.filter(F.col("cos2_ppm") >= int(min_cos2_ppm))
+
+
+def centroid_silhouette(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    key_col: str = "label",
+    vec_col: str = "embedding",
+    dims: int = 4,
+    scale: int = 6,
+) -> DataFrame:
+    """Centroid-based silhouette per cluster — the O(n·k) clustering
+    quality score (the classical silhouette's O(n²) pairwise form is
+    not a 100-TB plan; against-centroid is the standard scale
+    substitute, e.g. BigQuery ML / Spark MLlib evaluators):
+
+        per point: a = ‖x − c_own‖², b = min_other ‖x − c_other‖²,
+        s = (b − a) / max(a, b) ∈ [−1, 1]
+
+    reported per cluster as the integer-mean ``s_ppm`` and the
+    fraction of negative-s (likely misassigned) points.
+
+    Exactness: centroids come from ``group_centroids``' int-exact
+    decimal route (engine-identically rounded doubles); each squared
+    distance is a FIXED IEEE tree over ``dims`` literal components
+    (§16 discipline); a and b floor-quantize to micro BEFORE the ratio,
+    which is then one sign·abs integer division — so the per-point s
+    and every downstream sum are exact integers.
+
+    Plan: the k-row centroid table broadcast-crossJoins the points
+    (k·n rows, k small by construction), one (id)-grain aggregate
+    folds own/other distances, one key-grain aggregate summarizes.
+    The fact table never self-joins. Output:
+    ``(key…, n_points, mean_s_ppm, n_negative, neg_ppm)``.
+    """
+    cents = group_centroids(emb, key_col, vec_col, dims, scale)
+    c_cols = [F.col(f"c{i}").alias(f"_c{i}") for i in range(dims)]
+    cent = cents.select(F.col(key_col).alias("_ck"), *c_cols)
+    arr = F.col(vec_col).cast("array<double>")
+    pts = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(key_col).alias("_k"),
+        *[F.try_element_at(arr, F.lit(i + 1)).alias(f"_x{i}") for i in range(dims)],
+    )
+    j = pts.crossJoin(F.broadcast(cent))
+    d2 = None
+    for i in range(dims):
+        term = (F.col(f"_x{i}") - F.col(f"_c{i}")) * (
+            F.col(f"_x{i}") - F.col(f"_c{i}")
+        )
+        d2 = term if d2 is None else d2 + term
+    j = j.withColumn(
+        "_d2m", F.floor(d2 * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    )
+    per = j.groupBy("_id", "_k").agg(
+        F.min(F.when(F.col("_ck") == F.col("_k"), F.col("_d2m"))).alias("_a"),
+        F.min(F.when(F.col("_ck") != F.col("_k"), F.col("_d2m"))).alias("_b"),
+    )
+    s = per.withColumn(
+        "_s",
+        F.expr(
+            "CAST(CASE WHEN _a IS NOT NULL AND _b IS NOT NULL "
+            "AND greatest(_a, _b) > 0 THEN "
+            "sign(_b - _a) * ((abs(CAST(_b AS DECIMAL(38,0)) - _a) * 1000000) "
+            "div greatest(_a, _b)) END AS BIGINT)"
+        ),
+    ).filter(F.col("_s").isNotNull())
+    g = s.groupBy(F.col("_k").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("_s").cast("decimal(38,0)").alias("_ss"),
+        F.sum(F.when(F.col("_s") < 0, 1).otherwise(0)).cast("long").alias("n_negative"),
+    )
+    return g.select(
+        key_col,
+        "n_points",
+        F.expr(
+            "CAST(sign(_ss) * (abs(_ss) div n_points) AS BIGINT)"
+        ).alias("mean_s_ppm"),
+        "n_negative",
+        F.expr(
+            "CAST((CAST(n_negative AS DECIMAL(38,0)) * 1000000) div n_points "
+            "AS BIGINT)"
+        ).alias("neg_ppm"),
+    )

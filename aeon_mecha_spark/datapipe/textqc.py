@@ -874,3 +874,122 @@ def zipf_slope(
             "(n_terms * _sxx - _sx * _sx)) END AS BIGINT)"
         ).alias("slope_ppm"),
     )
+
+
+def heaps_curve(
+    docs: DataFrame,
+    checkpoints: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-term count V(c) at
+    ``checkpoints`` evenly spaced corpus positions c — the curve whose
+    log-log slope (Heaps' β, typically 0.4–0.6 for natural text) sizes
+    tokenizer vocabularies and detects template/synthetic corpora
+    (β → 0 saturates, β → 1 never repeats). Fit the slope downstream
+    with the ``zipf_slope`` integer-OLS discipline if one number is
+    wanted; the curve is the auditable artifact.
+
+    Construction: global token positions come from per-document token
+    counts (doc-grain) cumulated in ``id_col`` order — a DOC-grain
+    window, never a token-grain one — plus ``posexplode`` within the
+    document; each term's FIRST position is a min; V(c) counts firsts
+    ≤ c. Checkpoints are exact integer ``(N·j) div K``. Every quantity
+    is an integer count — engine-identical by construction.
+
+    Plan: one posexplode + one term-grain min + one doc-grain window +
+    K conditional sums in a single aggregate. The corpus shuffles once
+    on the term. Output: ``(j, checkpoint_pos, vocab)`` — K rows,
+    ordered by j; empty corpus → no rows.
+    """
+    k = int(checkpoints)
+    base = spread(docs).select(
+        F.col(id_col).alias("_id"),
+        tokens(F.lower(F.col(text_col))).alias("_toks"),
+    )
+    doc_lens = base.select("_id", F.size("_toks").alias("_len"))
+    w = W.orderBy(F.col("_id").asc()).rowsBetween(W.unboundedPreceding, -1)
+    # doc-grain running offset: the window input is one row per DOCUMENT
+    # (bounded by corpus doc count, not token count); single-partition
+    # but tiny relative to the token stream it positions
+    offs = doc_lens.withColumn(
+        "_off", F.coalesce(F.sum("_len").over(w), F.lit(0).cast("long"))
+    )
+    toks = base.join(offs.select("_id", "_off"), "_id").select(
+        "_off", F.posexplode("_toks").alias("_pos", "_term")
+    )
+    firsts = toks.select(
+        "_term", (F.col("_off") + F.col("_pos") + 1).alias("_gp")
+    ).groupBy("_term").agg(F.min("_gp").cast("long").alias("_first"))
+    tot = doc_lens.agg(F.sum("_len").cast("long").alias("_n"))
+    j = firsts.crossJoin(F.broadcast(tot))
+    aggs = []
+    for i in range(1, k + 1):
+        cp = F.expr(f"(_n * {i}) div {k}")
+        aggs.append(
+            F.sum(F.when(F.col("_first") <= cp, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_v{i}")
+        )
+    row = j.groupBy("_n").agg(*aggs)
+    pairs = ", ".join(
+        f"struct(CAST({i} AS BIGINT) AS j, "
+        f"CAST((_n * {i}) div {k} AS BIGINT) AS checkpoint_pos, "
+        f"_v{i} AS vocab)"
+        for i in range(1, k + 1)
+    )
+    return row.selectExpr(f"inline(array({pairs}))").orderBy("j")
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    ks: list[int] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-mass coverage of the top-k vocabulary for a ladder of k —
+    THE tokenizer-sizing table: what fraction of all corpus tokens does
+    a k-term vocabulary cover (the remainder falls to OOV/byte
+    fallback)? Exact ppm integers.
+
+    Plan: one term-count groupBy (corpus shuffles once), a
+    TakeOrderedAndProject head of max(ks) rows (never a vocabulary-wide
+    single-partition sort), a ≤max(ks)-row rank window, then one tiny
+    conditional aggregate per ladder rung against the 1-row total.
+    Deterministic head order: (count desc, term asc).
+    Output: ``(k, covered, total, coverage_ppm)`` ordered by k.
+    """
+    ladder = sorted(int(x) for x in (ks or [256, 1024, 4096, 16384]))
+    counts = term_counts(docs, [], text_col)
+    head = (
+        counts.orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(ladder[-1])
+        .withColumn(
+            "_r",
+            F.row_number().over(W.orderBy(F.col("n").desc(), F.col("term").asc())),
+        )
+    )
+    tot = counts.agg(F.sum("n").cast("long").alias("total"))
+    aggs = [
+        F.sum(F.when(F.col("_r") <= k, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias(f"_c{k}")
+        for k in ladder
+    ]
+    row = head.crossJoin(F.broadcast(tot)).groupBy("total").agg(*aggs)
+    pairs = ", ".join(
+        f"struct(CAST({k} AS BIGINT) AS k, _c{k} AS covered)" for k in ladder
+    )
+    return (
+        row.selectExpr(f"inline(array({pairs}))", "total")
+        .select(
+            "k",
+            "covered",
+            "total",
+            F.expr(
+                "CAST(CASE WHEN total > 0 THEN "
+                "(CAST(covered AS DECIMAL(38,0)) * 1000000) div total "
+                "END AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("k")
+    )

@@ -5797,3 +5797,85 @@ def runs_test(
             "(2 * _n1 * _n2 * (2 * _n1 * _n2 - (_n1 + _n2))) END AS BIGINT)"
         ).alias("z2_ppm"),
     )
+
+
+def mood_median(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    group_col: str,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Mood's median test per key: do the k groups share a common
+    median? Chi-square on the 2×k table of above/below-the-POOLED-
+    median counts (rows AT the median dropped — the standard
+    two-category reduction) — the crudest but most outlier-proof
+    k-sample location test; use beside ``kruskal_wallis`` when the
+    data defeat even rank assumptions.
+
+    Exactness: the pooled per-key median is a type-1 grain selection
+    (an actual data value); each 2×k cell term is the cross-multiplied
+    ``(O·N − n_g·R)²·10⁶ div (N·n_g·R)`` — ``chi_square_cells``'
+    floor-per-cell discipline, exact decimal(38,0) throughout
+    (bound: O·N < 10¹⁶, i.e. N ≲ 10⁸ per key; pre-aggregate beyond).
+
+    Plan: grain groupBy + selection quantile + broadcast back, one
+    cell-grain aggregate, one key aggregate. Output:
+    ``(keys…, k_groups, n, chi2_ppm)``.
+    """
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
+    ).select(*keys, group_col, F.col(value_col).alias("_v"))
+    grain = base.groupBy(*keys, "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    med = _grain_type1_quantile(
+        grain, keys, "_v", "_n", 1, 2, int(buckets), grain_count=1 << 62
+    ).select(*keys, F.col("q").alias("_med"))
+    joined = (
+        base.join(F.broadcast(med), keys)
+        if keys
+        else base.crossJoin(F.broadcast(med))
+    )
+    cells = joined.filter(F.col("_v") != F.col("_med")).groupBy(
+        *keys, group_col
+    ).agg(
+        F.sum(F.when(F.col("_v") > F.col("_med"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("_oa"),
+        F.sum(F.when(F.col("_v") < F.col("_med"), 1).otherwise(0))
+        .cast("decimal(38,0)")
+        .alias("_ob"),
+    )
+    tot = cells.groupBy(*keys).agg(
+        F.sum("_oa").alias("_ta"),
+        F.sum("_ob").alias("_tb"),
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+    )
+    jc = cells.join(tot, keys) if keys else cells.crossJoin(F.broadcast(tot))
+    nn = "(_ta + _tb)"
+    ng = "(_oa + _ob)"
+    term = (
+        f"CASE WHEN {nn} > 0 AND {ng} > 0 AND _R > 0 THEN "
+        f"((_O * {nn} - {ng} * _R) * (_O * {nn} - {ng} * _R) * 1000000) div "
+        f"({nn} * {ng} * _R) ELSE 0 END"
+    )
+    terms = jc.selectExpr(
+        *keys,
+        "k_groups",
+        f"{nn} AS _nn",
+        f"inline(array(struct(_oa AS _O, _ta AS _R), "
+        f"struct(_ob AS _O, _tb AS _R)))",
+        "_oa", "_ob", "_ta", "_tb",
+    ).withColumn("_t", F.expr(term))
+    g = terms.groupBy(*keys).agg(
+        F.first("k_groups").alias("k_groups"),
+        F.first("_nn").cast("long").alias("n"),
+        F.sum("_t").cast("decimal(38,0)").alias("_chi"),
+    )
+    return g.select(
+        *keys,
+        "k_groups",
+        "n",
+        F.col("_chi").cast("long").alias("chi2_ppm"),
+    )

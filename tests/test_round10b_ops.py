@@ -365,3 +365,117 @@ def test_runs_test_hand_case_and_direction(spark):
     ).collect()[0]
     assert (out2["n1"], out2["n2"]) == (6, 6)
     assert out2["direction"] == 1 and out2["runs"] == out2["n1"] + out2["n2"]
+
+
+# ---------------------------------------------------------------------------
+# heaps_curve / vocab_coverage / centroid_silhouette / mood_median
+
+
+def test_heaps_curve_hand_corpus(spark):
+    from aeon_mecha_spark.datapipe import textqc
+
+    # doc1: "a b a", doc2: "c a b d" -> 7 tokens; first positions:
+    # a@1, b@2, c@4, d@7; checkpoints (7*j)//4 for j=1..4 = 1,3,5,7
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a"), Row(doc_id=2, text="c a b d")]
+    )
+    rows = {r["j"]: r for r in textqc.heaps_curve(docs, checkpoints=4).collect()}
+    assert [rows[j]["checkpoint_pos"] for j in (1, 2, 3, 4)] == [1, 3, 5, 7]
+    assert [rows[j]["vocab"] for j in (1, 2, 3, 4)] == [1, 2, 3, 4]
+
+
+def test_heaps_curve_monotone_and_total(spark, sf_dir):
+    from aeon_mecha_spark.datapipe import textqc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = textqc.heaps_curve(docs, checkpoints=8).orderBy("j").collect()
+    assert len(rows) == 8
+    vocab = [r["vocab"] for r in rows]
+    assert vocab == sorted(vocab)  # V(c) is nondecreasing
+    # the last checkpoint is the whole corpus: V = full vocabulary
+    full = (
+        docs.selectExpr(
+            "explode(split(trim(lower(text)), '\\\\s+')) AS t"
+        ).filter("t <> ''").distinct().count()
+    )
+    assert vocab[-1] == full
+
+
+def test_vocab_coverage_hand_corpus(spark):
+    from aeon_mecha_spark.datapipe import textqc
+
+    # "a" x5, "b" x3, "c" x1, "d" x1 -> total 10
+    text = " ".join(["a"] * 5 + ["b"] * 3 + ["c", "d"])
+    docs = spark.createDataFrame([Row(doc_id=1, text=text)])
+    rows = {r["k"]: r for r in textqc.vocab_coverage(docs, ks=[1, 2, 3]).collect()}
+    assert rows[1]["covered"] == 5 and rows[1]["coverage_ppm"] == 500000
+    assert rows[2]["covered"] == 8 and rows[2]["coverage_ppm"] == 800000
+    assert rows[3]["covered"] == 9 and rows[3]["coverage_ppm"] == 900000
+
+
+def test_centroid_silhouette_separated_clusters(spark):
+    from aeon_mecha_spark.datapipe import similarity
+
+    # two tight, well-separated 2-cluster blobs in 4 dims -> s near +1
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(60):
+        lab = i % 2
+        center = np.array([0.0, 0.0, 0.0, 0.0]) if lab == 0 else np.array(
+            [10.0, 10.0, 10.0, 10.0]
+        )
+        v = center + rng.normal(0, 0.05, 4)
+        rows.append(Row(vec_id=i, label=lab, embedding=[float(x) for x in v]))
+    out = similarity.centroid_silhouette(
+        spark.createDataFrame(rows), "vec_id", "label", "embedding", dims=4
+    ).collect()
+    assert len(out) == 2
+    for r in out:
+        assert r["n_points"] == 30
+        assert r["mean_s_ppm"] > 990_000  # essentially perfect separation
+        assert r["n_negative"] == 0
+    # scrambled labels -> silhouette collapses toward/below zero
+    scrambled = [
+        Row(vec_id=r.vec_id, label=(r.vec_id // 15) % 2, embedding=r.embedding)
+        for r in rows
+    ]
+    out2 = similarity.centroid_silhouette(
+        spark.createDataFrame(scrambled), "vec_id", "label", "embedding", dims=4
+    ).collect()
+    assert all(r["mean_s_ppm"] < 500_000 for r in out2)
+
+
+def test_mood_median_reference(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    # group A centered low, group B centered high -> large chi2
+    rng = np.random.default_rng(29)
+    rows = [Row(g="A", v=float(x)) for x in rng.integers(0, 20, 150)] + [
+        Row(g="B", v=float(x)) for x in rng.integers(15, 40, 150)
+    ]
+    out = analytics.mood_median(
+        spark.createDataFrame(rows), [], "v", "g"
+    ).collect()[0]
+    # python mirror with the same conventions (type-1 pooled median,
+    # drop at-median rows, per-cell floor terms)
+    vals = sorted(float(r.v) for r in rows)
+    med = vals[(len(vals) + 1) // 2 - 1]
+    cells = {}
+    for r in rows:
+        if r.v == med:
+            continue
+        a, b = cells.get(r.g, (0, 0))
+        cells[r.g] = (a + (r.v > med), b + (r.v < med))
+    ta = sum(a for a, _ in cells.values())
+    tb = sum(b for _, b in cells.values())
+    nn = ta + tb
+    chi = 0
+    for a, b in cells.values():
+        ng = a + b
+        if nn > 0 and ng > 0 and ta > 0:
+            chi += (a * nn - ng * ta) ** 2 * 1_000_000 // (nn * ng * ta)
+        if nn > 0 and ng > 0 and tb > 0:
+            chi += (b * nn - ng * tb) ** 2 * 1_000_000 // (nn * ng * tb)
+    assert out["k_groups"] == 2 and out["n"] == nn
+    assert out["chi2_ppm"] == chi
+    assert out["chi2_ppm"] > 50_000_000  # the separation is blatant
