@@ -4116,6 +4116,15 @@ def q266_mood_median(spark, sf_dir):
     ).orderBy("l_linestatus")
 
 
+def q267_friedman(spark, sf_dir):
+    """Friedman repeated-measures rank test: do event types differ in
+    per-user frequency? Blocks = users (complete blocks only),
+    doubled within-block average ranks, integer tie-corrected Q in
+    ppm; Page's doubled L trend statistic rides along."""
+    ev = _t(spark, sf_dir, "events").withColumn("_one", F.lit(1))
+    return analytics.friedman(ev, [], "user_id", "event_type", "_one")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4134,8 +4143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle landed this round), and the fixed-cost-trimmed rank stats
     # (q207 spearman single-prefix, q208, q213 kruskal merged grain
     # aggregate), the three NEW round-10 operators (q248 Cliff's delta,
-    # q249 Markov transitions, q250 Brier decomposition) — followed by
-    # the 41 STALEST official records (none
+    # q249 Markov transitions, q250 Brier decomposition) — then the 16
+    # round-10 wave-2/3 operators (q251-q266: TPC-H Q5/Q2, the classical
+    # test family, corpus-shape QC, centroid silhouette) — followed by
+    # the 25 STALEST official records (none
     # graded since r06; q87 zarr stays below the window as the one
     # rows-only gate). Everything rotated out is re-checked every round
     # via tools/check_correctness.py -> CHECK_FULL_r{N}.json committed
@@ -4165,6 +4176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q264_vocab_coverage": q264_vocab_coverage,
         "q265_centroid_silhouette": q265_centroid_silhouette,
         "q266_mood_median": q266_mood_median,
+        "q267_friedman": q267_friedman,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -10421,6 +10433,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(nn) AS BIGINT) AS n,
                    CAST(sum(tt) AS BIGINT) AS chi2_ppm
             FROM terms GROUP BY 1 ORDER BY 1
+        """,
+        "q267_friedman": """
+            -- Friedman on per-user event-type counts: complete blocks,
+            -- doubled within-block average ranks, integer tie-corrected
+            -- Q (the /2 and /4 cancel); doubled Page L rides along
+            WITH cells AS (
+              SELECT user_id AS b, event_type AS t,
+                     count(*)::bigint AS m
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY 1, 2),
+            ktab AS (
+              SELECT count(DISTINCT t)::bigint AS k FROM cells),
+            complete AS (
+              SELECT b FROM cells CROSS JOIN ktab GROUP BY b, k
+              HAVING count(*) = k),
+            c2 AS (
+              SELECT cells.* FROM cells JOIN complete USING (b)),
+            ranked AS (
+              SELECT b, t, m,
+                     2 * rank() OVER (PARTITION BY b ORDER BY m)
+                       + count(*) OVER (PARTITION BY b, m) - 1 AS dr
+              FROM c2),
+            tidx AS (
+              SELECT t, row_number() OVER (ORDER BY t) AS s
+              FROM (SELECT DISTINCT t FROM cells)),
+            per_t AS (
+              SELECT r.t, sum(r.dr)::hugeint AS drs,
+                     count(*)::bigint AS n,
+                     sum((r.dr - k.k - 1) * (r.dr - k.k - 1))::hugeint
+                       AS dsq,
+                     max(i.s) AS s, max(k.k) AS k
+              FROM ranked r
+              CROSS JOIN ktab k
+              JOIN tidx i ON r.t = i.t
+              GROUP BY 1),
+            g AS (
+              SELECT max(k)::bigint AS k, max(n)::bigint AS n_blocks,
+                     sum((drs - n * (k + 1)) * (drs - n * (k + 1)))
+                       AS num,
+                     sum(dsq) AS den,
+                     sum(s::hugeint * drs)::bigint AS page_l2
+              FROM per_t)
+            SELECT k, n_blocks,
+                   CAST(CASE WHEN den > 0 THEN
+                     ((k - 1) * num * 1000000) // den END AS BIGINT)
+                     AS q_ppm,
+                   page_l2
+            FROM g
         """,
     }
     return sqls

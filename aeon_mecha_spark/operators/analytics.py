@@ -5879,3 +5879,106 @@ def mood_median(
         "n",
         F.col("_chi").cast("long").alias("chi2_ppm"),
     )
+
+
+def friedman(
+    df: DataFrame,
+    keys: list[str],
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Friedman test per key: do k treatments differ when measured
+    within matched blocks (repeated measures — the rank companion of a
+    two-way ANOVA without interactions; use where ``kruskal_wallis``'s
+    independence assumption is wrong because every block sees every
+    treatment). Page's L (the ordered-alternative trend statistic over
+    the same ranks, treatments ordered lexicographically) rides along.
+
+    Construction: the cell measure is ``Σ value`` per (block,
+    treatment) — ``value_col`` must be integral (cast long; pass a
+    literal 1 for pure frequency designs) so cells are exact. Only
+    COMPLETE blocks (all k treatments present) enter, per the test's
+    definition. Within-block ranks use the DOUBLED average-rank trick
+    (``dr = 2·rank + ties − 1``, §12) so ties stay integral, and the
+    tie-corrected statistic reduces to pure integers:
+
+        ``Q = (k−1) · Σ_j (DR_j − n(k+1))² div Σ_ij (dr_ij − (k+1))²``
+
+    (the /2 of ranks and the /4 of both squares cancel). Reported in
+    ppm; degenerate keys (all-tied blocks → zero denominator) → NULL.
+    ``page_l2 = Σ_j s_j·DR_j`` is the DOUBLED Page L (integer; s_j =
+    1-based lexicographic treatment index).
+
+    Plan: one cell-grain groupBy, a complete-block semi-join (block-
+    grain), per-BLOCK rank windows over exactly k rows each (parallel
+    across blocks — never a key-wide sort), one treatment-grain and one
+    key-grain aggregate. Bounds: k·(2nk)² < 10³⁸ → n·k ≲ 10¹⁸.
+    Output: ``(keys…, k, n_blocks, q_ppm, page_l2)``.
+    """
+    gkb = [*keys, block_col]
+    cells = (
+        df.filter(
+            F.col(treatment_col).isNotNull() & F.col(value_col).isNotNull()
+        )
+        .groupBy(*gkb, treatment_col)
+        .agg(F.sum(F.col(value_col).cast("long")).cast("long").alias("_m"))
+    )
+    ktab = (
+        cells.select(*keys, treatment_col)
+        .distinct()
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("_k"))
+    )
+    bsize = cells.groupBy(*gkb).agg(F.count(F.lit(1)).cast("long").alias("_bc"))
+    complete = (
+        (bsize.join(ktab, keys) if keys else bsize.crossJoin(F.broadcast(ktab)))
+        .filter(F.col("_bc") == F.col("_k"))
+        .select(*gkb, "_k")
+    )
+    c2 = cells.join(complete, gkb)
+    wb = W.partitionBy(*gkb).orderBy(F.col("_m").asc())
+    wt = W.partitionBy(*gkb, "_m")
+    dr = (2 * F.rank().over(wb) + F.count(F.lit(1)).over(wt) - 1).cast("long")
+    ranked = c2.withColumn("_dr", dr)
+    # lexicographic treatment index per key (k-row table, broadcast)
+    tidx = (
+        cells.select(*keys, treatment_col)
+        .distinct()
+        .withColumn(
+            "_s",
+            F.row_number().over(
+                (W.partitionBy(*keys) if keys else W.partitionBy()).orderBy(
+                    F.col(treatment_col).asc()
+                )
+            ),
+        )
+    )
+    per_t = ranked.groupBy(*keys, treatment_col).agg(
+        F.sum("_dr").cast("decimal(38,0)").alias("_DR"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.first("_k").alias("_k"),
+        F.sum(
+            (F.col("_dr") - F.col("_k") - 1) * (F.col("_dr") - F.col("_k") - 1)
+        ).cast("decimal(38,0)").alias("_dsq"),
+    ).join(F.broadcast(tidx), [*keys, treatment_col])
+    g = per_t.groupBy(*keys).agg(
+        F.first("_k").alias("k"),
+        F.first("_n").cast("long").alias("n_blocks"),
+        F.sum(
+            (F.col("_DR") - F.col("_n") * (F.col("_k") + 1))
+            * (F.col("_DR") - F.col("_n") * (F.col("_k") + 1))
+        ).cast("decimal(38,0)").alias("_num"),
+        F.sum("_dsq").cast("decimal(38,0)").alias("_den"),
+        F.sum(F.col("_s") * F.col("_DR")).cast("long").alias("page_l2"),
+    )
+    return g.select(
+        *keys,
+        F.col("k").cast("long").alias("k"),
+        "n_blocks",
+        F.expr(
+            "CAST(CASE WHEN _den > 0 THEN "
+            "((k - 1) * _num * 1000000) div _den END AS BIGINT)"
+        ).alias("q_ppm"),
+        "page_l2",
+    )

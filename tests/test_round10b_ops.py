@@ -479,3 +479,65 @@ def test_mood_median_reference(spark):
     assert out["k_groups"] == 2 and out["n"] == nn
     assert out["chi2_ppm"] == chi
     assert out["chi2_ppm"] > 50_000_000  # the separation is blatant
+
+
+# ---------------------------------------------------------------------------
+# friedman
+
+
+def test_friedman_matches_python_mirror(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    # 5 blocks x 3 treatments with ties; values integral
+    rng = np.random.default_rng(31)
+    data = {}
+    rows = []
+    for b in range(5):
+        for j, t in enumerate("XYZ"):
+            v = int(rng.integers(0, 6)) + (2 * j if b % 2 else 0)
+            data[(b, t)] = v
+            rows.append(Row(b=b, t=t, v=v))
+    out = analytics.friedman(
+        spark.createDataFrame(rows), [], "b", "t", "v"
+    ).collect()[0]
+
+    # python mirror: average ranks within block, classic tie-corrected Q
+    from fractions import Fraction
+
+    treatments = sorted({t for _, t in data})
+    k, n = len(treatments), 5
+    ranks = {t: Fraction(0) for t in treatments}
+    dsq = Fraction(0)
+    for b in range(n):
+        vals = sorted(data[(b, t)] for t in treatments)
+        for t in treatments:
+            v = data[(b, t)]
+            lo = sum(1 for x in vals if x < v)
+            ties = sum(1 for x in vals if x == v)
+            r = Fraction(2 * lo + ties + 1, 2)  # average rank
+            ranks[t] += r
+            dsq += (r - Fraction(k + 1, 2)) ** 2
+    num = sum((ranks[t] - Fraction(n * (k + 1), 2)) ** 2 for t in treatments)
+    q = Fraction(k - 1) * num / dsq
+    assert out["k"] == k and out["n_blocks"] == n
+    assert abs(out["q_ppm"] / 1e6 - float(q)) < 2e-6
+    # doubled Page L: sum of s_j * (2 * rank-sum)
+    l2 = sum((i + 1) * 2 * ranks[t] for i, t in enumerate(treatments))
+    assert out["page_l2"] == int(l2)
+
+
+def test_friedman_drops_incomplete_blocks(spark):
+    from aeon_mecha_spark.operators import analytics
+
+    rows = [
+        Row(b=b, t=t, v=b + len(t))
+        for b in range(4)
+        for t in ("X", "YY", "ZZZ")
+    ] + [Row(b=99, t="X", v=1)]  # block 99 lacks Y/Z -> excluded
+    out = analytics.friedman(
+        spark.createDataFrame(rows), [], "b", "t", "v"
+    ).collect()[0]
+    assert out["n_blocks"] == 4
+    # every block ranks the treatments identically (v = b + len) ->
+    # maximal concordance: Q = (k-1)*n exactly (2 * 4 = 8) in ppm
+    assert out["q_ppm"] == 8_000_000
