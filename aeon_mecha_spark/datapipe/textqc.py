@@ -891,29 +891,34 @@ def heaps_curve(
     wanted; the curve is the auditable artifact.
 
     Construction: global token positions come from per-document token
-    counts (doc-grain) cumulated in ``id_col`` order — a DOC-grain
-    window, never a token-grain one — plus ``posexplode`` within the
-    document; each term's FIRST position is a min; V(c) counts firsts
-    ≤ c. Checkpoints are exact integer ``(N·j) div K``. Every quantity
-    is an integer count — engine-identical by construction.
+    counts (doc-grain) cumulated in ``id_col`` order — the shared
+    two-level bucketed prefix sum (``_grain_prefix``, §13: never a
+    corpus-wide single-partition window, 1024-way parallel at any doc
+    count) — plus ``posexplode`` within the document; each term's
+    FIRST position is a min; V(c) counts firsts ≤ c. Checkpoints are
+    exact integer ``(N·j) div K``. Every quantity is an integer count
+    — engine-identical by construction.
 
-    Plan: one posexplode + one term-grain min + one doc-grain window +
-    K conditional sums in a single aggregate. The corpus shuffles once
-    on the term. Output: ``(j, checkpoint_pos, vocab)`` — K rows,
-    ordered by j; empty corpus → no rows.
+    Plan: one posexplode + one term-grain min + the doc-grain two-level
+    prefix sum + K conditional sums in a single aggregate. The corpus
+    shuffles once on the term. NOTE: ``_grain_prefix`` persists the
+    doc-length table (two readers). Output:
+    ``(j, checkpoint_pos, vocab)`` — K rows, ordered by j; empty
+    corpus → no rows.
     """
+    from aeon_mecha_spark.operators.analytics import _grain_prefix
+
     k = int(checkpoints)
     base = spread(docs).select(
         F.col(id_col).alias("_id"),
         tokens(F.lower(F.col(text_col))).alias("_toks"),
     )
-    doc_lens = base.select("_id", F.size("_toks").alias("_len"))
-    w = W.orderBy(F.col("_id").asc()).rowsBetween(W.unboundedPreceding, -1)
-    # doc-grain running offset: the window input is one row per DOCUMENT
-    # (bounded by corpus doc count, not token count); single-partition
-    # but tiny relative to the token stream it positions
-    offs = doc_lens.withColumn(
-        "_off", F.coalesce(F.sum("_len").over(w), F.lit(0).cast("long"))
+    doc_lens = base.select("_id", F.size("_toks").cast("long").alias("_len"))
+    offs = _grain_prefix(
+        doc_lens, "_id", ["_len"], ascending=True, buckets=1024,
+        grain_count=1 << 62,  # lazy: always-bucketed (doc ids are dense)
+    ).select(
+        "_id", "_len", (F.col("_cum_len") - F.col("_len")).alias("_off")
     )
     toks = base.join(offs.select("_id", "_off"), "_id").select(
         "_off", F.posexplode("_toks").alias("_pos", "_term")

@@ -63,6 +63,13 @@ TINY_GLOBAL_WINDOW_OK = {
     # constant-folded out of the partition specs, so the bounded windows
     # (boundary sample <= target_sample_rows; 32-row bucket offsets) read
     # as unpartitioned; per-(bucket) ranking keeps 32-way parallelism
+    "q263_heaps_curve",  # doc-offset two-level prefix sum: the only global
+    # window reads the <=1024-row bucket-offset table (q90's construction)
+    "q264_vocab_coverage",  # rank window reads the TakeOrderedAndProject
+    # head — <= max(ks) rows BY the preceding limit()
+    "q267_friedman",  # treatment-index rank over the DISTINCT-treatment
+    # table (k rows — a repeated-measures design has a handful); the
+    # per-BLOCK rank windows are partitioned by (key, block)
 }
 
 
