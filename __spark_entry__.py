@@ -9941,7 +9941,13 @@ def oracle_sql() -> dict[str, str]:
                      * ((abs(tbg - (ts * ts * 1000000) // n)
                          * (n - k_groups) * 1000000)
                         // ((tq * 1000000 - tbg) * (k_groups - 1)))
-                     END AS BIGINT) AS f_ppm
+                     END AS BIGINT) AS f_ppm,
+                   CAST(CASE WHEN tq * 1000000
+                             - (ts * ts * 1000000) // n > 0 THEN
+                     sign(tbg - (ts * ts * 1000000) // n)
+                     * ((abs(tbg - (ts * ts * 1000000) // n) * 1000000)
+                        // (tq * 1000000 - (ts * ts * 1000000) // n))
+                     END AS BIGINT) AS eta2_ppm
             FROM g ORDER BY l_linestatus
         """,
         "q254_brown_forsythe": """
@@ -9992,7 +9998,13 @@ def oracle_sql() -> dict[str, str]:
                      * ((abs(tbg - (ts * ts * 1000000) // n)
                          * (n - k_groups) * 1000000)
                         // ((tq * 1000000 - tbg) * (k_groups - 1)))
-                     END AS BIGINT) AS f_ppm
+                     END AS BIGINT) AS f_ppm,
+                   CAST(CASE WHEN tq * 1000000
+                             - (ts * ts * 1000000) // n > 0 THEN
+                     sign(tbg - (ts * ts * 1000000) // n)
+                     * ((abs(tbg - (ts * ts * 1000000) // n) * 1000000)
+                        // (tq * 1000000 - (ts * ts * 1000000) // n))
+                     END AS BIGINT) AS eta2_ppm
             FROM g ORDER BY l_linestatus
         """,
         "q255_kendall_tau": """

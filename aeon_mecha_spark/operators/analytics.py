@@ -5307,6 +5307,12 @@ def _anova_f_from_int(
             "((abs(_ssb) * CAST(n - k_groups AS DECIMAL(38,0)) * 1000000) div "
             "(_ssw * CAST(k_groups - 1 AS DECIMAL(38,0)))) END AS BIGINT)"
         ).alias("f_ppm"),
+        # eta-squared effect size (variance explained) from the same SS
+        F.expr(
+            "CAST(CASE WHEN _ssb + _ssw > 0 THEN "
+            "sign(_ssb) * ((abs(_ssb) * 1000000) div (_ssb + _ssw)) "
+            "END AS BIGINT)"
+        ).alias("eta2_ppm"),
     )
 
 
@@ -5329,8 +5335,9 @@ def anova_f(
 
     Plan: two hash aggregations (group grain, then key grain), both
     map-side combinable — no window, no join, no data-sized second
-    pass. Output: ``(keys…, k_groups, n, ssb_milli, ssw_milli, f_ppm)``
-    (milli value-units²; f in ppm).
+    pass. Output: ``(keys…, k_groups, n, ssb_milli, ssw_milli, f_ppm,
+    eta2_ppm)`` (milli value-units²; F and the η² variance-explained
+    effect size in ppm).
     """
     base = df.filter(
         F.col(value_col).isNotNull() & F.col(group_col).isNotNull()
@@ -5364,8 +5371,8 @@ def brown_forsythe(
     window), medians broadcast back, then ``_anova_f_from_int``'s two
     hash aggregations. NOTE eager planning: none — the selection path
     is forced bucketed (lazy), matching ``mad_outliers``.
-    Output: ``(keys…, k_groups, n, ssb_milli, ssw_milli, f_ppm)``
-    (milli value-units², via unit_den=1000).
+    Output: ``(keys…, k_groups, n, ssb_milli, ssw_milli, f_ppm,
+    eta2_ppm)`` (milli value-units², via unit_den=1000).
     """
     gk = [*keys, group_col]
     base = df.filter(

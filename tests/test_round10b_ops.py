@@ -82,6 +82,11 @@ def test_anova_f_matches_reference(spark):
         for xs in groups.values()
     )
     assert abs(out["ssb_milli"] / 1e3 - ssb) < 0.01 * max(ssb, 1)
+    ssw = sum(
+        sum((x - np.mean(xs)) ** 2 for x in map(float, xs))
+        for xs in groups.values()
+    )
+    assert abs(out["eta2_ppm"] / 1e6 - ssb / (ssb + ssw)) < 1e-4
 
 
 def test_brown_forsythe_matches_deviation_anova(spark):
