@@ -375,15 +375,18 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> Dat
     moments descriptor (:func:`_image_feature`); RIFF/WAV audio
     decodes via :func:`decode_wav` into log-spaced spectral bands +
     RMS/ZCR/duration (:func:`_audio_feature`); MJPEG video streams
-    split into frames (:func:`split_mjpeg_frames`) and average the
-    image descriptor over ≤ 3 evenly spaced frames. Only compressed
-    audio (MP3/ADPCM) and container video (MP4/AVI) still need
-    libraries this container lacks — those raise unless ``fake=True``,
-    which substitutes hash-seeded pseudo-features so the distributed
-    plumbing stays testable for them too.
+    split into frames (:func:`split_mjpeg_frames`, or the vendored
+    RIFF demuxer :mod:`avicodec` for MJPEG-in-AVI containers) and
+    average the image descriptor over ≤ 3 evenly spaced frames. Only
+    compressed audio (MP3/ADPCM), non-MJPEG AVI codecs, and
+    MP4/ISO-BMFF still need libraries this container lacks — those
+    raise unless ``fake=True``, which substitutes hash-seeded
+    pseudo-features so the distributed plumbing stays testable for
+    them too.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aeon_mecha_spark.datapipe import avicodec
         from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg
 
         for pdf in batches:
@@ -396,8 +399,14 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> Dat
                     feats.append(_image_feature(decode_jpeg(p), dim))
                 elif not fake and modality == "audio" and p[:4] == _RIFF_SIG:
                     feats.append(_audio_feature(*decode_wav(p), dim))
-                elif not fake and modality == "video" and p[:2] == b"\xff\xd8":
-                    frames = split_mjpeg_frames(p)
+                elif not fake and modality == "video" and (
+                    p[:2] == b"\xff\xd8" or avicodec.is_avi(p)
+                ):
+                    frames = (
+                        avicodec.split_avi_frames(p)
+                        if avicodec.is_avi(p)
+                        else split_mjpeg_frames(p)
+                    )
                     if not frames:
                         raise ValueError("MJPEG stream with no complete frame")
                     pick = sorted({0, len(frames) // 2, len(frames) - 1})[:3]
@@ -488,28 +497,36 @@ FRAME_SCHEMA = (
 
 
 def decode_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
-    """REAL distributed video frame extraction for MJPEG streams
-    (round 10): each executor task splits its payloads into JPEG frames
-    (:func:`split_mjpeg_frames`), decodes every ``every_n``-th frame
-    through the vendored codec, and emits exact per-frame pixel stats —
-    the materialized counterpart of :func:`frame_sample_plan` (which
-    stays the pure-Catalyst planning twin). Container formats
-    (MP4/AVI) raise the documented env-gated error."""
+    """REAL distributed video frame extraction for MJPEG streams AND
+    MJPEG-in-AVI containers (round 10): each executor task splits its
+    payloads into JPEG frames (:func:`split_mjpeg_frames`, or the
+    vendored RIFF demuxer :mod:`avicodec` for ``RIFF…AVI`` payloads),
+    decodes every ``every_n``-th frame through the vendored codec, and
+    emits exact per-frame pixel stats — the materialized counterpart
+    of :func:`frame_sample_plan` (which stays the pure-Catalyst
+    planning twin). Non-MJPEG AVI codecs and MP4/ISO-BMFF raise the
+    documented env-gated error naming the format."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from aeon_mecha_spark.datapipe import avicodec
         from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg
 
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 p = p if isinstance(p, bytes) else bytes(p)
-                if p[:2] != b"\xff\xd8":
+                if avicodec.is_avi(p):
+                    split = avicodec.split_avi_frames(p)
+                elif p[:2] == b"\xff\xd8":
+                    split = split_mjpeg_frames(p)
+                else:
                     raise NotImplementedError(
                         "video frame decode implemented for raw MJPEG "
-                        "streams; container formats need libraries not "
-                        "present in this environment"
+                        "streams and MJPEG-in-AVI containers; other "
+                        "containers need libraries not present in this "
+                        "environment"
                     )
-                for idx, fr in enumerate(split_mjpeg_frames(p)):
+                for idx, fr in enumerate(split):
                     if idx % max(1, int(every_n)):
                         continue
                     img = decode_jpeg(fr)

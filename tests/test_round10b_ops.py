@@ -546,3 +546,77 @@ def test_friedman_drops_incomplete_blocks(spark):
     # every block ranks the treatments identically (v = b + len) ->
     # maximal concordance: Q = (k-1)*n exactly (2 * 4 = 8) in ppm
     assert out["q_ppm"] == 8_000_000
+
+
+# ---------------------------------------------------------------------------
+# AVI container demux (avicodec)
+
+
+def _mjpeg_frames(n=4, w=16, h=8):
+    from aeon_mecha_spark.datapipe.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(41)
+    frames, imgs = [], []
+    for _ in range(n):
+        img = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        imgs.append(img)
+        frames.append(encode_jpeg(img, quality=90))
+    return frames, imgs
+
+
+def test_avi_roundtrip_and_probe():
+    from aeon_mecha_spark.datapipe import avicodec
+
+    frames, _ = _mjpeg_frames()
+    avi = avicodec.build_avi_mjpeg(frames, 16, 8, fps=5)
+    assert avicodec.is_avi(avi)
+    info = avicodec.probe_avi(avi)
+    assert info["codec"] == "MJPG"
+    assert (info["width"], info["height"]) == (16, 8)
+    assert info["usec_per_frame"] == 200_000
+    out = avicodec.split_avi_frames(avi)
+    assert out == frames  # byte-exact frame recovery
+    assert avicodec.split_avi_frames(avi, max_frames=2) == frames[:2]
+
+
+def test_avi_non_mjpeg_codec_raises():
+    from aeon_mecha_spark.datapipe import avicodec
+
+    frames, _ = _mjpeg_frames(n=1)
+    avi = bytearray(avicodec.build_avi_mjpeg(frames, 16, 8))
+    i = bytes(avi).find(b"vidsMJPG")
+    avi[i + 4 : i + 8] = b"H264"
+    with pytest.raises(NotImplementedError, match="h264"):
+        avicodec.split_avi_frames(bytes(avi))
+    with pytest.raises(ValueError, match="RIFF"):
+        avicodec.split_avi_frames(b"\x00" * 32)
+
+
+def test_decode_video_frames_from_avi_container(spark):
+    from aeon_mecha_spark.datapipe import avicodec, multimodal
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg
+
+    frames, _ = _mjpeg_frames(n=3)
+    avi = avicodec.build_avi_mjpeg(frames, 16, 8)
+    media = spark.createDataFrame(
+        [
+            Row(
+                media_id=1,
+                modality="video",
+                width=16,
+                height=8,
+                duration_ms=600,
+                payload=bytearray(avi),
+            )
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.decode_video_frames(media).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in out] == [0, 1, 2]
+    for r, f in zip(out, frames):
+        img = decode_jpeg(f)
+        assert (r["width"], r["height"]) == (img.shape[1], img.shape[0])
+        assert r["pixel_sum"] == int(img.astype(np.int64).sum())
+    # feature extraction takes the AVI path too (real, not fake)
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 8
