@@ -1,0 +1,266 @@
+"""Minimal pure-stdlib ISO-BMFF (MP4/MOV) demuxer + writer for
+JPEG-codec video tracks.
+
+Completes the container story beside :mod:`avicodec`: the vendored
+JPEG codec decodes frames, this module gets them OUT of the other
+container they commonly ship in. ISO-BMFF is a box tree; a demuxer
+needs only the sample tables of one video track:
+
+    moov > trak > mdia > hdlr('vide')
+                  mdia > minf > stbl > stsd   (codec fourcc)
+                                       stsz   (sample sizes)
+                                       stsc   (sample->chunk runs)
+                                       stco/co64 (chunk offsets)
+
+Samples inside a chunk are laid consecutively from the chunk offset, so
+(stsc, stco, stsz) fully determine every frame's byte range — all
+``struct`` arithmetic, no codec work.
+
+Scope (the vendored-codec honesty contract): video tracks whose stsd
+entry is ``jpeg``/``mjpa``/``mjpb`` (Motion-JPEG in MP4/MOV) extract;
+any other fourcc (avc1/hev1/vp09/av01 …) raises ``NotImplementedError``
+NAMING it — never silent wrong bytes. Fragmented MP4 (moof) is out of
+scope and raises. The writer emits a spec-correct single-track
+fixed-rate Motion-JPEG MP4 for round-trip tests.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_JPEG_FOURCCS = {b"jpeg", b"mjpa", b"mjpb"}
+
+
+def is_mp4(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[4:8] == b"ftyp"
+
+
+def _boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    [start, end); handles 64-bit largesize and size-0 (to end)."""
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack_from(">I", buf, i)
+        btype = buf[i + 4 : i + 8]
+        ps = i + 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", buf, i + 8)
+            ps = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            break  # malformed/truncated: stop cleanly
+        yield btype, ps, i + size
+        i += size
+
+
+def _find(buf: bytes, start: int, end: int, *path: bytes):
+    """Return (payload_start, payload_end) of the first box at the
+    given nested path, or None."""
+    if not path:
+        return (start, end)
+    for btype, ps, pe in _boxes(buf, start, end):
+        if btype == path[0]:
+            return _find(buf, ps, pe, *path[1:])
+    return None
+
+
+def _full(buf: bytes, ps: int) -> int:
+    """Skip a FullBox's version/flags word."""
+    return ps + 4
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """Return ``{codec, width, height, n_samples, timescale}`` for the
+    first video (``hdlr`` = 'vide') track."""
+    if not is_mp4(payload):
+        raise ValueError("not an ISO-BMFF payload (no ftyp)")
+    if _find(payload, 0, len(payload), b"moof") is not None:
+        raise NotImplementedError("fragmented MP4 (moof) unsupported")
+    moov = _find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 without a moov box")
+    for btype, ps, pe in _boxes(payload, *moov):
+        if btype != b"trak":
+            continue
+        mdia = _find(payload, ps, pe, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[_full(payload, hdlr[0]) + 4 : _full(payload, hdlr[0]) + 8] != b"vide":
+            continue
+        mdhd = _find(payload, *mdia, b"mdhd")
+        timescale = None
+        if mdhd is not None:
+            v = payload[mdhd[0]]
+            timescale = struct.unpack_from(
+                ">I", payload, mdhd[0] + (20 if v else 12)
+            )[0]
+        stbl = _find(payload, *mdia, b"minf", b"stbl")
+        if stbl is None:
+            continue
+        stsd = _find(payload, *stbl, b"stsd")
+        stsz = _find(payload, *stbl, b"stsz")
+        codec = width = height = None
+        if stsd is not None:
+            p = _full(payload, stsd[0]) + 4  # entry_count
+            for etype, eps, _ in _boxes(payload, p, stsd[1]):
+                codec = etype.decode("ascii", "replace")
+                width, height = struct.unpack_from(">HH", payload, eps + 24)
+                break
+        n_samples = None
+        if stsz is not None:
+            n_samples = struct.unpack_from(">I", payload, _full(payload, stsz[0]) + 4)[0]
+        return {
+            "codec": codec, "width": width, "height": height,
+            "n_samples": n_samples, "timescale": timescale,
+        }
+    raise ValueError("MP4 without a video track")
+
+
+def split_mp4_frames(payload: bytes, max_frames: int | None = None) -> list[bytes]:
+    """Extract the video samples (frames) of the first 'vide' track via
+    the stsc/stco/stsz sample tables. JPEG-codec tracks only."""
+    info = probe_mp4(payload)
+    codec = (info["codec"] or "").encode()
+    if codec not in _JPEG_FOURCCS:
+        raise NotImplementedError(
+            f"MP4 video codec {info['codec']!r} requires libraries not "
+            "present in this environment (vendored decode covers "
+            "Motion-JPEG: jpeg/mjpa/mjpb)"
+        )
+    moov = _find(payload, 0, len(payload), b"moov")
+    for btype, ps, pe in _boxes(payload, *moov):
+        if btype != b"trak":
+            continue
+        mdia = _find(payload, ps, pe, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[_full(payload, hdlr[0]) + 4 : _full(payload, hdlr[0]) + 8] != b"vide":
+            continue
+        stbl = _find(payload, *mdia, b"minf", b"stbl")
+        # sample sizes
+        zs, ze = _find(payload, *stbl, b"stsz")
+        p = _full(payload, zs)
+        fixed, count = struct.unpack_from(">II", payload, p)
+        sizes = (
+            [fixed] * count
+            if fixed
+            else list(struct.unpack_from(f">{count}I", payload, p + 8))
+        )
+        # chunk offsets (stco 32-bit or co64)
+        co = _find(payload, *stbl, b"stco")
+        if co is not None:
+            p = _full(payload, co[0])
+            (nchunks,) = struct.unpack_from(">I", payload, p)
+            offsets = list(struct.unpack_from(f">{nchunks}I", payload, p + 4))
+        else:
+            co = _find(payload, *stbl, b"co64")
+            p = _full(payload, co[0])
+            (nchunks,) = struct.unpack_from(">I", payload, p)
+            offsets = list(struct.unpack_from(f">{nchunks}Q", payload, p + 4))
+        # sample->chunk runs
+        cs, ce = _find(payload, *stbl, b"stsc")
+        p = _full(payload, cs)
+        (nruns,) = struct.unpack_from(">I", payload, p)
+        runs = [
+            struct.unpack_from(">III", payload, p + 4 + 12 * i)
+            for i in range(nruns)
+        ]
+        # expand: samples_per_chunk for each chunk index (1-based)
+        frames: list[bytes] = []
+        si = 0
+        for ri, (first_chunk, per_chunk, _desc) in enumerate(runs):
+            last_chunk = (
+                runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offsets)
+            )
+            for ci in range(first_chunk, last_chunk + 1):
+                off = offsets[ci - 1]
+                for _ in range(per_chunk):
+                    if si >= len(sizes):
+                        break
+                    frames.append(payload[off : off + sizes[si]])
+                    off += sizes[si]
+                    si += 1
+                    if max_frames and len(frames) >= max_frames:
+                        return frames
+        return frames
+    raise ValueError("MP4 without a video track")
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + btype + payload
+
+
+def _fullbox(btype: bytes, payload: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def build_mp4_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """Assemble a spec-correct single-track Motion-JPEG MP4 (ftyp +
+    mdat + moov with one 'vide' track whose stsd entry is 'jpeg';
+    one chunk holding all samples) — the fixture writer."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat_payload = b"".join(frames)
+    mdat = _box(b"mdat", mdat_payload)
+    mdat_data_offset = len(ftyp) + 8  # frames start right after mdat header
+    n = len(frames)
+    timescale, delta = fps, 1
+    duration = n * delta
+
+    mvhd = _fullbox(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),  # next_track_ID
+    )
+    tkhd = _fullbox(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+        flags=7,
+    )
+    mdhd = _fullbox(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0)
+    )
+    hdlr = _fullbox(
+        b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
+    )
+    vmhd = _fullbox(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dref = _fullbox(
+        b"dref", struct.pack(">I", 1) + _fullbox(b"url ", b"", flags=1)
+    )
+    dinf = _box(b"dinf", dref)
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _fullbox(b"stsd", struct.pack(">I", 1) + sample_entry)
+    stts = _fullbox(b"stts", struct.pack(">III", 1, n, delta))
+    stsc = _fullbox(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _fullbox(
+        b"stsz",
+        struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames),
+    )
+    stco = _fullbox(b"stco", struct.pack(">II", 1, mdat_data_offset))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov

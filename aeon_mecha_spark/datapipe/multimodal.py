@@ -21,14 +21,19 @@ disk behind a file catalog, SURVEY §1.2). The Spark-side contract:
   8/16/24/32-bit int + 32/64-bit float RIFF, pure struct+numpy) and
   video frame extraction is REAL for raw MJPEG streams
   (:func:`split_mjpeg_frames` + the JPEG codec →
-  :func:`decode_video_frames`); :func:`extract_features` computes real
-  descriptors for all three modalities (gray histogram / spectral
-  bands + RMS + ZCR / averaged frame descriptor);
-- only compressed audio (MP3/ADPCM) and container video (MP4/AVI)
-  remain STUBBED — the container has no media libraries. Those raise
-  NotImplementedError unless ``fake=True``, which produces
-  deterministic fake features so the distributed plumbing (schemas,
-  batching, partitioning) stays testable for them too.
+  :func:`decode_video_frames`) AND for Motion-JPEG inside BOTH common
+  containers — AVI (vendored RIFF demuxer
+  :mod:`aeon_mecha_spark.datapipe.avicodec`) and MP4/MOV (vendored
+  ISO-BMFF sample-table demuxer
+  :mod:`aeon_mecha_spark.datapipe.mp4codec`); :func:`extract_features`
+  computes real descriptors for all three modalities (gray histogram /
+  spectral bands + RMS + ZCR / averaged frame descriptor);
+- only compressed audio (MP3/ADPCM) and non-JPEG video codecs
+  (H.264/HEVC/VP9/AV1 …) remain STUBBED — the container has no media
+  libraries and those raise NotImplementedError NAMING the codec,
+  unless ``fake=True``, which produces deterministic fake features so
+  the distributed plumbing (schemas, batching, partitioning) stays
+  testable for them too.
 """
 
 from __future__ import annotations
@@ -386,7 +391,7 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> Dat
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from aeon_mecha_spark.datapipe import avicodec
+        from aeon_mecha_spark.datapipe import avicodec, mp4codec
         from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg
 
         for pdf in batches:
@@ -400,13 +405,14 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> Dat
                 elif not fake and modality == "audio" and p[:4] == _RIFF_SIG:
                     feats.append(_audio_feature(*decode_wav(p), dim))
                 elif not fake and modality == "video" and (
-                    p[:2] == b"\xff\xd8" or avicodec.is_avi(p)
+                    p[:2] == b"\xff\xd8" or avicodec.is_avi(p) or mp4codec.is_mp4(p)
                 ):
-                    frames = (
-                        avicodec.split_avi_frames(p)
-                        if avicodec.is_avi(p)
-                        else split_mjpeg_frames(p)
-                    )
+                    if avicodec.is_avi(p):
+                        frames = avicodec.split_avi_frames(p)
+                    elif mp4codec.is_mp4(p):
+                        frames = mp4codec.split_mp4_frames(p)
+                    else:
+                        frames = split_mjpeg_frames(p)
                     if not frames:
                         raise ValueError("MJPEG stream with no complete frame")
                     pick = sorted({0, len(frames) // 2, len(frames) - 1})[:3]
@@ -508,7 +514,7 @@ def decode_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
     documented env-gated error naming the format."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from aeon_mecha_spark.datapipe import avicodec
+        from aeon_mecha_spark.datapipe import avicodec, mp4codec
         from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg
 
         for pdf in batches:
@@ -517,14 +523,16 @@ def decode_video_frames(media: DataFrame, every_n: int = 1) -> DataFrame:
                 p = p if isinstance(p, bytes) else bytes(p)
                 if avicodec.is_avi(p):
                     split = avicodec.split_avi_frames(p)
+                elif mp4codec.is_mp4(p):
+                    split = mp4codec.split_mp4_frames(p)
                 elif p[:2] == b"\xff\xd8":
                     split = split_mjpeg_frames(p)
                 else:
                     raise NotImplementedError(
                         "video frame decode implemented for raw MJPEG "
-                        "streams and MJPEG-in-AVI containers; other "
-                        "containers need libraries not present in this "
-                        "environment"
+                        "streams and Motion-JPEG AVI/MP4 containers; "
+                        "other formats need libraries not present in "
+                        "this environment"
                     )
                 for idx, fr in enumerate(split):
                     if idx % max(1, int(every_n)):

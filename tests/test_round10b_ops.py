@@ -620,3 +620,63 @@ def test_decode_video_frames_from_avi_container(spark):
     # feature extraction takes the AVI path too (real, not fake)
     feats = multimodal.extract_features(media, dim=8).collect()
     assert len(feats) == 1 and len(feats[0]["feature"]) == 8
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO-BMFF) container demux (mp4codec)
+
+
+def test_mp4_roundtrip_and_probe():
+    from aeon_mecha_spark.datapipe import mp4codec
+
+    frames, _ = _mjpeg_frames(n=5)
+    mp4 = mp4codec.build_mp4_mjpeg(frames, 16, 8, fps=4)
+    assert mp4codec.is_mp4(mp4)
+    info = mp4codec.probe_mp4(mp4)
+    assert info["codec"] == "jpeg"
+    assert (info["width"], info["height"]) == (16, 8)
+    assert info["n_samples"] == 5 and info["timescale"] == 4
+    out = mp4codec.split_mp4_frames(mp4)
+    assert out == frames  # byte-exact sample recovery via stsc/stco/stsz
+    assert mp4codec.split_mp4_frames(mp4, max_frames=3) == frames[:3]
+
+
+def test_mp4_non_jpeg_codec_and_fragmented_raise():
+    from aeon_mecha_spark.datapipe import mp4codec
+
+    frames, _ = _mjpeg_frames(n=1)
+    mp4 = bytearray(mp4codec.build_mp4_mjpeg(frames, 16, 8))
+    i = bytes(mp4).find(b"jpeg", bytes(mp4).find(b"stsd"))
+    mp4[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mp4codec.split_mp4_frames(bytes(mp4))
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4codec.probe_mp4(b"\x00" * 32)
+
+
+def test_decode_video_frames_from_mp4_container(spark):
+    from aeon_mecha_spark.datapipe import mp4codec, multimodal
+    from aeon_mecha_spark.datapipe.jpegcodec import decode_jpeg
+
+    frames, _ = _mjpeg_frames(n=3)
+    mp4 = mp4codec.build_mp4_mjpeg(frames, 16, 8)
+    media = spark.createDataFrame(
+        [
+            Row(
+                media_id=7,
+                modality="video",
+                width=16,
+                height=8,
+                duration_ms=750,
+                payload=bytearray(mp4),
+            )
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.decode_video_frames(media).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in out] == [0, 1, 2]
+    for r, f in zip(out, frames):
+        img = decode_jpeg(f)
+        assert r["pixel_sum"] == int(img.astype(np.int64).sum())
+    feats = multimodal.extract_features(media, dim=8).collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 8
