@@ -121,6 +121,28 @@ def main() -> None:
     )
     print("== video: MJPEG per-frame decode stats (every 2nd frame) ==")
     decode_video_frames(video, every_n=2).orderBy("frame_idx").show()
+
+    # 8. the same frames inside BOTH common containers: the vendored
+    # RIFF (AVI) and ISO-BMFF (MP4) demuxers feed the same decode path
+    from aeon_mecha_spark.datapipe import avicodec, mp4codec
+
+    frames = [
+        _ej(np.clip(np.stack([yy * 8 + k * 25, xx * 6, yy + xx], -1), 0, 255)
+            .astype(np.uint8), quality=88)
+        for k in range(3)
+    ]
+    containers = spark.createDataFrame(
+        [
+            (201, "video", 24, 16, 300,
+             bytearray(avicodec.build_avi_mjpeg(frames, 24, 16, fps=10))),
+            (202, "video", 24, 16, 300,
+             bytearray(mp4codec.build_mp4_mjpeg(frames, 24, 16, fps=10))),
+        ],
+        "media_id long, modality string, width int, height int, "
+        "duration_ms int, payload binary",
+    )
+    print("== video containers: AVI + MP4 demux -> identical frame stats ==")
+    decode_video_frames(containers).orderBy("media_id", "frame_idx").show()
     spark.stop()
 
 
