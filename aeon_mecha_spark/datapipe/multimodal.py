@@ -18,7 +18,11 @@ disk behind a file catalog, SURVEY §1.2). The Spark-side contract:
   the reference's frame server actually pages, video.py:47-55) both
   drive :func:`decode_images`;
 - audio decoding is REAL for WAV/PCM (round 10, :func:`decode_wav` —
-  8/16/24/32-bit int + 32/64-bit float RIFF, pure struct+numpy) and
+  8/16/24/32-bit int + 32/64-bit float RIFF, pure struct+numpy) AND
+  for FLAC (vendored bit-level decoder
+  :mod:`aeon_mecha_spark.datapipe.flaccodec`: constant/verbatim/
+  fixed/LPC subframes, partitioned Rice, all four stereo modes,
+  CRC-verified) and
   video frame extraction is REAL for raw MJPEG streams
   (:func:`split_mjpeg_frames` + the JPEG codec →
   :func:`decode_video_frames`) AND for Motion-JPEG inside BOTH common
@@ -28,7 +32,7 @@ disk behind a file catalog, SURVEY §1.2). The Spark-side contract:
   :mod:`aeon_mecha_spark.datapipe.mp4codec`); :func:`extract_features`
   computes real descriptors for all three modalities (gray histogram /
   spectral bands + RMS + ZCR / averaged frame descriptor);
-- only compressed audio (MP3/ADPCM) and non-JPEG video codecs
+- only lossy audio (MP3/AAC/ADPCM) and non-JPEG video codecs
   (H.264/HEVC/VP9/AV1 …) remain STUBBED — the container has no media
   libraries and those raise NotImplementedError NAMING the codec,
   unless ``fake=True``, which produces deterministic fake features so
@@ -404,6 +408,12 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> Dat
                     feats.append(_image_feature(decode_jpeg(p), dim))
                 elif not fake and modality == "audio" and p[:4] == _RIFF_SIG:
                     feats.append(_audio_feature(*decode_wav(p), dim))
+                elif not fake and modality == "audio" and p[:4] == b"fLaC":
+                    from aeon_mecha_spark.datapipe.flaccodec import decode_flac
+
+                    samples, rate, bits = decode_flac(p)
+                    norm = samples.astype(np.float64) / float(1 << (bits - 1))
+                    feats.append(_audio_feature(norm, rate, dim))
                 elif not fake and modality == "video" and (
                     p[:2] == b"\xff\xd8" or avicodec.is_avi(p) or mp4codec.is_mp4(p)
                 ):
