@@ -105,6 +105,23 @@ def main() -> None:
         "media_id", F.slice("feature", 10, 3).alias("rms_zcr_dur")
     ).orderBy("media_id").show(3, truncate=False)
 
+    # 6b. the same 440 Hz tone as FLAC: the vendored bit-level decoder
+    # (fixed/LPC/Rice capable; verbatim-coded here) feeds the same
+    # feature path and lands on the same duration/RMS
+    from aeon_mecha_spark.datapipe.flaccodec import encode_flac_verbatim
+
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int64)
+    flac = spark.createDataFrame(
+        [(110, "audio", 0, 0, 500,
+          bytearray(encode_flac_verbatim(tone.reshape(-1, 1), 8000, bits=16)))],
+        "media_id long, modality string, width int, height int, "
+        "duration_ms int, payload binary",
+    )
+    print("== audio features (FLAC, vendored decoder) ==")
+    extract_features(flac, dim=12).select(
+        "media_id", F.slice("feature", 10, 3).alias("rms_zcr_dur")
+    ).show(truncate=False)
+
     # 7. video: MJPEG stream -> distributed per-frame decode
     from aeon_mecha_spark.datapipe.jpegcodec import encode_jpeg as _ej
 
