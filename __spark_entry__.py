@@ -4143,10 +4143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle landed this round), and the fixed-cost-trimmed rank stats
     # (q207 spearman single-prefix, q208, q213 kruskal merged grain
     # aggregate), the three NEW round-10 operators (q248 Cliff's delta,
-    # q249 Markov transitions, q250 Brier decomposition) — then the 16
-    # round-10 wave-2/3 operators (q251-q266: TPC-H Q5/Q2, the classical
-    # test family, corpus-shape QC, centroid silhouette) — followed by
-    # the 25 STALEST official records (none
+    # q249 Markov transitions, q250 Brier decomposition) — then the 17
+    # round-10 wave-2/3 operators (q251-q267: TPC-H Q5/Q2, the classical
+    # test family, corpus-shape QC, centroid silhouette, Friedman) —
+    # followed by the 24 STALEST official records (none
     # graded since r06; q87 zarr stays below the window as the one
     # rows-only gate). Everything rotated out is re-checked every round
     # via tools/check_correctness.py -> CHECK_FULL_r{N}.json committed
