@@ -4125,6 +4125,21 @@ def q267_friedman(spark, sf_dir):
     return analytics.friedman(ev, [], "user_id", "event_type", "_one")
 
 
+def q268_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction over the user transition graph:
+    Adamic-Adar / resource-allocation / Jaccard scores for the top-50
+    non-edges by AA — wedge join on the shared neighbor, micro-floor
+    per carrier, deterministic head."""
+    from aeon_mecha_spark.operators import graph
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    edges = graph.transition_edges(ev)
+    # the transition graph is dense (every user pair eventually
+    # adjacent), so the wedge fan-out needs the hub cap that any
+    # 100-TB run would use: carriers above degree 256 are skipped
+    return graph.link_prediction(edges, top_k=50, max_degree=256)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4177,6 +4192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q265_centroid_silhouette": q265_centroid_silhouette,
         "q266_mood_median": q266_mood_median,
         "q267_friedman": q267_friedman,
+        "q268_link_prediction": q268_link_prediction,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -10493,6 +10509,59 @@ def oracle_sql() -> dict[str, str]:
                      AS q_ppm,
                    page_l2
             FROM g
+        """,
+        "q268_link_prediction": """
+            -- common-neighbor link prediction: undirected simple view,
+            -- wedge join on the shared neighbor, per-carrier micro
+            -- floors (AA via 1e6/ln(deg), RA exact 1e6//deg), anti-join
+            -- existing edges, deterministic AA-desc head
+            WITH e AS (
+              SELECT src, dst FROM (
+                SELECT user_id AS src,
+                       lead(user_id) OVER (PARTITION BY event_type
+                                           ORDER BY ts, event_id) AS dst
+                FROM events)
+              WHERE dst IS NOT NULL AND src <> dst),
+            und AS (
+              SELECT DISTINCT least(src, dst) AS a,
+                     greatest(src, dst) AS b
+              FROM e),
+            adj AS (
+              SELECT a AS n, b AS x FROM und
+              UNION ALL SELECT b, a FROM und),
+            deg AS (
+              SELECT n, count(*)::bigint AS deg FROM adj GROUP BY 1),
+            carriers AS (
+              SELECT adj.n, adj.x,
+                     CASE WHEN deg >= 2 THEN
+                       CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE))
+                                  + 0.5) AS BIGINT) ELSE 0 END AS aa,
+                     1000000 // deg AS ra
+              FROM adj JOIN deg ON adj.n = deg.n
+              WHERE deg <= 256),
+            pairs AS (
+              SELECT l.x AS u, r.x AS v, count(*)::bigint AS cn,
+                     sum(l.aa)::bigint AS aa_micro,
+                     sum(l.ra)::bigint AS ra_micro
+              FROM carriers l JOIN carriers r
+                ON l.n = r.n AND l.x < r.x
+              GROUP BY 1, 2),
+            non_edges AS (
+              SELECT p.* FROM pairs p
+              LEFT JOIN und ON p.u = und.a AND p.v = und.b
+              WHERE und.a IS NULL),
+            scored AS (
+              SELECT ne.u, ne.v, ne.cn, ne.aa_micro, ne.ra_micro,
+                     CAST(CASE WHEN du.deg + dv.deg - ne.cn > 0 THEN
+                       (ne.cn::hugeint * 1000000)
+                       // (du.deg + dv.deg - ne.cn) END AS BIGINT)
+                       AS jaccard_ppm
+              FROM non_edges ne
+              JOIN deg du ON ne.u = du.n
+              JOIN deg dv ON ne.v = dv.n)
+            SELECT * FROM scored
+            ORDER BY aa_micro DESC, u ASC, v ASC
+            LIMIT 50
         """,
     }
     return sqls

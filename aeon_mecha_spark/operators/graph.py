@@ -461,3 +461,102 @@ def hits_int(
         )
     )
     return track_cached(out, *cached)
+
+
+def link_prediction(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    top_k: int = 50,
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor link prediction over an undirected simple view
+    of ``(src, dst)`` edges: for every NON-edge pair (u, v) sharing at
+    least one neighbor, the three classic scores —
+
+        ``cn``        common-neighbor count
+        ``aa_micro``  Adamic–Adar  Σ_z 1/ln(deg z)   (micro floor/z)
+        ``ra_micro``  resource allocation Σ_z 1/deg z (exact micro)
+
+    plus ``jaccard_ppm = cn·10⁶ div (deg u + deg v − cn)``. Scores are
+    integer sums of per-z floors (``floor(10⁶/ln(deg z) + 0.5)`` — the
+    §3 micro-nat discipline: one engine log per DISTINCT degree-carrier,
+    never an accumulated float; deg-1 carriers contribute 0 to AA by
+    convention since 1/ln(1) diverges), so every score is associative
+    and engine-identical.
+
+    Plan — the canonical wedge join: adjacency (z, u) ⋈ (z, v) on the
+    shared neighbor with ``u < v`` generates candidates (fan-out
+    Σ_z deg(z)² — bounded by ``max_degree``: hubs above it are skipped
+    as score carriers, the standard cut because a 10⁶-degree hub adds
+    ~0 AA signal at quadratic cost), one hash aggregate, an anti-join
+    against the existing edge set, a broadcast degree join, and a
+    deterministic TakeOrdered head (aa desc, u, v asc). Output:
+    ``(u, v, cn, aa_micro, ra_micro, jaccard_ppm)``.
+    """
+    from aeon_mecha_spark.util import track_cached
+
+    # the undirected edge set is read by FOUR consumers (both adjacency
+    # directions, the degree table, the existing-edge anti-join) whose
+    # shared upstream may be expensive (e.g. a window over the event
+    # log) — persist it or the lineage re-executes per consumer
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("x")).unionByName(
+        und.select(F.col("b").alias("n"), F.col("a").alias("x"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    carriers = adj.join(deg.withColumnRenamed("n", "nn"), F.col("n") == F.col("nn"))
+    if max_degree:
+        carriers = carriers.filter(F.col("deg") <= int(max_degree))
+    aa_term = F.expr(
+        "CASE WHEN deg >= 2 THEN "
+        "CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE)) + 0.5) AS BIGINT) "
+        "ELSE 0 END"
+    )
+    ra_term = F.expr("1000000 div deg")
+    # both wedge sides read the carrier table — persist the small
+    # (adjacency-sized) side rather than re-deriving adj ⋈ deg twice
+    c = carriers.select(
+        "n", "x", aa_term.alias("_aa"), ra_term.alias("_ra")
+    ).persist(StorageLevel.MEMORY_ONLY)
+    left = c.select(F.col("n"), F.col("x").alias("u"), "_aa", "_ra")
+    right = c.select(F.col("n"), F.col("x").alias("v"))
+    pairs = (
+        left.join(right, "n")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cn"),
+            F.sum("_aa").cast("long").alias("aa_micro"),
+            F.sum("_ra").cast("long").alias("ra_micro"),
+        )
+    )
+    non_edges = pairs.join(
+        und, (pairs["u"] == und["a"]) & (pairs["v"] == und["b"]), "left_anti"
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("_dv"))
+    scored = non_edges.join(du, "u").join(dv, "v").select(
+        "u",
+        "v",
+        "cn",
+        "aa_micro",
+        "ra_micro",
+        F.expr(
+            "CAST(CASE WHEN _du + _dv - cn > 0 THEN "
+            "(CAST(cn AS DECIMAL(38,0)) * 1000000) div (_du + _dv - cn) "
+            "END AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )
+    out = scored.orderBy(
+        F.col("aa_micro").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(int(top_k))
+    return track_cached(out, und, c)

@@ -680,3 +680,46 @@ def test_decode_video_frames_from_mp4_container(spark):
         assert r["pixel_sum"] == int(img.astype(np.int64).sum())
     feats = multimodal.extract_features(media, dim=8).collect()
     assert len(feats) == 1 and len(feats[0]["feature"]) == 8
+
+
+# ---------------------------------------------------------------------------
+# link_prediction
+
+
+def test_link_prediction_hand_graph(spark):
+    from aeon_mecha_spark.operators import graph
+
+    # path graph 1-2-3-4 plus edge 2-5: non-edges sharing neighbors:
+    # (1,3) via 2; (2,4) via 3; (1,5),(3,5) via 2; (2,4) etc.
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in [(1, 2), (2, 3), (3, 4), (2, 5)]]
+    )
+    out = {
+        (r["u"], r["v"]): r
+        for r in graph.link_prediction(edges, top_k=10).collect()
+    }
+    # deg: 1->1, 2->3, 3->2, 4->1, 5->1
+    assert set(out) == {(1, 3), (1, 5), (3, 5), (2, 4)}
+    import math
+
+    aa_via_2 = int(math.floor(1e6 / math.log(3) + 0.5))
+    aa_via_3 = int(math.floor(1e6 / math.log(2) + 0.5))
+    assert out[(1, 3)]["cn"] == 1 and out[(1, 3)]["aa_micro"] == aa_via_2
+    assert out[(2, 4)]["aa_micro"] == aa_via_3
+    assert out[(1, 5)]["ra_micro"] == 1_000_000 // 3
+    # jaccard of (1,3): cn=1, deg1+deg3-cn = 1+2-1 = 2 -> 500000
+    assert out[(1, 3)]["jaccard_ppm"] == 500_000
+    # existing edges never appear
+    assert (1, 2) not in out and (2, 3) not in out
+
+
+def test_link_prediction_degree_cap_drops_hub_wedges(spark):
+    from aeon_mecha_spark.operators import graph
+
+    # star around hub 0 (degree 4): capping below 4 removes the hub as
+    # a carrier, so no candidate pairs survive
+    edges = spark.createDataFrame(
+        [Row(src=0, dst=i) for i in range(1, 5)]
+    )
+    assert graph.link_prediction(edges, top_k=10).count() == 6  # C(4,2)
+    assert graph.link_prediction(edges, top_k=10, max_degree=3).count() == 0
