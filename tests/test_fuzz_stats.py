@@ -206,3 +206,68 @@ def test_fuzz_runs_test(spark, seed):
     dev = runs * nn - 2 * n1 * n2 - nn
     expect = dev * dev * (nn - 1) * 10**6 // var_num
     assert out["z2_ppm"] == expect
+
+
+@pytest.mark.parametrize("seed", range(SEEDS))
+def test_fuzz_anova_f_exact_integer_mirror(spark, seed):
+    """Exact mirror of the floor-sum discipline (not a float
+    approximation): per-group bg floors, ssb/ssw, sign·abs rescale and
+    f/eta divisions replicated in Python ints — pins the pmod-exact
+    decimal floor division end to end."""
+    from aeon_mecha_spark.operators import analytics
+
+    rng = np.random.default_rng(6000 + seed)
+    rows = _frame(rng, int(rng.integers(6, 120)), v_lo=-20, v_hi=900)
+    df = spark.createDataFrame(rows)
+    out = analytics.anova_f(df, [], "v", "g").collect()[0]
+    groups = {}
+    for r in rows:
+        n, s, q = groups.get(r.g, (0, 0, 0))
+        v = int(r.v)
+        groups[r.g] = (n + 1, s + v, q + v * v)
+    k = len(groups)
+    n = sum(g[0] for g in groups.values())
+    ts = sum(g[1] for g in groups.values())
+    tq = sum(g[2] for g in groups.values())
+    tbg = sum((s * s * 10**6) // gn for gn, s, _ in groups.values())
+    ssb = tbg - (ts * ts * 10**6) // n
+    ssw = tq * 10**6 - tbg
+
+    def sgnabs(x, d):
+        return (1 if x > 0 else -1 if x < 0 else 0) * (abs(x) // d)
+
+    assert out["k_groups"] == k and out["n"] == n
+    assert out["ssb_milli"] == sgnabs(ssb, 1000)
+    assert out["ssw_milli"] == sgnabs(ssw, 1000)
+    if k > 1 and n > k and ssw > 0:
+        assert out["f_ppm"] == sgnabs(ssb * (n - k) * 10**6, ssw * (k - 1))
+    else:
+        assert out["f_ppm"] is None
+    if ssb + ssw > 0:
+        assert out["eta2_ppm"] == sgnabs(ssb * 10**6, ssb + ssw)
+
+
+@pytest.mark.parametrize("seed", range(SEEDS))
+def test_fuzz_cochran_armitage_exact_integer_mirror(spark, seed):
+    from aeon_mecha_spark.operators import analytics
+
+    rng = np.random.default_rng(7000 + seed)
+    rows = [
+        Row(s=int(rng.integers(0, 5)), y=int(rng.integers(0, 2)))
+        for _ in range(int(rng.integers(4, 120)))
+    ]
+    out = analytics.cochran_armitage(
+        spark.createDataFrame(rows), [], "s", F.col("y") == 1
+    ).collect()[0]
+    N = len(rows)
+    P = sum(r.y for r in rows)
+    sx = sum(r.s * r.y for r in rows)
+    sn = sum(r.s for r in rows)
+    ssn = sum(r.s * r.s for r in rows)
+    assert out["n"] == N and out["n_pos"] == P
+    den = P * (N - P) * (N * ssn - sn * sn)
+    if 0 < P < N and N * ssn - sn * sn > 0:
+        t = N * sx - P * sn
+        assert out["z2_ppm"] == (t * t * N * 10**6) // den
+    else:
+        assert out["z2_ppm"] is None
