@@ -10563,5 +10563,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY aa_micro DESC, u ASC, v ASC
             LIMIT 50
         """,
+        "q87_zarr_decode": """
+            -- literal ground-truth oracle (the q109/q110 pattern that
+            -- retired the trained-model rows-only gates): the two zarr
+            -- stores the gate writes hold pure index arithmetic
+            -- (rec1: (4i+j)/2 doubles, zlib; rec2: 3k-7 int64 in
+            -- blosc-zstd+byte-shuffle frames), so the decoded rows are
+            -- computable exactly in SQL -- the hash match proves the
+            -- twin-resolution + chunk decode path lands on the spec'd
+            -- values, byte-level behavior pinned by test_zarr_decode
+            WITH r1 AS (
+              SELECT 'rec1.zarr' AS store, i AS idx, 4 AS n_vals,
+                     round(CAST(8 * i + 3 AS DOUBLE), 6) AS val_sum,
+                     concat_ws(',',
+                       printf('%.3f', CAST(4 * i + 0 AS DOUBLE) / 2),
+                       printf('%.3f', CAST(4 * i + 1 AS DOUBLE) / 2),
+                       printf('%.3f', CAST(4 * i + 2 AS DOUBLE) / 2),
+                       printf('%.3f', CAST(4 * i + 3 AS DOUBLE) / 2)) AS vals_csv
+              FROM range(12) t(i)),
+            r2 AS (
+              SELECT 'rec2.zarr' AS store, i AS idx, 2 AS n_vals,
+                     round(CAST(12 * i - 11 AS DOUBLE), 6) AS val_sum,
+                     concat_ws(',',
+                       printf('%.3f', CAST(6 * i - 7 AS DOUBLE)),
+                       printf('%.3f', CAST(6 * i - 4 AS DOUBLE))) AS vals_csv
+              FROM range(10) t(i))
+            SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            ORDER BY store, idx
+        """,
     }
     return sqls

@@ -15,13 +15,15 @@ import re
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# the one gate documented as rows-only (no SQL form by nature): q87
-# decodes a zarr store, which the DuckDB oracle cannot read. Round 9
-# retired q93 trained-PCA / q99 trained-PQ (hash-verified end-to-end by
-# the literal-model twins q110/q109 + numpy training mirrors); round 10
-# retired q163 BPE-learn by giving it a real oracle — the 8 training
-# rounds unrolled as MATERIALIZED CTEs in DuckDB.
-ROWS_ONLY = {"q87_zarr_decode"}
+# NO rows-only gates remain. Round 9 retired q93 trained-PCA / q99
+# trained-PQ (hash-verified end-to-end by the literal-model twins
+# q110/q109 + numpy training mirrors); round 10 retired q163 BPE-learn
+# (training rounds unrolled as MATERIALIZED CTEs) and finally q87 zarr
+# decode — its stores hold pure index arithmetic, so a literal
+# ground-truth oracle (the q109/q110 pattern) hash-proves the
+# twin-resolution + chunk-decode path; byte-level codec behavior stays
+# pinned by test_zarr_decode.
+ROWS_ONLY: set[str] = set()
 
 
 def _registry():
