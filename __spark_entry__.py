@@ -9954,9 +9954,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN k_groups > 1 AND n > k_groups
                              AND tq * 1000000 - tbg > 0 THEN
                      sign(tbg - (ts * ts * 1000000) // n)
-                     * ((abs(tbg - (ts * ts * 1000000) // n)
-                         * (n - k_groups) * 1000000)
-                        // ((tq * 1000000 - tbg) * (k_groups - 1)))
+                     * least((abs(tbg - (ts * ts * 1000000) // n)
+                              * (n - k_groups) * 1000000)
+                             // ((tq * 1000000 - tbg) * (k_groups - 1)),
+                             4611686018427387903::hugeint)
                      END AS BIGINT) AS f_ppm,
                    CAST(CASE WHEN tq * 1000000
                              - (ts * ts * 1000000) // n > 0 THEN
@@ -10011,9 +10012,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN k_groups > 1 AND n > k_groups
                              AND tq * 1000000 - tbg > 0 THEN
                      sign(tbg - (ts * ts * 1000000) // n)
-                     * ((abs(tbg - (ts * ts * 1000000) // n)
-                         * (n - k_groups) * 1000000)
-                        // ((tq * 1000000 - tbg) * (k_groups - 1)))
+                     * least((abs(tbg - (ts * ts * 1000000) // n)
+                              * (n - k_groups) * 1000000)
+                             // ((tq * 1000000 - tbg) * (k_groups - 1)),
+                             4611686018427387903::hugeint)
                      END AS BIGINT) AS f_ppm,
                    CAST(CASE WHEN tq * 1000000
                              - (ts * ts * 1000000) // n > 0 THEN
@@ -10324,6 +10326,7 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM firsts
                     WHERE fp <= (tot.n * r.j) // 16)::bigint AS vocab
             FROM range(1, 17) r(j), tot
+            WHERE tot.n > 0
             ORDER BY j
         """,
         "q264_vocab_coverage": """
@@ -10349,6 +10352,7 @@ def oracle_sql() -> dict[str, str]:
                        WHERE r <= k.k)::hugeint * 1000000) // tot.total
                      END AS BIGINT) AS coverage_ppm
             FROM (VALUES (256), (1024), (4096), (16384)) k(k), tot
+            WHERE tot.total > 0
             ORDER BY k
         """,
         "q265_centroid_silhouette": """

@@ -96,6 +96,10 @@ def split_avi_frames(payload: bytes, max_frames: int | None = None) -> list[byte
                 collect(ds + 4, ds + size)
             elif fourcc[:2] == b"00" and fourcc[2:4] in _VIDEO_CHUNK_SUFFIXES:
                 data = payload[ds : ds + size].lstrip(b"\x00")
+                if not data:
+                    # Zero-size 00dc/00db chunks are spec-valid dropped/
+                    # duplicate-frame placeholders — skip, don't abort.
+                    continue
                 if data[:2] != b"\xff\xd8":
                     raise NotImplementedError(
                         "AVI stream-0 chunk is not a JPEG frame (fourcc "

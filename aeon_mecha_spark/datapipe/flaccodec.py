@@ -243,7 +243,12 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
             bits.read(8)
         elif sr_code in (13, 14):
             bits.read(16)
-        bps = _SAMPLE_SIZE_TABLE.get(ss_code, bps_si) if ss_code else bps_si
+        if ss_code in (3, 7):
+            raise NotImplementedError(
+                f"FLAC frame sample-size code {ss_code} is reserved by the "
+                "spec; refusing to guess bits-per-sample"
+            )
+        bps = _SAMPLE_SIZE_TABLE[ss_code] if ss_code else bps_si
         header_end = bits.byte_pos()
         if _crc8(payload[frame_start:header_end]) != bits.read(8):
             raise ValueError("FLAC frame header CRC-8 mismatch")

@@ -385,10 +385,11 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> Dat
     decodes via :func:`decode_wav` into log-spaced spectral bands +
     RMS/ZCR/duration (:func:`_audio_feature`); MJPEG video streams
     split into frames (:func:`split_mjpeg_frames`, or the vendored
-    RIFF demuxer :mod:`avicodec` for MJPEG-in-AVI containers) and
+    RIFF demuxer :mod:`avicodec` for MJPEG-in-AVI containers, or the
+    ISO-BMFF demuxer :mod:`mp4codec` for MJPEG-in-MP4/MOV) and
     average the image descriptor over ≤ 3 evenly spaced frames. Only
-    compressed audio (MP3/ADPCM), non-MJPEG AVI codecs, and
-    MP4/ISO-BMFF still need libraries this container lacks — those
+    compressed audio (MP3/ADPCM) and non-JPEG video codecs
+    (H.264/HEVC/VP9) still need libraries this container lacks — those
     raise unless ``fake=True``, which substitutes hash-seeded
     pseudo-features so the distributed plumbing stays testable for
     them too.

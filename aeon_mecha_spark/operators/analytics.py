@@ -5295,22 +5295,36 @@ def _anova_f_from_int(
         *keys,
         "k_groups",
         "n",
-        F.expr(f"CAST(sign(_ssb) * (abs(_ssb) div {rescale}) AS BIGINT)").alias(
+        F.expr(f"CAST(CAST(sign(_ssb) AS BIGINT) * (abs(_ssb) div {rescale}) AS BIGINT)").alias(
             "ssb_milli"
         ),
-        F.expr(f"CAST(sign(_ssw) * (abs(_ssw) div {rescale}) AS BIGINT)").alias(
+        F.expr(f"CAST(CAST(sign(_ssw) AS BIGINT) * (abs(_ssw) div {rescale}) AS BIGINT)").alias(
             "ssw_milli"
         ),
+        # F quotient saturates at M = 2^62-1: with SSW a few micro-units
+        # the raw quotient exceeds long range and Spark's `div` (which
+        # RETURNS BIGINT, wrapping silently) would corrupt it. Guard
+        # exactly: when den <= (10^38-1) div M the product M*den fits
+        # decimal(38,0), so `num > M*den` is an exact overflow test;
+        # when den exceeds that bound the quotient is < M by pigeonhole
+        # and the plain div is safe. Mirrored in the DuckDB oracle.
         F.expr(
             "CAST(CASE WHEN k_groups > 1 AND n > k_groups AND _ssw > 0 THEN "
-            "sign(_ssb) * "
-            "((abs(_ssb) * CAST(n - k_groups AS DECIMAL(38,0)) * 1000000) div "
-            "(_ssw * CAST(k_groups - 1 AS DECIMAL(38,0)))) END AS BIGINT)"
+            "CAST(sign(_ssb) AS BIGINT) * (CASE WHEN "
+            "_ssw * CAST(k_groups - 1 AS DECIMAL(38,0)) <= "
+            "CAST(21684043449710088684 AS DECIMAL(38,0)) AND "
+            "abs(_ssb) * CAST(n - k_groups AS DECIMAL(38,0)) * 1000000 > "
+            "CAST(4611686018427387903 AS DECIMAL(38,0)) * "
+            "(_ssw * CAST(k_groups - 1 AS DECIMAL(38,0))) "
+            "THEN 4611686018427387903 ELSE "
+            "(abs(_ssb) * CAST(n - k_groups AS DECIMAL(38,0)) * 1000000) div "
+            "(_ssw * CAST(k_groups - 1 AS DECIMAL(38,0))) END) "
+            "END AS BIGINT)"
         ).alias("f_ppm"),
         # eta-squared effect size (variance explained) from the same SS
         F.expr(
             "CAST(CASE WHEN _ssb + _ssw > 0 THEN "
-            "sign(_ssb) * ((abs(_ssb) * 1000000) div (_ssb + _ssw)) "
+            "CAST(sign(_ssb) AS BIGINT) * ((abs(_ssb) * 1000000) div (_ssb + _ssw)) "
             "END AS BIGINT)"
         ).alias("eta2_ppm"),
     )

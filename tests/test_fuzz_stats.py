@@ -240,7 +240,10 @@ def test_fuzz_anova_f_exact_integer_mirror(spark, seed):
     assert out["ssb_milli"] == sgnabs(ssb, 1000)
     assert out["ssw_milli"] == sgnabs(ssw, 1000)
     if k > 1 and n > k and ssw > 0:
-        assert out["f_ppm"] == sgnabs(ssb * (n - k) * 10**6, ssw * (k - 1))
+        # mirror the 2^62-1 saturation guard for near-zero SSW
+        sgn = 1 if ssb > 0 else -1 if ssb < 0 else 0
+        quot = min((abs(ssb) * (n - k) * 10**6) // (ssw * (k - 1)), 2**62 - 1)
+        assert out["f_ppm"] == sgn * quot
     else:
         assert out["f_ppm"] is None
     if ssb + ssw > 0:

@@ -1,0 +1,99 @@
+"""Round-11 regression tests: ADVICE fixes from round 10.
+
+Covers the four code-level advisories: zero-size AVI frame chunks
+(dropped-frame placeholders) must be skipped, FLAC reserved
+sample-size codes must raise by name, the ANOVA F quotient must
+saturate (not wrap) on near-zero SSW, and the heaps/vocab-coverage
+gates must agree with their DuckDB oracles on a zero-token corpus.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+
+def _mjpeg_frames(n=3, w=16, h=8):
+    from aeon_mecha_spark.datapipe.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(7)
+    return [
+        encode_jpeg(rng.integers(0, 255, (h, w, 3)).astype(np.uint8), quality=90)
+        for _ in range(n)
+    ]
+
+
+def test_avi_zero_size_chunk_is_dropped_frame_placeholder():
+    # Real MJPEG AVIs carry 0-byte 00dc chunks for dropped/duplicate
+    # frames; they must be skipped, not abort extraction.
+    from aeon_mecha_spark.datapipe import avicodec
+
+    f0, f1 = _mjpeg_frames(n=2)
+    avi = avicodec.build_avi_mjpeg([f0, b"", f1], 16, 8, fps=5)
+    assert avicodec.split_avi_frames(avi) == [f0, f1]
+    assert avicodec.split_avi_frames(avi, max_frames=1) == [f0]
+
+
+def test_flac_reserved_sample_size_codes_raise_by_name():
+    import aeon_mecha_spark.datapipe.flaccodec as fc
+
+    s = np.zeros((16, 1), dtype=np.int64)
+    payload = bytearray(fc.encode_flac_verbatim(s, 8000, bits=16))
+    # frame header byte 3 = (ch_code << 4) | (ss_code << 1) | reserved;
+    # patch ss_code to the spec-reserved 3 — must raise by name, not
+    # fall back to STREAMINFO bps and die later as a CRC mismatch
+    i = bytes(payload).find(b"\xff\xf8")
+    assert i > 0
+    ch = payload[i + 3] >> 4
+    payload[i + 3] = (ch << 4) | (3 << 1)
+    with pytest.raises(NotImplementedError, match="reserved"):
+        fc.decode_flac(bytes(payload))
+    payload[i + 3] = (ch << 4) | (7 << 1)
+    with pytest.raises(NotImplementedError, match="reserved"):
+        fc.decode_flac(bytes(payload))
+
+
+def test_anova_f_saturates_instead_of_wrapping(spark):
+    # Near-zero SSW with a huge SSB: the raw quotient exceeds 2^63 and
+    # the decimal->bigint cast would wrap; it must clamp to 2^62-1.
+    from aeon_mecha_spark.operators.analytics import anova_f
+
+    df = spark.createDataFrame(
+        [("k", "a", 0), ("k", "a", 1), ("k", "b", 10**8)],
+        "k string, g string, v long",
+    )
+    out = anova_f(df, ["k"], "v", "g").collect()[0].asDict()
+    # exact integer mirror of the operator's arithmetic
+    bg_a = (1 * 1 * 10**6) // 2
+    bg_b = 10**16 * 10**6
+    ts, tq, tbg, n, k = 10**8 + 1, 10**16 + 1, bg_a + bg_b, 3, 2
+    ssb = tbg - (ts * ts * 10**6) // n
+    ssw = tq * 10**6 - tbg
+    raw = (ssb * (n - k) * 10**6) // (ssw * (k - 1))
+    assert raw > 2**62 - 1  # the fixture really is pathological
+    assert out["f_ppm"] == 2**62 - 1
+
+
+def test_heaps_and_vocab_coverage_zero_token_corpus_matches_oracle(spark):
+    # ADVICE (low): Spark emits 0 rows for a zero-token corpus; the
+    # committed oracles formerly emitted K rows of 0/NULL. Both sides
+    # must now agree on the degenerate corpus.
+    import duckdb
+
+    import __spark_entry__ as entry
+    from aeon_mecha_spark.datapipe.textqc import heaps_curve, vocab_coverage
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="   ")]
+    )
+    assert heaps_curve(docs).count() == 0
+    assert vocab_coverage(docs).count() == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT * FROM (VALUES (1, ''), (2, '   ')) t(doc_id, text)"
+    )
+    sqls = entry.oracle_sql()
+    for q in ("q263_heaps_curve", "q264_vocab_coverage"):
+        assert len(con.execute(sqls[q]).fetchall()) == 0, q
