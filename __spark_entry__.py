@@ -4140,6 +4140,95 @@ def q268_link_prediction(spark, sf_dir):
     return graph.link_prediction(edges, top_k=50, max_degree=256)
 
 
+def q269_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (decorrelated): per-part held value among one
+    nation's suppliers, keeping parts above a scalar-subquery
+    threshold. The classic correlated `HAVING value > (SELECT frac *
+    total)` decorrelates into ONE shuffle: the per-part aggregate is
+    computed once, its own one-row rollup (total + part count) is
+    broadcast back, and the threshold filter is map-side. The TPC-H
+    fraction is spec-scaled by 1/SF; here the scale-invariant
+    equivalent keeps parts worth > 3x the mean per-part value, so the
+    gate is non-degenerate at every test SF. All arithmetic is exact
+    integer cents (round-to-cents once, on the raw column).
+
+    Ref shape: TPC-H Q11 (aeon has no TPC-H; this is the
+    beyond-reference adapted-TPC-H surface, VERDICT r10 item 2)."""
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vals = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.col("l_quantity").cast("long")
+            ).alias("_v"),
+        )
+        .groupBy("p_partkey")
+        .agg(F.sum("_v").alias("value_cents"))
+        # part-grain (tiny vs lineitem) feeds BOTH the threshold scan
+        # and the scalar rollup: persist it so Catalyst's two subplan
+        # copies don't each rescan the fact table
+        .persist()
+    )
+    tot = vals.agg(
+        F.sum("value_cents").alias("_tot"),
+        F.count(F.lit(1)).alias("_np"),
+    )
+    return (
+        vals.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("_np") > 3 * F.col("_tot"))
+        .select("p_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), F.col("p_partkey").asc())
+    )
+
+
+def q270_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type,
+    size) over a filtered part subset, EXCLUDING a supplier blocklist
+    via anti-join (Q16's `NOT IN (SELECT ... FROM supplier WHERE
+    comment LIKE ...)`; the synthetic supplier has no comment, so the
+    blocklist is the negative-balance suppliers). Plan: the filtered
+    part dim and the 6-row blocklist both broadcast, so the only
+    shuffle is the final count-distinct aggregate — Catalyst expands
+    count(DISTINCT) into the two-phase partial-distinct aggregate, so
+    the supplier sets never centralize.
+
+    Ref shape: TPC-H Q16 (adapted-TPC-H surface, VERDICT r10 item 2)."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49)
+    )
+    excl = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4193,6 +4282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q266_mood_median": q266_mood_median,
         "q267_friedman": q267_friedman,
         "q268_link_prediction": q268_link_prediction,
+        "q269_important_stock": q269_important_stock,
+        "q270_supplier_part_counts": q270_supplier_part_counts,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -10566,6 +10657,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM scored
             ORDER BY aa_micro DESC, u ASC, v ASC
             LIMIT 50
+        """,
+        "q269_important_stock": """
+            -- TPC-H Q11 shape, decorrelated: per-part value among one
+            -- nation's suppliers, scalar rollup joined back, parts
+            -- above 3x the mean per-part value (scale-invariant
+            -- fraction), exact integer cents
+            WITH vals AS (
+              SELECT l_partkey AS p_partkey,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         * CAST(l_quantity AS BIGINT))::bigint AS value_cents
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'
+              GROUP BY 1),
+            t AS (SELECT sum(value_cents)::bigint AS tot,
+                         count(*)::bigint AS np FROM vals)
+            SELECT p_partkey, value_cents
+            FROM vals, t
+            WHERE value_cents * np > 3 * tot
+            ORDER BY value_cents DESC, p_partkey ASC
+        """,
+        "q270_supplier_part_counts": """
+            -- TPC-H Q16 shape: distinct supplier counts per filtered
+            -- (brand, type, size), negative-balance suppliers excluded
+            -- by anti-join
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey)::bigint AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (1, 9, 17, 25, 33, 41, 49)
+              AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC,
+                     p_size ASC
         """,
         "q87_zarr_decode": """
             -- literal ground-truth oracle (the q109/q110 pattern that
