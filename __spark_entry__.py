@@ -4229,6 +4229,33 @@ def q270_supplier_part_counts(spark, sf_dir):
     )
 
 
+def q271_ivf_pq_search(spark, sf_dir):
+    """Composed IVF-PQ ANN end-to-end as ONE plan (the production shape
+    for 100 TB search, VERDICT r10 item 3): coarse routing to nprobe=2
+    cells over the literal `_IVF_CENTROIDS`, PQ asymmetric-distance
+    shortlist (12 candidates) against the literal q109 codebooks, exact
+    cosine re-rank to top-3. Every stage that was previously gated
+    separately (q48/q113 routing, q109 codes) composes here and the
+    whole chain hash-verifies against a literal-codebook oracle."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = similarity.ivf_pq_search(
+        emb,
+        _IVF_CENTROIDS,
+        _pq_fixed_codebooks(),
+        k=3,
+        nprobe=2,
+        shortlist=12,
+    )
+    return _longs(
+        out.select(
+            "query_id", "neighbor_id", F.round(F.col("score"), 6).alias("score"), "rank"
+        ),
+        "rank",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4284,6 +4311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_link_prediction": q268_link_prediction,
         "q269_important_stock": q269_important_stock,
         "q270_supplier_part_counts": q270_supplier_part_counts,
+        "q271_ivf_pq_search": q271_ivf_pq_search,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -5235,6 +5263,95 @@ def _sql_ivf_multiprobe(nprobe: int = 2, k: int = 3) -> str:
     FROM ranked WHERE rank <= {k}"""
 
 
+def _sql_ivf_pq_search(nprobe: int = 2, k: int = 3, shortlist: int = 12) -> str:
+    """Oracle for q271: the COMPOSED IVF-PQ search — q113's probe
+    routing, q109's unrolled code argmin, ADC as left-associative
+    unrolled L2^2 folds picked by CASE on the corpus code, a
+    deterministic (adc, cid) shortlist cut, and the exact cosine
+    re-rank — all against the same literal centroids/codebooks."""
+    books = _pq_fixed_codebooks()
+    m = len(books)
+    d_sub = len(books[0][0])
+    dists = ",\n             ".join(
+        f"sqrt(list_sum(list_transform(generate_series(1, 8), i -> (v[i] - ({c}[i])) * (v[i] - ({c}[i]))))) AS d{j}"
+        for j, c in enumerate(_IVF_CENTROIDS)
+    )
+    cells = "\n      UNION ALL ".join(
+        f"SELECT vec_id, v, {j} AS cell, d{j} AS dist FROM d"
+        for j in range(len(_IVF_CENTROIDS))
+    )
+
+    def l2sq(ref: str, s: int, c: int) -> str:
+        lo = s * d_sub + 1
+        cw = books[s][c]
+        return "(0.0" + "".join(
+            f" + ({ref}[{lo + j}] - ({cw[j]})) * ({ref}[{lo + j}] - ({cw[j]}))"
+            for j in range(d_sub)
+        ) + ")"
+
+    # corpus code per subspace: first-wins argmin over sqrt'd folds
+    # (identical tie semantics to Spark's array_min struct ordering)
+    code_cols = []
+    for s in range(m):
+        ds = [f"sqrt({l2sq('v', s, c)})" for c in range(len(books[s]))]
+        d0, d1, d2, d3 = ds
+        code_cols.append(
+            f"(CASE WHEN {d0} <= {d1} AND {d0} <= {d2} AND {d0} <= {d3} THEN 0 "
+            f"WHEN {d1} <= {d2} AND {d1} <= {d3} THEN 1 "
+            f"WHEN {d2} <= {d3} THEN 2 ELSE 3 END)::int AS c{s}"
+        )
+    codes = ",\n             ".join(code_cols)
+    adc_terms = []
+    for s in range(m):
+        branches = " ".join(
+            f"WHEN {c} THEN {l2sq('a.v', s, c)}" for c in range(len(books[s]))
+        )
+        adc_terms.append(f"(CASE co.c{s} {branches} END)")
+    adc = " + ".join(adc_terms)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), d AS (
+      SELECT vec_id, v,
+             {dists}
+      FROM e
+    ), cl AS (
+      {cells}
+    ), pr AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) - 1 AS probe
+      FROM cl
+    ), codes AS (
+      SELECT vec_id,
+             {codes}
+      FROM e
+    ), cand AS (
+      SELECT a.vec_id AS qid, a.v, c.vec_id AS cid
+      FROM (SELECT * FROM pr WHERE probe < {nprobe}) a
+      JOIN (SELECT * FROM pr WHERE probe = 0) c
+        ON a.cell = c.cell AND a.vec_id <> c.vec_id
+    ), scored AS (
+      SELECT qid, cid, {adc} AS adc
+      FROM cand a JOIN codes co ON co.vec_id = a.cid
+    ), short AS (
+      SELECT qid, cid,
+             row_number() OVER (PARTITION BY qid ORDER BY adc, cid) AS r
+      FROM scored
+    ), ex AS (
+      SELECT s.qid AS query_id, s.cid AS neighbor_id,
+             list_dot_product(a.v, c.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))) AS score
+      FROM (SELECT * FROM short WHERE r <= {shortlist}) s
+      JOIN e a ON a.vec_id = s.qid
+      JOIN e c ON c.vec_id = s.cid
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM ex)
+    SELECT query_id, neighbor_id, round(score, 6) AS score, rank::bigint AS rank
+    FROM ranked WHERE rank <= {k}"""
+
+
 def _sql_semantic_dedup() -> str:
     """Oracle for q116: q72's bucketing + cosine pairs, closed into
     components with a recursive min-label walk, canonical = min id."""
@@ -5868,6 +5985,7 @@ def oracle_sql() -> dict[str, str]:
         "q110_pca_project_fixed": _sql_pca_project_fixed(),
         "q48_ivf_knn": _sql_ivf_knn(),
         "q113_ivf_multiprobe": _sql_ivf_multiprobe(nprobe=2, k=3),
+        "q271_ivf_pq_search": _sql_ivf_pq_search(nprobe=2, k=3, shortlist=12),
         "q30_dedup_exact": """
             SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*)::bigint AS n_docs
             FROM documents GROUP BY 1

@@ -981,3 +981,157 @@ def centroid_silhouette(
             "AS BIGINT)"
         ).alias("neg_ppm"),
     )
+
+
+def ivf_pq_search(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """The composed production ANN shape — IVF-PQ search end-to-end in
+    ONE plan (VERDICT r10 item 3): coarse probe routing → PQ
+    asymmetric-distance (ADC) shortlist → exact re-rank of the short
+    list. This is how a billion-scale index answers a query: the coarse
+    quantizer prunes to ``nprobe`` cells, the PQ codes rank candidates
+    WITHOUT touching raw vectors, and only ``shortlist`` (default 4k)
+    survivors pay the full-dimension exact score.
+
+    Layout at 100 TB: the corpus is stored partitioned by ``cell`` with
+    only (id, pq codes) hot — a query touches nprobe partitions, the
+    ADC stage reads m bytes/vector instead of 4·d, and the exact stage
+    fetches raw vectors for 4k rows per query. Locally the same plan
+    expresses as: one scan computing coarse distances + the per-vector
+    ADC lookup table (m·k_cw literal L2² folds, materialized ONCE per
+    vector before the explode — never per candidate pair), a cell
+    equi-join for candidates, ``element_at(lut, code+1)`` sums for ADC,
+    and two per-query rank windows.
+
+    Exactness contract: every distance is the shared left-to-right IEEE
+    fold (functions/vector.py), ADC sums subspace L2² terms
+    left-associatively, tie-breaks are (adc, id) / (score desc, id) —
+    all engine-reproducible, so the full composition hash-gates against
+    a literal-codebook DuckDB oracle (q271).
+
+    ``centroids`` quantize the LEADING ``len(centroids[0])`` dims (the
+    q48/q113 convention); ``codebooks[sub][code]`` quantize the full
+    vector in ``m`` contiguous subspaces (the q109 convention).
+    """
+    n_cells = len(centroids)
+    dim_coarse = len(centroids[0])
+    if not 1 <= nprobe <= n_cells:
+        raise ValueError(f"nprobe={nprobe} out of range 1..{n_cells}")
+    m = len(codebooks)
+    k_cw = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+    dim = m * d_sub
+    short_n = int(shortlist) if shortlist is not None else 4 * k
+
+    cv = F.slice(F.col(vec_col), 1, dim_coarse)
+    dist_cols = [
+        l2_distance(cv, F.array(*[F.lit(float(x)) for x in c]), dim_coarse).alias(f"_d{i}")
+        for i, c in enumerate(centroids)
+    ]
+
+    def _l2sq(sub: int, code: int) -> Column:
+        # left-to-right squared-L2 fold over the subspace — the same
+        # ((0.0+t1)+t2)… tree as vector._unrolled_sum, sqrt-free (ADC
+        # ranks on squared distance; monotone, and exact for the oracle)
+        acc = F.lit(0.0)
+        for j in range(d_sub):
+            e = F.element_at(F.col(vec_col), sub * d_sub + j + 1) - F.lit(
+                float(codebooks[sub][code][j])
+            )
+            acc = acc + e * e
+        return acc
+
+    lut_cols = [
+        F.array(*[_l2sq(s, c) for c in range(k_cw)]).alias(f"_lut{s}")
+        for s in range(m)
+    ]
+    # the coarse + LUT math is the CPU-heavy per-row stage: spread a
+    # single-file scan across the cluster before it (no-op at scale)
+    withd = spread(vectors).select(
+        F.col(id_col), F.col(vec_col), *dist_cols, *lut_cols
+    )
+    arr = F.array(
+        *[F.struct(F.col(f"_d{i}").alias("d"), F.lit(i).alias("c")) for i in range(n_cells)]
+    )
+    probes = F.slice(F.array_sort(arr), 1, nprobe)
+    # one persisted assignment feeds the query side (all probes), the
+    # corpus side (probe 0 = primary cell) and the corpus code pivot —
+    # the vector scan and the coarse/LUT math run exactly once
+    multi = withd.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[F.col(f"_lut{s}") for s in range(m)],
+        F.posexplode(probes).alias("probe", "_pc"),
+    ).select(
+        id_col,
+        vec_col,
+        *[f"_lut{s}" for s in range(m)],
+        F.col("probe").cast("int").alias("probe"),
+        F.col("_pc.c").cast("int").alias("cell"),
+    ).persist()
+
+    # corpus PQ codes from the SAME persisted frame (primary-cell rows
+    # hold the full vector), pivoted to one row per vector
+    primary = multi.filter(F.col("probe") == 0)
+    code_expr = []
+    for s in range(m):
+        sub_arr = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+        dists = F.array(
+            *[
+                F.struct(
+                    l2_distance(
+                        sub_arr,
+                        F.array(*[F.lit(float(x)) for x in codebooks[s][c]]),
+                        d_sub,
+                    ).alias("d"),
+                    F.lit(c).alias("c"),
+                )
+                for c in range(k_cw)
+            ]
+        )
+        code_expr.append(F.array_min(dists)["c"].cast("int").alias(f"_c{s}"))
+    corpus = primary.select(
+        F.col(id_col).alias("_cid"), F.col("cell"), *code_expr
+    )
+
+    q = multi.select(
+        F.col(id_col).alias("_qid"),
+        F.col("cell"),
+        *[F.col(f"_lut{s}") for s in range(m)],
+    )
+    adc = F.lit(0.0)
+    for s in range(m):
+        adc = adc + F.element_at(F.col(f"_lut{s}"), F.col(f"_c{s}") + 1)
+    pairs = (
+        q.join(corpus, "cell")
+        .filter(F.col("_qid") != F.col("_cid"))
+        .select("_qid", "_cid", adc.alias("_adc"))
+    )
+    ws = W.partitionBy("_qid").orderBy(F.col("_adc").asc(), F.col("_cid").asc())
+    short = (
+        pairs.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= short_n)
+        .select("_qid", "_cid")
+    )
+
+    raw = vectors.select(F.col(id_col), F.col(vec_col))
+    qa = raw.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+    ca = raw.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv2"))
+    exact = short.join(qa, "_qid").join(ca, "_cid").select(
+        F.col("_qid").alias("query_id"),
+        F.col("_cid").alias("neighbor_id"),
+        cosine(F.col("_qv"), F.col("_cv2"), dim if dim <= 32 else None).alias("score"),
+    )
+    wk = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    out = exact.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
+    return track_cached(out, multi)

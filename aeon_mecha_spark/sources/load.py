@@ -43,37 +43,96 @@ def parse_chunk_ts(path: str) -> datetime | None:
     return datetime.strptime(m.group(1), "%Y-%m-%dT%H-%M-%S")
 
 
+def _dedup_and_prune(
+    found: list[tuple[int, str, str]],
+    start: datetime | None,
+    end: datetime | None,
+) -> list[tuple[str, datetime]]:
+    """Shared tail of both discovery paths: cross-root dedup (key =
+    root-relative path, LOWEST root index wins — the priority-root
+    load_order of acquisition.py:174-185), window pruning, and a
+    deterministic (ts, rel) output order. ``found`` rows are
+    (root_idx, rel_path, abs_path)."""
+    best: dict[str, tuple[int, str]] = {}
+    for idx, rel, p in found:
+        cur = best.get(rel)
+        if cur is None or idx < cur[0]:
+            best[rel] = (idx, p)
+    out = []
+    for rel, (_idx, p) in best.items():
+        ts = parse_chunk_ts(p)
+        if ts is None:
+            continue
+        if start is not None and ts + timedelta(hours=1) <= start:
+            continue
+        if end is not None and ts >= end:
+            continue
+        out.append((p, ts, rel))
+    out.sort(key=lambda x: (x[1], x[2]))
+    return [(p, ts) for p, ts, _rel in out]
+
+
 def discover_chunk_files(
     roots: str | list[str],
     reader: Reader,
     start: datetime | None = None,
     end: datetime | None = None,
+    spark: SparkSession | None = None,
+    distributed_threshold: int = 64,
 ) -> list[tuple[str, datetime]]:
     """S1 chunk-file discovery with priority-ordered roots and window
-    pruning. A chunk file covers [chunk_ts, chunk_ts + 1 h)."""
+    pruning. A chunk file covers [chunk_ts, chunk_ts + 1 h).
+
+    The recursive walk is the part that breaks at scale: a raw-data
+    tree holds one epoch directory per session and ~10⁷ chunk files,
+    and a driver-side glob serializes every readdir onto one core
+    (SCALE.md "known local-vs-cluster deltas", retired round 11). When
+    ``spark`` is provided and the tree has more than
+    ``distributed_threshold`` first-level directories, the walk runs as
+    a Spark job instead — one task per epoch directory, exactly the
+    parallel listing Spark's own InMemoryFileIndex performs past its
+    parallelPartitionDiscovery threshold. The returned LIST is still
+    driver-held either way (it feeds ``spark.read``, which takes paths;
+    Spark's file index holds the same O(#files) statuses), so the
+    driver cost is one string per file, not one filesystem call per
+    directory. Output is identical between the two paths (test-pinned):
+    dedup/prune/order live in the shared ``_dedup_and_prune``.
+    """
     if isinstance(roots, str):
         roots = [roots]
-    # cross-root dedup key = root-relative path: the same chunk mirrored
-    # in two roots is one chunk (earlier root wins), but same-named files
-    # under different epoch dirs within a root are distinct chunks
-    seen: dict[str, tuple[str, datetime]] = {}
-    for root in roots:
-        pat = os.path.join(root, "**", f"*{reader.pattern}*.{reader.extension}")
-        for p in sorted(globmod.glob(pat, recursive=True)):
-            ts = parse_chunk_ts(p)
-            if ts is None:
-                continue
-            rel = os.path.relpath(p, root)
-            if rel not in seen:
-                seen[rel] = (p, ts)
-    out = []
-    for p, ts in seen.values():
-        if start is not None and ts + timedelta(hours=1) <= start:
+    pattern = f"*{reader.pattern}*.{reader.extension}"
+
+    # task list: (root_idx, dir, recursive) — files directly under the
+    # root plus one recursive task per first-level directory
+    tasks: list[tuple[int, str, bool]] = []
+    for i, root in enumerate(roots):
+        tasks.append((i, root, False))
+        try:
+            names = sorted(os.listdir(root))
+        except OSError:
             continue
-        if end is not None and ts >= end:
-            continue
-        out.append((p, ts))
-    return sorted(out, key=lambda x: x[1])
+        for name in names:
+            p = os.path.join(root, name)
+            if os.path.isdir(p):
+                tasks.append((i, p, True))
+
+    def _walk(task: tuple[int, str, bool]) -> list[tuple[int, str, str]]:
+        idx, d, rec = task
+        root = roots[idx]
+        if rec:
+            paths = globmod.glob(os.path.join(d, "**", pattern), recursive=True)
+        else:
+            paths = globmod.glob(os.path.join(d, pattern))
+        return [(idx, os.path.relpath(p, root), p) for p in paths]
+
+    if spark is not None and len(tasks) > distributed_threshold:
+        sc = spark.sparkContext
+        found = (
+            sc.parallelize(tasks, len(tasks)).flatMap(_walk).collect()
+        )
+    else:
+        found = [hit for task in tasks for hit in _walk(task)]
+    return _dedup_and_prune(found, start, end)
 
 
 def load(
@@ -85,7 +144,7 @@ def load(
 ) -> DataFrame:
     """``load(root, reader, start, end)`` → DataFrame sorted by time /
     sample order, exact-trimmed to [start, end)."""
-    files = discover_chunk_files(roots, reader, start, end)
+    files = discover_chunk_files(roots, reader, start, end, spark=spark)
     if not files:
         empty_schema = reader.spark_schema
         if reader.kind != "harp_csv":

@@ -97,3 +97,112 @@ def test_heaps_and_vocab_coverage_zero_token_corpus_matches_oracle(spark):
     sqls = entry.oracle_sql()
     for q in ("q263_heaps_curve", "q264_vocab_coverage"):
         assert len(con.execute(sqls[q]).fetchall()) == 0, q
+
+
+def _toy_vectors(spark, n=40, dim=8, parts=1):
+    # deterministic integer-derived embeddings, two obvious clusters
+    rows = []
+    for i in range(n):
+        base = 1.0 if i % 2 == 0 else -1.0
+        vec = [base * ((i * 7 + j * 3) % 5 + 1) / 5.0 for j in range(dim)]
+        rows.append(Row(vec_id=i, embedding=vec))
+    return spark.createDataFrame(rows).repartition(parts)
+
+
+_TOY_CENTROIDS = [[1.0] * 4, [-1.0] * 4]
+_TOY_BOOKS = [
+    [[0.2, 0.4], [-0.2, -0.4], [0.8, 0.6], [-0.8, -0.6]],
+    [[0.1, 0.3], [-0.1, -0.3], [0.7, 0.9], [-0.7, -0.9]],
+    [[0.5, 0.5], [-0.5, -0.5], [1.0, 0.2], [-1.0, -0.2]],
+    [[0.3, 0.7], [-0.3, -0.7], [0.9, 0.1], [-0.9, -0.1]],
+]
+
+
+def test_ivf_pq_search_composes_and_is_partition_invariant(spark):
+    from aeon_mecha_spark.datapipe import similarity
+
+    vecs = _toy_vectors(spark)
+    out = similarity.ivf_pq_search(
+        vecs, _TOY_CENTROIDS, _TOY_BOOKS, k=3, nprobe=2, shortlist=8
+    )
+    rows = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.score, 9))
+        for r in out.collect()
+    )
+    # every query gets exactly k ranked neighbors (nprobe=2 covers both cells)
+    assert len(rows) == 40 * 3
+    per_q = {}
+    for qid, rank, nid, score in rows:
+        per_q.setdefault(qid, []).append((rank, score))
+    for qid, rs in per_q.items():
+        assert [r for r, _ in rs] == [1, 2, 3]
+        scores = [s for _, s in rs]
+        assert scores == sorted(scores, reverse=True)
+    # identical result from a different physical partitioning
+    rows7 = sorted(
+        (r.query_id, r.rank, r.neighbor_id, round(r.score, 9))
+        for r in similarity.ivf_pq_search(
+            _toy_vectors(spark, parts=7), _TOY_CENTROIDS, _TOY_BOOKS,
+            k=3, nprobe=2, shortlist=8,
+        ).collect()
+    )
+    assert rows == rows7
+
+
+def test_ivf_pq_search_recall_vs_brute_force(spark):
+    from aeon_mecha_spark.datapipe import similarity
+
+    vecs = _toy_vectors(spark)
+    approx = similarity.ivf_pq_search(
+        vecs, _TOY_CENTROIDS, _TOY_BOOKS, k=3, nprobe=2, shortlist=20
+    )
+    exact = similarity.brute_force_knn(vecs, vecs, k=3)
+    rec = similarity.knn_recall(approx, exact).agg(
+        {"recall": "avg"}
+    ).collect()[0][0]
+    # nprobe=2 covers both cells and shortlist 20 of 39 possible
+    # candidates: the composed path must recover most true neighbors
+    assert rec >= 0.8, rec
+
+
+def test_ivf_pq_search_validates_nprobe(spark):
+    from aeon_mecha_spark.datapipe import similarity
+
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_pq_search(
+            _toy_vectors(spark), _TOY_CENTROIDS, _TOY_BOOKS, nprobe=3
+        )
+
+
+def test_distributed_listing_matches_driver_listing(spark, tmp_path):
+    # VERDICT r10 item 4: the Spark-job walk must return exactly the
+    # driver glob's output — priority-root dedup, pruning, order.
+    import datetime as dt
+
+    from aeon_mecha_spark.sources import load as L
+    from aeon_mecha_spark.sources.readers import REGISTRY
+
+    rdr = REGISTRY["encoder"]
+    roots = []
+    for r in ("rootA", "rootB"):
+        root = tmp_path / r
+        for epoch in range(5):
+            dev = root / f"2024-01-0{epoch + 1}T00-00-00" / "Patch1"
+            dev.mkdir(parents=True)
+            for h in range(3):
+                (dev / f"Patch1_Encoder_2024-01-0{epoch + 1}T{h:02d}-00-00.csv").write_text(
+                    "aeon_time,angle,intensity\n"
+                )
+        roots.append(str(root))
+    # rootB mirrors rootA entirely -> rootA must win every chunk
+    driver = L.discover_chunk_files(roots, rdr)
+    dist = L.discover_chunk_files(roots, rdr, spark=spark, distributed_threshold=0)
+    assert dist == driver
+    assert len(dist) == 15 and all(p.startswith(roots[0]) for p, _ in dist)
+    # window pruning agrees too
+    s, e = dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 4)
+    assert (
+        L.discover_chunk_files(roots, rdr, start=s, end=e, spark=spark,
+                               distributed_threshold=0)
+        == L.discover_chunk_files(roots, rdr, start=s, end=e)
+    )
