@@ -78,6 +78,32 @@ def _stream_feed(sf_dir: str, table: str, prefix: str) -> str:
     src = os.path.abspath(os.path.join(sf_dir, f"{table}.parquet"))
     if not os.path.exists(src):
         raise FileNotFoundError(src)
+    split = int(os.environ.get("SPARK_GRAFT_STREAM_SPLIT", "0") or 0)
+    if split > 1:
+        # determinism-sweep mode (tools/check_streaming_determinism.py):
+        # materialize the table as `split` event-time-ordered slices so
+        # maxFilesPerTrigger=1 replays it as `split` in-order
+        # micro-batches — the batch==stream claims must hold under ANY
+        # in-order split, not just the one-file single batch. Event-time
+        # order keeps watermarks from (legitimately) dropping rows; an
+        # out-of-order split testing late-data DROPS is a different,
+        # intentional behavior.
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(src)
+        keys = [(c, "ascending") for c in ("ts", "event_id") if c in tbl.column_names]
+        if keys:
+            tbl = tbl.take(pc.sort_indices(tbl, sort_keys=keys))
+        n = tbl.num_rows
+        step = (n + split - 1) // split
+        for i in range(split):
+            part = tbl.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(
+                    part, os.path.join(feed_dir, f"part{i:05d}.parquet")
+                )
+        return feed_dir
     if os.path.isdir(src):
         n = 0
         for f in sorted(os.listdir(src)):
@@ -103,7 +129,12 @@ def _stream_events(spark: SparkSession, feed_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     actual = spark.read.parquet(feed_dir).schema
-    src = spark.readStream.schema(actual).parquet(feed_dir)
+    reader = spark.readStream.schema(actual)
+    if int(os.environ.get("SPARK_GRAFT_STREAM_SPLIT", "0") or 0) > 1:
+        # one file per micro-batch in determinism-sweep mode; file order
+        # = path order (part00000…), so the replay is in event-time order
+        reader = reader.option("maxFilesPerTrigger", 1)
+    src = reader.parquet(feed_dir)
     if {f.name: f.dataType.simpleString() for f in actual}.get("ts") == "bigint":
         src = src.withColumn(
             "ts",
