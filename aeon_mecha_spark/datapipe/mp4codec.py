@@ -16,12 +16,23 @@ Samples inside a chunk are laid consecutively from the chunk offset, so
 (stsc, stco, stsz) fully determine every frame's byte range — all
 ``struct`` arithmetic, no codec work.
 
+Fragmented MP4 (the streamed-camera layout: empty moov sample tables +
+``moof``/``mdat`` fragment pairs) demuxes too (round 11): each moof's
+``traf`` carries ``tfhd`` (track id, defaults, base-offset rules) and
+``trun`` boxes (sample count, data offset, per-sample sizes), and
+samples lay consecutively from the trun's base+offset — the same
+struct arithmetic as the moov tables:
+
+    moof > mfhd
+           traf > tfhd   (track_ID, default size, base-data-offset)
+                  trun   (count, data_offset, sizes)
+
 Scope (the vendored-codec honesty contract): video tracks whose stsd
 entry is ``jpeg``/``mjpa``/``mjpb`` (Motion-JPEG in MP4/MOV) extract;
 any other fourcc (avc1/hev1/vp09/av01 …) raises ``NotImplementedError``
-NAMING it — never silent wrong bytes. Fragmented MP4 (moof) is out of
-scope and raises. The writer emits a spec-correct single-track
-fixed-rate Motion-JPEG MP4 for round-trip tests.
+NAMING it — never silent wrong bytes. The writers emit spec-correct
+single-track fixed-rate Motion-JPEG MP4s (flat and fragmented) for
+round-trip tests.
 """
 
 from __future__ import annotations
@@ -70,13 +81,91 @@ def _full(buf: bytes, ps: int) -> int:
     return ps + 4
 
 
+def _video_track_id(payload: bytes, trak_ps: int, trak_pe: int) -> int | None:
+    """track_ID from a trak's tkhd (version-0 layout: after
+    version/flags, creation+modification times precede it)."""
+    tkhd = _find(payload, trak_ps, trak_pe, b"tkhd")
+    if tkhd is None:
+        return None
+    v = payload[tkhd[0]]
+    return struct.unpack_from(">I", payload, tkhd[0] + 4 + (16 if v else 8))[0]
+
+
+def _fragment_truns(payload: bytes, track_id: int):
+    """Yield (base_pos, data_offset, sizes) for every trun of the given
+    track across all moof fragments. tfhd rules honored:
+    base-data-offset-present (0x01) wins; else default-base-is-moof
+    (0x20000) or the first-traf default anchors at the moof box start."""
+    for btype, ps, pe in _boxes(payload, 0, len(payload)):
+        if btype != b"moof":
+            continue
+        moof_start = ps - 8
+        for t, tps, tpe in _boxes(payload, ps, pe):
+            if t != b"traf":
+                continue
+            tfhd = _find(payload, tps, tpe, b"tfhd")
+            if tfhd is None:
+                continue
+            flags = struct.unpack_from(">I", payload, tfhd[0])[0] & 0xFFFFFF
+            p = tfhd[0] + 4
+            (tid,) = struct.unpack_from(">I", payload, p)
+            p += 4
+            base = None
+            if flags & 0x01:
+                (base,) = struct.unpack_from(">Q", payload, p)
+                p += 8
+            if flags & 0x02:
+                p += 4
+            if flags & 0x08:
+                p += 4
+            default_size = None
+            if flags & 0x10:
+                (default_size,) = struct.unpack_from(">I", payload, p)
+                p += 4
+            if base is None:
+                base = moof_start  # default-base-is-moof / first-traf default
+            if tid != track_id:
+                continue
+            for bt, qs, qe in _boxes(payload, tps, tpe):
+                if bt != b"trun":
+                    continue
+                tf = struct.unpack_from(">I", payload, qs)[0] & 0xFFFFFF
+                q = qs + 4
+                (n,) = struct.unpack_from(">I", payload, q)
+                q += 4
+                data_off = 0
+                if tf & 0x01:
+                    (data_off,) = struct.unpack_from(">i", payload, q)
+                    q += 4
+                if tf & 0x04:
+                    q += 4
+                sizes = []
+                for _ in range(n):
+                    if tf & 0x100:
+                        q += 4
+                    if tf & 0x200:
+                        (sz,) = struct.unpack_from(">I", payload, q)
+                        q += 4
+                    elif default_size is not None:
+                        sz = default_size
+                    else:
+                        raise ValueError(
+                            "trun without sample sizes and no tfhd/trex default"
+                        )
+                    if tf & 0x400:
+                        q += 4
+                    if tf & 0x800:
+                        q += 4
+                    sizes.append(sz)
+                yield base, data_off, sizes
+
+
 def probe_mp4(payload: bytes) -> dict:
     """Return ``{codec, width, height, n_samples, timescale}`` for the
-    first video (``hdlr`` = 'vide') track."""
+    first video (``hdlr`` = 'vide') track. For fragmented MP4s,
+    ``n_samples`` counts the trun samples across all moof fragments."""
     if not is_mp4(payload):
         raise ValueError("not an ISO-BMFF payload (no ftyp)")
-    if _find(payload, 0, len(payload), b"moof") is not None:
-        raise NotImplementedError("fragmented MP4 (moof) unsupported")
     moov = _find(payload, 0, len(payload), b"moov")
     if moov is None:
         raise ValueError("MP4 without a moov box")
@@ -111,6 +200,12 @@ def probe_mp4(payload: bytes) -> dict:
         n_samples = None
         if stsz is not None:
             n_samples = struct.unpack_from(">I", payload, _full(payload, stsz[0]) + 4)[0]
+        if not n_samples and _find(payload, 0, len(payload), b"moof") is not None:
+            tid = _video_track_id(payload, ps, pe)
+            if tid is not None:
+                n_samples = sum(
+                    len(sizes) for _b, _o, sizes in _fragment_truns(payload, tid)
+                )
         return {
             "codec": codec, "width": width, "height": height,
             "n_samples": n_samples, "timescale": timescale,
@@ -119,8 +214,10 @@ def probe_mp4(payload: bytes) -> dict:
 
 
 def split_mp4_frames(payload: bytes, max_frames: int | None = None) -> list[bytes]:
-    """Extract the video samples (frames) of the first 'vide' track via
-    the stsc/stco/stsz sample tables. JPEG-codec tracks only."""
+    """Extract the video samples (frames) of the first 'vide' track —
+    via the stsc/stco/stsz sample tables for flat MP4s, via the
+    moof/traf/trun fragment tables for fragmented ones. JPEG-codec
+    tracks only."""
     info = probe_mp4(payload)
     codec = (info["codec"] or "").encode()
     if codec not in _JPEG_FOURCCS:
@@ -144,6 +241,18 @@ def split_mp4_frames(payload: bytes, max_frames: int | None = None) -> list[byte
         zs, ze = _find(payload, *stbl, b"stsz")
         p = _full(payload, zs)
         fixed, count = struct.unpack_from(">II", payload, p)
+        if count == 0 and _find(payload, 0, len(payload), b"moof") is not None:
+            # fragmented layout: samples live in moof/traf/trun tables
+            tid = _video_track_id(payload, ps, pe)
+            frames: list[bytes] = []
+            for base, data_off, sizes in _fragment_truns(payload, tid):
+                pos = base + data_off
+                for sz in sizes:
+                    frames.append(payload[pos : pos + sz])
+                    pos += sz
+                    if max_frames and len(frames) >= max_frames:
+                        return frames
+            return frames
         sizes = (
             [fixed] * count
             if fixed
@@ -264,3 +373,102 @@ def build_mp4_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10)
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def build_fmp4_mjpeg(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    frames_per_fragment: int = 2,
+) -> bytes:
+    """Assemble a spec-correct FRAGMENTED single-track Motion-JPEG MP4:
+    ftyp + moov (empty sample tables + mvex/trex defaults) followed by
+    one (moof + mdat) pair per ``frames_per_fragment`` samples — the
+    streamed-camera layout. Each trun carries per-sample sizes and a
+    data_offset anchored at the moof start (default-base-is-moof),
+    pointing into its own mdat payload."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    n = len(frames)
+    timescale, delta = fps, 1
+    duration = n * delta
+
+    mvhd = _fullbox(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _fullbox(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+        flags=7,
+    )
+    mdhd = _fullbox(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0)
+    )
+    hdlr = _fullbox(
+        b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
+    )
+    vmhd = _fullbox(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dinf = _box(
+        b"dinf", _fullbox(b"dref", struct.pack(">I", 1) + _fullbox(b"url ", b"", flags=1))
+    )
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _fullbox(b"stsd", struct.pack(">I", 1) + sample_entry)
+    # empty sample tables: all samples come from fragments
+    stts = _fullbox(b"stts", struct.pack(">I", 0))
+    stsc = _fullbox(b"stsc", struct.pack(">I", 0))
+    stsz = _fullbox(b"stsz", struct.pack(">II", 0, 0))
+    stco = _fullbox(b"stco", struct.pack(">I", 0))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    # mvex/trex: fragment defaults (sizes come per-trun here)
+    trex = _fullbox(b"trex", struct.pack(">IIIII", 1, 1, delta, 0, 0))
+    mvex = _box(b"mvex", trex)
+    moov = _box(b"moov", mvhd + trak + mvex)
+
+    out = bytearray(ftyp + moov)
+    seq = 1
+    for start in range(0, n, frames_per_fragment):
+        chunk = frames[start : start + frames_per_fragment]
+        mfhd = _fullbox(b"mfhd", struct.pack(">I", seq))
+        # tfhd: default-base-is-moof (0x20000); trun: data-offset (0x01)
+        # + sample-size-present (0x200)
+        tfhd = _fullbox(b"tfhd", struct.pack(">I", 1), flags=0x20000)
+        tfdt = _fullbox(b"tfdt", struct.pack(">I", start * delta))
+        trun_payload = struct.pack(">I", len(chunk))
+        # data_offset patched below once the moof size is known
+        trun_payload += struct.pack(">i", 0)
+        trun_payload += b"".join(struct.pack(">I", len(f)) for f in chunk)
+        trun = _fullbox(b"trun", trun_payload, flags=0x201)
+        traf = _box(b"traf", tfhd + tfdt + trun)
+        moof = bytearray(_box(b"moof", mfhd + traf))
+        # samples start right after this moof + the mdat header
+        data_offset = len(moof) + 8
+        off_pos = len(moof) - len(chunk) * 4 - 4
+        moof[off_pos : off_pos + 4] = struct.pack(">i", data_offset)
+        mdat = _box(b"mdat", b"".join(chunk))
+        out += bytes(moof) + mdat
+        seq += 1
+    return bytes(out)

@@ -206,3 +206,62 @@ def test_distributed_listing_matches_driver_listing(spark, tmp_path):
                                distributed_threshold=0)
         == L.discover_chunk_files(roots, rdr, start=s, end=e)
     )
+
+
+def _mjpeg_frames_16x8(n=5):
+    from aeon_mecha_spark.datapipe.jpegcodec import encode_jpeg
+
+    rng = np.random.default_rng(11)
+    return [
+        encode_jpeg(rng.integers(0, 255, (8, 16, 3)).astype(np.uint8), quality=90)
+        for _ in range(n)
+    ]
+
+
+def test_fmp4_roundtrip_probe_and_split():
+    # VERDICT r10 item 6: fragmented MP4 (streamed-camera layout)
+    # demuxes via moof/traf/trun — byte-exact sample recovery
+    from aeon_mecha_spark.datapipe import mp4codec
+
+    frames = _mjpeg_frames_16x8(5)
+    f = mp4codec.build_fmp4_mjpeg(frames, 16, 8, fps=4, frames_per_fragment=2)
+    assert mp4codec.is_mp4(f)
+    info = mp4codec.probe_mp4(f)
+    assert info["codec"] == "jpeg"
+    assert (info["width"], info["height"]) == (16, 8)
+    assert info["n_samples"] == 5 and info["timescale"] == 4
+    assert mp4codec.split_mp4_frames(f) == frames
+    assert mp4codec.split_mp4_frames(f, max_frames=3) == frames[:3]
+
+
+def test_fmp4_non_jpeg_still_raises_by_name():
+    from aeon_mecha_spark.datapipe import mp4codec
+
+    frames = _mjpeg_frames_16x8(2)
+    f = bytearray(mp4codec.build_fmp4_mjpeg(frames, 16, 8))
+    i = bytes(f).find(b"jpeg", bytes(f).find(b"stsd"))
+    f[i : i + 4] = b"avc1"
+    with pytest.raises(NotImplementedError, match="avc1"):
+        mp4codec.split_mp4_frames(bytes(f))
+
+
+def test_fmp4_decodes_through_multimodal(spark):
+    from aeon_mecha_spark.datapipe import mp4codec, multimodal
+
+    frames = _mjpeg_frames_16x8(3)
+    f = mp4codec.build_fmp4_mjpeg(frames, 16, 8, frames_per_fragment=1)
+    media = spark.createDataFrame(
+        [
+            Row(
+                media_id=9,
+                modality="video",
+                width=16,
+                height=8,
+                duration_ms=750,
+                payload=bytearray(f),
+            )
+        ],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.decode_video_frames(media).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in out] == [0, 1, 2]
