@@ -44,6 +44,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Round-10 rotation (q248-q250 joined): q238 PR curve -> q209 (identical
 # prefix-sum machinery); q239 lorenz -> q209 (same ascending family);
 # q214 calibration -> q250 (same bucket pipeline, superset terms).
+# Round-11 rotation: q48 IVF -> q271 (the composed IVF-PQ search
+# CONTAINS q48's routing stage plus ADC + re-rank); q237 Q20
+# threshold -> q269 Q11 (same scalar-threshold family; q269 adds
+# the persisted self-rollup broadcast). q270 Q16 stays gate-only
+# (count-distinct family already represented by q199/q245).
 # Round-10 wave-2 (q251-q259 joined): q244 Q7 snowflake -> q251 Q5
 # (same 6-table dim-broadcast shape + the compound join condition);
 # q208 MWU -> q255 kendall (q248 cliffs keeps the grain-prefix rank
@@ -62,7 +67,7 @@ HEADLINE = [
     "q22_sync_regression",   # closed-form OLS moments
     "q35_lsh_jaccard",       # LSH band self-join + verify
     "q46_bucketed_range_join",  # big-big range join (no broadcast)
-    "q48_ivf_knn",           # IVF-bucketed ANN
+    "q271_ivf_pq_search",    # composed IVF-PQ ANN (route+ADC+re-rank)
     "q72_near_dup_lsh",      # LSH-bucketed near-dup (scale-safe default)
     "q73_decontaminate",     # broadcast benchmark-shingle overlap
     "q90_token_budget",      # distributed two-level prefix sum
@@ -173,7 +178,7 @@ HEADLINE = [
     "q234_shipping_lag_classes",  # Q12: conditional pivot
     "q235_promo_share",      # Q14: conditional share, exact ppm
     "q236_bracket_revenue",  # Q19: OR-of-ANDs predicate pushdown
-    "q237_heavy_suppliers",  # Q20: agg threshold semi-join-back
+    "q269_important_stock",  # Q11: decorrelated scalar threshold
     "q240_nelson_aalen",     # cumulative hazard, ppm floors
     "q241_logrank",          # two-sample survival O/E/V sums
     "q242_cramers_v",        # chi2 effect size, exact isqrt

@@ -80,15 +80,23 @@ def build_scaled(
     organic: bool = False,
     base_dir: str | None = None,
     out_root: str | None = None,
+    tables: list[str] | None = None,
 ) -> str:
     """Replicate ``base_dir`` (default $SPARK_GRAFT_SF_DIR) N× into
     ``out_root`` (default the /tmp scratch). Parameterized (round 10)
     so the pinned organic-linearity regression test can build a tiny
-    sf0.001 corpus in pytest's tmp dir instead of the shared scratch."""
+    sf0.001 corpus in pytest's tmp dir instead of the shared scratch.
+    ``tables`` restricts which fact tables replicate (round 11: the 64×
+    capstone only needs documents; dims still copy)."""
     from pyspark.sql import functions as F
 
     base = base_dir or BASE
     scratch = out_root or SCRATCH
+    offsets = (
+        {t: k for t, k in OFFSETS.items() if t in tables}
+        if tables is not None
+        else OFFSETS
+    )
 
     # events stores TIMESTAMP(NANOS): read/write it as a ns bigint so the
     # replica keeps the exact on-disk semantics the queries expect.
@@ -104,7 +112,7 @@ def build_scaled(
     os.makedirs(out_dir)
     for t in COPY:
         shutil.copy(os.path.join(base, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet"))
-    for t, keys in OFFSETS.items():
+    for t, keys in offsets.items():
         src = os.path.join(base, f"{t}.parquet")
         df = spark.read.parquet(src)
         span = {k: df.agg(F.max(k)).collect()[0][0] + 1 for k in keys}
