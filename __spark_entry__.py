@@ -4287,6 +4287,21 @@ def q271_ivf_pq_search(spark, sf_dir):
     )
 
 
+def q272_mixture_weights(spark, sf_dir):
+    """Domain mixture solve (the DoReMi/Pile-style rebalancing step):
+    per-language sampling/repetition weights that move the corpus's
+    actual token shares to a fixed target mix — exact integer ppm
+    arithmetic end to end (one domain-grain aggregate + a 1-row total
+    broadcast), capped at 16x repetition. Composes with mixture_sample
+    (weights < 1e6 are its Bernoulli fractions)."""
+    return curation.mixture_weights(
+        _t(spark, sf_dir, "documents"),
+        "lang",
+        {"en": 400_000, "zh": 200_000, "es": 200_000, "de": 150_000,
+         "fr": 50_000},
+    ).orderBy("domain")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4343,6 +4358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q269_important_stock": q269_important_stock,
         "q270_supplier_part_counts": q270_supplier_part_counts,
         "q271_ivf_pq_search": q271_ivf_pq_search,
+        "q272_mixture_weights": q272_mixture_weights,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -10806,6 +10822,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM scored
             ORDER BY aa_micro DESC, u ASC, v ASC
             LIMIT 50
+        """,
+        "q272_mixture_weights": """
+            -- mixture solve: whitespace token counts at the domain
+            -- grain, exact ppm shares, product-guarded capped weight
+            WITH d AS (
+              SELECT lang AS domain,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS t
+              FROM documents),
+            per AS (
+              SELECT domain, count(*)::bigint AS n_docs,
+                     sum(t)::bigint AS tokens
+              FROM d GROUP BY 1),
+            tot AS (SELECT sum(tokens)::bigint AS total FROM per),
+            tgt AS (
+              SELECT domain, n_docs, tokens, total,
+                     CASE WHEN total > 0
+                          THEN (tokens::hugeint * 1000000) // total END
+                       AS actual_ppm,
+                     CASE domain WHEN 'en' THEN 400000 WHEN 'zh' THEN 200000
+                          WHEN 'es' THEN 200000 WHEN 'de' THEN 150000
+                          WHEN 'fr' THEN 50000 ELSE 0 END AS target_ppm
+              FROM per, tot),
+            w AS (
+              SELECT *,
+                     CASE WHEN tokens > 0 THEN
+                       CASE WHEN target_ppm::hugeint * total >
+                                 16000000::hugeint * tokens
+                            THEN 16000000
+                            ELSE (target_ppm::hugeint * total) // tokens END
+                     END AS weight_ppm
+              FROM tgt)
+            SELECT domain, n_docs, tokens,
+                   CAST(actual_ppm AS BIGINT) AS actual_ppm,
+                   target_ppm::bigint AS target_ppm,
+                   CAST(weight_ppm AS BIGINT) AS weight_ppm,
+                   CAST(CASE WHEN weight_ppm IS NOT NULL THEN
+                     (tokens::hugeint * weight_ppm) // 1000000 END
+                     AS BIGINT) AS expected_tokens
+            FROM w ORDER BY domain
         """,
         "q269_important_stock": """
             -- TPC-H Q11 shape, decorrelated: per-part value among one

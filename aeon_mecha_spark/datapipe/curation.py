@@ -835,6 +835,96 @@ def temperature_sample(
     )
 
 
+def mixture_weights(
+    docs: DataFrame,
+    domain_col: str,
+    target_shares_ppm: dict[str, int],
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    cap_ppm: int = 16_000_000,
+) -> DataFrame:
+    """SOLVE the training-data mixture: the per-domain sampling /
+    repetition weight that moves the corpus's ACTUAL token distribution
+    to a TARGET share — the step every curated mix performs before
+    sampling (The-Pile-style hand weights, DoReMi's learned shares,
+    multilingual rebalancing all land here). Composes directly with
+    :func:`mixture_sample`: a ``weight_ppm`` < 10⁶ is that domain's
+    Bernoulli keep-fraction; > 10⁶ means repetition (``weight div 10⁶``
+    full epochs + a fractional Bernoulli epoch), capped at ``cap_ppm``
+    (default 16× — the data-constrained-scaling guard against repeating
+    a tiny domain into memorization).
+
+    Exactness: with T = Σ tokens and the target in ppm,
+    ``weight_ppm_d = (target_ppm_d · T) div tokens_d`` — one exact
+    integer division per domain; ``actual_ppm_d = tokens_d·10⁶ div T``.
+    Domains absent from ``target_shares_ppm`` get target 0 (dropped);
+    a target domain with ZERO actual tokens gets a NULL weight (no
+    finite repetition reaches a positive share from nothing) — surfaced
+    rather than silently renormalized.
+
+    Plan: one map pass for token counts (skipped when ``tokens_col`` is
+    given), one domain-grain hash aggregate, a 1-row total broadcast
+    back onto the domain grain. Output (one row per observed domain):
+    ``(domain, n_docs, tokens, actual_ppm, target_ppm, weight_ppm,
+    expected_tokens)`` — ``expected_tokens = tokens·weight div 10⁶`` is
+    the audit column: its sum over target domains approximates T at the
+    target mix.
+    """
+    tok = (
+        F.col(tokens_col).cast("long")
+        if tokens_col
+        else token_count(F.col(text_col)).cast("long")
+    )
+    per = (
+        spread(docs)
+        .select(F.col(domain_col).alias("domain"), tok.alias("_t"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("tokens"),
+        )
+    )
+    total = per.agg(F.sum("tokens").cast("long").alias("_total"))
+    target: Column = F.lit(0)
+    for dom, ppm in target_shares_ppm.items():
+        target = F.when(F.col("domain") == dom, F.lit(int(ppm))).otherwise(target)
+    g = per.crossJoin(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        "tokens",
+        "_total",
+        F.expr("CAST(CASE WHEN _total > 0 THEN tokens * 1000000 div _total "
+               "END AS BIGINT)").alias("actual_ppm"),
+        target.cast("long").alias("target_ppm"),
+    ).withColumn(
+        # the cap comparison is an exact decimal PRODUCT test (never the
+        # quotient): `div` on decimals returns BIGINT and would wrap on
+        # a pathological tiny-domain quotient before least() ran
+        "weight_ppm",
+        F.expr(
+            f"CAST(CASE WHEN tokens > 0 THEN "
+            f"CASE WHEN CAST(target_ppm AS DECIMAL(38,0)) * _total > "
+            f"CAST({int(cap_ppm)} AS DECIMAL(38,0)) * tokens "
+            f"THEN {int(cap_ppm)} ELSE "
+            f"CAST(target_ppm AS DECIMAL(38,0)) * _total div tokens END "
+            f"END AS BIGINT)"
+        ),
+    )
+    return g.select(
+        "domain",
+        "n_docs",
+        "tokens",
+        "actual_ppm",
+        "target_ppm",
+        "weight_ppm",
+        F.expr(
+            "CAST(CASE WHEN weight_ppm IS NOT NULL THEN "
+            "CAST(tokens AS DECIMAL(38,0)) * weight_ppm div 1000000 "
+            "END AS BIGINT)"
+        ).alias("expected_tokens"),
+    )
+
+
 def split_assign(
     df: DataFrame,
     weights: tuple[float, ...] = (0.8, 0.1, 0.1),

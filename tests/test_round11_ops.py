@@ -265,3 +265,72 @@ def test_fmp4_decodes_through_multimodal(spark):
     )
     out = multimodal.decode_video_frames(media).orderBy("frame_idx").collect()
     assert [r["frame_idx"] for r in out] == [0, 1, 2]
+
+
+def test_mixture_weights_exact_math_and_cap(spark):
+    from aeon_mecha_spark.datapipe import curation
+
+    docs = spark.createDataFrame(
+        [
+            # en: 6 tokens, fr: 3 tokens, tiny: 1 token, none: 0 tokens
+            Row(doc_id=1, lang="en", text="a b c"),
+            Row(doc_id=2, lang="en", text="d e f"),
+            Row(doc_id=3, lang="fr", text="x y z"),
+            Row(doc_id=4, lang="tiny", text="q"),
+            Row(doc_id=5, lang="none", text="   "),
+        ]
+    )
+    out = {
+        r.domain: r.asDict()
+        for r in curation.mixture_weights(
+            docs, "lang",
+            {"en": 300_000, "fr": 300_000, "tiny": 400_000},
+        ).collect()
+    }
+    total = 10
+    # exact integer mirrors
+    assert out["en"]["tokens"] == 6
+    assert out["en"]["actual_ppm"] == 6 * 10**6 // total
+    assert out["en"]["weight_ppm"] == 300_000 * total // 6
+    assert out["fr"]["weight_ppm"] == 300_000 * total // 3  # 1e6 = keep all
+    # tiny domain: raw weight 4e6 below the 16x cap -> exact
+    assert out["tiny"]["weight_ppm"] == 400_000 * total // 1
+    assert out["tiny"]["expected_tokens"] == 1 * out["tiny"]["weight_ppm"] // 10**6
+    # zero-token domain with no target: weight NULL (no silent renorm)
+    assert out["none"]["weight_ppm"] is None
+    # unlisted domain -> target 0 -> weight 0
+    assert out["none"]["target_ppm"] == 0
+    # cap engages when the raw quotient exceeds 16x: 1 tiny token in a
+    # 101-token corpus at a 90% target -> raw 0.9*101/1 = 90.9x
+    big = docs.unionByName(
+        spark.createDataFrame([Row(doc_id=6, lang="en", text="t " * 91)])
+    )
+    capped = {
+        r.domain: r.weight_ppm
+        for r in curation.mixture_weights(
+            big, "lang", {"tiny": 900_000}, cap_ppm=16_000_000
+        ).collect()
+    }
+    assert capped["tiny"] == 16_000_000
+
+
+def test_mixture_weights_compose_with_mixture_sample(spark):
+    # weights < 1e6 feed mixture_sample directly as Bernoulli fractions
+    from aeon_mecha_spark.datapipe import curation
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 4 else "fr", text="w " * 10)
+         for i in range(200)]
+    )
+    w = {
+        r.domain: r.weight_ppm
+        for r in curation.mixture_weights(
+            docs, "lang", {"en": 200_000, "fr": 800_000}
+        ).collect()
+    }
+    assert w["en"] < 10**6 < w["fr"]
+    kept = curation.mixture_sample(
+        docs, "lang", {"en": w["en"] / 1e6}, default_fraction=1.0
+    )
+    n_en = kept.filter("lang = 'en'").count()
+    assert 0 < n_en < docs.filter("lang = 'en'").count()
