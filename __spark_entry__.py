@@ -4302,6 +4302,49 @@ def q272_mixture_weights(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q273_mixture_rebalance(spark, sf_dir):
+    """The mixture pipeline COMPOSED (solve -> sample -> audit): q272's
+    solved weights feed mixture_sample's per-domain Bernoulli fractions
+    (clamped at 1 — repetition is a training-loader concern, not a
+    filter's), and the gate reports the ACHIEVED per-domain token
+    shares of the kept corpus. The 5-row weight collect is the
+    trained-model pattern (merges/centroids/codebooks all do this);
+    the float round-trip weight_ppm -> fraction -> cutoff is replicated
+    bit-for-bit in the oracle (IEEE divide + multiply + trunc)."""
+    targets = {"en": 400_000, "zh": 200_000, "es": 200_000, "de": 150_000,
+               "fr": 50_000}
+    docs = _t(spark, sf_dir, "documents")
+    w = curation.mixture_weights(docs, "lang", targets)
+    fractions = {
+        r["domain"]: min(int(r["weight_ppm"]), 1_000_000) / 1e6
+        for r in w.collect()
+        if r["weight_ppm"] is not None
+    }
+    kept = curation.mixture_sample(
+        docs, "lang", fractions, key_col="doc_id", seed=0, default_fraction=0.0
+    )
+    from aeon_mecha_spark.functions.text import token_count
+
+    per = kept.groupBy(F.col("lang").alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count(F.col("text")).cast("long")).cast("long").alias("tokens"),
+    )
+    tot = per.agg(F.sum("tokens").cast("long").alias("_total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            "tokens",
+            F.expr(
+                "CAST(CASE WHEN _total > 0 THEN tokens * 1000000 div _total "
+                "END AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("domain")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4359,6 +4402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q270_supplier_part_counts": q270_supplier_part_counts,
         "q271_ivf_pq_search": q271_ivf_pq_search,
         "q272_mixture_weights": q272_mixture_weights,
+        "q273_mixture_rebalance": q273_mixture_rebalance,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -10863,6 +10907,56 @@ def oracle_sql() -> dict[str, str]:
                      (tokens::hugeint * weight_ppm) // 1000000 END
                      AS BIGINT) AS expected_tokens
             FROM w ORDER BY domain
+        """,
+        "q273_mixture_rebalance": """
+            -- solve -> sample -> audit composed: q272's weights, the
+            -- Python float round-trip (w/1e6 then *1e6, truncated)
+            -- replicated in IEEE doubles, the seeded md5 Bernoulli
+            -- threshold, achieved shares of the kept corpus
+            WITH d AS (
+              SELECT doc_id, lang AS domain, text,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS t
+              FROM documents),
+            per AS (
+              SELECT domain, sum(t)::bigint AS tokens FROM d GROUP BY 1),
+            tot AS (SELECT sum(tokens)::bigint AS total FROM per),
+            w AS (
+              SELECT domain,
+                     CASE WHEN tokens > 0 THEN
+                       CASE WHEN (CASE domain WHEN 'en' THEN 400000
+                                  WHEN 'zh' THEN 200000 WHEN 'es' THEN 200000
+                                  WHEN 'de' THEN 150000 WHEN 'fr' THEN 50000
+                                  ELSE 0 END)::hugeint * total >
+                                 16000000::hugeint * tokens
+                            THEN 16000000
+                            ELSE ((CASE domain WHEN 'en' THEN 400000
+                                   WHEN 'zh' THEN 200000 WHEN 'es' THEN 200000
+                                   WHEN 'de' THEN 150000 WHEN 'fr' THEN 50000
+                                   ELSE 0 END)::hugeint * total) // tokens END
+                     END AS weight_ppm
+              FROM per, tot),
+            cut AS (
+              SELECT domain,
+                     CAST(trunc((least(weight_ppm, 1000000)::double
+                                 / 1000000.0) * 1000000.0) AS BIGINT) AS cutoff
+              FROM w WHERE weight_ppm IS NOT NULL),
+            kept AS (
+              SELECT d.domain, d.t
+              FROM d JOIN cut ON d.domain = cut.domain
+              WHERE ('0x' || substr(md5('0:' || d.doc_id::varchar), 1, 15))::bigint
+                    % 1000000 < cut.cutoff),
+            kper AS (
+              SELECT domain, count(*)::bigint AS n_docs,
+                     sum(t)::bigint AS tokens
+              FROM kept GROUP BY 1),
+            ktot AS (SELECT sum(tokens)::bigint AS total FROM kper)
+            SELECT domain, n_docs, tokens,
+                   CAST(CASE WHEN total > 0 THEN
+                     (tokens::hugeint * 1000000) // total END AS BIGINT)
+                     AS share_ppm
+            FROM kper, ktot ORDER BY domain
         """,
         "q269_important_stock": """
             -- TPC-H Q11 shape, decorrelated: per-part value among one
