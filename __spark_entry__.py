@@ -4345,6 +4345,46 @@ def q273_mixture_rebalance(spark, sf_dir):
     )
 
 
+def q274_c4_line_filter(spark, sf_dir):
+    """C4's line-level cleaning rules (Raffel et al. 2020) as a gate.
+    The synthetic corpus has no sentence structure, so the gate first
+    DERIVES a line-structured corpus with one deterministic string
+    rewrite (every ' table ' becomes '.\n' — replicated verbatim in
+    the oracle), then applies the operator: terminal-punctuation +
+    min-words + bad-substring line rules, order-preserving reassembly,
+    lorem-ipsum/brace document flags."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" table "), F.lit(".\n")).alias("text")
+    )
+    return curation.c4_line_filter(docs, min_line_words=3, min_kept_lines=1).orderBy(
+        "doc_id"
+    )
+
+
+def q275_gopher_filter(spark, sf_dir):
+    """Gopher's document quality rules (Rae et al. 2021 A1) as a gate:
+    word-count band, exact mean-word-length band, symbol ratio, alpha
+    ratio, required-word hits — every ratio an integer
+    cross-multiplication, no division anywhere. Required words adapted
+    to the synthetic vocabulary so the rule discriminates."""
+    return curation.gopher_filter(
+        _t(spark, sf_dir, "documents"),
+        min_words=20,
+        required_words=("the", "a", "value", "table"),
+        min_required_hits=2,
+    ).orderBy("doc_id")
+
+
+def q276_perplexity_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (Wenzek et al. 2020): corpus-trained
+    unigram LM scores (q112's machinery), token-mass head/middle/tail
+    thirds by exact integer comparisons on the mean-log-prob grain —
+    the two-level distributed prefix sum, never a corpus-wide window."""
+    return textqc.perplexity_buckets(
+        _t(spark, sf_dir, "documents"), vocab_size=256, alpha=0.5
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4403,6 +4443,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q271_ivf_pq_search": q271_ivf_pq_search,
         "q272_mixture_weights": q272_mixture_weights,
         "q273_mixture_rebalance": q273_mixture_rebalance,
+        "q274_c4_line_filter": q274_c4_line_filter,
+        "q275_gopher_filter": q275_gopher_filter,
+        "q276_perplexity_buckets": q276_perplexity_buckets,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -10957,6 +11000,134 @@ def oracle_sql() -> dict[str, str]:
                      (tokens::hugeint * 1000000) // total END AS BIGINT)
                      AS share_ppm
             FROM kper, ktot ORDER BY domain
+        """,
+        "q274_c4_line_filter": """
+            -- C4 line rules over the derived line corpus (' table '
+            -- -> dot+newline, same left-to-right non-overlapping replace
+            -- both engines): terminal punct + >=3 words + no
+            -- 'javascript' per line; order-preserving reassembly;
+            -- lorem-ipsum/brace doc flags
+            WITH d AS (
+              SELECT doc_id,
+                     replace(text, ' table ', '.' || chr(10)) AS text
+              FROM documents),
+            l AS (
+              SELECT doc_id, u.line, u.pos
+              FROM d, LATERAL (
+                SELECT unnest(string_split(d.text, chr(10))) AS line,
+                       generate_subscripts(string_split(d.text, chr(10)), 1) AS pos
+              ) u),
+            k AS (
+              SELECT doc_id, line, pos,
+                     (right(rtrim(line), 1) IN ('.', '!', '?', '"')
+                      AND (CASE WHEN trim(line) = '' THEN 0
+                           ELSE len(string_split_regex(trim(line), '\\s+'))
+                           END) >= 3
+                      AND position('javascript' IN lower(line)) = 0)
+                       AS keep
+              FROM l),
+            m AS (
+              SELECT doc_id,
+                     (position('lorem ipsum' IN lower(text)) = 0
+                      AND position('{' IN text) = 0) AS ok_markers
+              FROM d),
+            agg AS (
+              SELECT k.doc_id,
+                     coalesce(string_agg(line, chr(10) ORDER BY pos)
+                              FILTER (WHERE keep), '') AS text,
+                     count(*)::bigint AS n_lines,
+                     sum(CASE WHEN keep THEN 1 ELSE 0 END)::bigint AS n_kept
+              FROM k GROUP BY k.doc_id)
+            SELECT a.doc_id, a.text, a.n_lines, a.n_kept, m.ok_markers,
+                   (m.ok_markers AND a.n_kept >= 1) AS passes
+            FROM agg a JOIN m USING (doc_id)
+            ORDER BY a.doc_id
+        """,
+        "q275_gopher_filter": """
+            -- Gopher A1 rules, every ratio an exact integer
+            -- cross-multiplication
+            WITH d AS (
+              SELECT doc_id, text,
+                     CASE WHEN trim(text) = '' THEN []::varchar[]
+                          ELSE string_split_regex(trim(lower(text)), '\\s+')
+                     END AS toks
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     len(toks)::bigint AS n_words,
+                     list_sum(list_transform(toks, x -> length(x)))::bigint
+                       AS chars,
+                     ((len(string_split(text, '#')) - 1)
+                      + (len(string_split_regex(text, '\\.\\.\\.')) - 1))::bigint
+                       AS n_symbols,
+                     len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::bigint
+                       AS n_alpha,
+                     len(list_intersect(list_distinct(toks),
+                         ['the', 'a', 'value', 'table']))::bigint AS req
+              FROM d)
+            SELECT doc_id, n_words,
+                   (n_words >= 20 AND n_words <= 100000) AS ok_n_words,
+                   (chars >= 3 * n_words AND chars <= 10 * n_words)
+                     AS ok_word_len,
+                   (n_symbols * 1000000 <= 100000 * n_words) AS ok_symbols,
+                   (n_alpha * 1000000 >= 800000 * n_words) AS ok_alpha,
+                   (req >= 2) AS ok_required,
+                   (n_words >= 20 AND n_words <= 100000
+                    AND chars >= 3 * n_words AND chars <= 10 * n_words
+                    AND n_symbols * 1000000 <= 100000 * n_words
+                    AND n_alpha * 1000000 >= 800000 * n_words
+                    AND req >= 2) AS passes
+            FROM s ORDER BY doc_id
+        """,
+        "q276_perplexity_buckets": """
+            -- CCNet head/middle/tail by token-mass thirds over the
+            -- exact integer mean-log-prob grain (q112's LM CTEs)
+            WITH tk AS (
+              SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+              FROM documents WHERE trim(text) <> ''
+            ), cnt AS (
+              SELECT tok, count(*)::bigint AS c FROM tk GROUP BY tok
+            ), tot AS (
+              SELECT sum(c)::bigint AS n FROM cnt
+            ), vocab AS (
+              SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 256
+            ), model AS (
+              SELECT v.tok,
+                     floor(ln((v.c::double + 0.5) / (t.n::double + 128.5))
+                           * 1000000.0 + 0.5)::bigint AS lp
+              FROM vocab v CROSS JOIN tot t
+            ), oov AS (
+              SELECT floor(ln(0.5 / (n::double + 128.5)) * 1000000.0 + 0.5)::bigint
+                     AS lp
+              FROM tot
+            ), scored AS (
+              SELECT tk.doc_id, coalesce(m.lp, (SELECT lp FROM oov)) AS lpx
+              FROM tk LEFT JOIN model m USING (tok)
+            ), per AS (
+              SELECT doc_id, count(*)::bigint AS n_tokens,
+                     CAST(floor((2.0 * sum(lpx)::double + count(*)::double)
+                          / (2.0 * count(*)::double)) AS BIGINT) AS lp_micro
+              FROM scored GROUP BY doc_id
+            ), grain AS (
+              SELECT lp_micro, sum(n_tokens)::bigint AS tok
+              FROM per GROUP BY 1
+            ), pre AS (
+              SELECT lp_micro, tok,
+                     sum(tok) OVER (ORDER BY lp_micro DESC
+                                    ROWS UNBOUNDED PRECEDING) - tok AS start,
+                     sum(tok) OVER () AS total
+              FROM grain
+            ), buckets AS (
+              SELECT lp_micro,
+                     CASE WHEN start * 3 < total THEN 'head'
+                          WHEN start * 3 < 2 * total THEN 'middle'
+                          ELSE 'tail' END AS bucket
+              FROM pre)
+            SELECT p.doc_id, p.n_tokens,
+                   p.lp_micro / 1000000.0 AS logprob_per_token,
+                   b.bucket
+            FROM per p JOIN buckets b USING (lp_micro)
+            ORDER BY p.doc_id
         """,
         "q269_important_stock": """
             -- TPC-H Q11 shape, decorrelated: per-part value among one

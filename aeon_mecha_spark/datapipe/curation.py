@@ -330,6 +330,144 @@ def quality_filter(
     )
 
 
+def c4_line_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_kept_lines: int = 1,
+    bad_line_substr: str = "javascript",
+    bad_doc_substrs: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2), the
+    pass that made C4 out of Common Crawl: keep only lines that end in
+    a terminal punctuation mark (. ! ? ") AND have at least
+    ``min_line_words`` words AND don't mention ``bad_line_substr``
+    (case-insensitive); reassemble survivors in original order; flag
+    documents that contain any ``bad_doc_substrs`` marker (C4 drops
+    "lorem ipsum" placeholders and anything with a curly brace = code)
+    or end with fewer than ``min_kept_lines`` lines.
+
+    Output: ``(id, text [kept lines], n_lines, n_kept, ok_markers,
+    passes)`` — per-rule audit columns in the quality_filter style, the
+    filter applied downstream by ``.filter("passes")``.
+
+    Exactness: every rule is a string predicate (no floats anywhere);
+    line order is restored from the ORIGINAL index via the
+    ``array_sort(collect_list(struct(pos, line)))`` rebuild shared with
+    ``dedup.line_dedup``. Plan: one posexplode + map-side line rules +
+    one per-doc groupBy — no joins, no windows.
+    """
+    t = F.col(text_col)
+    marker_ok: Column = F.lit(True)
+    for m in bad_doc_substrs:
+        marker_ok = marker_ok & ~F.contains(F.lower(t), F.lit(m.lower()))
+    base = spread(docs).select(
+        F.col(id_col),
+        marker_ok.alias("_mok"),
+        F.posexplode(F.split(t, "\n")).alias("_pos", "_line"),
+    )
+    line = F.rtrim(F.col("_line"))
+    terminal = F.substring(line, -1, 1).isin(".", "!", "?", '"')
+    words = F.when(
+        F.trim(F.col("_line")) == "", F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("_line")), "\\s+")))
+    clean = ~F.contains(F.lower(F.col("_line")), F.lit(bad_line_substr.lower()))
+    keep = terminal & (words >= int(min_line_words)) & clean
+    agg = base.withColumn("_keep", keep).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.min(F.col("_mok")).alias("ok_markers"),
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("_keep"),
+                    F.struct(F.col("_pos").alias("pos"), F.col("_line").alias("line")),
+                )
+            )
+        ).alias("_lines"),
+    )
+    return agg.select(
+        F.col(id_col),
+        F.concat_ws("\n", F.transform(F.col("_lines"), lambda s: s["line"])).alias(
+            text_col
+        ),
+        "n_lines",
+        "n_kept",
+        "ok_markers",
+        (F.col("ok_markers") & (F.col("n_kept") >= int(min_kept_lines))).alias(
+            "passes"
+        ),
+    )
+
+
+def gopher_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_ratio_ppm: int = 100_000,
+    min_alpha_word_ppm: int = 800_000,
+    required_words: tuple[str, ...] = ("the", "be", "to", "of", "and",
+                                       "that", "have", "with"),
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """Gopher's document quality rules (Rae et al. 2021, table A1) —
+    the heuristic battery beside C4's line rules and CCNet's LM buckets
+    that every serious curation stack runs: word count in [min, max];
+    mean word length in [3, 10]; hash/ellipsis symbol-to-word ratio
+    bounded; ≥ 80 % of words contain an alphabetic character; at least
+    ``min_required_hits`` distinct required stop-words present (the
+    "is this actually prose" test).
+
+    Exactness: every ratio is an exact integer cross-multiplication
+    (``a·10⁶ ≤ r·b`` style — no division at all), so the verdicts are
+    engine-identical by construction. One map pass over the tokens
+    array per document; no explode, no shuffle (the aggregate runs on
+    the array functions). Output: per-rule booleans + ``passes``, the
+    quality_filter convention.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    n_words = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_symbols = (
+        F.size(F.split(F.col(text_col), "#", -1)) - 1
+        + F.size(F.split(F.col(text_col), "\\.\\.\\.", -1)) - 1
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(toks, lambda x: x.rlike("[a-z]"))
+    ).cast("long")
+    req_arr = F.array(*[F.lit(w) for w in required_words])
+    n_required = F.size(F.array_intersect(F.array_distinct(toks), req_arr))
+    rules = {
+        "ok_n_words": (n_words >= int(min_words)) & (n_words <= int(max_words)),
+        # mean word length in [lo, hi]: lo·n ≤ chars ≤ hi·n, exact
+        "ok_word_len": (total_chars >= int(min_mean_word_len) * n_words)
+        & (total_chars <= int(max_mean_word_len) * n_words),
+        # symbols/words ≤ r: symbols·10⁶ ≤ r_ppm·words
+        "ok_symbols": n_symbols * 1_000_000
+        <= F.lit(int(max_symbol_word_ratio_ppm)) * n_words,
+        # alpha words/words ≥ p: alpha·10⁶ ≥ p_ppm·words
+        "ok_alpha": n_alpha_words * 1_000_000
+        >= F.lit(int(min_alpha_word_ppm)) * n_words,
+        "ok_required": n_required >= int(min_required_hits),
+    }
+    passes: Column = F.lit(True)
+    for c in rules.values():
+        passes = passes & c
+    return spread(docs).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata: list[str],

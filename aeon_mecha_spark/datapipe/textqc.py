@@ -377,6 +377,61 @@ def unigram_logprob(
     return per.select(id_col, "n_tokens", "n_oov", mean_lp.alias("logprob_per_token"))
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    vocab_size: int = 256,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus-trained LM (:func:`unigram_logprob`),
+    order by per-token log-probability (best first), and split the
+    corpus into head / middle / tail by TOKEN-MASS thirds — head is
+    the cleanest third of the tokens, tail the noisiest; CCNet keeps
+    head+middle (or reweights). Bucket boundaries are exact integer
+    comparisons: a document whose cumulative-mass START position s
+    satisfies ``3·s < T`` is head, ``3·s < 2T`` middle, else tail —
+    no float share ever computed.
+
+    Plan: unigram_logprob's plan (one explode, broadcast model, one
+    per-doc groupBy), then the shared two-level distributed prefix sum
+    over the distinct mean-log-prob GRAIN (``_grain_prefix``, never a
+    corpus-wide single-partition window), broadcast-free join back on
+    the grain value. Ties (equal mean log-prob) land in one grain row,
+    so every tied document gets the same bucket — deterministic in any
+    engine. Output: ``(id, n_tokens, logprob_per_token, bucket)``.
+    """
+    from aeon_mecha_spark.operators.analytics import _grain_prefix
+
+    scored = unigram_logprob(docs, vocab_size, alpha, id_col, text_col)
+    # recover the exact integer micro-nat mean (the double is k/1e6 by
+    # construction, so the round-trip is exact)
+    s = scored.withColumn(
+        "_lp", F.round(F.col("logprob_per_token") * 1e6).cast("long")
+    )
+    grain = (
+        s.groupBy("_lp")
+        .agg(F.sum("n_tokens").cast("long").alias("_tok"))
+        .persist()
+    )
+    pre = _grain_prefix(grain, "_lp", ["_tok"], ascending=False, buckets=1024)
+    buckets = pre.select(
+        "_lp",
+        (F.col("_cum_tok") - F.col("_tok")).alias("_start"),
+        F.col("_tot_tok").alias("_total"),
+    ).select(
+        "_lp",
+        F.when(F.col("_start") * 3 < F.col("_total"), F.lit("head"))
+        .when(F.col("_start") * 3 < 2 * F.col("_total"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return s.join(buckets, "_lp").select(
+        id_col, "n_tokens", "logprob_per_token", "bucket"
+    )
+
+
 def bm25_scores(
     docs: DataFrame,
     query_terms: list[str],

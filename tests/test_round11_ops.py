@@ -334,3 +334,62 @@ def test_mixture_weights_compose_with_mixture_sample(spark):
     )
     n_en = kept.filter("lang = 'en'").count()
     assert 0 < n_en < docs.filter("lang = 'en'").count()
+
+
+def test_c4_line_filter_rules(spark):
+    from aeon_mecha_spark.datapipe import curation
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Good line with words.\nshort.\n"
+                               "no terminal punct here\nAnother good line stays!"),
+            Row(doc_id=2, text="Contains lorem ipsum somewhere.\nFine line here too."),
+            Row(doc_id=3, text="var x = { a: 1 };\nReal prose line here."),
+            Row(doc_id=4, text="Uses javascript for menus here.\nThis line is kept properly."),
+            Row(doc_id=5, text="no lines survive this one"),
+        ]
+    )
+    out = {r.doc_id: r.asDict() for r in curation.c4_line_filter(docs).collect()}
+    assert out[1]["text"] == "Good line with words.\nAnother good line stays!"
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 2 and out[1]["passes"]
+    assert not out[2]["ok_markers"] and not out[2]["passes"]  # lorem ipsum
+    assert not out[3]["ok_markers"]  # curly brace = code
+    assert out[4]["n_kept"] == 1 and out[4]["passes"]  # javascript line dropped
+    assert out[5]["n_kept"] == 0 and not out[5]["passes"]
+
+
+def test_gopher_filter_integer_ratios(spark):
+    from aeon_mecha_spark.datapipe import curation
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox and that dog have fun with cats " * 5),
+            Row(doc_id=2, text="zz " * 60),                      # mean len 2 < 3
+            Row(doc_id=3, text="### " * 30 + "the of and " * 10),  # symbol ratio
+        ]
+    )
+    out = {r.doc_id: r.asDict() for r in curation.gopher_filter(docs, min_words=20).collect()}
+    assert out[1]["passes"]
+    assert not out[2]["ok_word_len"] and not out[2]["passes"]
+    # 30 hashes over 90 words: 30e6 > 0.1ppm*90 -> symbol rule fires
+    assert not out[3]["ok_symbols"] and not out[3]["passes"]
+
+
+def test_perplexity_buckets_mass_thirds(spark):
+    from aeon_mecha_spark.datapipe import textqc
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = textqc.perplexity_buckets(docs)
+    rows = out.collect()
+    assert {r.bucket for r in rows} == {"head", "middle", "tail"}
+    # token-mass thirds: each bucket within one grain-row of a third
+    mass = {}
+    for r in rows:
+        mass[r.bucket] = mass.get(r.bucket, 0) + r.n_tokens
+    total = sum(mass.values())
+    for b in ("head", "middle", "tail"):
+        assert abs(mass[b] - total / 3) < total * 0.1, (b, mass, total)
+    # ordering property: every head doc scores >= every tail doc
+    hmin = min(r.logprob_per_token for r in rows if r.bucket == "head")
+    tmax = max(r.logprob_per_token for r in rows if r.bucket == "tail")
+    assert hmin >= tmax
