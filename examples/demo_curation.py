@@ -53,6 +53,30 @@ def main() -> None:
     print(f"   dropping {low.count()} low-entropy docs")
     docs = docs.join(low.select("doc_id"), "doc_id", "left_anti")
 
+    print("== 1c. Gopher document rules (integer cross-multiplied ratios)")
+    gv = curation.gopher_filter(
+        docs, min_words=20,
+        required_words=("the", "a", "value", "table"), min_required_hits=2,
+    )
+    gv.agg(*[
+        F.sum(F.when(F.col(c), 0).otherwise(1)).alias(f"fail_{c}")
+        for c in ("ok_n_words", "ok_word_len", "ok_symbols", "ok_alpha",
+                  "ok_required")
+    ]).show()
+    docs = docs.join(gv.filter("passes").select("doc_id"), "doc_id")
+
+    print("== 1d. CCNet perplexity buckets (keep head+middle)")
+    ppl = textqc.perplexity_buckets(docs)
+    ppl.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
+    ).orderBy("bucket").show()
+    docs = docs.join(
+        ppl.filter(F.col("bucket") != "tail").select("doc_id"), "doc_id"
+    )
+    # the quality stages above tripled the lineage every later stage
+    # replays — truncate it once (same reason dedup_clusters checkpoints)
+    docs = docs.localCheckpoint()
+
     print("== 2. PII redaction (audit counts ride along)")
     red = curation.redact_pii(docs)
     audit = red.agg(
@@ -102,6 +126,13 @@ def main() -> None:
         docs, "lang", {"en": 1.0, "zh": 0.8}, default_fraction=0.5
     )
     docs.groupBy("lang").count().orderBy("lang").show()
+
+    print("== 5a2. mixture SOLVE: weights to a target token-share mix")
+    curation.mixture_weights(
+        docs, "lang",
+        {"en": 400_000, "zh": 200_000, "es": 200_000, "de": 150_000,
+         "fr": 50_000},
+    ).orderBy("domain").show()
 
     print("== 5b. quality-weighted subset (Efraimidis-Spirakis, top 300)")
     weighted = docs.withColumn(
