@@ -4397,20 +4397,17 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Insertion order matters: the driver's correctness gate grades the
-    # FIRST 50 entries. Round-10 rotation: the head holds this round's 9
-    # re-grade targets — the grain-side mad_outliers rewrite (q151), the
-    # newly hash-gated BPE pair (q162 apply / q163 learn — the learn
-    # oracle landed this round), and the fixed-cost-trimmed rank stats
-    # (q207 spearman single-prefix, q208, q213 kruskal merged grain
-    # aggregate), the three NEW round-10 operators (q248 Cliff's delta,
-    # q249 Markov transitions, q250 Brier decomposition) — then the 17
-    # round-10 wave-2/3 operators (q251-q267: TPC-H Q5/Q2, the classical
-    # test family, corpus-shape QC, centroid silhouette, Friedman) —
-    # followed by the 24 STALEST official records (none
-    # graded since r06; q87 zarr stays below the window as the one
-    # rows-only gate). Everything rotated out is re-checked every round
-    # via tools/check_correctness.py -> CHECK_FULL_r{N}.json committed
-    # at final HEAD.
+    # FIRST 50 entries. Round-11 rotation: the head keeps the round-10
+    # wave (q151/q162/q163, the rank stats, q248-q268 — all ANOVA-family
+    # gates re-grade after this round's f_ppm saturation + integer-sign
+    # fix) and inserts the 8 NEW round-11 gates right after q268:
+    # TPC-H Q11/Q16 (q269/q270), the composed IVF-PQ search (q271), the
+    # mixture solve + its sampled composition (q272/q273), and the
+    # C4/Gopher/CCNet quality trio (q274-q276). The tail of the old
+    # window (8 stale-record re-grades) rotates below the cut; every
+    # rotated-out gate is re-checked each round via
+    # tools/check_correctness.py -> CHECK_FULL_r{N}.json committed at
+    # final HEAD.
         "q151_mad_outliers": q151_mad_outliers,
         "q162_bpe_apply": q162_bpe_apply,
         "q163_bpe_learn": q163_bpe_learn,

@@ -70,6 +70,10 @@ TINY_GLOBAL_WINDOW_OK = {
     "q267_friedman",  # treatment-index rank over the DISTINCT-treatment
     # table (k rows — a repeated-measures design has a handful); the
     # per-BLOCK rank windows are partitioned by (key, block)
+    "q276_perplexity_buckets",  # _grain_prefix over the mean-log-prob
+    # grain: adaptive fast path (counted <=1024-row grain in one window)
+    # or the two-level path whose global window reads the clamped
+    # <=1024-row bucket-offset table — q169's regimes
 }
 
 
