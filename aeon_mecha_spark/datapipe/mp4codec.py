@@ -92,10 +92,13 @@ def _video_track_id(payload: bytes, trak_ps: int, trak_pe: int) -> int | None:
 
 
 def _fragment_truns(payload: bytes, track_id: int):
-    """Yield (base_pos, data_offset, sizes) for every trun of the given
-    track across all moof fragments. tfhd rules honored:
-    base-data-offset-present (0x01) wins; else default-base-is-moof
-    (0x20000) or the first-traf default anchors at the moof box start."""
+    """Yield (abs_pos, sizes) for every trun of the given track across
+    all moof fragments. tfhd rules honored: base-data-offset-present
+    (0x01) wins; else default-base-is-moof (0x20000) or the first-traf
+    default anchors at the moof box start. A trun WITHOUT its own
+    data-offset continues immediately after the previous run's bytes
+    (ISO 14496-12 8.8.8.1) — restarting it at base would be silent
+    wrong bytes."""
     for btype, ps, pe in _boxes(payload, 0, len(payload)):
         if btype != b"moof":
             continue
@@ -126,6 +129,7 @@ def _fragment_truns(payload: bytes, track_id: int):
                 base = moof_start  # default-base-is-moof / first-traf default
             if tid != track_id:
                 continue
+            next_pos = None  # continuation cursor across offset-less truns
             for bt, qs, qe in _boxes(payload, tps, tpe):
                 if bt != b"trun":
                     continue
@@ -133,10 +137,14 @@ def _fragment_truns(payload: bytes, track_id: int):
                 q = qs + 4
                 (n,) = struct.unpack_from(">I", payload, q)
                 q += 4
-                data_off = 0
                 if tf & 0x01:
                     (data_off,) = struct.unpack_from(">i", payload, q)
                     q += 4
+                    pos = base + data_off
+                elif next_pos is not None:
+                    pos = next_pos
+                else:
+                    pos = base
                 if tf & 0x04:
                     q += 4
                 sizes = []
@@ -157,7 +165,8 @@ def _fragment_truns(payload: bytes, track_id: int):
                     if tf & 0x800:
                         q += 4
                     sizes.append(sz)
-                yield base, data_off, sizes
+                next_pos = pos + sum(sizes)
+                yield pos, sizes
 
 
 def probe_mp4(payload: bytes) -> dict:
@@ -204,7 +213,7 @@ def probe_mp4(payload: bytes) -> dict:
             tid = _video_track_id(payload, ps, pe)
             if tid is not None:
                 n_samples = sum(
-                    len(sizes) for _b, _o, sizes in _fragment_truns(payload, tid)
+                    len(sizes) for _p, sizes in _fragment_truns(payload, tid)
                 )
         return {
             "codec": codec, "width": width, "height": height,
@@ -245,8 +254,7 @@ def split_mp4_frames(payload: bytes, max_frames: int | None = None) -> list[byte
             # fragmented layout: samples live in moof/traf/trun tables
             tid = _video_track_id(payload, ps, pe)
             frames: list[bytes] = []
-            for base, data_off, sizes in _fragment_truns(payload, tid):
-                pos = base + data_off
+            for pos, sizes in _fragment_truns(payload, tid):
                 for sz in sizes:
                     frames.append(payload[pos : pos + sz])
                     pos += sz

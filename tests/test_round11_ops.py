@@ -393,3 +393,39 @@ def test_perplexity_buckets_mass_thirds(spark):
     hmin = min(r.logprob_per_token for r in rows if r.bucket == "head")
     tmax = max(r.logprob_per_token for r in rows if r.bucket == "tail")
     assert hmin >= tmax
+
+
+def test_fmp4_offsetless_trun_continues_after_previous_run():
+    # ISO 14496-12 8.8.8.1: a trun without data-offset continues right
+    # after the previous run's bytes. Hand-assemble one fragment with
+    # trun1 (offset, 2 samples) + trun2 (NO offset, 2 samples).
+    import struct
+
+    from aeon_mecha_spark.datapipe import mp4codec as M
+
+    frames = _mjpeg_frames_16x8(4)
+    built = M.build_fmp4_mjpeg(frames, 16, 8, frames_per_fragment=4)
+    head = built[: built.index(b"moof") - 4]  # ftyp + moov (empty tables)
+
+    mfhd = M._fullbox(b"mfhd", struct.pack(">I", 1))
+    tfhd = M._fullbox(b"tfhd", struct.pack(">I", 1), flags=0x20000)
+    trun1 = M._fullbox(
+        b"trun",
+        struct.pack(">I", 2) + struct.pack(">i", 0)
+        + b"".join(struct.pack(">I", len(f)) for f in frames[:2]),
+        flags=0x201,
+    )
+    trun2 = M._fullbox(
+        b"trun",
+        struct.pack(">I", 2)
+        + b"".join(struct.pack(">I", len(f)) for f in frames[2:]),
+        flags=0x200,  # sample sizes only — no data_offset
+    )
+    traf = M._box(b"traf", tfhd + trun1 + trun2)
+    moof = bytearray(M._box(b"moof", mfhd + traf))
+    t1 = moof.find(b"trun") - 4
+    moof[t1 + 16 : t1 + 20] = struct.pack(">i", len(moof) + 8)
+    payload = head + bytes(moof) + M._box(b"mdat", b"".join(frames))
+
+    assert M.probe_mp4(payload)["n_samples"] == 4
+    assert M.split_mp4_frames(payload) == frames
