@@ -97,12 +97,17 @@ def _stream_feed(sf_dir: str, table: str, prefix: str) -> str:
             tbl = tbl.take(pc.sort_indices(tbl, sort_keys=keys))
         n = tbl.num_rows
         step = (n + split - 1) // split
+        # FileStreamSource orders candidate files by MODIFICATION TIME,
+        # not path, so same-granularity mtimes could replay slices out
+        # of event-time order and silently test a late-data scenario
+        # instead — pin strictly increasing mtimes per slice.
+        base = int(os.stat(src).st_mtime)
         for i in range(split):
             part = tbl.slice(i * step, step)
             if part.num_rows:
-                pq.write_table(
-                    part, os.path.join(feed_dir, f"part{i:05d}.parquet")
-                )
+                path = os.path.join(feed_dir, f"part{i:05d}.parquet")
+                pq.write_table(part, path)
+                os.utime(path, (base + i, base + i))
         return feed_dir
     if os.path.isdir(src):
         n = 0

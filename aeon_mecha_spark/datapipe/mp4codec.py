@@ -47,8 +47,9 @@ def is_mp4(payload: bytes) -> bool:
 
 
 def _boxes(buf: bytes, start: int, end: int):
-    """Yield (type, payload_start, payload_end) for each box in
-    [start, end); handles 64-bit largesize and size-0 (to end)."""
+    """Yield (type, payload_start, payload_end, header_start) for each
+    box in [start, end); handles 64-bit largesize (16-byte header, so
+    header_start = payload_start - 16, not - 8) and size-0 (to end)."""
     i = start
     while i + 8 <= end:
         (size,) = struct.unpack_from(">I", buf, i)
@@ -61,7 +62,7 @@ def _boxes(buf: bytes, start: int, end: int):
             size = end - i
         if size < 8 or i + size > end:
             break  # malformed/truncated: stop cleanly
-        yield btype, ps, i + size
+        yield btype, ps, i + size, i
         i += size
 
 
@@ -70,10 +71,27 @@ def _find(buf: bytes, start: int, end: int, *path: bytes):
     given nested path, or None."""
     if not path:
         return (start, end)
-    for btype, ps, pe in _boxes(buf, start, end):
+    for btype, ps, pe, _hs in _boxes(buf, start, end):
         if btype == path[0]:
             return _find(buf, ps, pe, *path[1:])
     return None
+
+
+def _trex_default_sizes(payload: bytes) -> dict[int, int]:
+    """{track_ID: default_sample_size} from moov > mvex > trex boxes
+    (ISO 14496-12 8.8.3) — the movie-level defaults a tfhd/trun may
+    rely on instead of carrying sizes themselves."""
+    mvex = _find(payload, 0, len(payload), b"moov", b"mvex")
+    out: dict[int, int] = {}
+    if mvex is None:
+        return out
+    for btype, ps, _pe, _hs in _boxes(payload, *mvex):
+        if btype == b"trex":
+            tid, _desc, _dur, dsize = struct.unpack_from(
+                ">IIII", payload, _full(payload, ps)
+            )
+            out[tid] = dsize
+    return out
 
 
 def _full(buf: bytes, ps: int) -> int:
@@ -91,7 +109,8 @@ def _video_track_id(payload: bytes, trak_ps: int, trak_pe: int) -> int | None:
     return struct.unpack_from(">I", payload, tkhd[0] + 4 + (16 if v else 8))[0]
 
 
-def _fragment_truns(payload: bytes, track_id: int):
+def _fragment_truns(payload: bytes, track_id: int,
+                    trex_default_size: int | None = None):
     """Yield (abs_pos, sizes) for every trun of the given track across
     all moof fragments. tfhd rules honored: base-data-offset-present
     (0x01) wins; else default-base-is-moof (0x20000) or the first-traf
@@ -99,11 +118,11 @@ def _fragment_truns(payload: bytes, track_id: int):
     data-offset continues immediately after the previous run's bytes
     (ISO 14496-12 8.8.8.1) — restarting it at base would be silent
     wrong bytes."""
-    for btype, ps, pe in _boxes(payload, 0, len(payload)):
+    for btype, ps, pe, hs in _boxes(payload, 0, len(payload)):
         if btype != b"moof":
             continue
-        moof_start = ps - 8
-        for t, tps, tpe in _boxes(payload, ps, pe):
+        moof_start = hs  # header start (a largesize moof has a 16-byte header)
+        for t, tps, tpe, _h in _boxes(payload, ps, pe):
             if t != b"traf":
                 continue
             tfhd = _find(payload, tps, tpe, b"tfhd")
@@ -129,8 +148,10 @@ def _fragment_truns(payload: bytes, track_id: int):
                 base = moof_start  # default-base-is-moof / first-traf default
             if tid != track_id:
                 continue
+            if default_size is None:
+                default_size = trex_default_size
             next_pos = None  # continuation cursor across offset-less truns
-            for bt, qs, qe in _boxes(payload, tps, tpe):
+            for bt, qs, qe, _h in _boxes(payload, tps, tpe):
                 if bt != b"trun":
                     continue
                 tf = struct.unpack_from(">I", payload, qs)[0] & 0xFFFFFF
@@ -178,7 +199,7 @@ def probe_mp4(payload: bytes) -> dict:
     moov = _find(payload, 0, len(payload), b"moov")
     if moov is None:
         raise ValueError("MP4 without a moov box")
-    for btype, ps, pe in _boxes(payload, *moov):
+    for btype, ps, pe, _hs in _boxes(payload, *moov):
         if btype != b"trak":
             continue
         mdia = _find(payload, ps, pe, b"mdia")
@@ -202,7 +223,7 @@ def probe_mp4(payload: bytes) -> dict:
         codec = width = height = None
         if stsd is not None:
             p = _full(payload, stsd[0]) + 4  # entry_count
-            for etype, eps, _ in _boxes(payload, p, stsd[1]):
+            for etype, eps, _pe, _hs in _boxes(payload, p, stsd[1]):
                 codec = etype.decode("ascii", "replace")
                 width, height = struct.unpack_from(">HH", payload, eps + 24)
                 break
@@ -211,10 +232,16 @@ def probe_mp4(payload: bytes) -> dict:
             n_samples = struct.unpack_from(">I", payload, _full(payload, stsz[0]) + 4)[0]
         if not n_samples and _find(payload, 0, len(payload), b"moof") is not None:
             tid = _video_track_id(payload, ps, pe)
-            if tid is not None:
-                n_samples = sum(
-                    len(sizes) for _p, sizes in _fragment_truns(payload, tid)
+            if tid is None:
+                raise ValueError(
+                    "fragmented MP4 video trak missing tkhd/track_ID"
                 )
+            n_samples = sum(
+                len(sizes)
+                for _p, sizes in _fragment_truns(
+                    payload, tid, _trex_default_sizes(payload).get(tid)
+                )
+            )
         return {
             "codec": codec, "width": width, "height": height,
             "n_samples": n_samples, "timescale": timescale,
@@ -236,7 +263,7 @@ def split_mp4_frames(payload: bytes, max_frames: int | None = None) -> list[byte
             "Motion-JPEG: jpeg/mjpa/mjpb)"
         )
     moov = _find(payload, 0, len(payload), b"moov")
-    for btype, ps, pe in _boxes(payload, *moov):
+    for btype, ps, pe, _hs in _boxes(payload, *moov):
         if btype != b"trak":
             continue
         mdia = _find(payload, ps, pe, b"mdia")
@@ -253,8 +280,14 @@ def split_mp4_frames(payload: bytes, max_frames: int | None = None) -> list[byte
         if count == 0 and _find(payload, 0, len(payload), b"moof") is not None:
             # fragmented layout: samples live in moof/traf/trun tables
             tid = _video_track_id(payload, ps, pe)
+            if tid is None:
+                raise ValueError(
+                    "fragmented MP4 video trak missing tkhd/track_ID"
+                )
             frames: list[bytes] = []
-            for pos, sizes in _fragment_truns(payload, tid):
+            for pos, sizes in _fragment_truns(
+                payload, tid, _trex_default_sizes(payload).get(tid)
+            ):
                 for sz in sizes:
                     frames.append(payload[pos : pos + sz])
                     pos += sz
@@ -389,13 +422,21 @@ def build_fmp4_mjpeg(
     height: int,
     fps: int = 10,
     frames_per_fragment: int = 2,
+    use_trex_default_size: bool = False,
 ) -> bytes:
     """Assemble a spec-correct FRAGMENTED single-track Motion-JPEG MP4:
     ftyp + moov (empty sample tables + mvex/trex defaults) followed by
     one (moof + mdat) pair per ``frames_per_fragment`` samples — the
     streamed-camera layout. Each trun carries per-sample sizes and a
     data_offset anchored at the moof start (default-base-is-moof),
-    pointing into its own mdat payload."""
+    pointing into its own mdat payload.
+
+    ``use_trex_default_size=True`` emits the sparse encoding instead:
+    all frames must be equal length, trex carries the
+    default_sample_size, and truns omit per-sample sizes (no 0x200
+    flag) — the layout that exercises the movie-level default path."""
+    if use_trex_default_size and len({len(f) for f in frames}) > 1:
+        raise ValueError("trex default size requires equal-length frames")
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     n = len(frames)
     timescale, delta = fps, 1
@@ -451,8 +492,10 @@ def build_fmp4_mjpeg(
     minf = _box(b"minf", vmhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
-    # mvex/trex: fragment defaults (sizes come per-trun here)
-    trex = _fullbox(b"trex", struct.pack(">IIIII", 1, 1, delta, 0, 0))
+    # mvex/trex: fragment defaults (sizes come per-trun unless the
+    # sparse trex-default encoding was requested)
+    trex_size = len(frames[0]) if use_trex_default_size and frames else 0
+    trex = _fullbox(b"trex", struct.pack(">IIIII", 1, 1, delta, trex_size, 0))
     mvex = _box(b"mvex", trex)
     moov = _box(b"moov", mvhd + trak + mvex)
 
@@ -462,19 +505,23 @@ def build_fmp4_mjpeg(
         chunk = frames[start : start + frames_per_fragment]
         mfhd = _fullbox(b"mfhd", struct.pack(">I", seq))
         # tfhd: default-base-is-moof (0x20000); trun: data-offset (0x01)
-        # + sample-size-present (0x200)
+        # + sample-size-present (0x200) unless trex carries the size
         tfhd = _fullbox(b"tfhd", struct.pack(">I", 1), flags=0x20000)
         tfdt = _fullbox(b"tfdt", struct.pack(">I", start * delta))
         trun_payload = struct.pack(">I", len(chunk))
         # data_offset patched below once the moof size is known
         trun_payload += struct.pack(">i", 0)
-        trun_payload += b"".join(struct.pack(">I", len(f)) for f in chunk)
-        trun = _fullbox(b"trun", trun_payload, flags=0x201)
+        trun_flags = 0x01
+        if not use_trex_default_size:
+            trun_payload += b"".join(struct.pack(">I", len(f)) for f in chunk)
+            trun_flags |= 0x200
+        trun = _fullbox(b"trun", trun_payload, flags=trun_flags)
         traf = _box(b"traf", tfhd + tfdt + trun)
         moof = bytearray(_box(b"moof", mfhd + traf))
         # samples start right after this moof + the mdat header
         data_offset = len(moof) + 8
-        off_pos = len(moof) - len(chunk) * 4 - 4
+        sizes_tail = 0 if use_trex_default_size else len(chunk) * 4
+        off_pos = len(moof) - sizes_tail - 4
         moof[off_pos : off_pos + 4] = struct.pack(">i", data_offset)
         mdat = _box(b"mdat", b"".join(chunk))
         out += bytes(moof) + mdat

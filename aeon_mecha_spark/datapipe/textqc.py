@@ -427,9 +427,14 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
-    return s.join(buckets, "_lp").select(
+    from aeon_mecha_spark.util import track_cached
+
+    out = s.join(buckets, "_lp").select(
         id_col, "n_tokens", "logprob_per_token", "bucket"
     )
+    # the persisted grain feeds _grain_prefix; hand callers the release
+    # handle (analytics convention) so it doesn't pin executor storage
+    return track_cached(out, grain)
 
 
 def bm25_scores(

@@ -112,6 +112,14 @@ def discover_chunk_files(
         except OSError:
             continue
         for name in names:
+            # glob('**') never matches hidden entries, so the pre-r11
+            # driver glob skipped dot-directories (.snapshot, .Trash,
+            # .ipynb_checkpoints). An NFS .snapshot mirror holds copies
+            # of the same chunks under a different root-relative path,
+            # which rel-path dedup cannot collapse — skip them here to
+            # keep the distributed walk glob-identical.
+            if name.startswith("."):
+                continue
             p = os.path.join(root, name)
             if os.path.isdir(p):
                 tasks.append((i, p, True))
