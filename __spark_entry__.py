@@ -4390,6 +4390,55 @@ def q276_perplexity_buckets(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q277_keyframe_index(spark, sf_dir):
+    """H.264 NAL keyframe indexing end-to-end (round 12, VERDICT r11
+    item 2 — the decode-free metadata layer for the codecs whose pixel
+    decode stays env-gated; reference seeks via cv2,
+    aeon/dj_pipeline/utils/video.py:29-55): build one deterministic
+    spec-shaped Annex-B stream per video doc (4-byte start codes,
+    SPS+PPS header = 17 bytes, ``3 + doc_id % 5`` frames, IDR every
+    3rd, slice NAL size ``8 + i % 4``), run the REAL byte-level parser
+    (``multimodal.keyframe_index`` → ``nalcodec.annexb_frame_index``:
+    start-code scan, first_mb_in_slice exp-Golomb, access-unit
+    grouping), and let the oracle PREDICT every (offset, size,
+    is_keyframe) from the generation law — parser vs pure integer
+    arithmetic, with the bytes existing on one side only."""
+    import pandas as pd
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.lit(3) + F.col("doc_id") % 5).cast("int").alias("n_frames"),
+        )
+    )
+
+    def gen(batches):
+        sc4 = b"\x00\x00\x00\x01"
+        header = sc4 + b"\x67\x64\x00\x1f\xac" + sc4 + b"\x68\xeb\xe3\xcb"
+        for pdf in batches:
+            payloads = []
+            for n in pdf["n_frames"]:
+                buf = bytearray(header)
+                for i in range(int(n)):
+                    hdr = 0x65 if i % 3 == 0 else 0x41  # IDR / non-IDR
+                    buf += sc4 + bytes([hdr, 0x88]) + bytes(6 + i % 4)
+                payloads.append(bytes(buf))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "video",
+                    "payload": payloads,
+                }
+            )
+
+    media = base.mapInPandas(
+        gen, schema="media_id bigint, modality string, payload binary"
+    )
+    return multimodal.keyframe_index(media).orderBy("media_id", "frame_idx")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4448,6 +4497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q274_c4_line_filter": q274_c4_line_filter,
         "q275_gopher_filter": q275_gopher_filter,
         "q276_perplexity_buckets": q276_perplexity_buckets,
+        "q277_keyframe_index": q277_keyframe_index,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -11080,6 +11130,31 @@ def oracle_sql() -> dict[str, str]:
                     AND n_alpha * 1000000 >= 800000 * n_words
                     AND req >= 2) AS passes
             FROM s ORDER BY doc_id
+        """,
+        "q277_keyframe_index": """
+            -- predicts the NAL indexer's output from the generation
+            -- law: header 17 B; frame i occupies 12 + i%4 B (4 B start
+            -- code + 8 + i%4 B slice NAL); IDR every 3rd frame. The
+            -- cumulative i%4 term closes to 6*(i/4) + {0,0,1,3}[i%4].
+            WITH vids AS (
+              SELECT doc_id AS media_id, (3 + doc_id % 5)::int AS n
+              FROM documents WHERE doc_id % 3 = 1
+            ), f AS (
+              SELECT media_id, unnest(generate_series(0, n - 1))::int AS frame_idx
+              FROM vids
+            )
+            SELECT media_id,
+                   frame_idx,
+                   (CASE WHEN frame_idx = 0 THEN 0
+                         ELSE 17 + 12 * frame_idx + 6 * (frame_idx // 4)
+                              + CASE frame_idx % 4 WHEN 2 THEN 1
+                                                   WHEN 3 THEN 3 ELSE 0 END
+                    END)::bigint AS "offset",
+                   ((CASE WHEN frame_idx = 0 THEN 17 ELSE 0 END)
+                    + 12 + frame_idx % 4)::bigint AS size,
+                   frame_idx % 3 = 0 AS is_keyframe
+            FROM f
+            ORDER BY media_id, frame_idx
         """,
         "q276_perplexity_buckets": """
             -- CCNet head/middle/tail by token-mass thirds over the

@@ -249,6 +249,118 @@ def probe_mp4(payload: bytes) -> dict:
     raise ValueError("MP4 without a video track")
 
 
+def _video_trak_stbl(payload: bytes):
+    """Locate the first 'vide' trak; return (trak_ps, trak_pe, stbl
+    bounds) or raise."""
+    moov = _find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 without a moov box")
+    for btype, ps, pe, _hs in _boxes(payload, *moov):
+        if btype != b"trak":
+            continue
+        mdia = _find(payload, ps, pe, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _find(payload, *mdia, b"hdlr")
+        if hdlr is None or payload[_full(payload, hdlr[0]) + 4 : _full(payload, hdlr[0]) + 8] != b"vide":
+            continue
+        stbl = _find(payload, *mdia, b"minf", b"stbl")
+        if stbl is None:
+            continue
+        return ps, pe, stbl
+    raise ValueError("MP4 without a video track")
+
+
+def sample_ranges(payload: bytes) -> list[tuple[int, int]]:
+    """(offset, size) of every video sample of the first 'vide' track,
+    in sample order — via the stsc/stco/stsz tables for flat MP4s, via
+    the moof/traf/trun fragment tables for fragmented ones. Pure byte
+    arithmetic: no codec assumption, so this serves both the JPEG frame
+    extractor and the H.264/HEVC keyframe indexer
+    (:mod:`~aeon_mecha_spark.datapipe.nalcodec`)."""
+    trak_ps, trak_pe, stbl = _video_trak_stbl(payload)
+    zs, _ze = _find(payload, *stbl, b"stsz")
+    p = _full(payload, zs)
+    fixed, count = struct.unpack_from(">II", payload, p)
+    if count == 0 and _find(payload, 0, len(payload), b"moof") is not None:
+        # fragmented layout: samples live in moof/traf/trun tables
+        tid = _video_track_id(payload, trak_ps, trak_pe)
+        if tid is None:
+            raise ValueError("fragmented MP4 video trak missing tkhd/track_ID")
+        ranges: list[tuple[int, int]] = []
+        for pos, sizes in _fragment_truns(
+            payload, tid, _trex_default_sizes(payload).get(tid)
+        ):
+            for sz in sizes:
+                ranges.append((pos, sz))
+                pos += sz
+        return ranges
+    sizes = (
+        [fixed] * count
+        if fixed
+        else list(struct.unpack_from(f">{count}I", payload, p + 8))
+    )
+    # chunk offsets (stco 32-bit or co64)
+    co = _find(payload, *stbl, b"stco")
+    if co is not None:
+        p = _full(payload, co[0])
+        (nchunks,) = struct.unpack_from(">I", payload, p)
+        offsets = list(struct.unpack_from(f">{nchunks}I", payload, p + 4))
+    else:
+        co = _find(payload, *stbl, b"co64")
+        p = _full(payload, co[0])
+        (nchunks,) = struct.unpack_from(">I", payload, p)
+        offsets = list(struct.unpack_from(f">{nchunks}Q", payload, p + 4))
+    # sample->chunk runs
+    cs, _ce = _find(payload, *stbl, b"stsc")
+    p = _full(payload, cs)
+    (nruns,) = struct.unpack_from(">I", payload, p)
+    runs = [
+        struct.unpack_from(">III", payload, p + 4 + 12 * i) for i in range(nruns)
+    ]
+    ranges: list[tuple[int, int]] = []
+    si = 0
+    for ri, (first_chunk, per_chunk, _desc) in enumerate(runs):
+        last_chunk = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offsets)
+        for ci in range(first_chunk, last_chunk + 1):
+            off = offsets[ci - 1]
+            for _ in range(per_chunk):
+                if si >= len(sizes):
+                    break
+                ranges.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+    return ranges
+
+
+def sync_sample_numbers(payload: bytes) -> list[int] | None:
+    """1-based sync-sample (keyframe) numbers from the stss box, or
+    None when no stss exists (every sample is then a sync sample for
+    flat files — ISO 14496-12 8.6.2; fragmented files carry the flag in
+    trun/tfhd sample flags, which our indexer supersedes by NAL scan)."""
+    _ps, _pe, stbl = _video_trak_stbl(payload)
+    stss = _find(payload, *stbl, b"stss")
+    if stss is None:
+        return None
+    p = _full(payload, stss[0])
+    (n,) = struct.unpack_from(">I", payload, p)
+    return list(struct.unpack_from(f">{n}I", payload, p + 4))
+
+
+def sample_entry_box(payload: bytes) -> tuple[str, int, int] | None:
+    """(fourcc, entry_payload_start, entry_payload_end) of the first
+    stsd sample entry of the video track — the container of the
+    avcC/hvcC decoder-configuration boxes nalcodec needs."""
+    _ps, _pe, stbl = _video_trak_stbl(payload)
+    stsd = _find(payload, *stbl, b"stsd")
+    if stsd is None:
+        return None
+    p = _full(payload, stsd[0]) + 4  # entry_count
+    for etype, eps, epe, _hs in _boxes(payload, p, stsd[1]):
+        return etype.decode("ascii", "replace"), eps, epe
+    return None
+
+
 def split_mp4_frames(payload: bytes, max_frames: int | None = None) -> list[bytes]:
     """Extract the video samples (frames) of the first 'vide' track —
     via the stsc/stco/stsz sample tables for flat MP4s, via the
@@ -262,81 +374,10 @@ def split_mp4_frames(payload: bytes, max_frames: int | None = None) -> list[byte
             "present in this environment (vendored decode covers "
             "Motion-JPEG: jpeg/mjpa/mjpb)"
         )
-    moov = _find(payload, 0, len(payload), b"moov")
-    for btype, ps, pe, _hs in _boxes(payload, *moov):
-        if btype != b"trak":
-            continue
-        mdia = _find(payload, ps, pe, b"mdia")
-        if mdia is None:
-            continue
-        hdlr = _find(payload, *mdia, b"hdlr")
-        if hdlr is None or payload[_full(payload, hdlr[0]) + 4 : _full(payload, hdlr[0]) + 8] != b"vide":
-            continue
-        stbl = _find(payload, *mdia, b"minf", b"stbl")
-        # sample sizes
-        zs, ze = _find(payload, *stbl, b"stsz")
-        p = _full(payload, zs)
-        fixed, count = struct.unpack_from(">II", payload, p)
-        if count == 0 and _find(payload, 0, len(payload), b"moof") is not None:
-            # fragmented layout: samples live in moof/traf/trun tables
-            tid = _video_track_id(payload, ps, pe)
-            if tid is None:
-                raise ValueError(
-                    "fragmented MP4 video trak missing tkhd/track_ID"
-                )
-            frames: list[bytes] = []
-            for pos, sizes in _fragment_truns(
-                payload, tid, _trex_default_sizes(payload).get(tid)
-            ):
-                for sz in sizes:
-                    frames.append(payload[pos : pos + sz])
-                    pos += sz
-                    if max_frames and len(frames) >= max_frames:
-                        return frames
-            return frames
-        sizes = (
-            [fixed] * count
-            if fixed
-            else list(struct.unpack_from(f">{count}I", payload, p + 8))
-        )
-        # chunk offsets (stco 32-bit or co64)
-        co = _find(payload, *stbl, b"stco")
-        if co is not None:
-            p = _full(payload, co[0])
-            (nchunks,) = struct.unpack_from(">I", payload, p)
-            offsets = list(struct.unpack_from(f">{nchunks}I", payload, p + 4))
-        else:
-            co = _find(payload, *stbl, b"co64")
-            p = _full(payload, co[0])
-            (nchunks,) = struct.unpack_from(">I", payload, p)
-            offsets = list(struct.unpack_from(f">{nchunks}Q", payload, p + 4))
-        # sample->chunk runs
-        cs, ce = _find(payload, *stbl, b"stsc")
-        p = _full(payload, cs)
-        (nruns,) = struct.unpack_from(">I", payload, p)
-        runs = [
-            struct.unpack_from(">III", payload, p + 4 + 12 * i)
-            for i in range(nruns)
-        ]
-        # expand: samples_per_chunk for each chunk index (1-based)
-        frames: list[bytes] = []
-        si = 0
-        for ri, (first_chunk, per_chunk, _desc) in enumerate(runs):
-            last_chunk = (
-                runs[ri + 1][0] - 1 if ri + 1 < len(runs) else len(offsets)
-            )
-            for ci in range(first_chunk, last_chunk + 1):
-                off = offsets[ci - 1]
-                for _ in range(per_chunk):
-                    if si >= len(sizes):
-                        break
-                    frames.append(payload[off : off + sizes[si]])
-                    off += sizes[si]
-                    si += 1
-                    if max_frames and len(frames) >= max_frames:
-                        return frames
-        return frames
-    raise ValueError("MP4 without a video track")
+    ranges = sample_ranges(payload)
+    if max_frames:
+        ranges = ranges[:max_frames]
+    return [payload[off : off + sz] for off, sz in ranges]
 
 
 def _box(btype: bytes, payload: bytes) -> bytes:
@@ -409,6 +450,91 @@ def build_mp4_mjpeg(frames: list[bytes], width: int, height: int, fps: int = 10)
     )
     stco = _fullbox(b"stco", struct.pack(">II", 1, mdat_data_offset))
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def build_mp4_video(
+    samples: list[bytes],
+    width: int,
+    height: int,
+    fourcc: bytes,
+    config_box: bytes = b"",
+    fps: int = 10,
+    sync_samples: list[int] | None = None,
+) -> bytes:
+    """Generic single-video-track flat MP4 builder (fixture writer for
+    the NAL keyframe indexer): arbitrary sample-entry ``fourcc`` (e.g.
+    ``b'avc1'``/``b'hvc1'``), an optional decoder-configuration box
+    (avcC/hvcC bytes) appended to the VisualSampleEntry, and an
+    optional ``stss`` sync-sample table (1-based sample numbers)."""
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = _box(b"mdat", b"".join(samples))
+    mdat_data_offset = len(ftyp) + 8
+    n = len(samples)
+    timescale, delta = fps, 1
+    duration = n * delta
+    mvhd = _fullbox(
+        b"mvhd",
+        struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    tkhd = _fullbox(
+        b"tkhd",
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+        flags=7,
+    )
+    mdhd = _fullbox(
+        b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0)
+    )
+    hdlr = _fullbox(
+        b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00"
+    )
+    vmhd = _fullbox(b"vmhd", struct.pack(">HHHH", 0, 0, 0, 0), flags=1)
+    dinf = _box(
+        b"dinf", _fullbox(b"dref", struct.pack(">I", 1) + _fullbox(b"url ", b"", flags=1))
+    )
+    sample_entry = _box(
+        fourcc,
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 16
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 24, -1)
+        + config_box,
+    )
+    stsd = _fullbox(b"stsd", struct.pack(">I", 1) + sample_entry)
+    stts = _fullbox(b"stts", struct.pack(">III", 1, n, delta))
+    stsc = _fullbox(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _fullbox(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stco = _fullbox(b"stco", struct.pack(">II", 1, mdat_data_offset))
+    tables = stsd + stts + stsc + stsz + stco
+    if sync_samples is not None:
+        tables += _fullbox(
+            b"stss",
+            struct.pack(">I", len(sync_samples))
+            + b"".join(struct.pack(">I", s) for s in sync_samples),
+        )
+    stbl = _box(b"stbl", tables)
     minf = _box(b"minf", vmhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)

