@@ -4439,6 +4439,24 @@ def q277_keyframe_index(spark, sf_dir):
     return multimodal.keyframe_index(media).orderBy("media_id", "frame_idx")
 
 
+def q278_dsir_select(spark, sf_dir):
+    """DSIR importance resampling (Xie et al. 2023) as a gate — the
+    canonical data-selection operator beside the C4/Gopher/CCNet trio:
+    hashed unigram+bigram features (64 MD5 buckets), target (= English
+    docs) vs raw bucket models with Laplace-1/2 smoothing, per-bucket
+    log ratios in exact integer micro-nats (per-term half-up
+    quantization, the q276 rule), per-doc importance = exact BIGINT
+    feature sum, and the deterministic noise-free top-k selection
+    (ties by doc_id). Plan: two B-row aggregates + a broadcast model
+    join; the corpus shuffles once on doc_id."""
+    return curation.dsir_select(
+        _t(spark, sf_dir, "documents"),
+        target=F.col("lang") == "en",
+        k=200,
+        n_buckets=64,
+    ).orderBy(F.col("logratio_micro").desc(), F.col("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4498,6 +4516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q275_gopher_filter": q275_gopher_filter,
         "q276_perplexity_buckets": q276_perplexity_buckets,
         "q277_keyframe_index": q277_keyframe_index,
+        "q278_dsir_select": q278_dsir_select,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -11130,6 +11149,51 @@ def oracle_sql() -> dict[str, str]:
                     AND n_alpha * 1000000 >= 800000 * n_words
                     AND req >= 2) AS passes
             FROM s ORDER BY doc_id
+        """,
+        "q278_dsir_select": """
+            -- DSIR: hashed-ngram bucket models (target=en vs raw),
+            -- per-term micro-nat quantization, exact integer doc sums,
+            -- noise-free top-k
+            WITH base AS (
+              SELECT doc_id, lang,
+                     CASE WHEN trim(text) = '' THEN []::varchar[]
+                          ELSE string_split_regex(lower(trim(text)), '\\s+')
+                     END AS t
+              FROM documents
+            ), uni AS (
+              SELECT doc_id, lang, unnest(t) AS feat FROM base
+            ), bi AS (
+              SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS feat
+              FROM base, unnest(generate_series(1, len(t) - 1)) AS g(i)
+            ), feats AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(feat), 1, 15))::bigint % 64 AS bucket
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+            ), counts AS (
+              SELECT bucket,
+                     sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::bigint AS tgt_c,
+                     count(*)::bigint AS raw_c
+              FROM feats GROUP BY bucket
+            ), tot AS (
+              SELECT sum(tgt_c)::bigint AS tt, sum(raw_c)::bigint AS rr FROM counts
+            ), model AS (
+              SELECT bucket,
+                     floor(ln((2 * tgt_c + 1) / CAST(2 * tt + 64 AS DOUBLE))
+                           * 1000000.0 + 0.5)::bigint
+                   - floor(ln((2 * raw_c + 1) / CAST(2 * rr + 64 AS DOUBLE))
+                           * 1000000.0 + 0.5)::bigint AS lr
+              FROM counts CROSS JOIN tot
+            ), per AS (
+              SELECT f.doc_id, count(*)::bigint AS n_feats,
+                     sum(m.lr)::bigint AS logratio_micro
+              FROM feats f JOIN model m USING (bucket) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(p.n_feats, 0)::bigint AS n_feats,
+                   coalesce(p.logratio_micro, 0)::bigint AS logratio_micro
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY logratio_micro DESC, doc_id
+            LIMIT 200
         """,
         "q277_keyframe_index": """
             -- predicts the NAL indexer's output from the generation

@@ -1283,3 +1283,152 @@ def pps_systematic_sample(
         .filter(F.col("n_boundaries") > 0)
         .drop("_W")
     )
+
+
+def dsir_log_ratios(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DSIR bucket model (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): hashed n-gram
+    (unigram + bigram) counts under the TARGET distribution vs the RAW
+    corpus, as per-bucket log-probability ratios in exact integer
+    micro-nats.
+
+    DSIR's estimator is two bag-of-hashed-ngrams unigram models:
+    features are lowercase whitespace tokens and adjacent-token
+    bigrams, hashed into ``n_buckets`` buckets with the engine-portable
+    MD5 family; each side's bucket probability is Laplace-smoothed
+    ``(c_b + 1/2) / (N + B/2)``, and the bucket's importance
+    contribution is ``ln p_target(b) - ln p_raw(b)``. Each term is
+    quantized to micro-nats with the established half-up rule
+    (``floor(ln((2c+1)/(2N+B))·10⁶ + 1/2)`` — one double ln per term,
+    identical expression shape in the DuckDB oracle), so everything
+    downstream is exact BIGINT arithmetic.
+
+    Plan shape (100 TB): one explode over tokens+bigrams, one
+    B-row hash aggregate per side (B = ``n_buckets``, tiny), a 1-row
+    total broadcast — the corpus shuffles once on the bucket key at
+    B-bounded cardinality. Output: ``(bucket, tgt_c, raw_c,
+    lr_micro)``, one row per OBSERVED bucket (unobserved buckets carry
+    the smoothing-only ratio; callers joining features to this table
+    never miss — a feature's bucket is observed by construction).
+    """
+    b = int(n_buckets)
+    toks = F.expr(
+        f"split(lower(trim({text_col})), '\\\\s+')"
+    )
+    base = spread(docs).select(
+        F.col(id_col),
+        target.cast("boolean").alias("_tgt"),
+        F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("_toks"),
+    )
+    feats = base.select(
+        "_tgt",
+        F.explode(
+            F.concat(
+                F.col("_toks"),
+                F.expr(
+                    "CASE WHEN size(_toks) < 2 THEN array() "
+                    "ELSE transform(slice(_toks, 1, size(_toks) - 1), "
+                    "(t, i) -> concat(t, ' ', _toks[i + 1])) END"
+                ),
+            )
+        ).alias("feat"),
+    ).select("_tgt", (md5_long(F.col("feat")) % b).alias("bucket"))
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).cast("long").alias("tgt_c"),
+        F.count(F.lit(1)).cast("long").alias("raw_c"),
+    )
+    totals = counts.agg(
+        F.sum("tgt_c").cast("long").alias("_T"), F.sum("raw_c").cast("long").alias("_R")
+    )
+    lp = (
+        "CAST(floor(ln((2 * {c} + 1) / CAST(2 * {n} + {b} AS DOUBLE)) "
+        "* 1000000.0 + 0.5) AS BIGINT)"
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "tgt_c",
+        "raw_c",
+        (
+            F.expr(lp.format(c="tgt_c", n="_T", b=b))
+            - F.expr(lp.format(c="raw_c", n="_R", b=b))
+        ).alias("lr_micro"),
+    )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance weights: the document's hashed
+    n-gram features summed through :func:`dsir_log_ratios` — exact
+    BIGINT micro-nats (``logratio_micro = Σ_feat lr[bucket(feat)]``,
+    feature instances counted with multiplicity, per the paper's
+    product-of-bucket-probabilities likelihood). Documents with zero
+    features score 0 with ``n_feats = 0`` (the empty product).
+
+    Plan: the model is a ≤``n_buckets``-row broadcast; the corpus-side
+    explode joins map-side and aggregates per document — one shuffle on
+    the document id. Output: ``(doc_id, n_feats, logratio_micro)``.
+    """
+    b = int(n_buckets)
+    model = dsir_log_ratios(docs, target, b, text_col, id_col)
+    toks = F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
+    base = spread(docs).select(
+        F.col(id_col),
+        F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>"))
+        .otherwise(toks)
+        .alias("_toks"),
+    )
+    feats = base.select(
+        id_col,
+        F.explode_outer(
+            F.concat(
+                F.col("_toks"),
+                F.expr(
+                    "CASE WHEN size(_toks) < 2 THEN array() "
+                    "ELSE transform(slice(_toks, 1, size(_toks) - 1), "
+                    "(t, i) -> concat(t, ' ', _toks[i + 1])) END"
+                ),
+            )
+        ).alias("feat"),
+    ).select(id_col, (md5_long(F.col("feat")) % b).alias("bucket"))
+    return (
+        feats.join(F.broadcast(model.select("bucket", "lr_micro")), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.col("bucket")).cast("long").alias("n_feats"),
+            F.coalesce(F.sum("lr_micro"), F.lit(0)).cast("long").alias(
+                "logratio_micro"
+            ),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    k: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic DSIR selection: the top-``k`` documents by
+    importance weight (ties broken by ``id_col``). The paper resamples
+    with Gumbel noise; the exactness contract here takes the
+    noise-free limit — rank by the integer micro-nat weight — so the
+    selected set is reproducible across engines and runs. Global top-k
+    executes as TakeOrdered (per-partition heads, no full sort
+    materialization)."""
+    imp = dsir_importance(docs, target, n_buckets, text_col, id_col)
+    return imp.orderBy(F.col("logratio_micro").desc(), F.col(id_col)).limit(int(k))
