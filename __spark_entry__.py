@@ -4457,6 +4457,48 @@ def q278_dsir_select(spark, sf_dir):
     ).orderBy(F.col("logratio_micro").desc(), F.col("doc_id"))
 
 
+# Trained-model twin (the q109/q110 pattern): coefficients fitted ONCE
+# by classifier.logreg_irls_train on sf0.01 quality_features with
+# label = (lang = 'en'), 6 IRLS rounds, ridge 1e-6 — the training path
+# itself is pinned against a numpy mirror in tests/test_round12_ops.py.
+# x_punct's coefficient is exactly 0.0: the synthetic corpus has
+# punct_ratio ≡ 0, so the feature carries no signal (kept in the model
+# for schema stability on real corpora).
+_QCLF_COEFS = [
+    1.0495330685067514,   # intercept
+    -0.13783935990791849,  # x_len  = least(n_tokens/100, 1)
+    0.0,                   # x_punct = punct_ratio
+    1.8244592739406096,    # x_stop = stopword_ratio
+    -2.983244595358471,    # x_mtl  = least(mean_token_len/10, 1)
+]
+_QCLF_FEATURES = ["x_len", "x_punct", "x_stop", "x_mtl"]
+
+
+def q279_quality_classifier(spark, sf_dir):
+    """Trained quality classifier scoring (round 12, VERDICT r11 item
+    4 — the CCNet/fastText stage): logistic model over the
+    quality_features surface statistics, coefficients literal (trained
+    by the distributed IRLS in datapipe/classifier.py, training parity
+    numpy-pinned in tests), score quantized half-up to integer ppm so
+    the gate compares exact BIGINTs. Pure map-side Catalyst — the
+    100 TB scoring pass has no shuffle at all."""
+    from aeon_mecha_spark.datapipe import classifier
+
+    qf = textqc.quality_features(_t(spark, sf_dir, "documents"))
+    feats = qf.select(
+        "doc_id",
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)).alias("x_len"),
+        F.col("punct_ratio").alias("x_punct"),
+        F.col("stopword_ratio").alias("x_stop"),
+        F.least(F.col("mean_token_len") / 10.0, F.lit(1.0)).alias("x_mtl"),
+    )
+    return (
+        classifier.logreg_score_ppm(feats, _QCLF_FEATURES, _QCLF_COEFS)
+        .select("doc_id", "prob_ppm")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4517,6 +4559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q276_perplexity_buckets": q276_perplexity_buckets,
         "q277_keyframe_index": q277_keyframe_index,
         "q278_dsir_select": q278_dsir_select,
+        "q279_quality_classifier": q279_quality_classifier,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -5815,6 +5858,42 @@ def _sql_bradley_terry(iters: int = 3, scale: int = 1000) -> str:
         FROM stats st JOIN nm USING (i) JOIN {prev} USING (i)
     """
     return body
+
+
+def _sql_quality_classifier(qf: str, stop_in: str) -> str:
+    """DuckDB twin of q279: the q32 feature CTE + the literal logistic
+    model rendered by classifier.score_sql_expr (identical
+    left-associated double expression, quantized AFTER the link)."""
+    from aeon_mecha_spark.datapipe.classifier import score_sql_expr
+
+    score = score_sql_expr(
+        [
+            "least(n_tokens / 100.0, 1.0)",
+            "punct_ratio",
+            "stopword_ratio",
+            "least(mean_token_len / 10.0, 1.0)",
+        ],
+        _QCLF_COEFS,
+    )
+    return f"""
+        WITH feats AS (
+          SELECT doc_id,
+                 len({qf})::bigint AS n_tokens,
+                 round(CASE WHEN length(text) > 0
+                       THEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text)
+                       ELSE 0.0 END, 6) AS punct_ratio,
+                 round(CASE WHEN len({qf}) > 0
+                       THEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                t -> t IN ({stop_in}))) / len({qf})
+                       ELSE 0.0 END, 6) AS stopword_ratio,
+                 round(CASE WHEN len({qf}) > 0
+                       THEN list_sum(list_transform({qf}, t -> length(t))) / len({qf})
+                       ELSE 0.0 END, 6) AS mean_token_len
+          FROM documents)
+        SELECT doc_id, {score} AS prob_ppm
+        FROM feats
+        ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11150,6 +11229,7 @@ def oracle_sql() -> dict[str, str]:
                     AND req >= 2) AS passes
             FROM s ORDER BY doc_id
         """,
+        "q279_quality_classifier": _sql_quality_classifier(qf, stop_in),
         "q278_dsir_select": """
             -- DSIR: hashed-ngram bucket models (target=en vs raw),
             -- per-term micro-nat quantization, exact integer doc sums,

@@ -364,3 +364,68 @@ def test_dsir_matches_pure_python_mirror(spark):
     sel = C.dsir_select(docs, F.col("lang") == "en", k=2, n_buckets=B).collect()
     ranked = sorted(expected.items(), key=lambda kv: (-kv[1][1], kv[0]))
     assert [r.doc_id for r in sel] == [d for d, _ in ranked[:2]]
+
+
+# -------------------------------------------------------- quality classifier
+
+
+def test_logreg_irls_matches_numpy_mirror(spark):
+    # VERDICT r11 item 4: the distributed IRLS path must agree with an
+    # independent numpy implementation of the same fixed-round Newton
+    # iteration (sums are reassociated across partitions, so parity is
+    # to solver tolerance, not bit-exact).
+    from pyspark.sql import functions as F
+
+    from aeon_mecha_spark.datapipe.classifier import (
+        logreg_irls_train,
+        logreg_score_ppm,
+    )
+
+    rng = np.random.default_rng(42)
+    n = 400
+    X = rng.normal(size=(n, 2))
+    true_beta = np.array([0.5, 2.0, -1.5])
+    p = 1.0 / (1.0 + np.exp(-(true_beta[0] + X @ true_beta[1:])))
+    y = (rng.uniform(size=n) < p).astype(float)
+
+    def numpy_irls(iters=6, ridge=1e-6):
+        Xd = np.column_stack([np.ones(n), X])
+        beta = np.zeros(3)
+        for _ in range(iters):
+            z = Xd @ beta
+            pr = 1.0 / (1.0 + np.exp(-z))
+            w = pr * (1.0 - pr)
+            H = Xd.T @ (w[:, None] * Xd) + ridge * np.eye(3)
+            g = Xd.T @ (y - pr) - ridge * beta
+            beta = beta + np.linalg.solve(H, g)
+        return beta
+
+    expected = numpy_irls()
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(lbl)) for (a, b), lbl in zip(X, y)],
+        "x1 double, x2 double, label double",
+    )
+    got = np.array(logreg_irls_train(df, ["x1", "x2"], "label", iters=6))
+    assert np.allclose(got, expected, rtol=0, atol=1e-8), (got, expected)
+    # the fit recovers the generating direction (sanity, wide tolerance)
+    assert np.sign(got[1]) == 1 and np.sign(got[2]) == -1
+
+    # scoring twin: exact ppm parity with a python mirror
+    import math
+
+    scored = {
+        (round(r.x1, 9), round(r.x2, 9)): r.prob_ppm
+        for r in logreg_score_ppm(df, ["x1", "x2"], list(got)).collect()
+    }
+    for (a, b), _lbl in zip(X, y):
+        z = got[0] + got[1] * float(a) + got[2] * float(b)
+        want = math.floor((1.0 / (1.0 + math.exp(-z))) * 1e6 + 0.5)
+        assert scored[(round(float(a), 9), round(float(b), 9))] == want
+
+
+def test_logreg_score_rejects_wrong_arity(spark):
+    from aeon_mecha_spark.datapipe.classifier import logreg_score_ppm
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="coefficients"):
+        logreg_score_ppm(df, ["x"], [0.1])
