@@ -429,3 +429,88 @@ def test_logreg_score_rejects_wrong_arity(spark):
     df = spark.createDataFrame([(1.0,)], "x double")
     with pytest.raises(ValueError, match="coefficients"):
         logreg_score_ppm(df, ["x"], [0.1])
+
+
+# ------------------------------------------------------ watermark drop gate
+
+
+def test_watermark_late_drop_set_is_deterministic(spark, tmp_path):
+    """VERDICT r11 item 5: pin the late-data DROP semantics, not just
+    split-invariance of in-order replays.
+
+    Spark's two watermarks (SPARK-40925): eviction uses the value
+    computed from all PRIOR batches; late-record filtering uses the
+    PREVIOUS batch's eviction value (one batch of lag). With a pinned
+    3-slice mtime-ordered replay the dropped set is therefore exactly
+    determined: the [05:00,06:00) window arrives in batch 2 when the
+    late-filter watermark is 19:00 (from batch 0's max 20:00 − 1 h),
+    so BOTH its rows drop; the same data in one batch drops nothing.
+    The single-batch vs split difference must equal that window
+    exactly.
+    """
+    import datetime as dt
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    B = dt.datetime(2024, 1, 1)
+
+    def t(h, m=0):
+        return B + dt.timedelta(hours=h, minutes=m)
+
+    slices = [[t(18), t(20)], [t(21)], [t(5), t(5, 30), t(22)]]
+    feed = str(tmp_path / "wmfeed")
+    os.makedirs(feed)
+    for i, rows in enumerate(slices):
+        tbl = pa.table(
+            {
+                "time": pa.array(rows, pa.timestamp("us")),
+                "device": ["cam"] * len(rows),
+                "v": [1.0] * len(rows),
+            }
+        )
+        p = os.path.join(feed, f"part{i:05d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))  # pin replay order
+
+    def run(split):
+        src = spark.readStream.schema("time timestamp, device string, v double")
+        if split:
+            src = src.option("maxFilesPerTrigger", 1)
+        agg = (
+            src.parquet(feed)
+            .withWatermark("time", "1 hour")
+            .groupBy(F.window("time", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
+        name = "wm" + uuid.uuid4().hex[:8]
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            so.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for so in p["stateOperators"]
+        )
+        rows = {(r.w.start, r.n) for r in spark.table(name).collect()}
+        return rows, dropped
+
+    split_rows, split_dropped = run(split=True)
+    single_rows, single_dropped = run(split=False)
+    # split replay: [5,6) dropped by the late filter, [21,22)/[22,23)
+    # still open at the final watermark (21:00) — never emitted
+    assert split_rows == {(t(18), 1), (t(20), 1)}
+    assert split_dropped == 1  # one post-shuffle window grain
+    # single batch: nothing is late (late-filter watermark still 1970)
+    assert single_rows == {(t(5), 2), (t(18), 1), (t(20), 1)}
+    assert single_dropped == 0
+    # the difference IS the designed drop set, exactly
+    assert single_rows - split_rows == {(t(5), 2)}

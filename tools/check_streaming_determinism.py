@@ -18,6 +18,12 @@ on the gate's split-invariant view:
   replay); re-batching as id %% 5 must still accept each doc EXACTLY
   once (batch_id legitimately differs — it records which batch a doc
   first appeared in).
+- watermark[late-drop] (round 12): an OUT-OF-ORDER replay whose late
+  rows deterministically cross the watermark — the drop semantics the
+  in-order sweep deliberately excludes. Spark splits the watermark
+  (SPARK-40925): eviction uses the value from all prior batches, late
+  filtering uses the PREVIOUS batch's eviction value; with a pinned
+  3-slice replay the dropped window set is exact and asserted.
 
 *q135's gate is the batch declaration; its streaming twin
 (sliding_window_stats over the stream feed) runs here explicitly.
@@ -134,7 +140,60 @@ def main() -> None:
     print(f"{'PASS' if ok else 'FAIL'} q122_bloom_ledger[rebatch %5] "
           f"(ledger {n_led}, distinct {n_dist}, docs {n_docs})")
 
-    total = 6
+    # watermark late-drop: out-of-order replay, exact dropped set
+    import datetime as dt
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = dt.datetime(2024, 1, 1)
+
+    def _t(h, m=0):
+        return base + dt.timedelta(hours=h, minutes=m)
+
+    slices = [[_t(18), _t(20)], [_t(21)], [_t(5), _t(5, 30), _t(22)]]
+    feed = tempfile.mkdtemp(prefix="wm_sweep_")
+    for i, rows in enumerate(slices):
+        tbl = pa.table({
+            "time": pa.array(rows, pa.timestamp("us")),
+            "device": ["cam"] * len(rows),
+            "v": [1.0] * len(rows),
+        })
+        p = os.path.join(feed, f"part{i:05d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    def wm_run(split):
+        src = spark.readStream.schema("time timestamp, device string, v double")
+        if split:
+            src = src.option("maxFilesPerTrigger", 1)
+        agg = (src.parquet(feed)
+               .withWatermark("time", "1 hour")
+               .groupBy(F.window("time", "1 hour").alias("w"))
+               .agg(F.count("*").alias("n")))
+        name = "wm" + uuid.uuid4().hex[:8]
+        q = (agg.writeStream.outputMode("append").format("memory")
+             .queryName(name).trigger(availableNow=True).start())
+        q.awaitTermination()
+        dropped = sum(so.get("numRowsDroppedByWatermark", 0)
+                      for p in q.recentProgress for so in p["stateOperators"])
+        return {(r.w.start, r.n) for r in spark.table(name).collect()}, dropped
+
+    split_rows, split_dropped = wm_run(True)
+    single_rows, single_dropped = wm_run(False)
+    ok = (
+        split_rows == {(_t(18), 1), (_t(20), 1)}
+        and split_dropped == 1
+        and single_dropped == 0
+        and single_rows - split_rows == {(_t(5), 2)}
+    )
+    failed += not ok
+    print(f"{'PASS' if ok else 'FAIL'} watermark[late-drop] "
+          f"(dropped set {sorted(single_rows - split_rows)}, "
+          f"metric {split_dropped} vs {single_dropped})")
+
+    total = 7
     print(f"\n{total - failed} passed, {failed} failed, sf_dir={sf_dir}")
     sys.exit(1 if failed else 0)
 
