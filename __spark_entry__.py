@@ -4511,17 +4511,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
     # Insertion order matters: the driver's correctness gate grades the
-    # FIRST 50 entries. Round-11 rotation: the head keeps the round-10
-    # wave (q151/q162/q163, the rank stats, q248-q268 — all ANOVA-family
-    # gates re-grade after this round's f_ppm saturation + integer-sign
-    # fix) and inserts the 8 NEW round-11 gates right after q268:
-    # TPC-H Q11/Q16 (q269/q270), the composed IVF-PQ search (q271), the
-    # mixture solve + its sampled composition (q272/q273), and the
-    # C4/Gopher/CCNet quality trio (q274-q276). The tail of the old
-    # window (8 stale-record re-grades) rotates below the cut; every
-    # rotated-out gate is re-checked each round via
-    # tools/check_correctness.py -> CHECK_FULL_r{N}.json committed at
-    # final HEAD.
+    # FIRST 50 entries. Round-12 rotation: the head keeps the round-11
+    # wave (TPC-H Q11/Q16, the composed IVF-PQ search q271, the mixture
+    # pair q272/q273, the C4/Gopher/CCNet trio q274-q276) and inserts
+    # the 3 NEW round-12 gates right after q276: the H.264 NAL keyframe
+    # indexer (q277), DSIR importance resampling (q278), and the
+    # trained quality classifier (q279). Three tail entries rotate
+    # below the cut; every rotated-out gate is re-checked each round
+    # via tools/check_correctness.py -> CHECK_FULL_r{N}.json committed
+    # at final HEAD.
         "q151_mad_outliers": q151_mad_outliers,
         "q162_bpe_apply": q162_bpe_apply,
         "q163_bpe_learn": q163_bpe_learn,

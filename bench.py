@@ -75,7 +75,7 @@ HEADLINE = [
     "q97_substring_dedup",   # gram explode + span merge (persist reuse)
     "q106_curation_pipeline",  # 4-stage composed curation chain
     "q111_winnowing",        # MOSS frame-min fingerprints
-    "q112_unigram_logprob",  # corpus-trained unigram LM scoring
+    "q276_perplexity_buckets",  # CCNet buckets (rotated in r12 for q112: same LM family, heavier plan)
     "q114_grouped_quantiles",  # exact type-1 quantiles, one window
     "q115_range_shard",      # sampled-boundary deterministic range shard
     "q116_semantic_dedup",   # LSH pairs -> components -> canonical
@@ -116,8 +116,9 @@ HEADLINE = [
     "q159_sparse_cosine",    # inverted-index df-capped cosine pairs
     "q163_bpe_learn",        # 8-round weighted pair-argmax over word table
     "q164_exact_split",      # largest-remainder quotas + hash ranks
+    "q277_keyframe_index",   # NAL access-unit parse, map-side bytes (r12)
     "q165_corr_pairs",       # 15 exact moments in one aggregate pass
-    "q166_woe",              # micro-nat WOE / IV, totals broadcast
+    "q279_quality_classifier",  # trained logistic scoring (r12, rotated for q166: integral scoring family)
     "q168_seasonal_anomaly",  # phase medians + residual Tukey fences
     "q169_lift_table",       # distinct-score-grain decile gains
     "q170_gini",             # ranked-sum concentration per key
@@ -136,7 +137,7 @@ HEADLINE = [
     "q189_funnel_latency",   # first-touch deltas, type-1 median/p90
     "q190_hll_distinct",     # float-free HLL registers + literal tables
     "q191_kcore",            # 3-round semi-join peel (fixed, unrollable)
-    "q192_feature_hash",     # hashing-trick vectorizer, map-side
+    "q278_dsir_select",      # DSIR hashed-ngram selection (r12, rotated for q192: hashed-feature family)
     "q193_position_attribution",  # U-shaped credit, one window + explode
     "q194_top_supplier",     # Q15: scalar max broadcast, tie-inclusive
     "q196_large_orders",     # Q18: HAVING + join-back, det. top-100

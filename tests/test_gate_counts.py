@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import os
 import re
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -58,3 +59,24 @@ def test_exactness_doc_count_matches_registry():
     m = re.search(r"\((\d+) oracle-gated queries of the (\d+)-gate registry", text)
     assert m, "docs/EXACTNESS.md no longer states the gate counts"
     assert (int(m.group(1)), int(m.group(2))) == (len(os_), len(qs))
+
+
+def test_readme_suite_count_matches_collection():
+    """Round-12 discipline (VERDICT r11 'What's wrong' #3): no document
+    may state a test count a fresh collection contradicts. README pins
+    the count; this test collects the suite and compares."""
+    import subprocess
+
+    text = open(os.path.join(REPO, "README.md")).read()
+    m = re.search(r"(\d+) pytest tests", text)
+    assert m, "README.md no longer states the suite count"
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    mm = re.search(r"(\d+) tests collected", out.stdout)
+    assert mm, out.stdout[-500:]
+    assert int(m.group(1)) == int(mm.group(1)), (
+        f"README says {m.group(1)} tests, collection finds {mm.group(1)} — "
+        "update the README tests/ line"
+    )
