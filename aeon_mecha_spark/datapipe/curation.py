@@ -1377,42 +1377,94 @@ def dsir_importance(
     product-of-bucket-probabilities likelihood). Documents with zero
     features score 0 with ``n_feats = 0`` (the empty product).
 
-    Plan: the model is a ≤``n_buckets``-row broadcast; the corpus-side
-    explode joins map-side and aggregates per document — one shuffle on
-    the document id. Output: ``(doc_id, n_feats, logratio_micro)``.
+    Plan (round 12, one-pass): the corpus is exploded ONCE into a
+    ``(doc, bucket, count, is_target)`` grain (persisted — at most
+    ``n_buckets`` rows per document); BOTH the bucket model and the
+    per-document sums derive from that grain, so 100 TB of text is
+    scanned and tokenized a single time instead of once per side. The
+    model is a ≤``n_buckets``-row broadcast back onto the grain; the
+    only corpus-wide shuffle is the (doc, bucket) aggregate. Documents
+    with zero features re-enter via a left join from the id spine
+    (n_feats = 0, score 0 — the empty product). The grain's persist
+    handle rides on the result via ``track_cached``.
+    Output: ``(doc_id, n_feats, logratio_micro)``.
     """
+    from aeon_mecha_spark.util import track_cached
+
     b = int(n_buckets)
-    model = dsir_log_ratios(docs, target, b, text_col, id_col)
     toks = F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
     base = spread(docs).select(
         F.col(id_col),
+        target.cast("boolean").alias("_tgt"),
         F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>"))
         .otherwise(toks)
         .alias("_toks"),
     )
-    feats = base.select(
-        id_col,
-        F.explode_outer(
-            F.concat(
-                F.col("_toks"),
-                F.expr(
-                    "CASE WHEN size(_toks) < 2 THEN array() "
-                    "ELSE transform(slice(_toks, 1, size(_toks) - 1), "
-                    "(t, i) -> concat(t, ' ', _toks[i + 1])) END"
-                ),
-            )
-        ).alias("feat"),
-    ).select(id_col, (md5_long(F.col("feat")) % b).alias("bucket"))
-    return (
-        feats.join(F.broadcast(model.select("bucket", "lr_micro")), "bucket", "left")
+    grain = (
+        base.select(
+            id_col,
+            "_tgt",
+            F.explode(
+                F.concat(
+                    F.col("_toks"),
+                    F.expr(
+                        "CASE WHEN size(_toks) < 2 THEN array() "
+                        "ELSE transform(slice(_toks, 1, size(_toks) - 1), "
+                        "(t, i) -> concat(t, ' ', _toks[i + 1])) END"
+                    ),
+                )
+            ).alias("feat"),
+        )
+        .select(id_col, "_tgt", (md5_long(F.col("feat")) % b).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_c"),
+            F.max("_tgt").alias("_tgt"),
+        )
+        .persist()
+    )
+    counts = grain.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_tgt"), F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("tgt_c"),
+        F.sum("_c").cast("long").alias("raw_c"),
+    )
+    totals = counts.agg(
+        F.sum("tgt_c").cast("long").alias("_T"), F.sum("raw_c").cast("long").alias("_R")
+    )
+    lp = (
+        "CAST(floor(ln((2 * {c} + 1) / CAST(2 * {n} + {b} AS DOUBLE)) "
+        "* 1000000.0 + 0.5) AS BIGINT)"
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.expr(lp.format(c="tgt_c", n="_T", b=b))
+            - F.expr(lp.format(c="raw_c", n="_R", b=b))
+        ).alias("lr_micro"),
+    )
+    per_doc = (
+        grain.join(F.broadcast(model), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.col("bucket")).cast("long").alias("n_feats"),
-            F.coalesce(F.sum("lr_micro"), F.lit(0)).cast("long").alias(
+            F.sum("_c").cast("long").alias("n_feats"),
+            F.sum(F.col("_c") * F.col("lr_micro")).cast("long").alias(
                 "logratio_micro"
             ),
         )
     )
+    out = (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("logratio_micro", F.lit(0)).cast("long").alias(
+                "logratio_micro"
+            ),
+        )
+    )
+    return track_cached(out, grain)
 
 
 def dsir_select(
