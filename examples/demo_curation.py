@@ -77,6 +77,27 @@ def main() -> None:
     # replays — truncate it once (same reason dedup_clusters checkpoints)
     docs = docs.localCheckpoint()
 
+    print("== 1e. trained quality classifier (IRLS logistic, r12)")
+    from aeon_mecha_spark.datapipe import classifier
+
+    qfeat = textqc.quality_features(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id",
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)).alias("x_len"),
+        F.col("punct_ratio").alias("x_punct"),
+        F.col("stopword_ratio").alias("x_stop"),
+        F.least(F.col("mean_token_len") / 10.0, F.lit(1.0)).alias("x_mtl"),
+        (F.col("lang") == "en").cast("double").alias("label"),
+    )
+    feats = ["x_len", "x_punct", "x_stop", "x_mtl"]
+    coefs = classifier.logreg_irls_train(qfeat, feats, "label", iters=4)
+    print("   trained coefficients:", [round(c, 4) for c in coefs])
+    scored = classifier.logreg_score_ppm(qfeat, feats, coefs)
+    scored.agg(
+        F.min("prob_ppm").alias("min_ppm"), F.max("prob_ppm").alias("max_ppm")
+    ).show()
+
     print("== 2. PII redaction (audit counts ride along)")
     red = curation.redact_pii(docs)
     audit = red.agg(
@@ -133,6 +154,16 @@ def main() -> None:
         {"en": 400_000, "zh": 200_000, "es": 200_000, "de": 150_000,
          "fr": 50_000},
     ).orderBy("domain").show()
+
+    print("== 5a3. DSIR importance selection toward English (r12)")
+    from aeon_mecha_spark.util import release_cached
+
+    imp = curation.dsir_importance(docs, F.col("lang") == "en", n_buckets=64)
+    imp.agg(
+        F.min("logratio_micro").alias("min_lr"),
+        F.max("logratio_micro").alias("max_lr"),
+    ).show()
+    release_cached(imp)
 
     print("== 5b. quality-weighted subset (Efraimidis-Spirakis, top 300)")
     weighted = docs.withColumn(
