@@ -514,3 +514,74 @@ def test_watermark_late_drop_set_is_deterministic(spark, tmp_path):
     assert single_dropped == 0
     # the difference IS the designed drop set, exactly
     assert single_rows - split_rows == {(t(5), 2)}
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_nal_indexer_annexb(seed):
+    # Deep-fuzz tier for the NAL indexer (the mp4/avi codec convention):
+    # random spec-shaped streams — random codec, start-code widths, AU
+    # sizes, keyframe pattern, parameter-set prefixes, trailing zeros —
+    # must index back to exactly the constructed frames.
+    import random
+
+    from aeon_mecha_spark.datapipe import nalcodec as N
+
+    rng = random.Random(seed)
+    codec = rng.choice(["h264", "hevc"])
+
+    def sc():
+        return b"\x00\x00\x01" if rng.random() < 0.4 else b"\x00\x00\x00\x01"
+
+    def nal(t, first_slice=None):
+        if codec == "h264":
+            hdr = bytes([(rng.choice([1, 2, 3]) << 5) | t])
+            if first_slice is None:
+                body = bytes([rng.randrange(1, 256) for _ in range(rng.randrange(1, 6))])
+            else:
+                # first ue(v): 0x88.. -> first_mb=0; 0x50.. -> first_mb=1
+                lead = 0x88 if first_slice else 0x50
+                body = bytes([lead]) + bytes(
+                    [rng.randrange(1, 256) for _ in range(rng.randrange(1, 5))]
+                )
+            return hdr + body
+        hdr = bytes([t << 1, 0x01])
+        if first_slice is None:
+            body = bytes([rng.randrange(1, 256) for _ in range(rng.randrange(1, 6))])
+        else:
+            # rbsp_stop_one_bit: a real NAL never ends in 0x00, so the
+            # 0x00 first-slice-flag byte always gets a nonzero tail
+            body = bytes([0x80 if first_slice else 0x00]) + bytes(
+                [rng.randrange(1, 256) for _ in range(rng.randrange(1, 5))]
+            )
+        return hdr + body
+
+    vcl_types = (
+        {"idr": 5, "p": 1} if codec == "h264" else {"idr": 19, "p": 1}
+    )
+    sps = 7 if codec == "h264" else 33
+    pps = 8 if codec == "h264" else 34
+
+    n_frames = rng.randrange(1, 9)
+    expect_key = []
+    buf = bytearray()
+    buf += sc() + nal(sps) + sc() + nal(pps)  # stream header -> AU 0
+    for i in range(n_frames):
+        key = i == 0 or rng.random() < 0.3
+        expect_key.append(key)
+        t = vcl_types["idr"] if key else vcl_types["p"]
+        if i > 0 and rng.random() < 0.3:
+            buf += sc() + nal(sps)  # re-sent parameter set opens the AU
+        buf += sc() + nal(t, first_slice=True)
+        for _ in range(rng.randrange(0, 3)):  # continuation slices
+            buf += sc() + nal(t, first_slice=False)
+    if rng.random() < 0.3:
+        buf += b"\x00" * rng.randrange(1, 4)  # trailing_zero_8bits
+
+    frames = N.annexb_frame_index(bytes(buf), codec)
+    assert [f["is_keyframe"] for f in frames] == expect_key, (codec, seed)
+    # frame byte ranges tile the stream (trailing zeros belong to the
+    # last frame's span end or beyond — size sums to at most len(buf))
+    assert frames[0]["offset"] == 0
+    for a, b in zip(frames, frames[1:]):
+        assert a["offset"] + a["size"] == b["offset"]
+    assert frames[-1]["offset"] + frames[-1]["size"] == len(buf)
