@@ -4499,6 +4499,25 @@ def q279_quality_classifier(spark, sf_dir):
     )
 
 
+def q280_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) as a gate: cluster-then-cosine
+    semantic dedup — coarse assignment to the 4 literal IVF centroids
+    (8-dim prefix, the q48 quantizer), then within-cell full-vector
+    cosine; a vector is dropped iff an earlier (smaller-id) cell-mate
+    sits within the ε-ball (θ = 0.30). The pair space is cell-bounded
+    (never corpus×corpus); cosines are the unrolled left-fold chain
+    that is bit-identical to DuckDB's list_dot_product."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = similarity.semdedup(
+        emb, _IVF_CENTROIDS, threshold=0.30, coarse_dims=8, dim=64
+    )
+    return out.select(
+        "vec_id", F.col("cell").cast("int").alias("cell"), "is_kept"
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4558,6 +4577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q277_keyframe_index": q277_keyframe_index,
         "q278_dsir_select": q278_dsir_select,
         "q279_quality_classifier": q279_quality_classifier,
+        "q280_semdedup": q280_semdedup,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -5469,6 +5489,43 @@ def _sql_ivf_knn() -> str:
       FROM scored)
     SELECT query_id, neighbor_id, round(score, 6) AS score, rank::bigint AS rank
     FROM ranked WHERE rank <= 3"""
+
+
+def _sql_semdedup(threshold: float = 0.30) -> str:
+    """Oracle for q280: the q48 assignment CTE (8-dim prefix, first-wins
+    argmin) + within-cell full-vector cosine dup marking."""
+    dists = ",\n             ".join(
+        f"sqrt(list_sum(list_transform(generate_series(1, 8), i -> (v[i] - ({c}[i])) * (v[i] - ({c}[i]))))) AS d{j}"
+        for j, c in enumerate(_IVF_CENTROIDS)
+    )
+    n = len(_IVF_CENTROIDS)
+    case = "CASE "
+    for j in range(n - 1):
+        conds = " AND ".join(f"d{j} <= d{m}" for m in range(j + 1, n))
+        case += f"WHEN {conds} THEN {j} "
+    case += f"ELSE {n - 1} END"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS fv,
+             (embedding::DOUBLE[])[1:8] AS v
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id, fv, v,
+             {dists}
+      FROM e
+    ), assigned AS (
+      SELECT vec_id, fv, ({case}) AS cell FROM d
+    ), dups AS (
+      SELECT DISTINCT b.vec_id AS dup
+      FROM assigned a JOIN assigned b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.fv, b.fv)
+            / (sqrt(list_dot_product(a.fv, a.fv))
+               * sqrt(list_dot_product(b.fv, b.fv))) >= {threshold}
+    )
+    SELECT a.vec_id, a.cell::int AS cell, dups.dup IS NULL AS is_kept
+    FROM assigned a LEFT JOIN dups ON a.vec_id = dups.dup
+    ORDER BY a.vec_id"""
 
 
 def _sql_ivf_multiprobe(nprobe: int = 2, k: int = 3) -> str:
@@ -11228,6 +11285,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s ORDER BY doc_id
         """,
         "q279_quality_classifier": _sql_quality_classifier(qf, stop_in),
+        "q280_semdedup": _sql_semdedup(0.30),
         "q278_dsir_select": """
             -- DSIR: hashed-ngram bucket models (target=en vs raw),
             -- per-term micro-nat quantization, exact integer doc sums,

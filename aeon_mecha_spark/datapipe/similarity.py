@@ -1135,3 +1135,70 @@ def ivf_pq_search(
     )
     out = exact.withColumn("rank", F.row_number().over(wk)).filter(F.col("rank") <= k)
     return track_cached(out, multi)
+
+
+def semdedup(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    threshold: float,
+    coarse_dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    cluster-then-cosine — the embedding-space counterpart of MinHash
+    near-dup, and the step that removes *paraphrase* duplicates exact
+    and fuzzy text dedup both miss.
+
+    The paper's recipe, made deterministic: (1) assign every vector to
+    its nearest coarse centroid (:func:`ivf_assign` on the first
+    ``coarse_dims`` components — the IVF trick that bounds the pair
+    space to within-cell, never corpus×corpus); (2) within each cell,
+    a vector is a DUPLICATE iff some earlier vector (smaller id — the
+    paper keeps one representative per ε-ball; ordinal choice replaces
+    its random one) has full-vector cosine ≥ ``threshold``; (3)
+    survivors carry their cell for audit. Output: ``(vec_id, cell,
+    is_kept)`` for every input vector.
+
+    Scale: the only corpus-wide shuffle is the cell equi-join; pair
+    work is Σ|cell|² with cells sized by the centroid count — the
+    production rule is centroids ∝ N (the ivf_pq_search capstone law).
+    Cosines are pure Catalyst expression chains (unrolled when ``dim``
+    is given), no UDFs anywhere.
+    """
+    from aeon_mecha_spark.functions.vector import cosine
+
+    coarse = (
+        vectors.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), 1, int(coarse_dims)).alias(vec_col),
+        )
+        if coarse_dims
+        else vectors
+    )
+    cells = ivf_assign(coarse, centroids, id_col, vec_col).select(id_col, "cell")
+    assigned = vectors.join(cells, id_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell"
+    )
+    dup_ids = (
+        assigned.alias("a")
+        .join(
+            assigned.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(
+            cosine(F.col("a._v"), F.col("b._v"), dim) >= F.lit(float(threshold))
+        )
+        .select(F.col("b._id").alias("_dup"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids, assigned["_id"] == dup_ids["_dup"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            F.col("_dup").isNull().alias("is_kept"),
+        )
+    )
