@@ -4499,6 +4499,37 @@ def q279_quality_classifier(spark, sf_dir):
     )
 
 
+_HTML_PRE = (
+    '<html><head><script>var x = 1;</script><style>p{}</style></head><body>'
+    '<div class="nav"><a href="/">Home</a> <a href="/about">About</a></div><p>'
+)
+_HTML_POST = (
+    '</p><p>tiny</p><p>A &amp; B rock &lt;3 forever today yes</p>'
+    '<div>Visit <a href="/x">our sponsor</a> now: click <a>here</a> and '
+    '<a>here</a> please</div><!-- hidden --></body></html>'
+)
+
+
+def q281_html_extract(spark, sf_dir):
+    """HTML → text extraction (round 12): the raw-web stage in front of
+    every curation pipeline (trafilatura/jusText's role). Deterministic
+    HTML is synthesized around each document's text (nav bar with a
+    link farm, script/style/comment containers, an entity-bearing
+    paragraph, a short block, a sponsor block over the link-density
+    threshold); datapipe/extraction.py drops containers, splits blocks
+    at block-level tags, computes integer link density per block, and
+    reassembles kept blocks — all map-side regex/array Catalyst, no
+    UDFs. The oracle synthesizes the identical HTML and mirrors every
+    regex in RE2."""
+    from aeon_mecha_spark.datapipe import extraction
+
+    raw = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST)).alias("html"),
+    )
+    return extraction.html_extract(raw).orderBy("doc_id")
+
+
 def q280_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) as a gate: cluster-then-cosine
     semantic dedup — coarse assignment to the 4 literal IVF centroids
@@ -4578,6 +4609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q278_dsir_select": q278_dsir_select,
         "q279_quality_classifier": q279_quality_classifier,
         "q280_semdedup": q280_semdedup,
+        "q281_html_extract": q281_html_extract,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -5489,6 +5521,69 @@ def _sql_ivf_knn() -> str:
       FROM scored)
     SELECT query_id, neighbor_id, round(score, 6) AS score, rank::bigint AS rank
     FROM ranked WHERE rank <= 3"""
+
+
+def _sql_html_extract(min_chars: int = 20, max_link_ppm: int = 300_000) -> str:
+    """Oracle for q281: the identical HTML synthesis + every extraction
+    regex mirrored in RE2 (drop containers → block split → tag strip →
+    entity decode → trim → whitespace collapse → integer link density)."""
+    pre = _HTML_PRE.replace("'", "''")
+    post = _HTML_POST.replace("'", "''")
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, '{pre}' || text || '{post}' AS html FROM documents
+    ), cleaned AS (
+      SELECT doc_id,
+             regexp_replace(html,
+               '(?s)<(script|style)[^>]*>.*?</(script|style)>|<!--.*?-->',
+               ' ', 'g') AS c
+      FROM raw
+    ), ls AS (
+      SELECT doc_id,
+             string_split_regex(c,
+               '</?(p|div|section|article|li|tr|h[1-6]|br)[^>]*>') AS l
+      FROM cleaned
+    ), b AS (
+      SELECT doc_id, unnest(l) AS rawb,
+             generate_subscripts(l, 1) - 1 AS block_idx
+      FROM ls
+    ), m AS (
+      SELECT doc_id, block_idx,
+             regexp_replace(trim(
+               replace(replace(replace(replace(replace(replace(
+                 regexp_replace(rawb, '<[^>]+>', ' ', 'g'),
+                 '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                 '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')
+             ), '\\s+', ' ', 'g') AS block_text,
+             coalesce(list_sum(list_transform(
+               regexp_extract_all(rawb, '(?s)<a[^>]*>(.*?)</a>', 1),
+               x -> length(regexp_replace(x, '<[^>]+>', '', 'g')))), 0)::bigint
+               AS link_chars
+      FROM b
+    ), k AS (
+      SELECT doc_id, block_idx, block_text, link_chars,
+             length(block_text)::bigint AS text_chars
+      FROM m WHERE length(block_text) > 0
+    ), j AS (
+      SELECT doc_id, block_idx, block_text,
+             text_chars >= {min_chars}
+               AND link_chars * 1000000 <= text_chars * {max_link_ppm}
+               AS is_kept
+      FROM k
+    ), agg AS (
+      SELECT doc_id,
+             coalesce(string_agg(CASE WHEN is_kept THEN block_text END,
+                                 chr(10) ORDER BY block_idx), '') AS text,
+             coalesce(sum(CASE WHEN is_kept THEN 1 ELSE 0 END), 0)::bigint
+               AS n_blocks_kept,
+             count(*)::bigint AS n_blocks_total
+      FROM j GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(a.text, '') AS text,
+           coalesce(a.n_blocks_kept, 0)::bigint AS n_blocks_kept,
+           coalesce(a.n_blocks_total, 0)::bigint AS n_blocks_total
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id"""
 
 
 def _sql_semdedup(threshold: float = 0.30) -> str:
@@ -11286,6 +11381,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q279_quality_classifier": _sql_quality_classifier(qf, stop_in),
         "q280_semdedup": _sql_semdedup(0.30),
+        "q281_html_extract": _sql_html_extract(),
         "q278_dsir_select": """
             -- DSIR: hashed-ngram bucket models (target=en vs raw),
             -- per-term micro-nat quantization, exact integer doc sums,

@@ -1,0 +1,134 @@
+"""HTML → text extraction: the raw-web stage in front of every
+curation pipeline (trafilatura/jusText's role, re-expressed as
+engine-portable regex + integer block heuristics).
+
+A web-scale corpus arrives as HTML; C4/Gopher/CCNet all assume the
+markup is already gone and the boilerplate (nav bars, link farms,
+footers) stripped. This module does that with the jusText-lite recipe:
+
+1. drop non-content containers wholesale (``<script>``, ``<style>``,
+   comments) — dotall non-greedy regex, supported identically by Java
+   regex (Spark) and RE2 (DuckDB);
+2. split the remainder into BLOCKS at block-level tags
+   (p/div/section/article/li/tr/h1-6/br);
+3. per block, compute text length and LINK DENSITY (characters inside
+   ``<a>`` anchors vs all text characters, an integer
+   cross-multiplication — no division);
+4. keep blocks that are long enough and below the link-density
+   threshold; reassemble in document order.
+
+Everything is map-side Catalyst (regexp_replace / split / posexplode /
+regexp_extract_all) — no UDFs, no shuffle except the final per-doc
+reassembly groupBy. Patterns avoid lookaround and backreferences so
+the DuckDB oracle runs the very same expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# non-content containers removed wholesale (dotall, non-greedy)
+DROP_PATTERN = r"(?s)<(script|style)[^>]*>.*?</(script|style)>|<!--.*?-->"
+# block boundaries: opening OR closing block-level tags
+BLOCK_SPLIT = r"</?(p|div|section|article|li|tr|h[1-6]|br)[^>]*>"
+ANCHOR_INNER = r"(?s)<a[^>]*>(.*?)</a>"
+TAG = r"<[^>]+>"
+
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def _unescape(col):
+    # &amp; last, so "&amp;lt;" decodes to the literal "&lt;" (one pass,
+    # same order on both engines)
+    for ent, ch in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
+def html_text_blocks(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_chars: int = 20,
+    max_link_ppm: int = 300_000,
+) -> DataFrame:
+    """One row per candidate text block:
+    ``(id, block_idx, block_text, text_chars, link_chars, is_kept)``.
+
+    ``is_kept`` = text_chars ≥ ``min_chars`` AND
+    ``link_chars · 10⁶ ≤ text_chars · max_link_ppm`` (integer
+    cross-multiplication — jusText's link-density rule without a
+    float). ``block_text`` is tag-stripped, entity-decoded, trimmed;
+    empty blocks (pure markup) are dropped before the predicate.
+    """
+    cleaned = F.regexp_replace(F.col(html_col), DROP_PATTERN, " ")
+    blocks = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(cleaned, BLOCK_SPLIT)).alias("block_idx", "_raw"),
+    )
+    link_chars = F.aggregate(
+        F.expr(f"regexp_extract_all(_raw, '{ANCHOR_INNER}', 1)"),
+        F.lit(0),
+        lambda acc, x: acc + F.length(F.regexp_replace(x, TAG, "")),
+    )
+    txt = F.trim(_unescape(F.regexp_replace(F.col("_raw"), TAG, " ")))
+    txt = F.regexp_replace(txt, r"\s+", " ")
+    out = blocks.select(
+        id_col,
+        "block_idx",
+        txt.alias("block_text"),
+        link_chars.cast("long").alias("link_chars"),
+    ).withColumn("text_chars", F.length("block_text").cast("long"))
+    return (
+        out.filter(F.col("text_chars") > 0)
+        .withColumn(
+            "is_kept",
+            (F.col("text_chars") >= int(min_chars))
+            & (
+                F.col("link_chars") * F.lit(1_000_000)
+                <= F.col("text_chars") * F.lit(int(max_link_ppm))
+            ),
+        )
+        .select(id_col, "block_idx", "block_text", "text_chars",
+                "link_chars", "is_kept")
+    )
+
+
+def html_extract(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    min_chars: int = 20,
+    max_link_ppm: int = 300_000,
+) -> DataFrame:
+    """Extracted main text per document: kept blocks re-joined with a
+    single newline in block order. Output ``(id, text, n_blocks_kept,
+    n_blocks_total)`` — documents whose every block fails keep an empty
+    string (surfaced, not dropped: downstream filters decide)."""
+    blocks = html_text_blocks(docs, id_col, html_col, min_chars, max_link_ppm)
+    agg = blocks.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_kept"),
+                            F.struct("block_idx", "block_text"),
+                        )
+                    )
+                ),
+                lambda s: s["block_text"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.sum(F.col("is_kept").cast("long")).alias("n_blocks_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks_total"),
+    )
+    return docs.select(id_col).join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("n_blocks_kept", F.lit(0)).cast("long").alias("n_blocks_kept"),
+        F.coalesce("n_blocks_total", F.lit(0)).cast("long").alias("n_blocks_total"),
+    )

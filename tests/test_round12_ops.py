@@ -585,3 +585,47 @@ def test_fuzz_nal_indexer_annexb(seed):
     for a, b in zip(frames, frames[1:]):
         assert a["offset"] + a["size"] == b["offset"]
     assert frames[-1]["offset"] + frames[-1]["size"] == len(buf)
+
+
+# ---------------------------------------------------------- HTML extraction
+
+
+def test_html_extract_blocks_and_reassembly(spark):
+    from aeon_mecha_spark.datapipe import extraction as E
+
+    html = (
+        '<html><head><script>var x = 1;</script><style>p{}</style></head>'
+        '<body><div class="nav"><a href="/">Home</a> <a href="/about">About</a>'
+        '</div><p>This is the real article body with many words in it.</p>'
+        '<p>tiny</p><p>A &amp; B rock &lt;3 forever today yes</p>'
+        '<div>Visit <a href="/x">our sponsor</a> now: click <a>here</a> and '
+        '<a>here</a> please</div><!-- comment --></body></html>'
+    )
+    docs = spark.createDataFrame(
+        [(1, html), (2, "<p></p>")], "doc_id long, html string"
+    )
+    blocks = {
+        (r.doc_id, r.block_idx): r
+        for r in E.html_text_blocks(docs).collect()
+    }
+    kept = sorted(
+        (k, v.block_text) for k, v in blocks.items() if v.is_kept
+    )
+    assert [t for _k, t in kept] == [
+        "This is the real article body with many words in it.",
+        "A & B rock <3 forever today yes",  # entities decoded, tags gone
+    ]
+    # the nav block dies by link density (9 of 10 chars inside anchors)
+    nav = next(v for v in blocks.values() if v.block_text == "Home About")
+    assert not nav.is_kept and nav.link_chars == 9 and nav.text_chars == 10
+    # the sponsor block dies by link density, not length
+    sp = next(v for v in blocks.values() if "sponsor" in v.block_text)
+    assert not sp.is_kept and sp.text_chars >= 20
+
+    out = {r.doc_id: r for r in E.html_extract(docs).collect()}
+    assert out[1].text == (
+        "This is the real article body with many words in it.\n"
+        "A & B rock <3 forever today yes"
+    )
+    assert out[1].n_blocks_kept == 2 and out[1].n_blocks_total == 5
+    assert out[2].text == "" and out[2].n_blocks_total == 0
