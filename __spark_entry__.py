@@ -4564,12 +4564,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FIRST 50 entries. Round-12 rotation: the head keeps the round-11
     # wave (TPC-H Q11/Q16, the composed IVF-PQ search q271, the mixture
     # pair q272/q273, the C4/Gopher/CCNet trio q274-q276) and inserts
-    # the 3 NEW round-12 gates right after q276: the H.264 NAL keyframe
-    # indexer (q277), DSIR importance resampling (q278), and the
-    # trained quality classifier (q279). Three tail entries rotate
-    # below the cut; every rotated-out gate is re-checked each round
-    # via tools/check_correctness.py -> CHECK_FULL_r{N}.json committed
-    # at final HEAD.
+    # the 5 NEW round-12 gates right after q276: the H.264 NAL keyframe
+    # indexer (q277), DSIR importance resampling (q278), the trained
+    # quality classifier (q279), SemDeDup (q280), and HTML extraction
+    # (q281). Five tail entries rotate below the cut; every rotated-out
+    # gate is re-checked each round via tools/check_correctness.py ->
+    # CHECK_FULL_r{N}.json committed at final HEAD.
         "q151_mad_outliers": q151_mad_outliers,
         "q162_bpe_apply": q162_bpe_apply,
         "q163_bpe_learn": q163_bpe_learn,
