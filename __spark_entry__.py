@@ -4530,6 +4530,35 @@ def q281_html_extract(spark, sf_dir):
     return extraction.html_extract(raw).orderBy("doc_id")
 
 
+def q282_ppjoin(spark, sf_dir):
+    """Exact-recall Jaccard similarity join via prefix filtering (the
+    AllPairs/PPJoin family, dedup.prefix_filter_pairs) — LSH's exact
+    complement. The oracle is BRUTE FORCE all-pairs Jaccard: exact
+    recall means the prefix-filtered plan must reproduce it verbatim.
+    Plan: rarest-first prefix ranks (df asc), prefix-token self-join,
+    size pruning, array-intersect verify — candidate volume follows
+    rare-token collisions, never the quadratic pair space."""
+    out = dedup.prefix_filter_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def q283_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring signal per document
+    (dedup.duplicated_spans): fraction of a doc's distinct 8-token
+    spans appearing verbatim in ≥ 2 documents — the set-oriented form
+    of suffix-array exact-substring dedup. Shuffle carries 8-byte span
+    hashes, never span text."""
+    out = dedup.duplicated_spans(_t(spark, sf_dir, "documents"), width=8)
+    return out.select(
+        "doc_id", "n_spans", "n_dup_spans",
+        F.round("dup_frac", 6).alias("dup_frac"),
+    ).orderBy("doc_id")
+
+
 def q280_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) as a gate: cluster-then-cosine
     semantic dedup — coarse assignment to the 4 literal IVF centroids
@@ -4610,6 +4639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q279_quality_classifier": q279_quality_classifier,
         "q280_semdedup": q280_semdedup,
         "q281_html_extract": q281_html_extract,
+        "q282_ppjoin": q282_ppjoin,
+        "q283_dup_spans": q283_dup_spans,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -11382,6 +11413,57 @@ def oracle_sql() -> dict[str, str]:
         "q279_quality_classifier": _sql_quality_classifier(qf, stop_in),
         "q280_semdedup": _sql_semdedup(0.30),
         "q281_html_extract": _sql_html_extract(),
+        "q282_ppjoin": """
+            -- brute-force all-pairs Jaccard: the exact-recall target
+            -- the prefix-filtered plan must reproduce verbatim
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ), shl AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3
+                          THEN list_transform(generate_series(1, len(t) - 2),
+                                              i -> array_to_string(t[i:i+2], ' '))
+                          ELSE [array_to_string(t, ' ')] END AS sh
+              FROM toks
+            ), s AS (
+              SELECT doc_id, list_distinct(sh) AS sh FROM shl
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))::double
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                     AS jaccard
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::double
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "q283_dup_spans": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ), shl AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 8
+                          THEN list_transform(generate_series(1, len(t) - 7),
+                                              i -> array_to_string(t[i:i+7], ' '))
+                          ELSE [array_to_string(t, ' ')] END AS sh
+              FROM toks
+            ), sp AS (
+              SELECT doc_id, unnest(list_distinct(sh)) AS span FROM shl
+            ), cnt AS (
+              SELECT span, count(*)::bigint AS nd FROM sp GROUP BY span
+            )
+            SELECT sp.doc_id,
+                   count(*)::bigint AS n_spans,
+                   sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END)::bigint
+                     AS n_dup_spans,
+                   round(sum(CASE WHEN cnt.nd >= 2 THEN 1 ELSE 0 END)::double
+                         / count(*), 6) AS dup_frac
+            FROM sp JOIN cnt USING (span)
+            GROUP BY sp.doc_id
+            ORDER BY sp.doc_id
+        """,
         "q278_dsir_select": """
             -- DSIR: hashed-ngram bucket models (target=en vs raw),
             -- per-term micro-nat quantization, exact integer doc sums,
