@@ -52,10 +52,19 @@ def mean_token_len(text: Column) -> Column:
 
 
 def char_shingles(text: Column, k: int = 5) -> Column:
-    """All k-char shingles of a string as an array (positions 1..len-k+1).
-    Building block for MinHash / n-gram Jaccard dedup."""
-    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.substr(text, i, F.lit(k)))
+    """All k-char shingles of a string as an array (positions 1..len-k+1);
+    empty array for strings shorter than k. Building block for MinHash /
+    n-gram Jaccard dedup.
+
+    The length guard is load-bearing: Spark's ``sequence(1, 0)`` DESCENDS
+    to ``[1, 0]`` (implicit step −1 when start > stop), so the unguarded
+    index range would emit two truncated garbage shingles for short
+    strings (caught by test_scalar_helper_parity, round 12)."""
+    idx = F.sequence(F.lit(1), F.length(text) - (k - 1))
+    return F.when(
+        F.length(text) >= k,
+        F.transform(idx, lambda i: F.substr(text, i, F.lit(k))),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
