@@ -663,3 +663,77 @@ def test_scalar_helper_parity(spark):
     )
     (r,) = ts.select(round_us(F.col("t")).alias("t")).collect()
     assert r.t.microsecond == 123456  # identity on native-us timestamps
+
+
+def _py_html_extract(html, min_chars=20, max_link_ppm=300_000):
+    """Pure-`re` mirror of datapipe/extraction.py (same rule order:
+    container drop -> block split -> tag strip -> entity decode ->
+    trim -> whitespace collapse -> integer link density)."""
+    import re
+
+    cleaned = re.sub(
+        r"(?s)<(script|style)[^>]*>.*?</\1>|<!--.*?-->", " ", html
+    )
+    kept, total = [], 0
+    for raw in re.split(r"</?(?:p|div|section|article|li|tr|h[1-6]|br)[^>]*>", cleaned):
+        link_chars = sum(
+            len(re.sub(r"<[^>]+>", "", inner))
+            for inner in re.findall(r"(?s)<a[^>]*>(.*?)</a>", raw)
+        )
+        txt = re.sub(r"<[^>]+>", " ", raw)
+        for ent, ch in [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]:
+            txt = txt.replace(ent, ch)
+        txt = re.sub(r"\s+", " ", txt.strip())
+        if not txt:
+            continue
+        total += 1
+        if len(txt) >= min_chars and link_chars * 1_000_000 <= len(txt) * max_link_ppm:
+            kept.append(txt)
+    return "\n".join(kept), len(kept), total
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_html_extract_matches_python_mirror(spark, seed):
+    # Differential fuzz: random block soup (nested anchors, scripts,
+    # comments, entities, short/long blocks) must extract identically
+    # in Spark and the pure-re mirror.
+    import random
+
+    from aeon_mecha_spark.datapipe import extraction as E
+
+    rng = random.Random(seed)
+    words = ["alpha", "bravo", "civic", "delta", "e&amp;e", "&lt;tag&gt;",
+             "golf", "hotel"]
+
+    def block():
+        kind = rng.random()
+        body = " ".join(rng.choice(words) for _ in range(rng.randrange(1, 15)))
+        if kind < 0.25:  # link-heavy block
+            links = " ".join(
+                f'<a href="/{i}">{rng.choice(words)} {rng.choice(words)}</a>'
+                for i in range(rng.randrange(1, 4))
+            )
+            return f"<div>{links} {body[: rng.randrange(0, 12)]}</div>"
+        if kind < 0.4:
+            return f"<script>var x = {rng.randrange(99)};</script>"
+        if kind < 0.5:
+            return f"<!-- {body[:10]} -->"
+        tag = rng.choice(["p", "div", "li", "h2", "section"])
+        return f"<{tag}>{body}</{tag}>"
+
+    htmls = [
+        "<html><body>" + "".join(block() for _ in range(rng.randrange(2, 10)))
+        + "</body></html>"
+        for _ in range(8)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(htmls)), "doc_id long, html string"
+    )
+    got = {r.doc_id: r for r in E.html_extract(docs).collect()}
+    for i, h in enumerate(htmls):
+        text, n_kept, n_total = _py_html_extract(h)
+        r = got[i]
+        assert (r.text, r.n_blocks_kept, r.n_blocks_total) == (
+            text, n_kept, n_total
+        ), (seed, i, h)
