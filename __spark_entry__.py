@@ -5566,7 +5566,7 @@ def _sql_html_extract(min_chars: int = 20, max_link_ppm: int = 300_000) -> str:
     ), cleaned AS (
       SELECT doc_id,
              regexp_replace(html,
-               '(?s)<(script|style)[^>]*>.*?</(script|style)>|<!--.*?-->',
+               '(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<!--.*?-->',
                ' ', 'g') AS c
       FROM raw
     ), ls AS (
