@@ -4559,6 +4559,63 @@ def q283_dup_spans(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# Fixed unigram-LM vocabulary for the q285 literal-model encode gate
+# (trained by unigram_learn at sf0.001, vocab_size=40, rounds=2 — the
+# q109/q110 pattern: training pinned by tests/numpy mirror, application
+# hash-gated with the literals on both engines).
+_UNIGRAM_VOCAB = [
+    ('a', -2961023), ('al', -3875419), ('an', -12090695),
+    ('ar', -12090695), ('as', -4569377), ('at', -3898402),
+    ('b', -3495246), ('c', -3485308), ('ca', -12090695),
+    ('can', -12090695), ('co', -4511527), ('col', -12090695),
+    ('colu', -12090695), ('d', -3847676), ('do', -12090695),
+    ('dow', -12090695), ('e', -2619608), ('er', -3851894),
+    ('f', -3885204), ('g', -2949598), ('h', -3190555),
+    ('i', -3897848), ('in', -3857192), ('ind', -12090695),
+    ('indo', -4513574), ('j', -4555399), ('k', -3871639),
+    ('l', -2966894), ('lu', -12090695), ('lum', -12090695),
+    ('lumn', -4511527), ('m', -3892331), ('me', -12090695),
+    ('mer', -3888487), ('mn', -12090695), ('n', -12090695),
+    ('o', -3887939), ('ol', -12090695), ('olu', -12090695),
+    ('olum', -12090695), ('or', -3431829), ('ow', -3908975),
+    ('p', -4526976), ('pa', -12090695), ('par', -3861985),
+    ('q', -4557537), ('r', -3489345), ('ro', -4557537),
+    ('rt', -12090695), ('s', -3180515), ('sc', -12090695),
+    ('sca', -12090695), ('scan', -4505414), ('st', -3488610),
+    ('t', -2943188), ('ta', -4591272), ('to', -12090695),
+    ('u', -3873257), ('ue', -3856130), ('um', -12090695),
+    ('umn', -12090695), ('v', -3857724), ('w', -3820682),
+    ('y', -3858787),
+]
+
+
+def q284_unigram_learn(spark, sf_dir):
+    """Unigram-LM (SentencePiece-shape) tokenizer TRAINING on the 10%
+    doc slice: seed vocabulary (all chars + top-120 weighted
+    substrings), then 2 rounds of hard EM — Viterbi E-step over the
+    distinct-chunk table in exact integer micro-nats, smoothed micro-
+    nat M-step. The oracle replays seed + both rounds in DuckDB with
+    the DP unrolled as chained MATERIALIZED CTEs, so the learned
+    vocabulary probabilities themselves are value-verified (the q163
+    unrolled-learn pattern)."""
+    from aeon_mecha_spark.datapipe import unigram
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return unigram.unigram_learn(docs, vocab_size=120, rounds=2).orderBy("piece")
+
+
+def q285_unigram_encode(spark, sf_dir):
+    """Corpus accounting under a FIXED unigram-LM vocabulary: per doc,
+    word-chunk count, Viterbi token count, and exact total NLL in
+    integer micro-nats. Join-free map-side DP (one higher-order fold
+    per chunk over the broadcast literal piece map) + one per-doc
+    aggregate; OOV single chars score the fixed UNK penalty."""
+    from aeon_mecha_spark.datapipe import unigram
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram.unigram_encode(docs, _UNIGRAM_VOCAB).orderBy("doc_id")
+
+
 def q280_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) as a gate: cluster-then-cosine
     semantic dedup — coarse assignment to the 4 literal IVF centroids
@@ -4641,6 +4698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q281_html_extract": q281_html_extract,
         "q282_ppjoin": q282_ppjoin,
         "q283_dup_spans": q283_dup_spans,
+        "q284_unigram_learn": q284_unigram_learn,
+        "q285_unigram_encode": q285_unigram_encode,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -5123,6 +5182,209 @@ def _sql_bpe_learn() -> str:
         + ",".join(rounds)
         + "\n        "
         + finals
+    )
+
+
+def _sql_unigram_spanmap(pfx: str, spans: str, vocab: str, carried: str,
+                         window: int = 12) -> str:
+    """Span→log-prob map per chunk: left-join the round's vocabulary
+    onto the (precomputed) span table, coalesce missing single-char
+    spans to the UNK penalty, aggregate into a DuckDB MAP keyed
+    ``j·(window+1)+i`` — the exact key the Spark fold uses."""
+    from aeon_mecha_spark.datapipe.unigram import UNK_LP_MICRO
+
+    kw = window + 1
+    return f"""
+        {pfx}spj AS (
+          SELECT s.*, coalesce(v.lp, CASE WHEN s.i - s.j = 1
+                                     THEN {UNK_LP_MICRO} END) AS lp2
+          FROM {spans} s LEFT JOIN {vocab} v ON v.piece = s.piece),
+        {pfx}g AS MATERIALIZED (
+          SELECT {carried}, chunk, length(chunk) AS n,
+                 map_from_entries(list({{'k': j * {kw} + i, 'v': lp2}})) AS m
+          FROM {pfx}spj WHERE lp2 IS NOT NULL GROUP BY {carried}, chunk)"""
+
+
+def _sql_unigram_dp(pfx: str, carried: str, window: int = 12,
+                    max_piece_len: int = 4) -> str:
+    """Viterbi DP + backpointer walk over ``{pfx}g(chunk, n, m, …)``,
+    unrolled as chained MATERIALIZED CTEs (the q163/q220 lesson —
+    plain CTEs inline and re-evaluate exponentially). Semantics match
+    the Spark fold bit-for-bit: integer micro-nat scores, max score
+    with ties to the smallest backpointer (CASE lists ascending j, SQL
+    CASE takes the first true branch). Ends at ``{pfx}w{window}``
+    carrying ``pos0..pos{{W-1}}``, ``pc1..pc{{W}}``, ``bl`` (score
+    list) plus the carried columns."""
+    w, kw = window, window + 1
+    parts = []
+    prev = f"{pfx}g"
+    for i in range(1, w + 1):
+        cands = [
+            (j, f"(b{j} + m[{j * kw + i}][1])")
+            for j in range(max(0, i - max_piece_len), i)
+        ]
+        best = (
+            cands[0][1]
+            if len(cands) == 1
+            else "greatest(" + ", ".join(c for _, c in cands) + ")"
+        )
+        branches = " ".join(f"WHEN {c} = ({best}) THEN {j}" for j, c in cands)
+        extra = ", CAST(0 AS BIGINT) AS b0" if i == 1 else ""
+        parts.append(
+            f"{pfx}d{i} AS MATERIALIZED (SELECT *{extra}, "
+            f"CASE WHEN n >= {i} THEN {best} END AS b{i}, "
+            f"CASE WHEN n >= {i} THEN (CASE {branches} END) END AS p{i} "
+            f"FROM {prev})"
+        )
+        prev = f"{pfx}d{i}"
+    bp = "[" + ", ".join(f"p{i}" for i in range(1, w + 1)) + "]"
+    bl = "[" + ", ".join(f"b{i}" for i in range(1, w + 1)) + "]"
+    parts.append(
+        f"{pfx}f AS MATERIALIZED (SELECT {carried}, chunk, n, "
+        f"{bp} AS bp, {bl} AS bl FROM {prev})"
+    )
+    parts.append(f"{pfx}w0 AS MATERIALIZED (SELECT *, n AS pos0 FROM {pfx}f)")
+    for t in range(1, w + 1):
+        parts.append(
+            f"{pfx}w{t} AS MATERIALIZED (SELECT *, "
+            f"CASE WHEN pos{t-1} > 0 THEN substr(chunk, bp[pos{t-1}] + 1, "
+            f"pos{t-1} - bp[pos{t-1}]) END AS pc{t}, "
+            f"CASE WHEN pos{t-1} > 0 THEN bp[pos{t-1}] ELSE 0 END AS pos{t} "
+            f"FROM {pfx}w{t-1})"
+        )
+    return ",\n        ".join(parts)
+
+
+def _sql_unigram_chunks(where: str = "") -> str:
+    """Lowercase whitespace words split into 12-char blocks — the
+    shared front of both unigram oracles."""
+    return f"""
+        uw1 AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+          FROM documents {where}),
+        uw2 AS (SELECT doc_id, w FROM uw1 WHERE w <> ''),
+        uch AS (
+          SELECT doc_id, substr(w, k * 12 + 1, 12) AS chunk
+          FROM (SELECT doc_id, w,
+                       unnest(generate_series(0, (length(w) - 1) // 12)) AS k
+                FROM uw2))"""
+
+
+def _sql_unigram_learn(vocab_size: int = 120, rounds: int = 2) -> str:
+    """Oracle for q284 — the LEARN itself: seed vocabulary (chars +
+    top-K weighted substrings), then each hard-EM round replayed as
+    a vocab join + the unrolled Viterbi DP + piece-usage counts + the
+    DSIR micro-nat M-step. V (the smoothing denominator's vocab size)
+    is pinned from the seed, exactly as unigram_learn reuses it."""
+    spans_once = """
+        lcc AS MATERIALIZED (
+          SELECT chunk, count(*)::BIGINT AS wcount FROM uch GROUP BY chunk),
+        lsi AS (SELECT wcount, chunk,
+                       unnest(generate_series(1, length(chunk))) AS i
+                FROM lcc),
+        lsj AS (SELECT wcount, chunk, i,
+                       unnest(generate_series(greatest(i - 4, 0), i - 1)) AS j
+                FROM lsi),
+        lsp AS MATERIALIZED (
+          SELECT wcount, chunk, j, i, substr(chunk, j + 1, i - j) AS piece
+          FROM lsj),
+        lpc AS (SELECT piece, sum(wcount)::BIGINT AS cnt FROM lsp
+                GROUP BY piece),
+        seed AS MATERIALIZED (
+          SELECT piece, cnt FROM lpc WHERE length(piece) = 1
+          UNION ALL
+          SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+            FROM lpc WHERE length(piece) > 1)
+          WHERE rk <= {K}),
+        tv AS MATERIALIZED (
+          SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM seed),
+        v0 AS MATERIALIZED (
+          SELECT piece, CAST(floor(ln((2 * cnt + 1)
+                 / CAST(2 * t + v AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+                 AS lp
+          FROM seed, tv)""".format(K=int(vocab_size))
+    round_blocks = []
+    for r in range(1, int(rounds) + 1):
+        p = f"r{r}"
+        round_blocks.append(
+            _sql_unigram_spanmap(p, "lsp", f"v{r-1}", "wcount")
+            + ",\n        "
+            + _sql_unigram_dp(p, "wcount")
+            + f""",
+        {p}u AS (
+          SELECT piece, sum(wcount)::BIGINT AS cnt FROM (
+            SELECT wcount, unnest([{", ".join(f"pc{t}" for t in range(1, 13))}])
+                   AS piece
+            FROM {p}w12)
+          WHERE piece IS NOT NULL GROUP BY piece),
+        {p}c AS MATERIALIZED (
+          SELECT v0.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
+          FROM (SELECT piece FROM v0) v0 LEFT JOIN {p}u u USING (piece)),
+        {p}t AS (SELECT sum(cnt)::BIGINT AS t FROM {p}c),
+        v{r} AS MATERIALIZED (
+          SELECT piece, cnt, CAST(floor(ln((2 * cnt + 1)
+                 / CAST(2 * t + (SELECT v FROM tv) AS DOUBLE))
+                 * 1000000.0 + 0.5) AS BIGINT) AS lp
+          FROM {p}c, {p}t)"""
+        )
+    return (
+        "WITH "
+        + _sql_unigram_chunks("WHERE doc_id % 10 = 0")
+        + ",\n        "
+        + spans_once
+        + ",\n        "
+        + ",\n        ".join(round_blocks)
+        + f"""
+        SELECT piece, cnt, lp AS lp_micro FROM v{int(rounds)} ORDER BY piece"""
+    )
+
+
+def _sql_unigram_encode() -> str:
+    """Oracle for q285: the same chunks front, the literal vocabulary
+    as a VALUES table, the unrolled DP, then per-document occurrence-
+    weighted totals (chunks, Viterbi tokens, exact integer NLL)."""
+    vals = ", ".join(
+        f"('{p}', {lp})" for p, lp in _UNIGRAM_VOCAB
+    )
+    np = " + ".join(f"(pos{t} > 0)::INT" for t in range(0, 12))
+    return (
+        "WITH "
+        + _sql_unigram_chunks()
+        + f""",
+        ecin AS MATERIALIZED (
+          SELECT doc_id, chunk, count(*)::BIGINT AS occ
+          FROM uch GROUP BY doc_id, chunk),
+        evv AS (SELECT piece, CAST(lp AS BIGINT) AS lp
+                FROM (VALUES {vals}) t(piece, lp)),
+        esi AS (SELECT doc_id, occ, chunk,
+                       unnest(generate_series(1, length(chunk))) AS i
+                FROM ecin),
+        esj AS (SELECT doc_id, occ, chunk, i,
+                       unnest(generate_series(greatest(i - 4, 0), i - 1)) AS j
+                FROM esi),
+        esp AS (SELECT doc_id, occ, chunk, j, i,
+                       substr(chunk, j + 1, i - j) AS piece
+                FROM esj),
+        """
+        + _sql_unigram_spanmap("e", "esp", "evv", "doc_id, occ")
+        + ",\n        "
+        + _sql_unigram_dp("e", "doc_id, occ")
+        + f""",
+        eper AS (
+          SELECT doc_id, sum(occ)::BIGINT AS n_chunks,
+                 sum(occ * ({np}))::BIGINT AS n_tokens,
+                 sum(occ * (-bl[n]))::BIGINT AS nll_micro
+          FROM ew12 GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(p.n_chunks, 0)::BIGINT AS n_chunks,
+               coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(p.nll_micro, 0)::BIGINT AS nll_micro
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN eper p USING (doc_id)
+        ORDER BY d.doc_id"""
     )
 
 
@@ -11464,6 +11726,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY sp.doc_id
             ORDER BY sp.doc_id
         """,
+        "q284_unigram_learn": _sql_unigram_learn(),
+        "q285_unigram_encode": _sql_unigram_encode(),
         "q278_dsir_select": """
             -- DSIR: hashed-ngram bucket models (target=en vs raw),
             -- per-term micro-nat quantization, exact integer doc sums,

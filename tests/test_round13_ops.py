@@ -97,3 +97,117 @@ def test_sample_ranges_missing_stsz_raises_by_name():
         M.sample_ranges(payload.replace(b"stsz", b"free"))
     with pytest.raises(ValueError, match="stz2"):
         M.sample_ranges(payload.replace(b"stsz", b"stz2"))
+
+
+# ------------------------------------------------------------- unigram LM
+def _py_unigram_learn(texts, vocab_size=20, rounds=2, window=12, L=4):
+    """Pure-Python mirror of unigram_learn (seed + hard-EM rounds)."""
+    import math
+    import re
+    from collections import Counter
+
+    from aeon_mecha_spark.datapipe.unigram import py_viterbi
+
+    words = [w for t in texts for w in re.split(r"\s+", t.strip().lower()) if w]
+    cc = Counter(w[k:k + window] for w in words for k in range(0, len(w), window))
+    sub = Counter()
+    for c, wc in cc.items():
+        for i in range(1, len(c) + 1):
+            for j in range(max(0, i - L), i):
+                sub[c[j:i]] += wc
+    chars = {p: n for p, n in sub.items() if len(p) == 1}
+    multi = sorted(
+        ((p, n) for p, n in sub.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:vocab_size]
+    counts = dict(chars, **dict(multi))
+    v_size = len(counts)
+
+    def lp(c, t):
+        return math.floor(
+            math.log((2 * c + 1) / float(2 * t + v_size)) * 1e6 + 0.5
+        )
+
+    t_tot = sum(counts.values())
+    vocab = {p: lp(c, t_tot) for p, c in counts.items()}
+    for _ in range(rounds):
+        usage = Counter()
+        for c, wc in cc.items():
+            pieces, _ = py_viterbi(c, vocab, L)
+            for p in pieces:
+                usage[p] += wc
+        counts = {p: usage.get(p, 0) for p in vocab}
+        t_tot = sum(counts.values())
+        vocab = {p: lp(c, t_tot) for p, c in counts.items()}
+    return {p: (counts[p], vocab[p]) for p in vocab}
+
+
+def test_unigram_learn_matches_pure_python_mirror(spark):
+    from aeon_mecha_spark.datapipe import unigram as U
+
+    texts = [
+        "the cat sat on the mat the cat",
+        "catalog of the theocratic cats",
+        "internationalization is long",
+        "   ",
+        "",
+        "aaaa aaaa ab",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["piece"]: (r["cnt"], r["lp_micro"])
+        for r in U.unigram_learn(docs, vocab_size=20, rounds=2).collect()
+    }
+    exp = _py_unigram_learn(texts, vocab_size=20, rounds=2)
+    assert got == exp
+
+
+def test_unigram_encode_matches_viterbi_mirror(spark):
+    import re
+
+    from aeon_mecha_spark.datapipe import unigram as U
+
+    vocab = {"th": -100, "the": -150, "he": -100, "t": -500, "h": -500,
+             "e": -500, "c": -400, "a": -400, "ca": -300, "cat": -250}
+    texts = [
+        "the cat thethethethecat catcatcatcat",  # >12-char words chunk
+        "zzz the",                               # OOV chars hit UNK
+        "tthhee",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in U.unigram_encode(docs, list(vocab.items())).collect()}
+    for i, t in enumerate(texts):
+        words = [w for w in re.split(r"\s+", t.strip().lower()) if w]
+        chunks = [w[k:k + 12] for w in words for k in range(0, len(w), 12)]
+        nt = nll = 0
+        for c in chunks:
+            pieces, score = U.py_viterbi(c, vocab)
+            assert "".join(pieces) == c  # segmentation covers the chunk
+            nt += len(pieces)
+            nll -= score
+        r = got[i]
+        assert (r["n_chunks"], r["n_tokens"], r["nll_micro"]) == (
+            len(chunks), nt, nll)
+
+
+def test_unigram_viterbi_tiebreak_prefers_longest_final_piece():
+    from aeon_mecha_spark.datapipe.unigram import py_viterbi
+
+    # 'ab' splits as [ab] (score -200) or [a, b] (-100 + -100 = -200):
+    # equal scores -> smallest backpointer j=0 -> the single piece wins
+    vocab = {"ab": -200, "a": -100, "b": -100}
+    pieces, score = py_viterbi("ab", vocab)
+    assert pieces == ["ab"] and score == -200
+
+
+def test_unigram_oov_scores_unk(spark):
+    from aeon_mecha_spark.datapipe import unigram as U
+    from aeon_mecha_spark.datapipe.unigram import UNK_LP_MICRO
+
+    docs = spark.createDataFrame([(1, "zq")], "doc_id int, text string")
+    r = U.unigram_encode(docs, [("a", -1)]).collect()[0]
+    assert (r["n_tokens"], r["nll_micro"]) == (2, -2 * UNK_LP_MICRO)
