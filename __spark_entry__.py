@@ -4616,6 +4616,75 @@ def q285_unigram_encode(spark, sf_dir):
     return unigram.unigram_encode(docs, _UNIGRAM_VOCAB).orderBy("doc_id")
 
 
+# Mini public-suffix rule table + blocklist for the q286/q287 gates
+# (the real PSL is ~10k rules; same broadcast-join plan either way).
+_PSL_RULES = ["ac.uk", "co.uk", "com", "github.io", "io", "net", "org", "uk"]
+_DOMAIN_BLOCKLIST = ["blog.co.uk"]
+
+# deterministic messy-URL synthesis shared by both engines (the q281
+# HTML pattern): covers scheme/host case, default + non-default ports,
+# empty/rooted paths, tracking-only and mixed query strings, fragments
+_URL_SYNTH = """
+    concat(
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END, '://',
+      CASE doc_id % 3
+        WHEN 0 THEN concat('WWW.', upper(source), '-News.COM')
+        WHEN 1 THEN concat(source, '.blog.CO.UK')
+        ELSE concat('cdn.', source, '.github.io') END,
+      CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                      WHEN 2 THEN ':8080' ELSE '' END,
+      CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/'
+        WHEN 2 THEN concat('/p/', CAST(doc_id AS STRING))
+        ELSE '/a/b.html' END,
+      CASE doc_id % 3
+        WHEN 0 THEN concat('?utm_source=feed&id=', CAST(doc_id AS STRING),
+                           '&utm_medium=x')
+        WHEN 1 THEN '?gclid=abc123'
+        ELSE concat('?q=', lang, '&REF=tw&page=2') END,
+      CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END
+    )"""
+
+
+def _synth_urls(spark, sf_dir):
+    from aeon_mecha_spark.datapipe import urltools
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_URL_SYNTH).alias("url")
+    )
+    rules = spark.createDataFrame([(s,) for s in _PSL_RULES], "suffix string")
+    return urltools.registrable_domain(
+        urltools.url_canonicalize(docs), rules
+    )
+
+
+def q286_url_canonicalize(spark, sf_dir):
+    """URL canonicalization + registrable-domain extraction (the
+    provenance stage in front of every web-corpus pipeline):
+    deterministic messy URLs are synthesized around each document,
+    then datapipe/urltools.py lowercases scheme/host, strips www.,
+    default ports, fragments and tracking params (order-preserving),
+    and reduces the host to its eTLD+1 against a public-suffix rule
+    table via per-suffix-length broadcast joins. All map-side; the
+    oracle mirrors every regex and the suffix CASE in RE2/DuckDB."""
+    return _synth_urls(spark, sf_dir).select(
+        "doc_id", "url_canon", "host", "domain"
+    ).orderBy("doc_id")
+
+
+def q287_domain_rollup(spark, sf_dir):
+    """Domain-grain provenance rollup: per registrable domain, the doc
+    count, distinct-host count, and blocklist membership — the table
+    domain-level sampling/blocking decisions read. One domain-grain
+    aggregate over q286's map-side output."""
+    from aeon_mecha_spark.datapipe import urltools
+
+    out = urltools.domain_rollup(_synth_urls(spark, sf_dir))
+    return out.select(
+        "domain", "n_docs", "n_hosts",
+        F.col("domain").isin(_DOMAIN_BLOCKLIST).alias("blocked"),
+    ).orderBy("domain")
+
+
 def q280_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) as a gate: cluster-then-cosine
     semantic dedup — coarse assignment to the 4 literal IVF centroids
@@ -4700,6 +4769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q283_dup_spans": q283_dup_spans,
         "q284_unigram_learn": q284_unigram_learn,
         "q285_unigram_encode": q285_unigram_encode,
+        "q286_url_canonicalize": q286_url_canonicalize,
+        "q287_domain_rollup": q287_domain_rollup,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -5386,6 +5457,61 @@ def _sql_unigram_encode() -> str:
         LEFT JOIN eper p USING (doc_id)
         ORDER BY d.doc_id"""
     )
+
+
+def _sql_url_dom() -> str:
+    """Shared CTE chain for q286/q287: the synthesized URLs, the
+    canonicalization regexes (mirrored 1:1 from urltools._canon_cols),
+    and the suffix-rule CASE (largest matching suffix length wins,
+    exactly like the Spark per-k broadcast-join chain)."""
+    from aeon_mecha_spark.datapipe.urltools import TRACKING_KEY_RE
+
+    synth = _URL_SYNTH.replace("AS STRING", "AS VARCHAR")
+    rules_in = ", ".join(f"'{r}'" for r in _PSL_RULES)
+    return f"""
+        u AS (SELECT doc_id, {synth} AS url FROM documents),
+        pp AS (SELECT doc_id,
+            lower(regexp_extract(url, '^([^:/?#]+)://', 1)) AS scheme,
+            regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1) AS hostport,
+            regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+            regexp_extract(url, '\\?([^#]*)', 1) AS q
+          FROM u),
+        hh AS (SELECT doc_id, scheme,
+            regexp_replace(lower(split_part(hostport, ':', 1)),
+                           '^www\\.', '') AS host,
+            split_part(hostport, ':', 2) AS port, path0, q
+          FROM pp),
+        cc AS (SELECT doc_id, scheme, host,
+            CASE WHEN port = '' THEN ''
+                 WHEN scheme = 'http' AND port = '80' THEN ''
+                 WHEN scheme = 'https' AND port = '443' THEN ''
+                 ELSE ':' || port END AS keep_port,
+            CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+            list_filter(string_split(q, '&'),
+                        p -> p <> '' AND NOT regexp_matches(
+                            split_part(p, '=', 1),
+                            '{TRACKING_KEY_RE}')) AS params
+          FROM hh),
+        canon AS (SELECT doc_id, host,
+            scheme || '://' || host || keep_port || path ||
+            CASE WHEN len(params) > 0
+                 THEN '?' || array_to_string(params, '&')
+                 ELSE '' END AS url_canon
+          FROM cc),
+        dom AS (SELECT doc_id, url_canon, host,
+            CASE WHEN bestk IS NULL OR bestk >= nl THEN host
+                 ELSE array_to_string(lab[nl - bestk : nl], '.')
+                 END AS domain
+          FROM (SELECT *, CASE
+                WHEN nl >= 3 AND array_to_string(lab[nl - 2 : nl], '.')
+                     IN ({rules_in}) THEN 3
+                WHEN nl >= 2 AND array_to_string(lab[nl - 1 : nl], '.')
+                     IN ({rules_in}) THEN 2
+                WHEN lab[nl] IN ({rules_in}) THEN 1 END AS bestk
+            FROM (SELECT doc_id, url_canon, host,
+                         string_split(host, '.') AS lab,
+                         len(string_split(host, '.')) AS nl
+                  FROM canon)))"""
 
 
 def _sql_hll() -> str:
@@ -11728,6 +11854,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q284_unigram_learn": _sql_unigram_learn(),
         "q285_unigram_encode": _sql_unigram_encode(),
+        "q286_url_canonicalize": "WITH " + _sql_url_dom() + """
+            SELECT doc_id, url_canon, host, domain FROM dom
+            ORDER BY doc_id
+        """,
+        "q287_domain_rollup": "WITH " + _sql_url_dom() + f"""
+            SELECT domain, count(*)::BIGINT AS n_docs,
+                   count(DISTINCT host)::BIGINT AS n_hosts,
+                   domain IN ({", ".join(f"'{d}'" for d in _DOMAIN_BLOCKLIST)})
+                     AS blocked
+            FROM dom GROUP BY domain ORDER BY domain
+        """,
         "q278_dsir_select": """
             -- DSIR: hashed-ngram bucket models (target=en vs raw),
             -- per-term micro-nat quantization, exact integer doc sums,

@@ -211,3 +211,56 @@ def test_unigram_oov_scores_unk(spark):
     docs = spark.createDataFrame([(1, "zq")], "doc_id int, text string")
     r = U.unigram_encode(docs, [("a", -1)]).collect()[0]
     assert (r["n_tokens"], r["nll_micro"]) == (2, -2 * UNK_LP_MICRO)
+
+
+# ----------------------------------------------------------- url/domain
+def test_url_canonicalize_edge_cases(spark):
+    from aeon_mecha_spark.datapipe import urltools as UT
+
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/path?utm_source=x&id=7&REF=z#f"),
+        (2, "https://Sub.Example.COM:443"),          # empty path -> /
+        (3, "http://a.example.com:8080/x?gclid=1"),  # port kept, ?-dropped
+        (4, "not a url"),                            # no scheme -> ''
+        (5, "https://example.com/x?a=1&b=2"),        # params preserved in order
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    got = {r["doc_id"]: r for r in UT.url_canonicalize(df).collect()}
+    assert got[1]["url_canon"] == "http://example.com/path?id=7"
+    assert got[1]["host"] == "example.com"
+    assert got[2]["url_canon"] == "https://sub.example.com/"
+    assert got[3]["url_canon"] == "http://a.example.com:8080/x"
+    assert got[4]["url_canon"] == ""
+    assert got[5]["url_canon"] == "https://example.com/x?a=1&b=2"
+
+
+def test_registrable_domain_and_blocklist(spark):
+    from aeon_mecha_spark.datapipe import urltools as UT
+
+    rules = spark.createDataFrame(
+        [("com",), ("co.uk",), ("uk",), ("github.io",), ("io",)],
+        "suffix string",
+    )
+    hosts = [
+        (1, "a.b.example.com", "example.com"),   # longest = com (k=1)
+        (2, "x.blog.co.uk", "blog.co.uk"),       # co.uk beats uk
+        (3, "cdn.user.github.io", "user.github.io"),
+        (4, "co.uk", "co.uk"),                   # suffix consumes host
+        (5, "localhost", "localhost"),           # no rule matches
+        (6, "com", "com"),                       # bestk >= nl fallback
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h, _ in hosts], "doc_id int, host string"
+    )
+    got = {r["doc_id"]: r["domain"] for r in UT.registrable_domain(df, rules).collect()}
+    for i, _, want in hosts:
+        assert got[i] == want, (i, got[i], want)
+
+    dom = UT.registrable_domain(df, rules)
+    bl = spark.createDataFrame([("blog.co.uk",)], "domain string")
+    kept = {r["doc_id"] for r in UT.blocklist_filter(dom, bl).collect()}
+    assert kept == {1, 3, 4, 5, 6}
+
+    roll = {r["domain"]: (r["n_docs"], r["n_hosts"])
+            for r in UT.domain_rollup(dom.withColumn("host", dom.host)).collect()}
+    assert roll["example.com"] == (1, 1)
