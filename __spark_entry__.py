@@ -4685,6 +4685,22 @@ def q287_domain_rollup(spark, sf_dir):
     ).orderBy("domain")
 
 
+def q288_diversity_prune(spark, sf_dir):
+    """Diversity pruning — the second half of the D4 recipe on top of
+    q280's SemDeDup cells: prototypicality = cosine of each vector to
+    its own coarse centroid (the unrolled fold that is bit-identical
+    to DuckDB's list_dot_product), then per cell keep the 25% LEAST
+    prototypical vectors (≥1 per cell), ties ordinal by id. Only
+    corpus-wide shuffle: the per-cell window."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = similarity.diversity_prune(
+        emb, _IVF_CENTROIDS, keep_ppm=250_000, coarse_dims=8
+    )
+    return out.orderBy("vec_id")
+
+
 def q280_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) as a gate: cluster-then-cosine
     semantic dedup — coarse assignment to the 4 literal IVF centroids
@@ -4771,6 +4787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q285_unigram_encode": q285_unigram_encode,
         "q286_url_canonicalize": q286_url_canonicalize,
         "q287_domain_rollup": q287_domain_rollup,
+        "q288_diversity_prune": q288_diversity_prune,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -5457,6 +5474,53 @@ def _sql_unigram_encode() -> str:
         LEFT JOIN eper p USING (doc_id)
         ORDER BY d.doc_id"""
     )
+
+
+def _sql_diversity_prune(keep_ppm: int = 250_000) -> str:
+    """Oracle for q288: the q48/q280 assignment CTE (8-dim prefix,
+    first-wins argmin), cosine-to-own-centroid via list_dot_product
+    (the q280-proven bit-identical shape), per-cell diverse-tail keep
+    with the same integer keep rule."""
+    dists = ",\n             ".join(
+        f"sqrt(list_sum(list_transform(generate_series(1, 8), i -> (v[i] - ({c}[i])) * (v[i] - ({c}[i]))))) AS d{j}"
+        for j, c in enumerate(_IVF_CENTROIDS)
+    )
+    n = len(_IVF_CENTROIDS)
+    case = "CASE "
+    for j in range(n - 1):
+        conds = " AND ".join(f"d{j} <= d{m}" for m in range(j + 1, n))
+        case += f"WHEN {conds} THEN {j} "
+    case += f"ELSE {n - 1} END"
+    cvals = ", ".join(
+        f"({j}, {c}::DOUBLE[])" for j, c in enumerate(_IVF_CENTROIDS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
+    ), d AS (
+      SELECT vec_id, v,
+             {dists}
+      FROM e
+    ), assigned AS (
+      SELECT vec_id, v, ({case}) AS cell FROM d
+    ), ct AS (SELECT * FROM (VALUES {cvals}) t(cell, cv)
+    ), sc AS (
+      SELECT a.vec_id, a.cell,
+             list_dot_product(a.v, ct.cv)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(ct.cv, ct.cv))) AS proto
+      FROM assigned a JOIN ct ON ct.cell = a.cell
+    ), rk AS (
+      SELECT vec_id, cell, proto,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY proto ASC, vec_id) AS r,
+             count(*) OVER (PARTITION BY cell) AS cnt
+      FROM sc
+    )
+    SELECT vec_id, cell::INT AS cell,
+           CAST(floor(proto * 1000000.0 + 0.5) AS BIGINT) AS proto_ppm,
+           r <= greatest(1, (cnt * {int(keep_ppm)}) // 1000000) AS is_kept
+    FROM rk ORDER BY vec_id"""
 
 
 def _sql_url_dom() -> str:
@@ -11800,6 +11864,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q279_quality_classifier": _sql_quality_classifier(qf, stop_in),
         "q280_semdedup": _sql_semdedup(0.30),
+        "q288_diversity_prune": _sql_diversity_prune(250_000),
         "q281_html_extract": _sql_html_extract(),
         "q282_ppjoin": """
             -- brute-force all-pairs Jaccard: the exact-recall target

@@ -1202,3 +1202,67 @@ def semdedup(
             F.col("_dup").isNull().alias("is_kept"),
         )
     )
+
+
+def diversity_prune(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    keep_ppm: int,
+    coarse_dims: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity pruning (the second half of the D4 recipe, Tirumala
+    et al. 2023 — SemDeDup removes ε-ball duplicates, this removes
+    over-represented PROTOTYPICAL points): score each vector by its
+    cosine to its own coarse centroid ("prototypicality", computed in
+    the same coarse space the assignment lives in), then per cell keep
+    the ``keep_ppm``-fraction LEAST prototypical vectors — the diverse
+    tail — with at least one survivor per non-empty cell. The paper
+    ranks by distance to the SSL-prototype centroid; the deterministic
+    limit here uses the exact cosine with (cos asc, id) ordinal ties.
+
+    Output: ``(id, cell, proto_ppm, is_kept)`` for every input vector
+    (``proto_ppm`` = half-up integer ppm of the prototypicality, the
+    audit column).
+
+    Scale: assignment is map-side against broadcast centroids; the
+    centroid table broadcast-joins back on ``cell``; the only
+    corpus-wide shuffle is the per-cell window, and cells stay bounded
+    under the production centroids ∝ N rule (the ivf_pq capstone law).
+    """
+    from pyspark.sql import Window as W
+
+    from aeon_mecha_spark.functions.vector import cosine
+
+    spark = vectors.sparkSession
+    d = int(coarse_dims) if coarse_dims else len(centroids[0])
+    coarse = vectors.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, d).alias("_v")
+    )
+    cells = ivf_assign(coarse, centroids, id_col, "_v").select(id_col, "cell")
+    cdf = spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
+        "cell int, _cv array<double>",
+    )
+    joined = coarse.join(cells, id_col).join(F.broadcast(cdf), "cell")
+    proto = cosine(F.col("_v"), F.col("_cv"), d)
+    wcell = W.partitionBy("cell")
+    worder = wcell.orderBy(F.col("_proto").asc(), F.col(id_col).asc())
+    scored = joined.select(id_col, "cell", proto.alias("_proto"))
+    ranked = scored.select(
+        id_col,
+        "cell",
+        F.expr("CAST(floor(_proto * 1000000.0 + 0.5) AS BIGINT)").alias(
+            "proto_ppm"
+        ),
+        F.row_number().over(worder).alias("_rk"),
+        F.count(F.lit(1)).over(wcell).alias("_cnt"),
+    )
+    keep_n = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(_cnt * {int(keep_ppm)}) div 1000000"),
+    )
+    return ranked.select(
+        id_col, "cell", "proto_ppm", (F.col("_rk") <= keep_n).alias("is_kept")
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 
 # ---------------------------------------------------------------- ADVICE 1
@@ -264,3 +265,64 @@ def test_registrable_domain_and_blocklist(spark):
     roll = {r["domain"]: (r["n_docs"], r["n_hosts"])
             for r in UT.domain_rollup(dom.withColumn("host", dom.host)).collect()}
     assert roll["example.com"] == (1, 1)
+
+
+# ------------------------------------------------------- D4 diversity prune
+def test_diversity_prune_matches_numpy_mirror(spark):
+    import numpy as np
+
+    from aeon_mecha_spark.datapipe import similarity as S
+
+    rng = np.random.RandomState(7)
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    vecs = rng.randn(40, 4).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in
+           S.diversity_prune(df, cents, keep_ppm=300_000).collect()}
+
+    c = np.array(cents)
+    d = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(-1) ** 0.5
+    cell = np.argmin(d, axis=1)  # first-wins argmin matches ivf_assign
+    import math
+    keep = {}
+    for j in range(len(cents)):
+        ids = [i for i in range(40) if cell[i] == j]
+        proto = {
+            i: float(vecs[i] @ c[j])
+            / (math.sqrt(float(vecs[i] @ vecs[i]))
+               * math.sqrt(float(c[j] @ c[j])))
+            for i in ids
+        }
+        order = sorted(ids, key=lambda i: (proto[i], i))
+        kn = max(1, (len(ids) * 300_000) // 1_000_000)
+        for r, i in enumerate(order, 1):
+            keep[i] = (j, math.floor(proto[i] * 1e6 + 0.5), r <= kn)
+    for i in range(40):
+        r = got[i]
+        assert (r["cell"], r["proto_ppm"], r["is_kept"]) == keep[i], i
+    # every cell keeps at least one vector
+    for j in range(len(cents)):
+        assert any(got[i]["is_kept"] for i in range(40) if keep[i][0] == j)
+
+
+def test_d4_composition_semdedup_then_diversity(spark):
+    # the full D4 recipe: drop ε-ball duplicates, then prune the
+    # prototypical core of what survives
+    from aeon_mecha_spark.datapipe import similarity as S
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [(1, [1.0, 0.01]), (2, [1.0, 0.011]), (3, [0.4, 0.39]),
+            (4, [0.01, 1.0]), (5, [0.39, 0.4])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    sd = S.semdedup(df, cents, threshold=0.999)
+    kept_ids = [r["vec_id"] for r in sd.collect() if r["is_kept"]]
+    assert 2 not in kept_ids and 1 in kept_ids  # 2 is 1's near-duplicate
+    surv = df.filter(F.col("vec_id").isin(kept_ids))
+    dp = S.diversity_prune(surv, cents, keep_ppm=500_000)
+    out = {r["vec_id"]: r["is_kept"] for r in dp.collect()}
+    assert set(out) == set(kept_ids)
+    # the diverse (off-axis) vectors outrank the prototypical ones
+    assert out[3] and out[5]
