@@ -4685,6 +4685,62 @@ def q287_domain_rollup(spark, sf_dir):
     ).orderBy("domain")
 
 
+# Multiclass (softmax) trained router for q289 — the fastText-shape
+# head the CCNet pipeline uses for langid. A langid TWIN is
+# unlearnable on this corpus (the lang column is random metadata:
+# every non-English marker count is 0 on all docs — verified at
+# sf0.01), so the same machinery routes TOPICS, which the text does
+# carry. Labels = argmax of topic-word-group counts (first-wins);
+# coefficients trained by softmax_irls_train at sf0.001 (iters=8,
+# train accuracy 1.0; training parity numpy-pinned in tests).
+_TOPIC_GROUPS = {
+    "exec": ["scan", "filter", "sort", "merge", "join", "hash", "agg",
+             "group", "query"],
+    "data": ["table", "column", "row", "value", "key", "part", "customer",
+             "vector", "data"],
+    "stream": ["stream", "window", "batch", "spark", "order", "line"],
+}
+_TOPIC_COEFS = [
+    [3.0552346853472714, 330.35790542460177, -24.65565705197543, -309.12623657281875],
+    [2.6330178298968496, -47.95279840654759, 345.3419763007257, -309.0327845808754],
+]
+
+
+def q289_trained_router(spark, sf_dir):
+    """Trained multiclass classifier scoring (the softmax/fastText
+    shape, round 13): topic-group ratio features, literal coefficients
+    from the distributed multinomial IRLS (classifier.py), argmax +
+    winning probability quantized to exact ppm — the q279 literal-model
+    pattern generalized to K classes. Pure map-side Catalyst."""
+    from aeon_mecha_spark.datapipe import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    classes = list(_TOPIC_GROUPS)
+    cols = {}
+    for g, ws in _TOPIC_GROUPS.items():
+        arr = F.array(*[F.lit(w) for w in ws])
+        cols[g] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    best, bs = F.lit(classes[0]), cols[classes[0]]
+    for g in classes[1:]:
+        cond = cols[g] > bs
+        best = F.when(cond, F.lit(g)).otherwise(best)
+        bs = F.when(cond, cols[g]).otherwise(bs)
+    feats = docs.select(
+        "doc_id",
+        best.alias("topic"),
+        *[(cols[g].cast("double") / n).alias(f"x_{g}") for g in classes],
+    )
+    return (
+        classifier.softmax_score(
+            feats, [f"x_{g}" for g in classes], _TOPIC_COEFS, classes
+        )
+        .select("doc_id", "topic", "pred", "prob_ppm")
+        .orderBy("doc_id")
+    )
+
+
 def q288_diversity_prune(spark, sf_dir):
     """Diversity pruning — the second half of the D4 recipe on top of
     q280's SemDeDup cells: prototypicality = cosine of each vector to
@@ -4788,6 +4844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q286_url_canonicalize": q286_url_canonicalize,
         "q287_domain_rollup": q287_domain_rollup,
         "q288_diversity_prune": q288_diversity_prune,
+        "q289_trained_router": q289_trained_router,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -5474,6 +5531,36 @@ def _sql_unigram_encode() -> str:
         LEFT JOIN eper p USING (doc_id)
         ORDER BY d.doc_id"""
     )
+
+
+def _sql_trained_router() -> str:
+    """Oracle for q289: the q33-pattern token-group counts, the same
+    ratio features, and the softmax_sql_exprs twin (identical
+    left-associated logits / exp-sum / first-wins argmax)."""
+    from aeon_mecha_spark.datapipe.classifier import softmax_sql_exprs
+
+    classes = list(_TOPIC_GROUPS)
+    score_cols = []
+    for g, ws in _TOPIC_GROUPS.items():
+        inlist = ", ".join(f"'{w}'" for w in ws)
+        score_cols.append(
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+            f" t -> t IN ({inlist}))) AS s_{g}"
+        )
+    ntok = "greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)"
+    feat_exprs = [f"s_{g}::DOUBLE / n::DOUBLE" for g in classes]
+    pred, ppm = softmax_sql_exprs(feat_exprs, _TOPIC_COEFS, classes)
+    case = f"'{classes[0]}'"
+    bs = f"s_{classes[0]}"
+    for g in classes[1:]:
+        case = f"CASE WHEN s_{g} > ({bs}) THEN '{g}' ELSE {case} END"
+        bs = f"CASE WHEN s_{g} > ({bs}) THEN s_{g} ELSE {bs} END"
+    return f"""
+    WITH s AS (
+      SELECT doc_id, {', '.join(score_cols)}, {ntok} AS n
+      FROM documents)
+    SELECT doc_id, {case} AS topic, {pred} AS pred, {ppm} AS prob_ppm
+    FROM s ORDER BY doc_id"""
 
 
 def _sql_diversity_prune(keep_ppm: int = 250_000) -> str:
@@ -11865,6 +11952,7 @@ def oracle_sql() -> dict[str, str]:
         "q279_quality_classifier": _sql_quality_classifier(qf, stop_in),
         "q280_semdedup": _sql_semdedup(0.30),
         "q288_diversity_prune": _sql_diversity_prune(250_000),
+        "q289_trained_router": _sql_trained_router(),
         "q281_html_extract": _sql_html_extract(),
         "q282_ppjoin": """
             -- brute-force all-pairs Jaccard: the exact-recall target

@@ -123,3 +123,161 @@ def score_sql_expr(feature_exprs: list[str], coefs: list[float]) -> str:
         z = f"({z} + {float(b)!r} * ({e}))"
     # same op sequence as logreg_score_ppm: σ first, then · 10⁶, then +½
     return f"floor((1.0 / (1.0 + exp(-{z}))) * 1000000.0 + 0.5)::bigint"
+
+
+def softmax_irls_train(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    classes: list,
+    iters: int = 8,
+    ridge: float = 1e-6,
+) -> list[list[float]]:
+    """Fit multinomial (softmax) logistic regression by fixed-round
+    Newton — the multiclass head the CCNet pipeline's fastText langid
+    actually is; the binary :func:`logreg_irls_train` generalized with
+    the SAME sufficient-statistics shape. Returns ``K-1`` coefficient
+    rows ``[intercept, coef_1, …, coef_d]`` (the LAST class in
+    ``classes`` is the reference, pinned to zero).
+
+    Update per round: with ``p_k = softmax(Xβ_k)`` (``β_K ≡ 0``), the
+    full multinomial Newton step solves the ``(K−1)d × (K−1)d`` system
+    with blocks ``H[(k,i),(l,j)] = Σ_rows p_k(δ_kl − p_l)·x_i·x_j`` and
+    gradient ``g[k,i] = Σ_rows (y_k − p_k)·x_i`` — every statistic a
+    plain sum of per-row products, so each round is ONE single-row
+    aggregate (map-side partials, no gradient shuffle) + a small dense
+    solve on the driver. The feature table persists once; rounds
+    re-scan memory. At 100 TB: per-round cost = one scan + a
+    ``((K−1)d)²``-double reduce, the classic shape."""
+    import numpy as np
+
+    k_all = len(classes)
+    km = k_all - 1
+    d = len(feature_cols) + 1
+    cols = [F.lit(1.0)] + [F.col(c).cast("double") for c in feature_cols]
+    x = feats.select(
+        F.col(label_col).alias("_lbl"),
+        *[c.alias(f"_x{i}") for i, c in enumerate(cols)],
+    )
+    for k, cls in enumerate(classes[:km]):
+        x = x.withColumn(
+            f"_y{k}", F.when(F.col("_lbl") == cls, 1.0).otherwise(0.0)
+        )
+    x = x.persist()
+    try:
+        x.count()
+        beta = np.zeros((km, d))
+        for _ in range(int(iters)):
+            zs = []
+            for k in range(km):
+                z: Column = F.lit(0.0)
+                for i in range(d):
+                    z = z + F.lit(float(beta[k, i])) * F.col(f"_x{i}")
+                zs.append(z)
+            den: Column = F.lit(1.0)
+            for z in zs:
+                den = den + F.exp(z)
+            ps = [F.exp(z) / den for z in zs]
+            aggs = []
+            for k in range(km):
+                for i in range(d):
+                    aggs.append(
+                        F.sum(
+                            (F.col(f"_y{k}") - ps[k]) * F.col(f"_x{i}")
+                        ).alias(f"g{k}_{i}")
+                    )
+            for k in range(km):
+                for l in range(k, km):
+                    w = ps[k] * ((F.lit(1.0) if k == l else F.lit(0.0)) - ps[l])
+                    for i in range(d):
+                        for j in range(i if k == l else 0, d):
+                            aggs.append(
+                                F.sum(w * F.col(f"_x{i}") * F.col(f"_x{j}"))
+                                .alias(f"h{k}_{l}_{i}_{j}")
+                            )
+            row = x.agg(*aggs).collect()[0]
+            m = km * d
+            g = np.zeros(m)
+            H = np.zeros((m, m))
+            for k in range(km):
+                for i in range(d):
+                    g[k * d + i] = row[f"g{k}_{i}"] or 0.0
+            for k in range(km):
+                for l in range(k, km):
+                    for i in range(d):
+                        for j in range(i if k == l else 0, d):
+                            v = row[f"h{k}_{l}_{i}_{j}"] or 0.0
+                            H[k * d + i, l * d + j] = v
+                            H[l * d + j, k * d + i] = v
+            g -= ridge * beta.reshape(-1)
+            H += ridge * np.eye(m)
+            beta = beta + np.linalg.solve(H, g).reshape(km, d)
+        return [[float(b) for b in rowk] for rowk in beta]
+    finally:
+        x.unpersist()
+
+
+def softmax_score(
+    df: DataFrame,
+    feature_cols: list[str],
+    coefs: list[list[float]],
+    classes: list[str],
+    pred_col: str = "pred",
+    ppm_col: str = "prob_ppm",
+) -> DataFrame:
+    """Score rows with a (trained, literal) softmax model: adds the
+    argmax class (first-wins strictly-greater over the logits, the
+    language_id tie convention — the reference class logit is the
+    literal 0.0) and the winning probability quantized half-up to
+    integer ppm. Fixed-shape left-associated expressions throughout so
+    :func:`softmax_sql_exprs` reproduces them bit-for-bit."""
+    km = len(classes) - 1
+    if len(coefs) != km:
+        raise ValueError(f"need {km} coefficient rows, got {len(coefs)}")
+    d = len(feature_cols) + 1
+    zs: list[Column] = []
+    for k in range(km):
+        if len(coefs[k]) != d:
+            raise ValueError(f"coefficient row {k}: need {d} values")
+        z: Column = F.lit(float(coefs[k][0]))
+        for c, b in zip(feature_cols, coefs[k][1:]):
+            z = z + F.lit(float(b)) * F.col(c).cast("double")
+        zs.append(z)
+    zs.append(F.lit(0.0))  # the reference class
+    den: Column = F.exp(zs[0])
+    for z in zs[1:]:
+        den = den + F.exp(z)
+    best = F.lit(classes[0])
+    bz = zs[0]
+    for k in range(1, len(classes)):
+        cond = zs[k] > bz
+        best = F.when(cond, F.lit(classes[k])).otherwise(best)
+        bz = F.when(cond, zs[k]).otherwise(bz)
+    ppm = F.floor(F.exp(bz) / den * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    return df.withColumn(pred_col, best).withColumn(ppm_col, ppm)
+
+
+def softmax_sql_exprs(
+    feature_exprs: list[str], coefs: list[list[float]], classes: list[str]
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`softmax_score`: renders (pred_expr,
+    ppm_expr) with the identical left-associated logits, exp-sum
+    denominator, and first-wins strictly-greater argmax chain."""
+    zs = []
+    for row in coefs:
+        z = repr(float(row[0]))
+        for e, b in zip(feature_exprs, row[1:]):
+            z = f"({z} + {float(b)!r} * ({e}))"
+        zs.append(z)
+    zs.append("0.0")
+    den = f"exp({zs[0]})"
+    for z in zs[1:]:
+        den = f"({den} + exp({z}))"
+    best = f"'{classes[0]}'"
+    bz = zs[0]
+    for k in range(1, len(classes)):
+        cond = f"({zs[k]}) > ({bz})"
+        best = f"CASE WHEN {cond} THEN '{classes[k]}' ELSE {best} END"
+        bz = f"CASE WHEN {cond} THEN {zs[k]} ELSE {bz} END"
+    ppm = f"floor(exp({bz}) / {den} * 1000000.0 + 0.5)::bigint"
+    return best, ppm

@@ -326,3 +326,77 @@ def test_d4_composition_semdedup_then_diversity(spark):
     assert set(out) == set(kept_ids)
     # the diverse (off-axis) vectors outrank the prototypical ones
     assert out[3] and out[5]
+
+
+# --------------------------------------------------- multiclass IRLS head
+def test_softmax_irls_matches_numpy_mirror(spark):
+    import numpy as np
+
+    from aeon_mecha_spark.datapipe.classifier import (
+        softmax_irls_train,
+        softmax_score,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d, K = 300, 2, 3
+    X = rng.normal(size=(n, d))
+    true_b = np.array([[0.3, 2.0, -1.0], [-0.2, -1.5, 1.8], [0.0, 0.0, 0.0]])
+    Z = np.column_stack([np.ones(n), X]) @ true_b.T
+    P = np.exp(Z - Z.max(1, keepdims=True))
+    P /= P.sum(1, keepdims=True)
+    y = np.array([rng.choice(K, p=p) for p in P])
+    classes = ["a", "b", "c"]
+
+    def numpy_softmax_irls(iters=8, ridge=1e-6):
+        Xd = np.column_stack([np.ones(n), X])
+        km, dd = K - 1, d + 1
+        beta = np.zeros((km, dd))
+        Y = np.eye(K)[y][:, :km]
+        for _ in range(iters):
+            Zf = Xd @ beta.T                       # n x km
+            E = np.exp(Zf)
+            den = 1.0 + E.sum(1)
+            Pm = E / den[:, None]                  # n x km
+            g = ((Y - Pm).T @ Xd).reshape(-1) - ridge * beta.reshape(-1)
+            m = km * dd
+            H = np.zeros((m, m))
+            for k in range(km):
+                for l in range(km):
+                    w = Pm[:, k] * ((1.0 if k == l else 0.0) - Pm[:, l])
+                    H[k * dd:(k + 1) * dd, l * dd:(l + 1) * dd] = (
+                        Xd.T @ (w[:, None] * Xd)
+                    )
+            H += ridge * np.eye(m)
+            beta = beta + np.linalg.solve(H, g).reshape(km, dd)
+        return beta
+
+    expected = numpy_softmax_irls()
+    df = spark.createDataFrame(
+        [(classes[int(c)], float(a), float(b)) for (a, b), c in zip(X, y)],
+        "lbl string, x1 double, x2 double",
+    )
+    got = np.array(softmax_irls_train(df, ["x1", "x2"], "lbl", classes, iters=8))
+    assert np.allclose(got, expected, rtol=0, atol=1e-7), (got, expected)
+    # recovered signs match the generator on the big coefficients
+    assert np.sign(got[0, 1]) == 1 and np.sign(got[0, 2]) == -1
+    assert np.sign(got[1, 1]) == -1 and np.sign(got[1, 2]) == 1
+
+    # scoring twin: exact pred + ppm parity with a python mirror
+    import math
+
+    coefs = [[float(v) for v in row] for row in got]
+    scored = {
+        (round(r.x1, 9), round(r.x2, 9)): (r.pred, r.prob_ppm)
+        for r in softmax_score(df, ["x1", "x2"], coefs, classes).collect()
+    }
+    for (a, b), c in zip(X, y):
+        zs = [row[0] + row[1] * a + row[2] * b for row in coefs] + [0.0]
+        den = 0.0
+        for z in zs:
+            den = den + math.exp(z) if den else math.exp(z)
+        best, bz = classes[0], zs[0]
+        for k in range(1, 3):
+            if zs[k] > bz:
+                best, bz = classes[k], zs[k]
+        ppm = math.floor(math.exp(bz) / den * 1e6 + 0.5)
+        assert scored[(round(a, 9), round(b, 9))] == (best, ppm)
