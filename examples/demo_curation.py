@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from aeon_mecha_spark.datapipe import curation, dedup, textqc
+from aeon_mecha_spark.datapipe import curation, dedup, textqc, unigram, urltools
 from aeon_mecha_spark.session import get_spark
 
 
@@ -32,6 +32,25 @@ def main() -> None:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n0 = docs.count()
     print(f"== corpus: {n0} documents")
+
+    print("== 0. URL provenance (r13): canonicalize -> eTLD+1 -> blocklist")
+    # a crawl corpus carries its URL; here one is synthesized per doc
+    withurl = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://WWW."), F.col("source"),
+            F.lit(".Example.COM:443/p/"), F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&id=1"),
+        ),
+    )
+    rules = spark.createDataFrame([("com",), ("co.uk",)], "suffix string")
+    dom = urltools.registrable_domain(
+        urltools.url_canonicalize(withurl), rules
+    )
+    blocked = spark.createDataFrame([("spam.example",)], "domain string")
+    dom = urltools.blocklist_filter(dom, blocked)
+    urltools.domain_rollup(dom).orderBy(F.desc("n_docs")).show(3)
+    docs = dom.drop("url", "url_canon", "host", "domain")
 
     print("== 1. rule-based quality filter (C4/Gopher rules)")
     verdicts = curation.quality_filter(docs, min_tokens=10, max_rep_ratio=0.6)
@@ -179,6 +198,15 @@ def main() -> None:
         (F.max("bin_id") + 1).alias("bins"),
         F.sum("n_tokens").alias("tokens"),
     ).orderBy("source").show()
+
+    print("== 7. token accounting under a trained unigram LM (r13)")
+    vocab_df = unigram.unigram_learn(docs, vocab_size=40, rounds=1)
+    vocab = [(r["piece"], r["lp_micro"]) for r in vocab_df.collect()]
+    enc = unigram.unigram_encode(docs, vocab)
+    enc.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("nll_micro").alias("total_nll_micro"),
+    ).show()
 
     print(f"== final corpus: {docs.count()} documents (from {n0})")
     spark.stop()
