@@ -4741,6 +4741,32 @@ def q289_trained_router(spark, sf_dir):
     )
 
 
+# Two-level quantizer literals for q290 (trained: kmeans_train k=16 on
+# the sf0.001 8-dim coarse prefix, grouped by build_two_level g=4;
+# both engines consume these EXACT literals).
+_TL_CENTROIDS = [[-0.064093, 0.12399, 0.001859, -0.058515, 0.081933, -0.099266, -0.072033, -0.018295], [-0.00386, 0.114183, 0.045394, 0.123064, 0.136024, 0.010289, 0.093077, 0.002972], [0.011677, 0.021231, -0.047582, -0.070091, -0.04257, -0.191617, 0.175731, -0.08223], [-0.074294, -0.059458, -0.054339, 0.048165, -0.034073, 0.199032, 0.047173, -0.041197], [0.010176, -0.035291, 0.0255, 0.088029, -0.153605, -0.003608, 0.10161, 0.023785], [-0.200186, 0.048752, 0.030951, -0.086377, -0.096453, 0.001615, -0.005641, 0.02824], [0.03778, 0.074139, 0.156035, -0.06846, -0.039621, -0.061435, 0.012303, -0.181588], [-0.048835, 0.038325, 0.051058, 0.193389, -0.073478, 0.001404, -0.046534, -0.143306], [0.015703, -0.093186, -0.180866, -0.033208, -0.052285, -0.010119, 0.154101, 0.016724], [-0.031617, -0.125523, -0.015766, -0.036567, 0.098568, 0.01211, -0.072356, -0.167198], [0.134243, 0.096292, -0.016503, 0.11824, -0.057968, -0.045324, -0.186429, 0.04712], [-0.020371, -0.041898, 0.151675, -0.075816, 0.107535, -0.002391, 0.032115, 0.094548], [0.143228, -0.053263, -0.106358, 0.118152, 0.07439, 0.027786, -0.034443, -0.014681], [0.019, -0.093623, 0.005341, -0.027446, -0.098198, -0.115928, -0.118334, -0.004993], [-0.091931, 0.003506, -0.07692, 0.012492, 0.028847, -0.022665, 0.00045, 0.168363], [0.110653, 0.038925, 0.01789, -0.102709, -0.007499, 0.109461, 0.023978, 0.037309]]
+_TL_GROUPS = [[-0.05711, 0.053779, 0.051499, -0.025602, 0.036378, -0.028975, 0.010045, 0.015707], [0.00334, -0.022224, 0.00909, 0.039886, -0.073371, 0.038072, 0.001579, -0.02568], [0.01369, -0.035978, -0.114224, -0.05165, -0.047427, -0.100868, 0.164916, -0.032753], [0.081951, -0.027498, -0.046209, 0.066608, 0.03833, -0.001809, -0.097743, -0.04492]]
+_TL_MEMBERS = [[0, 1, 5, 6, 11, 14], [3, 4, 7, 13, 15], [2, 8], [9, 10, 12]]
+
+
+def q290_two_level_assign(spark, sf_dir):
+    """Two-level IVF coarse quantization (the FAISS-IMI tree shape,
+    round 13): argmin over 4 literal group centroids, then argmin over
+    only that group's member cells — O(2√k) per row instead of O(k),
+    the production assignment once cells ∝ N makes the flat argmin the
+    dominant term (the round-13 semdedup capstone's finding). First-
+    wins argmin at both levels; the oracle replays both levels with
+    the identical literals."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.slice(F.col("embedding").cast("array<double>"), 1, 8).alias("embedding"),
+    )
+    out = similarity.ivf_assign_two_level(
+        emb, _TL_CENTROIDS, index=(_TL_GROUPS, _TL_MEMBERS)
+    )
+    return out.select("vec_id", "grp", "cell").orderBy("vec_id")
+
+
 def q288_diversity_prune(spark, sf_dir):
     """Diversity pruning — the second half of the D4 recipe on top of
     q280's SemDeDup cells: prototypicality = cosine of each vector to
@@ -4845,6 +4871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q287_domain_rollup": q287_domain_rollup,
         "q288_diversity_prune": q288_diversity_prune,
         "q289_trained_router": q289_trained_router,
+        "q290_two_level_assign": q290_two_level_assign,
         "q36_knn_cosine": q36_knn_cosine,
         "q58_event_pivot": q58_event_pivot,
         "q59_time_weighted_avg": q59_time_weighted_avg,
@@ -5608,6 +5635,51 @@ def _sql_diversity_prune(keep_ppm: int = 250_000) -> str:
            CAST(floor(proto * 1000000.0 + 0.5) AS BIGINT) AS proto_ppm,
            r <= greatest(1, (cnt * {int(keep_ppm)}) // 1000000) AS is_kept
     FROM rk ORDER BY vec_id"""
+
+
+def _sql_two_level_assign() -> str:
+    """Oracle for q290: both argmin levels as first-wins CASE chains
+    (the q48 shape) over the identical literals."""
+    def dist(c, var="v"):
+        return (
+            f"sqrt(list_sum(list_transform(generate_series(1, 8), "
+            f"i -> ({var}[i] - ({c}[i])) * ({var}[i] - ({c}[i])))))"
+        )
+
+    gdists = ",\n             ".join(
+        f"{dist(c)} AS gd{j}" for j, c in enumerate(_TL_GROUPS)
+    )
+    ng = len(_TL_GROUPS)
+    gcase = "CASE "
+    for j in range(ng - 1):
+        conds = " AND ".join(f"gd{j} <= gd{m}" for m in range(j + 1, ng))
+        gcase += f"WHEN {conds} THEN {j} "
+    gcase += f"ELSE {ng - 1} END"
+    ddists = ",\n             ".join(
+        f"{dist(c)} AS d{i}" for i, c in enumerate(_TL_CENTROIDS)
+    )
+    cell_case = "CASE grp "
+    for j, ms in enumerate(_TL_MEMBERS):
+        inner = "CASE "
+        for a, mi in enumerate(ms[:-1]):
+            conds = " AND ".join(f"d{mi} <= d{mj}" for mj in ms[a + 1:])
+            inner += f"WHEN {conds} THEN {mi} "
+        inner += f"ELSE {ms[-1]} END"
+        cell_case += f"WHEN {j} THEN ({inner}) "
+    cell_case += "END"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:8] AS v FROM embeddings
+    ), d AS (
+      SELECT vec_id, v,
+             {gdists},
+             {ddists}
+      FROM e
+    ), a AS (
+      SELECT vec_id, ({gcase}) AS grp, * EXCLUDE (vec_id) FROM d
+    )
+    SELECT vec_id, grp::INT AS grp, ({cell_case})::INT AS cell
+    FROM a ORDER BY vec_id"""
 
 
 def _sql_url_dom() -> str:
@@ -11953,6 +12025,7 @@ def oracle_sql() -> dict[str, str]:
         "q280_semdedup": _sql_semdedup(0.30),
         "q288_diversity_prune": _sql_diversity_prune(250_000),
         "q289_trained_router": _sql_trained_router(),
+        "q290_two_level_assign": _sql_two_level_assign(),
         "q281_html_extract": _sql_html_extract(),
         "q282_ppjoin": """
             -- brute-force all-pairs Jaccard: the exact-recall target

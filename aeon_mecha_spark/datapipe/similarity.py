@@ -180,7 +180,13 @@ def kmeans_train(
     vectors = vectors.persist()  # iters passes over the same lineage
     try:
         for _ in range(iters):
-            assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+            # bulk past the codegen-friendly range: bit-identical output
+            # (same fold order, same tie rule), O(1) plan size — at
+            # k=256 the per-column variant interpreted-evals AND bloats
+            # every retained plan string (round-13 capstone lesson)
+            assigned = (
+                ivf_assign_bulk if len(centroids) > 32 else ivf_assign
+            )(vectors, centroids, id_col, vec_col)
             means = (
                 assigned.groupBy("cell")
                 .agg(
@@ -1145,6 +1151,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    two_level_groups: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
     cluster-then-cosine — the embedding-space counterpart of MinHash
@@ -1177,7 +1184,17 @@ def semdedup(
         if coarse_dims
         else vectors
     )
-    cells = ivf_assign(coarse, centroids, id_col, vec_col).select(id_col, "cell")
+    # two_level_groups routes the coarse quantizer through the IMI-shape
+    # tree (O(2√k)/row) — the production path once cells ∝ N makes the
+    # flat argmin the dominant O(N·k) term (round-13 capstone, SCALE.md)
+    assign = (
+        ivf_assign(coarse, centroids, id_col, vec_col)
+        if two_level_groups is None
+        else ivf_assign_two_level(
+            coarse, centroids, two_level_groups, id_col, vec_col
+        )
+    )
+    cells = assign.select(id_col, "cell")
     assigned = vectors.join(cells, id_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "cell"
     )
@@ -1211,6 +1228,7 @@ def diversity_prune(
     coarse_dims: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level_groups: int | None = None,
 ) -> DataFrame:
     """Diversity pruning (the second half of the D4 recipe, Tirumala
     et al. 2023 — SemDeDup removes ε-ball duplicates, this removes
@@ -1240,7 +1258,12 @@ def diversity_prune(
     coarse = vectors.select(
         F.col(id_col), F.slice(F.col(vec_col), 1, d).alias("_v")
     )
-    cells = ivf_assign(coarse, centroids, id_col, "_v").select(id_col, "cell")
+    assign = (
+        ivf_assign(coarse, centroids, id_col, "_v")
+        if two_level_groups is None
+        else ivf_assign_two_level(coarse, centroids, two_level_groups, id_col, "_v")
+    )
+    cells = assign.select(id_col, "cell")
     cdf = spark.createDataFrame(
         [(j, [float(x) for x in c]) for j, c in enumerate(centroids)],
         "cell int, _cv array<double>",
@@ -1265,4 +1288,144 @@ def diversity_prune(
     )
     return ranked.select(
         id_col, "cell", "proto_ppm", (F.col("_rk") <= keep_n).alias("is_kept")
+    )
+
+
+def ivf_assign_bulk(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`ivf_assign` with an O(1)-size plan: the k centroids ride as ONE
+    literal array-of-structs constant and the argmin is a runtime fold
+    over it — the path for k beyond the codegen-friendly range.
+    (`ivf_assign` materializes one distance column per centroid: past
+    k≈32 the generated method blows janino's 64 KB limit and the stage
+    drops to interpreted eval, and the O(k) plan STRING at k≈256 OOMed
+    a 16 GB driver through the SQL UI's retained plan graphs — the
+    round-13 semdedup capstone, SCALE.md.) Output is BIT-IDENTICAL to
+    `ivf_assign`: the fold's ((0+t)+t)+… l2 chain is the same IEEE
+    order as the unrolled sum, and array_min over (d, i) structs keeps
+    the same first-wins tie rule."""
+    cent = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.array(*[F.lit(float(v)) for v in c]).alias("c"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    amin = F.array_min(
+        F.transform(
+            cent,
+            lambda m: F.struct(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col), m["c"], lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("d"),
+                m["i"].alias("c"),
+            ),
+        )
+    )
+    return vectors.select(
+        F.col(id_col), F.col(vec_col), amin["c"].cast("int").alias("cell")
+    )
+
+
+def build_two_level(
+    centroids: list[list[float]], g: int | None = None
+) -> tuple[list[list[float]], list[list[int]]]:
+    """Group k centroids into ``g`` (default ⌈√k⌉) groups for the
+    two-level quantizer: deterministic driver-side Lloyd over the
+    centroid list itself (init = every ⌈k/g⌉-th centroid in list
+    order, fixed 10 iterations, first-wins argmin, an emptied group
+    keeps its previous mean). Returns ``(group_centroids, members)``
+    with ``members[j]`` the sorted original centroid indices of group
+    ``j``. The centroid list is k rows — this never touches the
+    corpus."""
+    import math
+
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=float)
+    k = len(c)
+    if g is None:
+        g = max(1, math.isqrt(k - 1) + 1)
+    g = min(int(g), k)
+    gc = c[:: max(1, -(-k // g))][:g].copy()
+    g = len(gc)
+    for _ in range(10):
+        d = ((c[:, None, :] - gc[None, :, :]) ** 2).sum(-1)
+        lab = d.argmin(1)  # numpy argmin is first-wins
+        for j in range(g):
+            sel = c[lab == j]
+            if len(sel):
+                gc[j] = sel.mean(0)
+    d = ((c[:, None, :] - gc[None, :, :]) ** 2).sum(-1)
+    lab = d.argmin(1)
+    members = [sorted(int(i) for i in np.where(lab == j)[0]) for j in range(g)]
+    return [list(map(float, v)) for v in gc], members
+
+
+def ivf_assign_two_level(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    g: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[list[list[float]], list[list[int]]] | None = None,
+) -> DataFrame:
+    """Two-level coarse quantizer (the FAISS-IMI shape): argmin over
+    ⌈√k⌉ group centroids, then argmin over ONLY that group's members —
+    per-row work O(2√k) instead of O(k), which is the term that turned
+    the cells ∝ N capstone quadratic (SCALE.md round 13). Approximate
+    by design (a vector near a group boundary may land in a
+    second-best member cell — the standard IVF-tree trade) and fully
+    deterministic: first-wins argmin at both levels, members probed in
+    ascending original index. Output ``(id, vec, grp, cell)`` with
+    ``cell`` the ORIGINAL centroid index."""
+    gc, members = index if index is not None else build_two_level(centroids, g)
+    lvl1 = ivf_assign_bulk(vectors, gc, id_col, vec_col).withColumnRenamed(
+        "cell", "grp"
+    )
+    memb = F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.array(*[F.lit(float(v)) for v in centroids[i]]).alias("c"),
+                    )
+                    for i in ms
+                ]
+            )
+            for ms in members
+        ]
+    )
+    amin = F.array_min(
+        F.transform(
+            F.element_at(memb, F.col("grp") + 1),
+            lambda m: F.struct(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col), m["c"], lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("d"),
+                m["i"].alias("c"),
+            ),
+        )
+    )
+    return lvl1.select(
+        F.col(id_col), F.col(vec_col), "grp", amin["c"].cast("int").alias("cell")
     )

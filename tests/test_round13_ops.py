@@ -400,3 +400,68 @@ def test_softmax_irls_matches_numpy_mirror(spark):
                 best, bz = classes[k], zs[k]
         ppm = math.floor(math.exp(bz) / den * 1e6 + 0.5)
         assert scored[(round(a, 9), round(b, 9))] == (best, ppm)
+
+
+# ------------------------------------------------- two-level IVF quantizer
+def test_ivf_assign_bulk_bit_identical_to_flat(spark):
+    import numpy as np
+
+    from aeon_mecha_spark.datapipe import similarity as S
+
+    rng = np.random.RandomState(3)
+    cents = [[float(x) for x in v] for v in rng.randn(20, 6).round(2)]
+    cents[7] = list(cents[2])  # duplicate centroid: exact-tie case
+    vecs = rng.randn(200, 6).round(3)
+    vecs[0] = cents[2]  # lands exactly on the duplicated centroid
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    flat = {r["vec_id"]: r["cell"] for r in S.ivf_assign(df, cents).collect()}
+    bulk = {r["vec_id"]: r["cell"] for r in S.ivf_assign_bulk(df, cents).collect()}
+    assert flat == bulk
+    assert bulk[0] == 2  # first-wins on the exact tie
+
+
+def test_two_level_assign_matches_numpy_mirror(spark):
+    import numpy as np
+
+    from aeon_mecha_spark.datapipe import similarity as S
+
+    rng = np.random.RandomState(5)
+    cents = [[float(x) for x in v] for v in rng.randn(16, 4).round(2)]
+    vecs = rng.randn(120, 4).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id int, embedding array<double>",
+    )
+    gc, members = S.build_two_level(cents, g=4)
+    assert sorted(i for ms in members for i in ms) == list(range(16))
+
+    got = {r["vec_id"]: (r["grp"], r["cell"])
+           for r in S.ivf_assign_two_level(df, cents, index=(gc, members)).collect()}
+    gca = np.array(gc)
+    ca = np.array(cents)
+    for i, v in enumerate(vecs):
+        grp = int(((v - gca) ** 2).sum(1).argmin())
+        ms = members[grp]
+        cell = ms[int(((v - ca[ms]) ** 2).sum(1).argmin())]
+        assert got[i] == (grp, cell), (i, got[i], (grp, cell))
+
+    # g=1 degenerates to the exact flat argmin
+    one = {r["vec_id"]: r["cell"]
+           for r in S.ivf_assign_two_level(df, cents, g=1).collect()}
+    flat = {r["vec_id"]: r["cell"] for r in S.ivf_assign_bulk(df, cents).collect()}
+    assert one == flat
+
+
+def test_semdedup_two_level_mode(spark):
+    from aeon_mecha_spark.datapipe import similarity as S
+
+    cents = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0], [0.1, 0.9]]
+    rows = [(1, [1.0, 0.02]), (2, [1.0, 0.021]), (3, [0.02, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r["is_kept"]
+           for r in S.semdedup(df, cents, threshold=0.999,
+                               two_level_groups=2).collect()}
+    assert out == {1: True, 2: False, 3: True}

@@ -39,7 +39,9 @@ def timed(fn, reps: int = 2) -> float:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    two_level = "--two-level" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--two-level"]
+    n = int(argv[0]) if argv else 64
 
     from pyspark.sql import functions as F
 
@@ -92,14 +94,18 @@ def main() -> None:
         }
         return out
 
-    def sd(emb, cents):
+    def sd(emb, cents, tl=False):
+        g = 16 if tl else None
         return lambda: similarity.semdedup(
-            emb, cents, threshold=0.30, coarse_dims=COARSE_DIMS, dim=64
+            emb, cents, threshold=0.30, coarse_dims=COARSE_DIMS, dim=64,
+            two_level_groups=g,
         )
 
-    def dp(emb, cents):
+    def dp(emb, cents, tl=False):
+        g = 16 if tl else None
         return lambda: similarity.diversity_prune(
-            emb, cents, keep_ppm=250_000, coarse_dims=COARSE_DIMS
+            emb, cents, keep_ppm=250_000, coarse_dims=COARSE_DIMS,
+            two_level_groups=g,
         )
 
     # warmup (JVM/codegen), untimed
@@ -117,14 +123,17 @@ def main() -> None:
     )
     sd_base = phase("semdedup_1x_4cells", lambda: timed(sd(base, cents4)))
     sd_scaled = phase(
-        f"semdedup_{n}x_{cells_scaled}cells", lambda: timed(sd(scaled, cent_big))
+        f"semdedup_{n}x_{cells_scaled}cells",
+        lambda: timed(sd(scaled, cent_big, tl=two_level)),
     )
     dp_base = phase("divprune_1x_4cells", lambda: timed(dp(base, cents4)))
     dp_scaled = phase(
-        f"divprune_{n}x_{cells_scaled}cells", lambda: timed(dp(scaled, cent_big))
+        f"divprune_{n}x_{cells_scaled}cells",
+        lambda: timed(dp(scaled, cent_big, tl=two_level)),
     )
     print(json.dumps({
         "n": n,
+        "two_level": two_level,
         "cells_scaled": cells_scaled,
         "semdedup": {
             "base_s": sd_base,
