@@ -57,6 +57,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # topN-head + integer-OLS tail); q147 impute-median -> q254
 # brown-forsythe (q151 keeps the fill/fence family; BF adds the
 # selection-median -> integer-ANOVA chain).
+# Round-13 (optimization round): the r13 build's 5 rotations are kept
+# as ADDITIONS — the rotated-out entries (q159, q163, q205, q217,
+# q279) are restored so BENCH_r13's "queries" is a strict superset of
+# BENCH_r12's (the optimization driver diffs per-query seconds across
+# rounds; a removed key breaks that comparison).
 HEADLINE = [
     "q01_pricing_summary",   # scan + groupBy agg
     "q06_revenue_by_nation", # multi-join + agg
@@ -113,12 +118,15 @@ HEADLINE = [
     "q156_auc",              # exact Mann-Whitney AUC over score grain
     "q157_ks",               # exact KS: cross-multiplied CDF gaps
     "q158_canonical_select",  # keep-best election per fingerprint cluster
-    "q288_diversity_prune",  # per-cell prototypicality rank (r13, rotated for q159: cosine-similarity family)
-    "q284_unigram_learn",    # unigram hard-EM learn (r13, rotated for q163: trained-tokenizer family)
+    "q288_diversity_prune",  # per-cell prototypicality rank (r13)
+    "q159_sparse_cosine",    # inverted-index df-capped cosine pairs
+    "q284_unigram_learn",    # unigram hard-EM learn (r13)
+    "q163_bpe_learn",        # 8-round weighted pair-argmax over word table
     "q164_exact_split",      # largest-remainder quotas + hash ranks
     "q277_keyframe_index",   # NAL access-unit parse, map-side bytes (r12)
     "q165_corr_pairs",       # 15 exact moments in one aggregate pass
-    "q289_trained_router",   # softmax literal scoring (r13, rotated for q279: trained-classifier family)
+    "q289_trained_router",   # softmax literal scoring (r13)
+    "q279_quality_classifier",  # trained logistic scoring
     "q168_seasonal_anomaly",  # phase medians + residual Tukey fences
     "q169_lift_table",       # distinct-score-grain decile gains
     "q170_gini",             # ranked-sum concentration per key
@@ -149,7 +157,8 @@ HEADLINE = [
     "q202_bradley_terry",    # 3 MM rounds, integer strengths, join-shaped
     "q203_fleiss_kappa",     # multi-rater agreement, one exact rational
     "q204_psi",              # reference-decile drift, micro-nat terms
-    "q285_unigram_encode",   # Viterbi fold encode (r13, rotated for q205: token-LM scoring family)
+    "q285_unigram_encode",   # Viterbi fold encode (r13)
+    "q205_bigram_logprob",   # interpolated bigram LM, micro-nat mean
     "q206_wilson_lb",        # integer-exact Wilson bound (Newton isqrt)
     "q207_spearman",         # doubled-rank Spearman, exact isqrt, clamped
     "q209_roc_points",       # full ROC curve, two-level bucketed prefix sum
@@ -159,7 +168,8 @@ HEADLINE = [
     "q213_kruskal_wallis",   # k-group rank ANOVA, floor terms + tie ppm
     "q215_bh_fdr",           # bucket-ranked BH selection, all-integer test
     "q216_info_gain",        # micro-nat IG decomposition
-    "q286_url_canonicalize", # map-side URL regex + eTLD+1 (r13, rotated for q217: map-side string family)
+    "q286_url_canonicalize", # map-side URL regex + eTLD+1 (r13)
+    "q217_line_dedup",       # line-grain boilerplate removal + reassembly
     "q218_kaplan_meier",     # micro-nat log-survival, reverse-cum at-risk
     "q219_cohort_retention",  # daily cohort triangle, integer ages
     "q220_hits",             # fixed-round integer hubs/authorities

@@ -94,4 +94,8 @@ def test_bench_line_fits_driver_capture():
         },
         separators=(",", ":"),
     )
-    assert len(line) < 1900, f"bench JSON line would be {len(line)} chars"
+    # r13: margin widened 1900 -> 1960 to fit the five restored
+    # rotation entries; still below the driver's ~2000-char capture,
+    # and real values (mostly < 10 s) run ~1 char narrower per entry
+    # than this worst-case estimate.
+    assert len(line) < 1960, f"bench JSON line would be {len(line)} chars"
