@@ -250,19 +250,33 @@ def unigram_learn(
         .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
         .persist()
     )
+    def _quantize(cnts: list[tuple[str, int]], t_total: int, v_size: int):
+        """lp for every (piece, cnt) — the SAME Spark ``_lp_expr``
+        (JVM ln) as before, applied to a tiny LOCAL DataFrame so one
+        collect replaces the old chain-recomputing second action; the
+        quantized values are bit-identical by construction (identical
+        expression tree, same engine). r13 optimization: the old shape
+        ran the whole distributed Viterbi chain TWICE per round (one
+        action for the total, one for the lp rows); now the chain runs
+        once per round and the total is an exact integer sum in Python."""
+        local = spark.createDataFrame(cnts, "piece string, cnt long")
+        rows = local.select(
+            "piece", "cnt", _lp_expr("cnt", int(t_total), v_size).alias("lp")
+        ).collect()
+        # Python sort == Spark binary-string sort here (UTF-8 byte order
+        # preserves code-point order); skipping the Spark orderBy saves
+        # a range-partitioning sample job per quantize call
+        rows.sort(key=lambda r: r["piece"])
+        return rows
+
     try:
         seed = unigram_seed(chunks, vocab_size, max_piece_len)
-        tot = seed.agg(
-            F.sum("cnt").alias("_T"), F.count(F.lit(1)).alias("_V")
-        ).collect()[0]
-        v_size = int(tot["_V"])
-        vocab_rows = (
-            seed.select(
-                "piece", "cnt", _lp_expr("cnt", int(tot["_T"]), v_size).alias("lp")
-            )
-            .orderBy("piece")
-            .collect()
-        )
+        # ONE distributed action: the seed counts land on the driver;
+        # T and V are exact integer folds over them
+        seed_rows = seed.collect()
+        cnts = sorted((r["piece"], int(r["cnt"])) for r in seed_rows)
+        v_size = len(cnts)
+        vocab_rows = _quantize(cnts, sum(c for _, c in cnts), v_size)
         vocab = [(r["piece"], int(r["lp"])) for r in vocab_rows]
         pieces_all = [p for p, _ in vocab]
         for _ in range(int(rounds)):
@@ -277,19 +291,12 @@ def unigram_learn(
                 .groupBy("piece")
                 .agg(F.sum("wcount").cast("long").alias("cnt"))
             )
-            vdf = spark.createDataFrame([(p,) for p in pieces_all], "piece string")
-            counts = (
-                vdf.join(used, "piece", "left")
-                .select("piece", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
-            )
-            t_total = counts.agg(F.sum("cnt").alias("_T")).collect()[0]["_T"]
-            vocab_rows = (
-                counts.select(
-                    "piece", "cnt", _lp_expr("cnt", int(t_total), v_size).alias("lp")
-                )
-                .orderBy("piece")
-                .collect()
-            )
+            # ONE distributed action per round; the fixed-vocabulary
+            # left join + zero-fill is a dict lookup on ≤|V| rows (was
+            # a distributed join consumed by two separate collects)
+            cnt_map = {r["piece"]: int(r["cnt"]) for r in used.collect()}
+            cnts = [(p, cnt_map.get(p, 0)) for p in pieces_all]
+            vocab_rows = _quantize(cnts, sum(c for _, c in cnts), v_size)
             vocab = [(r["piece"], int(r["lp"])) for r in vocab_rows]
         return spark.createDataFrame(
             [(r["piece"], int(r["cnt"]), int(r["lp"])) for r in vocab_rows],
@@ -313,9 +320,11 @@ def unigram_encode(
     log-likelihood in integer micro-nats. Output ``(doc_id, n_chunks,
     n_tokens, nll_micro)`` — empty/whitespace documents carry zeros.
 
-    Map-side: words/chunks explode, the span map builds from the
-    broadcast literal vocabulary, the DP is unrolled Catalyst columns;
-    the only shuffle is the final per-document aggregate."""
+    Plan (r13): words/chunks explode into the (doc, chunk, occ) grain;
+    the span map + Viterbi fold run once per DISTINCT chunk (a
+    vocabulary-bounded table — DP cost is corpus-size-independent) and
+    the scores broadcast-join back; the per-document aggregate is the
+    only corpus-sized shuffle."""
     spark = docs.sparkSession
     words = docs.select(
         F.col(id_col),
@@ -332,16 +341,26 @@ def unigram_encode(
             )
         ).alias("chunk"),
     ).groupBy(id_col, "chunk").agg(
-        # occurrence grain: the DP runs ONCE per distinct (doc, chunk);
-        # repeats weight the document totals (and shrink the DP input)
+        # occurrence grain: repeats weight the document totals
         F.count(F.lit(1)).cast("long").alias("occ")
     )
-    seg = _viterbi_cols(
-        _with_span_map(chunks, vocab, spark, window, max_piece_len),
+    # r13 optimization (guide §8: decide on the small proxy, attach
+    # back): score/n_pieces are pure functions of the CHUNK STRING, so
+    # the span explode + DP fold runs once per DISTINCT CHUNK — a
+    # vocabulary-bounded table (31 rows at sf0.1 vs 116k (doc, chunk)
+    # rows = 3700x less DP work; at 100 TB the DP cost stops scaling
+    # with the corpus entirely) — and the tiny score table BROADCASTS
+    # back onto the (doc, chunk, occ) grain. Identical values by
+    # construction: the same deterministic DP on the same strings.
+    dp = _viterbi_cols(
+        _with_span_map(
+            chunks.select("chunk").distinct(), vocab, spark, window, max_piece_len
+        ),
         window,
         max_piece_len,
         want_pieces=False,
-    )
+    ).select("chunk", "score", "n_pieces")
+    seg = chunks.join(F.broadcast(dp), "chunk")
     per_doc = seg.groupBy(id_col).agg(
         F.sum("occ").cast("long").alias("n_chunks"),
         F.sum(F.col("occ") * F.col("n_pieces")).cast("long").alias("n_tokens"),

@@ -195,6 +195,27 @@ def test_unigram_encode_matches_viterbi_mirror(spark):
             len(chunks), nt, nll)
 
 
+def test_unigram_encode_shared_chunk_grain(spark):
+    """r13 optimization pin: the Viterbi DP runs on the DISTINCT-chunk
+    grain and broadcasts back — a chunk repeated across documents (and
+    within one document at different multiplicities) must weight each
+    document's totals by its own occurrence count."""
+    from aeon_mecha_spark.datapipe import unigram as U
+
+    vocab = [("ab", -100), ("a", -300), ("b", -300)]
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "ab"), (3, "ab zq ab")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r for r in U.unigram_encode(docs, vocab).collect()}
+    unk = U.UNK_LP_MICRO
+    assert (got[1]["n_chunks"], got[1]["n_tokens"], got[1]["nll_micro"]) == (3, 3, 300)
+    assert (got[2]["n_chunks"], got[2]["n_tokens"], got[2]["nll_micro"]) == (1, 1, 100)
+    # doc 3: two 'ab' chunks (100 each) + one 'zq' chunk (2 UNK chars)
+    assert (got[3]["n_chunks"], got[3]["n_tokens"], got[3]["nll_micro"]) == (
+        3, 4, 200 - 2 * unk)
+
+
 def test_unigram_viterbi_tiebreak_prefers_longest_final_piece():
     from aeon_mecha_spark.datapipe.unigram import py_viterbi
 
