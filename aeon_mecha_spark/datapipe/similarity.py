@@ -1037,26 +1037,50 @@ def ivf_pq_search(
     dim = m * d_sub
     short_n = int(shortlist) if shortlist is not None else 4 * k
 
-    cv = F.slice(F.col(vec_col), 1, dim_coarse)
+    # r13 build-time optimization: the unrolled literal trees below used
+    # to be assembled Column-op by Column-op — thousands of py4j round
+    # trips that cost ~seconds of DRIVER time per plan construction (the
+    # bench times plan construction; at 100 TB plan-build delay is pure
+    # driver serialization, guide §7.3). Each column is now rendered as
+    # ONE SQL string and parsed in a single F.expr call — the parsed
+    # expression tree is token-identical (same left-to-right folds, same
+    # duplicated-subtraction squares, same double literals), so results
+    # and physical plans are unchanged.
+    def _dlit(x: float) -> str:
+        r = repr(float(x))
+        return f"CAST('{r}' AS DOUBLE)" if ("e" in r or "E" in r) else r + "D"
+
+    cv_sql = f"slice(`{vec_col}`, 1, {dim_coarse})"
+
+    def _coarse_d(c: list[float]) -> str:
+        arr = f"array({', '.join(_dlit(x) for x in c)})"
+        acc = "0.0D"
+        for j in range(dim_coarse):
+            e = f"(element_at({cv_sql}, {j + 1}) - element_at({arr}, {j + 1}))"
+            acc = f"({acc} + ({e} * {e}))"
+        return f"sqrt({acc})"
+
     dist_cols = [
-        l2_distance(cv, F.array(*[F.lit(float(x)) for x in c]), dim_coarse).alias(f"_d{i}")
-        for i, c in enumerate(centroids)
+        F.expr(_coarse_d(c)).alias(f"_d{i}") for i, c in enumerate(centroids)
     ]
 
-    def _l2sq(sub: int, code: int) -> Column:
+    def _l2sq(sub: int, code: int) -> str:
         # left-to-right squared-L2 fold over the subspace — the same
         # ((0.0+t1)+t2)… tree as vector._unrolled_sum, sqrt-free (ADC
         # ranks on squared distance; monotone, and exact for the oracle)
-        acc = F.lit(0.0)
+        acc = "0.0D"
         for j in range(d_sub):
-            e = F.element_at(F.col(vec_col), sub * d_sub + j + 1) - F.lit(
-                float(codebooks[sub][code][j])
+            e = (
+                f"(element_at(`{vec_col}`, {sub * d_sub + j + 1}) - "
+                f"{_dlit(codebooks[sub][code][j])})"
             )
-            acc = acc + e * e
+            acc = f"({acc} + ({e} * {e}))"
         return acc
 
     lut_cols = [
-        F.array(*[_l2sq(s, c) for c in range(k_cw)]).alias(f"_lut{s}")
+        F.expr(f"array({', '.join(_l2sq(s, c) for c in range(k_cw))})").alias(
+            f"_lut{s}"
+        )
         for s in range(m)
     ]
     # the coarse + LUT math is the CPU-heavy per-row stage: spread a
@@ -1087,23 +1111,22 @@ def ivf_pq_search(
     # corpus PQ codes from the SAME persisted frame (primary-cell rows
     # hold the full vector), pivoted to one row per vector
     primary = multi.filter(F.col("probe") == 0)
-    code_expr = []
-    for s in range(m):
-        sub_arr = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
-        dists = F.array(
-            *[
-                F.struct(
-                    l2_distance(
-                        sub_arr,
-                        F.array(*[F.lit(float(x)) for x in codebooks[s][c]]),
-                        d_sub,
-                    ).alias("d"),
-                    F.lit(c).alias("c"),
-                )
-                for c in range(k_cw)
-            ]
-        )
-        code_expr.append(F.array_min(dists)["c"].cast("int").alias(f"_c{s}"))
+
+    def _sub_code(s: int) -> str:
+        # same SQL-string rendering as the LUT above (one F.expr per
+        # code column instead of ~400 py4j Column ops)
+        sub_sql = f"slice(`{vec_col}`, {s * d_sub + 1}, {d_sub})"
+        structs = []
+        for c in range(k_cw):
+            arr = f"array({', '.join(_dlit(x) for x in codebooks[s][c])})"
+            acc = "0.0D"
+            for j in range(d_sub):
+                e = f"(element_at({sub_sql}, {j + 1}) - element_at({arr}, {j + 1}))"
+                acc = f"({acc} + ({e} * {e}))"
+            structs.append(f"named_struct('d', sqrt({acc}), 'c', {c})")
+        return f"CAST(array_min(array({', '.join(structs)})).c AS INT)"
+
+    code_expr = [F.expr(_sub_code(s)).alias(f"_c{s}") for s in range(m)]
     corpus = primary.select(
         F.col(id_col).alias("_cid"), F.col("cell"), *code_expr
     )
