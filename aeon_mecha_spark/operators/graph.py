@@ -398,14 +398,20 @@ def hits_int(
     tables carry only nonzero nodes until the final outer join.
 
     Plan: per round two keyed join+aggregates (the PageRank shape);
-    each phase's sum table is PERSISTED and its 1-row max COLLECTED to
-    the driver as a literal divisor — the trained-model planning-action
-    pattern (k-means centroids, BPE merges, k-core round counts): a
-    bounded scalar leaves the cluster, each phase references its
-    predecessor exactly once, and the physical plan stays LINEAR in
-    ``iters`` (a broadcast-max variant references every phase twice
-    and the plan tree doubles per phase). Handles ride on the result
-    via ``track_cached``.
+    each phase's 1-row max stays IN the plan as a broadcast divisor —
+    no driver action anywhere, the whole recursion is one lazy DAG
+    (r13 optimization: the previous shape persisted each sum table and
+    COLLECTED its max, 2·iters sequential driver barriers at
+    plan-construction time). A naive broadcast-max references every
+    phase twice and the analyzed tree doubles per phase (2^(2·iters)
+    copies — measured catastrophic), so each normalized phase is cut to
+    a constant-size leaf with a LAZY ``localCheckpoint``: zero jobs at
+    build, linear plans, and at execution each phase materializes once.
+    Trade-off (guide §5): a lazily checkpointed phase table is not
+    recomputable from lineage on executor loss — acceptable for these
+    node-sized score tables whose loss just re-runs the query; in
+    exchange the 100 TB shape drops 2·iters driver sync barriers.
+    Handles ride on the result via ``track_cached``.
 
     Output: ``(node, hub_score, auth_score)`` for every node incident
     to an edge, scores in [0, scale].
@@ -425,15 +431,21 @@ def hits_int(
     )
     cached: list[DataFrame] = [e, nodes]
 
+    one = F.lit(1).cast("decimal(38,0)")
+
     def _norm(raw: DataFrame, out_col: str) -> DataFrame:
-        raw = raw.persist(StorageLevel.MEMORY_ONLY)
-        cached.append(raw)
-        mx = raw.agg(F.max("_raw")).collect()[0][0] or 1
-        return raw.select(
-            "node",
-            F.expr(f"CAST((_raw * {int(scale)}) div {int(mx)} AS BIGINT)").alias(
-                out_col
-            ),
+        # greatest(coalesce(max,1),1) == the old driver-side `max or 1`
+        # (NULL for an empty table, 0 for an all-zero one, both -> 1)
+        mx = raw.agg(F.greatest(F.coalesce(F.max("_raw"), one), one).alias("_mx"))
+        return (
+            raw.crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.expr(f"CAST((_raw * {int(scale)}) div _mx AS BIGINT)").alias(
+                    out_col
+                ),
+            )
+            .localCheckpoint(eager=False)
         )
 
     h = nodes.withColumn("_h", F.lit(int(scale)).cast("long"))
