@@ -63,6 +63,27 @@ def _longs(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def _ordered(df: DataFrame, *cols: str) -> DataFrame:
+    """Final presentation sort without the range-sampling double-compute
+    (r13, guide §2.4 "an orderBy used only to make output deterministic").
+
+    A global ``orderBy`` plans a range exchange whose boundary-SAMPLING
+    job re-executes the entire un-materialized upstream chain once
+    before the real shuffle runs it again — measured 2 x 1.4 s on
+    q248's grain-window chain (stage-level event-log attribution), i.e.
+    the whole query computed twice to sort a keys-sized result. A lazy
+    ``localCheckpoint`` truncates the plan first, so the sampling pass
+    and the exchange both read the single materialization.
+
+    Use ONLY where the sort column set is unique per row (the groupBy
+    keys of the aggregate being presented): ordering is then total, so
+    any plan yields the identical row sequence and the oracle/determinism
+    hashes are unaffected. The ``_aeon_cached`` release handles are
+    threaded through (the r12 dsir convention)."""
+    out = df.localCheckpoint(eager=False).orderBy(*cols)
+    return track_cached(out, *getattr(df, "_aeon_cached", ()))
+
+
 def _stream_feed(sf_dir: str, table: str, prefix: str) -> str:
     """Expose a testdata table to the file-stream source via a temp dir
     of symlinks. Handles both layouts: a single parquet FILE (driver
@@ -2568,9 +2589,11 @@ def q168_seasonal_anomaly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_type", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
-    return analytics.seasonal_anomalies(
-        ev, ["event_type"], "ts", "cents", k=1.5
-    ).orderBy("event_type", "hod")
+    return _ordered(
+        analytics.seasonal_anomalies(ev, ["event_type"], "ts", "cents", k=1.5),
+        "event_type",
+        "hod",
+    )
 
 
 def q169_lift_table(spark, sf_dir):
@@ -2735,7 +2758,7 @@ def q184_quantile_map(spark, sf_dir):
     ENGLISH length scale via exact type-1 inverse-CDF — the as-of
     union-merge on the CDF axis, no range join."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    return analytics.quantile_map(docs, "lang", "n_chars", "en").orderBy("doc_id")
+    return _ordered(analytics.quantile_map(docs, "lang", "n_chars", "en"), "doc_id")
 
 
 def q185_temporal_2hop(spark, sf_dir):
@@ -2885,7 +2908,7 @@ def q191_kcore(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     edges = G.transition_edges(ev)
-    return G.kcore(edges, k=3, max_rounds=3).orderBy("node")
+    return _ordered(G.kcore(edges, k=3, max_rounds=3), "node")
 
 
 def q192_feature_hash(spark, sf_dir):
@@ -3169,7 +3192,9 @@ def q202_bradley_terry(spark, sf_dir):
     an unrolled SQL oracle."""
     from aeon_mecha_spark.operators import graph as G
 
-    return G.bradley_terry_int(_match_stream(spark, sf_dir), iters=3).orderBy("node")
+    return _ordered(
+        G.bradley_terry_int(_match_stream(spark, sf_dir), iters=3), "node"
+    )
 
 
 def q203_fleiss_kappa(spark, sf_dir):
@@ -3203,7 +3228,7 @@ def q205_bigram_logprob(spark, sf_dir):
     0.25 smoothed unigram): token ORDER quality that q112's unigram
     proxy cannot see, in the same integer micro-nat discipline."""
     docs = _t(spark, sf_dir, "documents")
-    return textqc.bigram_logprob(docs).orderBy("doc_id")
+    return _ordered(textqc.bigram_logprob(docs), "doc_id")
 
 
 def q206_wilson_lb(spark, sf_dir):
@@ -3225,9 +3250,12 @@ def q207_spearman(spark, sf_dir):
     square root (q206's double-seed + 2 Newton steps + clamp) so no
     engine sqrt is in the comparison path."""
     li = _t(spark, sf_dir, "lineitem")
-    return analytics.spearman_by_group(
-        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
-    ).orderBy("l_returnflag")
+    return _ordered(
+        analytics.spearman_by_group(
+            li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+        ),
+        "l_returnflag",
+    )
 
 
 def q208_mannwhitney(spark, sf_dir):
@@ -3294,9 +3322,10 @@ def q213_kruskal_wallis(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "_cohort", F.expr("CAST(user_id % 3 AS INT)")
     )
-    return analytics.kruskal_wallis(
-        ev, ["event_type"], "value", "_cohort"
-    ).orderBy("event_type")
+    return _ordered(
+        analytics.kruskal_wallis(ev, ["event_type"], "value", "_cohort"),
+        "event_type",
+    )
 
 
 def q214_calibration(spark, sf_dir):
@@ -3376,9 +3405,10 @@ def q220_hits(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
     edges = graph.transition_edges(ev)
     out = graph.hits_int(edges, iters=3)
-    return out.select(
-        F.col("node").alias("user_id"), "hub_score", "auth_score"
-    ).orderBy("user_id")
+    return _ordered(
+        out.select(F.col("node").alias("user_id"), "hub_score", "auth_score"),
+        "user_id",
+    )
 
 
 def q221_split_leakage(spark, sf_dir):
@@ -3528,8 +3558,9 @@ def q229_ols2(spark, sf_dir):
         F.expr("CAST(round(l_discount * 100) AS BIGINT)").alias("_d"),
         F.expr("CAST(round(l_extendedprice) AS BIGINT)").alias("_price"),
     )
-    return analytics.ols2_by_group(li, ["l_returnflag"], "_q", "_d", "_price").orderBy(
-        "l_returnflag"
+    return _ordered(
+        analytics.ols2_by_group(li, ["l_returnflag"], "_q", "_d", "_price"),
+        "l_returnflag",
     )
 
 
@@ -3863,9 +3894,10 @@ def q247_trimmed_mean(spark, sf_dir):
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("_cents"),
     )
-    return analytics.trimmed_mean(
-        li, ["l_returnflag"], "_cents", trim_ppm=50_000
-    ).orderBy("l_returnflag")
+    return _ordered(
+        analytics.trimmed_mean(li, ["l_returnflag"], "_cents", trim_ppm=50_000),
+        "l_returnflag",
+    )
 
 
 def q248_cliffs_delta(spark, sf_dir):
@@ -3874,9 +3906,12 @@ def q248_cliffs_delta(spark, sf_dir):
     counts from the distinct-value grain (no pair join), signed ppm
     floor — the ordinal effect size beside q208's U statistic."""
     li = _t(spark, sf_dir, "lineitem")
-    return analytics.cliffs_delta(
-        li, ["l_linestatus"], "l_extendedprice", F.col("l_returnflag") == "R"
-    ).orderBy("l_linestatus")
+    return _ordered(
+        analytics.cliffs_delta(
+            li, ["l_linestatus"], "l_extendedprice", F.col("l_returnflag") == "R"
+        ),
+        "l_linestatus",
+    )
 
 
 def q249_markov_transitions(spark, sf_dir):
@@ -3991,9 +4026,10 @@ def q254_brown_forsythe(spark, sf_dir):
     selection medians, integer micro deviations — the robust pre-check
     for q253."""
     li = _t(spark, sf_dir, "lineitem")
-    return analytics.brown_forsythe(
-        li, ["l_linestatus"], "l_quantity", "l_returnflag"
-    ).orderBy("l_linestatus")
+    return _ordered(
+        analytics.brown_forsythe(li, ["l_linestatus"], "l_quantity", "l_returnflag"),
+        "l_linestatus",
+    )
 
 
 def q255_kendall_tau(spark, sf_dir):
@@ -4006,8 +4042,8 @@ def q255_kendall_tau(spark, sf_dir):
         F.col("l_quantity").cast("long").alias("qty"),
         F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
     )
-    return analytics.kendall_tau(li, ["l_returnflag"], "qty", "disc").orderBy(
-        "l_returnflag"
+    return _ordered(
+        analytics.kendall_tau(li, ["l_returnflag"], "qty", "disc"), "l_returnflag"
     )
 
 
@@ -4613,7 +4649,7 @@ def q285_unigram_encode(spark, sf_dir):
     from aeon_mecha_spark.datapipe import unigram
 
     docs = _t(spark, sf_dir, "documents")
-    return unigram.unigram_encode(docs, _UNIGRAM_VOCAB).orderBy("doc_id")
+    return _ordered(unigram.unigram_encode(docs, _UNIGRAM_VOCAB), "doc_id")
 
 
 # Mini public-suffix rule table + blocklist for the q286/q287 gates
@@ -4780,7 +4816,7 @@ def q288_diversity_prune(spark, sf_dir):
     out = similarity.diversity_prune(
         emb, _IVF_CENTROIDS, keep_ppm=250_000, coarse_dims=8
     )
-    return out.orderBy("vec_id")
+    return _ordered(out, "vec_id")
 
 
 def q280_semdedup(spark, sf_dir):
