@@ -2277,7 +2277,7 @@ def q145_rrf_fusion(spark, sf_dir):
         k=60,
         limit=200,
     )
-    return fused.orderBy(F.col("rrf_ppb").desc(), "doc_id")
+    return _ordered(fused, F.col("rrf_ppb").desc(), "doc_id")
 
 
 def q146_sequence_pattern(spark, sf_dir):
@@ -2334,7 +2334,7 @@ def q149_cube_agg(spark, sf_dir):
     of (returnflag, linestatus) with decimal-exact quantity sums and the
     grouping_id bitmask disambiguating rollup NULLs."""
     li = _t(spark, sf_dir, "lineitem")
-    return analytics.cube_agg(
+    out = analytics.cube_agg(
         li,
         ["l_returnflag", "l_linestatus"],
         [
@@ -2344,7 +2344,8 @@ def q149_cube_agg(spark, sf_dir):
             .cast("double")
             .alias("sum_qty"),
         ],
-    ).orderBy("level", "l_returnflag", "l_linestatus")
+    )
+    return _ordered(out, "level", "l_returnflag", "l_linestatus")
 
 
 def q150_target_encode(spark, sf_dir):
@@ -2383,9 +2384,11 @@ def q152_basket_rules(spark, sf_dir):
     baskets = li.join(pt, li["l_partkey"] == pt["p_partkey"]).select(
         "l_orderkey", "p_brand"
     )
-    return analytics.basket_rules(
-        baskets, "l_orderkey", "p_brand", min_support=50
-    ).orderBy("item_a", "item_b")
+    return _ordered(
+        analytics.basket_rules(baskets, "l_orderkey", "p_brand", min_support=50),
+        "item_a",
+        "item_b",
+    )
 
 
 def q153_event_paths(spark, sf_dir):
@@ -2477,9 +2480,12 @@ def q159_sparse_cosine(spark, sf_dir):
     term join) on a 5% doc slice: exact integral cos² ppm over the kept
     term space, pair space bounded by max_df per term."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
-    return similarity.sparse_cosine_join(
-        docs, max_df=100, min_df=2, min_cos2_ppm=500_000
-    ).orderBy(F.col("cos2_ppm").desc(), "id_a", "id_b")
+    return _ordered(
+        similarity.sparse_cosine_join(docs, max_df=100, min_df=2, min_cos2_ppm=500_000),
+        F.col("cos2_ppm").desc(),
+        "id_a",
+        "id_b",
+    )
 
 
 def q160_attribution(spark, sf_dir):
@@ -2559,8 +2565,10 @@ def q165_corr_pairs(spark, sf_dir):
         F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
         F.round(F.col("l_tax") * 100).cast("long").alias("tax_pct"),
     )
-    return analytics.corr_pairs(base, ["qty", "price_c", "disc_pct", "tax_pct"]).orderBy(
-        "col_a", "col_b"
+    return _ordered(
+        analytics.corr_pairs(base, ["qty", "price_c", "disc_pct", "tax_pct"]),
+        "col_a",
+        "col_b",
     )
 
 
@@ -2682,9 +2690,10 @@ def q177_cusum(spark, sf_dir):
         "event_type", "ts", "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    return analytics.cusum_changepoint(
-        ev, ["event_type"], ["ts", "event_id"], "cents"
-    ).orderBy("event_type")
+    return _ordered(
+        analytics.cusum_changepoint(ev, ["event_type"], ["ts", "event_id"], "cents"),
+        "event_type",
+    )
 
 
 def q178_confusion(spark, sf_dir):
@@ -2694,7 +2703,7 @@ def q178_confusion(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pred = textqc.language_id(docs).select("doc_id", "pred_lang")
     j = pred.join(docs.select("doc_id", "lang"), "doc_id")
-    return analytics.confusion_metrics(j, "lang", "pred_lang").orderBy("label")
+    return _ordered(analytics.confusion_metrics(j, "lang", "pred_lang"), "label")
 
 
 def q179_categorical_kl(spark, sf_dir):
@@ -2727,10 +2736,13 @@ def q181_ewma(spark, sf_dir):
         "event_type", "ts", "event_id",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
-    return windows.ewma(
-        ev, ["event_type"], ["ts", "event_id"], "cents",
-        alpha_num=1, alpha_den=4, depth=16,
-    ).orderBy("event_id")
+    return _ordered(
+        windows.ewma(
+            ev, ["event_type"], ["ts", "event_id"], "cents",
+            alpha_num=1, alpha_den=4, depth=16,
+        ),
+        "event_id",
+    )
 
 
 def q182_bootstrap_se(spark, sf_dir):
@@ -2777,7 +2789,7 @@ def q185_temporal_2hop(spark, sf_dir):
         )
         .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
     )
-    return G.temporal_two_hop(edges, max_gap_s=600).orderBy("src", "dst2")
+    return _ordered(G.temporal_two_hop(edges, max_gap_s=600), "src", "dst2")
 
 
 def q186_pps_sample(spark, sf_dir):
@@ -2835,12 +2847,15 @@ def q187_market_share(spark, sf_dir):
         .alias("_num"),
         F.sum("_vol").cast("decimal(38,0)").alias("_den"),
     )
-    return agg.select(
+    return _ordered(
+        agg.select(
+            "o_year",
+            F.col("_num").cast("long").alias("nation_volume"),
+            F.col("_den").cast("long").alias("total_volume"),
+            F.expr("CAST((_num * 1000000) div _den AS BIGINT)").alias("share_ppm"),
+        ),
         "o_year",
-        F.col("_num").cast("long").alias("nation_volume"),
-        F.col("_den").cast("long").alias("total_volume"),
-        F.expr("CAST((_num * 1000000) div _den AS BIGINT)").alias("share_ppm"),
-    ).orderBy("o_year")
+    )
 
 
 def q188_custdist(spark, sf_dir):
@@ -2908,7 +2923,7 @@ def q191_kcore(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     edges = G.transition_edges(ev)
-    return _ordered(G.kcore(edges, k=3, max_rounds=3), "node")
+    return G.kcore(edges, k=3, max_rounds=3).orderBy("node")
 
 
 def q192_feature_hash(spark, sf_dir):
@@ -2924,10 +2939,13 @@ def q193_position_attribution(spark, sf_dir):
     lists from one window pass, exact integer credit splits that
     conserve every cent (remainder to the last touch)."""
     ev = _t(spark, sf_dir, "events")
-    return analytics.position_attribution(
-        ev, ["user_id"], "ts", "event_type", "value",
-        F.col("event_type") == "purchase", order_cols=["ts", "event_id"],
-    ).orderBy("channel")
+    return _ordered(
+        analytics.position_attribution(
+            ev, ["user_id"], "ts", "event_type", "value",
+            F.col("event_type") == "purchase", order_cols=["ts", "event_id"],
+        ),
+        "channel",
+    )
 
 
 def _revenue_centicents():
@@ -3058,10 +3076,12 @@ def q197_waiting_supplier(spark, sf_dir):
             "l_orderkey",
         )
     )
-    return (
-        blamed.groupBy(F.col("l_suppkey").alias("s_suppkey"))
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
-        .orderBy(F.col("numwait").desc(), "s_suppkey")
+    return _ordered(
+        blamed.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+            F.count(F.lit(1)).cast("long").alias("numwait")
+        ),
+        F.col("numwait").desc(),
+        "s_suppkey",
     )
 
 
@@ -3148,7 +3168,7 @@ def q200_snapshot_fingerprint(spark, sf_dir):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return out.orderBy("table_name")
+    return _ordered(out, "table_name")
 
 
 def q201_hll_rollup(spark, sf_dir):
@@ -3192,9 +3212,7 @@ def q202_bradley_terry(spark, sf_dir):
     an unrolled SQL oracle."""
     from aeon_mecha_spark.operators import graph as G
 
-    return _ordered(
-        G.bradley_terry_int(_match_stream(spark, sf_dir), iters=3), "node"
-    )
+    return G.bradley_terry_int(_match_stream(spark, sf_dir), iters=3).orderBy("node")
 
 
 def q203_fleiss_kappa(spark, sf_dir):
@@ -3214,13 +3232,16 @@ def q204_psi(spark, sf_dir):
     quantile scale path, micro-nat log ratios, exact-rational weights
     — the numeric drift gate beside q179's categorical KL."""
     li = _t(spark, sf_dir, "lineitem")
-    return analytics.psi_numeric(
-        li,
-        "l_extendedprice",
-        F.col("l_shipdate") < F.lit("1995-06-01").cast("date"),
-        n_buckets=10,
-        range_buckets=32,
-    ).orderBy("bucket")
+    return _ordered(
+        analytics.psi_numeric(
+            li,
+            "l_extendedprice",
+            F.col("l_shipdate") < F.lit("1995-06-01").cast("date"),
+            n_buckets=10,
+            range_buckets=32,
+        ),
+        "bucket",
+    )
 
 
 def q205_bigram_logprob(spark, sf_dir):
@@ -3250,12 +3271,9 @@ def q207_spearman(spark, sf_dir):
     square root (q206's double-seed + 2 Newton steps + clamp) so no
     engine sqrt is in the comparison path."""
     li = _t(spark, sf_dir, "lineitem")
-    return _ordered(
-        analytics.spearman_by_group(
-            li, ["l_returnflag"], "l_quantity", "l_extendedprice"
-        ),
-        "l_returnflag",
-    )
+    return analytics.spearman_by_group(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    ).orderBy("l_returnflag")
 
 
 def q208_mannwhitney(spark, sf_dir):
@@ -3370,7 +3388,7 @@ def q217_line_dedup(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr("replace(text, ' the ', '\n')").alias("text")
     )
-    return dedup.line_dedup(docs, max_doc_freq=2).orderBy("doc_id")
+    return _ordered(dedup.line_dedup(docs, max_doc_freq=2), "doc_id")
 
 
 def q218_kaplan_meier(spark, sf_dir):
@@ -3432,7 +3450,7 @@ def q221_split_leakage(spark, sf_dir):
     )
     sa = spl.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_spa"))
     sb = spl.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_spb"))
-    return (
+    out = (
         j.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .select(
@@ -3441,8 +3459,8 @@ def q221_split_leakage(spark, sf_dir):
         )
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        .orderBy("split_a", "split_b")
     )
+    return _ordered(out, "split_a", "split_b")
 
 
 def q222_odds_ratio(spark, sf_dir):
@@ -3517,8 +3535,8 @@ def q227_containment(spark, sf_dir):
         sigs, num_hashes=_NUM_MINHASH, bands=_MINHASH_BANDS
     )
     sets = dedup.shingle_sets(docs, k=3).cache()
-    return dedup.ngram_containment(docs, pairs, k=3, sets=sets).orderBy(
-        "id_a", "id_b"
+    return _ordered(
+        dedup.ngram_containment(docs, pairs, k=3, sets=sets), "id_a", "id_b"
     )
 
 
@@ -4421,9 +4439,12 @@ def q276_perplexity_buckets(spark, sf_dir):
     unigram LM scores (q112's machinery), token-mass head/middle/tail
     thirds by exact integer comparisons on the mean-log-prob grain —
     the two-level distributed prefix sum, never a corpus-wide window."""
-    return textqc.perplexity_buckets(
-        _t(spark, sf_dir, "documents"), vocab_size=256, alpha=0.5
-    ).orderBy("doc_id")
+    return _ordered(
+        textqc.perplexity_buckets(
+            _t(spark, sf_dir, "documents"), vocab_size=256, alpha=0.5
+        ),
+        "doc_id",
+    )
 
 
 def q277_keyframe_index(spark, sf_dir):
@@ -4485,12 +4506,16 @@ def q278_dsir_select(spark, sf_dir):
     feature sum, and the deterministic noise-free top-k selection
     (ties by doc_id). Plan: two B-row aggregates + a broadcast model
     join; the corpus shuffles once on doc_id."""
-    return curation.dsir_select(
-        _t(spark, sf_dir, "documents"),
-        target=F.col("lang") == "en",
-        k=200,
-        n_buckets=64,
-    ).orderBy(F.col("logratio_micro").desc(), F.col("doc_id"))
+    return _ordered(
+        curation.dsir_select(
+            _t(spark, sf_dir, "documents"),
+            target=F.col("lang") == "en",
+            k=200,
+            n_buckets=64,
+        ),
+        F.col("logratio_micro").desc(),
+        F.col("doc_id"),
+    )
 
 
 # Trained-model twin (the q109/q110 pattern): coefficients fitted ONCE
@@ -4768,12 +4793,11 @@ def q289_trained_router(spark, sf_dir):
         best.alias("topic"),
         *[(cols[g].cast("double") / n).alias(f"x_{g}") for g in classes],
     )
-    return (
+    return _ordered(
         classifier.softmax_score(
             feats, [f"x_{g}" for g in classes], _TOPIC_COEFS, classes
-        )
-        .select("doc_id", "topic", "pred", "prob_ppm")
-        .orderBy("doc_id")
+        ).select("doc_id", "topic", "pred", "prob_ppm"),
+        "doc_id",
     )
 
 
