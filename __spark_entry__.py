@@ -2789,7 +2789,7 @@ def q185_temporal_2hop(spark, sf_dir):
         )
         .filter(F.col("dst").isNotNull() & (F.col("src") != F.col("dst")))
     )
-    return _ordered(G.temporal_two_hop(edges, max_gap_s=600), "src", "dst2")
+    return G.temporal_two_hop(edges, max_gap_s=600).orderBy("src", "dst2")
 
 
 def q186_pps_sample(spark, sf_dir):
@@ -2847,15 +2847,12 @@ def q187_market_share(spark, sf_dir):
         .alias("_num"),
         F.sum("_vol").cast("decimal(38,0)").alias("_den"),
     )
-    return _ordered(
-        agg.select(
-            "o_year",
-            F.col("_num").cast("long").alias("nation_volume"),
-            F.col("_den").cast("long").alias("total_volume"),
-            F.expr("CAST((_num * 1000000) div _den AS BIGINT)").alias("share_ppm"),
-        ),
+    return agg.select(
         "o_year",
-    )
+        F.col("_num").cast("long").alias("nation_volume"),
+        F.col("_den").cast("long").alias("total_volume"),
+        F.expr("CAST((_num * 1000000) div _den AS BIGINT)").alias("share_ppm"),
+    ).orderBy("o_year")
 
 
 def q188_custdist(spark, sf_dir):
@@ -3168,7 +3165,7 @@ def q200_snapshot_fingerprint(spark, sf_dir):
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
-    return _ordered(out, "table_name")
+    return out.orderBy("table_name")
 
 
 def q201_hll_rollup(spark, sf_dir):
@@ -3232,16 +3229,13 @@ def q204_psi(spark, sf_dir):
     quantile scale path, micro-nat log ratios, exact-rational weights
     — the numeric drift gate beside q179's categorical KL."""
     li = _t(spark, sf_dir, "lineitem")
-    return _ordered(
-        analytics.psi_numeric(
-            li,
-            "l_extendedprice",
-            F.col("l_shipdate") < F.lit("1995-06-01").cast("date"),
-            n_buckets=10,
-            range_buckets=32,
-        ),
-        "bucket",
-    )
+    return analytics.psi_numeric(
+        li,
+        "l_extendedprice",
+        F.col("l_shipdate") < F.lit("1995-06-01").cast("date"),
+        n_buckets=10,
+        range_buckets=32,
+    ).orderBy("bucket")
 
 
 def q205_bigram_logprob(spark, sf_dir):
@@ -3460,7 +3454,7 @@ def q221_split_leakage(spark, sf_dir):
         .groupBy("split_a", "split_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
-    return _ordered(out, "split_a", "split_b")
+    return out.orderBy("split_a", "split_b")
 
 
 def q222_odds_ratio(spark, sf_dir):
