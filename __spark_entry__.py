@@ -79,7 +79,16 @@ def _ordered(df: DataFrame, *cols: str) -> DataFrame:
     keys of the aggregate being presented): ordering is then total, so
     any plan yields the identical row sequence and the oracle/determinism
     hashes are unaffected. The ``_aeon_cached`` release handles are
-    threaded through (the r12 dsir convention)."""
+    threaded through (the r12 dsir convention).
+
+    ``AEON_AUDIT_PLAIN_SORT``: the checkpoint compiles the upstream
+    chain behind a LogicalRDD, which would blind ``explain``-based
+    tooling (tools/plan_audit.py) to the shape that actually executes.
+    The audit sets this env var to get the plain-orderBy plan — same
+    upstream operators, same rows, same total order; only the sampling
+    double-compute differs, which a shape audit does not measure."""
+    if os.environ.get("AEON_AUDIT_PLAIN_SORT"):
+        return track_cached(df.orderBy(*cols), *getattr(df, "_aeon_cached", ()))
     out = df.localCheckpoint(eager=False).orderBy(*cols)
     return track_cached(out, *getattr(df, "_aeon_cached", ()))
 
