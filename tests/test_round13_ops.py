@@ -486,3 +486,30 @@ def test_semdedup_two_level_mode(spark):
            for r in S.semdedup(df, cents, threshold=0.999,
                                two_level_groups=2).collect()}
     assert out == {1: True, 2: False, 3: True}
+
+
+def test_ordered_checkpoint_path_matches_plain_sort(spark, monkeypatch):
+    """The checkpoint-before-sort wrapper (round-13 `_ordered`) must
+    yield the identical ROW SEQUENCE as a plain orderBy — the sort keys
+    are unique per row, so order is total under any physical plan —
+    and its executed plan must truncate at the checkpoint (the whole
+    point: the range exchange's sampling pass reads the one
+    materialization instead of re-running the chain)."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    name = "q149_cube_agg"
+    monkeypatch.delenv("AEON_AUDIT_PLAIN_SORT", raising=False)
+    wrapped = entry.queries()[name](spark, sf)
+    got = [tuple(r) for r in wrapped.collect()]
+    monkeypatch.setenv("AEON_AUDIT_PLAIN_SORT", "1")
+    plain = [tuple(r) for r in entry.queries()[name](spark, sf).collect()]
+    assert got == plain and len(got) > 0
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        wrapped.explain("formatted")
+    assert "Scan ExistingRDD" in buf.getvalue()  # plan cut at the checkpoint
