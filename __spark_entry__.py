@@ -2461,9 +2461,12 @@ def q156_auc(spark, sf_dir):
     n_chars as a classifier score for source='src0' — integer doubled
     pair wins, decimal div, no floats anywhere."""
     docs = _t(spark, sf_dir, "documents")
-    return analytics.auc_by_group(
+    return _ordered(
+        analytics.auc_by_group(
         docs, ["lang"], F.col("source") == "src0", "n_chars"
-    ).orderBy("lang")
+    ),
+        "lang",
+    )
 
 
 def q157_ks(spark, sf_dir):
@@ -2471,9 +2474,12 @@ def q157_ks(spark, sf_dir):
     the n_chars distributions of src0 vs the rest — cross-multiplied
     integer CDF gaps, max, exact ppm floor."""
     docs = _t(spark, sf_dir, "documents")
-    return analytics.ks_statistic(
+    return _ordered(
+        analytics.ks_statistic(
         docs, ["lang"], F.col("source") == "src0", "n_chars"
-    ).orderBy("lang")
+    ),
+        "lang",
+    )
 
 
 def q158_canonical_select(spark, sf_dir):
@@ -2481,7 +2487,10 @@ def q158_canonical_select(spark, sf_dir):
     clusters elect the longest copy (tie → min id) as canonical; one
     per-cluster window, no corpus re-join."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.canonical_select(docs).orderBy("doc_id")
+    return _ordered(
+        dedup.canonical_select(docs),
+        "doc_id",
+    )
 
 
 def q159_sparse_cosine(spark, sf_dir):
@@ -2557,9 +2566,12 @@ def q164_exact_split(spark, sf_dir):
     language (8/1/1): integer apportionment + seeded-hash ranking —
     deterministic membership, quotas always sum to the stratum size."""
     docs = _t(spark, sf_dir, "documents")
-    return curation.exact_split_quota(
+    return _ordered(
+        curation.exact_split_quota(
         docs, ["lang"], "doc_id", [("train", 8), ("val", 1), ("test", 1)], seed=0
-    ).orderBy("lang", "doc_id")
+    ),
+        "lang", "doc_id",
+    )
 
 
 def q165_corr_pairs(spark, sf_dir):
@@ -2628,7 +2640,10 @@ def q170_gini(spark, sf_dir):
     concentration from one ranked window pass (rank·value sums are
     tie-order invariant)."""
     docs = _t(spark, sf_dir, "documents")
-    return analytics.gini_by_group(docs, ["lang"], "n_chars").orderBy("lang")
+    return _ordered(
+        analytics.gini_by_group(docs, ["lang"], "n_chars"),
+        "lang",
+    )
 
 
 def q171_cohens_kappa(spark, sf_dir):
@@ -2655,9 +2670,12 @@ def q173_stuck_runs(spark, sf_dir):
     identical consecutive values per event type — run counts, longest
     run, stuck runs (≥2) from two shared-sort windows."""
     ev = _t(spark, sf_dir, "events")
-    return analytics.constant_runs(
+    return _ordered(
+        analytics.constant_runs(
         ev, ["event_type"], ["ts", "event_id"], "value", min_len=2
-    ).orderBy("event_type")
+    ),
+        "event_type",
+    )
 
 
 def q174_vocab_overlap(spark, sf_dir):
@@ -2729,13 +2747,16 @@ def q180_ndcg(spark, sf_dir):
     """NDCG@10 per language for length-ranked retrieval of src0 docs:
     literal micro-unit discount table (no runtime logs), exact ppm."""
     docs = _t(spark, sf_dir, "documents")
-    return analytics.ndcg_at_k(
+    return _ordered(
+        analytics.ndcg_at_k(
         docs,
         ["lang"],
         F.col("source") == "src0",
         [F.col("n_chars").desc(), F.col("doc_id").asc()],
         k=10,
-    ).orderBy("lang")
+    ),
+        "lang",
+    )
 
 
 def q181_ewma(spark, sf_dir):
@@ -2769,8 +2790,9 @@ def q183_compaction(spark, sf_dir):
     file size, 50 kB target bins): balanced round-robin by size —
     deterministic bin assignment + per-bin fill stats."""
     docs = _t(spark, sf_dir, "documents")
-    return curation.compaction_plan(docs, "doc_id", "n_chars", 50_000).orderBy(
-        "doc_id"
+    return _ordered(
+        curation.compaction_plan(docs, "doc_id", "n_chars", 50_000),
+        "doc_id",
     )
 
 
@@ -2806,10 +2828,11 @@ def q186_pps_sample(spark, sf_dir):
     evenly-spaced cumulative-weight boundaries — inclusion ∝ length,
     zero randomness, exact cross-multiplied boundary counts."""
     docs = _t(spark, sf_dir, "documents")
-    return curation.pps_systematic_sample(
+    return _ordered(
+        curation.pps_systematic_sample(
         docs, ["lang"], "doc_id", "n_chars", 10
-    ).select("lang", "doc_id", "weight", "cum_weight", "n_boundaries").orderBy(
-        "lang", "doc_id"
+    ).select("lang", "doc_id", "weight", "cum_weight", "n_boundaries"),
+        "lang", "doc_id",
     )
 
 
@@ -2906,9 +2929,12 @@ def q189_funnel_latency(spark, sf_dir):
             )
         )
     deltas = pairs[0].unionByName(pairs[1])
-    return analytics.grouped_quantiles(
+    return _ordered(
+        analytics.grouped_quantiles(
         deltas, ["step_pair"], "delta_s", ps=(0.5, 0.9)
-    ).orderBy("step_pair", "p")
+    ),
+        "step_pair", "p",
+    )
 
 
 def q190_hll_distinct(spark, sf_dir):
@@ -3135,10 +3161,13 @@ def q199_rolling_distinct(spark, sf_dir):
         .orderBy("ts", "event_id")
         .rowsBetween(-19, 0)
     )
-    return ev.withColumn(
+    return _ordered(
+        ev.withColumn(
         "rolling_distinct",
         F.size(F.array_distinct(F.collect_list("user_id").over(w))).cast("long"),
-    ).orderBy("event_id")
+    ),
+        "event_id",
+    )
 
 
 def q200_snapshot_fingerprint(spark, sf_dir):
@@ -3331,9 +3360,12 @@ def q212_acf(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "_cents", F.expr("CAST(round(value * 100) AS BIGINT)")
     )
-    return analytics.acf_by_group(
+    return _ordered(
+        analytics.acf_by_group(
         ev, ["event_type"], ["ts", "event_id"], "_cents", max_lag=3
-    ).orderBy("event_type", "lag")
+    ),
+        "event_type", "lag",
+    )
 
 
 def q213_kruskal_wallis(spark, sf_dir):
@@ -3370,9 +3402,12 @@ def q215_bh_fdr(spark, sf_dir):
         "event_id",
         F.expr("CAST((event_id * 2654435761) % 1000001 AS BIGINT)").alias("p_ppm"),
     )
-    return analytics.bh_select(ev, "p_ppm", alpha_num=5, alpha_den=100).select(
+    return _ordered(
+        analytics.bh_select(ev, "p_ppm", alpha_num=5, alpha_den=100).select(
         "event_id", "p_ppm", "bh_rejected", "threshold_ppm"
-    ).orderBy("event_id")
+    ),
+        "event_id",
+    )
 
 
 def q216_info_gain(spark, sf_dir):
@@ -3401,9 +3436,12 @@ def q218_kaplan_meier(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "_dur", F.expr("CAST(round(value) AS BIGINT)")
     )
-    return analytics.kaplan_meier(
+    return _ordered(
+        analytics.kaplan_meier(
         ev, ["event_type"], "_dur", F.col("user_id") % 4 != 0
-    ).orderBy("event_type", "t")
+    ),
+        "event_type", "t",
+    )
 
 
 def q219_cohort_retention(spark, sf_dir):
@@ -3564,9 +3602,12 @@ def q228_rbo(spark, sf_dir):
 
     a = leaderboard(F.dayofmonth("ts") <= 15)
     b = leaderboard(F.dayofmonth("ts") > 15)
-    return analytics.rbo_by_group(
+    return _ordered(
+        analytics.rbo_by_group(
         a, b, ["event_type"], "user_id", "rank", k=50, p=0.9
-    ).orderBy("event_type")
+    ),
+        "event_type",
+    )
 
 
 def q229_ols2(spark, sf_dir):
@@ -3592,9 +3633,12 @@ def q230_mase(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "_cents", F.expr("CAST(round(value * 100) AS BIGINT)")
     )
-    return analytics.mase_by_group(
+    return _ordered(
+        analytics.mase_by_group(
         ev, ["event_type"], ["ts", "event_id"], "_cents", season=7
-    ).orderBy("event_type")
+    ),
+        "event_type",
+    )
 
 
 def q231_did(spark, sf_dir):
@@ -3797,9 +3841,12 @@ def q240_nelson_aalen(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "_dur", F.expr("CAST(round(value) AS BIGINT)")
     )
-    return analytics.nelson_aalen(
+    return _ordered(
+        analytics.nelson_aalen(
         ev, ["event_type"], "_dur", F.col("user_id") % 4 != 0
-    ).orderBy("event_type", "t")
+    ),
+        "event_type", "t",
+    )
 
 
 def q241_logrank(spark, sf_dir):
@@ -3809,10 +3856,13 @@ def q241_logrank(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "_dur", F.expr("CAST(round(value) AS BIGINT)")
     )
-    return analytics.logrank_test(
+    return _ordered(
+        analytics.logrank_test(
         ev, ["event_type"], "_dur", F.col("user_id") % 4 != 0,
         F.col("user_id") % 2 == 0,
-    ).orderBy("event_type")
+    ),
+        "event_type",
+    )
 
 
 def q242_cramers_v(spark, sf_dir):
@@ -4496,7 +4546,10 @@ def q277_keyframe_index(spark, sf_dir):
     media = base.mapInPandas(
         gen, schema="media_id bigint, modality string, payload binary"
     )
-    return multimodal.keyframe_index(media).orderBy("media_id", "frame_idx")
+    return _ordered(
+        multimodal.keyframe_index(media),
+        "media_id", "frame_idx",
+    )
 
 
 def q278_dsir_select(spark, sf_dir):
@@ -4730,9 +4783,12 @@ def q286_url_canonicalize(spark, sf_dir):
     and reduces the host to its eTLD+1 against a public-suffix rule
     table via per-suffix-length broadcast joins. All map-side; the
     oracle mirrors every regex and the suffix CASE in RE2/DuckDB."""
-    return _synth_urls(spark, sf_dir).select(
+    return _ordered(
+        _synth_urls(spark, sf_dir).select(
         "doc_id", "url_canon", "host", "domain"
-    ).orderBy("doc_id")
+    ),
+        "doc_id",
+    )
 
 
 def q287_domain_rollup(spark, sf_dir):
