@@ -81,16 +81,47 @@ def _ordered(df: DataFrame, *cols: str) -> DataFrame:
     hashes are unaffected. The ``_aeon_cached`` release handles are
     threaded through (the r12 dsir convention).
 
+    Fault-tolerance/storage trade-off (r14, mirrors graph.py's hits
+    note): the lazily-checkpointed pre-sort result is MEMORY_AND_DISK
+    with lineage TRUNCATED — executor loss during the sort re-runs the
+    query, not the task. That is the right trade exactly where the
+    wrapper is applied: keys-sized presentation tails (the largest
+    wrapped output is ~tens of k rows), never corpus-sized data. The
+    checkpoint blocks are invisible to ``DataFrame.unpersist`` and
+    ``clearCache()`` (RDD-level storage, measured r14: they pin
+    executor storage for the session), so a ``LocalCheckpointHandle``
+    rides on the result through ``_aeon_cached`` — ``release_cached``
+    frees the blocks once the result is fully consumed.
+
     ``AEON_AUDIT_PLAIN_SORT``: the checkpoint compiles the upstream
     chain behind a LogicalRDD, which would blind ``explain``-based
     tooling (tools/plan_audit.py) to the shape that actually executes.
     The audit sets this env var to get the plain-orderBy plan — same
     upstream operators, same rows, same total order; only the sampling
-    double-compute differs, which a shape audit does not measure."""
+    double-compute differs, which a shape audit does not measure.
+
+    ``_aeon_ordered_cols``: the sort column set rides on the result so
+    tooling can enforce the helper's contract mechanically —
+    tools/plan_audit.py asserts the EXECUTED tail shape
+    (Sort ← Exchange ← Scan ExistingRDD) for every wrapped gate, and
+    tests/test_round13_ops.py asserts the per-row-uniqueness
+    precondition on the sort columns."""
     if os.environ.get("AEON_AUDIT_PLAIN_SORT"):
-        return track_cached(df.orderBy(*cols), *getattr(df, "_aeon_cached", ()))
-    out = df.localCheckpoint(eager=False).orderBy(*cols)
-    return track_cached(out, *getattr(df, "_aeon_cached", ()))
+        out = df.orderBy(*cols)
+        handles = ()
+    else:
+        from aeon_mecha_spark.util import LocalCheckpointHandle
+
+        cp = df.localCheckpoint(eager=False)
+        out = cp.orderBy(*cols)
+        handles = (LocalCheckpointHandle(cp),)
+    out = track_cached(out, *getattr(df, "_aeon_cached", ()), *handles)
+    # plain column names (direction stripped): "Column<'x DESC ...'>" -> "x"
+    out._aeon_ordered_cols = [
+        c if isinstance(c, str) else str(c).split("'", 2)[1].split()[0]
+        for c in cols
+    ]
+    return out
 
 
 def _stream_feed(sf_dir: str, table: str, prefix: str) -> str:

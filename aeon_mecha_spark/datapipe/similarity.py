@@ -12,6 +12,8 @@ codegen, no Python per pair.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -1047,10 +1049,18 @@ def ivf_pq_search(
     # duplicated-subtraction squares, same double literals), so results
     # and physical plans are unchanged.
     def _dlit(x: float) -> str:
-        r = repr(float(x))
+        x = float(x)
+        if not math.isfinite(x):
+            # 'infD'/'nanD' are not valid SQL literals; a non-finite
+            # codebook/centroid value is a corrupt model, not a query
+            raise ValueError(f"ivf_pq_search: non-finite model value {x!r}")
+        r = repr(x)
         return f"CAST('{r}' AS DOUBLE)" if ("e" in r or "E" in r) else r + "D"
 
-    cv_sql = f"slice(`{vec_col}`, 1, {dim_coarse})"
+    # column names are interpolated inside backticks: escape embedded
+    # backticks the SQL way (doubling) so no name can break the string
+    vq = vec_col.replace("`", "``")
+    cv_sql = f"slice(`{vq}`, 1, {dim_coarse})"
 
     def _coarse_d(c: list[float]) -> str:
         arr = f"array({', '.join(_dlit(x) for x in c)})"
@@ -1071,7 +1081,7 @@ def ivf_pq_search(
         acc = "0.0D"
         for j in range(d_sub):
             e = (
-                f"(element_at(`{vec_col}`, {sub * d_sub + j + 1}) - "
+                f"(element_at(`{vq}`, {sub * d_sub + j + 1}) - "
                 f"{_dlit(codebooks[sub][code][j])})"
             )
             acc = f"({acc} + ({e} * {e}))"
@@ -1115,7 +1125,7 @@ def ivf_pq_search(
     def _sub_code(s: int) -> str:
         # same SQL-string rendering as the LUT above (one F.expr per
         # code column instead of ~400 py4j Column ops)
-        sub_sql = f"slice(`{vec_col}`, {s * d_sub + 1}, {d_sub})"
+        sub_sql = f"slice(`{vq}`, {s * d_sub + 1}, {d_sub})"
         structs = []
         for c in range(k_cw):
             arr = f"array({', '.join(_dlit(x) for x in codebooks[s][c])})"

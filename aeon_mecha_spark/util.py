@@ -26,10 +26,42 @@ def release_cached(result: DataFrame) -> None:
     """Unpersist every intermediate :func:`track_cached` attached to
     ``result`` (no-op for untracked DataFrames). Call after the result
     has been consumed (collected / written); consuming it again simply
-    recomputes without the cache."""
+    recomputes without the cache — EXCEPT lazily-checkpointed
+    intermediates (:class:`LocalCheckpointHandle`), whose lineage is
+    truncated: release those only once the result is final."""
     for df in getattr(result, "_aeon_cached", ()):
         df.unpersist()
     result._aeon_cached = []
+
+
+class LocalCheckpointHandle:
+    """Release handle for a lazily ``localCheckpoint``-ed DataFrame.
+
+    Checkpoint blocks are RDD-level storage: ``DataFrame.unpersist``
+    and ``spark.catalog.clearCache()`` cannot see them (they release
+    cache-manager entries only), and the ContextCleaner frees them only
+    when the JVM-side plan object becomes unreachable — measured (r14)
+    to pin executor storage for the whole session under py4j reference
+    patterns. This shim reaches the underlying RDD through the
+    ``LogicalRDD`` node so :func:`release_cached` can free the blocks
+    explicitly. After release the checkpointed frame CANNOT be
+    recomputed (lineage truncated) — release only once the result has
+    been fully consumed."""
+
+    def __init__(self, cp_df: DataFrame):
+        self._df = cp_df
+        self.is_cached = True  # mirrors DataFrame.is_cached for callers
+
+    def unpersist(self, blocking: bool = False) -> None:
+        try:
+            self._df._jdf.queryExecution().logical().rdd().unpersist(
+                bool(blocking)
+            )
+            self.is_cached = False
+        except Exception:
+            # internal accessor: a failed release only pins storage
+            # until session end (the pre-r14 behavior), never corrupts
+            pass
 
 
 # logical-plan node names that mean "partitioning no longer follows the
@@ -57,10 +89,6 @@ def _scan_partitions_estimate(df: DataFrame, target: int) -> int | None:
         return None
     if not files:
         return None
-    if len(files) >= target:
-        # with default openCost (4 MB) x default-parallelism bins, one
-        # file is never packed below one split per file at this count
-        return target
     import os
     from urllib.parse import urlparse
 

@@ -16,9 +16,17 @@ from pyspark.sql import functions as F
 # These tests pin the UPSTREAM plan shape; the round-13
 # checkpoint-before-sort wrapper compiles that shape behind a
 # LogicalRDD, which would hide it from explain. Same operators execute
-# either way — audit/tests read the plain-orderBy form (the same flag
-# tools/plan_audit.py sets, verified row-for-row identical).
-os.environ["AEON_AUDIT_PLAIN_SORT"] = "1"
+# either way — these tests read the plain-orderBy form (the same flag
+# tools/plan_audit.py sets, verified row-for-row identical). Scoped as
+# an autouse fixture (r14, ADVICE): a module-level os.environ write at
+# import leaked process-wide through pytest's collection, making every
+# OTHER test module exercise the plain path instead of the shipped
+# checkpoint path.
+
+
+@pytest.fixture(autouse=True)
+def _plain_sort_plans(monkeypatch):
+    monkeypatch.setenv("AEON_AUDIT_PLAIN_SORT", "1")
 
 
 def plan_str(df) -> str:

@@ -1,0 +1,104 @@
+"""Round-14 optimization tests: the `_ordered` wrapper's contract is
+machine-checkable (sort-column annotation + checkpoint release handle),
+and the fused mad_outliers deviation pass still matches a row-level
+mirror with derived bucket bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _n_stored(spark) -> int:
+    return len([r for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+
+
+def test_ordered_annotates_sort_cols_and_releases_checkpoint(spark, monkeypatch):
+    """`_ordered` must (a) annotate the result with its plain sort
+    column names (plan_audit's executed-tail and uniqueness checks key
+    off it) and (b) ride a LocalCheckpointHandle so release_cached can
+    free the RDD-level checkpoint blocks — DataFrame.unpersist and
+    clearCache cannot see them (measured r14: they pin executor
+    storage for the session otherwise)."""
+    import __spark_entry__ as entry
+
+    monkeypatch.delenv("AEON_AUDIT_PLAIN_SORT", raising=False)
+    from aeon_mecha_spark.util import LocalCheckpointHandle, release_cached
+
+    spark.catalog.clearCache()
+    n0 = _n_stored(spark)  # baseline: earlier tests may pin checkpoints
+    df = entry.queries()["q149_cube_agg"](spark, "/root/testdata/sf0.001")
+    assert df._aeon_ordered_cols == ["level", "l_returnflag", "l_linestatus"]
+    handles = [h for h in df._aeon_cached if isinstance(h, LocalCheckpointHandle)]
+    assert handles, "_ordered must track its checkpoint for release"
+    df.write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()  # cache-manager clear does NOT free them
+    assert _n_stored(spark) >= n0 + 1
+    release_cached(df)
+    assert _n_stored(spark) == n0
+    assert not handles[0].is_cached
+
+    # Column-typed sort args parse to their plain names
+    df2 = entry.queries()["q145_rrf_fusion"](spark, "/root/testdata/sf0.001")
+    assert df2._aeon_ordered_cols == ["rrf_ppb", "doc_id"]
+    release_cached(df2)
+
+
+def test_ordered_sort_keys_unique_on_wrapped_sample(spark, monkeypatch):
+    """The wrapper is row-order-safe only when the sort column set is
+    unique per row. Execute the precondition on a representative
+    wrapped sample (the full 40+-gate sweep lives in
+    `tools/plan_audit.py --check-unique`, run each round)."""
+    import __spark_entry__ as entry
+
+    monkeypatch.delenv("AEON_AUDIT_PLAIN_SORT", raising=False)
+    from aeon_mecha_spark.util import release_cached
+
+    qs = entry.queries()
+    for name in ("q149_cube_agg", "q248_cliffs_delta", "q145_rrf_fusion",
+                 "q213_kruskal_wallis"):
+        spark.catalog.clearCache()
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        cols = df._aeon_ordered_cols
+        dups = (
+            df.groupBy(*[F.col(c) for c in cols])
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dups == 0, f"{name}: sort keys {cols} not unique per row"
+        release_cached(df)
+
+
+def test_mad_outliers_fused_bounds_match_mirror(spark):
+    """r14 fusion: the deviation pass uses DERIVED bucket bounds
+    ([0, max(mx-med, med-mn)]) and an unaggregated deviation grain.
+    Pin against a brute-force Python mirror on data with duplicate
+    deviation values (|v-med| collisions from both sides of the
+    median) — the exact case the de-duplicated grain used to
+    normalize."""
+    from aeon_mecha_spark.operators.analytics import mad_outliers
+
+    # values symmetric around 10 -> many duplicate |v - med|
+    vals = [4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0, 10.0, 6.0, 14.0, 100.0]
+    rows = [("a", v) for v in vals] + [("b", float(i)) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = {
+        (r["k"], r["v"]): (r["_median"], r["_mad"], r["is_outlier"])
+        for r in mad_outliers(df, ["k"], "v", k=3.0).collect()
+    }
+
+    import math
+
+    def type1_median(xs):
+        xs = sorted(xs)
+        return xs[math.ceil(len(xs) / 2) - 1]
+
+    for key in ("a", "b"):
+        xs = [v for k, v in rows if k == key]
+        med = type1_median(xs)
+        mad = type1_median([abs(x - med) for x in xs])
+        for x in xs:
+            assert out[(key, x)] == (med, mad, abs(x - med) > 3.0 * mad), (
+                key, x, out[(key, x)], (med, mad),
+            )

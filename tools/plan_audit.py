@@ -18,7 +18,14 @@ Writes a markdown table to stdout; ``--write`` saves PLAN_AUDIT.md.
 Red flags (cartesian > 0, or an unpartitioned window in a query not on
 the documented-tiny allowlist) exit non-zero so CI can gate on it.
 
-Usage: python tools/plan_audit.py [--write] [query ...]
+Usage: python tools/plan_audit.py [--write] [--check-unique] [query ...]
+
+r14 additions: every gate wrapped by ``__spark_entry__._ordered``
+(detected via its ``_aeon_ordered_cols`` annotation) also gets its
+EXECUTED plan tail asserted (Sort <- Exchange <- Scan ExistingRDD — the
+checkpoint actually truncates the sampling re-run), and with
+``--check-unique`` the wrapper's sort-key-uniqueness precondition is
+executed against SF_DIR data.
 """
 
 from __future__ import annotations
@@ -198,17 +205,77 @@ def main() -> None:
     qs = entry_mod.queries()
     names = args or list(qs)
     rows, flags = [], []
+    wrapped: list[str] = []
     for name in names:
         try:
-            a = audit_plan(qs[name](spark, SF_DIR))
+            df = qs[name](spark, SF_DIR)
+            a = audit_plan(df)
         except Exception as e:  # pragma: no cover - audit robustness
             rows.append((name, f"ERROR {type(e).__name__}: {e}"))
             continue
+        if getattr(df, "_aeon_ordered_cols", None):
+            wrapped.append(name)
         rows.append((name, a))
         if a["cartesian"]:
             flags.append(f"{name}: CartesianProduct in plan")
         if a["gwindow"] and name not in TINY_GLOBAL_WINDOW_OK:
             flags.append(f"{name}: unpartitioned window not on the tiny allowlist")
+
+    # Executed-tail assertion (r14, VERDICT r13 item 3/6): for every
+    # gate that used the checkpoint-before-sort helper, re-plan WITHOUT
+    # the audit flag and pin the shape that actually executes — the
+    # final sort must read the single checkpoint materialization
+    # (Sort <- Exchange rangepartitioning <- Scan ExistingRDD), i.e. no
+    # operator re-entered the plan between the checkpoint and the sort.
+    os.environ.pop("AEON_AUDIT_PLAIN_SORT", None)
+    for name in wrapped:
+        try:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                qs[name](spark, SF_DIR).explain("formatted")
+            p = _drop_initial_plan_echoes(buf.getvalue())
+            body = p.split("(1) ", 1)[0]
+            ok = (
+                re.search(r"Sort", body)
+                and re.search(r"Exchange", body)
+                and "Scan ExistingRDD" in body
+                and body.count("Exchange") == 1
+            )
+            if not ok:
+                flags.append(
+                    f"{name}: wrapped-sort executed tail is not "
+                    f"Sort <- Exchange <- Scan ExistingRDD"
+                )
+        except Exception as e:  # pragma: no cover - audit robustness
+            flags.append(f"{name}: executed-tail check ERROR {type(e).__name__}: {e}")
+
+    # Sort-key uniqueness precondition (r14, ADVICE r13): the wrapper is
+    # only row-order-safe when the sort column set is unique per row
+    # (total order => any physical plan yields the same sequence).
+    # --check-unique EXECUTES each wrapped gate at SF_DIR and fails on
+    # any duplicate sort-key tuple. Off by default (it runs 40+ queries).
+    if "--check-unique" in sys.argv:
+        from pyspark.sql import functions as F
+
+        for name in wrapped:
+            spark.catalog.clearCache()
+            try:
+                df = qs[name](spark, SF_DIR)
+                cols = df._aeon_ordered_cols
+                dups = (
+                    df.groupBy(*[F.col(c) for c in cols])
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .count()
+                )
+                if dups:
+                    flags.append(
+                        f"{name}: sort keys {cols} are NOT unique per row "
+                        f"({dups} duplicated tuples) — wrapper unsafe"
+                    )
+            except Exception as e:  # pragma: no cover - audit robustness
+                flags.append(f"{name}: unique-key check ERROR {type(e).__name__}: {e}")
+    os.environ["AEON_AUDIT_PLAIN_SORT"] = "1"
     out = io.StringIO()
     out.write("# Physical-plan audit (auto-generated by tools/plan_audit.py)\n\n")
     out.write(f"Plans built at `{SF_DIR}` — shape only, data size irrelevant.\n")

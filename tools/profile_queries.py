@@ -1,5 +1,5 @@
-"""Round-13 optimization profiler: time chosen queries with the noop
-sink and dump ``explain("formatted")`` to plans/r13/<q>_<tag>.txt.
+"""Optimization profiler (r13+): time chosen queries with the noop
+sink and dump ``explain("formatted")`` to <plans-dir>/<q>_<tag>.txt.
 
 Usage: python tools/profile_queries.py [--tag before|after] [--reps N]
            [--sf sf_dir] [--no-plans] query [query ...]
@@ -27,15 +27,16 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--plans-dir", default=os.path.join(REPO, "plans", "r14"))
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
     from aeon_mecha_spark.session import get_spark
 
-    spark = get_spark("profile_r13")
+    spark = get_spark("profile_queries")
     qs = entry_mod.queries()
-    plans_dir = os.path.join(REPO, "plans", "r13")
+    plans_dir = args.plans_dir
     os.makedirs(plans_dir, exist_ok=True)
 
     # warmup (same trio as bench.py)
