@@ -52,7 +52,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # log-prob assigned to out-of-vocabulary single characters (micro-nats)
@@ -240,9 +240,23 @@ def unigram_learn(
     counts, smoothed micro-nat M-step). Returns ``(piece, cnt,
     lp_micro)`` — ``cnt`` the final round's Viterbi usage count.
 
-    Driver loop is vocabulary-sized only (one ≤|V|-row collect per
+    Driver loop is vocabulary-sized only (ONE ≤|V|-row collect per
     round, the bpe_learn/k-means convention); corpus-sized work stays
-    distributed and the chunk table persists across rounds."""
+    distributed and the chunk table persists across rounds.
+
+    r14 plan shape (was: 2 driver actions per round + 2 for the seed,
+    and a full span explode + vocab join + map re-aggregation per
+    round): the span grain is ROUND-INVARIANT once the vocabulary is
+    seeded (pieces are fixed across EM rounds; only their log-probs
+    move), so it is exploded, membership-filtered and aggregated to
+    ``(chunk, wcount, _n, _sp)`` ONCE and persisted — each round
+    rebuilds the span→lp map map-side from a literal lp array indexed
+    by the span's piece ordinal (O(1) ``element_at``, no join, no
+    shuffle). The M-step quantization (zero-fill + total + ``_lp_expr``)
+    rides IN the same plan as the E-step piece counts, so each round is
+    exactly one distributed action; the quantized values are
+    bit-identical (same engine, same expression tree — ``_lp_expr``
+    interpolates column names as readily as literals)."""
     spark = docs.sparkSession
     chunks = (
         _chunks(docs, text_col, window)
@@ -250,60 +264,99 @@ def unigram_learn(
         .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
         .persist()
     )
-    def _quantize(cnts: list[tuple[str, int]], t_total: int, v_size: int):
-        """lp for every (piece, cnt) — the SAME Spark ``_lp_expr``
-        (JVM ln) as before, applied to a tiny LOCAL DataFrame so one
-        collect replaces the old chain-recomputing second action; the
-        quantized values are bit-identical by construction (identical
-        expression tree, same engine). r13 optimization: the old shape
-        ran the whole distributed Viterbi chain TWICE per round (one
-        action for the total, one for the lp rows); now the chain runs
-        once per round and the total is an exact integer sum in Python."""
-        local = spark.createDataFrame(cnts, "piece string, cnt long")
-        rows = local.select(
-            "piece", "cnt", _lp_expr("cnt", int(t_total), v_size).alias("lp")
-        ).collect()
-        # Python sort == Spark binary-string sort here (UTF-8 byte order
-        # preserves code-point order); skipping the Spark orderBy saves
-        # a range-partitioning sample job per quantize call
-        rows.sort(key=lambda r: r["piece"])
-        return rows
-
+    spans_g = None
     try:
         seed = unigram_seed(chunks, vocab_size, max_piece_len)
-        # ONE distributed action: the seed counts land on the driver;
-        # T and V are exact integer folds over them
-        seed_rows = seed.collect()
-        cnts = sorted((r["piece"], int(r["cnt"])) for r in seed_rows)
-        v_size = len(cnts)
-        vocab_rows = _quantize(cnts, sum(c for _, c in cnts), v_size)
-        vocab = [(r["piece"], int(r["lp"])) for r in vocab_rows]
-        pieces_all = [p for p, _ in vocab]
-        for _ in range(int(rounds)):
-            seg = _viterbi_cols(
-                _with_span_map(chunks, vocab, spark, window, max_piece_len),
-                window,
-                max_piece_len,
-                want_pieces=True,
+        # ONE action for seed + quantization: T and V come from a global
+        # window over the ≤|V|-row seed table — NOT a separate aggregate
+        # (a second consumer of `seed` would re-execute its whole
+        # explode+count chain inside the same action; the window is one
+        # extra tiny stage over rows already in hand)
+        wall = Window.partitionBy()
+        rows = (
+            seed.withColumn("_t", F.sum("cnt").over(wall).cast("long"))
+            .withColumn("_v", F.count(F.lit(1)).over(wall).cast("long"))
+            .select("piece", "cnt", _lp_expr("cnt", "_t", "_v").alias("lp"))
+            .collect()
+        )
+        # Python sort == Spark binary-string sort here (UTF-8 byte order
+        # preserves code-point order); skipping the Spark orderBy saves
+        # a range-partitioning sample job per round
+        rows.sort(key=lambda r: r["piece"])
+        v_size = len(rows)
+        pieces_all = [r["piece"] for r in rows]
+        lps = [int(r["lp"]) for r in rows]
+        # round-invariant span grain: piece strings resolve to their
+        # ordinal in the FIXED sorted vocabulary once; single-char OOV
+        # spans keep ordinal 0 (= UNK at encode time), multi-char OOV
+        # spans are unreachable edges and drop here, exactly as the old
+        # per-round `_with_span_map` filter did
+        key = (F.col("sp.j") * (window + 1) + F.col("sp.i")).cast("int")
+        spans_g = (
+            chunks.select(
+                "chunk",
+                "wcount",
+                F.explode(_spans_array("chunk", max_piece_len)).alias("sp"),
             )
+            .withColumn(
+                "_pid", F.array_position(F.lit(pieces_all), F.col("sp.piece"))
+            )
+            .filter((F.col("_pid") > 0) | (F.col("sp.i") - F.col("sp.j") == 1))
+            .groupBy("chunk", "wcount")
+            .agg(
+                F.collect_list(
+                    F.struct(key.alias("k"), F.col("_pid").cast("int").alias("pid"))
+                ).alias("_sp")
+            )
+            .withColumn("_n", F.length("chunk").cast("int"))
+            .persist()
+        )
+        vocab_df = spark.createDataFrame(
+            [(p,) for p in pieces_all], "piece string"
+        )
+        for _ in range(int(rounds)):
+            # span→lp map rebuilt MAP-SIDE from the literal per-ordinal
+            # lp array (constant-folded once per plan); pid 0 = UNK
+            lps_sql = f"array({', '.join(f'{lp}L' for lp in lps)})"
+            withm = spans_g.withColumn(
+                "_m",
+                F.expr(
+                    f"map_from_entries(transform(_sp, s -> struct(s.k, "
+                    f"IF(s.pid > 0, element_at({lps_sql}, s.pid), "
+                    f"{UNK_LP_MICRO}L))))"
+                ),
+            )
+            seg = _viterbi_cols(withm, window, max_piece_len, want_pieces=True)
             used = (
                 seg.select(F.explode("pieces").alias("piece"), "wcount")
                 .groupBy("piece")
                 .agg(F.sum("wcount").cast("long").alias("cnt"))
             )
-            # ONE distributed action per round; the fixed-vocabulary
-            # left join + zero-fill is a dict lookup on ≤|V| rows (was
-            # a distributed join consumed by two separate collects)
-            cnt_map = {r["piece"]: int(r["cnt"]) for r in used.collect()}
-            cnts = [(p, cnt_map.get(p, 0)) for p in pieces_all]
-            vocab_rows = _quantize(cnts, sum(c for _, c in cnts), v_size)
-            vocab = [(r["piece"], int(r["lp"])) for r in vocab_rows]
+            # zero-fill + total + quantize IN the plan: one collect per
+            # round carries (piece, cnt, lp) for the whole vocabulary.
+            # The round total is a global window over the ≤|V| filled
+            # rows — a second aggregate consumer would re-execute the
+            # whole Viterbi chain inside the same action
+            filled = vocab_df.join(used, "piece", "left").select(
+                "piece", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
+            )
+            rows = (
+                filled.withColumn(
+                    "_t", F.sum("cnt").over(Window.partitionBy()).cast("long")
+                )
+                .select("piece", "cnt", _lp_expr("cnt", "_t", v_size).alias("lp"))
+                .collect()
+            )
+            rows.sort(key=lambda r: r["piece"])
+            lps = [int(r["lp"]) for r in rows]
         return spark.createDataFrame(
-            [(r["piece"], int(r["cnt"]), int(r["lp"])) for r in vocab_rows],
+            [(r["piece"], int(r["cnt"]), int(r["lp"])) for r in rows],
             "piece string, cnt long, lp_micro long",
         )
     finally:
         chunks.unpersist()
+        if spans_g is not None:
+            spans_g.unpersist()
 
 
 def unigram_encode(
@@ -346,12 +399,16 @@ def unigram_encode(
     )
     # r13 optimization (guide §8: decide on the small proxy, attach
     # back): score/n_pieces are pure functions of the CHUNK STRING, so
-    # the span explode + DP fold runs once per DISTINCT CHUNK — a
-    # vocabulary-bounded table (31 rows at sf0.1 vs 116k (doc, chunk)
-    # rows = 3700x less DP work; at 100 TB the DP cost stops scaling
-    # with the corpus entirely) — and the tiny score table BROADCASTS
-    # back onto the (doc, chunk, occ) grain. Identical values by
-    # construction: the same deterministic DP on the same strings.
+    # the span explode + DP fold runs once per DISTINCT CHUNK (31 rows
+    # at sf0.1 vs 116k (doc, chunk) rows = 3700x less DP work) and the
+    # score table joins back onto the (doc, chunk, occ) grain. NOTE the
+    # distinct-chunk grain is NOT vocabulary-bounded — it is one row per
+    # distinct word-block, ~10^7 rows at the 100 TB design point — so no
+    # explicit broadcast hint (r14, ADVICE): AQE broadcasts when the
+    # materialized side is actually small and falls back to a shuffle
+    # join when it is not, instead of a forced driver collect of a
+    # possibly multi-GB relation. Identical values by construction:
+    # the same deterministic DP on the same strings.
     dp = _viterbi_cols(
         _with_span_map(
             chunks.select("chunk").distinct(), vocab, spark, window, max_piece_len
@@ -360,7 +417,7 @@ def unigram_encode(
         max_piece_len,
         want_pieces=False,
     ).select("chunk", "score", "n_pieces")
-    seg = chunks.join(F.broadcast(dp), "chunk")
+    seg = chunks.join(dp, "chunk")
     per_doc = seg.groupBy(id_col).agg(
         F.sum("occ").cast("long").alias("n_chunks"),
         F.sum(F.col("occ") * F.col("n_pieces")).cast("long").alias("n_tokens"),

@@ -177,6 +177,7 @@ def _grain_type1_quantile(
     den: int,
     buckets: int,
     grain_count: int | None = None,
+    mm: DataFrame | None = None,
 ) -> DataFrame:
     """Type-1 quantile at p = num/den from a WEIGHTED distinct-value
     grain (one row per (keys…, value) with its occurrence count): the
@@ -199,6 +200,18 @@ def _grain_type1_quantile(
     Non-numeric value columns fall back to ``_grain_prefix``'s
     order-generic single-window path (``grain_count`` forwarded; see
     its laziness note).
+
+    ``mm``: optional precomputed per-key bounds ``(keys…, _mn, _mx)``
+    (doubles). Any bounds with ``_mn ≤ min(value)`` and
+    ``max(value) ≤ _mx`` are EXACT — the bucket map clamps, so looser
+    bounds only unbalance buckets, never change the selected value.
+    Callers that can derive bounds from work they already do (e.g.
+    ``mad_outliers``' deviation pass) pass them here to skip this
+    function's own min/max aggregation pass. Ignored on the
+    non-numeric fallback path. ``grain`` also need not be one row per
+    distinct value when ``mm`` is supplied or not: duplicate
+    ``(keys…, value)`` rows are summed by the bucket aggregate and
+    straddle-scanned like tie runs — the selected value is the same.
     """
     dtypes = dict(grain.dtypes)
     if not dtypes[value_col].startswith(_NUMERIC_PREFIXES):
@@ -213,10 +226,11 @@ def _grain_type1_quantile(
         ).select(*keys, F.col(value_col).alias("q"))
 
     nb = int(buckets)
-    mm = grain.groupBy(*keys).agg(
-        F.min(F.col(value_col).cast("double")).alias("_mn"),
-        F.max(F.col(value_col).cast("double")).alias("_mx"),
-    )
+    if mm is None:
+        mm = grain.groupBy(*keys).agg(
+            F.min(F.col(value_col).cast("double")).alias("_mn"),
+            F.max(F.col(value_col).cast("double")).alias("_mx"),
+        )
     bucket_of = F.when(
         F.col("_mx") > F.col("_mn"),
         F.least(
@@ -1178,22 +1192,42 @@ def mad_outliers(
     # grain_count sentinel = skip the count action, force the (always
     # exact) bucketed path — see the docstring's laziness note
     no_count = 1 << 62
-    med = _grain_type1_quantile(
-        grain, keys, value_col, "_n", 1, 2, buckets, grain_count=no_count
-    ).select(*keys, F.col("q").alias("_median"))
-    dgrain = (
-        grain.join(F.broadcast(med), keys)
-        .select(
-            *keys,
-            F.abs(F.col(value_col) - F.col("_median")).alias("_dev"),
-            "_n",
+    # r14 fusion (guide §2.4 — remove repeated exchanges over the same
+    # grain): the value min/max pass is computed ONCE here and shared;
+    # the deviation pass's bounds DERIVE from it ([0, max(mx−med,
+    # med−mn)] always covers |v − med|; looser bounds only unbalance
+    # buckets, never change the selection), and the deviation rows feed
+    # the quantile UNAGGREGATED (duplicate _dev values sum in its bucket
+    # aggregate — same selected value) — so the old per-pass min/max
+    # aggregate and the (keys, _dev) re-aggregation exchange both
+    # disappear. ``med`` persists (keys-sized) because the derived
+    # bounds and the deviation rows reference it from several subtrees.
+    mm_v = grain.groupBy(*keys).agg(
+        F.min(F.col(value_col).cast("double")).alias("_mn"),
+        F.max(F.col(value_col).cast("double")).alias("_mx"),
+    )
+    med = (
+        _grain_type1_quantile(
+            grain, keys, value_col, "_n", 1, 2, buckets,
+            grain_count=no_count, mm=mm_v,
         )
-        .groupBy(*keys, "_dev")
-        .agg(F.sum("_n").cast("long").alias("_n"))
-        .persist(StorageLevel.MEMORY_ONLY)  # read twice by _grain_prefix
+        .select(*keys, F.col("q").alias("_median"))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+    dev = grain.join(F.broadcast(med), keys).select(
+        *keys,
+        F.abs(F.col(value_col) - F.col("_median")).alias("_dev"),
+        "_n",
+    )
+    mm_d = mm_v.join(med, keys).select(
+        *keys,
+        F.lit(0.0).alias("_mn"),
+        F.greatest(
+            F.col("_mx") - F.col("_median"), F.col("_median") - F.col("_mn")
+        ).alias("_mx"),
     )
     mad = _grain_type1_quantile(
-        dgrain, keys, "_dev", "_n", 1, 2, buckets, grain_count=no_count
+        dev, keys, "_dev", "_n", 1, 2, buckets, grain_count=no_count, mm=mm_d
     ).select(*keys, F.col("q").alias("_mad"))
     stats = med.join(mad, keys)
     out = df.join(F.broadcast(stats), keys, "left").withColumn(
@@ -1204,7 +1238,7 @@ def mad_outliers(
             > F.lit(float(k)) * F.col("_mad"),
         ),
     )
-    return track_cached(out, grain, dgrain)
+    return track_cached(out, grain, med)
 
 
 def basket_rules(

@@ -22,6 +22,8 @@ oracle-checkable; for many more iterations at 100 TB, insert
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -316,46 +318,89 @@ def bradley_terry_int(
     m = matches.select(F.col(winner).alias("_w"), F.col(loser).alias("_l")).filter(
         F.col("_w") != F.col("_l")
     )
-    # symmetric per-opponent match counts n_ij (direction-free)
-    sym = (
-        m.select(F.col("_w").alias("_i"), F.col("_l").alias("_j"))
-        .unionByName(m.select(F.col("_l").alias("_i"), F.col("_w").alias("_j")))
-        .groupBy("_i", "_j")
+    # r14 fusion (guide §2.4): aggregate the match stream to the
+    # DIRECTED pair-count grain ONCE and derive everything from it —
+    # the old shape consumed `m` three times (two union branches of
+    # `sym` + the win counts), re-running the caller's match-derivation
+    # chain (a fact-sized window for q202) three times per
+    # materialization. `dir` is players²-bounded, one exchange over the
+    # facts total.
+    dirc = (
+        m.groupBy("_w", "_l")
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .persist(StorageLevel.MEMORY_ONLY)  # 2 consumers: sym + wins
+    )
+    # symmetric per-opponent match counts n_ij (direction-free),
+    # persisted PRE-PARTITIONED on _i (r14): every round's contribution
+    # aggregate and the final n_matches aggregate group by _i over
+    # broadcast-join results that inherit this partitioning, so each of
+    # those GROUP BYs plans with NO exchange (cached-plan output
+    # partitioning is preserved — the r13 config A/B pinned
+    # canChangeCachedPlanOutputPartitioning=false for exactly this) —
+    # one tiny build-time shuffle buys iters+1 shuffle-free aggregates.
+    sym = (
+        dirc.select(F.col("_w").alias("_i"), F.col("_l").alias("_j"), "_n")
+        .unionByName(
+            dirc.select(F.col("_l").alias("_i"), F.col("_w").alias("_j"), "_n")
+        )
+        .groupBy("_i", "_j")
+        .agg(F.sum("_n").cast("long").alias("_n"))
+        .repartition("_i")
         .persist(StorageLevel.MEMORY_ONLY)  # loop-invariant: joined twice per MM round
     )
-    wins = m.groupBy(F.col("_w").alias("_i")).agg(
-        F.count(F.lit(1)).cast("long").alias("_wins")
+    wins = dirc.groupBy(F.col("_w").alias("_i")).agg(
+        F.sum("_n").cast("long").alias("_wins")
     )
     players = sym.select("_i").distinct()
     stats = players.join(wins, "_i", "left").select(
         "_i",
         F.coalesce(F.col("_wins"), F.lit(0)).cast("long").alias("_wins"),
     ).persist(StorageLevel.MEMORY_ONLY)  # loop-invariant: read every round + in the final join
-    cached: list[DataFrame] = [sym, stats]
+    cached: list[DataFrame] = [dirc, sym, stats]
     p = players.withColumn("_p", F.lit(int(scale)).cast("long"))
-    for _ in range(int(iters)):
-        contrib = (
-            sym.join(p.select(F.col("_i"), F.col("_p").alias("_pi")), "_i")
-            .join(
-                p.select(F.col("_i").alias("_j"), F.col("_p").alias("_pj")),
-                "_j",
-            )
-            .select(
-                "_i",
-                F.expr("_n * 1000000000L div greatest(_pi + _pj, 1L)").alias("_c"),
-            )
-        )
-        d = contrib.groupBy("_i").agg(F.sum("_c").cast("long").alias("_d"))
-        p = (
-            stats.join(d, "_i", "left")
-            .select(
-                "_i",
-                F.expr(
-                    "_wins * 1000000000L div greatest(coalesce(_d, 0L), 1L)"
-                ).alias("_p"),
-            )
-            .persist(StorageLevel.MEMORY_ONLY)  # truncate lineage: plan stays linear in iters
+    # r14 (guide §7.3, the q271 trick at statement grain): each MM round
+    # is ONE spark.sql call over temp views instead of ~12 DataFrame
+    # method chains — the round's join+aggregate plan reaches the JVM in
+    # a handful of py4j round trips (measured ~1.4 s of driver socket
+    # time per warm plan build across the 3 rounds before). Expressions
+    # are copied verbatim from the DataFrame form, so the analyzed plan
+    # and every value are unchanged. NOTE the views are registered with
+    # UNIQUE names and never dropped/replaced: both dropTempView and
+    # createOrReplaceTempView UNCACHE the plan behind the old name
+    # (measured — PySpark's own `spark.sql(..., p=df)` template kwargs
+    # drop their generated views after the call, which silently
+    # unpersisted every round table and unrolled the lineage
+    # exponentially; hence the explicit registration here).
+    spark = matches.sparkSession
+    uid = str(uuid.uuid4()).replace("-", "")
+
+    def _view(df: DataFrame, name: str) -> str:
+        vname = f"_bt_{name}_{uid}"
+        df.createTempView(vname)
+        return vname
+
+    v_stats, v_sym = _view(stats, "stats"), _view(sym, "sym")
+    for r in range(int(iters)):
+        v_p = _view(p, f"p{r}")
+        p = spark.sql(
+            f"""
+            SELECT s._i AS _i,
+                   s._wins * 1000000000L div greatest(coalesce(d._d, 0L), 1L) AS _p
+            FROM {v_stats} s
+            LEFT JOIN (
+                SELECT c._i AS _i, CAST(sum(c._c) AS BIGINT) AS _d
+                FROM (
+                    SELECT sym._i AS _i,
+                           sym._n * 1000000000L div greatest(pi._p + pj._p, 1L) AS _c
+                    FROM {v_sym} sym
+                    JOIN {v_p} pi ON sym._i = pi._i
+                    JOIN {v_p} pj ON sym._j = pj._i
+                ) c
+                GROUP BY c._i
+            ) d ON s._i = d._i
+            """
+        ).persist(
+            StorageLevel.MEMORY_ONLY  # truncate lineage: plan stays linear in iters
         )
         cached.append(p)
     n_matches = sym.groupBy("_i").agg(F.sum("_n").cast("long").alias("_nm"))
