@@ -36,12 +36,15 @@ Deterministic re-expression (the repo's exactness conventions):
 
 Plan shape (100 TB): ``unigram_learn`` aggregates the corpus ONCE into
 the distinct-chunk frequency table (one shuffle, ~10⁷ rows regardless
-of corpus size) and persists it; each round is a broadcast join of the
-tiny vocabulary onto that table, map-side DP columns, one piece-grain
-count aggregate, and a vocabulary-sized collect (the k-means/IRLS
-trained-model materialization class). ``unigram_encode`` with a FIXED
-vocabulary is join-free map-side expression work (the literal piece
-map broadcasts inside the plan) plus one per-document aggregate.
+of corpus size), persists it, and aggregates its span grain once more
+into a persisted round-invariant ``(chunk, span-ordinal)`` table (r14);
+each round is then pure map-side DP over that table (literal lp array
+indexed by piece ordinal), one piece-grain count aggregate, and a
+vocabulary-sized collect (the k-means/IRLS trained-model
+materialization class). ``unigram_encode`` with a FIXED vocabulary runs
+the DP per distinct chunk and joins scores back onto the chunk
+occurrences (AQE picks the join strategy — broadcast when the DP table
+is actually small).
 
 Reference anchor: the reference has no tokenizer (its pipeline is
 ephys/behavior); this extends the SURVEY §2.10 extension surface the
@@ -52,7 +55,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # log-prob assigned to out-of-vocabulary single characters (micro-nats)
@@ -244,19 +247,18 @@ def unigram_learn(
     round, the bpe_learn/k-means convention); corpus-sized work stays
     distributed and the chunk table persists across rounds.
 
-    r14 plan shape (was: 2 driver actions per round + 2 for the seed,
-    and a full span explode + vocab join + map re-aggregation per
-    round): the span grain is ROUND-INVARIANT once the vocabulary is
-    seeded (pieces are fixed across EM rounds; only their log-probs
-    move), so it is exploded, membership-filtered and aggregated to
-    ``(chunk, wcount, _n, _sp)`` ONCE and persisted — each round
-    rebuilds the span→lp map map-side from a literal lp array indexed
-    by the span's piece ordinal (O(1) ``element_at``, no join, no
-    shuffle). The M-step quantization (zero-fill + total + ``_lp_expr``)
-    rides IN the same plan as the E-step piece counts, so each round is
-    exactly one distributed action; the quantized values are
-    bit-identical (same engine, same expression tree — ``_lp_expr``
-    interpolates column names as readily as literals)."""
+    r14 plan shape (was: a full span explode + vocab broadcast join +
+    map re-aggregation per round): the span grain is ROUND-INVARIANT
+    once the vocabulary is seeded (pieces are fixed across EM rounds;
+    only their log-probs move), so it is exploded, membership-filtered
+    and aggregated to ``(chunk, wcount, _n, _sp)`` ONCE and persisted —
+    each round rebuilds the span→lp map map-side from a literal lp
+    array indexed by the span's piece ordinal (O(1) ``element_at``, no
+    join, no per-round shuffle for the map). The M-step quantization
+    stays a tiny LOCAL-frame action (r13 shape) — an in-plan
+    zero-fill+window fold was tried and measured 1.09x SLOWER cold
+    (interleaved A/B): the extra join/window query stages under AQE
+    cost more than the local job they replace."""
     spark = docs.sparkSession
     chunks = (
         _chunks(docs, text_col, window)
@@ -264,26 +266,28 @@ def unigram_learn(
         .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
         .persist()
     )
+
+    def _quantize(cnts: list[tuple[str, int]], t_total: int, v_size: int):
+        """lp for every (piece, cnt) — the SAME Spark ``_lp_expr``
+        (JVM ln), applied to a tiny LOCAL DataFrame; bit-identical by
+        construction (identical expression tree, same engine)."""
+        local = spark.createDataFrame(cnts, "piece string, cnt long")
+        rows = local.select(
+            "piece", "cnt", _lp_expr("cnt", int(t_total), v_size).alias("lp")
+        ).collect()
+        # Python sort == Spark binary-string sort here (UTF-8 byte order
+        # preserves code-point order); skipping the Spark orderBy saves
+        # a range-partitioning sample job per quantize call
+        rows.sort(key=lambda r: r["piece"])
+        return rows
+
     spans_g = None
     try:
         seed = unigram_seed(chunks, vocab_size, max_piece_len)
-        # ONE action for seed + quantization: T and V come from a global
-        # window over the ≤|V|-row seed table — NOT a separate aggregate
-        # (a second consumer of `seed` would re-execute its whole
-        # explode+count chain inside the same action; the window is one
-        # extra tiny stage over rows already in hand)
-        wall = Window.partitionBy()
-        rows = (
-            seed.withColumn("_t", F.sum("cnt").over(wall).cast("long"))
-            .withColumn("_v", F.count(F.lit(1)).over(wall).cast("long"))
-            .select("piece", "cnt", _lp_expr("cnt", "_t", "_v").alias("lp"))
-            .collect()
-        )
-        # Python sort == Spark binary-string sort here (UTF-8 byte order
-        # preserves code-point order); skipping the Spark orderBy saves
-        # a range-partitioning sample job per round
-        rows.sort(key=lambda r: r["piece"])
-        v_size = len(rows)
+        seed_rows = seed.collect()
+        cnts = sorted((r["piece"], int(r["cnt"])) for r in seed_rows)
+        v_size = len(cnts)
+        rows = _quantize(cnts, sum(c for _, c in cnts), v_size)
         pieces_all = [r["piece"] for r in rows]
         lps = [int(r["lp"]) for r in rows]
         # round-invariant span grain: piece strings resolve to their
@@ -311,9 +315,6 @@ def unigram_learn(
             .withColumn("_n", F.length("chunk").cast("int"))
             .persist()
         )
-        vocab_df = spark.createDataFrame(
-            [(p,) for p in pieces_all], "piece string"
-        )
         for _ in range(int(rounds)):
             # span→lp map rebuilt MAP-SIDE from the literal per-ordinal
             # lp array (constant-folded once per plan); pid 0 = UNK
@@ -332,22 +333,12 @@ def unigram_learn(
                 .groupBy("piece")
                 .agg(F.sum("wcount").cast("long").alias("cnt"))
             )
-            # zero-fill + total + quantize IN the plan: one collect per
-            # round carries (piece, cnt, lp) for the whole vocabulary.
-            # The round total is a global window over the ≤|V| filled
-            # rows — a second aggregate consumer would re-execute the
-            # whole Viterbi chain inside the same action
-            filled = vocab_df.join(used, "piece", "left").select(
-                "piece", F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt")
-            )
-            rows = (
-                filled.withColumn(
-                    "_t", F.sum("cnt").over(Window.partitionBy()).cast("long")
-                )
-                .select("piece", "cnt", _lp_expr("cnt", "_t", v_size).alias("lp"))
-                .collect()
-            )
-            rows.sort(key=lambda r: r["piece"])
+            # ONE distributed action per round; the fixed-vocabulary
+            # zero-fill is a dict lookup on ≤|V| rows, the quantization
+            # a local-frame job (see the docstring's A/B note)
+            cnt_map = {r["piece"]: int(r["cnt"]) for r in used.collect()}
+            cnts = [(p, cnt_map.get(p, 0)) for p in pieces_all]
+            rows = _quantize(cnts, sum(c for _, c in cnts), v_size)
             lps = [int(r["lp"]) for r in rows]
         return spark.createDataFrame(
             [(r["piece"], int(r["cnt"]), int(r["lp"])) for r in rows],
@@ -393,22 +384,25 @@ def unigram_encode(
                 f"k -> substring(_w, k * {window} + 1, {window}))"
             )
         ).alias("chunk"),
-    ).groupBy(id_col, "chunk").agg(
-        # occurrence grain: repeats weight the document totals
-        F.count(F.lit(1)).cast("long").alias("occ")
     )
     # r13 optimization (guide §8: decide on the small proxy, attach
     # back): score/n_pieces are pure functions of the CHUNK STRING, so
     # the span explode + DP fold runs once per DISTINCT CHUNK (31 rows
-    # at sf0.1 vs 116k (doc, chunk) rows = 3700x less DP work) and the
-    # score table joins back onto the (doc, chunk, occ) grain. NOTE the
+    # at sf0.1 vs 116k chunk occurrences = 3700x less DP work) and the
+    # score table joins back onto the occurrence grain. NOTE the
     # distinct-chunk grain is NOT vocabulary-bounded — it is one row per
     # distinct word-block, ~10^7 rows at the 100 TB design point — so no
     # explicit broadcast hint (r14, ADVICE): AQE broadcasts when the
     # materialized side is actually small and falls back to a shuffle
     # join when it is not, instead of a forced driver collect of a
-    # possibly multi-GB relation. Identical values by construction:
-    # the same deterministic DP on the same strings.
+    # possibly multi-GB relation. r14 shape: the join lands on the RAW
+    # chunk occurrences and the per-document aggregate runs directly on
+    # the join output — the old intermediate (doc, chunk, occ) groupBy
+    # was a whole extra corpus-sized exchange buying only a ~1x dedup
+    # of the join probe side (occurrence sums are identical either
+    # way). Every distinct chunk appears in dp BY CONSTRUCTION (same
+    # corpus), so the inner join drops no rows. Identical values by
+    # construction: the same deterministic DP on the same strings.
     dp = _viterbi_cols(
         _with_span_map(
             chunks.select("chunk").distinct(), vocab, spark, window, max_piece_len
@@ -419,9 +413,9 @@ def unigram_encode(
     ).select("chunk", "score", "n_pieces")
     seg = chunks.join(dp, "chunk")
     per_doc = seg.groupBy(id_col).agg(
-        F.sum("occ").cast("long").alias("n_chunks"),
-        F.sum(F.col("occ") * F.col("n_pieces")).cast("long").alias("n_tokens"),
-        (-F.sum(F.col("occ") * F.col("score"))).cast("long").alias("nll_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_pieces").cast("long").alias("n_tokens"),
+        (-F.sum("score")).cast("long").alias("nll_micro"),
     )
     return (
         docs.select(id_col)
