@@ -168,6 +168,125 @@ def _grain_prefix(
     return out.drop("_cb", *[f"_off{m}" for m in measures])
 
 
+def _attach_doubled_rank(
+    g: DataFrame,
+    keys: list[str],
+    value_col: str,
+    count_col: str,
+    rank_col: str,
+    buckets: int,
+    nv_col: str | None = None,
+    stats_src: DataFrame | None = None,
+) -> DataFrame:
+    """Attach the DOUBLED tie-averaged rank of ``value_col`` within
+    ``keys`` (``dr = 2·rank + ties − 1``, integral under ties) to EVERY
+    row of a weighted grain ``g`` — which may carry SEVERAL rows per
+    (keys…, value), e.g. the (key, x, y) pair grain or the
+    (key, value, sample-group) grain; ``count_col`` is each row's
+    observation count and ranks weight by it.
+
+    The rank identity ``dr = 2·cum_incl − n_v + 1`` needs the
+    tie-run-inclusive cumulative count and the tie-run total, and BOTH
+    are RANGE-framed window sums (``[unbounded, current]`` and
+    ``[current, current]`` ordered by the value), so row multiplicity
+    and intra-tie row order cannot matter — every row of a tie run
+    gets the identical integer ``dr``. This replaces the round-9/10
+    shape (collapse to the distinct-value grain, ``_grain_prefix``,
+    then JOIN the ranks back), which paid a grain-sized exchange for
+    the collapse and one to two more for the join-back (guide §2.4:
+    computing a value in place beats computing it elsewhere and
+    re-attaching it with a shuffle join).
+
+    Scale path (numeric values): the same min/max linear bucket map as
+    ``_grain_prefix`` (clamped, monotone ⇒ bucket order refines value
+    order exactly); per-(keys, bucket) counts aggregate map-side into a
+    ≤ keys×buckets offset table that broadcast-joins back, and the ONE
+    grain-sized exchange is the per-(keys, bucket) window. Both range
+    frames share that window's sort. Non-numeric values (where the
+    double cast is not order-monotone) take the order-generic single
+    per-key window.
+
+    ``nv_col``: optionally expose the tie-run total ``n_v`` (callers
+    like ``kruskal_wallis`` need the tie mass). ``stats_src``: a table
+    with the SAME (keys…, value, count) multiset as ``g`` (e.g. the
+    bare pair grain when ``g`` is the pair grain already carrying a
+    first axis' ranks) from which the min/max and per-bucket counts
+    are aggregated — so those tiny passes scan the persisted source
+    instead of re-executing ``g``'s plan.
+    """
+    dtypes = dict(g.dtypes)
+    numeric = dtypes[value_col].startswith(_NUMERIC_PREFIXES)
+    src = stats_src if stats_src is not None else g
+    cnt = F.sum(count_col)
+    keep_nv = nv_col or "_nv_tmp"
+    if not numeric:
+        w = W.partitionBy(*keys).orderBy(F.col(value_col).asc())
+        out = g.withColumn(
+            keep_nv, cnt.over(w.rangeBetween(W.currentRow, W.currentRow))
+        ).withColumn(
+            rank_col,
+            (
+                2 * cnt.over(w.rangeBetween(W.unboundedPreceding, W.currentRow))
+                - F.col(keep_nv) + 1
+            ).cast("long"),
+        )
+        return out if nv_col else out.drop(keep_nv)
+
+    nb = int(buckets)
+    mm = src.groupBy(*keys).agg(
+        F.min(F.col(value_col).cast("double")).alias("_mn"),
+        F.max(F.col(value_col).cast("double")).alias("_mx"),
+    )
+    bucket_of = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.least(
+            F.lit(nb - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col(value_col).cast("double") - F.col("_mn"))
+                    / (F.col("_mx") - F.col("_mn"))
+                    * nb
+                ).cast("int"),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    if keys:
+        sb = src.join(mm, keys)  # AQE: keys-sized build side → broadcast
+        b = g.join(mm, keys)
+    else:
+        sb = src.crossJoin(F.broadcast(mm))
+        b = g.crossJoin(F.broadcast(mm))
+    pb = (
+        sb.withColumn("_cb", bucket_of)
+        .groupBy(*keys, "_cb")
+        .agg(F.sum(count_col).cast("long").alias("_bn"))
+    )
+    w_off = (
+        W.partitionBy(*keys).orderBy(F.col("_cb").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offs = pb.withColumn(
+        "_off", F.coalesce(F.sum("_bn").over(w_off), F.lit(0).cast("long"))
+    ).select(*keys, "_cb", "_off")
+    b = b.withColumn("_cb", bucket_of).drop("_mn", "_mx")
+    if keys:
+        j = b.join(offs, [*keys, "_cb"])  # ≤ keys×buckets build side
+    else:
+        j = b.join(F.broadcast(offs), "_cb")
+    w_in = W.partitionBy(*keys, "_cb").orderBy(F.col(value_col).asc())
+    out = j.withColumn(
+        keep_nv, cnt.over(w_in.rangeBetween(W.currentRow, W.currentRow))
+    ).withColumn(
+        rank_col,
+        (
+            F.col("_off")
+            + cnt.over(w_in.rangeBetween(W.unboundedPreceding, W.currentRow))
+        ).cast("long") * 2 - F.col(keep_nv) + 1,
+    ).drop("_cb", "_off")
+    return out if nv_col else out.drop(keep_nv)
+
+
 def _grain_type1_quantile(
     grain: DataFrame,
     keys: list[str],
@@ -3850,15 +3969,18 @@ def kruskal_wallis(
     H = h_milli/tie_ppm·10³ downstream — kept apart so both factors
     stay integral). Per-key N below ~10⁹ keeps R2² inside decimal(38).
 
-    Plan — DE-SERIALIZED (round 9): ``dr`` depends only on (key,
-    value), so ranks come from the shared :func:`_grain_prefix`
-    two-level prefix sum over the distinct (key, value) grain
-    (``dr = 2·cum_incl − n_v + 1``); per-(key, sample-group) counts
-    ride the finer (key, value, group) grain, joined to the rank table
-    AT THE GRAIN (never data-sized rows). Ties fall out of the same
-    grain table. Parallelism scales with the value grain, not the key
-    count. The value grain is persisted (``_grain_prefix`` + ties) and
-    rides on the result via ``track_cached``.
+    Plan — GRAIN RANK ATTACH (round 14; de-serialized round 9): ``dr``
+    depends only on (key, value), and :func:`_attach_doubled_rank`'s
+    RANGE-framed window sums compute it exactly on the finer
+    (key, value, sample-group) grain — every (v, g) row of a tie run
+    gets the identical ``dr`` and the tie-run total ``n_v``, so the
+    distinct-value grain, its persist, and the grain-sized rank
+    JOIN-BACK of round 9 all disappear (guide §2.4). The tie mass
+    rides the same rows integrally: Σ_v (n_v³ − n_v) =
+    Σ_{(v,g)} n_gv·(n_v² − 1) because Σ_g n_gv = n_v. The per-key N
+    and tie mass then attach to the ≤ keys×groups group table with one
+    tiny window instead of a second grain aggregate + broadcast join.
+    Parallelism scales with the grain, not the key count.
     Output: ``(keys…, n, n_groups, h_milli, tie_ppm)``.
     """
     from aeon_mecha_spark.util import track_cached
@@ -3868,45 +3990,31 @@ def kruskal_wallis(
     )
     grain_g = base.groupBy(*keys, "_v", "_g").agg(
         F.count(F.lit(1)).cast("long").alias("_ngv")
-    ).persist(StorageLevel.MEMORY_ONLY)  # 2 consumers: grain + dr join
-    grain = (
-        grain_g.groupBy(*keys, "_v")
-        .agg(F.sum("_ngv").cast("long").alias("_n"))
-        .persist(StorageLevel.MEMORY_ONLY)
+    ).persist(StorageLevel.MEMORY_ONLY)  # consumers: min/max, buckets, window
+    ranked = _attach_doubled_rank(
+        grain_g, keys, "_v", "_ngv", "_dr", 1024, nv_col="_nv"
     )
-    dr_tbl = _grain_prefix(
-        grain, "_v", ["_n"], ascending=True, buckets=1024, group_cols=keys,
-        grain_count=1 << 62,  # lazy: always-bucketed (continuous grain)
-    ).select(
-        *keys, "_v",
-        (2 * F.col("_cum_n") - F.col("_n") + 1).cast("long").alias("_dr"),
-    )
-    per_g = (
-        grain_g.join(dr_tbl, [*keys, "_v"])
-        .groupBy(*keys, "_g")
-        .agg(
-            F.sum("_ngv").cast("long").alias("_ng"),
-            F.sum(F.col("_ngv").cast("decimal(38,0)") * F.col("_dr")).alias("_r2"),
-        )
-    )
-    # H needs N inside the per-group div; the per-key N and the tie
-    # mass Σ(t³−t) come from ONE groupBy over the cached value grain
-    # (round 10 — previously two separate aggregates + two broadcast
-    # joins), broadcast onto the group grain and carried through
-    stats = grain.groupBy(*keys).agg(
-        F.sum("_n").cast("long").alias("_N"),
+    ngv_dec = F.col("_ngv").cast("decimal(38,0)")
+    per_g = ranked.groupBy(*keys, "_g").agg(
+        F.sum("_ngv").cast("long").alias("_ng"),
+        F.sum(ngv_dec * F.col("_dr")).alias("_r2"),
         F.sum(
-            F.expr("CAST(_n AS DECIMAL(38,0)) * _n * _n - _n")
-        ).alias("_tt"),
+            ngv_dec * (F.col("_nv").cast("decimal(38,0)") * F.col("_nv") - 1)
+        ).alias("_ttg"),
     )
-    terms = per_g.join(F.broadcast(stats), keys).select(
-        *keys,
-        "_ng",
-        "_tt",
-        F.expr(
-            "CAST((3000 * _r2 * _r2) div "
-            "(CAST(_ng AS DECIMAL(38,0)) * _N * (_N + 1)) AS DECIMAL(38,0))"
-        ).alias("_t"),
+    w_key = W.partitionBy(*keys)
+    terms = (
+        per_g.withColumn("_N", F.sum("_ng").over(w_key))
+        .withColumn("_tt", F.sum("_ttg").over(w_key).cast("decimal(38,0)"))
+        .select(
+            *keys,
+            "_ng",
+            "_tt",
+            F.expr(
+                "CAST((3000 * _r2 * _r2) div "
+                "(CAST(_ng AS DECIMAL(38,0)) * _N * (_N + 1)) AS DECIMAL(38,0))"
+            ).alias("_t"),
+        )
     )
     hk = terms.groupBy(*keys).agg(
         F.sum("_ng").cast("long").alias("n"),
@@ -3925,7 +4033,7 @@ def kruskal_wallis(
             "(CAST(n AS DECIMAL(38,0)) * n * n - n) END AS BIGINT)"
         ).alias("tie_ppm"),
     )
-    return track_cached(out, grain, grain_g)
+    return track_cached(out, grain_g)
 
 
 def calibration_table(

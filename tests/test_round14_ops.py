@@ -102,3 +102,67 @@ def test_mad_outliers_fused_bounds_match_mirror(spark):
             assert out[(key, x)] == (med, mad, abs(x - med) > 3.0 * mad), (
                 key, x, out[(key, x)], (med, mad),
             )
+
+
+def test_attach_doubled_rank_multirow_grain_matches_mirror(spark):
+    """`_attach_doubled_rank` computes dr = 2·rank + ties − 1 with
+    RANGE-framed window sums directly on a grain carrying SEVERAL rows
+    per (key, value) — the round-14 fusion that removed the
+    distinct-grain prefix + join-back from spearman/kruskal. Pin it on
+    a multi-row-per-value grain (ties split across rows, both the
+    bucketed numeric path and the non-numeric fallback) against a
+    Python mirror."""
+    from aeon_mecha_spark.operators.analytics import _attach_doubled_rank
+
+    # (key, value, count) with values repeated across rows: the value
+    # 5 has rows with counts 2 and 3 (tie run of 5 observations)
+    rows = [
+        ("a", 5, 2), ("a", 5, 3), ("a", 1, 1), ("a", 9, 4), ("a", 9, 1),
+        ("b", 7, 10),
+    ]
+
+    def mirror(rows, key):
+        obs = {}
+        for k, v, c in rows:
+            if k == key:
+                obs[v] = obs.get(v, 0) + c
+        out = {}
+        rank = 0
+        for v in sorted(obs):
+            n_v = obs[v]
+            # doubled average rank of the tie run rank+1 .. rank+n_v
+            out[v] = 2 * (rank + n_v) - n_v + 1
+            rank += n_v
+        return out
+
+    for dt, buckets in (("int", 4), ("int", 1024), ("string", 8)):
+        df = spark.createDataFrame(
+            [(k, str(v) if dt == "string" else v, c) for k, v, c in rows],
+            f"k string, v {dt}, c long",
+        )
+        got = _attach_doubled_rank(df, ["k"], "v", "c", "_dr", buckets).collect()
+        assert len(got) == len(rows)
+        for r in got:
+            want = mirror(
+                [(k, str(v) if dt == "string" else v, c) for k, v, c in rows],
+                r["k"],
+            )
+            assert r["_dr"] == want[r["v"]], (dt, buckets, r)
+
+
+def test_attach_doubled_rank_exposes_tie_total(spark):
+    """nv_col exposes the tie-run TOTAL (summed across the value's
+    rows) — kruskal_wallis' integral tie mass identity
+    Σ_v(n_v³−n_v) = Σ_{(v,g)} n_gv·(n_v²−1) depends on it."""
+    from aeon_mecha_spark.operators.analytics import _attach_doubled_rank
+
+    df = spark.createDataFrame(
+        [("a", 5, 2), ("a", 5, 3), ("a", 8, 1)], "k string, v int, c long"
+    )
+    got = {
+        (r["v"], r["c"]): r["_nv"]
+        for r in _attach_doubled_rank(
+            df, ["k"], "v", "c", "_dr", 16, nv_col="_nv"
+        ).collect()
+    }
+    assert got == {(5, 2): 5, (5, 3): 5, (8, 1): 1}
