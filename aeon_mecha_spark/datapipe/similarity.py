@@ -1039,15 +1039,21 @@ def ivf_pq_search(
     dim = m * d_sub
     short_n = int(shortlist) if shortlist is not None else 4 * k
 
-    # r13 build-time optimization: the unrolled literal trees below used
-    # to be assembled Column-op by Column-op — thousands of py4j round
-    # trips that cost ~seconds of DRIVER time per plan construction (the
-    # bench times plan construction; at 100 TB plan-build delay is pure
-    # driver serialization, guide §7.3). Each column is now rendered as
-    # ONE SQL string and parsed in a single F.expr call — the parsed
-    # expression tree is token-identical (same left-to-right folds, same
-    # duplicated-subtraction squares, same double literals), so results
-    # and physical plans are unchanged.
+    # r13 cut plan-build py4j round trips by rendering each column as
+    # ONE SQL string; r14 cuts the ANALYSIS cost too. Spark analyzes the
+    # whole logical plan eagerly on every chained DataFrame op, so the
+    # unrolled per-element folds (k_cw·d_sub terms per LUT column) were
+    # re-walked by every select/join stacked above them — profiled at
+    # 1.9 s of driver time per plan build (py4j socket waits inside 11
+    # selects; guide §7.3 "very large plans can spend minutes in
+    # planning"). The same left-to-right IEEE fold now renders as
+    # ``aggregate(zip_with(slice(vec), <literal array>, (a,b) ->
+    # (a-b)*(a-b)), 0.0D, (acc,t) -> acc + t)`` — per-term ops and fold
+    # order are IDENTICAL (zip_with evaluates each (a−b)² with the same
+    # subtract/multiply; aggregate folds ((0.0+t₀)+t₁)+…), so every
+    # distance/LUT/code value is bit-identical and the oracle hash is
+    # unchanged, while the expression tree shrinks ~50× and analysis
+    # cost with it.
     def _dlit(x: float) -> str:
         x = float(x)
         if not math.isfinite(x):
@@ -1057,40 +1063,38 @@ def ivf_pq_search(
         r = repr(x)
         return f"CAST('{r}' AS DOUBLE)" if ("e" in r or "E" in r) else r + "D"
 
+    def _arr(vals: list[float]) -> str:
+        return f"array({', '.join(_dlit(x) for x in vals)})"
+
     # column names are interpolated inside backticks: escape embedded
     # backticks the SQL way (doubling) so no name can break the string
     vq = vec_col.replace("`", "``")
+
+    def _l2sq_fold(vec_sql: str, arr_sql: str) -> str:
+        # left-to-right squared-L2 fold — the ((0.0+t1)+t2)… tree of
+        # vector._unrolled_sum, sqrt-free (ADC ranks on squared
+        # distance; monotone, and exact for the oracle)
+        return (
+            f"aggregate(zip_with({vec_sql}, {arr_sql}, "
+            f"(a, b) -> (a - b) * (a - b)), 0.0D, (acc, t) -> acc + t)"
+        )
+
     cv_sql = f"slice(`{vq}`, 1, {dim_coarse})"
-
-    def _coarse_d(c: list[float]) -> str:
-        arr = f"array({', '.join(_dlit(x) for x in c)})"
-        acc = "0.0D"
-        for j in range(dim_coarse):
-            e = f"(element_at({cv_sql}, {j + 1}) - element_at({arr}, {j + 1}))"
-            acc = f"({acc} + ({e} * {e}))"
-        return f"sqrt({acc})"
-
     dist_cols = [
-        F.expr(_coarse_d(c)).alias(f"_d{i}") for i, c in enumerate(centroids)
+        F.expr(f"sqrt({_l2sq_fold(cv_sql, _arr(c))})").alias(f"_d{i}")
+        for i, c in enumerate(centroids)
     ]
 
-    def _l2sq(sub: int, code: int) -> str:
-        # left-to-right squared-L2 fold over the subspace — the same
-        # ((0.0+t1)+t2)… tree as vector._unrolled_sum, sqrt-free (ADC
-        # ranks on squared distance; monotone, and exact for the oracle)
-        acc = "0.0D"
-        for j in range(d_sub):
-            e = (
-                f"(element_at(`{vq}`, {sub * d_sub + j + 1}) - "
-                f"{_dlit(codebooks[sub][code][j])})"
-            )
-            acc = f"({acc} + ({e} * {e}))"
-        return acc
+    def _sub_sql(s: int) -> str:
+        return f"slice(`{vq}`, {s * d_sub + 1}, {d_sub})"
+
+    def _cb_arr(s: int) -> str:
+        return f"array({', '.join(_arr(cw) for cw in codebooks[s])})"
 
     lut_cols = [
-        F.expr(f"array({', '.join(_l2sq(s, c) for c in range(k_cw))})").alias(
-            f"_lut{s}"
-        )
+        F.expr(
+            f"transform({_cb_arr(s)}, cw -> {_l2sq_fold(_sub_sql(s), 'cw')})"
+        ).alias(f"_lut{s}")
         for s in range(m)
     ]
     # the coarse + LUT math is the CPU-heavy per-row stage: spread a
@@ -1123,18 +1127,16 @@ def ivf_pq_search(
     primary = multi.filter(F.col("probe") == 0)
 
     def _sub_code(s: int) -> str:
-        # same SQL-string rendering as the LUT above (one F.expr per
-        # code column instead of ~400 py4j Column ops)
-        sub_sql = f"slice(`{vq}`, {s * d_sub + 1}, {d_sub})"
-        structs = []
-        for c in range(k_cw):
-            arr = f"array({', '.join(_dlit(x) for x in codebooks[s][c])})"
-            acc = "0.0D"
-            for j in range(d_sub):
-                e = f"(element_at({sub_sql}, {j + 1}) - element_at({arr}, {j + 1}))"
-                acc = f"({acc} + ({e} * {e}))"
-            structs.append(f"named_struct('d', sqrt({acc}), 'c', {c})")
-        return f"CAST(array_min(array({', '.join(structs)})).c AS INT)"
+        # same compact HOF rendering as the LUT above: per-codeword
+        # sqrt(L2²) distances zip with their ordinals into (d, c)
+        # structs, and array_min picks the (distance, code) minimum —
+        # the identical tie-break-by-code struct ordering as before
+        return (
+            f"CAST(array_min(zip_with("
+            f"transform({_cb_arr(s)}, cw -> sqrt({_l2sq_fold(_sub_sql(s), 'cw')})), "
+            f"sequence(0, {k_cw - 1}), "
+            f"(d, c) -> named_struct('d', d, 'c', c))).c AS INT)"
+        )
 
     code_expr = [F.expr(_sub_code(s)).alias(f"_c{s}") for s in range(m)]
     corpus = primary.select(
