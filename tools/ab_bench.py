@@ -32,7 +32,8 @@ CHILD = r"""
 import json, sys, time
 wt = sys.argv[1]
 sf_dir = sys.argv[2]
-queries = sys.argv[3:]
+query_reps = int(sys.argv[3])
+queries = sys.argv[4:]
 sys.path.insert(0, wt)
 import os
 os.chdir(wt)
@@ -55,21 +56,28 @@ def sentinel():
 
 out = {"sentinel": [sentinel(), sentinel()], "queries": {}}
 for name in queries:
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    df = qs[name](spark, sf_dir)
-    df.write.mode("overwrite").format("noop").save()
-    out["queries"][name] = round(time.perf_counter() - t0, 3)
+    # query_reps > 1 replicates bench.py's min-of-reps estimator (warm
+    # JVM, cache cleared per rep) so A/B numbers compose like the
+    # driver's; 1 keeps the r13 cold single-shot behavior
+    best = None
+    for _ in range(query_reps):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        dt = round(time.perf_counter() - t0, 3)
+        best = dt if best is None else min(best, dt)
+    out["queries"][name] = best
 out["sentinel"].append(sentinel())
 print("ABRESULT " + json.dumps(out))
 """
 
 
-def run_side(wt: str, sf_dir: str, queries: list[str]) -> dict:
+def run_side(wt: str, sf_dir: str, queries: list[str], query_reps: int = 1) -> dict:
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)
     p = subprocess.run(
-        [sys.executable, "-c", CHILD, wt, sf_dir, *queries],
+        [sys.executable, "-c", CHILD, wt, sf_dir, str(query_reps), *queries],
         capture_output=True, text=True, env=env, timeout=1800,
     )
     for line in p.stdout.splitlines():
@@ -84,6 +92,7 @@ def main() -> None:
     ap.add_argument("ref_b")
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--query-reps", type=int, default=1)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
@@ -101,7 +110,7 @@ def main() -> None:
                for ref in (args.ref_a, args.ref_b)}
     for i in range(args.iters):
         for ref in (args.ref_a, args.ref_b):
-            r = run_side(wts[ref], args.sf_dir, args.queries)
+            r = run_side(wts[ref], args.sf_dir, args.queries, args.query_reps)
             results[ref]["sentinel"].extend(r["sentinel"])
             for q, t in r["queries"].items():
                 results[ref]["queries"][q].append(t)
