@@ -32,6 +32,38 @@ _NUMERIC_PREFIXES = (
     "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
 )
 
+# Below this many bytes of proven file-scan input, the grain engines
+# (_grain_prefix / _grain_type1_quantile / _attach_doubled_rank) take
+# their single-window fast path — the IDENTICAL computation without the
+# two-level bucket machinery, whose 4-6 extra stages are pure scheduling
+# latency when the grain fits one window task (measured r14: the bucket
+# path was 2.6 s of q248's 3.3 s at sf0.1 while the single window costs
+# ~0.2 s). The bound is an UPPER bound on grain rows by construction
+# (util.narrow_scan_bytes: every output row traces to a scanned row),
+# and a BYTES threshold is scale-adaptive (guide §2): any real input
+# beyond it — the 8×/64× probes, 100 TB partitions — takes the bucketed
+# path automatically. Tunable per session via
+# spark.aeon.grain.fastPathMaxBytes (0 disables the fast path).
+_GRAIN_FAST_MAX_BYTES = 128 * 1024 * 1024
+
+
+def _grain_provably_small(g: DataFrame) -> bool:
+    from aeon_mecha_spark.util import narrow_scan_bytes
+
+    try:
+        limit = int(
+            g.sparkSession.conf.get(
+                "spark.aeon.grain.fastPathMaxBytes",
+                str(_GRAIN_FAST_MAX_BYTES),
+            )
+        )
+    except ValueError:
+        limit = _GRAIN_FAST_MAX_BYTES
+    if limit <= 0:
+        return False
+    nb = narrow_scan_bytes(g)
+    return nb is not None and nb <= limit
+
 
 def _grain_prefix(
     g: DataFrame,
@@ -63,11 +95,16 @@ def _grain_prefix(
     one bucket of the grain.
 
     Cardinality-adaptive fast path: when the WHOLE grain is provably
-    tiny (``g.count() <= buckets`` — one cheap action against the
-    already-persisted grain) the bucket level is pure overhead (2–3
-    extra stages); a single window over the ≤ ``buckets``-row grain is
-    the identical computation. Same output, same hash, by
-    construction.
+    small the bucket level is pure overhead (4–6 extra stages of
+    scheduling latency — measured r14: 2.6 s of q248's 3.3 s at
+    sf0.1); a single window over the grain is the identical
+    computation. Same output, same hash, by construction. Two proofs
+    engage it: the r14 file-size bound (``_grain_provably_small`` —
+    lazy, from the driver's file listing, threshold
+    ``spark.aeon.grain.fastPathMaxBytes``), checked first; else
+    ``g.count() <= buckets`` (one cheap action against the
+    already-persisted grain) when the caller did not pass
+    ``grain_count``.
 
     Non-numeric guard: the linear bucket map needs ``cast(value as
     double)`` to be MONOTONE w.r.t. the column's native sort order —
@@ -85,10 +122,14 @@ def _grain_prefix(
     order = F.col(value_col).asc() if ascending else F.col(value_col).desc()
     dtypes = dict(g.dtypes)
     numeric = dtypes[value_col].startswith(_NUMERIC_PREFIXES)
-    n_grain = grain_count if grain_count is not None else (
-        g.count() if numeric else 0
-    )
-    if not numeric or n_grain <= int(buckets):
+    # fast-path order: the file-size bound is lazy (driver file listing
+    # only) and checked FIRST, so a provably-small grain also skips the
+    # caller-opted planning count below
+    small = (not numeric) or _grain_provably_small(g)
+    if not small:
+        n_grain = grain_count if grain_count is not None else g.count()
+        small = n_grain <= int(buckets)
+    if small:
         w_in = (
             W.partitionBy(*group_cols)
             .orderBy(order)
@@ -219,7 +260,7 @@ def _attach_doubled_rank(
     src = stats_src if stats_src is not None else g
     cnt = F.sum(count_col)
     keep_nv = nv_col or "_nv_tmp"
-    if not numeric:
+    if not numeric or _grain_provably_small(src):
         w = W.partitionBy(*keys).orderBy(F.col(value_col).asc())
         out = g.withColumn(
             keep_nv, cnt.over(w.rangeBetween(W.currentRow, W.currentRow))
@@ -333,7 +374,12 @@ def _grain_type1_quantile(
     straddle-scanned like tie runs — the selected value is the same.
     """
     dtypes = dict(grain.dtypes)
-    if not dtypes[value_col].startswith(_NUMERIC_PREFIXES):
+    if (
+        not dtypes[value_col].startswith(_NUMERIC_PREFIXES)
+        or _grain_provably_small(grain)
+    ):
+        # order-generic prefix branch; on the provably-small path
+        # _grain_prefix's own size check keeps it a single window
         cum = _grain_prefix(
             grain, value_col, [count_col], ascending=True,
             buckets=buckets, group_cols=keys, grain_count=grain_count,
@@ -2046,10 +2092,11 @@ def lift_table(
 
     Output: ``(bucket, n, n_pos, rate_ppm, cum_capture_ppm, lift_ppm)``.
 
-    NOTE: building this DataFrame is not fully lazy — it runs one
-    planning Spark action (``_grain_prefix``'s cardinality count on
-    the persisted value grain, which sizes the adaptive fast path)
-    before returning.
+    NOTE: building this DataFrame is not always fully lazy — unless
+    the scan is provably small (the r14 file-size bound, which decides
+    from the driver's file listing alone), it runs one planning Spark
+    action (``_grain_prefix``'s cardinality count on the persisted
+    value grain, which sizes the adaptive fast path) before returning.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -2872,10 +2919,11 @@ def quantile_map(
     rows map onto themselves. Queries above the reference maximum CDF
     cannot happen (both CDFs end at 10⁶).
 
-    NOTE: building this DataFrame is not fully lazy — it runs one
-    planning Spark action (``_grain_prefix``'s cardinality count on
-    the persisted value grain, which sizes the adaptive fast path)
-    before returning.
+    NOTE: building this DataFrame is not always fully lazy — unless
+    the scan is provably small (the r14 file-size bound, which decides
+    from the driver's file listing alone), it runs one planning Spark
+    action (``_grain_prefix``'s cardinality count on the persisted
+    value grain, which sizes the adaptive fast path) before returning.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -3705,10 +3753,11 @@ def roc_points(
     Output: ``(score, n_ge, tpr_ppm, fpr_ppm)`` ordered by score desc —
     one row per distinct score; ``n_ge`` = rows at-or-above it.
 
-    NOTE: building this DataFrame is not fully lazy — it runs one
-    planning Spark action (``_grain_prefix``'s cardinality count on
-    the persisted value grain, which sizes the adaptive fast path)
-    before returning.
+    NOTE: building this DataFrame is not always fully lazy — unless
+    the scan is provably small (the r14 file-size bound, which decides
+    from the driver's file listing alone), it runs one planning Spark
+    action (``_grain_prefix``'s cardinality count on the persisted
+    value grain, which sizes the adaptive fast path) before returning.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -4918,10 +4967,11 @@ def pr_points(
 
     Output: ``(score, n_ge, precision_ppm, recall_ppm)`` score-desc.
 
-    NOTE: building this DataFrame is not fully lazy — it runs one
-    planning Spark action (``_grain_prefix``'s cardinality count on
-    the persisted value grain, which sizes the adaptive fast path)
-    before returning.
+    NOTE: building this DataFrame is not always fully lazy — unless
+    the scan is provably small (the r14 file-size bound, which decides
+    from the driver's file listing alone), it runs one planning Spark
+    action (``_grain_prefix``'s cardinality count on the persisted
+    value grain, which sizes the adaptive fast path) before returning.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -4969,10 +5019,11 @@ def lorenz_points(
     Output: ``(value, n_le, cum_pop_ppm, cum_value_ppm)`` value-asc;
     perfect equality tracks the diagonal, concentration sags below.
 
-    NOTE: building this DataFrame is not fully lazy — it runs one
-    planning Spark action (``_grain_prefix``'s cardinality count on
-    the persisted value grain, which sizes the adaptive fast path)
-    before returning.
+    NOTE: building this DataFrame is not always fully lazy — unless
+    the scan is provably small (the r14 file-size bound, which decides
+    from the driver's file listing alone), it runs one planning Spark
+    action (``_grain_prefix``'s cardinality count on the persisted
+    value grain, which sizes the adaptive fast path) before returning.
     """
     from aeon_mecha_spark.util import track_cached
 
@@ -5053,6 +5104,48 @@ def trimmed_mean(
         .agg(F.count(F.lit(1)).cast("long").alias("_n"))
         .persist(StorageLevel.MEMORY_ONLY)
     )
+    if _grain_provably_small(g):
+        # single-window fast path (r14, same file-size bound as
+        # _grain_prefix): the kept mass is summed DIRECTLY from the
+        # docstring's per-value identity w_v = max(0, min(c_v, n−k) −
+        # max(c_v−n_v, k)) over one per-key window — so
+        # Σ v·w_v = lowest(n−k) − lowest(k), the exact quantity the
+        # bucket+straddle machinery assembles, with the identical
+        # sign·abs-div milli convention. Integer arithmetic throughout
+        # ⇒ same output, same hash, by construction.
+        w_in = (
+            W.partitionBy(*keys).orderBy(F.col("_v").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        w_tot = W.partitionBy(*keys)
+        c = (
+            g.withColumn("_cum", F.sum("_n").over(w_in).cast("long"))
+            .withColumn("_tot_n", F.sum("_n").over(w_tot).cast("long"))
+            .withColumn("_k", F.expr(f"(_tot_n * {int(trim_ppm)}) div 1000000"))
+            .withColumn("_hi", F.expr("_tot_n - _k"))
+            .withColumn(
+                "_w",
+                F.expr("greatest(0L, least(_cum, _hi) - greatest(_cum - _n, _k))"),
+            )
+        )
+        agg = c.groupBy(*keys).agg(
+            F.max("_tot_n").cast("long").alias("n"),
+            F.max("_k").cast("long").alias("_kk"),
+            F.sum(F.expr("CAST(_v AS DECIMAL(38,0)) * _w"))
+            .cast("decimal(38,0)")
+            .alias("_ks"),
+        )
+        out = agg.select(
+            *keys,
+            "n",
+            F.expr("n - 2 * _kk").cast("long").alias("n_kept"),
+            F.expr(
+                "CAST(CASE WHEN n - 2 * _kk > 0 THEN "
+                "sign(_ks) * ((abs(_ks) * 1000) div (n - 2 * _kk)) "
+                "END AS BIGINT)"
+            ).alias("trimmed_mean_milli"),
+        )
+        return track_cached(out, g)
     mm = g.groupBy(*keys).agg(
         F.min(F.col("_v").cast("double")).alias("_mn"),
         F.max(F.col("_v").cast("double")).alias("_mx"),

@@ -64,6 +64,69 @@ class LocalCheckpointHandle:
             pass
 
 
+# logical-plan node names that PROVABLY cannot increase row count over
+# their children — a WHITELIST (unknown nodes disqualify), so
+# narrow_scan_bytes stays sound as new operators appear. Join, Generate
+# (explode), Expand (rollup/grouping sets), mapInPandas/FlatMap and
+# InMemoryRelation/LogicalRDD (opaque upstream) are deliberately absent;
+# so is Union, because DataFrame.inputFiles() DEDUPES file paths and a
+# self-union would undercount its bytes 2x. Every allowed node is unary,
+# so a passing plan has exactly one leaf scan and the byte count is
+# exact.
+_ROW_BOUNDED = frozenset(
+    (
+        "Relation", "Project", "Filter", "Aggregate", "Sort", "Window",
+        "Deduplicate", "Distinct", "GlobalLimit", "LocalLimit", "Limit",
+        "Repartition", "RepartitionByExpression", "SubqueryAlias",
+        "Sample", "WithColumns", "WithColumnsRenamed",
+    )
+)
+
+
+def narrow_scan_bytes(df: DataFrame) -> int | None:
+    """Upper-bound evidence that ``df`` is SMALL, from the driver's file
+    listing alone (no Spark job, no action): when every logical-plan
+    node is row-bounded (whitelist above — each output row traces to at
+    least one scanned row) and every leaf is a local file scan, the
+    total scanned bytes bound the work any single-task plan over ``df``
+    can see. Returns those bytes, or None when nothing can be proven
+    (joins/explodes/cached inputs/remote files/empty listing).
+
+    This is the guide-§2 "derive from input size" hook the grain
+    operators use to pick a fixed-cost small plan at bench scale and
+    the partitioned plan at 100 TB — a BYTES threshold, not a core
+    count, so the decision flips with the data, not the cluster.
+    """
+    import re
+
+    try:
+        # the ANALYZED plan, for two reasons: the analyzer rewrites
+        # explode-in-select from a Project expression into a Generate
+        # node (the raw plan would hide it from the whitelist), and —
+        # unlike Dataset.inputFiles(), which reads the OPTIMIZED plan —
+        # it predates cache-manager substitution, so a persisted
+        # matching subtree cannot silently swallow the file relation
+        # (inputFiles() returns [] in that case, and whether it does
+        # depends on when the lazy queryExecution was first forced)
+        jplan = df._jdf.queryExecution().analyzed()
+        plan = jplan.toString()
+        for line in plan.splitlines():
+            m = re.match(r"^[\s:+|-]*'?([A-Za-z]+)", line)
+            if m and m.group(1) not in _ROW_BOUNDED:
+                return None
+        leaves = jplan.collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            # LogicalRelation over HadoopFsRelation: the FileIndex's
+            # sizeInBytes is the sum of the listed files' lengths —
+            # exactly the scanned-bytes bound (any other leaf shape
+            # raises and falls through to None)
+            total += leaves.apply(i).relation().location().sizeInBytes()
+    except Exception:
+        return None
+    return total if total > 0 else None
+
+
 # logical-plan node names that mean "partitioning no longer follows the
 # scan" — for these spread() falls back to asking the planned RDD
 _NON_NARROW = (

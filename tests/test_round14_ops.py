@@ -166,3 +166,58 @@ def test_attach_doubled_rank_exposes_tie_total(spark):
         ).collect()
     }
     assert got == {(5, 2): 5, (5, 3): 5, (8, 1): 1}
+
+
+def test_grain_fast_path_matches_bucketed(spark, sf_dir):
+    """The r14 file-size fast path (spark.aeon.grain.fastPathMaxBytes)
+    picks a single-window plan for provably-small scans; the bucketed
+    plan must produce IDENTICAL rows. Compare both paths on real
+    parquet gates across every grain engine (_grain_prefix via cliffs,
+    _attach_doubled_rank via kruskal, _grain_type1_quantile via
+    brown-forsythe, and trimmed_mean's own fast path)."""
+    import __spark_entry__ as entry
+    from aeon_mecha_spark.util import release_cached
+
+    qs = entry.queries()
+    for name in ("q248_cliffs_delta", "q213_kruskal_wallis",
+                 "q254_brown_forsythe", "q247_trimmed_mean",
+                 "q208_mannwhitney"):
+        rows = {}
+        for mode, val in (("on", str(128 << 20)), ("off", "0")):
+            spark.conf.set("spark.aeon.grain.fastPathMaxBytes", val)
+            spark.catalog.clearCache()
+            df = qs[name](spark, sf_dir)
+            rows[mode] = sorted(map(tuple, df.collect()))
+            release_cached(df)
+        spark.conf.unset("spark.aeon.grain.fastPathMaxBytes")
+        assert rows["on"] == rows["off"], name
+
+
+def test_narrow_scan_bytes_soundness(spark, sf_dir):
+    """narrow_scan_bytes must return bytes only for row-bounded plans
+    over local file scans, and None whenever a node could multiply rows
+    (join, explode, rollup/Expand) or the leaf is not a file scan."""
+    import os
+    from pyspark.sql import functions as F
+    from aeon_mecha_spark.util import narrow_scan_bytes
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    li = spark.read.parquet(path)
+    size = os.path.getsize(path) if os.path.isfile(path) else sum(
+        os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+        if not f.startswith(("_", "."))
+    )
+    g = li.filter(F.col("l_quantity") > 0).groupBy("l_returnflag").count()
+    assert narrow_scan_bytes(g) == size
+    # row-multiplying or opaque plans -> None
+    assert narrow_scan_bytes(li.join(g, "l_returnflag")) is None
+    assert narrow_scan_bytes(
+        li.select(F.explode(F.array(F.lit(1), F.lit(2))))
+    ) is None
+    assert narrow_scan_bytes(li.rollup("l_returnflag").count()) is None
+    assert narrow_scan_bytes(
+        spark.createDataFrame([(1,)], "a int")
+    ) is None
+    # Union is excluded: inputFiles() dedupes, so a self-union would
+    # undercount bytes 2x -> must return None
+    assert narrow_scan_bytes(g.unionByName(g)) is None
